@@ -1,0 +1,25 @@
+from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    normalize_text,
+    quality_score,
+    token_count,
+    tokens,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "normalize_text",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "dot",
+    "l2_norm",
+    "cosine_similarity",
+]

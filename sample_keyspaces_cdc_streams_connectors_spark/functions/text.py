@@ -1,0 +1,106 @@
+"""Text-analysis column functions for the LLM-data-pipeline layer.
+
+All pure Column expressions (JVM built-ins, whole-stage codegen) —
+no Python touches row data, so these run at full scan speed over a
+100 TB `documents` table.  Counterpart of the reference's only text
+handling (the Bedrock ``embedding-field`` extraction,
+S3VectorTargetMapper.java:100-125) extended to the north-star text
+operations: tokenization, language-ID, quality scoring,
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny high-frequency English stopword set used by the heuristic
+#: language/quality scorers (order irrelevant; deterministic).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+
+def normalize_text(col: Column) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed — the canonical form
+    used for fingerprinting and exact dedup."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization → array<string> (empty array for
+    empty/blank text)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Number of non-whitespace runs (BPE-ish proxy: whitespace split;
+    see ``bpe_token_estimate`` for the sub-word estimate)."""
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """Crude BPE token-count estimate: word-ish runs + digits +
+    punctuation each count (regexp-based, deterministic)."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def stopword_count(col: Column) -> Column:
+    """Occurrences of the STOPWORDS set as standalone words."""
+    pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: 'en' when the stopword density over the
+    token stream clears 8%, else 'unknown' (n-gram-free variant of
+    the classic stopword profile method)."""
+    n = token_count(col)
+    return F.when(
+        (n > 0) & (stopword_count(col) / n > 0.08), F.lit("en")
+    ).otherwise(F.lit("unknown"))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic 0..1000 quality score (per-mille) from length,
+    alpha ratio and stopword density.
+
+    score = 400*min(tokens,64)//64 + 300*alpha//chars
+          + 300*min(stops,8)//8
+
+    All-integer floor arithmetic: floor(int/int) in double is exact in
+    IEEE754 (correctly-rounded division; an integral true quotient is
+    produced exactly), so Spark and any ANSI-SQL oracle agree bitwise.
+    """
+    n = token_count(col).cast("bigint")
+    chars = F.length(col).cast("bigint")
+    alpha = F.regexp_count(col, F.lit(r"[A-Za-z]")).cast("bigint")
+    stops = stopword_count(col).cast("bigint")
+    score = (
+        F.floor(F.least(n, F.lit(64)) * 400 / 64)
+        + F.when(chars > 0, F.floor(alpha * 300 / chars)).otherwise(F.lit(0))
+        + F.floor(F.least(stops, F.lit(8)) * 300 / 8)
+    )
+    return score.cast("int")
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text — the exact-dup
+    key (md5 is identical across Spark/DuckDB → oracle-checkable)."""
+    return F.md5(normalize_text(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles of the normalized text → array<string>.
+
+    Built via transform over token indexes (no explode needed here;
+    callers explode for the LSH join).  Documents shorter than k
+    tokens yield a single shingle of all tokens, so no doc vanishes.
+    """
+    toks = tokens(normalize_text(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )

@@ -1,0 +1,34 @@
+"""LLM-training-data pipeline operators (north-star extensions).
+
+The reference's only ML-adjacent path is Bedrock embedding generation
+feeding S3 Vectors (S3VectorTargetMapper.java:87-177).  This package
+generalizes that into the operations a 100 TB training-data pipeline
+needs: embedding generation (pluggable, deterministic local default),
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding cosine), approximate similarity search, and multimodal
+column plumbing.
+"""
+
+from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
+from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+
+__all__ = [
+    "hash_embed",
+    "exact_duplicates",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "brute_force_topk",
+    "lsh_bucket_topk",
+]

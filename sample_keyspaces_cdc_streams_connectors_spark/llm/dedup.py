@@ -1,0 +1,295 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+All hash math uses md5-derived 60-bit integers
+(``conv(substr(md5(x),1,15),16,10)``) so every stage is deterministic
+AND replicable in ANSI SQL by the DuckDB oracle — no engine-private
+hash functions in the semantics.
+
+Scale design (100 TB):
+- exact dedup: one hash-shuffle on the fingerprint;
+- MinHash: shingles are exploded once, hashed for all permutations
+  via a posexplode over seeds, min-aggregated per (doc, seed) — a
+  single shuffle keyed by doc; the LSH band join shuffles only
+  (band, signature) keys, never full texts;
+- candidate verification joins shingle sets only for candidate
+  pairs (the classic LSH pruning — pair count is ~linear, not
+  quadratic);
+- SimHash: one pass, bit-majority via array aggregate — no joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+    doc_fingerprint,
+    normalize_text,
+    tokens,
+    word_shingles,
+)
+
+NUM_HASHES = 16
+BAND_ROWS = 4  # 4 bands × 4 rows
+
+
+def md5_int(col: Column) -> Column:
+    """md5 → 60-bit non-negative bigint (engine-portable hash)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns fingerprint, n_docs, min doc_id (canonical survivor) for
+    groups with >1 member — the standard keep-one exact-dedup plan.
+    """
+    return (
+        docs.select(
+            F.col("doc_id"), doc_fingerprint(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
+            "shingle"
+        ),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(doc_id, seed, minhash) — min over shingles of
+    md5_int(seed || ':' || shingle) per permutation seed."""
+    sh = _doc_shingles(docs, text_col, k)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .withColumn(
+            "h",
+            md5_int(
+                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
+            ),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def _band_signatures(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """Collapse per-seed minhashes into per-band signature strings."""
+    banded = sigs.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    ),
+                    lambda s: s.getField("minhash").cast("string"),
+                ),
+                ",",
+            )
+        ).alias("band_sig")
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Pipeline: shingle → minhash → band → bucket self-join (candidates)
+    → exact Jaccard on candidate pairs only → threshold.  Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = _doc_shingles(docs, text_col, k).cache()
+    sigs = minhash_signatures(docs, text_col, k, num_hashes)
+    bands = _band_signatures(sigs, band_rows)
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n", "n_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jaccard").cast("decimal(18,6)"), 6)
+            .cast("decimal(18,6)")
+            .alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via shingle inverted index
+    (no MinHash approximation).
+
+    ``max_shingle_freq`` drops shingles appearing in more documents
+    than the cap before the pair join — the standard stop-shingle
+    guard that keeps the self-join near-linear at scale.  Pairs are
+    only *generated* from surviving shingles, but Jaccard is computed
+    on the FULL shingle sets, so scores are exact; only pairs whose
+    every common shingle is ultra-frequent can be missed (documented
+    approximation, disabled at the cap used in the declared query).
+    """
+    sh = _doc_shingles(docs, text_col, k).cache()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        freq.filter(F.col("df") <= max_shingle_freq), "shingle"
+    ).select("doc_id", "shingle")
+
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jaccard").cast("decimal(18,6)"), 6)
+            .cast("decimal(18,6)")
+            .alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-document SimHash fingerprint (bit-majority of token hashes).
+
+    bit_i(doc) = 1 iff sum over distinct tokens of (2*bit_i(h(tok))-1)
+    is positive.  16 bits keeps the expression tree small while still
+    giving a hamming-bucketable near-dup key; all bit math is integer
+    arithmetic reproducible in SQL.
+    """
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(normalize_text(F.col(text_col))))
+        ).alias("tok"),
+    ).withColumn("h", md5_int(F.col("tok")))
+    # contribution of each token to each bit: +1 / -1
+    per_bit = tok.select(
+        "doc_id",
+        *[
+            (
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    agg = per_bit.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    sim = agg.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(bits)
+            ],
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("simhash"),
+    )
+    return sim

@@ -1,0 +1,60 @@
+"""Declared correctness queries — the driver-contract surface.
+
+Every implemented operator from SURVEY.md §2 registers one query here:
+a ``(spark, sf_dir) -> DataFrame`` callable plus (when SQL-expressible)
+an equivalent ANSI SQL string for the DuckDB oracle.  Column names are
+aliased identically on both sides — the driver sorts columns by name
+before hashing values.
+
+Determinism rules applied throughout:
+- session timezone pinned to UTC (``session.tune``),
+- float aggregation goes through DECIMAL (exact, order-independent)
+  and is cast back to DOUBLE at the end,
+- every top-k / limit has a total-order tie-breaker,
+- no raw struct/array outputs — flat scalar columns only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sample_keyspaces_cdc_streams_connectors_spark.session import tune
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => driver records a rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(wrapped, oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import all query modules (side effect: fills REGISTRY)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.queries import (  # noqa: F401
+        cdc,
+        llm,
+        relational,
+        sinkshape,
+        streaming,
+    )
+
+    return REGISTRY

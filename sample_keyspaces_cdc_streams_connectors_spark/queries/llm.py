@@ -1,0 +1,316 @@
+"""LLM-data-pipeline correctness queries (north-star extensions).
+
+Hash math is md5-based everywhere so the DuckDB oracle replicates the
+exact computation (no engine-private hash functions); float math uses
+sequential double summation written identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+    bpe_token_estimate,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
+from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import extract_features, synthesize_media
+from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import brute_force_topk, lsh_bucket_topk
+from sample_keyspaces_cdc_streams_connectors_spark.queries import register
+from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+
+# normalized text in DuckDB — mirror of functions.text.normalize_text
+NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+STOP_PAT = r"\b(the|a|of|and|to|in|is|on|for|it)\b"
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@register(
+    "text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           length(regexp_extract_all(trim(text), '\\S+')) AS n_tokens,
+           length(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_est,
+           md5({NORM}) AS fingerprint
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and content
+    fingerprint over `documents` — all JVM regexp built-ins."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_token_estimate(t).alias("n_bpe_est"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+      CASE WHEN length(regexp_extract_all(trim(text), '\\S+')) > 0
+            AND regexp_matches(lower(text), '{STOP_PAT}')
+            AND CAST(length(regexp_extract_all(lower(text), '{STOP_PAT}'))
+                     AS DOUBLE)
+              / length(regexp_extract_all(trim(text), '\\S+')) > 0.08
+           THEN 'en' ELSE 'unknown' END AS lang,
+      CAST(
+        floor(least(length(regexp_extract_all(trim(text), '\\S+')), 64)
+              * 400 / 64)
+        + CASE WHEN length(text) > 0
+               THEN floor(length(regexp_extract_all(text, '[A-Za-z]'))
+                          * 300.0 / length(text))
+               ELSE 0 END
+        + floor(least(length(regexp_extract_all(lower(text), '{STOP_PAT}')),
+                      8) * 300 / 8)
+        AS INTEGER) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + integer quality score (engine-exact
+    floor arithmetic; see functions.text.quality_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        lang_id(t).alias("lang"),
+        quality_score(t).alias("quality"),
+    )
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({NORM}) AS fp,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint;
+    one shuffle keyed by a 128-bit hash (no text movement at scale)."""
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+# shared oracle CTEs for shingle-based dedup ---------------------------------
+
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, regexp_extract_all({NORM}, '\\S+') AS t
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) <= 3 THEN array_to_string(t, ' ')
+                ELSE array_to_string(t[i:i+2], ' ') END AS shingle
+    FROM toks,
+         LATERAL (SELECT unnest(
+           CASE WHEN len(t) <= 3 THEN [1]
+                ELSE generate_series(1, len(t) - 2) END) AS i)
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_ngram",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common / (na.n + nb.n - n_common) AS DECIMAL(18,6))
+             AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE n_common / (na.n + nb.n - n_common) >= 0.5
+    """,
+)
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via shingle
+    inverted index — candidate generation + verification joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_shingle_freq=10**9
+    )
+
+
+_SIMHASH_BITS = 16
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_extract_all({NORM}, '\\S+')) AS tok
+    FROM documents
+  )
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id,
+         {", ".join(
+             f"SUM(((h >> {i}) & 1) * 2 - 1) AS s{i}"
+             for i in range(_SIMHASH_BITS)
+         )}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(
+           f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END"
+           for i in range(_SIMHASH_BITS)
+       )} AS BIGINT) AS simhash
+FROM bits
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (bit-majority of md5
+    token hashes) — the hamming-bucketable near-dup key."""
+    return simhash(load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+@register("dedup_minhash")  # rows-only: banding SQL is impractical to oracle
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4x4) candidate pairs verified with exact
+    Jaccard >= 0.5 — shingle→minhash→band→bucket-join pipeline.
+    Correctness cross-checked in tests against dedup_ngram (LSH
+    candidates must be a subset; high-jaccard pairs must appear)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import minhash_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(docs, jaccard_threshold=0.5)
+
+
+# --- embeddings & similarity ----------------------------------------------
+
+# the sequential-double cosine, written once for the oracle
+_DUCK_COS = """
+list_sum(list_transform(list_zip(a.emb, q.emb),
+  s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(a.emb, x -> CAST(x AS DOUBLE)**2)))
+   * sqrt(list_sum(list_transform(q.emb, x -> CAST(x AS DOUBLE)**2))))
+"""
+
+
+@register(
+    "vector_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS emb FROM embeddings WHERE vec_id = 1),
+    scored AS (
+      SELECT a.vec_id, {_DUCK_COS} AS sim
+      FROM (SELECT vec_id, embedding AS emb FROM embeddings
+            WHERE vec_id <> 1) a, q
+    )
+    SELECT vec_id, CAST(sim AS DECIMAL(18,8)) AS sim
+    FROM scored
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vector vec_id=1 —
+    query vector broadcast as a literal, one scan, per-partition
+    heap (TakeOrderedAndProject), no shuffle of the vector table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    top = brute_force_topk(
+        emb.filter(F.col("vec_id") != 1), [float(x) for x in qvec], k=10
+    )
+    return top.select(
+        "vec_id", F.col("sim").cast("decimal(18,8)").alias("sim")
+    )
+
+
+@register("ann_lsh_topk")  # rows-only: plan-level ANN (bucket pruning)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 searching only the query's sign-projection bucket —
+    the scale path (bucket-partitioned table prunes the scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    return lsh_bucket_topk(
+        emb.filter(F.col("vec_id") != 1), [float(x) for x in qvec], k=10
+    )
+
+
+@register("embed_dims")  # rows-only: embedder is a pandas UDF (non-SQL)
+def embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-embedder (Arrow-batched pandas UDF, the
+    Bedrock-embedding analog of S3VectorTargetMapper.java:100-125):
+    emits per-doc dims + unit-norm check flag."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = docs.select("doc_id", hash_embed(F.col("text"), 256).alias("emb"))
+    norm2 = F.aggregate(
+        F.transform("emb", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return emb.select(
+        "doc_id",
+        F.size("emb").alias("dims"),
+        (F.abs(norm2 - 1.0) < 1e-3).alias("unit_norm"),
+    )
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+@register(
+    "multimodal_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
+           CAST(64 + (strlen(text) // 7) % 512 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → mapInPandas feature extraction (decode
+    stubbed deterministically; Spark plumbing — schema, Arrow batches,
+    binary payloads — is real)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return extract_features(media, fake=True).select(
+        "media_id", "n_bytes", "digest", "width", "height"
+    )

@@ -1,0 +1,437 @@
+"""Relational parity layer (SURVEY §2.2).
+
+The reference implements no joins/aggregations/windows/sorts/set ops
+(SURVEY §2 — its surface is source → row-transform → sink); an
+analytics engine needs them, so they are declared here directly over
+the TPC-H-ish fixtures and proven against the DuckDB oracle.
+
+Scale notes (100 TB posture):
+- dimension joins (`nation`, `region`, `customer` at fixture scale)
+  are explicitly ``broadcast()`` — no shuffle of the fact table;
+- fact-fact joins rely on AQE (enabled in ``session.tune``) for
+  runtime strategy + skew splitting;
+- double aggregation goes through DECIMAL so results are exact and
+  order-independent (shuffle-order-proof), then stays DECIMAL in the
+  output so the oracle hash is stable;
+- every ordered output carries a total-order tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.queries import register
+from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+
+
+def _dec(col: str, scale: int = 6) -> F.Column:
+    return F.col(col).cast(f"decimal(28,{scale})")
+
+
+# --- scans -----------------------------------------------------------------
+
+
+@register(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_returnflag = 'N'
+    """,
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection+filter scan; both predicate and 4-column ReadSchema
+    reach the parquet reader (verified via .explain PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "N")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        )
+    )
+
+
+# --- joins -----------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, n.n_name AS nation,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→dim chain join; both dims broadcast (no fact shuffle)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0)
+                AS DECIMAL(28,6)) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders, then
+    aggregate; decimal sums for order-independent exactness."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0))
+            .cast("decimal(28,6)")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_orders' AS cohort FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT c_custkey, 'no_orders' AS cohort FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti — Spark's dedicated join types (no row
+    duplication, right side never materialized in output)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("cohort")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("cohort")
+    )
+    return semi.unionAll(anti)
+
+
+# --- aggregations ----------------------------------------------------------
+
+
+@register(
+    "agg_sum_by_key",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                 * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DECIMAL(28,6)) AS sum_disc_price,
+        COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_sum_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation; Catalyst does partial
+    (map-side) aggregation before the shuffle automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(28,6)").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice"))
+            .cast("decimal(28,6)")
+            .alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(28,6)")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countDistinct — Spark expands to a two-phase aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region → nation → grand total)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.count("*").alias("n_cust"),
+        F.sum(_dec("c_acctbal")).cast("decimal(28,6)").alias("total_bal"),
+    )
+
+
+# --- window functions ------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,6)) AS running_spend
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + running-frame window over one shuffle-partitioning
+    (both windows share PARTITION BY o_custkey → single exchange)."""
+    o = load_table(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    running = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            F.row_number().over(by_price).alias("rn"),
+            F.sum(_dec("o_totalprice"))
+            .over(running)
+            .cast("decimal(28,6)")
+            .alias("running_spend"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- sorts / top-k ---------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge — no global sort shuffle at any scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+        )
+        .limit(25)
+    )
+
+
+# --- set operations --------------------------------------------------------
+
+
+@register(
+    "set_union_except",
+    oracle="""
+    WITH big_parts AS (SELECT p_partkey AS k FROM part WHERE p_size >= 25),
+         cheap_parts AS (SELECT p_partkey AS k FROM part
+                         WHERE p_retailprice < 1200)
+    SELECT k, 'union' AS src FROM (SELECT k FROM big_parts
+                                   UNION SELECT k FROM cheap_parts)
+    UNION ALL
+    SELECT k, 'except' AS src FROM (SELECT k FROM big_parts
+                                    EXCEPT SELECT k FROM cheap_parts)
+    UNION ALL
+    SELECT k, 'intersect' AS src FROM (SELECT k FROM big_parts
+                                       INTERSECT SELECT k FROM cheap_parts)
+    """,
+)
+def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union/distinct, exceptAll→distinct, intersect over key sets."""
+    p = load_table(spark, sf_dir, "part")
+    big = p.filter(F.col("p_size") >= 25).select(F.col("p_partkey").alias("k"))
+    cheap = p.filter(F.col("p_retailprice") < 1200).select(
+        F.col("p_partkey").alias("k")
+    )
+    u = big.union(cheap).distinct().select("k", F.lit("union").alias("src"))
+    e = big.exceptAll(cheap).distinct().select("k", F.lit("except").alias("src"))
+    i = big.intersect(cheap).select("k", F.lit("intersect").alias("src"))
+    return u.unionAll(e).unionAll(i)
+
+
+# --- scalar functions ------------------------------------------------------
+
+
+@register(
+    "scalar_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           substr(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           abs(p_size - 25) AS size_dist,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+           CAST(round(CAST(p_retailprice AS DECIMAL(18,4)) * 1.1, 2)
+                AS DECIMAL(18,2)) AS price_taxed,
+           CASE WHEN p_size % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+    FROM part
+    """,
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar function parity (reference #4/#5/#7/#14
+    analogs) — all JVM built-ins, zero Python in the data path."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_bucket"),
+        F.round(F.col("p_retailprice").cast("decimal(18,4)") * F.lit(1.1), 2)
+        .cast("decimal(18,2)")
+        .alias("price_taxed"),
+        F.when(F.col("p_size") % 2 == 0, "even").otherwise("odd").alias("parity"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                AS INTEGER) AS days_since_95
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time component extraction — the S3 sink's time-partition
+    components (S3TargetMapper.java:84-136) as built-in functions."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mo"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+    )
+
+
+# --- JSON ------------------------------------------------------------------
+
+
+@register(
+    "json_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           json_object('id', event_id, 'type', event_type) AS packed
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    """,
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object extraction + to_json construction (reference
+    JSON envelope build, AbstractJSONConverter.java:93-183)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .select(
+            "event_id",
+            "k",
+            F.to_json(
+                F.struct(
+                    F.col("event_id").alias("id"),
+                    F.col("event_type").alias("type"),
+                )
+            ).alias("packed"),
+        )
+    )

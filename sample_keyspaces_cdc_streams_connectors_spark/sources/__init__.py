@@ -1,0 +1,3 @@
+from sample_keyspaces_cdc_streams_connectors_spark.sources.tables import TABLES, load_table, load_tables
+
+__all__ = ["TABLES", "load_table", "load_tables"]

