@@ -1,0 +1,93 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced through the noop sink (full execution, no
+driver materialization cost) and timed individually after a small
+JVM/codegen warmup.  The set covers one representative per operator
+category (SURVEY §2): CDC pipeline, scan, join, agg, window, top-k,
+MV apply, streaming window, text analysis, MinHash dedup, vector
+top-k, embedding UDF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline subset of __spark_entry__.queries() — excludes the
+#: quadratic-verification dedup_ngram (dedup_minhash is the scale path)
+HEADLINE = [
+    "metadata_enrich",       # full CDC shape pipeline
+    "scan_project",
+    "join_inner",
+    "join_left",
+    "agg_sum_by_key",
+    "agg_distinct",
+    "window_rank",
+    "topk_orders",
+    "set_union_except",
+    "json_roundtrip",
+    "batch_bounds",
+    "mv_apply",
+    "stream_tumbling_counts",
+    "sessionize",
+    "dedup_events",
+    "text_tokens",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "vector_topk",
+    "embed_dims",
+    "multimodal_extract",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    from sample_keyspaces_cdc_streams_connectors_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    # warmup: JVM, codegen, parquet footer caches
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

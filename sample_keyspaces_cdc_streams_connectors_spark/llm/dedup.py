@@ -68,45 +68,65 @@ def _doc_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
     )
 
 
+#: Mersenne prime 2^31-1 for the affine permutation family
+_MERSENNE = (1 << 31) - 1
+#: fixed odd multipliers/offsets (derived once from the golden ratio;
+#: any fixed coprime-ish constants work — deterministic, documented)
+_PERM_A = [2 * i * 2654435761 % _MERSENNE + 1 for i in range(64)]
+_PERM_B = [(i * 40503 * 65537 + 1) % _MERSENNE for i in range(64)]
+
+
 def minhash_signatures(
-    docs: DataFrame,
-    text_col: str = "text",
-    k: int = 3,
+    shingles: DataFrame,
     num_hashes: int = NUM_HASHES,
 ) -> DataFrame:
-    """(doc_id, seed, minhash) — min over shingles of
-    md5_int(seed || ':' || shingle) per permutation seed."""
-    sh = _doc_shingles(docs, text_col, k)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .withColumn(
-            "h",
-            md5_int(
-                F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))
-            ),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    """Wide MinHash signature: (doc_id, m0..m{n-1}) from a
+    (doc_id, shingle) frame, via the affine permutation family
+    h_j(s) = (a_j * h30(s) + b_j) mod (2^31-1).
+
+    The base hash (one md5 per shingle occurrence) is computed ONCE;
+    each permutation is an integer multiply-add inside whole-stage
+    codegen, and all n mins are computed in ONE groupBy (map-side
+    partial min per column — no 16× row explosion, a single shuffle
+    of 5000-row partial states).  Arithmetic stays below 2^62 →
+    exact in int64 and exactly replicable in SQL."""
+    base = shingles.withColumn("h30", md5_int(F.col("shingle")) % _MERSENNE)
+    return base.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_PERM_A[j]) * F.col("h30") + _PERM_B[j]) % _MERSENNE)
+            .alias(f"m{j}")
+            for j in range(num_hashes)
+        ]
     )
 
 
-def _band_signatures(sigs: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
-    """Collapse per-seed minhashes into per-band signature strings."""
-    banded = sigs.withColumn("band", (F.col("seed") / band_rows).cast("int"))
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seed", "minhash"))
-                    ),
-                    lambda s: s.getField("minhash").cast("string"),
-                ),
-                ",",
+def _band_signatures(
+    sigs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """(doc_id, band, band_sig): md5 over each band's minhash block."""
+    n_bands = num_hashes // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{b * band_rows + r}").cast("string")
+                            for r in range(band_rows)
+                        ],
+                    )
+                ).alias("band_sig"),
             )
-        ).alias("band_sig")
+            for b in range(n_bands)
+        ]
     )
+    return sigs.select(
+        "doc_id", F.explode(bands).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
 
 
 def minhash_candidate_pairs(
@@ -124,8 +144,8 @@ def minhash_candidate_pairs(
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     sh = _doc_shingles(docs, text_col, k).cache()
-    sigs = minhash_signatures(docs, text_col, k, num_hashes)
-    bands = _band_signatures(sigs, band_rows)
+    sigs = minhash_signatures(sh, num_hashes)
+    bands = _band_signatures(sigs, num_hashes, band_rows)
 
     left = bands.alias("l")
     right = bands.alias("r")

@@ -29,22 +29,18 @@ DEFAULT_DIMS = 256  # S3VectorTargetMapper.java:74
 
 
 def _hash_vec(text: str, dims: int) -> np.ndarray:
-    """Deterministic unit vector from text (blake2b-seeded)."""
+    """Deterministic unit vector from text: one blake2b digest seeds a
+    PCG64 stream that fills all dims (vectorized — no per-dim
+    hashing)."""
     if text is None:
         text = ""
-    out = np.empty(dims, dtype=np.float64)
-    # 32 doubles per digest → ceil(dims/8) blake2b calls, each 64B.
-    n_blocks = (dims * 8 + 63) // 64
-    buf = b"".join(
-        hashlib.blake2b(
-            text.encode("utf-8", "surrogatepass"), digest_size=64,
-            salt=i.to_bytes(8, "little"),
-        ).digest()
-        for i in range(n_blocks)
+    digest = hashlib.blake2b(
+        text.encode("utf-8", "surrogatepass"), digest_size=16
+    ).digest()
+    rng = np.random.Generator(
+        np.random.PCG64(int.from_bytes(digest, "little"))
     )
-    ints = np.frombuffer(buf[: dims * 8], dtype="<u8")
-    # map uint64 → (-1, 1)
-    out = (ints.astype(np.float64) / 2**63) - 1.0
+    out = rng.standard_normal(dims)
     norm = np.linalg.norm(out)
     if norm > 0:
         out = out / norm
