@@ -1,0 +1,185 @@
+"""LLM-pipeline operators: dedup (exact/minhash/simhash), embeddings,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+    bpe_token_estimate,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+    exact_duplicates,
+    minhash_candidate_pairs,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import _hash_vec
+from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+    decode_image,
+    extract_features,
+    synthesize_media,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1 (after normalization)
+        (3, base.replace("lazy", "sleepy")),  # near dup
+        (4, "completely different text about spark engines and scale"),
+        (5, "  THE quick   brown fox jumps over the lazy dog " * 5),  # norm-dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+def test_exact_duplicates_normalized(spark):
+    out = exact_duplicates(_docs(spark))
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 3  # docs 1, 2, 5 normalize identically
+    assert rows[0].keep_doc_id == 1
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = minhash_candidate_pairs(_docs(spark), jaccard_threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # near-dup pair (1,3) and the exact pairs must surface; doc 4 never
+    assert (1, 3) in got or (1, 2) in got
+    assert all(4 not in pair for pair in got)
+    for r in pairs.collect():
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.doc_a < r.doc_b
+
+
+def test_minhash_exact_pair_jaccard_one(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_candidate_pairs(_docs(spark)).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert pairs.get((1, 5)) == 1.0
+
+
+# --- embeddings -----------------------------------------------------------
+
+
+def test_hash_vec_deterministic_unit():
+    a = _hash_vec("hello world", 256)
+    b = _hash_vec("hello world", 256)
+    c = _hash_vec("hello worlds", 256)
+    assert np.allclose(a, b)
+    assert not np.allclose(a, c)
+    # vectors are float32 (ArrayType(FloatType) parity with the
+    # reference's List<Float>) — unit norm to float32 precision
+    assert math.isclose(float(np.linalg.norm(a)), 1.0, rel_tol=1e-6)
+    assert a.shape == (256,)
+
+
+def test_hash_vec_none_is_empty_text():
+    assert np.allclose(_hash_vec(None, 64), _hash_vec("", 64))
+
+
+# --- similarity search ----------------------------------------------------
+
+
+def _vectors(spark, n=64, dims=16):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, dims))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        vecs,
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, vecs = _vectors(spark)
+    q = vecs[0]
+    out = brute_force_topk(df, [float(x) for x in q], k=5)
+    got = [r.vec_id for r in out.collect()]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expect = list(np.argsort(-sims)[:5])
+    assert got == expect
+    assert got[0] == 0  # the query vector itself
+
+
+def test_lsh_bucket_topk_subset_of_bucket(spark):
+    df, vecs = _vectors(spark)
+    q = [float(x) for x in vecs[3]]
+    out = lsh_bucket_topk(df, q, k=5, n_planes=3)
+    rows = out.collect()
+    assert 1 <= len(rows) <= 5
+    assert len({r.bucket for r in rows}) == 1  # single bucket searched
+    assert rows[0].vec_id == 3  # query's own vector shares its bucket
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+# --- text analysis --------------------------------------------------------
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a good day for the cat"),
+            (2, "xyzzy plugh 42!"),
+            (3, ""),
+        ],
+        "id long, text string",
+    ).select(
+        "id",
+        token_count(F.col("text")).alias("n"),
+        bpe_token_estimate(F.col("text")).alias("bpe"),
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    by_id = {r.id: r for r in df.collect()}
+    assert by_id[1].n == 15
+    assert by_id[1].lang == "en"
+    assert by_id[2].lang == "unknown"
+    assert by_id[3].n == 0 and by_id[3].q == 0
+    assert by_id[2].bpe == 5  # xyzzy, plugh, 4, 2, !
+    assert 0 <= by_id[1].q <= 1000
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",)], "t string").select(
+        word_shingles(F.col("t"), 3).alias("s")
+    )
+    assert df.collect()[0].s == ["one two"]
+
+
+# --- multimodal -----------------------------------------------------------
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01")
+
+
+def test_extract_features_fake_decoder(spark):
+    docs = _docs(spark)
+    feats = extract_features(synthesize_media(docs), fake=True)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    r = rows[4]
+    assert r.n_bytes == len(
+        "completely different text about spark engines and scale".encode()
+    )
+    assert len(r.digest) == 32
+    assert r.width >= 64 and r.height >= 64

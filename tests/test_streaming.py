@@ -1,0 +1,175 @@
+"""Structured Streaming assembly: file-source micro-batches through
+the transform stack into foreachBatch sinks, with checkpointing
+(the KCL processRecords contract, KeyspacesRecordProcessor.java:41-60)."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.streaming import (
+    AllItemsFailureError,
+    CdcPipeline,
+    PartialFailureError,
+    PipelineConfig,
+    QueueTransport,
+    local_dir_transport,
+    memory_rows_sink,
+    object_store_sink,
+    queue_sink,
+)
+
+
+@pytest.fixture(scope="module")
+def env_parquet(spark, envelopes, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("env") / "envelopes")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    envelopes.limit(200).repartition(2).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    return path, schema
+
+
+def _run(spark, env_parquet, config, sink):
+    path, schema = env_parquet
+    pipe = CdcPipeline(config)
+    stream = pipe.read_envelope_stream(spark, path, schema)
+    assert stream.isStreaming
+    q = pipe.start(stream, sink)
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_matches_batch(spark, env_parquet, envelopes, tmp_path):
+    """The streaming result equals the same transform run in batch —
+    the core stream/batch unification claim."""
+    cfg = PipelineConfig(
+        filter_expression="metadata.stream_operation_type <> 'UNKNOWN'",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    store: list = []
+    _run(spark, env_parquet, cfg, memory_rows_sink(store))
+    streamed = sorted(
+        r.stream_sequence_number for _, rows in store for r in rows
+    )
+    path, _ = env_parquet
+    batch = CdcPipeline(cfg).transform(spark.read.parquet(path))
+    expected = sorted(
+        r.stream_sequence_number
+        for r in batch.select("stream_sequence_number").collect()
+    )
+    assert streamed == expected
+    assert len(store) >= 2  # maxFilesPerTrigger=1 -> one batch per file
+
+
+def test_checkpoint_no_redelivery_on_restart(spark, env_parquet, tmp_path):
+    """Restarting an exhausted stream with the same checkpoint delivers
+    nothing new (offsets persisted — the DynamoDB lease-table analog)."""
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ckpt2"))
+    store: list = []
+    _run(spark, env_parquet, cfg, memory_rows_sink(store))
+    first = sum(len(rows) for _, rows in store)
+    assert first > 0
+    store.clear()
+    _run(spark, env_parquet, cfg, memory_rows_sink(store))
+    assert sum(len(rows) for _, rows in store) == 0
+
+
+def test_sink_failure_blocks_checkpoint(spark, env_parquet, tmp_path):
+    """A throwing sink fails the query and does NOT advance the
+    checkpoint; the records are redelivered on restart (at-least-once,
+    KeyspacesRecordProcessor.java:48-56)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ckpt3"))
+
+    def bad_sink(df, bid):
+        raise RuntimeError("sink down")
+
+    path, schema = env_parquet
+    pipe = CdcPipeline(cfg)
+    q = pipe.start(pipe.read_envelope_stream(spark, path, schema), bad_sink)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+        raise q.exception() or AssertionError("query should have failed")
+
+    store: list = []
+    _run(spark, env_parquet, cfg, memory_rows_sink(store))
+    assert sum(len(rows) for _, rows in store) > 0  # redelivered
+
+
+def test_object_store_sink_partitions(spark, env_parquet, tmp_path):
+    out = str(tmp_path / "objects")
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ckpt4"))
+    _run(
+        spark,
+        env_parquet,
+        cfg,
+        object_store_sink(out, granularity="hours", output_format="json"),
+    )
+    part_dirs = glob.glob(f"{out}/__part=*")
+    assert part_dirs, "expected time-partitioned output dirs"
+    # partition values look like YYYY/MM/DD/HH (url-encoded slashes)
+    sample = part_dirs[0].rsplit("__part=", 1)[1]
+    assert len(sample.replace("%2F", "/").split("/")) == 4
+
+
+def test_queue_sink_chunks_of_ten(spark, env_parquet, tmp_path):
+    """SQS sends at most 10 messages per SendMessageBatch
+    (SQSTargetMapper.java:90)."""
+    calls: list[int] = []
+
+    def send(batch):
+        calls.append(len(batch))
+        return []
+
+    cfg = PipelineConfig(
+        checkpoint_dir=str(tmp_path / "ckpt5"),
+    )
+    # tiny max size -> many messages -> multiple transport calls
+    _run(
+        spark,
+        env_parquet,
+        cfg,
+        queue_sink(QueueTransport(send_batch=send), max_message_size=2048),
+    )
+    assert calls and all(c <= 10 for c in calls)
+
+
+def test_queue_sink_failure_classification(spark, envelopes):
+    """Partial failures raise PartialFailureError; total failure raises
+    AllItemsFailureError (PartialFailureException.java:27-47)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators import shape_output
+
+    batch = shape_output(envelopes.limit(50))
+
+    def fail_first(batch_msgs):
+        return [0]  # first message of every chunk fails
+
+    with pytest.raises((PartialFailureError, AllItemsFailureError)):
+        queue_sink(
+            QueueTransport(send_batch=fail_first), max_message_size=512
+        )(batch, 0)
+
+    def fail_all(batch_msgs):
+        return list(range(len(batch_msgs)))
+
+    with pytest.raises(AllItemsFailureError):
+        queue_sink(
+            QueueTransport(send_batch=fail_all), max_message_size=512
+        )(batch, 0)
+
+
+def test_local_dir_transport_writes_jsonl(spark, envelopes, tmp_path):
+    from sample_keyspaces_cdc_streams_connectors_spark.operators import shape_output
+
+    out = str(tmp_path / "queue")
+    batch = shape_output(envelopes.limit(20))
+    queue_sink(local_dir_transport(out))(batch, 0)
+    files = glob.glob(f"{out}/batch-*.jsonl")
+    assert files
+    lines = [json.loads(line) for f in files for line in open(f)]
+    assert len(lines) == 20
+    assert all("stream_sequence_number" in rec for rec in lines)
