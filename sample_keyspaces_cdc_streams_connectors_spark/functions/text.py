@@ -88,14 +88,19 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def word_shingles(col: Column, k: int = 3) -> Column:
-    """k-word shingles of the normalized text → array<string>.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from a *materialized* token-array column.
 
-    Built via transform over token indexes (no explode needed here;
-    callers explode for the LSH join).  Documents shorter than k
-    tokens yield a single shingle of all tokens, so no doc vanishes.
+    PERF: ``toks`` must be a plain column reference, not the full
+    tokenization expression — Catalyst inlines expressions referenced
+    inside higher-order-function lambdas, so an inlined tokenizer is
+    re-evaluated once per shingle index (O(tokens²) regexp work per
+    document; measured 10× slower at sf0.1).  Callers project the
+    token array first (see ``word_shingles`` / dedup ``_doc_shingles``).
+
+    Documents shorter than k tokens yield a single shingle of all
+    tokens, so no doc vanishes.
     """
-    toks = tokens(normalize_text(col))
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
@@ -104,3 +109,13 @@ def word_shingles(col: Column, k: int = 3) -> Column:
             lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
         )
     )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles of the normalized text → array<string>.
+
+    Convenience single-expression form; hot paths should project
+    ``tokens(normalize_text(col))`` first and call
+    :func:`shingles_from_tokens` (see PERF note there).
+    """
+    return shingles_from_tokens(tokens(normalize_text(col)), k)

@@ -26,8 +26,8 @@ from pyspark.sql import functions as F
 from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
     doc_fingerprint,
     normalize_text,
+    shingles_from_tokens,
     tokens,
-    word_shingles,
 )
 
 NUM_HASHES = 16
@@ -59,12 +59,20 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
-    return docs.select(
+    """(doc_id, shingle) distinct pairs.
+
+    Two-phase: tokenize in one projection, shingle from the bound
+    array column in the next — keeps the regexp tokenizer evaluated
+    once per document instead of once per shingle index (see
+    ``shingles_from_tokens`` PERF note; 10× at sf0.1)."""
+    with_toks = docs.select(
+        "doc_id", tokens(normalize_text(F.col(text_col))).alias("__toks")
+    )
+    return with_toks.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
-            "shingle"
-        ),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("__toks"), k))
+        ).alias("shingle"),
     )
 
 
