@@ -47,7 +47,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_embedding",
+    "text_winnow",
     "vector_topk",
+    "ann_ivf_topk",
     "embed_dims",
     "multimodal_extract",
 ]

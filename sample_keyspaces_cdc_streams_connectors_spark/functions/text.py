@@ -119,3 +119,21 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     :func:`shingles_from_tokens` (see PERF note there).
     """
     return shingles_from_tokens(tokens(normalize_text(col)), k)
+
+
+def winnow_fingerprints(hashes: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03):
+    the distinct minimum hash of every ``w``-wide window over the
+    ordered k-gram hash sequence → array<bigint>.
+
+    Guarantees any match of length >= w+k-1 tokens shares a selected
+    fingerprint, with ~2/(w+1) selection density.  ``hashes`` must be
+    a *materialized* array column (see ``shingles_from_tokens`` PERF
+    note).  Documents with fewer than w hashes yield the single global
+    minimum, so no doc vanishes.
+    """
+    n = F.size(hashes)
+    starts = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice(hashes, i + 1, w)))
+    )

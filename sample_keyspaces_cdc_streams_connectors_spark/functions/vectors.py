@@ -30,3 +30,24 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """cos(a,b) with 0 for zero-norm inputs (no NaN propagation)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def dot_wide(a: Column, b: Column, dims: int) -> Column:
+    """Dot product unrolled to a ``dims``-term scalar expression.
+
+    Same left-to-right double summation as :func:`dot` (bit-identical
+    result), but with no per-row intermediate array allocation — pure
+    whole-stage-codegen arithmetic.  Use on hot per-pair paths where
+    the dimensionality is known (e.g. LSH candidate verification);
+    ``dot`` remains for unknown-dims columns.
+    """
+    terms = [
+        F.element_at(a, i + 1).cast("double")
+        * F.element_at(b, i + 1).cast("double")
+        for i in range(dims)
+    ]
+    return sum(terms[1:], terms[0])
+
+
+def l2_norm_wide(a: Column, dims: int) -> Column:
+    return F.sqrt(dot_wide(a, a, dims))

@@ -5,12 +5,13 @@ feeding S3 Vectors (S3VectorTargetMapper.java:87-177).  This package
 generalizes that into the operations a 100 TB training-data pipeline
 needs: embedding generation (pluggable, deterministic local default),
 deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
-embedding cosine), approximate similarity search, and multimodal
-column plumbing.
+embedding cosine), similarity search (exact, LSH-bucketed, IVF), and
+multimodal column plumbing.
 """
 
 from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
 from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+    embedding_near_dup_pairs,
     exact_duplicates,
     minhash_signatures,
     minhash_candidate_pairs,
@@ -19,16 +20,19 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucket_topk,
 )
 
 __all__ = [
     "hash_embed",
+    "embedding_near_dup_pairs",
     "exact_duplicates",
     "minhash_signatures",
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
     "brute_force_topk",
+    "ivf_topk",
     "lsh_bucket_topk",
 ]

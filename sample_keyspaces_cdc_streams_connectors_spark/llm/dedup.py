@@ -281,6 +281,103 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via coordinate-sign LSH.
+
+    Blocking: each vector's first ``n_bits`` coordinate signs form a
+    bit signature, split into ``n_bits/band_bits`` bands; vectors
+    sharing ANY band bucket become candidates (classic LSH
+    OR-construction).  Candidates are then verified with the exact
+    sequential-double cosine and thresholded.  Coordinate-sign planes
+    (rather than random projections) keep the bucketing replicable in
+    plain SQL while preserving the sign-LSH collision probability
+    1 - theta/pi per bit on roughly-isotropic embeddings.
+
+    Scale: the band self-join shuffles only (band, bucket, id) keys;
+    exact cosine runs on candidate pairs only (~linear, not n²).
+    Returns (vec_a, vec_b, cos) with vec_a < vec_b.
+    """
+    n_bands = n_bits // band_bits
+    v = F.col(vec_col)
+
+    def band_bucket(b: int) -> Column:
+        bits = [
+            F.when(
+                F.element_at(v, b * band_bits + r + 1) > 0, F.lit(1 << r)
+            ).otherwise(F.lit(0))
+            for r in range(band_bits)
+        ]
+        return sum(bits[1:], bits[0])
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), band_bucket(b).alias("bucket")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    sig = vectors.select(
+        F.col(id_col).alias("vid"), F.explode(bands).alias("bs")
+    ).select("vid", "bs.band", "bs.bucket")
+
+    cand = (
+        sig.alias("l")
+        .join(
+            sig.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(
+            F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b")
+        )
+        .distinct()
+    )
+
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import dot_wide, l2_norm_wide
+
+    # PERF: norms are computed ONCE per vector (2 small broadcast
+    # sides), and the per-pair dot is a dims-term unrolled codegen
+    # expression — no per-pair array allocation.  Left-to-right double
+    # summation keeps the value bit-identical to the SQL oracle's
+    # sequential list_sum.
+    dims = len(vectors.select(vec_col).first()[0])
+    va = vectors.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("__ea"),
+        l2_norm_wide(F.col(vec_col), dims).alias("__na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("__eb"),
+        l2_norm_wide(F.col(vec_col), dims).alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(
+        denom > 0,
+        dot_wide(F.col("__ea"), F.col("__eb"), dims) / denom,
+    ).otherwise(F.lit(0.0))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("cos").cast("decimal(18,8)").alias("cos"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """Per-document SimHash fingerprint (bit-majority of token hashes).
 

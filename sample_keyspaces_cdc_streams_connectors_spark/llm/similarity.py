@@ -49,6 +49,65 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: probe only the ``n_probe`` inverted-file cells
+    whose representative vector is closest to the query, then exact
+    cosine top-k within those cells.
+
+    ``cell_col`` is the coarse-quantizer cell id (here the fixture's
+    ``label`` column; in production the output of k-means).  The cell
+    REPRESENTATIVE is the member with the minimum id — deterministic
+    and order-independent, so the probe decision is exactly
+    reproducible in SQL (a mean centroid depends on float summation
+    order across rows, which neither engine guarantees).
+
+    Scale: representatives are ~n_cells rows (collected to the driver
+    once, like a centroid codebook); the data scan prunes to the
+    probed cells — with the table partitioned by cell this is
+    partition pruning, reading n_probe/n_cells of the data.
+    """
+    reps = (
+        vectors.groupBy(cell_col)
+        .agg(F.min(id_col).alias("__rep_id"))
+        .join(
+            vectors.select(
+                F.col(id_col).alias("__rep_id"), F.col(vec_col).alias("__rv")
+            ),
+            "__rep_id",
+        )
+    )
+    qlit = _query_lit(query_vec)
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    probe_rows = (
+        reps.select(
+            cell_col,
+            cosine_similarity(dbl(F.col("__rv")), qlit).alias("__sim"),
+        )
+        .orderBy(F.col("__sim").desc(), F.col(cell_col))
+        .limit(n_probe)
+        .collect()
+    )
+    probed = [r[cell_col] for r in probe_rows]
+    return (
+        vectors.filter(F.col(cell_col).isin(probed))
+        .select(
+            F.col(id_col),
+            cosine_similarity(dbl(F.col(vec_col)), qlit).alias("sim"),
+            F.col(cell_col).alias("cell"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     vectors: DataFrame,
     query_vec: Sequence[float],

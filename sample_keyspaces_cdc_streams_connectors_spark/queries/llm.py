@@ -14,17 +14,27 @@ from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
     bpe_token_estimate,
     doc_fingerprint,
     lang_id,
+    normalize_text,
     quality_score,
+    shingles_from_tokens,
     token_count,
+    tokens,
+    winnow_fingerprints,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+    embedding_near_dup_pairs,
     exact_duplicates,
+    md5_int,
     ngram_jaccard_pairs,
     simhash,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
 from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import extract_features, synthesize_media
-from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import brute_force_topk, lsh_bucket_topk
+from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from sample_keyspaces_cdc_streams_connectors_spark.queries import register
 from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
 
@@ -288,6 +298,134 @@ def embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("emb").alias("dims"),
         (F.abs(norm2 - 1.0) < 1e-3).alias("unit_norm"),
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    sig AS (
+      SELECT vec_id, band,
+             (CASE WHEN emb[band*4+1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN emb[band*4+2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN emb[band*4+3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN emb[band*4+4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM e, (SELECT unnest([0, 1, 2, 3]) AS band) bands
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+      FROM sig l JOIN sig r
+        ON l.band = r.band AND l.bucket = r.bucket
+       AND l.vec_id < r.vec_id
+    ),
+    scored AS (
+      SELECT vec_a, vec_b, {_DUCK_COS.replace("q.emb", "b.emb")} AS cos
+      FROM cand
+      JOIN e a ON a.vec_id = vec_a
+      JOIN e b ON b.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, CAST(cos AS DECIMAL(18,8)) AS cos
+    FROM scored WHERE cos >= 0.4
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4): coordinate-sign
+    LSH banding (16 bits, 4x4 bands) generates candidates; exact
+    sequential-double cosine verifies.  Band join shuffles only
+    (band, bucket, id) keys — never the vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=0.4, n_bits=16, band_bits=4
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH reps AS (
+      SELECT label, MIN(vec_id) AS rep_id FROM embeddings GROUP BY label
+    ),
+    q AS (SELECT embedding AS emb FROM embeddings WHERE vec_id = 1),
+    probe AS (
+      SELECT r.label
+      FROM reps r
+      JOIN (SELECT vec_id, embedding AS emb FROM embeddings) a
+        ON a.vec_id = r.rep_id, q
+      ORDER BY {_DUCK_COS} DESC, r.label
+      LIMIT 2
+    )
+    SELECT a.vec_id, CAST({_DUCK_COS} AS DECIMAL(18,8)) AS sim,
+           a.label AS cell
+    FROM (SELECT vec_id, label, embedding AS emb FROM embeddings) a
+    JOIN probe ON probe.label = a.label, q
+    ORDER BY sim DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-10: probe the 2 inverted-file cells (the
+    fixture's ``label`` as coarse-quantizer cell) whose min-id
+    representative is nearest the query, exact cosine within them.
+    With the table partitioned by cell this is partition pruning —
+    the scan reads n_probe/n_cells of the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    top = ivf_topk(emb, [float(x) for x in qvec], k=10, n_probe=2)
+    return top.select(
+        "vec_id", F.col("sim").cast("decimal(18,8)").alias("sim"), "cell"
+    )
+
+
+@register(
+    "text_winnow",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all({NORM}, '\\S+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(generate_series(1, len(t) - 2),
+                                      i -> array_to_string(t[i:i+2], ' '))
+             END AS shingles
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS h
+      FROM sh
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(h) - 4 + 1, 1)),
+               i -> list_min(h[i:i+3]))) AS fps
+      FROM hashed
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM wins
+    """,
+)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (window w=4
+    over ordered 3-gram hashes, distinct window minima) — the
+    plagiarism-detection / near-dup index key, all JVM-side array
+    expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id", tokens(normalize_text(F.col("text"))).alias("__toks")
+    )
+    with_hashes = with_toks.select(
+        "doc_id",
+        F.transform(
+            shingles_from_tokens(F.col("__toks"), 3), md5_int
+        ).alias("__h"),
+    )
+    return with_hashes.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("__h"), 4)).alias("fp"),
     )
 
 

@@ -28,6 +28,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucket_topk,
 )
 
@@ -130,6 +131,38 @@ def test_lsh_bucket_topk_subset_of_bucket(spark):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ivf_topk_probes_cells(spark):
+    df, vecs = _vectors(spark)
+    labeled = df.withColumn("label", (F.col("vec_id") % 4).cast("int"))
+    q = [float(x) for x in vecs[8]]
+    out = ivf_topk(labeled, q, k=5, n_probe=2)
+    rows = out.collect()
+    assert 1 <= len(rows) <= 5
+    assert len({r.cell for r in rows}) <= 2  # only probed cells scanned
+    assert rows[0].vec_id == 8  # query's own cell is always probed
+    sims = [r.sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(32)
+    near = base + rng.standard_normal(32) * 0.05  # cosine ~0.999
+    far = rng.standard_normal(32)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in near]),
+        (3, [float(x) for x in far]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(df, threshold=0.9, n_bits=16, band_bits=4)
+    got = {(r.vec_a, r.vec_b): float(r.cos) for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.99
+    assert all(3 not in pair for pair in got)
+
+
 # --- text analysis --------------------------------------------------------
 
 
@@ -155,6 +188,19 @@ def test_text_functions(spark):
     assert by_id[3].n == 0 and by_id[3].q == 0
     assert by_id[2].bpe == 5  # xyzzy, plugh, 4, 2, !
     assert 0 <= by_id[1].q <= 1000
+
+
+def test_winnow_fingerprints(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [([9, 3, 7, 5, 8, 2, 6],), ([4, 1],)], "h array<bigint>"
+    ).select(winnow_fingerprints(F.col("h"), 4).alias("fps"))
+    rows = [r.fps for r in df.collect()]
+    # windows of 4: [9375]->3 [3758]->3 [7582]->2 [5826]->2 -> {3,2}
+    assert sorted(rows[0]) == [2, 3]
+    # fewer hashes than w -> single global min
+    assert rows[1] == [1]
 
 
 def test_word_shingles_short_doc(spark):
