@@ -92,6 +92,64 @@ def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stateful_running_stats",
+    oracle="""
+    SELECT user_id AS key,
+           COUNT(*) AS n_events,
+           MAX(lpad(CAST(event_id AS VARCHAR), 12, '0')) AS max_seq
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stateful streaming execution: the CDC envelope stream is
+    replayed through ``applyInPandasWithState`` (per-key GroupState on
+    the state store, update mode, availableNow) and the converged
+    running stats are returned — the oracle checks them against the
+    batch aggregate, proving state survives across micro-batches.
+
+    n_events / max_seq are monotone per key, so the final value per
+    key is the max over all update-mode emissions.
+    """
+    import tempfile
+    import uuid
+
+    from sample_keyspaces_cdc_streams_connectors_spark.envelope import synthesize_cdc
+    from sample_keyspaces_cdc_streams_connectors_spark.operators import classify_operation, shape_output
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming.stateful import running_event_stats
+
+    shaped = shape_output(
+        classify_operation(synthesize_cdc(load_table(spark, sf_dir, "events")))
+    ).select("user_id", "stream_sequence_number")
+
+    tmp = tempfile.mkdtemp(prefix="stateful_src_")
+    shaped.repartition(4).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(tmp)
+    )
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_event_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the result
+    return spark.sql(
+        f"SELECT key, max(n_events) AS n_events, max(max_seq) AS max_seq "
+        f"FROM {name} GROUP BY key"
+    )
+
+
+@register(
     "sessionize",
     oracle="""
     WITH marked AS (

@@ -44,14 +44,33 @@ class AllItemsFailureError(RuntimeError):
     """Every message failed (AllItemsFailureException.java:26-46)."""
 
 
+_AVRO_AVAILABLE: bool | None = None
+
+
+def _avro_available(spark) -> bool:
+    """The avro data source is an external Spark module; gate on a
+    one-time probe (absent in this container — parquet fallback)."""
+    global _AVRO_AVAILABLE
+    if _AVRO_AVAILABLE is None:
+        try:
+            spark._jvm.org.apache.spark.sql.avro.AvroFileFormat  # noqa: B018
+            _AVRO_AVAILABLE = True
+        except Exception:
+            _AVRO_AVAILABLE = False
+    return _AVRO_AVAILABLE
+
+
 def object_store_sink(
     out_dir: str,
     ts_col: str = "stream_arrival_timestamp",
     granularity: str = "hours",
     output_format: str = "json",
 ) -> Callable[[DataFrame, int], None]:
-    """S3-object-sink analog (S3TargetMapper.java:70-179): JSON/parquet
-    files under a time-partitioned path.
+    """S3-object-sink analog (S3TargetMapper.java:70-179): files under
+    a time-partitioned path, format ``json`` | ``avro`` | ``parquet``
+    (the reference default is avro, S3TargetMapper.java:70-76; when the
+    external spark-avro module is absent, avro falls back to parquet —
+    the same self-describing-container role).
 
     Uses the distributed writer (no driver collect): partition path
     columns + ``partitionBy`` give `prefix/YYYY/MM/...` layout; file
@@ -66,6 +85,10 @@ def object_store_sink(
         writer = with_part.write.mode("append").partitionBy("__part")
         if output_format == "json":
             writer.json(out_dir)
+        elif output_format == "avro" and _avro_available(
+            batch_df.sparkSession
+        ):
+            writer.format("avro").save(out_dir)
         else:
             writer.parquet(out_dir)
 
