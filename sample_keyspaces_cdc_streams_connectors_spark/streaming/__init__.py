@@ -1,4 +1,10 @@
 from sample_keyspaces_cdc_streams_connectors_spark.streaming.pipeline import CdcPipeline, PipelineConfig
+from sample_keyspaces_cdc_streams_connectors_spark.streaming.retry import (
+    backoff_delay,
+    is_retryable,
+    with_backoff,
+    with_linear_retry,
+)
 from sample_keyspaces_cdc_streams_connectors_spark.streaming.sinks import (
     AllItemsFailureError,
     PartialFailureError,
@@ -12,6 +18,10 @@ from sample_keyspaces_cdc_streams_connectors_spark.streaming.sinks import (
 
 __all__ = [
     "AllItemsFailureError",
+    "backoff_delay",
+    "is_retryable",
+    "with_backoff",
+    "with_linear_retry",
     "CdcPipeline",
     "PartialFailureError",
     "PipelineConfig",
