@@ -64,8 +64,16 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
-    # warmup: JVM, codegen, parquet footer caches
+    # warmup: JVM, codegen, parquet footer caches, and the Python UDF
+    # worker pool + Arrow channel (one-time process spawns that would
+    # otherwise be billed to the first pandas-UDF query)
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(100).select(_warm("id")).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None

@@ -32,22 +32,10 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
-def dot_wide(a: Column, b: Column, dims: int) -> Column:
-    """Dot product unrolled to a ``dims``-term scalar expression.
-
-    Same left-to-right double summation as :func:`dot` (bit-identical
-    result), but with no per-row intermediate array allocation — pure
-    whole-stage-codegen arithmetic.  Use on hot per-pair paths where
-    the dimensionality is known (e.g. LSH candidate verification);
-    ``dot`` remains for unknown-dims columns.
-    """
-    terms = [
-        F.element_at(a, i + 1).cast("double")
-        * F.element_at(b, i + 1).cast("double")
-        for i in range(dims)
-    ]
-    return sum(terms[1:], terms[0])
-
-
-def l2_norm_wide(a: Column, dims: int) -> Column:
-    return F.sqrt(dot_wide(a, a, dims))
+# PERF note (measured, sf0.1, 490k pairs x 64 dims): keep dot products
+# as zip_with-with-inline-casts + aggregate (3.0s).  Two tempting
+# "optimizations" are strictly worse: wrapping the arrays in
+# transform(x -> cast(x as double)) first adds an array
+# materialization per row (4.7s), and unrolling into a 64-term
+# element_at expression overflows the codegen method budget and falls
+# back to interpreted evaluation (10s).

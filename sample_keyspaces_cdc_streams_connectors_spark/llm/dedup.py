@@ -304,6 +304,8 @@ def embedding_near_dup_pairs(
     exact cosine runs on candidate pairs only (~linear, not n²).
     Returns (vec_a, vec_b, cos) with vec_a < vec_b.
     """
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import dot, l2_norm
+
     n_bands = n_bits // band_bits
     v = F.col(vec_col)
 
@@ -316,59 +318,69 @@ def embedding_near_dup_pairs(
         ]
         return sum(bits[1:], bits[0])
 
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"), band_bucket(b).alias("bucket")
-            )
-            for b in range(n_bands)
-        ]
-    )
+    # PERF (measured at sf0.1): one fused self-join instead of
+    # candidates→distinct→two vector-fetch joins.  Each row carries its
+    # vector, precomputed norm, and ALL band buckets; collisions are
+    # deduplicated by the FIRST-matching-band predicate (a pair joins
+    # only at its lowest agreeing band), so no distinct shuffle and no
+    # re-materialization of 2×dims floats per candidate.  At very large
+    # scale, where the band join becomes a shuffle join, switch the
+    # heavy columns to a post-join fetch — here the build side is small
+    # and broadcast, so carrying vectors is strictly cheaper.
+    buckets = [F.col(f"b{b}") for b in range(n_bands)]
     sig = vectors.select(
-        F.col(id_col).alias("vid"), F.explode(bands).alias("bs")
-    ).select("vid", "bs.band", "bs.bucket")
-
-    cand = (
-        sig.alias("l")
-        .join(
-            sig.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vid") < F.col("r.vid")),
-        )
-        .select(
-            F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b")
-        )
-        .distinct()
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(v).alias("norm"),
+        *[band_bucket(b).alias(f"b{b}") for b in range(n_bands)],
+    ).select(
+        "vid",
+        "emb",
+        "norm",
+        *buckets,
+        F.explode(
+            F.array(*[F.lit(b) for b in range(n_bands)])
+        ).alias("band"),
     )
+    # the row's own band bucket — the concrete equi-join key (hash join
+    # on (band, bkt); without it Spark could only equi-join on `band`,
+    # degenerating to a near-cross-join)
+    bkt = F.lit(None).cast("int")
+    for j in range(n_bands):
+        bkt = F.when(F.col("band") == j, F.col(f"b{j}")).otherwise(bkt)
+    sig = sig.withColumn("bkt", bkt)
 
-    from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import dot_wide, l2_norm_wide
+    l, r = sig.alias("l"), sig.alias("r")
 
-    # PERF: norms are computed ONCE per vector (2 small broadcast
-    # sides), and the per-pair dot is a dims-term unrolled codegen
-    # expression — no per-pair array allocation.  Left-to-right double
-    # summation keeps the value bit-identical to the SQL oracle's
-    # sequential list_sum.
-    dims = len(vectors.select(vec_col).first()[0])
-    va = vectors.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("__ea"),
-        l2_norm_wide(F.col(vec_col), dims).alias("__na"),
-    )
-    vb = vectors.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("__eb"),
-        l2_norm_wide(F.col(vec_col), dims).alias("__nb"),
-    )
-    denom = F.col("__na") * F.col("__nb")
+    def bcol(side: str, b: int) -> Column:
+        return F.col(f"{side}.b{b}")
+
+    # first-match: at band j, all earlier bands must differ
+    first_match = F.lit(True)
+    for j in range(n_bands - 1, 0, -1):
+        earlier_differs = bcol("l", j - 1) != bcol("r", j - 1)
+        first_match = F.when(
+            F.col("l.band") >= j, earlier_differs & first_match
+        ).otherwise(F.lit(True))
+
+    denom = F.col("l.norm") * F.col("r.norm")
     cos = F.when(
         denom > 0,
-        dot_wide(F.col("__ea"), F.col("__eb"), dims) / denom,
+        dot(F.col("l.emb"), F.col("r.emb")) / denom,
     ).otherwise(F.lit(0.0))
     return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn("cos", cos)
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l.vid") < F.col("r.vid"))
+            & first_match,
+        )
+        .select(
+            F.col("l.vid").alias("vec_a"),
+            F.col("r.vid").alias("vec_b"),
+            cos.alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
         .select(
             "vec_a",

@@ -37,11 +37,14 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k against a literal query vector."""
-    sim = cosine_similarity(
-        F.transform(F.col(vec_col), lambda x: x.cast("double")),
-        _query_lit(query_vec),
-    )
+    """Exact cosine top-k against a literal query vector.
+
+    The float array feeds ``cosine_similarity`` directly — element
+    casts happen inline in the zip_with lambda (a transform-cast
+    wrapper would materialize an extra array per row; see the PERF
+    note in functions/vectors.py).
+    """
+    sim = cosine_similarity(F.col(vec_col), _query_lit(query_vec))
     return (
         vectors.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
@@ -85,11 +88,10 @@ def ivf_topk(
         )
     )
     qlit = _query_lit(query_vec)
-    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     probe_rows = (
         reps.select(
             cell_col,
-            cosine_similarity(dbl(F.col("__rv")), qlit).alias("__sim"),
+            cosine_similarity(F.col("__rv"), qlit).alias("__sim"),
         )
         .orderBy(F.col("__sim").desc(), F.col(cell_col))
         .limit(n_probe)
@@ -100,7 +102,7 @@ def ivf_topk(
         vectors.filter(F.col(cell_col).isin(probed))
         .select(
             F.col(id_col),
-            cosine_similarity(dbl(F.col(vec_col)), qlit).alias("sim"),
+            cosine_similarity(F.col(vec_col), qlit).alias("sim"),
             F.col(cell_col).alias("cell"),
         )
         .orderBy(F.col("sim").desc(), F.col(id_col))

