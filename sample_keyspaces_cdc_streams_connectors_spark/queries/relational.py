@@ -435,3 +435,69 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("packed"),
         )
     )
+
+
+# --- window frames / pivot --------------------------------------------------
+
+
+@register(
+    "window_moving_sum",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(28,2)) AS trailing4
+    FROM orders
+    """,
+)
+def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME coverage: per-customer trailing-4-order spend
+    (rowsBetween frame, decimal-exact so shuffle order can't perturb
+    the hash).  One shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(28,2)")
+        .alias("trailing4"),
+    )
+
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "pivot_op_counts",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           {", ".join(
+               f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY day
+    """,
+)
+def pivot_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: per-day event counts spread into one column per
+    event type (explicit value list keeps the plan single-pass —
+    Spark's pivot with known values is one partial+final aggregate,
+    no second job to discover categories)."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
