@@ -34,6 +34,8 @@ HEADLINE = [
     "agg_sum_by_key",
     "agg_distinct",
     "window_rank",
+    "window_moving_sum",
+    "pivot_op_counts",
     "topk_orders",
     "set_union_except",
     "json_roundtrip",
