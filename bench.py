@@ -31,6 +31,7 @@ HEADLINE = [
     "scan_project",
     "join_inner",
     "join_left",
+    "asof_join_purchase",
     "agg_sum_by_key",
     "agg_distinct",
     "window_rank",

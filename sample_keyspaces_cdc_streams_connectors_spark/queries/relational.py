@@ -501,3 +501,54 @@ def pivot_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
     )
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+@register(
+    "asof_join_purchase",
+    oracle="""
+    WITH r0 AS (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    rd AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1),
+    l AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id,
+           rd.ts AS asof_ts,
+           CAST(rd.value AS DECIMAL(18,6)) AS asof_value
+    FROM l ASOF LEFT JOIN rd
+      ON l.user_id = rd.user_id AND l.ts >= rd.ts
+    """,
+)
+def asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's latest at-or-before
+    purchase (DuckDB native ASOF JOIN as the oracle).  Union +
+    carry-forward window — one shuffle, no pair explosion (see
+    operators/asof.py)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dedup = (
+        purchases.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "ts", "value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks, dedup, on=["user_id"], right_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts"),
+        F.col("asof_value").cast("decimal(18,6)").alias("asof_value"),
+    )
