@@ -32,6 +32,7 @@ HEADLINE = [
     "join_inner",
     "join_left",
     "asof_join_purchase",
+    "range_join_shipments",
     "agg_sum_by_key",
     "agg_distinct",
     "window_rank",

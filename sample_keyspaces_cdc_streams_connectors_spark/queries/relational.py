@@ -552,3 +552,48 @@ def asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts"),
         F.col("asof_value").cast("decimal(18,6)").alias("asof_value"),
     )
+
+
+@register(
+    "range_join_shipments",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_orderdate AS lo,
+             o_orderdate + (o_orderkey % 30 + 1) * INTERVAL 1 DAY AS hi
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT iv.o_orderkey, COUNT(*) AS n_ship
+    FROM iv JOIN lineitem l
+      ON l.l_shipdate >= iv.lo AND l.l_shipdate <= iv.hi
+    GROUP BY iv.o_orderkey
+    """,
+)
+def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval range join: shipment events counted
+    into sampled order activity windows.  Bucketed plan (equi-join on
+    a 16-day bucket, exact BETWEEN filter after) — never the
+    nested-loop join Spark would pick for a bare range predicate; see
+    operators/range_join.py."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.range_join import range_join
+
+    epoch = F.lit("1970-01-01").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    iv = o.select(
+        "o_orderkey",
+        F.datediff("o_orderdate", epoch).alias("lo"),
+        (
+            F.datediff("o_orderdate", epoch)
+            + F.col("o_orderkey") % 30
+            + 1
+        ).alias("hi"),
+    )
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff("l_shipdate", epoch).alias("ship_day")
+    )
+    joined = range_join(
+        pts, iv, point_col="ship_day", lo_col="lo", hi_col="hi",
+        bucket_width=16,
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_ship"))
