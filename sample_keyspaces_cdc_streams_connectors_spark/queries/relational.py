@@ -597,3 +597,71 @@ def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=16,
     )
     return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_ship"))
+
+
+@register(
+    "agg_salted_sum",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(28,6))
+             AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (operators/skew.py): per-supplier
+    quantity totals where phase 1 groups by (key, salt) to spread a
+    hot key over 8 reducers and phase 2 merges partials.  The oracle
+    is the PLAIN group-by — salting must never change results."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_suppkey"],
+        aggs={
+            "sum_qty": ("sum", _dec("l_quantity")),
+            "n": ("count", F.lit(1)),
+        },
+        n_salts=8,
+    ).select(
+        "l_suppkey",
+        F.col("sum_qty").cast("decimal(28,6)").alias("sum_qty"),
+        "n",
+    )
+
+
+@register(
+    "rollup_time",
+    oracle="""
+    SELECT CAST(year(ts) AS INTEGER) AS y,
+           CAST(month(ts) AS INTEGER) AS m,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS total
+    FROM events GROUP BY y, m
+    UNION ALL
+    SELECT CAST(year(ts) AS INTEGER) AS y, NULL AS m, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS total
+    FROM events GROUP BY y
+    UNION ALL
+    SELECT NULL, NULL, COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+    FROM events
+    """,
+)
+def rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (the hypertable continuous-aggregate
+    shape): per-month, per-year, and grand-total event stats in ONE
+    pass via ROLLUP grouping sets — not three scans."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("y", F.year("ts"))
+        .withColumn("m", F.month("ts"))
+        .rollup("y", "m")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("decimal(28,6)").alias("total"),
+        )
+    )
