@@ -1,0 +1,163 @@
+"""Property-based tests (hypothesis) for the operators whose
+correctness is combinatorial: message batching invariants,
+op-classification vs a pure-Python reference, winnowing guarantees.
+
+The reference repo has NO property tests (SURVEY §5); these pin the
+semantic invariants that single examples cannot.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=8,  # each example is a full Spark job (~1s)
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# --- batching invariants ---------------------------------------------------
+
+sizes_strategy = st.lists(
+    st.integers(min_value=1, max_value=400), min_size=1, max_size=60
+)
+
+
+@SLOW
+@given(sizes=sizes_strategy, max_records=st.integers(1, 10))
+def test_batching_count_bound_holds(spark, sizes, max_records):
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.batching import assign_messages
+
+    rows = [("s", f"{i:06d}", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "shard string, seq string, nbytes long")
+    out = assign_messages(
+        df,
+        shard_col="shard",
+        seq_col="seq",
+        size_col=F.col("nbytes"),
+        max_message_size=1 << 30,
+        max_records=max_records,
+    ).collect()
+    # every record present exactly once
+    assert sorted(r.seq for r in out) == sorted(r[1] for r in rows)
+    by_msg: dict = {}
+    for r in out:
+        by_msg.setdefault(r.message_idx, []).append(r)
+    # count bound holds per message
+    assert all(len(v) <= max_records for v in by_msg.values())
+    # message ids are the true seq range of their members
+    for v in by_msg.values():
+        seqs = sorted(r.seq for r in v)
+        assert v[0].message_id == f"{seqs[0]}-{seqs[-1]}"
+
+
+@SLOW
+@given(sizes=sizes_strategy, max_size=st.integers(200, 1000))
+def test_batching_size_bound_holds(spark, sizes, max_size):
+    """Bucketing by floor(running/max): any message's byte total is
+    < max_size + its largest member (the same guarantee the greedy
+    reference packing gives for records <= max_size)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.batching import assign_messages
+
+    rows = [("s", f"{i:06d}", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "shard string, seq string, nbytes long")
+    out = assign_messages(
+        df,
+        shard_col="shard",
+        seq_col="seq",
+        size_col=F.col("nbytes"),
+        max_message_size=max_size,
+    ).collect()
+    by_msg: dict = {}
+    for r in out:
+        by_msg.setdefault(r.message_idx, []).append(r["__size"])
+    for sizes_in_msg in by_msg.values():
+        assert sum(sizes_in_msg) < max_size + max(sizes_in_msg)
+    # monotone: bucket index never decreases along the sequence
+    ordered = sorted(out, key=lambda r: r.seq)
+    idxs = [r.message_idx for r in ordered]
+    assert idxs == sorted(idxs)
+
+
+# --- classification vs pure-python reference -------------------------------
+
+
+def _py_classify(origin, has_new, has_old):
+    """StreamHelpers.getOperationType re-written in Python
+    (StreamHelpers.java:26-63)."""
+    if origin is None:
+        return "UNKNOWN"
+    if origin == "TTL":
+        return "TTL"
+    repl = origin == "REPLICATION"
+    if has_old and not has_new:
+        return "REPLICATED_DELETE" if repl else "DELETE"
+    if has_new and not has_old:
+        return "REPLICATED_INSERT" if repl else "INSERT"
+    if has_new and has_old:
+        return "REPLICATED_UPDATE" if repl else "UPDATE"
+    return "UNKNOWN"
+
+
+@SLOW
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.sampled_from([None, "USER", "REPLICATION", "TTL"]),
+            st.booleans(),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_classification_matches_reference(spark, cases):
+    from tests.test_classify import SCHEMA
+
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.classify import classify_operation
+
+    rows = [
+        (
+            ("ks", "tbl", None, origin),
+            (1,) if has_new else None,
+            (2,) if has_old else None,
+        )
+        for origin, has_new, has_old in cases
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = [
+        r.op
+        for r in classify_operation(df)
+        .select(F.col("metadata.stream_operation_type").alias("op"))
+        .collect()
+    ]
+    expect = [_py_classify(*c) for c in cases]
+    assert got == expect
+
+
+# --- winnowing guarantees --------------------------------------------------
+
+
+@SLOW
+@given(
+    hashes=st.lists(st.integers(0, 10**9), min_size=1, max_size=40),
+    w=st.integers(2, 6),
+)
+def test_winnow_covers_every_window(spark, hashes, w):
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(hashes,)], "h array<bigint>").select(
+        winnow_fingerprints(F.col("h"), w).alias("fps")
+    )
+    fps = set(df.collect()[0].fps)
+    assert fps <= set(hashes)
+    # the defining guarantee: every w-window's minimum is selected
+    if len(hashes) >= w:
+        for i in range(len(hashes) - w + 1):
+            assert min(hashes[i : i + w]) in fps
+    else:
+        assert min(hashes) in fps
