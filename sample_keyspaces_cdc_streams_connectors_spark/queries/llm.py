@@ -455,3 +455,44 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake=True).select(
         "media_id", "n_bytes", "digest", "width", "height"
     )
+
+
+@register(
+    "udaf_grouped_sum",
+    oracle="""
+    SELECT event_type,
+           SUM(event_id) AS id_sum,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udaf_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: a GROUPED_AGG pandas UDF (Arrow-batched,
+    executor-side numpy) — int64 summation, so the result is exact
+    and order-independent, giving full oracle parity for a
+    Python-defined aggregate."""
+    import pandas as pd
+
+    def _np_sum(v):
+        return int(v.sum())
+
+    # real annotation objects: the module-level `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # type inference rejects
+    _np_sum.__annotations__ = {"v": pd.Series, "return": int}
+    np_sum = F.pandas_udf(_np_sum, "bigint")
+
+    def _np_count(v):
+        return int(len(v))
+
+    _np_count.__annotations__ = {"v": pd.Series, "return": int}
+    np_count = F.pandas_udf(_np_count, "bigint")
+
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in
+    # one agg() — both metrics go through the pandas path
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        np_sum("event_id").alias("id_sum"),
+        np_count("event_id").alias("n"),
+    )

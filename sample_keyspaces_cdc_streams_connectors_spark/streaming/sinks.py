@@ -170,6 +170,67 @@ def queue_sink(
     return sink
 
 
+def queue_sink_distributed(
+    transport_factory: Callable[[], QueueTransport],
+    shard_col: str = "stream_keyspace_name",
+    seq_col: str = "stream_sequence_number",
+    max_message_size: int = DEFAULT_MAX_MESSAGE_SIZE,
+    max_records: int = -1,
+) -> Callable[[DataFrame, int], None]:
+    """The 100 TB path of :func:`queue_sink`: message bodies never
+    visit the driver — each partition opens its own transport (the
+    per-executor client-singleton pattern, S3VectorTargetMapper.java:
+    183-190) and sends its messages in batches of 10.
+
+    ``transport_factory`` must be picklable and is invoked once per
+    partition on the executor.  A send failure raises in the task →
+    Spark retries the task → if retries exhaust, the micro-batch fails
+    and the checkpoint does not advance (same at-least-once contract).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        payload = batch_df.withColumn(
+            "__json", F.to_json(F.struct(*batch_df.columns))
+        )
+        sized = assign_messages(
+            payload,
+            shard_col=shard_col,
+            seq_col=seq_col,
+            size_col=F.length("__json").cast("bigint"),
+            max_message_size=max_message_size,
+            max_records=max_records,
+        )
+        messages = sized.groupBy(shard_col, "message_idx", "message_id").agg(
+            F.concat_ws("\n", F.collect_list("__json")).alias("body")
+        )
+
+        def send_partition(rows) -> None:
+            transport = None
+            bodies: list[str] = []
+
+            def flush() -> None:
+                if bodies:
+                    failed = transport.send_batch(list(bodies))
+                    if failed:
+                        raise RuntimeError(
+                            f"{len(failed)}/{len(bodies)} messages failed"
+                        )
+                    bodies.clear()
+
+            for row in rows:
+                if transport is None:
+                    transport = transport_factory()
+                bodies.append(row.body)
+                if len(bodies) == SQS_BATCH_SIZE:
+                    flush()
+            if transport is not None:
+                flush()
+
+        messages.foreachPartition(send_partition)
+
+    return sink
+
+
 def console_sink(num_rows: int = 20) -> Callable[[DataFrame, int], None]:
     """Default/log sink (DefaultKeyspacesTargetMapper.java:31-38)."""
 
