@@ -1,0 +1,84 @@
+"""Runnable pipeline entrypoint — the ``KCLMainRunner.main`` analog.
+
+Boot sequence mirrors the reference (KCLMainRunner.java:25-113):
+
+1. resolve the config file — ``--config`` flag, else the
+   ``APPLICATION_CONF_LOCATION`` environment variable
+   (KCLMainRunner.java:25-58);
+2. parse it with env-var overrides (config.py);
+3. build the pipeline (filter/shape settings) and the named sink
+   (the reflective ITargetMapper load becomes the sink registry);
+4. run the stream with checkpointing until drained
+   (``availableNow`` here; a processing-time trigger for a live
+   source) — graceful shutdown is Spark's query stop, replacing the
+   KCL shutdown hook.
+
+Usage::
+
+    python -m sample_keyspaces_cdc_streams_connectors_spark \
+        --config pipeline.conf --source /path/to/envelopes \
+        [--sink console|object-store|queue] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    from sample_keyspaces_cdc_streams_connectors_spark.config import (
+        ConfigError,
+        build_sink,
+        load_config,
+        pipeline_config,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.session import get_spark
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming import CdcPipeline, local_dir_transport
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming.sinks import queue_sink
+
+    p = argparse.ArgumentParser(prog="sample_keyspaces_cdc_streams_connectors_spark")
+    p.add_argument("--config", default=None, help="config file path")
+    p.add_argument("--source", required=True, help="envelope parquet dir")
+    p.add_argument(
+        "--sink",
+        default="console",
+        choices=("console", "object-store", "queue"),
+    )
+    p.add_argument("--out", default=None, help="output dir for file sinks")
+    args = p.parse_args(argv)
+
+    conf_path = args.config or os.environ.get("APPLICATION_CONF_LOCATION")
+    try:
+        cfg = load_config(conf_path) if conf_path else load_config({})
+        pc = pipeline_config(cfg)
+    except ConfigError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 2
+
+    spark = get_spark("cdc-pipeline")
+    if args.sink == "console":
+        sink = build_sink("console")
+    elif args.sink == "object-store":
+        if not args.out:
+            print("--out required for object-store", file=sys.stderr)
+            return 2
+        sink = build_sink("object-store", out_dir=args.out)
+    else:
+        if not args.out:
+            print("--out required for queue", file=sys.stderr)
+            return 2
+        sink = queue_sink(local_dir_transport(args.out))
+
+    pipe = CdcPipeline(pc)
+    schema = spark.read.parquet(args.source).schema
+    stream = pipe.read_envelope_stream(spark, args.source, schema)
+    query = pipe.start(stream, sink)
+    query.awaitTermination()
+    print(f"pipeline drained: {args.source} -> {args.sink}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

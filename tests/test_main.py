@@ -1,0 +1,62 @@
+"""End-to-end CLI entrypoint (__main__.py): config resolution, sink
+selection, full drain."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+
+def test_main_object_store_end_to_end(spark, envelopes, tmp_path):
+    src = str(tmp_path / "src")
+    envelopes.limit(100).coalesce(1).write.parquet(src)
+    conf = tmp_path / "pipeline.conf"
+    conf.write_text(
+        "keyspaces-cdc-streams.filter-expression = "
+        "metadata.stream_operation_type <> 'UNKNOWN'\n"
+        f"keyspaces-cdc-streams.checkpoint-location = {tmp_path}/ckpt\n"
+    )
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "--config",
+            str(conf),
+            "--source",
+            src,
+            "--sink",
+            "object-store",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    written = spark.read.json(f"{out}/*/*.json")
+    n_expected = envelopes.limit(100).filter(
+        "metadata.stream_operation_type <> 'UNKNOWN'"
+    )
+    # limit(100) is plan-dependent; compare against the written filter
+    assert written.count() > 0
+    assert "stream_operation_type" in written.columns
+    assert written.filter("stream_operation_type = 'UNKNOWN'").count() == 0
+
+
+def test_main_queue_sink(spark, envelopes, tmp_path):
+    src = str(tmp_path / "src2")
+    envelopes.limit(50).coalesce(1).write.parquet(src)
+    out = str(tmp_path / "q")
+    rc = main(["--source", src, "--sink", "queue", "--out", out])
+    assert rc == 0
+    lines = [
+        json.loads(line)
+        for f in glob.glob(f"{out}/*.jsonl")
+        for line in open(f)
+    ]
+    assert len(lines) == 50
+
+
+def test_main_requires_out_for_file_sinks(spark, envelopes, tmp_path):
+    src = str(tmp_path / "src3")
+    envelopes.limit(5).write.parquet(src)
+    assert main(["--source", src, "--sink", "object-store"]) == 2
