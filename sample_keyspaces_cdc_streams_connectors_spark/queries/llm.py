@@ -219,12 +219,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
 
 
-@register("dedup_minhash")  # rows-only: banding SQL is impractical to oracle
+def _minhash_oracle() -> str:
+    """Full-pipeline MinHash+LSH oracle generated from the SAME
+    permutation constants the engine uses (single source of truth):
+    base-hash → 16 affine-permutation minima → per-band md5 signature
+    → bucket self-join → exact-Jaccard verify."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+        _MERSENNE,
+        _PERM_A,
+        _PERM_B,
+        BAND_ROWS,
+        NUM_HASHES,
+    )
+
+    mins = ",\n         ".join(
+        f"MIN(({_PERM_A[j]} * h30 + {_PERM_B[j]}) % {_MERSENNE}) AS m{j}"
+        for j in range(NUM_HASHES)
+    )
+    n_bands = NUM_HASHES // BAND_ROWS
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ',' || ".join(
+            f"CAST(m{b * BAND_ROWS + r} AS VARCHAR)"
+            for r in range(BAND_ROWS)
+        )
+        + ") AS band_sig FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+               % {_MERSENNE} AS h30
+      FROM shingles
+    ),
+    sigs AS (
+      SELECT doc_id,
+         {mins}
+      FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_sig = r.band_sig
+       AND l.doc_id < r.doc_id
+    ),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common / (na.n + nb.n - n_common) AS DECIMAL(18,6))
+             AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE n_common / (na.n + nb.n - n_common) >= 0.5
+    """
+
+
+@register("dedup_minhash", oracle=_minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4x4) candidate pairs verified with exact
-    Jaccard >= 0.5 — shingle→minhash→band→bucket-join pipeline.
-    Correctness cross-checked in tests against dedup_ngram (LSH
-    candidates must be a subset; high-jaccard pairs must appear)."""
+    Jaccard >= 0.5 — shingle→minhash→band→bucket-join pipeline, fully
+    oracle-checked: the DuckDB twin reruns the identical permutation
+    arithmetic (exact in int64) and banding."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import minhash_candidate_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -271,14 +337,57 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")  # rows-only: plan-level ANN (bucket pruning)
+def _lsh_oracle(n_planes: int = 4) -> str:
+    """Sign-projection LSH oracle: the same md5-derived ±1 plane
+    pattern and sequential-double projections as llm.similarity."""
+
+    def proj(j: int, emb: str) -> str:
+        return f"""list_sum(list_transform(
+          generate_series(1, len({emb})),
+          i -> CAST({emb}[i] AS DOUBLE) *
+               CASE WHEN CAST(('0x' || substr(
+                      md5('p{j}:' || CAST(i - 1 AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 3 = 0
+                    THEN 1.0 ELSE -1.0 END))"""
+
+    def bucket(emb: str) -> str:
+        return " + ".join(
+            f"CASE WHEN {proj(j, emb)} > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(n_planes)
+        )
+
+    return f"""
+    WITH q AS (SELECT embedding AS emb FROM embeddings WHERE vec_id = 1),
+    qb AS (SELECT ({bucket('emb')}) AS b FROM q),
+    bucketed AS (
+      SELECT vec_id, embedding AS emb, ({bucket('embedding')}) AS bucket
+      FROM embeddings WHERE vec_id <> 1
+    )
+    SELECT a.vec_id,
+           CAST({_DUCK_COS} AS DECIMAL(18,8)) AS sim,
+           CAST(a.bucket AS INTEGER) AS bucket
+    FROM bucketed a, q, qb
+    WHERE a.bucket = qb.b
+    ORDER BY sim DESC, a.vec_id
+    LIMIT 10
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 searching only the query's sign-projection bucket —
-    the scale path (bucket-partitioned table prunes the scan)."""
+    the scale path (bucket-partitioned table prunes the scan).  Fully
+    oracle-checked: the DuckDB twin derives the identical md5-seeded
+    hyperplanes and buckets."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
-    return lsh_bucket_topk(
+    top = lsh_bucket_topk(
         emb.filter(F.col("vec_id") != 1), [float(x) for x in qvec], k=10
+    )
+    return top.select(
+        "vec_id",
+        F.col("sim").cast("decimal(18,8)").alias("sim"),
+        "bucket",
     )
 
 
