@@ -33,6 +33,8 @@ HEADLINE = [
     "join_left",
     "asof_join_purchase",
     "range_join_shipments",
+    "revenue_topk",
+    "regional_revenue",
     "agg_sum_by_key",
     "agg_distinct",
     "window_rank",

@@ -23,11 +23,24 @@ from pyspark.sql.types import BooleanType, NumericType, StringType
 
 def cdc_filter(df: DataFrame, predicate: str | None) -> DataFrame:
     """Filter with JEXL-style semantics: null/error => drop; string and
-    numeric results coerced to boolean like JexlFilterService:102-124."""
+    numeric results coerced to boolean like JexlFilterService:102-124.
+
+    A predicate referencing a column that doesn't exist drops EVERY
+    record rather than failing the pipeline: JEXL raises a per-record
+    eval error, and an eval error drops the record
+    (JexlFilterService.java:76-79) — with the field missing from the
+    schema, that's all of them.  Spark surfaces this at analysis time
+    instead, so the unresolvable case maps to an empty result.
+    """
     if not predicate:
         return df
+    from pyspark.errors import AnalysisException
+
     expr = F.expr(predicate)
-    dtype = df.select(expr.alias("__p")).schema["__p"].dataType
+    try:
+        dtype = df.select(expr.alias("__p")).schema["__p"].dataType
+    except AnalysisException:
+        return df.filter(F.lit(False))
     if isinstance(dtype, BooleanType):
         cond = expr
     elif isinstance(dtype, StringType):

@@ -46,6 +46,16 @@ def test_compound_and_null_safe(spark):
     assert {r.id for r in out.collect()} == {1}
 
 
+def test_unresolvable_field_drops_all(spark):
+    """JEXL parity: a predicate over a missing field drops every
+    record (per-record eval error -> drop, JexlFilterService:76-79),
+    it does not fail the pipeline."""
+    df = _docs(spark)
+    out = cdc_filter(df, "no_such_column > 5")
+    assert out.count() == 0
+    assert out.columns == df.columns  # schema preserved
+
+
 def test_envelope_filter_on_metadata(envelopes):
     out = cdc_filter(
         envelopes, "metadata.stream_operation_type = 'INSERT'"
