@@ -73,6 +73,35 @@ def test_no_cartesian_anywhere(plans):
         assert "BroadcastNestedLoopJoin" not in plan, q
 
 
+def test_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
+    """The time-partitioned sink layout actually buys partition
+    pruning on read: a day-filter scan touches only that day's
+    directories (PartitionFilters, not a full scan + filter)."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.batching import time_partition_columns
+    from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+
+    out = str(tmp_path / "parts")
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    time_partition_columns(ev, "ts").write.partitionBy("y", "m", "d").parquet(
+        out
+    )
+    day = spark.read.parquet(out).select("y", "m", "d").first()
+    scan = spark.read.parquet(out).filter(
+        (F.col("y") == day.y) & (F.col("m") == day.m) & (F.col("d") == day.d)
+    )
+    import re
+
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "day filter must prune partitions"
+    # and the pruned read returns exactly that day's subset
+    n_day = scan.count()
+    n_all = spark.read.parquet(out).count()
+    assert 0 < n_day < n_all
+
+
 def test_aggregates_partial_then_final(plans):
     plan = plans("agg_sum_by_key")
     # partial (map-side) + final HashAggregate pair around one exchange
