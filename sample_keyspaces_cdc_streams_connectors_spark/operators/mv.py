@@ -33,6 +33,8 @@ def mv_apply(
     pk: Sequence[str],
     fields: Sequence[str],
     seq_col: str = "metadata.stream_sequence_number",
+    keep_seq: bool = False,
+    keep_deletes: bool = False,
 ) -> DataFrame:
     """Reconstruct final MV state from a classified CDC envelope log.
 
@@ -43,6 +45,11 @@ def mv_apply(
     delete-class (UNKNOWN) are ignored, mirroring the reference's
     dispatch which only handles the listed ops
     (KeyspacesViewTargetMapper.java:113-133).
+
+    ``keep_seq`` adds the winning ``__seq``; ``keep_deletes`` keeps
+    delete winners as tombstone rows flagged ``__deleted`` (needed by
+    the incremental streaming MV sink so replays cannot resurrect
+    deleted keys).
     """
     op = F.col("metadata.stream_operation_type")
     relevant = env.filter(op.isin(*UPSERT_OPS, *DELETE_OPS))
@@ -68,8 +75,17 @@ def mv_apply(
     last = keyed.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
     )
+    extra = [F.col("__seq").alias("__seq")] if keep_seq or keep_deletes else []
+    if keep_deletes:
+        return last.select(
+            *[F.col(f"__pk_{k}").alias(k) for k in pk],
+            *[F.col("newImage").getField(f).alias(f) for f in fields],
+            *extra,
+            F.col("__op").isin(*DELETE_OPS).alias("__deleted"),
+        )
     survivors = last.filter(F.col("__op").isin(*UPSERT_OPS))
     return survivors.select(
         *[F.col(f"__pk_{k}").alias(k) for k in pk],
         *[F.col("newImage").getField(f).alias(f) for f in fields],
+        *extra,
     )

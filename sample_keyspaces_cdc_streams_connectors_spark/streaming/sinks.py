@@ -240,6 +240,75 @@ def console_sink(num_rows: int = 20) -> Callable[[DataFrame, int], None]:
     return sink
 
 
+def materialized_view_sink(
+    view_dir: str,
+    pk: Sequence[str],
+    fields: Sequence[str],
+    seq_col: str = "metadata.stream_sequence_number",
+) -> Callable[[DataFrame, int], None]:
+    """Keyspaces materialized-view sink analog
+    (KeyspacesViewTargetMapper.java:81-154): maintains a parquet table
+    under ``view_dir`` by merging each micro-batch of classified CDC
+    envelopes with last-writer-wins semantics.
+
+    Plan per batch: current view (rows tagged with their last-applied
+    sequence) UNION batch events → one window by pk → keep the
+    highest-sequence row, dropping keys whose winner is a
+    delete-class op — the same single-shuffle reconstruction as
+    ``operators.mv.mv_apply``, made incremental.  The write lands in a
+    versioned subdirectory and a marker file flips atomically, so a
+    failed batch never corrupts the readable view (idempotent under
+    at-least-once redelivery: replaying a batch yields the same
+    winners).
+    """
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.mv import mv_apply
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = os.path.join(view_dir, "_CURRENT")
+        current_path = None
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as fh:
+                current_path = fh.read().strip()
+
+        # batch winners: (pk, fields, seq, is_delete) from the envelope
+        batch_state = mv_apply(
+            batch_df, pk=pk, fields=fields, seq_col=seq_col,
+            keep_seq=True, keep_deletes=True,
+        )
+        if current_path:
+            prior = spark.read.parquet(current_path)
+            merged = prior.unionByName(batch_state)
+        else:
+            merged = batch_state
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*pk).orderBy(F.col("__seq").desc())
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        new_path = os.path.join(view_dir, f"v{batch_id:06d}")
+        # deletes stay as tombstones in the stored state (so later
+        # replays can't resurrect); readers filter them out
+        latest.write.mode("overwrite").parquet(new_path)
+        with open(marker + ".tmp", "w", encoding="utf-8") as fh:
+            fh.write(new_path)
+        os.replace(marker + ".tmp", marker)
+
+    return sink
+
+
+def read_materialized_view(spark, view_dir: str):
+    """Current view contents (tombstones filtered)."""
+    marker = os.path.join(view_dir, "_CURRENT")
+    with open(marker, encoding="utf-8") as fh:
+        path = fh.read().strip()
+    df = spark.read.parquet(path)
+    return df.filter(~F.col("__deleted")).drop("__seq", "__deleted")
+
+
 def memory_rows_sink(store: list) -> Callable[[DataFrame, int], None]:
     """Test sink: append collected rows (list of Row) per batch."""
 

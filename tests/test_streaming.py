@@ -21,6 +21,10 @@ from sample_keyspaces_cdc_streams_connectors_spark.streaming import (
     object_store_sink,
     queue_sink,
 )
+from sample_keyspaces_cdc_streams_connectors_spark.streaming.sinks import (
+    materialized_view_sink,
+    read_materialized_view,
+)
 
 
 @pytest.fixture(scope="module")
@@ -223,6 +227,51 @@ def test_watermark_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
     assert streamed, "watermark should have closed at least one window"
     for key, n in streamed.items():
         assert batch[key] == n  # every emitted window is exactly right
+
+
+def test_materialized_view_sink_incremental(spark, envelopes, tmp_path):
+    """Streaming MV maintenance across micro-batches equals the batch
+    last-writer-wins reconstruction over the full log — and deletes
+    stay deleted (tombstones survive merges)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.mv import mv_apply
+
+    env = envelopes.limit(400)
+    src = str(tmp_path / "mv_src")
+    env.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+    schema = spark.read.parquet(src).schema
+
+    view_dir = str(tmp_path / "view")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            materialized_view_sink(
+                view_dir, pk=["user_id"], fields=["event_type", "value"]
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "mv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.user_id: (r.event_type, r.value)
+        for r in read_materialized_view(spark, view_dir).collect()
+    }
+    expect = {
+        r.user_id: (r.event_type, r.value)
+        for r in mv_apply(
+            spark.read.parquet(src),
+            pk=["user_id"],
+            fields=["event_type", "value"],
+        ).collect()
+    }
+    assert got == expect
+    assert expect  # non-vacuous
 
 
 def test_stream_stream_join_with_watermarks(spark, sf_dir, tmp_path):
