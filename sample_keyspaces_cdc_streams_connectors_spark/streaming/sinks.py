@@ -296,6 +296,19 @@ def materialized_view_sink(
         with open(marker + ".tmp", "w", encoding="utf-8") as fh:
             fh.write(new_path)
         os.replace(marker + ".tmp", marker)
+        # prune superseded versions (keep the new one + its
+        # predecessor for readers mid-scan)
+        import shutil
+
+        keep = {new_path, current_path}
+        for entry in os.listdir(view_dir):
+            full = os.path.join(view_dir, entry)
+            if (
+                entry.startswith("v")
+                and os.path.isdir(full)
+                and full not in keep
+            ):
+                shutil.rmtree(full, ignore_errors=True)
 
     return sink
 

@@ -272,6 +272,15 @@ def test_materialized_view_sink_incremental(spark, envelopes, tmp_path):
     }
     assert got == expect
     assert expect  # non-vacuous
+    # superseded versions are pruned: at most current + predecessor remain
+    import os
+
+    versions = [
+        d
+        for d in os.listdir(view_dir)
+        if d.startswith("v") and os.path.isdir(os.path.join(view_dir, d))
+    ]
+    assert len(versions) <= 2
 
 
 def test_stream_stream_join_with_watermarks(spark, sf_dir, tmp_path):
