@@ -63,6 +63,55 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+             AS total_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed CSV source round-trip: events → CSV files → CQL-schema
+    read-back → aggregate.  Proves the file source preserves bigint /
+    timestamp(µs) / double / text exactly (reference analog: the CSV
+    loader at example/data_loader.py:243-262, made declarative).
+
+    The oracle aggregates the original parquet, so any loss in the
+    CSV write/read cycle (timestamp truncation, double formatting,
+    quote escaping) fails the hash check."""
+    import tempfile
+
+    from sample_keyspaces_cdc_streams_connectors_spark.sources.files import load_csv, write_csv
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="engine_csv_src_")
+    write_csv(ev, tmp)
+    back = load_csv(
+        spark,
+        tmp,
+        {
+            "event_id": "bigint",
+            "ts": "timestamp",
+            "user_id": "bigint",
+            "event_type": "text",
+            "value": "double",
+            "props": "text",
+        },
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("value")).cast("decimal(28,6)").alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
     "join_inner",
     oracle="""
     SELECT o.o_orderkey, c.c_name, n.n_name AS nation,
@@ -224,6 +273,39 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_cust"),
         F.sum(_dec("c_acctbal")).cast("decimal(28,6)").alias("total_bal"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                AS DECIMAL(28,6)) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (status, priority) with GROUPING() flags so
+    subtotal rows are distinguishable from genuine NULL keys.
+
+    Scale: cube = one shuffle producing all 4 grouping sets via
+    Expand (map-side partial agg per set) — no extra passes over the
+    fact table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+    )
+    return o.cube("status", "priority").agg(
+        F.grouping("status").cast("int").alias("g_status"),
+        F.grouping("priority").cast("int").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("decimal(28,6)").alias("total_price"),
     )
 
 
