@@ -833,3 +833,167 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(rev).cast("decimal(28,6)").alias("revenue"))
     )
+
+
+# --- subqueries ------------------------------------------------------------
+
+
+@register(
+    "exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated into a left-semi
+    join with a non-equi residual (l_shipdate > o_orderdate).
+
+    Scale: semi-join shuffles both sides on l_orderkey once; the semi
+    form never duplicates orders rows however many lineitems match,
+    so the downstream agg input stays bounded by |orders|."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "scalar_subquery_avg",
+    oracle="""
+    SELECT p.p_brand, COUNT(*) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))
+                AS DECIMAL(28,6)) AS small_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def scalar_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-AVG subquery decorrelated
+    into a per-part aggregate joined back to the fact table.
+
+    Float parity: l_quantity is integer-valued, so AVG (double
+    sum/count) is exact in any summation order, and 0.5* is a power
+    of two — the < cutoff is bit-identical on both engines.
+
+    Scale: one shuffle of lineitem on l_partkey serves both the AVG
+    build and the join-back (co-partitioned); `part` is a broadcast
+    dimension, so the brand lookup adds no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    qty_cap = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(qty_cap, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(28,6)").alias("small_revenue"),
+        )
+    )
+
+
+# --- ordered-statistics and array aggregates -------------------------------
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           median(o_totalprice) AS med,
+           quantile_cont(o_totalprice, 0.95) AS p95,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / continuous percentile per group (both engines
+    use the same sorted-neighbors linear interpolation).
+
+    Scale: exact percentile sorts within each group — fine for
+    bounded group counts; the sketch path for wide cardinalities is
+    approx_percentile (same API shape, no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_collect_list",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-customer sorted status list, serialized
+    to a string so the hash compare is layout-independent.
+
+    collect_list is shuffle-order-nondeterministic — array_sort makes
+    the result canonical (the only safe way to expose list aggs)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.array_join(F.array_sort(F.collect_list("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+    )
+
+
+@register(
+    "explode_wordcount",
+    oracle="""
+    SELECT term, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+          FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+)
+def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode: tokenize documents and count terms, top-50
+    with a total-order tiebreaker.
+
+    Scale: explode multiplies rows ~|tokens| but stays pipelined
+    (no shuffle) until the partial-agg combine; the only shuffle
+    carries already-combined (term, count) pairs, and the top-50 is a
+    per-partition TakeOrdered, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(50)
+    )

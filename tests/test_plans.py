@@ -107,3 +107,20 @@ def test_aggregates_partial_then_final(plans):
     # partial (map-side) + final HashAggregate pair around one exchange
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+def test_exists_subquery_semi_join_no_duplication(plans):
+    plan = plans("exists_subquery")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_broadcasts_dimension(plans):
+    plan = plans("scalar_subquery_avg")
+    assert "BroadcastHashJoin" in plan  # part lookup never shuffles facts
+
+
+def test_explode_wordcount_topk_heap(plans):
+    plan = plans("explode_wordcount")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 50
+    assert plan.count("Exchange") <= 2  # combine-side partial agg first
