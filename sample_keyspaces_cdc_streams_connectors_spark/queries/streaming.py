@@ -232,3 +232,51 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs,
+           MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS min_lag_us,
+           MAX(epoch_us(b.ts) - epoch_us(a.ts)) AS max_lag_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+    GROUP BY a.user_id
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of the watermarked stream-stream interval join
+    (click→purchase attribution within 2 h): the identical join
+    condition runs under ``withWatermark`` on both streams in
+    tests/test_streaming.py; the converged result equals this batch
+    join, which the oracle checks.
+
+    Scale: the equi-key (user_id) bounds the shuffle — each side
+    shuffles once on user_id and the time-range is a sort-merge
+    residual, never a cross product; in streaming the watermark bounds
+    the join STATE the same way (rows older than 2 h are evicted)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    lag_us = F.unix_micros(F.col("b_ts")) - F.unix_micros(F.col("a_ts"))
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 2 HOURS")),
+        )
+        .groupBy(F.col("a_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min(lag_us).alias("min_lag_us"),
+            F.max(lag_us).alias("max_lag_us"),
+        )
+    )
