@@ -567,6 +567,64 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id AS media_id, k AS frame_idx,
+           CAST(octet_length(encode(substring(text, k*64+1, 64)))
+                AS BIGINT) AS frame_bytes,
+           md5(substring(text, k*64+1, 64)) AS frame_digest
+    FROM documents, (SELECT unnest([0, 1, 2, 3]) AS k)
+    WHERE length(text) > k*64
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: mapInPandas cuts ≤4 fixed-size
+    frames per payload (rows out > rows in — beyond pandas_udf), each
+    with exact size + md5; the oracle re-derives every frame by
+    slicing the same reel in SQL."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return sample_frames(media, frame_chars=64, max_frames=4, fake=True).select(
+        "media_id", "frame_idx", "frame_bytes", "frame_digest"
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
+             CAST(64 + (strlen(text) // 7) % 512 AS INTEGER) AS height
+      FROM documents
+    )
+    SELECT media_id, width, height,
+           CAST(CASE WHEN greatest(width, height) > 224
+                THEN (width * 224) // greatest(width, height)
+                ELSE width END AS INTEGER) AS out_width,
+           CAST(CASE WHEN greatest(width, height) > 224
+                THEN (height * 224) // greatest(width, height)
+                ELSE height END AS INTEGER) AS out_height
+    FROM dims
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-box image resize plumbing (decode stubbed): integer
+    floor scaling to a 224px longest side, so the geometry is exactly
+    reproducible in SQL; the resized payload itself is exercised in
+    tests (truncated byte budget)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return resize_images(media, max_side=224, fake=True).select(
+        "media_id", "width", "height", "out_width", "out_height"
+    )
+
+
+@register(
     "udaf_grouped_sum",
     oracle="""
     SELECT event_type,

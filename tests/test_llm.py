@@ -229,3 +229,53 @@ def test_extract_features_fake_decoder(spark):
     )
     assert len(r.digest) == 32
     assert r.width >= 64 and r.height >= 64
+
+
+def test_sample_frames_shapes_and_digests(spark):
+    import hashlib
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import sample_frames
+
+    docs = _docs(spark)
+    frames = sample_frames(
+        synthesize_media(docs), frame_chars=16, max_frames=3, fake=True
+    )
+    by_media = {}
+    for r in frames.collect():
+        by_media.setdefault(r.media_id, []).append(r)
+    # every doc yields ceil(min(len,48)/16) frames, indices 0..n-1
+    row4 = sorted(by_media[4], key=lambda r: r.frame_idx)
+    text = "completely different text about spark engines and scale"
+    assert [r.frame_idx for r in row4] == [0, 1, 2]
+    for k, r in enumerate(row4):
+        chunk = text[k * 16 : (k + 1) * 16].encode()
+        assert r.frame_payload == chunk
+        assert r.frame_bytes == len(chunk)
+        assert r.frame_digest == hashlib.md5(chunk).hexdigest()
+
+
+def test_sample_frames_real_path_stubbed(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import sample_frames
+
+    docs = _docs(spark)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        sample_frames(synthesize_media(docs), fake=False).collect()
+
+
+def test_resize_images_bounded_box(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import resize_images
+
+    docs = _docs(spark)
+    out = {r.media_id: r for r in
+           resize_images(synthesize_media(docs), max_side=100, fake=True).collect()}
+    for r in out.values():
+        assert max(r.out_width, r.out_height) <= 100
+        m = max(r.width, r.height)
+        if m > 100:  # exact integer-floor scaling
+            assert (r.out_width, r.out_height) == (
+                (r.width * 100) // m,
+                (r.height * 100) // m,
+            )
+        else:
+            assert (r.out_width, r.out_height) == (r.width, r.height)
+        assert len(r.out_payload) <= r.out_width * r.out_height
