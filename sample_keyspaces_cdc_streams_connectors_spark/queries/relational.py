@@ -997,3 +997,40 @@ def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "term")
         .limit(50)
     )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_n,
+           TRUE AS sketch_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch cardinality next to the exact count; the emitted
+    flag asserts the sketch landed within 3×rsd of exact, so the
+    oracle gate fails if the sketch ever drifts.
+
+    Scale: approx_count_distinct carries a fixed-size sketch through
+    the map-side combine instead of shuffling distinct keys — at
+    100 TB the exact path shuffles |distinct| rows, the sketch path
+    shuffles KBs per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_n"),
+            F.approx_count_distinct("user_id", 0.05).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_n",
+            (
+                F.abs(F.col("__approx") - F.col("exact_n"))
+                <= F.greatest(F.col("exact_n") * 0.15, F.lit(1))
+            ).alias("sketch_ok"),
+        )
+    )
