@@ -59,6 +59,13 @@ HEADLINE = [
     "ann_ivf_topk",
     "embed_dims",
     "multimodal_extract",
+    "multimodal_frames",
+    "exists_subquery",
+    "scalar_subquery_avg",
+    "agg_percentiles",
+    "agg_approx_distinct",
+    "explode_wordcount",
+    "stream_interval_join",
 ]
 
 
