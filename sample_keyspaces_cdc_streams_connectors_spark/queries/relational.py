@@ -1034,3 +1034,42 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_ok"),
         )
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
+           lead(o_orderkey) OVER w AS next_key
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist) plus lead, all over one window spec.
+
+    Float parity: percent_rank = (rank-1)/(n-1) and cume_dist = k/n
+    are single integer divisions — bit-identical across engines.  The
+    ORDER BY carries o_orderkey as tiebreaker so every rank is
+    deterministic.
+
+    Scale: one shuffle on the partition key serves all four window
+    functions (same WindowExec); an unpartitioned window would
+    serialize onto one task — always partition."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
