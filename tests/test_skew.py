@@ -90,3 +90,46 @@ def test_salted_join_parity(spark):
 def test_non_mergeable_agg_rejected(spark):
     with pytest.raises(ValueError, match="not mergeable"):
         salted_agg(_skewed(spark), ["k"], {"a": ("avg", F.col("v"))})
+
+
+def test_aqe_splits_skewed_join(spark):
+    """SCALE.md claims AQE handles hot join keys at runtime — pin it:
+    with a 90%-hot key and thresholds scaled to fixture size, the
+    final adaptive plan must mark the sort-merge join skew=true
+    (OptimizeSkewedJoin split the hot partition into subpartitions)."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # 90% of 40k fact rows share key 0; dim side is uniform
+        fact = spark.range(40_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(0, 40_000, 7).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = fact.join(dim, "k")
+        # execute THIS dataset (not a derived count plan) so AQE
+        # finalizes the same queryExecution we inspect
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
