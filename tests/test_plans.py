@@ -124,3 +124,17 @@ def test_explode_wordcount_topk_heap(plans):
     plan = plans("explode_wordcount")
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 50
     assert plan.count("Exchange") <= 2  # combine-side partial agg first
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """A total ORDER BY goes through one sampled range exchange (each
+    task sorts its range; no single-node sort) — the shape a 100 TB
+    ordered export depends on."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+
+    df = load_table(spark, sf_dir, "orders").orderBy(F.desc("o_totalprice"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert plan.count("Exchange") == 1
