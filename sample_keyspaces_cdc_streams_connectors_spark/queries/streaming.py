@@ -280,3 +280,59 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(lag_us).alias("max_lag_us"),
         )
     )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, SUM(event_id) AS id_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming execution of ``dropDuplicatesWithinWatermark``:
+    every event is doubled (copies adjacent, so both land in the same
+    micro-batch), replayed through readStream with a 1-hour watermark,
+    and deduplicated by event_id on the state store.  The converged
+    output must equal the original table — the oracle aggregates the
+    un-doubled events.
+
+    Scale: state holds only keys younger than the watermark delay;
+    older keys are evicted, which is the property that makes streaming
+    dedup bounded-memory at 100 TB/day ingest."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    doubled = ev.withColumn(
+        "copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("copy")
+
+    tmp = tempfile.mkdtemp(prefix="dedup_wm_src_")
+    doubled.repartition(4).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(tmp)
+    )
+    name = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the result
+    return spark.sql(
+        f"SELECT event_type, count(*) AS n, sum(event_id) AS id_sum "
+        f"FROM {name} GROUP BY event_type"
+    )
