@@ -107,6 +107,16 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # CDC pipeline throughput: events/sec through the full envelope →
+    # classify → filter → shape → enrich stack (the reference's whole
+    # per-record path; its SQS sink documents ~300 msg/s per queue —
+    # sqs-connector/README.md:225)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    cdc_rows_per_sec = (
+        int(n_events / timings["metadata_enrich"])
+        if timings.get("metadata_enrich")
+        else None
+    )
     print(
         json.dumps(
             {
@@ -115,6 +125,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cdc_rows_per_sec": cdc_rows_per_sec,
             }
         )
     )
