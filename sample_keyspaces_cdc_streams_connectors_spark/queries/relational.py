@@ -84,12 +84,17 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle aggregates the original parquet, so any loss in the
     CSV write/read cycle (timestamp truncation, double formatting,
     quote escaping) fails the hash check."""
+    import hashlib
+    import os
     import tempfile
 
     from sample_keyspaces_cdc_streams_connectors_spark.sources.files import load_csv, write_csv
 
     ev = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="engine_csv_src_")
+    # fixed per-sf path (overwrite mode) — repeated gate runs reuse the
+    # directory instead of leaking a fresh mkdtemp each time
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = os.path.join(tempfile.gettempdir(), f"engine_csv_src_{tag}")
     write_csv(ev, tmp)
     back = load_csv(
         spark,
