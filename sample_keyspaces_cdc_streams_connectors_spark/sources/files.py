@@ -14,6 +14,15 @@ Scale: schema is explicit (never inferSchema — at 100 TB an inference
 pass is a full extra scan); malformed rows follow the reference's
 drop-don't-fail filter semantics (JexlFilterService.java:76-79) via
 DROPMALFORMED.
+
+Round-trip fidelity (property-tested in tests/test_properties.py):
+whitespace is never trimmed, empty string and NULL are kept distinct
+via the `\\N` null sentinel, and text containing line terminators
+survives when the reader is given ``multiline=True``.  Residuals,
+documented: a *literal* ``\\N`` cell reads back as NULL (univocity
+compares the sentinel after unquoting — unavoidable in Spark CSV),
+and ``multiline`` forfeits intra-file split parallelism, so at scale
+keep newline-bearing text in parquet and CSV for interchange only.
 """
 
 from __future__ import annotations
@@ -26,6 +35,10 @@ from sample_keyspaces_cdc_streams_connectors_spark.sources.cql_types import cql_
 #: are exact to the microsecond (CSV has no native timestamp type).
 TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+#: null sentinel distinct from the empty string ("" is data, \N is
+#: NULL — the PostgreSQL COPY convention)
+NULL_SENTINEL = "\\N"
+
 
 def load_csv(
     spark: SparkSession,
@@ -33,18 +46,26 @@ def load_csv(
     columns: dict[str, str],
     header: bool = True,
     mode: str = "DROPMALFORMED",
+    multiline: bool = False,
 ) -> DataFrame:
     """Read a CSV directory/file with an explicit CQL-typed schema.
 
     `columns` is column-name → CQL type, as in the reference's table
     DDL; unparseable rows are dropped (mode=DROPMALFORMED), matching
-    the filter layer's error-drops-record rule.
+    the filter layer's error-drops-record rule.  Pass
+    ``multiline=True`` only when text cells may contain line
+    terminators — it disables intra-file split parallelism.
     """
     return (
         spark.read.schema(cql_schema(columns))
         .option("header", str(header).lower())
         .option("timestampFormat", TS_FMT)
         .option("mode", mode)
+        # never trim cell content — whitespace is data
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", NULL_SENTINEL)
+        .option("multiLine", str(multiline).lower())
         .csv(path)
     )
 
@@ -72,6 +93,13 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
         df.write.mode("overwrite")
         .option("header", str(header).lower())
         .option("timestampFormat", TS_FMT)
+        # the CSV WRITER trims cell whitespace by default — disable so
+        # whitespace-bearing text survives the round-trip
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        # NULL → \N, empty string → "" (quoted): the two stay distinct
+        .option("nullValue", NULL_SENTINEL)
+        .option("emptyValue", '""')
         .csv(path)
     )
 
