@@ -24,49 +24,94 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: headline subset of __spark_entry__.queries() — excludes the
-#: quadratic-verification dedup_ngram (dedup_minhash is the scale path)
+#: headline subset of __spark_entry__.queries() — excludes only the two
+#: real-streaming-execution queries (state-store micro-batch replay
+#: measures the state store, not query throughput)
 HEADLINE = [
-    "metadata_enrich",       # full CDC shape pipeline
-    "scan_project",
+    "project_enrich",        # full CDC shape pipeline
+    "scan_cast_project",
+    "scan_csv_roundtrip",
     "join_inner",
     "join_left",
     "asof_join_purchase",
     "range_join_shipments",
     "revenue_topk",
-    "regional_revenue",
     "agg_sum_by_key",
-    "agg_distinct",
+    "agg_cube",
+    "agg_salted_sum",
+    "rollup_time",
     "window_rank",
-    "window_moving_sum",
+    "window_distribution",
     "pivot_op_counts",
-    "topk_orders",
     "set_union_except",
+    "scalar_funcs",
     "json_roundtrip",
     "batch_bounds",
+    "time_partition_counts",
     "mv_apply",
-    "stream_tumbling_counts",
-    "sessionize",
-    "dedup_events",
-    "text_tokens",
-    "text_quality",
+    "stream_window_counts",
+    "session_window_agg",
+    "text_analysis",
     "dedup_exact",
+    "dedup_ngram",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embedding",
     "text_winnow",
     "vector_topk",
+    "ann_lsh_topk",
     "ann_ivf_topk",
     "embed_dims",
-    "multimodal_extract",
+    "multimodal_geom",
     "multimodal_frames",
-    "exists_subquery",
+    "udaf_grouped_sum",
+    "exists_semi_anti",
     "scalar_subquery_avg",
     "agg_percentiles",
     "agg_approx_distinct",
     "explode_wordcount",
     "stream_interval_join",
 ]
+
+#: r1 query names → round-2 consolidated names, so cross-round deltas
+#: stay comparable after the registry consolidation
+RENAMES = {
+    "metadata_enrich": "project_enrich",
+    "scan_project": "scan_cast_project",
+    "agg_distinct": "agg_percentiles",
+    "window_moving_sum": "window_rank",
+    "topk_orders": "revenue_topk",
+    "stream_tumbling_counts": "stream_window_counts",
+    "sessionize": "session_window_agg",
+    "text_tokens": "text_analysis",
+    "text_quality": "text_analysis",
+    "multimodal_extract": "multimodal_geom",
+    "exists_subquery": "exists_semi_anti",
+}
+
+
+def _prev_bench() -> tuple[int, dict] | None:
+    """Latest BENCH_r{N}.json next to this file, for round deltas."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            try:
+                with open(path) as f:
+                    doc = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            # the driver wraps bench stdout under "parsed"
+            if isinstance(doc.get("parsed"), dict):
+                doc = doc["parsed"]
+            best = (n, doc)
+    return best
 
 
 def main() -> None:
@@ -113,22 +158,35 @@ def main() -> None:
     # sqs-connector/README.md:225)
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     cdc_rows_per_sec = (
-        int(n_events / timings["metadata_enrich"])
-        if timings.get("metadata_enrich")
+        int(n_events / timings["project_enrich"])
+        if timings.get("project_enrich")
         else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cdc_rows_per_sec": cdc_rows_per_sec,
-            }
-        )
-    )
+
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cdc_rows_per_sec": cdc_rows_per_sec,
+    }
+    prev = _prev_bench()
+    if prev is not None:
+        n, prev_doc = prev
+        prev_q = {
+            RENAMES.get(k, k): v
+            for k, v in (prev_doc.get("queries") or {}).items()
+        }
+        deltas = {
+            name: round(t - prev_q[name], 3)
+            for name, t in timings.items()
+            if name in prev_q
+        }
+        out["prev_round"] = n
+        out["prev_total_sec"] = prev_doc.get("value")
+        out["delta_vs_prev_sec"] = deltas
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -208,8 +208,11 @@ def minhash_candidate_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("jaccard").cast("decimal(18,6)"), 6)
+            # round through DECIMAL for cross-engine determinism, emit
+            # DOUBLE (DECIMAL output types hash-diverge in the gate)
+            F.col("jaccard")
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("jaccard"),
         )
     )
@@ -279,8 +282,9 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("jaccard").cast("decimal(18,6)"), 6)
+            F.col("jaccard")
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("jaccard"),
         )
     )
@@ -390,7 +394,7 @@ def embedding_near_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.col("cos").cast("decimal(18,8)").alias("cos"),
+            F.col("cos").cast("decimal(18,8)").cast("double").alias("cos"),
         )
     )
 

@@ -4,6 +4,15 @@ Each query wraps the ``events`` fixture into CDC envelopes with
 :func:`envelope.synthesize_cdc` (deterministic CASE rules) and runs one
 engine operator; the oracle replicates synthesis + operator in ANSI SQL
 over the same parquet, via the shared ``ENVELOPE_SQL_CTE``.
+
+Registry budget note (round 2): the driver oracle-checks at most 50
+registered queries, so the r1 fine-grained variants are consolidated —
+``filter_operation/numeric/compound`` → :func:`filter_jexl`,
+``filter_null_safe/coerce`` → :func:`filter_semantics`,
+``project_fields`` + ``metadata_enrich`` → :func:`project_enrich`,
+``image_coalesce`` + ``full_image_flatten`` → :func:`image_shape`, and
+``type_cast`` merged with ``scan_project`` (queries/relational.py).
+Every consolidated query still exercises the same operator code paths.
 """
 
 from __future__ import annotations
@@ -19,6 +28,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.envelope import (
 from sample_keyspaces_cdc_streams_connectors_spark.operators import (
     cdc_filter,
     classify_operation,
+    coalesce_image,
     flatten_full_image,
     project_fields,
     shape_output,
@@ -54,134 +64,72 @@ def op_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
-# --- #5 cell decode / type cast --------------------------------------------
-
-
-@register(
-    "type_cast",
-    oracle="""
-    SELECT
-      l_orderkey,
-      CAST(l_linenumber AS BIGINT) AS lineno_big,
-      CAST(l_shipdate AS DATE) AS ship_date,
-      CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
-      (l_returnflag = 'R') AS is_return,
-      CAST(l_orderkey AS VARCHAR) AS okey_str
-    FROM lineitem
-    """,
-)
-def type_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CQL->Spark type mapping (StreamHelpers.java:76-178): int widening,
-    date extraction, decimal(p,s), boolean, string casts."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        F.col("l_orderkey"),
-        F.col("l_linenumber").cast("bigint").alias("lineno_big"),
-        F.to_date("l_shipdate").alias("ship_date"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
-        (F.col("l_returnflag") == "R").alias("is_return"),
-        F.col("l_orderkey").cast("string").alias("okey_str"),
-    )
-
-
 # --- #6 predicate filter (JEXL semantics) ----------------------------------
 
 
 @register(
-    "filter_operation",
+    "filter_jexl",
     oracle=_with_env(
-        f"""SELECT event_id, seq FROM env
-        WHERE {CLASSIFY_SQL_CASE} IN ('INSERT', 'REPLICATED_INSERT')"""
+        f"""SELECT event_id, seq, event_type, value FROM env
+        WHERE {CLASSIFY_SQL_CASE} IN ('INSERT', 'REPLICATED_INSERT', 'UPDATE')
+          AND (event_type = 'click' OR value > 42.5)
+          AND NOT (user_id % 7 = 0)"""
     ),
 )
-def filter_operation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filter on metadata.operation — the README's canonical JEXL example
-    (sqs-connector/README.md:386-392 analog)."""
+def filter_jexl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JEXL predicate operator set in one compound filter: IN over
+    metadata.operation (the README's canonical example,
+    sqs-connector/README.md:386-392 analog), numeric comparison and
+    modulo over newImage cells, OR / AND / NOT composition
+    (JexlFilterService.java:50-130).
+
+    The surviving ops all guarantee a newImage, so image-field access
+    never nulls out the predicate here (null semantics are covered by
+    filter_semantics)."""
     env = _env(spark, sf_dir)
     return cdc_filter(
         env,
-        "metadata.stream_operation_type IN ('INSERT', 'REPLICATED_INSERT')",
+        "metadata.stream_operation_type IN "
+        "('INSERT', 'REPLICATED_INSERT', 'UPDATE')"
+        " AND (newImage.event_type = 'click' OR newImage.value > 42.5)"
+        " AND NOT (newImage.user_id % 7 = 0)",
     ).select(
         F.col("event_id"),
         F.col("metadata.stream_sequence_number").alias("seq"),
-    )
-
-
-@register(
-    "filter_numeric",
-    oracle=_with_env(
-        """SELECT event_id, value FROM env
-        WHERE has_new AND value > 42.5 AND user_id % 7 = 0"""
-    ),
-)
-def filter_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numeric comparison over newImage cells (JEXL `>` / `&&`)."""
-    env = _env(spark, sf_dir)
-    return cdc_filter(
-        env, "newImage.value > 42.5 AND newImage.user_id % 7 = 0"
-    ).select(F.col("event_id"), F.col("newImage.value").alias("value"))
-
-
-@register(
-    "filter_compound",
-    oracle=_with_env(
-        """SELECT event_id, event_type, value FROM env
-        WHERE (event_type = 'click' OR event_type = 'view')
-          AND value >= 10 AND NOT (user_id % 2 = 0) AND has_new"""
-    ),
-)
-def filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compound &&/||/! predicate (JexlFilterService operator set)."""
-    env = _env(spark, sf_dir)
-    return cdc_filter(
-        env,
-        "(newImage.event_type = 'click' OR newImage.event_type = 'view')"
-        " AND newImage.value >= 10 AND NOT (newImage.user_id % 2 = 0)",
-    ).select(
-        F.col("event_id"),
         F.col("newImage.event_type").alias("event_type"),
         F.col("newImage.value").alias("value"),
     )
 
 
 @register(
-    "filter_null_safe",
+    "filter_semantics",
     oracle="""
     SELECT event_id, value FROM events
     WHERE (CASE WHEN value > 50 THEN NULL ELSE value END) > 25
-    """,
-)
-def filter_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JEXL eval-error-drops-record semantics
-    (JexlFilterService.java:76-79): a NULL predicate drops the row."""
-    ev = load_table(spark, sf_dir, "events")
-    return cdc_filter(
-        ev, "CASE WHEN value > 50 THEN NULL ELSE value END > 25"
-    ).select("event_id", "value")
-
-
-@register(
-    "filter_coerce",
-    oracle="""
-    SELECT event_id FROM events
-    WHERE lower(CASE WHEN value > 90 THEN 'true'
-                     WHEN value > 80 THEN 'TRUE'
-                     WHEN value > 70 THEN NULL
+      AND lower(CASE WHEN value > 45 THEN 'true'
+                     WHEN value > 40 THEN 'TRUE'
+                     WHEN value > 35 THEN NULL
                      ELSE 'no' END) = 'true'
       AND (CAST(floor(value) AS INTEGER) % 3) <> 0
     """,
 )
-def filter_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-boolean filter results coerced: string via parseBoolean,
-    number via != 0 (JexlFilterService.java:102-124)."""
+def filter_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JEXL evaluation semantics, chained: (1) a NULL predicate result
+    drops the record (eval-error-drops-record,
+    JexlFilterService.java:76-79); (2) string results coerce via
+    case-insensitive parseBoolean; (3) numeric results coerce via
+    != 0 (JexlFilterService.java:102-124)."""
     ev = load_table(spark, sf_dir, "events")
     step1 = cdc_filter(
-        ev,
-        "CASE WHEN value > 90 THEN 'true' WHEN value > 80 THEN 'TRUE' "
-        "WHEN value > 70 THEN NULL ELSE 'no' END",
+        ev, "CASE WHEN value > 50 THEN NULL ELSE value END > 25"
     )
-    step2 = cdc_filter(step1, "CAST(floor(value) AS INT) % 3")
-    return step2.select("event_id")
+    step2 = cdc_filter(
+        step1,
+        "CASE WHEN value > 45 THEN 'true' WHEN value > 40 THEN 'TRUE' "
+        "WHEN value > 35 THEN NULL ELSE 'no' END",
+    )
+    step3 = cdc_filter(step2, "CAST(floor(value) AS INT) % 3")
+    return step3.select("event_id", "value")
 
 
 # --- #7 decimal scalar fns --------------------------------------------------
@@ -190,97 +138,38 @@ def filter_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "decimal_compare",
     oracle="""
-    SELECT event_id, CAST(value AS DECIMAL(18,6)) AS value_dec
+    SELECT event_id,
+           CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value_dec
     FROM events
     WHERE CAST(value AS DECIMAL(38,18)) > CAST('49.5' AS DECIMAL(38,18))
     """,
 )
 def decimal_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """converters:to_big_decimal + compare_to
-    (JexlFilterFunctions.java:4-21) as exact DECIMAL comparison."""
+    (JexlFilterFunctions.java:4-21) as exact DECIMAL comparison; the
+    final projection re-casts the decimal to DOUBLE (comparison stays
+    decimal-exact, the emitted value is hash-stable)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.filter(
         F.col("value").cast("decimal(38,18)")
         > F.lit("49.5").cast("decimal(38,18)")
     ).select(
-        "event_id", F.col("value").cast("decimal(18,6)").alias("value_dec")
-    )
-
-
-# --- #8 column projection ----------------------------------------------------
-
-
-@register(
-    "project_fields",
-    oracle=_with_env(
-        """SELECT event_id,
-                  CASE WHEN has_new THEN user_id END AS user_id,
-                  CASE WHEN has_new THEN value END AS value
-           FROM env WHERE has_new"""
-    ),
-)
-def project_fields_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fields-to-include whitelist (AbstractJSONConverter.java:256-263)."""
-    env = project_fields(_env(spark, sf_dir), ["user_id", "value"])
-    return env.filter(F.col("newImage").isNotNull()).select(
         "event_id",
-        F.col("newImage.user_id").alias("user_id"),
-        F.col("newImage.value").alias("value"),
+        F.col("value").cast("decimal(18,6)").cast("double").alias("value_dec"),
     )
 
 
-# --- #9 image / format shaping ----------------------------------------------
+# --- #8 + #10 projection whitelist + metadata enrichment --------------------
 
 
 @register(
-    "image_coalesce",
-    oracle=_with_env(
-        """SELECT event_id,
-                  CASE WHEN has_new THEN user_id WHEN has_old THEN user_id END AS img_user_id,
-                  CASE WHEN has_new THEN value WHEN has_old THEN old_value END AS img_value
-           FROM env WHERE has_new OR has_old"""
-    ),
-)
-def image_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Default record-format: coalesce(newImage, oldImage)
-    (AbstractJSONConverter.java:218-231) — deletes fall back to the old
-    image."""
-    shaped = shape_output(_env(spark, sf_dir), record_format="default",
-                          include_metadata=False)
-    return shaped.filter(F.col("user_id").isNotNull()).select(
-        "event_id",
-        F.col("user_id").alias("img_user_id"),
-        F.col("value").alias("img_value"),
-    )
-
-
-@register(
-    "full_image_flatten",
-    oracle=_with_env(
-        """SELECT event_id,
-                  CASE WHEN has_new THEN user_id END AS user_id,
-                  CASE WHEN has_new THEN value END AS value,
-                  CASE WHEN has_old THEN user_id END AS old_user_id,
-                  CASE WHEN has_old THEN old_value END AS old_value
-           FROM env"""
-    ),
-)
-def full_image_flatten_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """record-format=full Avro flatten: old image under old_ prefix
-    (AbstractAvroConverter.java:100-134,380-385)."""
-    flat = flatten_full_image(_env(spark, sf_dir))
-    return flat.select(
-        "event_id", "user_id", "value", "old_user_id", "old_value"
-    )
-
-
-# --- #10 metadata enrichment --------------------------------------------------
-
-
-@register(
-    "metadata_enrich",
+    "project_enrich",
     oracle=_with_env(
         f"""SELECT event_id,
+                   CASE WHEN has_new THEN user_id
+                        WHEN has_old THEN user_id END AS user_id,
+                   CASE WHEN has_new THEN value
+                        WHEN has_old THEN old_value END AS value,
                    'media' AS stream_keyspace_name,
                    'events' AS stream_table_name,
                    {CLASSIFY_SQL_CASE} AS stream_operation_type,
@@ -289,14 +178,61 @@ def full_image_flatten_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM env"""
     ),
 )
-def metadata_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """include-metadata fields (AbstractJSONConverter.java:207-215)."""
-    shaped = shape_output(_env(spark, sf_dir), include_metadata=True)
+def project_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fields-to-include whitelist (AbstractJSONConverter.java:256-263)
+    composed with include-metadata enrichment
+    (AbstractJSONConverter.java:207-215): the projected coalesced image
+    (user_id, value only — event_type/props dropped by the whitelist)
+    plus the stream_* metadata columns."""
+    shaped = shape_output(
+        project_fields(_env(spark, sf_dir), ["user_id", "value"]),
+        record_format="default",
+        include_metadata=True,
+    )
     return shaped.select(
         "event_id",
+        "user_id",
+        "value",
         "stream_keyspace_name",
         "stream_table_name",
         "stream_operation_type",
         "stream_arrival_timestamp",
         "stream_sequence_number",
+    )
+
+
+# --- #9 image / format shaping ----------------------------------------------
+
+
+@register(
+    "image_shape",
+    oracle=_with_env(
+        """SELECT event_id,
+                  CASE WHEN has_new THEN user_id END AS user_id,
+                  CASE WHEN has_new THEN value END AS value,
+                  CASE WHEN has_old THEN user_id END AS old_user_id,
+                  CASE WHEN has_old THEN old_value END AS old_value,
+                  CASE WHEN has_new THEN user_id
+                       WHEN has_old THEN user_id END AS img_user_id,
+                  CASE WHEN has_new THEN value
+                       WHEN has_old THEN old_value END AS img_value
+           FROM env"""
+    ),
+)
+def image_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both record formats in one query: record-format=full flatten
+    (old image under old_ prefix, AbstractAvroConverter.java:100-134,
+    380-385) alongside the default coalesce(newImage, oldImage) image
+    (AbstractJSONConverter.java:218-231) — deletes fall back to the
+    old image."""
+    env = _env(spark, sf_dir)
+    flat = flatten_full_image(env.withColumn("__img", coalesce_image(env)))
+    return flat.select(
+        "event_id",
+        "user_id",
+        "value",
+        "old_user_id",
+        "old_value",
+        F.col("__img.user_id").alias("img_user_id"),
+        F.col("__img.value").alias("img_value"),
     )

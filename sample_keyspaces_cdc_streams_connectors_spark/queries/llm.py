@@ -47,33 +47,13 @@ STOP_PAT = r"\b(the|a|of|and|to|in|is|on|for|it)\b"
 
 
 @register(
-    "text_tokens",
+    "text_analysis",
     oracle=f"""
     SELECT doc_id,
            length(regexp_extract_all(trim(text), '\\S+')) AS n_tokens,
            length(regexp_extract_all(text,
              '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_est,
-           md5({NORM}) AS fingerprint
-    FROM documents
-    """,
-)
-def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex) and content
-    fingerprint over `documents` — all JVM regexp built-ins."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        token_count(t).alias("n_tokens"),
-        bpe_token_estimate(t).alias("n_bpe_est"),
-        doc_fingerprint(t).alias("fingerprint"),
-    )
-
-
-@register(
-    "text_quality",
-    oracle=f"""
-    SELECT doc_id,
+           md5({NORM}) AS fingerprint,
       CASE WHEN length(regexp_extract_all(trim(text), '\\S+')) > 0
             AND regexp_matches(lower(text), '{STOP_PAT}')
             AND CAST(length(regexp_extract_all(lower(text), '{STOP_PAT}'))
@@ -93,13 +73,19 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic + integer quality score (engine-exact
-    floor arithmetic; see functions.text.quality_score)."""
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis stack in one pass (r1's text_tokens +
+    text_quality, consolidated for the 50-query registry budget):
+    token counting (whitespace + BPE-ish regex), content fingerprint,
+    language-ID heuristic, and integer quality score — all JVM regexp
+    built-ins, zero Python in the data path."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_token_estimate(t).alias("n_bpe_est"),
+        doc_fingerprint(t).alias("fingerprint"),
         lang_id(t).alias("lang"),
         quality_score(t).alias("quality"),
     )
@@ -147,13 +133,27 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
 """
 
 
+#: stop-shingle cap for the declared n-gram dedup query — ACTIVE (a
+#: shingle seen in more docs than this never generates candidates; the
+#: uncapped variant is quadratic on any common shingle at scale)
+NGRAM_MAX_SHINGLE_FREQ = 100
+
+
 @register(
     "dedup_ngram",
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    freq AS (
+      SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle
+    ),
+    rare AS (
+      SELECT s.doc_id, s.shingle
+      FROM shingles s JOIN freq f
+        ON f.shingle = s.shingle AND f.df <= {NGRAM_MAX_SHINGLE_FREQ}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM shingles a JOIN shingles b
+      FROM rare a JOIN rare b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
     common AS (
@@ -164,8 +164,8 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
-           CAST(n_common / (na.n + nb.n - n_common) AS DECIMAL(18,6))
-             AS jaccard
+           CAST(CAST(n_common / (na.n + nb.n - n_common) AS DECIMAL(18,6))
+                AS DOUBLE) AS jaccard
     FROM common
     JOIN sizes na ON na.doc_id = doc_a
     JOIN sizes nb ON nb.doc_id = doc_b
@@ -174,10 +174,12 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
 )
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via shingle
-    inverted index — candidate generation + verification joins."""
+    inverted index with the stop-shingle cap ACTIVE (candidates only
+    from shingles with document frequency <= 100; Jaccard still exact
+    over full shingle sets) — the scale-safe plan is the declared one."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, k=3, threshold=0.5, max_shingle_freq=10**9
+        docs, k=3, threshold=0.5, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
     )
 
 
@@ -276,8 +278,8 @@ def _minhash_oracle() -> str:
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
-           CAST(n_common / (na.n + nb.n - n_common) AS DECIMAL(18,6))
-             AS jaccard
+           CAST(CAST(n_common / (na.n + nb.n - n_common) AS DECIMAL(18,6))
+                AS DOUBLE) AS jaccard
     FROM common
     JOIN sizes na ON na.doc_id = doc_a
     JOIN sizes nb ON nb.doc_id = doc_b
@@ -317,7 +319,7 @@ list_sum(list_transform(list_zip(a.emb, q.emb),
       FROM (SELECT vec_id, embedding AS emb FROM embeddings
             WHERE vec_id <> 1) a, q
     )
-    SELECT vec_id, CAST(sim AS DECIMAL(18,8)) AS sim
+    SELECT vec_id, CAST(CAST(sim AS DECIMAL(18,8)) AS DOUBLE) AS sim
     FROM scored
     ORDER BY sim DESC, vec_id
     LIMIT 10
@@ -333,7 +335,8 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") != 1), [float(x) for x in qvec], k=10
     )
     return top.select(
-        "vec_id", F.col("sim").cast("decimal(18,8)").alias("sim")
+        "vec_id",
+        F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
     )
 
 
@@ -364,7 +367,7 @@ def _lsh_oracle(n_planes: int = 4) -> str:
       FROM embeddings WHERE vec_id <> 1
     )
     SELECT a.vec_id,
-           CAST({_DUCK_COS} AS DECIMAL(18,8)) AS sim,
+           CAST(CAST({_DUCK_COS} AS DECIMAL(18,8)) AS DOUBLE) AS sim,
            CAST(a.bucket AS INTEGER) AS bucket
     FROM bucketed a, q, qb
     WHERE a.bucket = qb.b
@@ -386,12 +389,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return top.select(
         "vec_id",
-        F.col("sim").cast("decimal(18,8)").alias("sim"),
+        F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
         "bucket",
     )
 
 
-@register("embed_dims")  # rows-only: embedder is a pandas UDF (non-SQL)
+@register(
+    "embed_dims",
+    # the embedder itself is a pandas UDF (non-SQL), but its declared
+    # invariants — 256 dims, unit L2 norm — ARE SQL-expressible, so the
+    # oracle checks them per row instead of a weaker rows-only gate
+    oracle="""
+    SELECT doc_id,
+           CAST(256 AS INTEGER) AS dims,
+           TRUE AS unit_norm
+    FROM documents
+    """,
+)
 def embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-embedder (Arrow-batched pandas UDF, the
     Bedrock-embedding analog of S3VectorTargetMapper.java:100-125):
@@ -436,7 +450,7 @@ def embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN e a ON a.vec_id = vec_a
       JOIN e b ON b.vec_id = vec_b
     )
-    SELECT vec_a, vec_b, CAST(cos AS DECIMAL(18,8)) AS cos
+    SELECT vec_a, vec_b, CAST(CAST(cos AS DECIMAL(18,8)) AS DOUBLE) AS cos
     FROM scored WHERE cos >= 0.4
     """,
 )
@@ -467,7 +481,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY {_DUCK_COS} DESC, r.label
       LIMIT 2
     )
-    SELECT a.vec_id, CAST({_DUCK_COS} AS DECIMAL(18,8)) AS sim,
+    SELECT a.vec_id,
+           CAST(CAST({_DUCK_COS} AS DECIMAL(18,8)) AS DOUBLE) AS sim,
            a.label AS cell
     FROM (SELECT vec_id, label, embedding AS emb FROM embeddings) a
     JOIN probe ON probe.label = a.label, q
@@ -485,7 +500,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
     top = ivf_topk(emb, [float(x) for x in qvec], k=10, n_probe=2)
     return top.select(
-        "vec_id", F.col("sim").cast("decimal(18,8)").alias("sim"), "cell"
+        "vec_id",
+        F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
+        "cell",
     )
 
 
@@ -545,25 +562,49 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_extract",
+    "multimodal_geom",
     oracle="""
     SELECT doc_id AS media_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            md5(text) AS digest,
            CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
-           CAST(64 + (strlen(text) // 7) % 512 AS INTEGER) AS height
+           CAST(64 + (strlen(text) // 7) % 512 AS INTEGER) AS height,
+           CAST(CASE WHEN greatest(64 + strlen(text) % 512,
+                                   64 + (strlen(text) // 7) % 512) > 224
+                THEN ((64 + strlen(text) % 512) * 224)
+                     // greatest(64 + strlen(text) % 512,
+                                 64 + (strlen(text) // 7) % 512)
+                ELSE 64 + strlen(text) % 512 END AS INTEGER) AS out_width,
+           CAST(CASE WHEN greatest(64 + strlen(text) % 512,
+                                   64 + (strlen(text) // 7) % 512) > 224
+                THEN ((64 + (strlen(text) // 7) % 512) * 224)
+                     // greatest(64 + strlen(text) % 512,
+                                 64 + (strlen(text) // 7) % 512)
+                ELSE 64 + (strlen(text) // 7) % 512 END AS INTEGER)
+             AS out_height
     FROM documents
     """,
 )
-def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column → mapInPandas feature extraction (decode
-    stubbed deterministically; Spark plumbing — schema, Arrow batches,
-    binary payloads — is real)."""
+def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing in one query (r1's
+    multimodal_extract + multimodal_resize, consolidated): mapInPandas
+    feature extraction (exact byte size, md5 digest, decoded
+    dimensions) joined with the bounded-box resize geometry (integer
+    floor scaling to a 224px longest side).  Decode is stubbed
+    deterministically; the Spark plumbing — schema, Arrow batches,
+    binary payloads, two mapInPandas stages joined on media_id — is
+    real."""
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs)
-    return extract_features(media, fake=True).select(
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import resize_images
+
+    feats = extract_features(media, fake=True).select(
         "media_id", "n_bytes", "digest", "width", "height"
     )
+    resized = resize_images(media, max_side=224, fake=True).select(
+        "media_id", "out_width", "out_height"
+    )
+    return feats.join(resized, "media_id")
 
 
 @register(
@@ -592,43 +633,12 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_resize",
-    oracle="""
-    WITH dims AS (
-      SELECT doc_id AS media_id,
-             CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
-             CAST(64 + (strlen(text) // 7) % 512 AS INTEGER) AS height
-      FROM documents
-    )
-    SELECT media_id, width, height,
-           CAST(CASE WHEN greatest(width, height) > 224
-                THEN (width * 224) // greatest(width, height)
-                ELSE width END AS INTEGER) AS out_width,
-           CAST(CASE WHEN greatest(width, height) > 224
-                THEN (height * 224) // greatest(width, height)
-                ELSE height END AS INTEGER) AS out_height
-    FROM dims
-    """,
-)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-box image resize plumbing (decode stubbed): integer
-    floor scaling to a 224px longest side, so the geometry is exactly
-    reproducible in SQL; the resized payload itself is exercised in
-    tests (truncated byte budget)."""
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import resize_images
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
-    return resize_images(media, max_side=224, fake=True).select(
-        "media_id", "width", "height", "out_width", "out_height"
-    )
-
-
-@register(
     "udaf_grouped_sum",
+    # CAST: DuckDB SUM(BIGINT) yields HUGEINT, which hash-diverges from
+    # Spark's BIGINT in the gate normalizer
     oracle="""
     SELECT event_type,
-           SUM(event_id) AS id_sum,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type

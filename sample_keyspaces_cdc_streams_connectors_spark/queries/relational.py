@@ -11,9 +11,21 @@ Scale notes (100 TB posture):
 - fact-fact joins rely on AQE (enabled in ``session.tune``) for
   runtime strategy + skew splitting;
 - double aggregation goes through DECIMAL so results are exact and
-  order-independent (shuffle-order-proof), then stays DECIMAL in the
-  output so the oracle hash is stable;
+  order-independent (shuffle-order-proof), then is cast back to
+  DOUBLE in the final projection — DECIMAL output types hash-diverge
+  in the driver's normalizer (r1 lesson), DOUBLE re-representations
+  of the identical decimal value do not;
 - every ordered output carries a total-order tiebreaker.
+
+Registry budget note (round 2, ≤50 driver-checked queries):
+``type_cast`` merged into :func:`scan_cast_project`; ``agg_rollup``
+folded into ``agg_cube`` (CUBE's grouping sets strictly contain
+ROLLUP's); ``window_moving_sum`` folded into :func:`window_rank`;
+``topk_orders`` covered by :func:`revenue_topk`; ``regional_revenue``
+dropped (same shape family as revenue_topk); ``agg_distinct`` folded
+into :func:`agg_percentiles`; ``agg_collect_list`` folded into
+:func:`join_left`; ``date_funcs`` folded into :func:`json_roundtrip`;
+``join_semi_anti`` + ``exists_subquery`` → :func:`exists_semi_anti`.
 """
 
 from __future__ import annotations
@@ -29,37 +41,45 @@ def _dec(col: str, scale: int = 6) -> F.Column:
     return F.col(col).cast(f"decimal(28,{scale})")
 
 
+def _dbl(col: F.Column, scale: int = 6) -> F.Column:
+    """Decimal-exact rounding, DOUBLE representation (both engines
+    convert the identical decimal to the identical nearest double)."""
+    return col.cast(f"decimal(28,{scale})").cast("double")
+
+
 # --- scans -----------------------------------------------------------------
 
 
 @register(
-    "scan_project",
+    "scan_cast_project",
     oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    SELECT l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS lineno_big,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           (l_returnflag = 'R') AS is_return,
+           CAST(l_orderkey AS VARCHAR) AS okey_str
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-      AND l_returnflag = 'N'
     """,
 )
-def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Projection+filter scan; both predicate and 4-column ReadSchema
-    reach the parquet reader (verified via .explain PushedFilters)."""
+def scan_cast_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection+filter scan fused with the CQL->Spark type-mapping
+    surface (StreamHelpers.java:76-178): int widening, date
+    extraction, decimal(p,s) rounding (emitted as DOUBLE), boolean,
+    string casts.  The shipdate predicate and the 5-column ReadSchema
+    both reach the parquet reader (pinned in tests/test_plans.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-            & (F.col("l_returnflag") == "N")
-        )
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
-        )
+    return li.filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    ).select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("lineno_big"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price"),
+        (F.col("l_returnflag") == "R").alias("is_return"),
+        F.col("l_orderkey").cast("string").alias("okey_str"),
     )
-
-
-# --- joins -----------------------------------------------------------------
 
 
 @register(
@@ -67,8 +87,8 @@ def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
-             AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS total_value,
            MIN(ts) AS first_ts,
            MAX(ts) AS last_ts
     FROM events
@@ -91,9 +111,11 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_keyspaces_cdc_streams_connectors_spark.sources.files import load_csv, write_csv
 
     ev = load_table(spark, sf_dir, "events")
-    # fixed per-sf path (overwrite mode) — repeated gate runs reuse the
-    # directory instead of leaking a fresh mkdtemp each time
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # per-(sf, application) path: repeated gate runs in one session
+    # reuse the directory, concurrent sessions cannot collide
+    tag = hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
     tmp = os.path.join(tempfile.gettempdir(), f"engine_csv_src_{tag}")
     write_csv(ev, tmp)
     back = load_csv(
@@ -110,17 +132,21 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(_dec("value")).cast("decimal(28,6)").alias("total_value"),
+        _dbl(F.sum(_dec("value"))).alias("total_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# --- joins -----------------------------------------------------------------
 
 
 @register(
     "join_inner",
     oracle="""
     SELECT o.o_orderkey, c.c_name, n.n_name AS nation,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS totalprice
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -139,7 +165,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "c_name",
             F.col("n_name").alias("nation"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("totalprice"),
         )
     )
 
@@ -149,8 +175,11 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment,
            COUNT(o.o_orderkey) AS n_orders,
-           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0)
-                AS DECIMAL(28,6)) AS total_spend
+           CAST(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0)
+                     AS DECIMAL(28,6)) AS DOUBLE) AS total_spend,
+           COALESCE(array_to_string(list_sort(
+               list(o.o_orderstatus) FILTER (o.o_orderstatus IS NOT NULL)
+             ), ','), '') AS statuses
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_mktsegment
@@ -158,7 +187,9 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving customers with no orders, then
-    aggregate; decimal sums for order-independent exactness."""
+    aggregate; decimal-exact sums (emitted as DOUBLE) plus a sorted
+    collect_list serialized to a string (the only safe way to expose a
+    shuffle-order-nondeterministic array aggregate to a hash gate)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
@@ -166,33 +197,60 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0))
-            .cast("decimal(28,6)")
-            .alias("total_spend"),
+            _dbl(F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0))).alias(
+                "total_spend"
+            ),
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderstatus")), ","
+            ).alias("statuses"),
         )
     )
 
 
 @register(
-    "join_semi_anti",
+    "exists_semi_anti",
     oracle="""
-    SELECT c_custkey, 'has_orders' AS cohort FROM customer
-    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    SELECT o_orderpriority, 'late' AS cohort, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
     UNION ALL
-    SELECT c_custkey, 'no_orders' AS cohort FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    SELECT o_orderpriority, 'clean' AS cohort, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
     """,
 )
-def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_semi + left_anti — Spark's dedicated join types (no row
-    duplication, right side never materialized in output)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", F.lit("has_orders").alias("cohort")
+def exists_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape, both polarities: correlated EXISTS / NOT EXISTS
+    decorrelated into left_semi / left_anti joins with a non-equi
+    residual (l_shipdate > o_orderdate).
+
+    Scale: each semi/anti join shuffles both sides on l_orderkey once;
+    the semi form never duplicates orders rows however many lineitems
+    match, so the downstream agg input stays bounded by |orders|."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
     )
-    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", F.lit("no_orders").alias("cohort")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate)
+    semi = (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select("o_orderpriority", F.lit("late").alias("cohort"), "n_orders")
+    )
+    anti = (
+        o.join(li, cond, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .select("o_orderpriority", F.lit("clean").alias("cohort"), "n_orders")
     )
     return semi.unionAll(anti)
 
@@ -204,10 +262,13 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_sum_by_key",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
-                 * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DECIMAL(28,6)) AS sum_disc_price,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(28,6))
+             AS DOUBLE) AS sum_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+             AS DECIMAL(28,6)) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
+                 * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DECIMAL(28,6))
+             AS DOUBLE) AS sum_disc_price,
         COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -222,62 +283,13 @@ def agg_sum_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(28,6)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice"))
-            .cast("decimal(28,6)")
-            .alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("decimal(28,6)")
-            .alias("sum_disc_price"),
+            _dbl(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _dbl(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _dbl(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
-    )
-
-
-@register(
-    "agg_distinct",
-    oracle="""
-    SELECT o_orderpriority,
-           COUNT(DISTINCT o_custkey) AS n_custs,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-)
-def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """countDistinct — Spark expands to a two-phase aggregate."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("n_custs"),
-        F.count("*").alias("n_orders"),
-    )
-
-
-@register(
-    "agg_rollup",
-    oracle="""
-    SELECT r.r_name AS region, n.n_name AS nation,
-           COUNT(*) AS n_cust,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS total_bal
-    FROM customer c
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY ROLLUP (r.r_name, n.n_name)
-    """,
-)
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup (region → nation → grand total)."""
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region")
-    joined = c.join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey
-    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    return joined.rollup(
-        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
-    ).agg(
-        F.count("*").alias("n_cust"),
-        F.sum(_dec("c_acctbal")).cast("decimal(28,6)").alias("total_bal"),
     )
 
 
@@ -288,15 +300,18 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
-                AS DECIMAL(28,6)) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cube over (status, priority) with GROUPING() flags so
-    subtotal rows are distinguishable from genuine NULL keys.
+    subtotal rows are distinguishable from genuine NULL keys.  CUBE's
+    grouping sets strictly contain ROLLUP's (r1's separate agg_rollup
+    folded in here); the time-hierarchy ROLLUP shape remains covered
+    by rollup_time.
 
     Scale: cube = one shuffle producing all 4 grouping sets via
     Expand (map-side partial agg per set) — no extra passes over the
@@ -310,7 +325,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("status").cast("int").alias("g_status"),
         F.grouping("priority").cast("int").alias("g_priority"),
         F.count("*").alias("n_orders"),
-        F.sum(_dec("o_totalprice")).cast("decimal(28,6)").alias("total_price"),
+        _dbl(F.sum(_dec("o_totalprice"))).alias("total_price"),
     )
 
 
@@ -322,69 +337,47 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
       SELECT o_custkey, o_orderkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS totalprice,
              ROW_NUMBER() OVER (
                PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(28,6)) AS running_spend
+               AS DECIMAL(28,6)) AS DOUBLE) AS running_spend,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,6)) AS DOUBLE) AS trailing4
       FROM orders)
     WHERE rn <= 3
     """,
 )
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking + running-frame window over one shuffle-partitioning
-    (both windows share PARTITION BY o_custkey → single exchange)."""
+    """Ranking + running-frame + bounded-frame windows over one
+    shuffle-partitioning (all three windows share PARTITION BY
+    o_custkey → single exchange; r1's separate window_moving_sum
+    folded in as the trailing4 column)."""
     o = load_table(spark, sf_dir, "orders")
     by_price = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    running = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    by_date = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = by_date.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trailing = by_date.rowsBetween(-3, Window.currentRow)
     return (
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("totalprice"),
             F.row_number().over(by_price).alias("rn"),
-            F.sum(_dec("o_totalprice"))
-            .over(running)
-            .cast("decimal(28,6)")
-            .alias("running_spend"),
+            _dbl(F.sum(_dec("o_totalprice")).over(running)).alias("running_spend"),
+            _dbl(F.sum(_dec("o_totalprice")).over(trailing)).alias("trailing4"),
         )
         .filter(F.col("rn") <= 3)
-    )
-
-
-# --- sorts / top-k ---------------------------------------------------------
-
-
-@register(
-    "topk_orders",
-    oracle="""
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 25
-    """,
-)
-def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k: Spark plans TakeOrderedAndProject (per-partition
-    heap + driver merge — no global sort shuffle at any scale)."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .select(
-            "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
-        )
-        .limit(25)
     )
 
 
@@ -433,8 +426,8 @@ def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat(p_brand, ':', p_type) AS brand_type,
            abs(p_size - 25) AS size_dist,
            CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
-           CAST(round(CAST(p_retailprice AS DECIMAL(18,4)) * 1.1, 2)
-                AS DECIMAL(18,2)) AS price_taxed,
+           CAST(CAST(round(CAST(p_retailprice AS DECIMAL(18,4)) * 1.1, 2)
+                AS DECIMAL(18,2)) AS DOUBLE) AS price_taxed,
            CASE WHEN p_size % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
     FROM part
     """,
@@ -453,44 +446,13 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_bucket"),
         F.round(F.col("p_retailprice").cast("decimal(18,4)") * F.lit(1.1), 2)
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("price_taxed"),
         F.when(F.col("p_size") % 2 == 0, "even").otherwise("odd").alias("parity"),
     )
 
 
-@register(
-    "date_funcs",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(year(o_orderdate) AS INTEGER) AS yr,
-           CAST(month(o_orderdate) AS INTEGER) AS mo,
-           CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
-           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
-                AS INTEGER) AS days_since_95
-    FROM orders
-    """,
-)
-def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time component extraction — the S3 sink's time-partition
-    components (S3TargetMapper.java:84-136) as built-in functions."""
-    o = load_table(spark, sf_dir, "orders")
-    d = F.col("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        F.year(d).cast("int").alias("yr"),
-        F.month(d).cast("int").alias("mo"),
-        F.dayofmonth(d).cast("int").alias("dom"),
-        F.date_trunc("month", d).cast("date").alias("month_start"),
-        F.date_add(d.cast("date"), 30).alias("due_date"),
-        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
-        .cast("int")
-        .alias("days_since_95"),
-    )
-
-
-# --- JSON ------------------------------------------------------------------
+# --- JSON + date/time scalars ----------------------------------------------
 
 
 @register(
@@ -498,16 +460,27 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-           json_object('id', event_id, 'type', event_type) AS packed
+           json_object('id', event_id, 'type', event_type) AS packed,
+           CAST(year(ts) AS INTEGER) AS yr,
+           CAST(month(ts) AS INTEGER) AS mo,
+           CAST(dayofmonth(ts) AS INTEGER) AS dom,
+           CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           CAST(CAST(ts AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', ts)
+                AS INTEGER) AS days_since_95
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
     """,
 )
 def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_json_object extraction + to_json construction (reference
-    JSON envelope build, AbstractJSONConverter.java:93-183)."""
+    JSON envelope build, AbstractJSONConverter.java:93-183), plus the
+    date/time component surface (r1's date_funcs folded in): the S3
+    sink's time-partition components (S3TargetMapper.java:84-136) as
+    built-in functions over the event timestamp."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
+    d = F.col("ts")
     return (
         ev.withColumn("k", k)
         .filter(F.col("k") > 50)
@@ -520,43 +493,19 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_type").alias("type"),
                 )
             ).alias("packed"),
+            F.year(d).cast("int").alias("yr"),
+            F.month(d).cast("int").alias("mo"),
+            F.dayofmonth(d).cast("int").alias("dom"),
+            F.date_trunc("month", d).cast("date").alias("month_start"),
+            F.date_add(d.cast("date"), 30).alias("due_date"),
+            F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+            .cast("int")
+            .alias("days_since_95"),
         )
     )
 
 
-# --- window frames / pivot --------------------------------------------------
-
-
-@register(
-    "window_moving_sum",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-             PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(28,2)) AS trailing4
-    FROM orders
-    """,
-)
-def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window FRAME coverage: per-customer trailing-4-order spend
-    (rowsBetween frame, decimal-exact so shuffle order can't perturb
-    the hash).  One shuffle on the partition key."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(-3, Window.currentRow)
-    )
-    return orders.select(
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("decimal(28,2)")
-        .alias("trailing4"),
-    )
-
+# --- pivot ------------------------------------------------------------------
 
 _EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 
@@ -590,7 +539,7 @@ def pivot_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- as-of join -------------------------------------------------------------
+# --- as-of / range joins ----------------------------------------------------
 
 
 @register(
@@ -607,7 +556,7 @@ def pivot_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE event_type = 'click')
     SELECT l.event_id, l.user_id,
            rd.ts AS asof_ts,
-           CAST(rd.value AS DECIMAL(18,6)) AS asof_value
+           CAST(CAST(rd.value AS DECIMAL(18,6)) AS DOUBLE) AS asof_value
     FROM l ASOF LEFT JOIN rd
       ON l.user_id = rd.user_id AND l.ts >= rd.ts
     """,
@@ -637,7 +586,7 @@ def asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("asof_ts"),
-        F.col("asof_value").cast("decimal(18,6)").alias("asof_value"),
+        F.col("asof_value").cast("decimal(18,6)").cast("double").alias("asof_value"),
     )
 
 
@@ -690,8 +639,8 @@ def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_sum",
     oracle="""
     SELECT l_suppkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(28,6))
-             AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY l_suppkey
@@ -715,7 +664,7 @@ def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=8,
     ).select(
         "l_suppkey",
-        F.col("sum_qty").cast("decimal(28,6)").alias("sum_qty"),
+        _dbl(F.col("sum_qty")).alias("sum_qty"),
         "n",
     )
 
@@ -726,15 +675,18 @@ def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(ts) AS INTEGER) AS y,
            CAST(month(ts) AS INTEGER) AS m,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS total
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS total
     FROM events GROUP BY y, m
     UNION ALL
     SELECT CAST(year(ts) AS INTEGER) AS y, NULL AS m, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS total
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS total
     FROM events GROUP BY y
     UNION ALL
     SELECT NULL, NULL, COUNT(*),
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS DOUBLE)
     FROM events
     """,
 )
@@ -749,21 +701,21 @@ def rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("y", "m")
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec("value")).cast("decimal(28,6)").alias("total"),
+            _dbl(F.sum(_dec("value"))).alias("total"),
         )
     )
 
 
-# --- multi-join analytics (TPC-H Q3/Q5 shapes) ------------------------------
+# --- multi-join analytics (TPC-H Q3 shape) ----------------------------------
 
 
 @register(
     "revenue_topk",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))
                     * (1 - CAST(l.l_discount AS DECIMAL(28,6))))
-                AS DECIMAL(28,6)) AS revenue,
+                AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -778,8 +730,11 @@ def rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join, selective dim filters pushed to
-    scans, grouped decimal revenue, global top-10 via partial heaps.
-    customer broadcasts; orders⋈lineitem is the only real shuffle."""
+    scans, grouped decimal-exact revenue (emitted as DOUBLE — at
+    ≤13 significant digits the decimal→double map is injective, so
+    the ordering is unchanged), global top-10 via partial heaps
+    (TakeOrderedAndProject).  customer broadcasts; orders⋈lineitem is
+    the only real shuffle."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -794,49 +749,10 @@ def revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("decimal(28,6)").alias("revenue"))
+        .agg(_dbl(F.sum(rev)).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
-    )
-
-
-@register(
-    "regional_revenue",
-    oracle="""
-    SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))
-                    * (1 - CAST(l.l_discount AS DECIMAL(28,6))))
-                AS DECIMAL(28,6)) AS revenue
-    FROM region r
-    JOIN nation n ON n.n_regionkey = r.r_regionkey
-    JOIN supplier s ON s.s_nationkey = n.n_nationkey
-    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
-    JOIN orders o ON o.o_orderkey = l.l_orderkey
-    WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-    GROUP BY n.n_name
-    """,
-)
-def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way join chain; region/nation/supplier
-    broadcast down the chain so the fact tables shuffle only for the
-    orders⋈lineitem equi-join."""
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    n = load_table(spark, sf_dir, "nation")
-    s = load_table(spark, sf_dir, "supplier")
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
-    )
-    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(rev).cast("decimal(28,6)").alias("revenue"))
     )
 
 
@@ -844,45 +760,11 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "exists_subquery",
-    oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n_orders
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate)
-    GROUP BY o_orderpriority
-    """,
-)
-def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: correlated EXISTS decorrelated into a left-semi
-    join with a non-equi residual (l_shipdate > o_orderdate).
-
-    Scale: semi-join shuffles both sides on l_orderkey once; the semi
-    form never duplicates orders rows however many lineitems match,
-    so the downstream agg input stays bounded by |orders|."""
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
-    )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    return (
-        o.join(
-            li,
-            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"))
-    )
-
-
-@register(
     "scalar_subquery_avg",
     oracle="""
     SELECT p.p_brand, COUNT(*) AS n_small,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))
-                AS DECIMAL(28,6)) AS small_revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS small_revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
                           FROM lineitem l2
@@ -915,7 +797,7 @@ def scalar_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_small"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(28,6)").alias("small_revenue"),
+            _dbl(F.sum(_dec("l_extendedprice"))).alias("small_revenue"),
         )
     )
 
@@ -929,6 +811,7 @@ def scalar_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            median(o_totalprice) AS med,
            quantile_cont(o_totalprice, 0.95) AS p95,
+           COUNT(DISTINCT o_custkey) AS n_custs,
            COUNT(*) AS n
     FROM orders
     GROUP BY o_orderpriority
@@ -936,7 +819,9 @@ def scalar_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median / continuous percentile per group (both engines
-    use the same sorted-neighbors linear interpolation).
+    use the same sorted-neighbors linear interpolation), plus
+    COUNT(DISTINCT) over the same grouping (r1's agg_distinct folded
+    in — Spark expands it to a two-phase aggregate).
 
     Scale: exact percentile sorts within each group — fine for
     bounded group counts; the sketch path for wide cardinalities is
@@ -945,31 +830,8 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.median("o_totalprice").alias("med"),
         F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+        F.countDistinct("o_custkey").alias("n_custs"),
         F.count("*").alias("n"),
-    )
-
-
-@register(
-    "agg_collect_list",
-    oracle="""
-    SELECT o_custkey, COUNT(*) AS n_orders,
-           array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses
-    FROM orders
-    GROUP BY o_custkey
-    """,
-)
-def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation: per-customer sorted status list, serialized
-    to a string so the hash compare is layout-independent.
-
-    collect_list is shuffle-order-nondeterministic — array_sort makes
-    the result canonical (the only safe way to expose list aggs)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_custkey").agg(
-        F.count("*").alias("n_orders"),
-        F.array_join(F.array_sort(F.collect_list("o_orderstatus")), ",").alias(
-            "statuses"
-        ),
     )
 
 

@@ -54,7 +54,7 @@ def _env(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard, message_idx,
            COUNT(*) AS n_records,
-           SUM(sz) AS total_size,
+           CAST(SUM(sz) AS BIGINT) AS total_size,
            concat(min(seq), '-', max(seq)) AS message_id
     FROM bucketed
     GROUP BY shard, message_idx

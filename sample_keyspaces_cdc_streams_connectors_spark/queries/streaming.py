@@ -18,26 +18,34 @@ from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
 
 
 @register(
-    "stream_tumbling_counts",
+    "stream_window_counts",
     oracle="""
-    SELECT date_trunc('hour', ts) AS window_start,
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+             - i * INTERVAL '30 minutes' AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS total
-    FROM events
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS total
+    FROM events, (VALUES (0), (1)) g(i)
     GROUP BY window_start, event_type
     """,
 )
-def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time window counts — the same
-    F.window expression used with withWatermark on the stream."""
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window aggregate (1h width, 30min slide —
+    tumbling is the slide=width special case; r1's separate tumbling
+    query folded in): each event lands in two windows, F.window
+    handles assignment natively.  The same expression runs under
+    withWatermark on the real stream in tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(28,6)"))
             .cast("decimal(28,6)")
+            .cast("double")
             .alias("total"),
         )
         .select(
@@ -46,48 +54,6 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total",
         )
-    )
-
-
-@register(
-    "stream_sliding_counts",
-    oracle="""
-    SELECT time_bucket(INTERVAL '30 minutes', ts)
-             - i * INTERVAL '30 minutes' AS window_start,
-           COUNT(*) AS n
-    FROM events, (VALUES (0), (1)) g(i)
-    GROUP BY window_start
-    """,
-)
-def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window (1h width, 30min slide): each event lands in two
-    windows; F.window handles assignment natively."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("window_start"), "n")
-    )
-
-
-@register(
-    "dedup_events",
-    oracle="""
-    SELECT user_id, event_type,
-           MIN(event_id) AS first_event_id,
-           COUNT(*) AS n_dups
-    FROM events
-    GROUP BY user_id, event_type
-    """,
-)
-def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyed deduplication — the batch-deterministic form of streaming
-    ``dropDuplicates(["user_id","event_type"])`` (first-by-event_id
-    wins, made explicit so the result is order-independent)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("user_id", "event_type").agg(
-        F.min("event_id").alias("first_event_id"),
-        F.count("*").alias("n_dups"),
     )
 
 
@@ -146,45 +112,6 @@ def stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT key, max(n_events) AS n_events, max(max_seq) AS max_seq "
         f"FROM {name} GROUP BY key"
-    )
-
-
-@register(
-    "sessionize",
-    oracle="""
-    WITH marked AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id)
-                  > INTERVAL 30 MINUTE THEN 1
-                  WHEN LAG(ts) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
-                  ELSE 0 END AS new_session
-      FROM events
-    )
-    SELECT user_id,
-           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
-           COUNT(*) AS n_events
-    FROM marked
-    GROUP BY user_id
-    """,
-)
-def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session assembly with a 30-minute inactivity gap — the batch
-    analog of Structured Streaming's session_window; one shuffle
-    (partition by user), lag + running flag."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    marked = ev.withColumn(
-        "new_session",
-        F.when(F.lag("ts").over(w).isNull(), 1)
-        .when(gap > 30 * 60, 1)
-        .otherwise(0),
-    )
-    return marked.groupBy("user_id").agg(
-        F.sum("new_session").cast("bigint").alias("n_sessions"),
-        F.count("*").alias("n_events"),
     )
 
 
@@ -284,8 +211,11 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedup_watermark",
+    # CAST: DuckDB SUM(BIGINT) yields HUGEINT → hash-diverges from
+    # Spark's BIGINT
     oracle="""
-    SELECT event_type, COUNT(*) AS n, SUM(event_id) AS id_sum
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
     FROM events
     GROUP BY event_type
     """,

@@ -31,7 +31,7 @@ def test_dim_joins_broadcast(plans):
 
 
 def test_scan_pushdown_and_pruning(plans):
-    plan = plans("scan_project")
+    plan = plans("scan_cast_project")
     assert "PushedFilters: [" in plan
     assert "IsNotNull" in plan or "GreaterThanOrEqual" in plan
     # column pruning: the 16-column lineitem scan reads only 5
@@ -41,7 +41,7 @@ def test_scan_pushdown_and_pruning(plans):
 
 
 def test_topk_uses_partial_heaps(plans):
-    for q in ("topk_orders", "vector_topk"):
+    for q in ("revenue_topk", "vector_topk"):
         assert "TakeOrderedAndProject" in plans(q), q
 
 
@@ -54,7 +54,7 @@ def test_window_rank_single_exchange(plans):
 
 
 def test_cdc_shape_no_python_no_shuffle(plans):
-    plan = plans("metadata_enrich")
+    plan = plans("project_enrich")
     assert "Exchange" not in plan  # pure map-side pipeline
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -63,7 +63,7 @@ def test_no_cartesian_anywhere(plans):
     for q in (
         "join_inner",
         "join_left",
-        "join_semi_anti",
+        "exists_semi_anti",
         "asof_join_purchase",
         "range_join_shipments",
         "dedup_embedding",
@@ -110,8 +110,9 @@ def test_aggregates_partial_then_final(plans):
 
 
 def test_exists_subquery_semi_join_no_duplication(plans):
-    plan = plans("exists_subquery")
+    plan = plans("exists_semi_anti")
     assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
 
 

@@ -35,7 +35,12 @@ def norm_cell(v) -> str:
             return "NaN"
         return f"{v:.9g}"
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.9g}"
+        # Do NOT round through float: the driver's normalizer treats
+        # DECIMAL distinctly (every decimal-emitting query hash-failed
+        # in r1 while passing the old float-rounded compare here).
+        # Exact stringification makes the local gate at least as strict
+        # as the driver; queries should emit DOUBLE/BIGINT instead.
+        return str(v)
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, datetime.datetime):
@@ -105,6 +110,15 @@ def main() -> int:
             print(f"FAIL {name}: oracle error: {e}")
             failures.append(name)
             continue
+        import decimal as _dec
+
+        for side, cols_, rows_ in (("spark", scols, srows), ("oracle", ocols, orows)):
+            if rows_ and any(isinstance(v, _dec.Decimal) for v in rows_[0]):
+                bad = [c for c, v in zip(cols_, rows_[0]) if isinstance(v, _dec.Decimal)]
+                print(
+                    f"WARN {name}: {side} emits DECIMAL columns {bad} — "
+                    "the driver's hash is unreliable for these; cast to DOUBLE"
+                )
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
