@@ -69,7 +69,14 @@ def main(argv: list[str] | None = None) -> int:
         if not args.out:
             print("--out required for queue", file=sys.stderr)
             return 2
-        sink = queue_sink(local_dir_transport(args.out))
+        # default distributed path: one transport per partition
+        from sample_keyspaces_cdc_streams_connectors_spark.config import queue_delay_seconds
+
+        out_dir = args.out
+        sink = queue_sink(
+            lambda: local_dir_transport(out_dir),
+            delay_seconds=queue_delay_seconds(cfg),
+        )
 
     pipe = CdcPipeline(pc)
     schema = spark.read.parquet(args.source).schema

@@ -208,6 +208,16 @@ _PIPELINE_KEYS = {
     "checkpoint_dir": "keyspaces-cdc-streams.checkpoint-location",
 }
 
+#: SQS connector per-message delay (SQSTargetMapper.java:36,60)
+DELAY_SECONDS_KEY = "keyspaces-cdc-streams.stream.connector.delay-seconds"
+
+
+def queue_delay_seconds(cfg: EngineConfig) -> int:
+    """The ``delay-seconds`` connector option (default 0) — pass to
+    ``queue_sink(..., delay_seconds=...)`` so every outbound message
+    entry carries it, like the reference's SQSJsonConverter."""
+    return cfg.get_int(DELAY_SECONDS_KEY, default=0)
+
 
 def pipeline_config(cfg: EngineConfig):
     """EngineConfig -> PipelineConfig with the reference defaults

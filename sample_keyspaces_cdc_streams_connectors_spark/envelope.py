@@ -149,8 +149,7 @@ CASE
     CASE WHEN origin = 'REPLICATION' THEN 'REPLICATED_DELETE' ELSE 'DELETE' END
   WHEN has_new AND NOT has_old THEN
     CASE WHEN origin = 'REPLICATION' THEN 'REPLICATED_INSERT' ELSE 'INSERT' END
-  WHEN has_new AND has_old THEN
+  ELSE
     CASE WHEN origin = 'REPLICATION' THEN 'REPLICATED_UPDATE' ELSE 'UPDATE' END
-  ELSE 'UNKNOWN'
 END
 """

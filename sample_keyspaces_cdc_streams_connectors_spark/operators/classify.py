@@ -5,7 +5,12 @@ function, ``StreamHelpers.getOperationType`` (StreamHelpers.java:26-63):
 2. origin == TTL          -> TTL                (:41-42)
 3. old and not new        -> DELETE / REPLICATED_DELETE   (:43-48)
 4. new and not old        -> INSERT / REPLICATED_INSERT   (:49-54)
-5. both present           -> UPDATE / REPLICATED_UPDATE   (:55-61)
+5. otherwise (both present OR both absent)
+                          -> UPDATE / REPLICATED_UPDATE   (:55-61)
+
+Rule 5 is the reference's final ``else``: a record with NEITHER image
+still classifies as an update-class op (not UNKNOWN) — matched
+exactly, including that quirk.
 
 Spark-first: one ``when/otherwise`` Column expression — no UDF, fully
 inside whole-stage codegen, trivially vectorized at 100 TB.
@@ -47,8 +52,9 @@ def operation_type_column(
         .when(origin == "TTL", F.lit("TTL"))
         .when(has_old & ~has_new, by_origin("DELETE", "REPLICATED_DELETE"))
         .when(has_new & ~has_old, by_origin("INSERT", "REPLICATED_INSERT"))
-        .when(has_new & has_old, by_origin("UPDATE", "REPLICATED_UPDATE"))
-        .otherwise(F.lit("UNKNOWN"))
+        # reference final else (StreamHelpers.java:55-61): both images
+        # present — or both absent — is update-class
+        .otherwise(by_origin("UPDATE", "REPLICATED_UPDATE"))
     )
 
 

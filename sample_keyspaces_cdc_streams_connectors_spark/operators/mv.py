@@ -19,6 +19,8 @@ skew handling — no per-record round trips.
 
 from __future__ import annotations
 
+import functools
+import operator
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -65,8 +67,14 @@ def mv_apply(
         F.col("newImage"),
     ).filter(
         # a delete with no old image (or upsert with no new) can't bind
-        # its key — the reference would NPE per record; we drop.
-        F.coalesce(*[F.col(f"__pk_{k}").isNotNull() for k in pk], F.lit(False))
+        # its key — the reference would NPE per record; we drop.  Every
+        # component of a composite key must bind (conjunction, not
+        # coalesce: isNotNull never returns NULL, so a coalesce would
+        # reduce to just the first component's check).
+        functools.reduce(
+            operator.and_,
+            [F.col(f"__pk_{k}").isNotNull() for k in pk],
+        )
     )
 
     w = Window.partitionBy(*[f"__pk_{k}" for k in pk]).orderBy(

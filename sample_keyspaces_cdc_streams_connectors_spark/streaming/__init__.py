@@ -8,12 +8,14 @@ from sample_keyspaces_cdc_streams_connectors_spark.streaming.retry import (
 from sample_keyspaces_cdc_streams_connectors_spark.streaming.sinks import (
     AllItemsFailureError,
     PartialFailureError,
+    QueueMessage,
     QueueTransport,
     console_sink,
     local_dir_transport,
     memory_rows_sink,
     object_store_sink,
     queue_sink,
+    queue_sink_local,
 )
 
 __all__ = [
@@ -25,10 +27,12 @@ __all__ = [
     "CdcPipeline",
     "PartialFailureError",
     "PipelineConfig",
+    "QueueMessage",
     "QueueTransport",
     "console_sink",
     "local_dir_transport",
     "memory_rows_sink",
     "object_store_sink",
     "queue_sink",
+    "queue_sink_local",
 ]

@@ -53,7 +53,12 @@ def _avro_available(spark) -> bool:
     global _AVRO_AVAILABLE
     if _AVRO_AVAILABLE is None:
         try:
-            spark._jvm.org.apache.spark.sql.avro.AvroFileFormat  # noqa: B018
+            # the definitive probe is the data-source lookup Spark
+            # itself performs (class-existence checks false-positive:
+            # avro serde classes ship without the data source module)
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jsc.sc().conf()
+            )
             _AVRO_AVAILABLE = True
         except Exception:
             _AVRO_AVAILABLE = False
@@ -78,6 +83,13 @@ def object_store_sink(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if output_format == "avro":
+            # reference Avro value semantics (decimal-as-string,
+            # date-as-int, timestamp-as-millis) apply regardless of
+            # whether the avro container or the parquet fallback writes
+            from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro import to_avro_compatible
+
+            batch_df = to_avro_compatible(batch_df)
         ts = (F.col(ts_col) / 1000).cast("timestamp")
         with_part = batch_df.withColumn(
             "__part", time_partition(ts, granularity)
@@ -95,138 +107,175 @@ def object_store_sink(
     return sink
 
 
+@dataclass(frozen=True)
+class QueueMessage:
+    """One outbound queue message: the reference's
+    SendMessageBatchRequestEntry analog (SQSJsonConverter.java:17-24) —
+    body plus the per-entry ``delaySeconds`` stamped from the
+    ``delay-seconds`` connector config (SQSTargetMapper.java:36,60)."""
+
+    body: str
+    delay_seconds: int = 0
+
+
 @dataclass
 class QueueTransport:
-    """Injectable message transport (SQS stand-in). ``send_batch``
+    """Injectable message transport (SQS stand-in — the SQSService
+    seam).  ``send_batch`` takes a batch of :class:`QueueMessage` and
     returns the list of failed indexes (empty = all ok)."""
 
-    send_batch: Callable[[list[str]], list[int]]
+    send_batch: Callable[[list[QueueMessage]], list[int]]
 
 
 def local_dir_transport(out_dir: str) -> QueueTransport:
-    """Default local transport: each message batch appended as one
-    JSON-lines file (deterministic name per call order)."""
+    """Default local transport: each message batch lands as one
+    JSON-lines file.  File names carry a per-transport unique prefix,
+    so per-partition instances (the distributed sink opens one per
+    partition) never collide.  delay_seconds has no local-dir
+    semantics and is ignored."""
+    import uuid
+
     os.makedirs(out_dir, exist_ok=True)
+    prefix = uuid.uuid4().hex[:12]
     counter = {"n": 0}
 
-    def send(batch: list[str]) -> list[int]:
-        path = os.path.join(out_dir, f"batch-{counter['n']:06d}.jsonl")
+    def send(batch: list[QueueMessage]) -> list[int]:
+        path = os.path.join(
+            out_dir, f"batch-{prefix}-{counter['n']:06d}.jsonl"
+        )
         counter["n"] += 1
         with open(path, "a", encoding="utf-8") as fh:
             for m in batch:
-                fh.write(m + "\n")
+                fh.write(m.body + "\n")
         return []
 
     return QueueTransport(send_batch=send)
 
 
+def _bounded_messages(
+    batch_df: DataFrame,
+    shard_col: str,
+    seq_col: str,
+    max_message_size: int,
+    max_records: int,
+) -> DataFrame:
+    """Shared message assembly: serialize rows to JSON, size/count-
+    bound into messages (distributed window over shard), concat
+    bodies.  Returns (shard, message_idx, message_id, body)."""
+    payload = batch_df.withColumn(
+        "__json", F.to_json(F.struct(*batch_df.columns))
+    )
+    sized = assign_messages(
+        payload,
+        shard_col=shard_col,
+        seq_col=seq_col,
+        size_col=F.length("__json").cast("bigint"),
+        max_message_size=max_message_size,
+        max_records=max_records,
+    )
+    return sized.groupBy(shard_col, "message_idx", "message_id").agg(
+        F.concat_ws("\n", F.collect_list("__json")).alias("body")
+    )
+
+
 def queue_sink(
+    transport_factory: Callable[[], QueueTransport],
+    shard_col: str = "stream_keyspace_name",
+    seq_col: str = "stream_sequence_number",
+    max_message_size: int = DEFAULT_MAX_MESSAGE_SIZE,
+    max_records: int = -1,
+    delay_seconds: int = 0,
+) -> Callable[[DataFrame, int], None]:
+    """SQS-sink analog (SQSTargetMapper.java:76-155) — the DEFAULT,
+    executor-side path: message bodies never visit the driver.  Each
+    partition opens its own transport (the per-executor
+    client-singleton pattern, S3VectorTargetMapper.java:183-190) and
+    sends its messages in batches of 10 (SQSTargetMapper.java:90),
+    each entry stamped with ``delay_seconds``
+    (SQSTargetMapper.java:36,60 → SQSJsonConverter.java:22).
+
+    ``transport_factory`` must be picklable and is invoked once per
+    partition on the executor.  A send failure raises in the task →
+    Spark retries the task → if retries exhaust, the micro-batch fails
+    and the checkpoint does not advance (at-least-once, same contract
+    as the reference's thrown Partial/AllItemsFailureException).
+
+    For driver-side failure *classification* (Partial vs AllItems) use
+    :func:`queue_sink_local` — a test/low-volume helper whose
+    funnel-through-the-driver shape does not scale.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        messages = _bounded_messages(
+            batch_df, shard_col, seq_col, max_message_size, max_records
+        )
+
+        def send_partition(rows) -> None:
+            transport = None
+            pending: list[QueueMessage] = []
+
+            def flush() -> None:
+                if pending:
+                    failed = transport.send_batch(list(pending))
+                    if failed:
+                        raise RuntimeError(
+                            f"{len(failed)}/{len(pending)} messages failed"
+                        )
+                    pending.clear()
+
+            for row in rows:
+                if transport is None:
+                    transport = transport_factory()
+                pending.append(QueueMessage(row.body, delay_seconds))
+                if len(pending) == SQS_BATCH_SIZE:
+                    flush()
+            if transport is not None:
+                flush()
+
+        messages.foreachPartition(send_partition)
+
+    return sink
+
+
+#: backward-compatible alias — the distributed path IS queue_sink now
+queue_sink_distributed = queue_sink
+
+
+def queue_sink_local(
     transport: QueueTransport,
     shard_col: str = "stream_keyspace_name",
     seq_col: str = "stream_sequence_number",
     max_message_size: int = DEFAULT_MAX_MESSAGE_SIZE,
     max_records: int = -1,
+    delay_seconds: int = 0,
 ) -> Callable[[DataFrame, int], None]:
-    """SQS-sink analog (SQSTargetMapper.java:76-155): serialize to
-    JSON, size-bound into messages, send in batches of 10; raise
-    PartialFailure/AllItemsFailure like the reference.
+    """Driver-side queue sink variant: same message assembly as
+    :func:`queue_sink`, but bodies stream to the driver
+    (toLocalIterator) and one shared transport sends them, raising
+    PartialFailureError / AllItemsFailureError exactly like the
+    reference's classification (SQSTargetMapper.java:113-155).
 
-    The per-message grouping runs distributed (window over shard);
-    only the final bounded message strings stream back to the driver
-    for transport (SQS is a driver-side-throughput service anyway —
-    at real scale use foreachPartition with an executor-side client,
-    which this structure permits by swapping collect for
-    toLocalIterator/foreachPartition).
+    TEST/LOW-VOLUME HELPER: the driver funnel is the non-scaling shape
+    — use the default :func:`queue_sink` in any real pipeline.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        payload = batch_df.withColumn(
-            "__json", F.to_json(F.struct(*batch_df.columns))
-        )
-        sized = assign_messages(
-            payload,
-            shard_col=shard_col,
-            seq_col=seq_col,
-            size_col=F.length("__json").cast("bigint"),
-            max_message_size=max_message_size,
-            max_records=max_records,
-        )
-        messages = (
-            sized.groupBy(shard_col, "message_idx", "message_id")
-            .agg(F.concat_ws("\n", F.collect_list("__json")).alias("body"))
-            .orderBy(shard_col, "message_idx")
-        )
+        messages = _bounded_messages(
+            batch_df, shard_col, seq_col, max_message_size, max_records
+        ).orderBy(shard_col, "message_idx")
         bodies = [r.body for r in messages.toLocalIterator()]
         failed = total = 0
         for i in range(0, len(bodies), SQS_BATCH_SIZE):
-            chunk = bodies[i : i + SQS_BATCH_SIZE]
+            chunk = [
+                QueueMessage(b, delay_seconds)
+                for b in bodies[i : i + SQS_BATCH_SIZE]
+            ]
             total += len(chunk)
             failed += len(transport.send_batch(chunk))
         if failed and failed == total:
             raise AllItemsFailureError(f"all {total} messages failed")
         if failed:
             raise PartialFailureError(failed, total - failed)
-
-    return sink
-
-
-def queue_sink_distributed(
-    transport_factory: Callable[[], QueueTransport],
-    shard_col: str = "stream_keyspace_name",
-    seq_col: str = "stream_sequence_number",
-    max_message_size: int = DEFAULT_MAX_MESSAGE_SIZE,
-    max_records: int = -1,
-) -> Callable[[DataFrame, int], None]:
-    """The 100 TB path of :func:`queue_sink`: message bodies never
-    visit the driver — each partition opens its own transport (the
-    per-executor client-singleton pattern, S3VectorTargetMapper.java:
-    183-190) and sends its messages in batches of 10.
-
-    ``transport_factory`` must be picklable and is invoked once per
-    partition on the executor.  A send failure raises in the task →
-    Spark retries the task → if retries exhaust, the micro-batch fails
-    and the checkpoint does not advance (same at-least-once contract).
-    """
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        payload = batch_df.withColumn(
-            "__json", F.to_json(F.struct(*batch_df.columns))
-        )
-        sized = assign_messages(
-            payload,
-            shard_col=shard_col,
-            seq_col=seq_col,
-            size_col=F.length("__json").cast("bigint"),
-            max_message_size=max_message_size,
-            max_records=max_records,
-        )
-        messages = sized.groupBy(shard_col, "message_idx", "message_id").agg(
-            F.concat_ws("\n", F.collect_list("__json")).alias("body")
-        )
-
-        def send_partition(rows) -> None:
-            transport = None
-            bodies: list[str] = []
-
-            def flush() -> None:
-                if bodies:
-                    failed = transport.send_batch(list(bodies))
-                    if failed:
-                        raise RuntimeError(
-                            f"{len(failed)}/{len(bodies)} messages failed"
-                        )
-                    bodies.clear()
-
-            for row in rows:
-                if transport is None:
-                    transport = transport_factory()
-                bodies.append(row.body)
-                if len(bodies) == SQS_BATCH_SIZE:
-                    flush()
-            if transport is not None:
-                flush()
-
-        messages.foreachPartition(send_partition)
 
     return sink
 
@@ -240,45 +289,74 @@ def console_sink(num_rows: int = 20) -> Callable[[DataFrame, int], None]:
     return sink
 
 
+MV_MANIFEST = "_MANIFEST.json"
+
+
+def _mv_read_manifest(view_dir: str) -> dict[str, str]:
+    """bucket (str int) → parquet dir holding that bucket's rows."""
+    path = os.path.join(view_dir, MV_MANIFEST)
+    if not os.path.exists(path):
+        return {}
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
 def materialized_view_sink(
     view_dir: str,
     pk: Sequence[str],
     fields: Sequence[str],
     seq_col: str = "metadata.stream_sequence_number",
+    n_buckets: int = 64,
 ) -> Callable[[DataFrame, int], None]:
     """Keyspaces materialized-view sink analog
     (KeyspacesViewTargetMapper.java:81-154): maintains a parquet table
     under ``view_dir`` by merging each micro-batch of classified CDC
     envelopes with last-writer-wins semantics.
 
-    Plan per batch: current view (rows tagged with their last-applied
-    sequence) UNION batch events → one window by pk → keep the
-    highest-sequence row, dropping keys whose winner is a
-    delete-class op — the same single-shuffle reconstruction as
-    ``operators.mv.mv_apply``, made incremental.  The write lands in a
-    versioned subdirectory and a marker file flips atomically, so a
-    failed batch never corrupts the readable view (idempotent under
-    at-least-once redelivery: replaying a batch yields the same
-    winners).
+    INCREMENTAL BY BUCKET: the stored view is hash-partitioned into
+    ``n_buckets`` pk-hash buckets tracked by a JSON manifest
+    (bucket → parquet dir).  A batch rewrites ONLY the buckets its
+    keys touch: prior state for touched buckets UNION batch winners →
+    one window by pk → highest-sequence row wins.  Untouched buckets'
+    files are never opened, so per-batch I/O is O(|touched state|),
+    not O(|view|) — the property that keeps a 100 TB view from the
+    full-rewrite compaction spiral.  The manifest flips atomically
+    (os.replace) after a successful write, so a failed batch never
+    corrupts the readable view, and replaying a batch yields the same
+    winners (idempotent under at-least-once redelivery).  Deletes stay
+    as tombstones in the stored state so replays cannot resurrect
+    deleted keys; readers filter them.
     """
     from sample_keyspaces_cdc_streams_connectors_spark.operators.mv import mv_apply
 
+    bucket_expr = F.pmod(F.hash(*pk), F.lit(n_buckets)).cast("int")
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = os.path.join(view_dir, "_CURRENT")
-        current_path = None
-        if os.path.exists(marker):
-            with open(marker, encoding="utf-8") as fh:
-                current_path = fh.read().strip()
+        os.makedirs(view_dir, exist_ok=True)
+        manifest = _mv_read_manifest(view_dir)
 
         # batch winners: (pk, fields, seq, is_delete) from the envelope
         batch_state = mv_apply(
             batch_df, pk=pk, fields=fields, seq_col=seq_col,
             keep_seq=True, keep_deletes=True,
+        ).withColumn("__bucket", bucket_expr)
+
+        touched = sorted(
+            r["__bucket"]
+            for r in batch_state.select("__bucket").distinct().collect()
         )
-        if current_path:
-            prior = spark.read.parquet(current_path)
-            merged = prior.unionByName(batch_state)
+        if not touched:
+            return
+
+        prior_paths = [
+            manifest[str(b)] for b in touched if str(b) in manifest
+        ]
+        if prior_paths:
+            # reading only the touched buckets' dirs = physical
+            # partition pruning; __bucket is stored as a data column so
+            # leaf-dir reads keep it
+            merged = spark.read.parquet(*prior_paths).unionByName(batch_state)
         else:
             merged = batch_state
         from pyspark.sql import Window
@@ -289,24 +367,36 @@ def materialized_view_sink(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        new_path = os.path.join(view_dir, f"v{batch_id:06d}")
-        # deletes stay as tombstones in the stored state (so later
-        # replays can't resurrect); readers filter them out
-        latest.write.mode("overwrite").parquet(new_path)
-        with open(marker + ".tmp", "w", encoding="utf-8") as fh:
-            fh.write(new_path)
-        os.replace(marker + ".tmp", marker)
-        # prune superseded versions (keep the new one + its
-        # predecessor for readers mid-scan)
+        new_dir = os.path.join(view_dir, f"v{batch_id:06d}")
+        # __pb duplicates __bucket as a partition column: the layout is
+        # one subdir per bucket, while __bucket survives as data so
+        # later leaf-dir reads don't lose it
+        latest.withColumn("__pb", F.col("__bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("__pb").parquet(new_dir)
+
+        new_manifest = dict(manifest)
+        for b in touched:
+            new_manifest[str(b)] = os.path.join(new_dir, f"__pb={b}")
+        tmp = os.path.join(view_dir, MV_MANIFEST + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(new_manifest, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(view_dir, MV_MANIFEST))
+
+        # prune version dirs no longer referenced by the current or
+        # previous manifest (kept one generation for readers mid-scan)
         import shutil
 
-        keep = {new_path, current_path}
+        referenced = {
+            os.path.dirname(p)
+            for p in (*new_manifest.values(), *manifest.values())
+        }
         for entry in os.listdir(view_dir):
             full = os.path.join(view_dir, entry)
             if (
                 entry.startswith("v")
                 and os.path.isdir(full)
-                and full not in keep
+                and full not in referenced
             ):
                 shutil.rmtree(full, ignore_errors=True)
 
@@ -315,11 +405,12 @@ def materialized_view_sink(
 
 def read_materialized_view(spark, view_dir: str):
     """Current view contents (tombstones filtered)."""
-    marker = os.path.join(view_dir, "_CURRENT")
-    with open(marker, encoding="utf-8") as fh:
-        path = fh.read().strip()
-    df = spark.read.parquet(path)
-    return df.filter(~F.col("__deleted")).drop("__seq", "__deleted")
+    manifest = _mv_read_manifest(view_dir)
+    paths = sorted(set(manifest.values()))
+    df = spark.read.parquet(*paths)
+    return df.filter(~F.col("__deleted")).drop(
+        "__seq", "__deleted", "__bucket"
+    )
 
 
 def memory_rows_sink(store: list) -> Callable[[DataFrame, int], None]:

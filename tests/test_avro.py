@@ -1,0 +1,137 @@
+"""Avro output parity (AbstractAvroConverter.java): decimal-as-string,
+date-as-logical-int, nullable-union schema inference, and the
+one-record-per-message default batching quirk."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.operators.batching import assign_messages
+from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro import (
+    AVRO_NAMESPACE,
+    avro_assign_messages,
+    infer_avro_schema,
+    to_avro_compatible,
+)
+
+
+def _typed_df(spark):
+    return spark.createDataFrame(
+        [(1, "a")], "id bigint, name string"
+    ).select(
+        "id",
+        "name",
+        F.lit("12.50").cast("decimal(10,2)").alias("price"),
+        F.lit("2024-03-05").cast("date").alias("d"),
+        F.lit("2024-03-05 06:07:08").cast("timestamp").alias("ts"),
+        F.lit(True).alias("flag"),
+        F.lit(2.5).alias("x"),
+    )
+
+
+def test_value_conversions(spark):
+    """decimal → BigDecimal-style string (scale kept), date → days
+    since epoch, timestamp → epoch millis
+    (AbstractAvroConverter.java:288-295, 429-436, 447-449)."""
+    row = to_avro_compatible(_typed_df(spark)).first()
+    assert row.price == "12.50"
+    assert isinstance(row.d, int)
+    assert row.d == (19787)  # 2024-03-05 is 19787 days after epoch
+    assert row.ts == 1709618828000  # UTC millis (session tz pinned UTC)
+    assert row.flag is True and row.x == 2.5
+
+
+def test_schema_inference_nullable_unions(spark):
+    """Every data field is a ["null", T] union; metadata stream_*
+    fields are non-null string; decimal maps to string and date to the
+    logical-date int (AbstractAvroConverter.java:339-405, 470)."""
+    df = _typed_df(spark).withColumn(
+        "stream_operation_type", F.lit("INSERT")
+    )
+    schema = infer_avro_schema(df)
+    assert schema["name"] == "keyspaces_record"
+    assert schema["namespace"] == AVRO_NAMESPACE
+    by_name = {f["name"]: f["type"] for f in schema["fields"]}
+    assert by_name["stream_operation_type"] == "string"  # non-null
+    assert by_name["id"] == ["null", "long"]
+    assert by_name["price"] == ["null", "string"]  # decimal stringify
+    assert by_name["d"] == ["null", {"type": "int", "logicalType": "date"}]
+    assert by_name["ts"] == ["null", "long"]
+    assert by_name["flag"] == ["null", "boolean"]
+    assert by_name["x"] == ["null", "double"]
+
+
+def test_avro_default_is_one_record_per_message(spark, envelopes):
+    """The Avro batcher's missing -1 guard means the default config
+    emits one record per message (AbstractAvroConverter.java:235,68);
+    the JSON path with the same -1 packs many records per message."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators import shape_output
+
+    shaped = shape_output(envelopes.limit(80)).withColumn(
+        "__json", F.to_json(F.struct("*"))
+    )
+    n = shaped.count()
+
+    avro_msgs = avro_assign_messages(
+        shaped,
+        shard_col="stream_keyspace_name",
+        seq_col="stream_sequence_number",
+        size_col=F.length("__json").cast("bigint"),
+        max_records=-1,
+    )
+    assert (
+        avro_msgs.select("stream_keyspace_name", "message_idx").distinct().count()
+        == n
+    )
+    # every message_id is firstSeq-lastSeq with firstSeq == lastSeq
+    assert avro_msgs.filter(
+        F.col("message_id")
+        != F.concat_ws(
+            "-",
+            "stream_sequence_number",
+            "stream_sequence_number",
+        )
+    ).count() == 0
+
+    json_msgs = assign_messages(
+        shaped,
+        shard_col="stream_keyspace_name",
+        seq_col="stream_sequence_number",
+        size_col=F.length("__json").cast("bigint"),
+        max_records=-1,
+    )
+    assert (
+        json_msgs.select("stream_keyspace_name", "message_idx").distinct().count()
+        < n
+    )
+    # positive max_records: quirk path defers to the shared bound
+    capped = avro_assign_messages(
+        shaped,
+        shard_col="stream_keyspace_name",
+        seq_col="stream_sequence_number",
+        size_col=F.length("__json").cast("bigint"),
+        max_records=10,
+    )
+    n_msgs = capped.select("stream_keyspace_name", "message_idx").distinct().count()
+    assert n_msgs >= (n + 9) // 10 and n_msgs < n
+
+
+def test_object_store_avro_fallback_applies_semantics(spark, envelopes, tmp_path):
+    """output_format='avro' without spark-avro still lands the Avro
+    value semantics in the fallback files: decimals stringified,
+    timestamps as epoch-millis longs."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators import shape_output
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming.sinks import object_store_sink
+
+    out = str(tmp_path / "avro_objects")
+    batch = shape_output(envelopes.limit(50)).withColumn(
+        "price", F.lit("3.14").cast("decimal(10,2)")
+    )
+    object_store_sink(out, granularity="hours", output_format="avro")(batch, 0)
+    files = glob.glob(f"{out}/__part=*/*.parquet")
+    assert files
+    back = spark.read.parquet(*files)
+    assert dict(back.dtypes)["price"] == "string"
+    assert back.filter(F.col("price") != "3.14").count() == 0

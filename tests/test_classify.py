@@ -62,8 +62,11 @@ TRUTH_TABLE = [
     # null origin -> UNKNOWN before any image check (:36-39)
     (None, 1, None, "UNKNOWN"),
     (None, None, None, "UNKNOWN"),
-    # neither image present with a real origin -> fall-through UNKNOWN
-    ("USER", None, None, "UNKNOWN"),
+    # neither image present with a real origin: the reference's final
+    # else classifies this as update-class (StreamHelpers.java:55-61) —
+    # matched exactly, quirk included
+    ("USER", None, None, "UPDATE"),
+    ("REPLICATION", None, None, "REPLICATED_UPDATE"),
 ]
 
 

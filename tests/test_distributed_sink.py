@@ -1,4 +1,4 @@
-"""Executor-side queue sink (queue_sink_distributed): bodies never
+"""Executor-side queue sink (the DEFAULT queue_sink): bodies never
 visit the driver; per-partition transports; task failure semantics."""
 
 from __future__ import annotations
@@ -13,7 +13,7 @@ import pytest
 from sample_keyspaces_cdc_streams_connectors_spark.operators import shape_output
 from sample_keyspaces_cdc_streams_connectors_spark.streaming.sinks import (
     QueueTransport,
-    queue_sink_distributed,
+    queue_sink,
 )
 
 
@@ -26,7 +26,7 @@ def _dir_factory(out_dir: str):
         def send(batch):
             path = os.path.join(out_dir, f"p{os.getpid()}-{uuid.uuid4().hex}.jsonl")
             with open(path, "w", encoding="utf-8") as fh:
-                fh.write("\n".join(batch) + "\n")
+                fh.write("\n".join(m.body for m in batch) + "\n")
             return []
 
         return QueueTransport(send_batch=send)
@@ -37,7 +37,7 @@ def _dir_factory(out_dir: str):
 def test_all_records_delivered(spark, envelopes, tmp_path):
     out = str(tmp_path / "q")
     batch = shape_output(envelopes.limit(120)).repartition(4)
-    queue_sink_distributed(_dir_factory(out), max_message_size=1024)(batch, 0)
+    queue_sink(_dir_factory(out), max_message_size=1024)(batch, 0)
     recs = [
         json.loads(line)
         for f in glob.glob(f"{out}/*.jsonl")
@@ -58,4 +58,30 @@ def test_failure_propagates_to_driver(spark, envelopes, tmp_path):
 
     batch = shape_output(envelopes.limit(20))
     with pytest.raises(Exception, match="messages failed"):
-        queue_sink_distributed(bad_factory)(batch, 0)
+        queue_sink(bad_factory)(batch, 0)
+
+
+def test_distributed_delay_seconds_on_entries(spark, envelopes, tmp_path):
+    """delay-seconds reaches every entry on the executor-side path."""
+    out = str(tmp_path / "delays")
+
+    def make() -> QueueTransport:
+        os.makedirs(out, exist_ok=True)
+
+        def send(batch):
+            path = os.path.join(out, f"{uuid.uuid4().hex}.txt")
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write("\n".join(str(m.delay_seconds) for m in batch))
+            return []
+
+        return QueueTransport(send_batch=send)
+
+    batch = shape_output(envelopes.limit(60)).repartition(3)
+    queue_sink(make, max_message_size=1024, delay_seconds=30)(batch, 0)
+    delays = {
+        line
+        for f in glob.glob(f"{out}/*.txt")
+        for line in open(f).read().splitlines()
+        if line
+    }
+    assert delays == {"30"}

@@ -98,9 +98,9 @@ def _py_classify(origin, has_new, has_old):
         return "REPLICATED_DELETE" if repl else "DELETE"
     if has_new and not has_old:
         return "REPLICATED_INSERT" if repl else "INSERT"
-    if has_new and has_old:
-        return "REPLICATED_UPDATE" if repl else "UPDATE"
-    return "UNKNOWN"
+    # reference final else (StreamHelpers.java:55-61): both present —
+    # or both absent — is update-class
+    return "REPLICATED_UPDATE" if repl else "UPDATE"
 
 
 @SLOW

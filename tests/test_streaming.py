@@ -19,7 +19,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.streaming import (
     local_dir_transport,
     memory_rows_sink,
     object_store_sink,
-    queue_sink,
+    queue_sink_local,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.streaming.sinks import (
     materialized_view_sink,
@@ -137,9 +137,31 @@ def test_queue_sink_chunks_of_ten(spark, env_parquet, tmp_path):
         spark,
         env_parquet,
         cfg,
-        queue_sink(QueueTransport(send_batch=send), max_message_size=2048),
+        queue_sink_local(
+            QueueTransport(send_batch=send), max_message_size=2048
+        ),
     )
     assert calls and all(c <= 10 for c in calls)
+
+
+def test_queue_sink_stamps_delay_seconds(spark, envelopes):
+    """Every outbound entry carries the configured delay-seconds
+    (SQSTargetMapper.java:36,60 -> SQSJsonConverter.java:22)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators import shape_output
+
+    delays: list[int] = []
+
+    def send(batch):
+        delays.extend(m.delay_seconds for m in batch)
+        return []
+
+    batch = shape_output(envelopes.limit(40))
+    queue_sink_local(
+        QueueTransport(send_batch=send),
+        max_message_size=1024,
+        delay_seconds=45,
+    )(batch, 0)
+    assert delays and all(d == 45 for d in delays)
 
 
 def test_queue_sink_failure_classification(spark, envelopes):
@@ -153,7 +175,7 @@ def test_queue_sink_failure_classification(spark, envelopes):
         return [0]  # first message of every chunk fails
 
     with pytest.raises((PartialFailureError, AllItemsFailureError)):
-        queue_sink(
+        queue_sink_local(
             QueueTransport(send_batch=fail_first), max_message_size=512
         )(batch, 0)
 
@@ -161,7 +183,7 @@ def test_queue_sink_failure_classification(spark, envelopes):
         return list(range(len(batch_msgs)))
 
     with pytest.raises(AllItemsFailureError):
-        queue_sink(
+        queue_sink_local(
             QueueTransport(send_batch=fail_all), max_message_size=512
         )(batch, 0)
 
@@ -280,7 +302,60 @@ def test_materialized_view_sink_incremental(spark, envelopes, tmp_path):
         for d in os.listdir(view_dir)
         if d.startswith("v") and os.path.isdir(os.path.join(view_dir, d))
     ]
-    assert len(versions) <= 2
+    # version dirs are bounded: only dirs still referenced by the
+    # bucket manifest (plus one pruning generation) survive
+    assert len(versions) <= 3
+
+
+def test_materialized_view_untouched_buckets_not_rewritten(
+    spark, envelopes, tmp_path
+):
+    """A batch touching one key rewrites ONLY that key's bucket: every
+    other bucket's manifest path and parquet files are byte-identical
+    afterwards — the O(touched) property that prevents the full-view
+    compaction spiral at scale."""
+    import os
+
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming.sinks import _mv_read_manifest
+
+    view_dir = str(tmp_path / "view_inc")
+    sink = materialized_view_sink(
+        view_dir, pk=["user_id"], fields=["event_type", "value"],
+        n_buckets=16,
+    )
+    env = envelopes.limit(400).cache()
+    sink(env, 0)
+
+    m1 = _mv_read_manifest(view_dir)
+    assert m1, "first batch must populate the manifest"
+
+    def file_stats(path):
+        out = {}
+        for root, _, files in os.walk(path):
+            for f in files:
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                out[full] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    stats1 = {b: file_stats(p) for b, p in m1.items()}
+
+    # second batch: exactly one key
+    one_key = env.filter(
+        F.col("event_id")
+        == env.select(F.min("event_id").alias("m")).first().m
+    )
+    assert one_key.count() == 1
+    sink(one_key, 1)
+
+    m2 = _mv_read_manifest(view_dir)
+    changed = {b for b in m2 if m1.get(b) != m2[b]}
+    assert len(changed) == 1, f"exactly one bucket rewritten, got {changed}"
+    for b, p in m2.items():
+        if b in changed:
+            continue
+        assert m1[b] == p  # untouched bucket: same path...
+        assert file_stats(p) == stats1[b]  # ...and byte-identical files
 
 
 def test_stream_stream_join_with_watermarks(spark, sf_dir, tmp_path):
@@ -391,7 +466,7 @@ def test_local_dir_transport_writes_jsonl(spark, envelopes, tmp_path):
 
     out = str(tmp_path / "queue")
     batch = shape_output(envelopes.limit(20))
-    queue_sink(local_dir_transport(out))(batch, 0)
+    queue_sink_local(local_dir_transport(out))(batch, 0)
     files = glob.glob(f"{out}/batch-*.jsonl")
     assert files
     lines = [json.loads(line) for f in files for line in open(f)]
