@@ -235,8 +235,33 @@ def ngram_jaccard_pairs(
     on the FULL shingle sets, so scores are exact; only pairs whose
     every common shingle is ultra-frequent can be missed (documented
     approximation, disabled at the cap used in the declared query).
+
+    PERF (measured at sf0.1, local[32]): the per-doc shingle *array*
+    is computed once behind an explicit ``repartition`` (a single
+    parquet file otherwise serializes the regexp tokenizer onto one
+    core — 41 s vs 10 s) and persisted, because four plan subtrees
+    consume it.  Verification joins the candidate pairs (small —
+    output-sized) back to the arrays and scores with
+    ``array_intersect``, replacing the previous 3-way shingle-level
+    equi-join; candidate joins are left unhinted so AQE broadcasts
+    them when small but can fall back to shuffle at 100 TB where the
+    candidate set may exceed driver memory.
     """
-    sh = _doc_shingles(docs, text_col, k)  # uncached by design, see above
+    spark = docs.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    arrs = (
+        docs.repartition(nparts)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                shingles_from_tokens(
+                    tokens(normalize_text(F.col(text_col))), k
+                )
+            ).alias("__shingles"),
+        )
+        .persist()
+    )
+    sh = arrs.select("doc_id", F.explode("__shingles").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(
         freq.filter(F.col("df") <= max_shingle_freq), "shingle"
@@ -254,27 +279,31 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    common = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        common.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"),
+    pairs = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("__shingles").alias("__sa"),
+            ),
             "doc_a",
         )
         .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"),
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("__shingles").alias("__sb"),
+            ),
             "doc_b",
         )
-        .withColumn(
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
+            F.size("__sa").alias("n_a"),
+            F.size("__sb").alias("n_b"),
+        )
+    )
+    return (
+        pairs.withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
