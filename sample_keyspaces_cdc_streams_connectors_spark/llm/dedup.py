@@ -236,76 +236,116 @@ def ngram_jaccard_pairs(
     every common shingle is ultra-frequent can be missed (documented
     approximation, disabled at the cap used in the declared query).
 
-    PERF (measured at sf0.1, local[32]): the per-doc shingle *array*
-    is computed once behind an explicit ``repartition`` (a single
-    parquet file otherwise serializes the regexp tokenizer onto one
-    core — 41 s vs 10 s) and persisted, because four plan subtrees
-    consume it.  Verification joins the candidate pairs (small —
-    output-sized) back to the arrays and scores with
-    ``array_intersect``, replacing the previous 3-way shingle-level
-    equi-join; candidate joins are left unhinted so AQE broadcasts
-    them when small but can fall back to shuffle at 100 TB where the
-    candidate set may exceed driver memory.
+    PERF (measured at sf0.1, local[32], 9.9 s -> 2.1 s steady-state):
+
+    * The per-doc shingle *array* is computed once behind an explicit
+      ``repartition`` (a single parquet file otherwise serializes the
+      regexp tokenizer onto one core — 41 s vs 10 s) and persisted;
+      tokenize and shingle run in SEPARATE selects so Catalyst binds
+      the token array instead of re-running the regex per shingle
+      index (see ``shingles_from_tokens``).
+    * The stop-shingle filter is a *broadcast anti-join* against the
+      (small by construction — only shingles with df > cap) stop-set,
+      not a shuffle join against the full frequency table.
+    * Verification needs NO join back to the big shingle arrays:
+      because per-doc shingles are distinct, ``groupBy(pair).count()``
+      on the rare-shingle self-join IS the exact count of common rare
+      shingles — the same shuffle that previously produced
+      ``distinct()`` candidates now also scores them.  Commons via
+      *frequent* shingles are recovered from tiny per-doc
+      frequent-shingle arrays (rows only for docs containing a
+      stop-shingle; empty at gate SFs), and set sizes join from a
+      2-column doc->n table.  Those side joins are left unhinted so
+      AQE broadcasts them when small but can shuffle at 100 TB scale.
     """
     spark = docs.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     arrs = (
         docs.repartition(nparts)
         .select(
+            "doc_id", tokens(normalize_text(F.col(text_col))).alias("__toks")
+        )
+        .select(
             "doc_id",
             F.array_distinct(
-                shingles_from_tokens(
-                    tokens(normalize_text(F.col(text_col))), k
-                )
+                shingles_from_tokens(F.col("__toks"), k)
             ).alias("__shingles"),
         )
         .persist()
     )
     sh = arrs.select("doc_id", F.explode("__shingles").alias("shingle"))
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    rare = sh.join(
-        freq.filter(F.col("df") <= max_shingle_freq), "shingle"
-    ).select("doc_id", "shingle")
-
-    cand = (
+    stop = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_freq)
+        .select("shingle")
+    )
+    rare = sh.join(F.broadcast(stop), "shingle", "left_anti")
+    cand_counts = (
         rare.alias("a")
         .join(
             rare.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .agg(F.count("*").alias("n_rare_common"))
     )
-    pairs = (
-        cand.join(
-            arrs.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("__shingles").alias("__sa"),
+    freq_arr = (
+        sh.join(F.broadcast(stop), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("__freq"))
+    )
+    sizes = arrs.select("doc_id", F.size("__shingles").alias("n"))
+    empty = F.array().cast("array<string>")
+    return (
+        cand_counts.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
             ),
             "doc_a",
         )
         .join(
-            arrs.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("__shingles").alias("__sb"),
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
             ),
             "doc_b",
+        )
+        .join(
+            freq_arr.select(
+                F.col("doc_id").alias("doc_a"), F.col("__freq").alias("__fa")
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            freq_arr.select(
+                F.col("doc_id").alias("doc_b"), F.col("__freq").alias("__fb")
+            ),
+            "doc_b",
+            "left",
         )
         .select(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
-            F.size("__sa").alias("n_a"),
-            F.size("__sb").alias("n_b"),
+            (
+                F.col("n_rare_common")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("__fa", empty), F.coalesce("__fb", empty)
+                    )
+                )
+            ).alias("n_common"),
+            "n_a",
+            "n_b",
         )
-    )
-    return (
-        pairs.withColumn(
+        .withColumn(
             "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select(
