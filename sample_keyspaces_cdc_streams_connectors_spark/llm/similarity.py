@@ -18,16 +18,42 @@ The reference delegates vector similarity to the S3 Vectors service
 
 from __future__ import annotations
 
+import hashlib
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import cosine_similarity
+from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import dot, l2_norm
 
 
 def _query_lit(query_vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+
+
+def _query_norm(query_vec: Sequence[float]) -> float:
+    """L2 norm of the query computed driver-side, bit-identical to
+    ``l2_norm(_query_lit(...))``: the literal's elements are exact
+    doubles, Python's float ops are the same IEEE-754 ops in the same
+    left-fold order, and ``math.sqrt`` is correctly rounded like the
+    JVM's.  Evaluating this ONCE here instead of per scanned row
+    removes a constant-yet-recomputed interpreted aggregate from the
+    hot path (at 100 TB: one sqrt vs billions)."""
+    acc = 0.0
+    for x in query_vec:
+        xx = float(x)
+        acc = acc + xx * xx
+    return math.sqrt(acc)
+
+
+def _cosine_to_query(
+    vec: Column, qlit: Column, qnorm: float
+) -> Column:
+    """cos(vec, query) with the query's norm pre-folded to a literal;
+    same zero-norm guard (and bit pattern) as ``cosine_similarity``."""
+    denom = l2_norm(vec) * F.lit(qnorm)
+    return F.when(denom > 0, dot(vec, qlit) / denom).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -39,12 +65,15 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector.
 
-    The float array feeds ``cosine_similarity`` directly — element
-    casts happen inline in the zip_with lambda (a transform-cast
-    wrapper would materialize an extra array per row; see the PERF
-    note in functions/vectors.py).
+    The float array feeds the dot product directly — element casts
+    happen inline in the zip_with lambda (a transform-cast wrapper
+    would materialize an extra array per row; see the PERF note in
+    functions/vectors.py) — and the query's own norm is folded to a
+    driver-side literal instead of being re-derived per row.
     """
-    sim = cosine_similarity(F.col(vec_col), _query_lit(query_vec))
+    sim = _cosine_to_query(
+        F.col(vec_col), _query_lit(query_vec), _query_norm(query_vec)
+    )
     return (
         vectors.select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
@@ -88,10 +117,11 @@ def ivf_topk(
         )
     )
     qlit = _query_lit(query_vec)
+    qnorm = _query_norm(query_vec)
     probe_rows = (
         reps.select(
             cell_col,
-            cosine_similarity(F.col("__rv"), qlit).alias("__sim"),
+            _cosine_to_query(F.col("__rv"), qlit, qnorm).alias("__sim"),
         )
         .orderBy(F.col("__sim").desc(), F.col(cell_col))
         .limit(n_probe)
@@ -102,7 +132,7 @@ def ivf_topk(
         vectors.filter(F.col(cell_col).isin(probed))
         .select(
             F.col(id_col),
-            cosine_similarity(F.col(vec_col), qlit).alias("sim"),
+            _cosine_to_query(F.col(vec_col), qlit, qnorm).alias("sim"),
             F.col(cell_col).alias("cell"),
         )
         .orderBy(F.col("sim").desc(), F.col(id_col))
@@ -123,28 +153,29 @@ def lsh_bucket_topk(
     Planes here are axis-subset sums (sum of a deterministic md5-chosen
     third of the dims) — simple, portable, and bucket-balanced on
     roughly-isotropic embeddings.
-    """
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
 
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    PERF: the md5-derived ±1 sign pattern depends only on (plane,
+    dim index), so it is derived ONCE driver-side (``hashlib.md5`` ==
+    Spark's ``md5`` byte-for-byte) and enters the plan as a literal
+    double array — previously each scanned row re-hashed
+    n_planes × dims md5s interpreted (512k hashes per 2000-row scan).
+    Projections stay sequential-double zip_with folds, so bucket ids
+    and the DuckDB oracle (which re-derives the same signs in SQL) are
+    unchanged.  Precondition: uniform dims == len(query_vec).
+    """
+
+    def plane_signs(j: int) -> list[float]:
+        signs = []
+        for i in range(len(query_vec)):
+            h = hashlib.md5(f"p{j}:{i}".encode()).hexdigest()
+            signs.append(1.0 if int(h[:15], 16) % 3 == 0 else -1.0)
+        return signs
 
     def plane_sign(vec: Column, j: int) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda i: F.when(
-                        md5_int(
-                            F.concat(
-                                F.lit(f"p{j}:"), i.cast("string")
-                            )
-                        )
-                        % 3
-                        == 0,
-                        F.lit(1.0),
-                    ).otherwise(F.lit(-1.0)),
-                ),
+                F.array(*[F.lit(s) for s in plane_signs(j)]),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -156,10 +187,12 @@ def lsh_bucket_topk(
         [plane_sign(vec, j) for j in range(n_planes)], F.lit(0)
     ).cast("int")
 
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     with_bucket = vectors.select(
         F.col(id_col), dvec.alias("__v"), bucket_of(dvec).alias("bucket")
     )
     qlit = _query_lit(query_vec)
+    qnorm = _query_norm(query_vec)
     # driver-side: compute the query's bucket once (tiny expression on
     # a 1-row frame — no data scan)
     qrow = (
@@ -171,7 +204,7 @@ def lsh_bucket_topk(
         with_bucket.filter(F.col("bucket") == int(qrow.b))
         .select(
             F.col(id_col),
-            cosine_similarity(F.col("__v"), qlit).alias("sim"),
+            _cosine_to_query(F.col("__v"), qlit, qnorm).alias("sim"),
             "bucket",
         )
         .orderBy(F.col("sim").desc(), F.col(id_col))
