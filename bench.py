@@ -139,16 +139,20 @@ def main() -> None:
     # min of 2 runs per query: the first execution of a query shape
     # pays whole-stage-codegen JIT compilation (measured up to 5s under
     # host contention, ~0.5s of real work); the minimum is the
-    # steady-state per-query cost an engine actually delivers.
+    # steady-state per-query cost an engine actually delivers.  Heavy
+    # queries (best still > 2s) get one extra trial — their larger JIT
+    # surface can spill compilation into the second run.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        runs = 0
+        while runs < 2 or (runs < 3 and best > 2.0):
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
+            runs += 1
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -186,24 +186,32 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving customers with no orders, then
-    aggregate; decimal-exact sums (emitted as DOUBLE) plus a sorted
-    collect_list serialized to a string (the only safe way to expose a
-    shuffle-order-nondeterministic array aggregate to a hash gate)."""
+    """Left outer join preserving customers with no orders; decimal-
+    exact sums (emitted as DOUBLE) plus a sorted collect_list
+    serialized to a string (the only safe way to expose a
+    shuffle-order-nondeterministic array aggregate to a hash gate).
+
+    Plan: orders pre-aggregate per custkey BEFORE the join (map-side
+    partial combine shrinks the fact side from |orders| to
+    |active customers|), then customer left-joins the aggregate —
+    AQE broadcasts it at small SFs; at 100 TB the join reuses the
+    aggregate's hash partitioning so only customer shuffles.  The
+    join-then-regroup shape costs a second full-width shuffle."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return (
-        c.join(o, o.o_custkey == c.c_custkey, "left")
-        .groupBy("c_custkey", "c_mktsegment")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            _dbl(F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0))).alias(
-                "total_spend"
-            ),
-            F.array_join(
-                F.array_sort(F.collect_list("o_orderstatus")), ","
-            ).alias("statuses"),
-        )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("__n"),
+        F.sum(_dec("o_totalprice")).alias("__spend"),
+        F.array_join(
+            F.array_sort(F.collect_list("o_orderstatus")), ","
+        ).alias("__statuses"),
+    )
+    return c.join(per_cust, per_cust.o_custkey == c.c_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
+        _dbl(F.coalesce(F.col("__spend"), F.lit(0))).alias("total_spend"),
+        F.coalesce(F.col("__statuses"), F.lit("")).alias("statuses"),
     )
 
 
