@@ -44,7 +44,10 @@ def norm_cell(v) -> str:
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        # full microsecond precision: the fixture timestamps carry
+        # micros, and truncating here would mask sub-second divergence
+        # the driver's normalizer may still see
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
