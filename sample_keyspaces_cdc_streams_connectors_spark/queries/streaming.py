@@ -91,6 +91,11 @@ def stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stateful_src_")
     shaped.repartition(4).write.mode("overwrite").parquet(tmp)
     schema = spark.read.parquet(tmp).schema
+    # the state-store partition count is fixed at stream start from
+    # spark.sql.shuffle.partitions; 32 partitions × python workers ×
+    # micro-batches is pure overhead at gate SF (the register wrapper
+    # re-tunes the session for the next query)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2)
@@ -245,6 +250,8 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="dedup_wm_src_")
     doubled.repartition(4).write.mode("overwrite").parquet(tmp)
     schema = spark.read.parquet(tmp).schema
+    # fewer state partitions at gate SF — see stateful_running_stats
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2)
