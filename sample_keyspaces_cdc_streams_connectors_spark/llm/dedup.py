@@ -511,3 +511,56 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
         .alias("simhash"),
     )
     return sim
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """Append a per-row MinHash signature digest — the NARROW form of
+    :func:`minhash_signatures`: every permutation minimum is an
+    ``array_min`` over the row's own shingle-hash array, so the whole
+    signature is computed inside one projection with NO explode, NO
+    shuffle, and NO aggregation state.
+
+    That shape is what makes MinHash usable in Structured Streaming
+    (see ``streaming.dedup.streaming_near_dedup``): the only stateful
+    operator in a streaming dedup pipeline is the final
+    ``dropDuplicatesWithinWatermark`` on the digest — signature
+    computation itself stays a stateless map.
+
+    The digest is md5 over the comma-joined minima, identical to the
+    grouped path's values (same md5→60-bit base hash, same affine
+    permutation family, same distinct-shingle set; equivalence pinned
+    in tests/test_streaming_dedup.py).  Two documents share a digest
+    iff ALL ``num_hashes`` minima agree — a conservative
+    near-identical guard (the banded OR-construction for lower
+    thresholds remains the batch path).
+    """
+    toks = df.withColumn("__toks", tokens(normalize_text(F.col(text_col))))
+    hashed = toks.withColumn(
+        "__h30",
+        F.transform(
+            F.array_distinct(shingles_from_tokens(F.col("__toks"), k)),
+            lambda s: md5_int(s) % _MERSENNE,
+        ),
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("__h30"),
+                lambda h: (F.lit(_PERM_A[j]) * h + _PERM_B[j]) % _MERSENNE,
+            )
+        ).alias(f"__m{j}")
+        for j in range(num_hashes)
+    ]
+    with_mins = hashed.select("*", *mins)
+    digest = F.md5(
+        F.concat_ws(",", *[F.col(f"__m{j}").cast("string") for j in range(num_hashes)])
+    )
+    return with_mins.withColumn(sig_col, digest).drop(
+        "__toks", "__h30", *[f"__m{j}" for j in range(num_hashes)]
+    )

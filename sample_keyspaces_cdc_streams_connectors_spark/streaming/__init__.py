@@ -1,3 +1,4 @@
+from sample_keyspaces_cdc_streams_connectors_spark.streaming.dedup import streaming_near_dedup
 from sample_keyspaces_cdc_streams_connectors_spark.streaming.pipeline import CdcPipeline, PipelineConfig
 from sample_keyspaces_cdc_streams_connectors_spark.streaming.retry import (
     backoff_delay,
@@ -35,4 +36,5 @@ __all__ = [
     "object_store_sink",
     "queue_sink",
     "queue_sink_local",
+    "streaming_near_dedup",
 ]
