@@ -17,6 +17,17 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
+    with_minhash_signature,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_inertia,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
+    annotate_corpus,
+    build_corpus_pipeline,
+    corpus_stats,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
@@ -32,6 +43,13 @@ __all__ = [
     "minhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "with_minhash_signature",
+    "kmeans_assign",
+    "kmeans_fit",
+    "kmeans_inertia",
+    "annotate_corpus",
+    "build_corpus_pipeline",
+    "corpus_stats",
     "brute_force_topk",
     "ivf_topk",
     "lsh_bucket_topk",

@@ -1,0 +1,126 @@
+"""Config-driven training-corpus curation pipeline.
+
+The reference assembles its CDC pipeline from configuration
+(filter-expression, record-format, fields-to-include —
+KeyspacesConfig.java:226-357); this module applies the same pattern
+to the LLM-data layer: a declarative chain of corpus stages, each a
+pure ``DataFrame -> DataFrame`` Column-expression transform, built
+from the same ``EngineConfig`` machinery (env override included).
+
+Stage order (each optional, config-gated):
+
+1. annotate   — token counts, BPE estimate, language id, quality
+                score (one projection, zero Python)
+2. language   — keep configured languages
+3. quality    — keep docs at/above the configured score
+4. dedup      — ``exact`` (md5 fingerprint) or ``near`` (full MinHash
+                signature digest); keeps the LOWEST doc_id per group
+                (deterministic survivor, same rule as the batch dedup
+                operators)
+
+Scale: annotate/language/quality are map-only; each dedup mode costs
+exactly ONE hash-shuffle of (key, id) pairs — document text never
+moves.  The survivor rule uses min-over-window rather than
+``dropDuplicates`` so the kept row is deterministic under any
+partitioning (dropDuplicates keeps an arbitrary first row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.config import EngineConfig
+from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+    bpe_token_estimate,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import with_minhash_signature
+
+#: config key prefix (reference-style dotted paths, env-overridable)
+_P = "keyspaces-cdc-streams.corpus"
+
+
+def annotate_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the standard curation columns in one projection."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_bpe_est": bpe_token_estimate(t),
+            "lang": lang_id(t),
+            "quality": quality_score(t),
+        }
+    )
+
+
+def keep_first_per(df: DataFrame, key_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic survivor: the lowest id in each key group (one
+    hash-shuffle; text columns ride along but do not widen the
+    shuffle key)."""
+    w = Window.partitionBy(key_col).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def build_corpus_pipeline(
+    cfg: EngineConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame], DataFrame]:
+    """EngineConfig -> corpus transform.
+
+    Keys (all under ``keyspaces-cdc-streams.corpus.``, env-overridable
+    like every engine key):
+
+    - ``languages``    csv of lang ids to keep (empty = keep all)
+    - ``min-quality``  int per-mille threshold (default 0 = keep all)
+    - ``dedup``        none | exact | near  (default none)
+    - ``shingle-k``    shingle width for near dedup (default 3)
+    """
+    languages = cfg.get_list(f"{_P}.languages", default=[]) or []
+    min_quality = cfg.get_int(f"{_P}.min-quality", default=0)
+    dedup_mode = (cfg.get(f"{_P}.dedup", "none") or "none").lower()
+    shingle_k = cfg.get_int(f"{_P}.shingle-k", default=3)
+    if dedup_mode not in ("none", "exact", "near"):
+        from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
+
+        raise ConfigError(f"corpus.dedup must be none|exact|near, got {dedup_mode!r}")
+
+    def run(df: DataFrame) -> DataFrame:
+        out = annotate_corpus(df, text_col)
+        if languages:
+            out = out.filter(F.col("lang").isin(languages))
+        if min_quality > 0:
+            out = out.filter(F.col("quality") >= min_quality)
+        if dedup_mode == "exact":
+            out = out.withColumn("__key", doc_fingerprint(F.col(text_col)))
+            out = keep_first_per(out, "__key", id_col).drop("__key")
+        elif dedup_mode == "near":
+            out = with_minhash_signature(
+                out, text_col=text_col, k=shingle_k, sig_col="__key"
+            )
+            out = keep_first_per(out, "__key", id_col).drop("__key")
+        return out
+
+    return run
+
+
+def corpus_stats(df: DataFrame) -> DataFrame:
+    """One-row curation summary (docs, tokens, mean quality) — the
+    numbers a data-mix report needs; decimal-exact sums emitted as
+    BIGINT/DOUBLE."""
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+        F.sum(F.col("n_bpe_est").cast("bigint")).alias("total_bpe_est"),
+        F.avg(F.col("quality").cast("double")).alias("mean_quality"),
+    )

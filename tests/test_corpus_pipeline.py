@@ -1,0 +1,94 @@
+"""Config-driven corpus curation: stage gating, deterministic dedup
+survivors, and env-override plumbing shared with the engine config."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError, load_config
+from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
+    annotate_corpus,
+    build_corpus_pipeline,
+    corpus_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+
+
+def test_annotate_adds_columns_map_only(spark, docs):
+    out = annotate_corpus(docs)
+    assert {"n_tokens", "n_bpe_est", "lang", "quality"} <= set(out.columns)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stage_gating(spark, docs):
+    n_all = build_corpus_pipeline(load_config({}))(docs).count()
+    assert n_all == docs.count()  # no stages configured -> annotate only
+
+    n_en = (
+        build_corpus_pipeline(
+            load_config({"keyspaces-cdc-streams": {"corpus": {"languages": "en"}}})
+        )(docs)
+        .filter(F.col("lang") != "en")
+        .count()
+    )
+    assert n_en == 0
+
+    cfg = load_config(
+        {"keyspaces-cdc-streams": {"corpus": {"min-quality": 500}}}
+    )
+    filtered = build_corpus_pipeline(cfg)(docs)
+    assert filtered.filter(F.col("quality") < 500).count() == 0
+    assert 0 < filtered.count() <= docs.count()
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    # plant duplicates: doc_id + 100000 with identical text
+    dupes = docs.limit(20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    corpus = docs.unionByName(dupes)
+    cfg = load_config(
+        {"keyspaces-cdc-streams": {"corpus": {"dedup": "exact"}}}
+    )
+    out = build_corpus_pipeline(cfg)(corpus)
+    # every planted duplicate suppressed, original (lower id) kept
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+    assert out.count() == docs.select("text").distinct().count()
+
+
+def test_near_dedup_and_stats(spark, docs):
+    dupes = docs.limit(10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    cfg = load_config(
+        {"keyspaces-cdc-streams": {"corpus": {"dedup": "near"}}}
+    )
+    out = build_corpus_pipeline(cfg)(docs.unionByName(dupes))
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+    row = corpus_stats(out).first()
+    assert row.n_docs == out.count()
+    assert row.total_tokens > 0 and row.mean_quality > 0
+
+
+def test_env_override_reaches_corpus_keys(spark, docs):
+    cfg = load_config({}, env={"CORPUS_MIN_QUALITY": "999999"})
+    out = build_corpus_pipeline(cfg)(docs)
+    assert out.count() == 0  # impossible threshold via env override
+
+
+def test_bad_dedup_mode_rejected():
+    cfg = load_config(
+        {"keyspaces-cdc-streams": {"corpus": {"dedup": "fuzzy"}}}
+    )
+    with pytest.raises(ConfigError):
+        build_corpus_pipeline(cfg)
