@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: headline subset of __spark_entry__.queries() — excludes only the two
+#: headline subset of __spark_entry__.queries() — excludes only the
 #: real-streaming-execution queries (state-store micro-batch replay
 #: measures the state store, not query throughput)
 HEADLINE = [
@@ -49,7 +49,6 @@ HEADLINE = [
     "batch_bounds",
     "time_partition_counts",
     "mv_apply",
-    "stream_window_counts",
     "session_window_agg",
     "text_analysis",
     "dedup_exact",

@@ -31,14 +31,39 @@ from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
     """,
 )
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding event-time window aggregate (1h width, 30min slide —
-    tumbling is the slide=width special case; r1's separate tumbling
-    query folded in): each event lands in two windows, F.window
-    handles assignment natively.  The same expression runs under
-    withWatermark on the real stream in tests/test_streaming.py."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
+    """REAL streaming execution of the sliding event-time window
+    aggregate (1h width, 30min slide — tumbling is the slide=width
+    special case): the events replay through readStream micro-batches
+    and the windowed aggregation state lives on the state store across
+    batches (update mode, availableNow).
+
+    Reconstruction: ``value`` is strictly positive in the fixture, so
+    both per-key aggregates only grow across update emissions — the
+    final value per (window, event_type) is the max over emissions,
+    and the decimal running sum is exactly the batch sum (decimal
+    addition is associative).  No watermark on the replay: update-mode
+    windowed aggregation keeps all state for the finite replay, so
+    out-of-order files cannot drop rows; the watermarked production
+    form (state eviction + late-drop) is exercised in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+
+    tmp = tempfile.mkdtemp(prefix="window_counts_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(tmp)
+    )
+    name = f"window_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy(
             F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
         )
         .agg(
@@ -54,6 +79,17 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total",
         )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the result
+    return spark.sql(
+        f"SELECT window_start, event_type, max(n) AS n, max(total) AS total "
+        f"FROM {name} GROUP BY window_start, event_type"
     )
 
 
