@@ -69,7 +69,6 @@ HEADLINE = [
     "agg_percentiles",
     "agg_approx_distinct",
     "explode_wordcount",
-    "stream_interval_join",
 ]
 
 #: r1 query names → round-2 consolidated names, so cross-round deltas

@@ -216,37 +216,70 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch-equivalent of the watermarked stream-stream interval join
-    (click→purchase attribution within 2 h): the identical join
-    condition runs under ``withWatermark`` on both streams in
-    tests/test_streaming.py; the converged result equals this batch
-    join, which the oracle checks.
+    """REAL stream-stream interval join (click→purchase attribution
+    within 2 h): both sides replay through readStream micro-batches
+    and the JOIN STATE lives on the state store across batches — a
+    pair emits when its later side arrives, exactly once.
+
+    The replay runs without watermarks so state retains both full
+    sides for the finite input and out-of-order files cannot lose
+    matches; the watermarked production form (state bounded to the
+    2-hour interval, late-side eviction) runs in
+    tests/test_streaming.py.  The final per-user rollup is a batch
+    aggregation over the emitted pairs (memory sink) — the cross-batch
+    semantics under test are the join's.
 
     Scale: the equi-key (user_id) bounds the shuffle — each side
-    shuffles once on user_id and the time-range is a sort-merge
-    residual, never a cross product; in streaming the watermark bounds
-    the join STATE the same way (rows older than 2 h are evicted)."""
+    shuffles once on user_id and the time-range is a residual, never a
+    cross product; in streaming the watermark bounds the join STATE
+    the same way (rows older than 2 h are evicted)."""
+    import shutil
+    import tempfile
+    import uuid
+
     ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select(
+    base = tempfile.mkdtemp(prefix="interval_join_src_")
+    a_dir, b_dir = f"{base}/clicks", f"{base}/purchases"
+    ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
-    )
-    b = ev.filter(F.col("event_type") == "purchase").select(
+    ).repartition(4).write.mode("overwrite").parquet(a_dir)
+    ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    ).repartition(4).write.mode("overwrite").parquet(b_dir)
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    a = (
+        spark.readStream.schema(spark.read.parquet(a_dir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(a_dir)
     )
-    lag_us = F.unix_micros(F.col("b_ts")) - F.unix_micros(F.col("a_ts"))
-    return (
+    b = (
+        spark.readStream.schema(spark.read.parquet(b_dir).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(b_dir)
+    )
+    name = f"interval_join_{uuid.uuid4().hex[:8]}"
+    q = (
         a.join(
             b,
             (F.col("a_user") == F.col("b_user"))
             & (F.col("b_ts") >= F.col("a_ts"))
             & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 2 HOURS")),
         )
-        .groupBy(F.col("a_user").alias("user_id"))
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.min(lag_us).alias("min_lag_us"),
-            F.max(lag_us).alias("max_lag_us"),
-        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutil.rmtree(base, ignore_errors=True)  # memory sink holds the pairs
+    pairs = spark.sql(f"SELECT * FROM {name}")
+    lag_us = F.unix_micros(F.col("b_ts")) - F.unix_micros(F.col("a_ts"))
+    return pairs.groupBy(F.col("a_user").alias("user_id")).agg(
+        F.count("*").alias("n_pairs"),
+        F.min(lag_us).alias("min_lag_us"),
+        F.max(lag_us).alias("max_lag_us"),
     )
 
 
