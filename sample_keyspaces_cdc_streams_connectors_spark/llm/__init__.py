@@ -28,6 +28,9 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
     annotate_corpus,
     build_corpus_pipeline,
     corpus_stats,
+    deterministic_sample,
+    pack_sequences,
+    sample_corpus_mixture,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
@@ -50,6 +53,9 @@ __all__ = [
     "annotate_corpus",
     "build_corpus_pipeline",
     "corpus_stats",
+    "deterministic_sample",
+    "pack_sequences",
+    "sample_corpus_mixture",
     "brute_force_topk",
     "ivf_topk",
     "lsh_bucket_topk",

@@ -124,3 +124,92 @@ def corpus_stats(df: DataFrame) -> DataFrame:
         F.sum(F.col("n_bpe_est").cast("bigint")).alias("total_bpe_est"),
         F.avg(F.col("quality").cast("double")).alias("mean_quality"),
     )
+
+
+# --- data mixing & sequence packing ---------------------------------------
+
+#: sampling resolution (1e-6 fraction granularity)
+_SAMPLE_MOD = 1_000_000
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by a content hash of the id
+    — NOT ``df.sample``: the decision per row is a pure function of
+    (salt, id), so it is reproducible across runs, partitionings and
+    engines (md5 is SQL-portable), and re-running a 100 TB pipeline
+    resamples the identical subset.  Different salts give independent
+    samples."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
+
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    gate = F.lit(int(round(fraction * _SAMPLE_MOD)))
+    ticket = md5_int(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    ) % _SAMPLE_MOD
+    return df.filter(ticket < gate)
+
+
+def sample_corpus_mixture(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixture: per-source deterministic sampling at
+    the given fraction, tagged with a ``source`` column and unioned —
+    the data-mix recipe step of a training pipeline, with the same
+    reproducibility guarantee as :func:`deterministic_sample`.
+
+    Scale: sampling is a map-only filter per source (no shuffle);
+    union is plan-level.  Sources must share a schema."""
+    parts = []
+    for name, (df, frac) in sorted(sources.items()):
+        parts.append(
+            deterministic_sample(
+                df, frac, id_col=id_col, salt=f"{salt}:{name}"
+            ).withColumn("source", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Greedy-equivalent sequence packing: assign each document to a
+    training sequence so no sequence exceeds ``max_tokens`` (plus at
+    most its largest member — the same bound contract as the message
+    batcher it reuses).  Documents are distributed over ``n_shards``
+    deterministic shards and packed independently within each — the
+    standard parallel-packing compromise (a single global ordering
+    would serialize through one partition at scale).
+
+    Output adds: ``pack_shard``, ``n_tokens`` (packing weight),
+    ``message_idx``/``message_id`` from the batcher — the sequence id
+    is (pack_shard, message_idx)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.batching import assign_messages
+
+    with_shard = docs.withColumn(
+        "pack_shard",
+        (md5_int(F.col(id_col).cast("string")) % n_shards).cast("int"),
+    ).withColumn("n_tokens", token_count(F.col(text_col)))
+    return assign_messages(
+        with_shard,
+        shard_col="pack_shard",
+        seq_col=id_col,
+        size_col=F.col("n_tokens").cast("bigint"),
+        max_message_size=max_tokens,
+        max_records=-1,
+    )

@@ -92,3 +92,55 @@ def test_bad_dedup_mode_rejected():
     )
     with pytest.raises(ConfigError):
         build_corpus_pipeline(cfg)
+
+
+def test_deterministic_sample_partition_invariant(spark, docs):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import deterministic_sample
+
+    a = {r.doc_id for r in deterministic_sample(docs, 0.4).collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), 0.4).collect()
+    }
+    assert a == b  # pure function of (salt, id)
+    n = docs.count()
+    assert 0.25 * n < len(a) < 0.55 * n  # ~fraction at fixture size
+    # different salt -> a different (roughly independent) subset
+    c = {r.doc_id for r in deterministic_sample(docs, 0.4, salt="other").collect()}
+    assert c != a
+    # edge fractions
+    assert deterministic_sample(docs, 0.0).count() == 0
+    assert deterministic_sample(docs, 1.0).count() == n
+
+
+def test_mixture_tags_and_weights(spark, docs):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import sample_corpus_mixture
+
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    mix = sample_corpus_mixture(
+        {"web": (half, 1.0), "books": (rest, 0.3)}
+    )
+    counts = {r.source: r.n for r in mix.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["web"] == half.count()
+    assert 0 < counts["books"] < rest.count()
+    plan = mix._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only filters + plan-level union
+
+
+def test_pack_sequences_bound_and_totality(spark, docs):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import pack_sequences
+
+    max_tokens = 512
+    packed = pack_sequences(docs, max_tokens, n_shards=8).cache()
+    assert packed.count() == docs.count()  # every doc packed exactly once
+    per_seq = packed.groupBy("pack_shard", "message_idx").agg(
+        F.sum("n_tokens").alias("total"),
+        F.max("n_tokens").alias("biggest"),
+    )
+    # the batcher's bound contract: total < max + largest member
+    assert per_seq.filter(
+        F.col("total") >= F.lit(max_tokens) + F.col("biggest")
+    ).count() == 0
+    # parallel shards actually used
+    assert packed.select("pack_shard").distinct().count() > 1
