@@ -210,3 +210,30 @@ def test_csv_roundtrip_survives_arbitrary_text(spark, tmp_path_factory, texts, v
     )
     got = sorted((r.id, r.body, r.x) for r in back.collect())
     assert got == sorted(rows)
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_json_roundtrip_survives_arbitrary_text(spark, tmp_path_factory, texts):
+    """Unicode, control characters, quotes, backslashes — the JSON
+    lines writer/reader pair must return every row exactly (the
+    reference's converter tests stress the same classes of input:
+    AbstractJSONConverterTest.java:204-218, 1039-1052)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.sources.files import load_json, write_json
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id bigint, body string")
+    path = str(tmp_path_factory.mktemp("json_prop"))
+    write_json(df, path)
+    back = load_json(spark, path, {"id": "bigint", "body": "text"})
+    got = sorted((r.id, r.body) for r in back.collect())
+    assert got == sorted(rows)
