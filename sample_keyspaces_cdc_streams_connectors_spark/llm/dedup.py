@@ -236,14 +236,26 @@ def ngram_jaccard_pairs(
     every common shingle is ultra-frequent can be missed (documented
     approximation, disabled at the cap used in the declared query).
 
-    PERF (measured at sf0.1, local[32], 9.9 s -> 2.1 s steady-state):
+    PERF (measured at sf0.1, local[32], 9.9 s -> ~2 s steady-state):
 
-    * The per-doc shingle *array* is computed once behind an explicit
+    * The per-doc shingle *array* is computed behind an explicit
       ``repartition`` (a single parquet file otherwise serializes the
-      regexp tokenizer onto one core — 41 s vs 10 s) and persisted;
-      tokenize and shingle run in SEPARATE selects so Catalyst binds
-      the token array instead of re-running the regex per shingle
-      index (see ``shingles_from_tokens``).
+      regexp tokenizer onto one core — 41 s vs 10 s); tokenize and
+      shingle run in SEPARATE selects so Catalyst binds the token
+      array instead of re-running the regex per shingle index (see
+      ``shingles_from_tokens``).
+    * Shingle identity is the md5-derived 60-bit INTEGER, not the
+      string: the inverted-index self-join and every groupBy key on
+      int64 instead of ~40-char strings (smaller shuffles, cheaper
+      hash probes).  A hash collision (~n²/2^61) would merge two
+      shingles identically in both engines (the oracle hashes the
+      same way), so the gate stays exact; semantically Jaccard
+      becomes exact-modulo-astronomically-rare-collision.
+    * The HASHED arrays are persisted: int64 arrays cache ~4× cheaper
+      than the shingle strings they replace, and caching amortizes
+      the md5+base-conversion hashing across the four consumers
+      (measured: hash+persist 2.8 s, hash-uncached 7.9 s,
+      strings+persist 3.1 s at sf0.1).
     * The stop-shingle filter is a *broadcast anti-join* against the
       (small by construction — only shingles with df > cap) stop-set,
       not a shuffle join against the full frequency table.
@@ -268,7 +280,7 @@ def ngram_jaccard_pairs(
         .select(
             "doc_id",
             F.array_distinct(
-                shingles_from_tokens(F.col("__toks"), k)
+                F.transform(shingles_from_tokens(F.col("__toks"), k), md5_int)
             ).alias("__shingles"),
         )
         .persist()
@@ -300,7 +312,7 @@ def ngram_jaccard_pairs(
         .agg(F.collect_set("shingle").alias("__freq"))
     )
     sizes = arrs.select("doc_id", F.size("__shingles").alias("n"))
-    empty = F.array().cast("array<string>")
+    empty = F.array().cast("array<bigint>")
     return (
         cand_counts.join(
             sizes.select(

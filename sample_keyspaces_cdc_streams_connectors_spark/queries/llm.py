@@ -141,14 +141,24 @@ NGRAM_MAX_SHINGLE_FREQ = 100
 
 @register(
     "dedup_ngram",
+    # hsh: shingle identity is the md5-derived 60-bit int (exactly the
+    # engine's md5_int) — int64 join keys instead of strings; a
+    # collision would merge the same shingles in both engines
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    hsh AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+               AS shingle
+      FROM shingles
+    ),
+    hsizes AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY doc_id),
     freq AS (
-      SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle
+      SELECT shingle, COUNT(*) AS df FROM hsh GROUP BY shingle
     ),
     rare AS (
       SELECT s.doc_id, s.shingle
-      FROM shingles s JOIN freq f
+      FROM hsh s JOIN freq f
         ON f.shingle = s.shingle AND f.df <= {NGRAM_MAX_SHINGLE_FREQ}
     ),
     cand AS (
@@ -159,24 +169,25 @@ NGRAM_MAX_SHINGLE_FREQ = 100
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       FROM cand c
-      JOIN shingles sa ON sa.doc_id = c.doc_a
-      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      JOIN hsh sa ON sa.doc_id = c.doc_a
+      JOIN hsh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
            CAST(CAST(n_common / (na.n + nb.n - n_common) AS DECIMAL(18,6))
                 AS DOUBLE) AS jaccard
     FROM common
-    JOIN sizes na ON na.doc_id = doc_a
-    JOIN sizes nb ON nb.doc_id = doc_b
+    JOIN hsizes na ON na.doc_id = doc_a
+    JOIN hsizes nb ON nb.doc_id = doc_b
     WHERE n_common / (na.n + nb.n - n_common) >= 0.5
     """,
 )
 def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via shingle
     inverted index with the stop-shingle cap ACTIVE (candidates only
-    from shingles with document frequency <= 100; Jaccard still exact
-    over full shingle sets) — the scale-safe plan is the declared one."""
+    from shingles with document frequency <= 100; Jaccard exact over
+    full shingle sets, identified by their 60-bit md5 hash) — the
+    scale-safe plan is the declared one."""
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, k=3, threshold=0.5, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
