@@ -59,7 +59,10 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _doc_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
-    """(doc_id, shingle) distinct pairs.
+    """(doc_id, shingle) distinct pairs; ``shingle`` is the 60-bit
+    md5 hash of the k-word shingle, not the string — int64 keys make
+    every downstream join/groupBy shuffle smaller (collision odds
+    ~n²/2^61, and the SQL oracle hashes identically).
 
     Two-phase: tokenize in one projection, shingle from the bound
     array column in the next — keeps the regexp tokenizer evaluated
@@ -71,7 +74,9 @@ def _doc_shingles(docs: DataFrame, text_col: str, k: int) -> DataFrame:
     return with_toks.select(
         "doc_id",
         F.explode(
-            F.array_distinct(shingles_from_tokens(F.col("__toks"), k))
+            F.array_distinct(
+                F.transform(shingles_from_tokens(F.col("__toks"), k), md5_int)
+            )
         ).alias("shingle"),
     )
 
@@ -92,13 +97,14 @@ def minhash_signatures(
     (doc_id, shingle) frame, via the affine permutation family
     h_j(s) = (a_j * h30(s) + b_j) mod (2^31-1).
 
-    The base hash (one md5 per shingle occurrence) is computed ONCE;
-    each permutation is an integer multiply-add inside whole-stage
-    codegen, and all n mins are computed in ONE groupBy (map-side
-    partial min per column — no 16× row explosion, a single shuffle
-    of 5000-row partial states).  Arithmetic stays below 2^62 →
-    exact in int64 and exactly replicable in SQL."""
-    base = shingles.withColumn("h30", md5_int(F.col("shingle")) % _MERSENNE)
+    The base hash (one md5 per shingle, already materialized by
+    ``_doc_shingles``) reduces mod 2^31-1 once; each permutation is
+    an integer multiply-add inside whole-stage codegen, and all n
+    mins are computed in ONE groupBy (map-side partial min per
+    column — no 16× row explosion, a single shuffle of partial
+    states).  Arithmetic stays below 2^62 → exact in int64 and
+    exactly replicable in SQL."""
+    base = shingles.withColumn("h30", F.col("shingle") % _MERSENNE)
     return base.groupBy("doc_id").agg(
         *[
             F.min((F.lit(_PERM_A[j]) * F.col("h30") + _PERM_B[j]) % _MERSENNE)

@@ -261,11 +261,15 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH {_SHINGLES_CTE},
-    hashed AS (
-      SELECT doc_id, shingle,
+    hsh AS (
+      SELECT DISTINCT doc_id,
              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
-               % {_MERSENNE} AS h30
+               AS shingle
       FROM shingles
+    ),
+    hsizes AS (SELECT doc_id, COUNT(*) AS n FROM hsh GROUP BY doc_id),
+    hashed AS (
+      SELECT doc_id, shingle, shingle % {_MERSENNE} AS h30 FROM hsh
     ),
     sigs AS (
       SELECT doc_id,
@@ -284,16 +288,16 @@ def _minhash_oracle() -> str:
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       FROM cand c
-      JOIN shingles sa ON sa.doc_id = c.doc_a
-      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      JOIN hsh sa ON sa.doc_id = c.doc_a
+      JOIN hsh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
            CAST(CAST(n_common / (na.n + nb.n - n_common) AS DECIMAL(18,6))
                 AS DOUBLE) AS jaccard
     FROM common
-    JOIN sizes na ON na.doc_id = doc_a
-    JOIN sizes nb ON nb.doc_id = doc_b
+    JOIN hsizes na ON na.doc_id = doc_a
+    JOIN hsizes nb ON nb.doc_id = doc_b
     WHERE n_common / (na.n + nb.n - n_common) >= 0.5
     """
 
