@@ -96,19 +96,39 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact",
+    # the corpus is the documents table UNIONed with case/whitespace
+    # perturbed copies of every 10th doc (id + 1000000) — the fixture
+    # has no byte-identical dupes, so without this the query proves
+    # itself on an empty result; the perturbation also exercises the
+    # normalization (copies differ as bytes, match normalized)
     oracle=f"""
-    SELECT md5({NORM}) AS fp,
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) || '  '
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
            COUNT(*) AS n_docs,
            MIN(doc_id) AS keep_doc_id
-    FROM documents
+    FROM corpus
     GROUP BY fp
     HAVING COUNT(*) > 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized-text fingerprint;
-    one shuffle keyed by a 128-bit hash (no text movement at scale)."""
-    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+    one shuffle keyed by a 128-bit hash (no text movement at scale).
+    The gate corpus plants case/whitespace-perturbed duplicates so the
+    result is non-empty and the normalization is load-bearing: every
+    planted copy must collapse onto its original (keep_doc_id = the
+    original's lower id), byte-identity alone would find nothing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    return exact_duplicates(docs.unionByName(perturbed))
 
 
 # shared oracle CTEs for shingle-based dedup ---------------------------------
