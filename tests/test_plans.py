@@ -67,10 +67,26 @@ def test_no_cartesian_anywhere(plans):
         "asof_join_purchase",
         "range_join_shipments",
         "dedup_embedding",
+        "dedup_ngram",
+        "dedup_minhash",
     ):
         plan = plans(q)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_ngram_stop_filter_broadcasts_and_keys_are_longs(plans):
+    """The stop-shingle filter must stay a broadcast anti-join (never
+    a shuffle join against the frequency table), and the inverted
+    index must key on the 60-bit hash — a LongType attribute (#nL in
+    the plan), not the shingle string."""
+    plan = plans("dedup_ngram")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    import re
+
+    m = re.search(r"hashpartitioning\(shingle#(\d+)(L?)", plan)
+    assert m is not None, "expected a shuffle keyed by the shingle column"
+    assert m.group(2) == "L", "shingle shuffle key must be int64, not string"
 
 
 def test_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
