@@ -18,6 +18,12 @@ Usage::
     python -m sample_keyspaces_cdc_streams_connectors_spark \
         --config pipeline.conf --source /path/to/envelopes \
         [--sink console|object-store|queue] [--out DIR]
+
+    # batch corpus curation (annotate -> language -> quality -> dedup,
+    # stages gated by keyspaces-cdc-streams.corpus.* config keys):
+    python -m sample_keyspaces_cdc_streams_connectors_spark \
+        --mode corpus --config corpus.conf \
+        --source /path/to/documents --out DIR
 """
 
 from __future__ import annotations
@@ -40,13 +46,19 @@ def main(argv: list[str] | None = None) -> int:
 
     p = argparse.ArgumentParser(prog="sample_keyspaces_cdc_streams_connectors_spark")
     p.add_argument("--config", default=None, help="config file path")
-    p.add_argument("--source", required=True, help="envelope parquet dir")
+    p.add_argument("--source", required=True, help="source parquet dir")
+    p.add_argument(
+        "--mode",
+        default="cdc",
+        choices=("cdc", "corpus"),
+        help="cdc: stream envelopes to a sink; corpus: batch-curate documents",
+    )
     p.add_argument(
         "--sink",
         default="console",
         choices=("console", "object-store", "queue"),
     )
-    p.add_argument("--out", default=None, help="output dir for file sinks")
+    p.add_argument("--out", default=None, help="output dir")
     args = p.parse_args(argv)
 
     conf_path = args.config or os.environ.get("APPLICATION_CONF_LOCATION")
@@ -56,6 +68,27 @@ def main(argv: list[str] | None = None) -> int:
     except ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
         return 2
+
+    if args.mode == "corpus":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_corpus_pipeline, corpus_stats
+
+        if not args.out:
+            print("--out required for corpus mode", file=sys.stderr)
+            return 2
+        try:
+            run = build_corpus_pipeline(cfg)
+        except ConfigError as e:
+            print(f"config error: {e}", file=sys.stderr)
+            return 2
+        spark = get_spark("corpus-pipeline")
+        curated = run(spark.read.parquet(args.source))
+        curated.write.mode("overwrite").parquet(args.out)
+        stats = corpus_stats(spark.read.parquet(args.out)).first()
+        print(
+            f"corpus curated: {args.source} -> {args.out} "
+            f"({stats.n_docs} docs, {stats.total_tokens} tokens)"
+        )
+        return 0
 
     spark = get_spark("cdc-pipeline")
     if args.sink == "console":

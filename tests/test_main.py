@@ -60,3 +60,32 @@ def test_main_requires_out_for_file_sinks(spark, envelopes, tmp_path):
     src = str(tmp_path / "src3")
     envelopes.limit(5).write.parquet(src)
     assert main(["--source", src, "--sink", "object-store"]) == 2
+
+
+def test_main_corpus_mode(spark, sf_dir, tmp_path):
+    """Corpus mode end to end: config-gated curation from CLI, stats
+    line printed, curated parquet written."""
+    src = str(tmp_path / "docs_src")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).write.parquet(src)
+    conf = tmp_path / "corpus.conf"
+    conf.write_text(
+        "keyspaces-cdc-streams.corpus.min-quality = 400\n"
+        "keyspaces-cdc-streams.corpus.dedup = exact\n"
+    )
+    out = str(tmp_path / "curated")
+    rc = main(
+        ["--mode", "corpus", "--config", str(conf), "--source", src, "--out", out]
+    )
+    assert rc == 0
+    curated = spark.read.parquet(out)
+    assert {"n_tokens", "lang", "quality"} <= set(curated.columns)
+    assert curated.filter("quality < 400").count() == 0
+    assert 0 < curated.count() <= spark.read.parquet(src).count()
+
+
+def test_main_corpus_requires_out(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "docs_src2")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5).write.parquet(src)
+    assert main(["--mode", "corpus", "--source", src]) == 2
