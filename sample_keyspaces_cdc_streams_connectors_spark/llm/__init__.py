@@ -19,6 +19,11 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
     simhash,
     with_minhash_signature,
 )
+from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+    ivf_index_topk,
+    load_codebook,
+    write_ivf_index,
+)
 from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import (
     kmeans_assign,
     kmeans_fit,
@@ -47,6 +52,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "with_minhash_signature",
+    "ivf_index_topk",
+    "load_codebook",
+    "write_ivf_index",
     "kmeans_assign",
     "kmeans_fit",
     "kmeans_inertia",

@@ -1,0 +1,99 @@
+"""Persisted IVF index: k-means cells as a partitioned table layout.
+
+`llm.similarity.ivf_topk` probes cells of an in-memory frame; this
+module makes the claimed production layout real: vectors are written
+PARTITIONED BY their k-means cell with the codebook stored alongside,
+so a query (a) picks its probe cells driver-side from the codebook —
+no Spark job — and (b) scans ONLY the probed cells' partitions.
+Partition pruning is the entire point: with k cells and n_probe
+probes the scan reads ~n_probe/k of the data (pinned by plan test).
+
+Reference tie-in: the reference ships vectors to the S3 Vectors
+service and delegates indexing (S3VectorTargetMapper.java:87-177); a
+native engine owns the layout instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_assign, kmeans_fit
+
+CODEBOOK_FILE = "_codebook.json"
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Fit the coarse quantizer, label every vector, and write the
+    partitioned layout + codebook.  Returns the codebook.
+
+    Scale: the write shuffles once on the cell label (partitionBy);
+    each cell's files hold only that cell's vectors, so probes prune
+    at the directory level — the same mechanism as the time-partitioned
+    CDC sink layout (S3TargetMapper.java:84-136 analog)."""
+    centroids = kmeans_fit(
+        vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    labeled = kmeans_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"
+    )
+    labeled.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, CODEBOOK_FILE), "w", encoding="utf-8") as fh:
+        json.dump(centroids, fh)
+    return centroids
+
+
+def load_codebook(path: str) -> list[list[float]]:
+    with open(os.path.join(path, CODEBOOK_FILE), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _probe_cells(
+    query_vec: Sequence[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """Nearest cells by squared L2 to the codebook — pure driver-side
+    Python (the codebook is k×dims floats; no Spark job)."""
+    dists = []
+    for j, c in enumerate(centroids):
+        acc = 0.0
+        for x, y in zip(query_vec, c):
+            d = float(x) - float(y)
+            acc += d * d
+        dists.append((acc, j))
+    dists.sort()
+    return [j for _, j in dists[:n_probe]]
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    topk: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k over the probed cells only.
+
+    The ``cell IN (...)`` filter is a partition predicate on the
+    layout written by :func:`write_ivf_index`, so the parquet scan
+    touches n_probe/k of the files (PartitionFilters in the plan —
+    pinned in tests/test_ivf_index.py)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import brute_force_topk
+
+    cells = _probe_cells(query_vec, load_codebook(path), n_probe)
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return brute_force_topk(
+        scan, query_vec, k=topk, id_col=id_col, vec_col=vec_col
+    )
