@@ -839,11 +839,25 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded group counts; the sketch path for wide cardinalities is
     approx_percentile (same API shape, no global sort)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.median("o_totalprice").alias("med"),
-        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
-        F.countDistinct("o_custkey").alias("n_custs"),
-        F.count("*").alias("n"),
+    # one percentile aggregate with BOTH percentages: a single
+    # sort/accumulation per group instead of two (median == p50)
+    pcts = F.percentile(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.95))
+    ).alias("__pcts")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            pcts,
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            F.element_at("__pcts", 1).alias("med"),
+            F.element_at("__pcts", 2).alias("p95"),
+            "n_custs",
+            "n",
+        )
     )
 
 
