@@ -10,11 +10,15 @@ last-writer-wins per primary key, the final table state is fully
 determined by the *latest* event per key.
 
 Spark-first: instead of replaying row-at-a-time, reconstruct the
-final state declaratively — ``row_number() OVER (PARTITION BY pk
-ORDER BY sequence DESC) = 1`` picks each key's last event in one
-shuffle; keys whose last event is a delete-class op are dropped.
-At 100 TB this is a single hash-partition-by-pk exchange with AQE
-skew handling — no per-record round trips.
+final state declaratively — ``groupBy(pk).agg(max_by(struct(op,
+newImage, seq), seq))`` picks each key's last event.  Unlike the
+equivalent ``row_number() OVER (... ORDER BY seq DESC) = 1`` window,
+``max_by`` is a combinable aggregate: every map task reduces its
+local events to one candidate per key BEFORE the exchange, so a hot
+key that dominates the log shrinks to ~n_tasks rows in flight
+instead of funnelling every event through a single sorting task.
+At 100 TB this is a single hash-partition-by-pk exchange whose
+volume is bounded by distinct keys, not events.
 """
 
 from __future__ import annotations
@@ -23,7 +27,7 @@ import functools
 import operator
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 UPSERT_OPS = ("INSERT", "UPDATE", "REPLICATED_INSERT", "REPLICATED_UPDATE")
@@ -77,11 +81,23 @@ def mv_apply(
         )
     )
 
-    w = Window.partitionBy(*[f"__pk_{k}" for k in pk]).orderBy(
-        F.col("__seq").desc()
-    )
-    last = keyed.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
+    # Combinable last-writer pick: max_by gets a map-side partial
+    # aggregate (partial HashAggregate before the exchange), which a
+    # row_number window cannot — sequence numbers are a total order
+    # per key so the winner is identical.
+    last = (
+        keyed.groupBy(*[f"__pk_{k}" for k in pk])
+        .agg(
+            F.max_by(
+                F.struct("__op", "newImage", "__seq"), F.col("__seq")
+            ).alias("__last")
+        )
+        .select(
+            *[f"__pk_{k}" for k in pk],
+            F.col("__last.__op").alias("__op"),
+            F.col("__last.newImage").alias("newImage"),
+            F.col("__last.__seq").alias("__seq"),
+        )
     )
     extra = [F.col("__seq").alias("__seq")] if keep_seq or keep_deletes else []
     if keep_deletes:

@@ -130,6 +130,27 @@ def test_unbindable_key_dropped(spark):
     ) == {1: "a"}
 
 
+def test_hot_key_shrinks_map_side(spark):
+    """A pk that dominates the log (skew) must not funnel every event
+    into one task: the combinable max_by reduces each map task's
+    slice of the hot key to ONE candidate before the exchange
+    (partial_max_by in the plan), so shuffle volume is bounded by
+    distinct keys x tasks, not by events."""
+    hot = [
+        (i, "INSERT" if i == 0 else "UPDATE", (1, f"v{i}"), (1, "x"))
+        for i in range(5000)
+    ]
+    cold = [(10_000 + k, "INSERT", (100 + k, "c"), None) for k in range(10)]
+    env = _env(spark, hot + cold).repartition(8)
+    out = mv_apply(env, pk=["k"], fields=["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    state = {r.k: r.v for r in out.collect()}
+    assert state[1] == "v4999"
+    assert all(state[100 + k] == "c" for k in range(10))
+
+
 def test_independent_keys(spark):
     assert _state(
         spark,

@@ -46,7 +46,14 @@ def test_topk_uses_partial_heaps(plans):
 
 
 def test_mv_apply_single_exchange(plans):
-    assert plans("mv_apply").count("Exchange") == 1
+    plan = plans("mv_apply")
+    assert plan.count("Exchange") == 1
+    # last-writer-wins must be a COMBINABLE aggregate (map-side
+    # partial_max_by before the exchange), not a row_number window:
+    # a window funnels every event of a hot key into one sorting
+    # task, the partial aggregate shrinks it to one row per task.
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
 
 
 def test_window_rank_single_exchange(plans):
