@@ -384,6 +384,8 @@ def embedding_near_dup_pairs(
     band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_docs: int | None = None,
+    broadcast_limit: int = 500_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via coordinate-sign LSH.
 
@@ -399,9 +401,25 @@ def embedding_near_dup_pairs(
     Scale: the band self-join shuffles only (band, bucket, id) keys;
     exact cosine runs on candidate pairs only (~linear, not n²).
     Returns (vec_a, vec_b, cos) with vec_a < vec_b.
+
+    Two physical modes, same pairs out:
+
+    - **fused** (default, ``n_docs`` unknown or <= ``broadcast_limit``):
+      each exploded band row carries its vector + norm, and the
+      first-matching-band self-join scores in place.  Strictly cheapest
+      while one side broadcasts — no candidate re-fetch.
+    - **big** (``n_docs > broadcast_limit``): beyond broadcast size the
+      band join becomes a shuffle join, and the fused layout would push
+      ``n_bands x dims`` floats per vector through the exchange.  Here
+      the band join moves ONLY integer keys (id + band buckets); the
+      surviving candidate pairs then fetch both vectors in one
+      post-join lookup against the base table, so each vector crosses
+      a shuffle once per *surviving candidate*, not ``n_bands`` times
+      per row.
     """
     from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import dot_pandas, l2_norm
 
+    big = n_docs is not None and n_docs > broadcast_limit
     n_bands = n_bits // band_bits
     v = F.col(vec_col)
 
@@ -424,15 +442,20 @@ def embedding_near_dup_pairs(
     # heavy columns to a post-join fetch — here the build side is small
     # and broadcast, so carrying vectors is strictly cheaper.
     buckets = [F.col(f"b{b}") for b in range(n_bands)]
+    # big mode: the exploded band rows carry ONLY integer columns —
+    # the vector/norm payload never enters the band-join shuffle.
+    payload = (
+        []
+        if big
+        else [F.col(vec_col).alias("emb"), l2_norm(v).alias("norm")]
+    )
     sig = vectors.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("emb"),
-        l2_norm(v).alias("norm"),
+        *payload,
         *[band_bucket(b).alias(f"b{b}") for b in range(n_bands)],
     ).select(
         "vid",
-        "emb",
-        "norm",
+        *(() if big else ("emb", "norm")),
         *buckets,
         F.explode(
             F.array(*[F.lit(b) for b in range(n_bands)])
@@ -459,33 +482,81 @@ def embedding_near_dup_pairs(
             F.col("l.band") >= j, earlier_differs & first_match
         ).otherwise(F.lit(True))
 
-    denom = F.col("l.norm") * F.col("r.norm")
-    cos = F.when(
-        denom > 0,
-        # Arrow-batched scoring: the candidate set is large (any-band
-        # LSH collisions), and interpreted zip_with/aggregate at ~500k
-        # pairs costs ~5s vs ~1s for the bit-identical pandas dot
-        dot_pandas(F.col("l.emb"), F.col("r.emb")) / denom,
-    ).otherwise(F.lit(0.0))
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bkt") == F.col("r.bkt"))
-            & (F.col("l.vid") < F.col("r.vid"))
-            & first_match,
+    def scored(pairs: DataFrame, emb_a, emb_b, norm_a, norm_b) -> DataFrame:
+        denom = norm_a * norm_b
+        cos = F.when(
+            denom > 0,
+            # Arrow-batched scoring: the candidate set is large
+            # (any-band LSH collisions), and interpreted
+            # zip_with/aggregate at ~500k pairs costs ~5s vs ~1s for
+            # the bit-identical pandas dot
+            dot_pandas(emb_a, emb_b) / denom,
+        ).otherwise(F.lit(0.0))
+        return (
+            pairs.select("vec_a", "vec_b", cos.alias("cos"))
+            .filter(F.col("cos") >= threshold)
+            .select(
+                "vec_a",
+                "vec_b",
+                F.col("cos")
+                .cast("decimal(18,8)")
+                .cast("double")
+                .alias("cos"),
+            )
         )
-        .select(
-            F.col("l.vid").alias("vec_a"),
-            F.col("r.vid").alias("vec_b"),
-            cos.alias("cos"),
+
+    candidates = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bkt") == F.col("r.bkt"))
+        & (F.col("l.vid") < F.col("r.vid"))
+        & first_match,
+    )
+    if not big:
+        return scored(
+            candidates.select(
+                F.col("l.vid").alias("vec_a"),
+                F.col("r.vid").alias("vec_b"),
+                F.col("l.emb").alias("emb_a"),
+                F.col("r.emb").alias("emb_b"),
+                F.col("l.norm").alias("norm_a"),
+                F.col("r.norm").alias("norm_b"),
+            ),
+            F.col("emb_a"),
+            F.col("emb_b"),
+            F.col("norm_a"),
+            F.col("norm_b"),
         )
-        .filter(F.col("cos") >= threshold)
+
+    # big mode: one post-join fetch of both vectors per surviving
+    # candidate pair (two equi-joins on id against the base table).
+    pair_keys = candidates.select(
+        F.col("l.vid").alias("vec_a"), F.col("r.vid").alias("vec_b")
+    )
+    vecs = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("emb"),
+        l2_norm(v).alias("norm"),
+    )
+    fa, fb = vecs.alias("fa"), vecs.alias("fb")
+    fetched = (
+        pair_keys.join(fa, F.col("vec_a") == F.col("fa.vid"))
+        .join(fb, F.col("vec_b") == F.col("fb.vid"))
         .select(
             "vec_a",
             "vec_b",
-            F.col("cos").cast("decimal(18,8)").cast("double").alias("cos"),
+            F.col("fa.emb").alias("emb_a"),
+            F.col("fb.emb").alias("emb_b"),
+            F.col("fa.norm").alias("norm_a"),
+            F.col("fb.norm").alias("norm_b"),
         )
+    )
+    return scored(
+        fetched,
+        F.col("emb_a"),
+        F.col("emb_b"),
+        F.col("norm_a"),
+        F.col("norm_b"),
     )
 
 

@@ -163,6 +163,56 @@ def test_embedding_near_dup_finds_planted_pair(spark):
     assert all(3 not in pair for pair in got)
 
 
+def test_embedding_near_dup_big_mode_equivalent_and_keys_only(spark):
+    """Beyond-broadcast mode must (a) produce the identical pair set
+    and scores as the fused path and (b) push NO vector payload
+    through the band-join shuffle — only integer keys."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        base = rng.standard_normal(32)
+        rows.append((2 * i, [float(x) for x in base]))
+        rows.append(
+            (2 * i + 1, [float(x) for x in base + rng.standard_normal(32) * 0.04])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    fused = embedding_near_dup_pairs(df, threshold=0.8)
+    big = embedding_near_dup_pairs(
+        df, threshold=0.8, n_docs=10_000_000, broadcast_limit=500_000
+    )
+    f = sorted((r.vec_a, r.vec_b, round(r.cos, 8)) for r in fused.collect())
+    b = sorted((r.vec_a, r.vec_b, round(r.cos, 8)) for r in big.collect())
+    assert f == b and len(f) >= 40  # every planted pair + identical scores
+
+    # plan pin: force the band join to an actual shuffle join (tiny
+    # fixtures would broadcast) and assert its exchanges carry no
+    # array column
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            embedding_near_dup_pairs(df, threshold=0.8, n_docs=10_000_000)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    lines = plan.splitlines()
+    band_exchanges = [
+        i for i, l in enumerate(lines) if "hashpartitioning(band#" in l
+    ]
+    assert band_exchanges, "band join must be a shuffle join in this pin"
+    for i in band_exchanges:
+        # the exchange's input is the node on the following line(s);
+        # its projected columns must be integer keys only
+        child = "\n".join(lines[i + 1 : i + 3])
+        assert "emb#" not in child, f"vector payload in band shuffle:\n{child}"
+
+
 # --- text analysis --------------------------------------------------------
 
 
