@@ -28,6 +28,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import (
     kmeans_assign,
     kmeans_fit,
     kmeans_inertia,
+    kmeans_seed,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
     annotate_corpus,
@@ -58,6 +59,7 @@ __all__ = [
     "kmeans_assign",
     "kmeans_fit",
     "kmeans_inertia",
+    "kmeans_seed",
     "annotate_corpus",
     "build_corpus_pipeline",
     "corpus_stats",

@@ -18,12 +18,21 @@ Scale design:
 - The codebook (k × dims floats) collects to the driver per
   iteration — the classic k-means structure; k is small by design
   (the coarse quantizer's job is 1/k scan pruning, not fine ranking).
-- Determinism: init picks the k lowest-id vectors (no RNG); ties in
-  the argmin break toward the lower cell id.  Float mean summation
-  order across partitions is NOT guaranteed, so centroid bits may
-  vary run-to-run at the ulp level — assignments are stable except
-  for points equidistant at that precision (documented; tests assert
-  structure, not float bits).
+- Init is deterministic farthest-point (greedy max-min): the first
+  seed is the vector with the lowest ``xxhash64(id)`` (hashed order —
+  immune to id-correlated data layouts), each next seed maximizes the
+  min distance to the chosen set, ties broken by the hash.  k-1
+  map-only scans against a broadcast seed set; no RNG anywhere.
+  (Lowest-id init — the previous scheme — can seed all k centroids
+  inside ONE cluster when ids correlate with content.)
+- Iterations stop early when the relative inertia improvement falls
+  below ``tol``; inertia is aggregated inside the same groupBy that
+  computes the means, so convergence tracking costs no extra scan.
+- Determinism: ties in the argmin break toward the lower cell id.
+  Float mean summation order across partitions is NOT guaranteed, so
+  centroid bits may vary run-to-run at the ulp level — assignments
+  are stable except for points equidistant at that precision
+  (documented; tests assert structure, not float bits).
 """
 
 from __future__ import annotations
@@ -43,6 +52,10 @@ def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
     )
 
 
+def _least(cols: list[Column]) -> Column:
+    return cols[0] if len(cols) == 1 else F.least(*cols)
+
+
 def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid (ties -> lowest index)."""
     dists = [_sq_dist_to(vec, c) for c in centroids]
@@ -55,46 +68,93 @@ def _argmin_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return best.cast("int")
 
 
+def kmeans_seed(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic farthest-point (greedy max-min) seeding.
+
+    Seed 1 = vector with the lowest ``xxhash64(id)``; seed j+1 =
+    vector maximizing ``min(dist to seeds 1..j)``, ties broken by the
+    hash.  Each pick is one map-only scan (distances to a broadcast
+    seed set folded into the plan) + a top-1 — k-1 scans total, no
+    RNG, no dependence on id ordering."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(
+        F.xxhash64(F.col(id_col)).alias("__hid"), dvec.alias("__v")
+    )
+    first = base.orderBy("__hid").limit(1).collect()
+    if not first:
+        raise ValueError("empty vector table")
+    seeds = [list(first[0]["__v"])]
+    for _ in range(k - 1):
+        mind = _least([_sq_dist_to(F.col("__v"), s) for s in seeds])
+        nxt = (
+            base.select("__hid", "__v", mind.alias("__d"))
+            .orderBy(F.desc("__d"), F.asc("__hid"))
+            .limit(1)
+            .collect()
+        )
+        seeds.append(list(nxt[0]["__v"]))
+    return seeds
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 16,
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float = 1e-4,
+    history: list[float] | None = None,
 ) -> list[list[float]]:
-    """Run Lloyd's iterations; return the final codebook (k rows of
-    dims doubles).  Empty cells keep their previous centroid."""
+    """Run Lloyd's iterations from farthest-point seeds; return the
+    final codebook (k rows of dims doubles).  Empty cells keep their
+    previous centroid.  ``n_iter`` is the max iteration count; the
+    loop stops early once the relative inertia improvement drops
+    below ``tol`` (inertia is computed inside the same aggregation as
+    the means, so the stop costs no extra pass).  Pass ``history=[]``
+    to observe the per-iteration assignment inertia."""
     dims = len(
         vectors.select(F.col(vec_col)).first()[0]
     )
-    init_rows = (
-        vectors.orderBy(id_col)
-        .limit(k)
-        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
-        .collect()
-    )
-    centroids = [list(r.v) for r in init_rows]
+    centroids = kmeans_seed(vectors, k, id_col=id_col, vec_col=vec_col)
     if len(centroids) < k:
         raise ValueError(f"need >= {k} vectors, got {len(centroids)}")
 
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    prev_inertia: float | None = None
     for _ in range(n_iter):
+        dists = [_sq_dist_to(dvec, c) for c in centroids]
         assigned = vectors.select(
-            _argmin_cell(dvec, centroids).alias("cell"), dvec.alias("__v")
+            _argmin_cell(dvec, centroids).alias("cell"),
+            _least(dists).alias("__d"),
+            dvec.alias("__v"),
         )
         # mean per cell: dims scalar avg aggregates — map-side partial
-        # (sum, count) per cell keeps the shuffle tiny
+        # (sum, count) per cell keeps the shuffle tiny.  The per-cell
+        # inertia contribution rides along in the same shuffle.
         means = assigned.groupBy("cell").agg(
             *[
                 F.avg(F.element_at("__v", i + 1)).alias(f"c{i}")
                 for i in range(dims)
-            ]
+            ],
+            F.sum("__d").alias("__inertia"),
         )
-        new = {
-            r["cell"]: [r[f"c{i}"] for i in range(dims)]
-            for r in means.collect()
-        }
+        rows = means.collect()
+        new = {r["cell"]: [r[f"c{i}"] for i in range(dims)] for r in rows}
         centroids = [new.get(j, centroids[j]) for j in range(k)]
+        # inertia of the ASSIGNMENT step (pre-update) — monotone
+        # non-increasing across iterations by Lloyd's argument
+        inertia = float(sum(r["__inertia"] for r in rows))
+        if history is not None:
+            history.append(inertia)
+        if prev_inertia is not None and prev_inertia > 0:
+            if (prev_inertia - inertia) / prev_inertia < tol:
+                break
+        prev_inertia = inertia
     return centroids
 
 
