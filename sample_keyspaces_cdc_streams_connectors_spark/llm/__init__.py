@@ -12,6 +12,7 @@ multimodal column plumbing.
 from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
 from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
     embedding_near_dup_pairs,
+    release_ngram_cache,
     exact_duplicates,
     minhash_signatures,
     minhash_candidate_pairs,
@@ -47,6 +48,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
 __all__ = [
     "hash_embed",
     "embedding_near_dup_pairs",
+    "release_ngram_cache",
     "exact_duplicates",
     "minhash_signatures",
     "minhash_candidate_pairs",

@@ -224,6 +224,25 @@ def minhash_candidate_pairs(
     )
 
 
+# Scoped cache for ngram_jaccard_pairs' hashed-shingle arrays: the
+# persist is load-bearing (four consumers of one expensive projection)
+# but the function returns a LAZY plan, so the cache must outlive the
+# call.  To keep long-lived sessions from accreting one cached frame
+# per invocation, each call releases the previous call's cache and
+# registers its own; `release_ngram_cache()` frees the last one.
+_NGRAM_CACHE: list[DataFrame] = []
+
+
+def release_ngram_cache() -> None:
+    """Unpersist the hashed-shingle cache of the most recent
+    :func:`ngram_jaccard_pairs` invocation (no-op when none).  Called
+    automatically by the next invocation and by the query registry
+    between gate queries; library callers holding the returned frame
+    past that point simply recompute."""
+    while _NGRAM_CACHE:
+        _NGRAM_CACHE.pop().unpersist()
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -277,6 +296,7 @@ def ngram_jaccard_pairs(
       AQE broadcasts them when small but can shuffle at 100 TB scale.
     """
     spark = docs.sparkSession
+    release_ngram_cache()
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     arrs = (
         docs.repartition(nparts)
@@ -291,6 +311,7 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
+    _NGRAM_CACHE.append(arrs)
     sh = arrs.select("doc_id", F.explode("__shingles").alias("shingle"))
     stop = (
         sh.groupBy("shingle")

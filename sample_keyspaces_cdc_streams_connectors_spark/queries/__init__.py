@@ -36,6 +36,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # release the previous query's scoped caches (a query's
+            # result has been consumed by the time the next one is
+            # built — see llm.dedup.release_ngram_cache)
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import release_ngram_cache
+
+            release_ngram_cache()
             tune(spark)
             return fn(spark, sf_dir)
 

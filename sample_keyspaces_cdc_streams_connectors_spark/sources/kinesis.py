@@ -86,34 +86,33 @@ def resolve_stream_arn(
 
     ``list_streams(keyspace, table)`` yields mappings with keys
     ``keyspace_name``, ``table_name``, ``stream_label``,
-    ``stream_arn`` (the ``ListStreams`` response shape). Matching is
-    case-insensitive (ref uses ``equalsIgnoreCase``); when
-    ``stream_label`` is configured it must match too (:197-202).
-    Errors are logged and swallowed, returning None (:209-213).
+    ``stream_arn`` (the ``ListStreams`` response shape).
+
+    Thin adapter over :func:`sample_keyspaces_cdc_streams_connectors_spark.runtime.
+    get_stream_arn` — the single implementation of the reference's
+    selection semantics (case-insensitive match, label filter only
+    when configured, first match wins, errors -> None).  This wrapper
+    only converts the ``ListStreams`` mapping shape into
+    :class:`~sample_keyspaces_cdc_streams_connectors_spark.runtime.StreamDescriptor`.
     """
-    if config.stream_arn:
-        return config.stream_arn
-    try:
+    from sample_keyspaces_cdc_streams_connectors_spark.runtime import StreamDescriptor, get_stream_arn
+
+    def _descriptors() -> Iterable[StreamDescriptor]:
         for stream in list_streams(config.keyspace, config.table):
-            same_table = (
-                stream["keyspace_name"].lower() == config.keyspace.lower()
-                and stream["table_name"].lower() == config.table.lower()
+            yield StreamDescriptor(
+                stream_arn=stream["stream_arn"],
+                keyspace_name=stream["keyspace_name"],
+                table_name=stream["table_name"],
+                stream_label=stream.get("stream_label", ""),
             )
-            if not same_table:
-                continue
-            if config.stream_label:
-                if stream["stream_label"].lower() == config.stream_label.lower():
-                    return stream["stream_arn"]
-            else:
-                return stream["stream_arn"]
-    except Exception as exc:  # ref logs and returns null (:209-213)
-        logger.error(
-            "Error getting stream ARN for keyspace: %s, table: %s - %s",
-            config.keyspace,
-            config.table,
-            exc,
-        )
-    return None
+
+    return get_stream_arn(
+        config.keyspace,
+        config.table,
+        stream_label=config.stream_label,
+        configured_arn=config.stream_arn,
+        list_streams=_descriptors,
+    )
 
 
 def kinesis_source_options(

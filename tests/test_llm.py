@@ -163,6 +163,34 @@ def test_embedding_near_dup_finds_planted_pair(spark):
     assert all(3 not in pair for pair in got)
 
 
+def test_ngram_cache_scoped_no_accretion(spark):
+    """ngram_jaccard_pairs persists its hashed-shingle arrays for the
+    plan's four consumers; repeated invocations must NOT accrete
+    cached frames (each call releases the last), and
+    release_ngram_cache() must leave nothing persisted."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        release_ngram_cache,
+    )
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    release_ngram_cache()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    base = n_cached()
+    ngram_jaccard_pairs(docs).count()
+    assert n_cached() == base + 1  # the persist is real and in use
+    ngram_jaccard_pairs(docs).count()
+    ngram_jaccard_pairs(docs).count()
+    assert n_cached() == base + 1  # replaced, not accreted
+    release_ngram_cache()
+    assert n_cached() == base  # nothing left persisted
+
+
 def test_embedding_near_dup_big_mode_equivalent_and_keys_only(spark):
     """Beyond-broadcast mode must (a) produce the identical pair set
     and scores as the fused path and (b) push NO vector payload
