@@ -59,6 +59,13 @@ def main(argv: list[str] | None = None) -> int:
         choices=("console", "object-store", "queue"),
     )
     p.add_argument("--out", default=None, help="output dir")
+    p.add_argument(
+        "--health-port",
+        type=int,
+        default=None,
+        help="serve GET /health + /metrics on this port during the run "
+        "(the reference's HealthServer binds 8080)",
+    )
     args = p.parse_args(argv)
 
     conf_path = args.config or os.environ.get("APPLICATION_CONF_LOCATION")
@@ -106,17 +113,62 @@ def main(argv: list[str] | None = None) -> int:
         from sample_keyspaces_cdc_streams_connectors_spark.config import queue_delay_seconds
 
         out_dir = args.out
+        from sample_keyspaces_cdc_streams_connectors_spark.metrics import DEFAULT_REGISTRY as _REG
+
         sink = queue_sink(
             lambda: local_dir_transport(out_dir),
             delay_seconds=queue_delay_seconds(cfg),
+            # native accumulator counters — the foreachPartition action
+            # is invisible to SQL observed metrics
+            registry=_REG,
+            metrics_name=args.sink,
         )
 
-    pipe = CdcPipeline(pc)
-    schema = spark.read.parquet(args.source).schema
-    stream = pipe.read_envelope_stream(spark, args.source, schema)
-    query = pipe.start(stream, sink)
-    query.awaitTermination()
+    # metrics: every run counts; the HTTP surface is opt-in
+    from sample_keyspaces_cdc_streams_connectors_spark.metrics import DEFAULT_REGISTRY, attach_metrics, counted_sink
+
+    if args.sink != "queue":
+        sink = counted_sink(sink, args.sink, registry=DEFAULT_REGISTRY)
+    attach_metrics(spark, DEFAULT_REGISTRY)
+    terminated_before = DEFAULT_REGISTRY.get("streaming.queries_terminated")
+    server = None
+    if args.health_port is not None:
+        from sample_keyspaces_cdc_streams_connectors_spark.runtime import HealthServer
+
+        server = HealthServer(
+            port=args.health_port, metrics=DEFAULT_REGISTRY
+        ).start()
+
+    try:
+        pipe = CdcPipeline(pc)
+        schema = spark.read.parquet(args.source).schema
+        stream = pipe.read_envelope_stream(spark, args.source, schema)
+        query = pipe.start(stream, sink)
+        query.awaitTermination()
+        # listener events arrive asynchronously — give the bus a
+        # bounded moment to flush this run's termination event so the
+        # printed summary reflects the drain
+        import time as _time
+
+        for _ in range(50):
+            if (
+                DEFAULT_REGISTRY.get("streaming.queries_terminated")
+                > terminated_before
+            ):
+                break
+            _time.sleep(0.1)
+    finally:
+        if server is not None:
+            server.stop()
+    snap = DEFAULT_REGISTRY.snapshot()
     print(f"pipeline drained: {args.source} -> {args.sink}")
+    print(
+        "metrics: "
+        f"records_in={int(snap.get('streaming.records_in', 0))} "
+        f"records_out={int(snap.get(f'sink.{args.sink}.records_out', 0))} "
+        f"batches={int(snap.get(f'sink.{args.sink}.batches', 0))} "
+        f"failed={int(snap.get(f'sink.{args.sink}.failed_batches', 0))}"
+    )
     return 0
 
 

@@ -45,14 +45,32 @@ class HealthServer:
     """``GET /health`` -> ``200 OK`` liveness endpoint
     (HealthServer.java:10-28; the reference binds :8080 and serves
     single-threaded — pass ``port=0`` in tests for an ephemeral one).
+
+    When a ``metrics`` registry is supplied (any object with a
+    ``snapshot() -> dict`` — normally
+    :class:`~sample_keyspaces_cdc_streams_connectors_spark.metrics.MetricsRegistry`),
+    ``GET /metrics`` serves its counters as JSON next to the liveness
+    probe — the engine's stand-in for the reference's CloudWatch
+    wiring (KCLScheduler.java:101-125).
     """
 
-    def __init__(self, port: int = 8080) -> None:
+    def __init__(self, port: int = 8080, metrics=None) -> None:
+        import json as _json
+
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self) -> None:  # noqa: N802 (http.server API)
                 if self.path == "/health":
                     body = b"OK"
                     self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/metrics" and metrics is not None:
+                    body = _json.dumps(
+                        metrics.snapshot(), sort_keys=True
+                    ).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
                     self.wfile.write(body)

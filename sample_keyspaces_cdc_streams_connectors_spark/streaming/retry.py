@@ -73,11 +73,14 @@ def with_backoff(
     retryable: Callable[[Exception], bool] = is_retryable,
     sleep: Callable[[float], None] = time.sleep,
     rng: random.Random | None = None,
+    on_retry: Callable[[], None] | None = None,
     **delay_kwargs: Any,
 ) -> Callable[..., T]:
     """Wrap ``fn`` with the Bedrock retry loop: up to ``max_retries``
     re-attempts, backoff between them, non-retryable errors and
-    exhaustion re-raise the last exception (VectorHelper:114-169)."""
+    exhaustion re-raise the last exception (VectorHelper:114-169).
+    ``on_retry`` fires once per RE-attempt (metrics hook — e.g.
+    ``lambda: registry.inc("retry.vectorstore")``)."""
 
     def call(*args: Any, **kwargs: Any) -> T:
         last: Exception | None = None
@@ -87,6 +90,8 @@ def with_backoff(
             except Exception as e:  # noqa: BLE001
                 last = e
                 if attempt < max_retries and retryable(e):
+                    if on_retry is not None:
+                        on_retry()
                     sleep(backoff_delay(attempt, rng=rng, **delay_kwargs))
                 else:
                     break
@@ -102,9 +107,11 @@ def with_linear_retry(
     max_retries: int = 3,
     step_s: float = 0.010,
     sleep: Callable[[float], None] = time.sleep,
+    on_retry: Callable[[], None] | None = None,
 ) -> Callable[..., T]:
     """MV-sink policy: retry everything, sleep(step*attempt) between
-    attempts (KeyspacesViewTargetMapper.java:136-149)."""
+    attempts (KeyspacesViewTargetMapper.java:136-149).  ``on_retry``
+    fires once per re-attempt (metrics hook)."""
 
     def call(*args: Any, **kwargs: Any) -> T:
         last: Exception | None = None
@@ -114,6 +121,8 @@ def with_linear_retry(
             except Exception as e:  # noqa: BLE001
                 last = e
                 if attempt < max_retries:
+                    if on_retry is not None:
+                        on_retry()
                     sleep(step_s * attempt)
         raise RuntimeError(f"failed after {max_retries} attempts") from last
 

@@ -185,6 +185,8 @@ def queue_sink(
     max_message_size: int = DEFAULT_MAX_MESSAGE_SIZE,
     max_records: int = -1,
     delay_seconds: int = 0,
+    registry=None,
+    metrics_name: str = "queue",
 ) -> Callable[[DataFrame, int], None]:
     """SQS-sink analog (SQSTargetMapper.java:76-155) — the DEFAULT,
     executor-side path: message bodies never visit the driver.  Each
@@ -203,12 +205,30 @@ def queue_sink(
     For driver-side failure *classification* (Partial vs AllItems) use
     :func:`queue_sink_local` — a test/low-volume helper whose
     funnel-through-the-driver shape does not scale.
+
+    Pass a ``registry``
+    (:class:`~sample_keyspaces_cdc_streams_connectors_spark.metrics.MetricsRegistry`)
+    to count delivery: because the send runs through an RDD
+    ``foreachPartition`` (invisible to SQL observed metrics), counts
+    are gathered with Spark ACCUMULATORS — each task adds its
+    partition's messages/records/bytes, the driver folds the totals
+    into ``sink.<metrics_name>.{messages_out,records_out,bytes_out}``
+    after the action.  Note Spark re-runs of a failed task can
+    double-count accumulator updates — counters here are delivery
+    telemetry (like the reference's CloudWatch counts), not an exact
+    ledger.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         messages = _bounded_messages(
             batch_df, shard_col, seq_col, max_message_size, max_records
         )
+        acc_msgs = acc_records = acc_bytes = None
+        if registry is not None:
+            sc = batch_df.sparkSession.sparkContext
+            acc_msgs = sc.accumulator(0)
+            acc_records = sc.accumulator(0)
+            acc_bytes = sc.accumulator(0)
 
         def send_partition(rows) -> None:
             transport = None
@@ -221,6 +241,14 @@ def queue_sink(
                         raise RuntimeError(
                             f"{len(failed)}/{len(pending)} messages failed"
                         )
+                    if acc_msgs is not None:
+                        acc_msgs.add(len(pending))
+                        acc_records.add(
+                            sum(m.body.count("\n") + 1 for m in pending)
+                        )
+                        acc_bytes.add(
+                            sum(len(m.body.encode()) for m in pending)
+                        )
                     pending.clear()
 
             for row in rows:
@@ -232,7 +260,19 @@ def queue_sink(
             if transport is not None:
                 flush()
 
-        messages.foreachPartition(send_partition)
+        try:
+            messages.foreachPartition(send_partition)
+        except Exception:
+            if registry is not None:
+                registry.inc(f"sink.{metrics_name}.failed_batches")
+            raise
+        if registry is not None:
+            registry.inc(f"sink.{metrics_name}.batches")
+            registry.inc(f"sink.{metrics_name}.messages_out", acc_msgs.value)
+            registry.inc(
+                f"sink.{metrics_name}.records_out", acc_records.value
+            )
+            registry.inc(f"sink.{metrics_name}.bytes_out", acc_bytes.value)
 
     return sink
 
