@@ -10,11 +10,104 @@ watermark + availableNow) and asserts it converges to these results.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sample_keyspaces_cdc_streams_connectors_spark.queries import register
 from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+
+
+@contextlib.contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Down-tune the state-store partition count for a replay and
+    RESTORE it afterwards — library callers invoking these functions
+    directly must not inherit a permanently re-tuned session (the
+    query-registry wrapper would mask this by re-tuning per query)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _await_converged(q, timeout_s: int = 300) -> None:
+    """availableNow replays must DRAIN; on timeout, stop the query and
+    fail loudly instead of returning partial results (and instead of
+    rmtree-ing a source a live stream still reads)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"streaming replay did not converge within {timeout_s}s"
+        )
+
+
+def _replay_windowed_counts(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Sliding-window count/sum replayed through REAL streaming
+    (update mode, state store), with each key's FINAL emission
+    captured directly: a foreachBatch sink overwrites a driver-side
+    dict entry per (window, event_type) in batch order, so the result
+    needs NO monotonicity assumption about ``value`` — correct for
+    negative, zero, or positive values alike."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="window_counts_src_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        with _scoped_shuffle_partitions(spark, 8):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(tmp)
+            )
+            agg = (
+                stream.groupBy(
+                    F.window("ts", "1 hour", "30 minutes").alias("w"),
+                    "event_type",
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("value").cast("decimal(28,6)"))
+                    .cast("decimal(28,6)")
+                    .cast("double")
+                    .alias("total"),
+                )
+                .select(
+                    F.col("w.start").alias("window_start"),
+                    "event_type",
+                    "n",
+                    "total",
+                )
+            )
+            final: dict = {}
+
+            def capture(batch_df: DataFrame, batch_id: int) -> None:
+                # update mode emits the keys changed in this batch with
+                # their LATEST aggregate values; batches arrive in
+                # order, so overwriting yields each key's last emission
+                for r in batch_df.collect():
+                    final[(r.window_start, r.event_type)] = (r.n, r.total)
+
+            q = (
+                agg.writeStream.outputMode("update")
+                .foreachBatch(capture)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_converged(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (ws, et, n, total)
+            for (ws, et), (n, total) in final.items()
+        ],
+        "window_start timestamp, event_type string, n long, total double",
+    )
 
 
 @register(
@@ -37,60 +130,16 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the windowed aggregation state lives on the state store across
     batches (update mode, availableNow).
 
-    Reconstruction: ``value`` is strictly positive in the fixture, so
-    both per-key aggregates only grow across update emissions — the
-    final value per (window, event_type) is the max over emissions,
-    and the decimal running sum is exactly the batch sum (decimal
-    addition is associative).  No watermark on the replay: update-mode
-    windowed aggregation keeps all state for the finite replay, so
-    out-of-order files cannot drop rows; the watermarked production
-    form (state eviction + late-drop) is exercised in
-    tests/test_streaming.py."""
-    import shutil
-    import tempfile
-    import uuid
-
+    The final value per (window, event_type) is each key's LAST
+    update-mode emission, captured directly by a foreachBatch sink —
+    no assumption about the sign or monotonicity of ``value``
+    (tests/test_stateful.py perturbs the fixture with negatives).  No
+    watermark on the replay: update-mode windowed aggregation keeps
+    all state for the finite replay, so out-of-order files cannot
+    drop rows; the watermarked production form (state eviction +
+    late-drop) is exercised in tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
-
-    tmp = tempfile.mkdtemp(prefix="window_counts_src_")
-    ev.repartition(4).write.mode("overwrite").parquet(tmp)
-    schema = spark.read.parquet(tmp).schema
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(tmp)
-    )
-    name = f"window_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
-        )
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(28,6)"))
-            .cast("decimal(28,6)")
-            .cast("double")
-            .alias("total"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n",
-            "total",
-        )
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the result
-    return spark.sql(
-        f"SELECT window_start, event_type, max(n) AS n, max(total) AS total "
-        f"FROM {name} GROUP BY window_start, event_type"
-    )
+    return _replay_windowed_counts(spark, ev)
 
 
 @register(
@@ -124,32 +173,33 @@ def stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         classify_operation(synthesize_cdc(load_table(spark, sf_dir, "events")))
     ).select("user_id", "stream_sequence_number")
 
-    tmp = tempfile.mkdtemp(prefix="stateful_src_")
-    shaped.repartition(4).write.mode("overwrite").parquet(tmp)
-    schema = spark.read.parquet(tmp).schema
-    # the state-store partition count is fixed at stream start from
-    # spark.sql.shuffle.partitions; 32 partitions × python workers ×
-    # micro-batches is pure overhead at gate SF (the register wrapper
-    # re-tunes the session for the next query)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(tmp)
-    )
-    name = f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        running_event_stats(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
     import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the result
+    tmp = tempfile.mkdtemp(prefix="stateful_src_")
+    try:
+        shaped.repartition(4).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        # the state-store partition count is fixed at stream start from
+        # spark.sql.shuffle.partitions; 32 partitions × python workers ×
+        # micro-batches is pure overhead at gate SF
+        with _scoped_shuffle_partitions(spark, 8):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(tmp)
+            )
+            name = f"stateful_{uuid.uuid4().hex[:8]}"
+            q = (
+                running_event_stats(stream)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_converged(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the result
     return spark.sql(
         f"SELECT key, max(n_events) AS n_events, max(max_seq) AS max_seq "
         f"FROM {name} GROUP BY key"
@@ -239,41 +289,46 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="interval_join_src_")
-    a_dir, b_dir = f"{base}/clicks", f"{base}/purchases"
-    ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
-    ).repartition(4).write.mode("overwrite").parquet(a_dir)
-    ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
-    ).repartition(4).write.mode("overwrite").parquet(b_dir)
+    try:
+        a_dir, b_dir = f"{base}/clicks", f"{base}/purchases"
+        ev.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+        ).repartition(4).write.mode("overwrite").parquet(a_dir)
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+        ).repartition(4).write.mode("overwrite").parquet(b_dir)
 
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    a = (
-        spark.readStream.schema(spark.read.parquet(a_dir).schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(a_dir)
-    )
-    b = (
-        spark.readStream.schema(spark.read.parquet(b_dir).schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(b_dir)
-    )
-    name = f"interval_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        a.join(
-            b,
-            (F.col("a_user") == F.col("b_user"))
-            & (F.col("b_ts") >= F.col("a_ts"))
-            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 2 HOURS")),
-        )
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    shutil.rmtree(base, ignore_errors=True)  # memory sink holds the pairs
+        with _scoped_shuffle_partitions(spark, 8):
+            a = (
+                spark.readStream.schema(spark.read.parquet(a_dir).schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(a_dir)
+            )
+            b = (
+                spark.readStream.schema(spark.read.parquet(b_dir).schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(b_dir)
+            )
+            name = f"interval_join_{uuid.uuid4().hex[:8]}"
+            q = (
+                a.join(
+                    b,
+                    (F.col("a_user") == F.col("b_user"))
+                    & (F.col("b_ts") >= F.col("a_ts"))
+                    & (
+                        F.col("b_ts")
+                        <= F.col("a_ts") + F.expr("INTERVAL 2 HOURS")
+                    ),
+                )
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_converged(q)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)  # memory sink holds the pairs
     pairs = spark.sql(f"SELECT * FROM {name}")
     lag_us = F.unix_micros(F.col("b_ts")) - F.unix_micros(F.col("a_ts"))
     return pairs.groupBy(F.col("a_user").alias("user_id")).agg(
@@ -317,27 +372,29 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("copy")
 
     tmp = tempfile.mkdtemp(prefix="dedup_wm_src_")
-    doubled.repartition(4).write.mode("overwrite").parquet(tmp)
-    schema = spark.read.parquet(tmp).schema
-    # fewer state partitions at gate SF — see stateful_running_stats
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(tmp)
-    )
-    name = f"dedup_wm_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the result
+    try:
+        doubled.repartition(4).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        # fewer state partitions at gate SF — see stateful_running_stats
+        with _scoped_shuffle_partitions(spark, 8):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(tmp)
+            )
+            name = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+            q = (
+                stream.withWatermark("ts", "1 hour")
+                .dropDuplicatesWithinWatermark(["event_id"])
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_converged(q)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the result
     return spark.sql(
         f"SELECT event_type, count(*) AS n, sum(event_id) AS id_sum "
         f"FROM {name} GROUP BY event_type"

@@ -100,3 +100,58 @@ def test_last_image_tracker_matches_window(spark, shaped_parquet, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_windowed_replay_correct_with_negative_values(spark):
+    """The stream_window_counts reconstruction must not depend on any
+    sign/monotonicity property of `value`: a fixture with negative,
+    zero and positive values must reproduce the batch aggregate
+    exactly (the r2 form — max over update emissions — silently
+    breaks on this input)."""
+    import datetime
+
+    from sample_keyspaces_cdc_streams_connectors_spark.queries.streaming import _replay_windowed_counts
+
+    base = datetime.datetime(2024, 1, 1)
+    vals = [-5.0, 3.25, 0.0, -2.5, 10.0, -1.0]
+    rows = [
+        (
+            base + datetime.timedelta(minutes=7 * i),
+            "a" if i % 3 else "b",
+            vals[i % len(vals)],
+        )
+        for i in range(120)
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+    got = _replay_windowed_counts(spark, ev)
+    exp = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total"
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+
+
+def test_streaming_replay_restores_shuffle_partitions(spark, sf_dir):
+    """Calling the streaming gate queries as library code must not
+    leave the session permanently down-tuned to 8 shuffle
+    partitions."""
+    from sample_keyspaces_cdc_streams_connectors_spark.queries.streaming import stream_window_counts
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    stream_window_counts(spark, sf_dir).count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
