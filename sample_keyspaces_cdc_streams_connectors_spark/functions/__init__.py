@@ -6,6 +6,11 @@ from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
     token_count,
     tokens,
 )
+from sample_keyspaces_cdc_streams_connectors_spark.functions.pii import (
+    pii_counts,
+    scrub_pii,
+    with_pii_scrubbed,
+)
 from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import (
     cosine_similarity,
     dot,
@@ -13,6 +18,9 @@ from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import (
 )
 
 __all__ = [
+    "pii_counts",
+    "scrub_pii",
+    "with_pii_scrubbed",
     "tokens",
     "token_count",
     "normalize_text",

@@ -39,6 +39,10 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
     pack_sequences,
     sample_corpus_mixture,
 )
+from sample_keyspaces_cdc_streams_connectors_spark.llm.components import (
+    connected_components,
+    dedup_survivors,
+)
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -46,6 +50,8 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
 )
 
 __all__ = [
+    "connected_components",
+    "dedup_survivors",
     "hash_embed",
     "embedding_near_dup_pairs",
     "release_ngram_cache",

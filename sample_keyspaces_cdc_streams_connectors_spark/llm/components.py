@@ -1,0 +1,138 @@
+"""Connected components over near-duplicate pair graphs.
+
+The dedup operators (:mod:`sample_keyspaces_cdc_streams_connectors_spark.llm.dedup`) emit
+*pairs* ``(doc_a, doc_b, score)``.  Production corpus curation needs
+one more step: transitively close the pairs into duplicate CLUSTERS
+and keep one survivor per cluster — pairs (1,2) and (2,3) must yield
+one cluster {1,2,3}, not two independent decisions.
+
+Spark-first design: iterative min-label propagation expressed as
+DataFrame joins (no GraphFrames dependency, no RDDs):
+
+    label(v) <- min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint.  Each iteration is ONE shuffle (an edge join +
+a groupBy-min); the iteration count is bounded by the label-graph
+diameter, which for near-dup clusters (cliques / stars around a
+template document) is almost always 1-3.  ``localCheckpoint``
+truncates the lineage every iteration so plans stay flat, and the
+fixpoint test (``changed == 0``) runs on a count that reuses the
+checkpointed frame — the loop is driver-controlled but every
+per-element operation is distributed.
+
+At 100 TB: the edge list for D documents with bucketed candidate
+generation is O(D) rows (near-dup graphs are sparse by construction
+— the LSH/stop-shingle caps bound per-doc degree), so each iteration
+shuffles O(D) longs.  Worst-case long chains (diameter ~ D) do not
+occur in dedup graphs; the documented upgrade path for adversarial
+graphs is the alternating large-star/small-star algorithm (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14),
+which converges in O(log^2 D) rounds with the same per-round shape.
+
+Reference parity note: the reference engine has no clustering
+operator (its dedup surface ends at per-record transforms); this
+module is part of the training-data-pipeline extension surface, spec
+in SURVEY.md §2.2 "Dedup (north star)".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_survivors"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve ``(src, dst)`` duplicate pairs into components.
+
+    Returns ``(doc_id, component_id)`` for every node appearing in at
+    least one pair, where ``component_id`` is the MINIMUM doc_id of
+    the component — a deterministic, join-free-to-interpret cluster
+    key.  Raises ``RuntimeError`` if ``max_iter`` iterations did not
+    reach the fixpoint (never observed on dedup graphs; see module
+    docstring for the adversarial-graph upgrade path).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # undirected closure: every edge in both directions
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    # label(v) starts as min(v, min neighbor)
+    labels = (
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+        .select(F.col("u").alias("doc_id"), "label")
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # propagate: each node takes the min label over itself and
+        # its neighbors' labels (one join + one groupBy-min)
+        neighbor_labels = sym.join(
+            labels.select(
+                F.col("doc_id").alias("v"), F.col("label").alias("nl")
+            ),
+            "v",
+        ).select(F.col("u").alias("doc_id"), F.col("nl").alias("cand"))
+        updated = (
+            labels.select("doc_id", F.col("label").alias("cand"))
+            .union(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("cand").alias("new_label"))
+        )
+        merged = (
+            labels.join(updated, "doc_id")
+            .select(
+                "doc_id",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("label")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("__changed")).count()
+        labels = merged.select("doc_id", "label")
+        if changed == 0:
+            return labels.select(
+                "doc_id", F.col("label").alias("component_id")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Keep one survivor per duplicate component.
+
+    The survivor is the minimum ``id_col`` of each component (the
+    same canonical-winner rule as :func:`exact_duplicates`); documents
+    in no pair survive untouched.  One extra left join over
+    :func:`connected_components`' output — non-survivors are exactly
+    the nodes whose component_id differs from their own id.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        docs.join(
+            comp.filter(F.col("doc_id") != F.col("component_id")).select(
+                F.col("doc_id").alias(id_col)
+            ),
+            id_col,
+            "left_anti",
+        )
+    )

@@ -249,6 +249,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 100,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via shingle inverted index
     (no MinHash approximation).
@@ -261,7 +262,24 @@ def ngram_jaccard_pairs(
     every common shingle is ultra-frequent can be missed (documented
     approximation, disabled at the cap used in the declared query).
 
-    PERF (measured at sf0.1, local[32], 9.9 s -> ~2 s steady-state):
+    ``prefix_filter=True`` switches candidate generation to
+    SSJoin-style prefix filtering (Chaudhuri et al., ICDE'06): each
+    doc indexes only its ``n - ceil(t*n) + 1`` globally-rarest
+    surviving shingles (canonical order = (df, shingle) ascending),
+    plus the size-compatibility predicate ``t*n_a <= n_b <= n_a/t``
+    on the self-join.  Any pair with Jaccard >= t must collide inside
+    those prefixes, so the output is IDENTICAL (equivalence-tested);
+    the prefix length is computed from the FULL set size, which keeps
+    the guarantee even though frequent shingles are excluded from the
+    index (at most ``n - |rare|`` common shingles can be frequent).
+    Measured at sf0.1 it cuts candidates 1.13M -> ~0.4M but costs two
+    extra small stages, a wash locally — at 100 TB the candidate
+    volume is the dominant shuffle, so the default flips there.
+
+    PERF (measured at sf0.1, local[32]; ~2.7 s honest-cold after the
+    round-3 cache scoping — the round-2 bench's 2.8 s was partially
+    warm because leaked persists from earlier invocations were being
+    re-hit across bench passes):
 
     * The per-doc shingle *array* is computed behind an explicit
       ``repartition`` (a single parquet file otherwise serializes the
@@ -278,22 +296,19 @@ def ngram_jaccard_pairs(
       becomes exact-modulo-astronomically-rare-collision.
     * The HASHED arrays are persisted: int64 arrays cache ~4× cheaper
       than the shingle strings they replace, and caching amortizes
-      the md5+base-conversion hashing across the four consumers
-      (measured: hash+persist 2.8 s, hash-uncached 7.9 s,
-      strings+persist 3.1 s at sf0.1).
+      the md5+base-conversion hashing across the consumers.
     * The stop-shingle filter is a *broadcast anti-join* against the
       (small by construction — only shingles with df > cap) stop-set,
       not a shuffle join against the full frequency table.
-    * Verification needs NO join back to the big shingle arrays:
-      because per-doc shingles are distinct, ``groupBy(pair).count()``
-      on the rare-shingle self-join IS the exact count of common rare
-      shingles — the same shuffle that previously produced
-      ``distinct()`` candidates now also scores them.  Commons via
-      *frequent* shingles are recovered from tiny per-doc
-      frequent-shingle arrays (rows only for docs containing a
-      stop-shingle; empty at gate SFs), and set sizes join from a
-      2-column doc->n table.  Those side joins are left unhinted so
-      AQE broadcasts them when small but can shuffle at 100 TB scale.
+    * Verification: the pair groupBy both dedupes candidates and (in
+      the default mode) counts common rare shingles; exact Jaccard
+      then comes from ONE ``array_intersect`` over the two cached
+      per-doc arrays (two joins against the 2-column cached frame —
+      AQE broadcasts them at bench scale, shuffles at 100 TB where
+      only *candidate* docs' arrays move).  This replaced the round-2
+      four-join tail (sizes ×2 + frequent-shingle arrays ×2): one
+      array intersect counts rare and frequent commons alike —
+      measured 3.3 s -> 2.7 s cold at sf0.1, byte-identical output.
     """
     spark = docs.sparkSession
     release_ngram_cache()
@@ -319,67 +334,78 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") > max_shingle_freq)
         .select("shingle")
     )
-    rare = sh.join(F.broadcast(stop), "shingle", "left_anti")
-    cand_counts = (
-        rare.alias("a")
+    if prefix_filter:
+        # SSJoin prefix filter: canonical order (df asc, shingle asc);
+        # each doc indexes its n - ceil(t*n) + 1 rarest SURVIVING
+        # shingles, n taken over the FULL set (see docstring).
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        plen = (
+            F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        ).cast("int")
+        per = (
+            sh.join(dfreq, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("df") <= max_shingle_freq,
+                            F.struct("df", "shingle"),
+                        )
+                    )
+                ).alias("__rs"),
+            )
+        )
+        index = per.select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.slice(
+                    F.transform("__rs", lambda s: s["shingle"]), F.lit(1), plen
+                )
+            ).alias("shingle"),
+        )
+        size_ok = (
+            F.col("b.n") * F.lit(threshold) <= F.col("a.n")
+        ) & (F.col("a.n") * F.lit(threshold) <= F.col("b.n"))
+    else:
+        index = sh.join(F.broadcast(stop), "shingle", "left_anti")
+        size_ok = F.lit(True)
+    pairs = (
+        index.alias("a")
         .join(
-            rare.alias("b"),
+            index.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.count("*").alias("n_rare_common"))
+        .agg(F.count("*").alias("__n_idx_common"))
+        .drop("__n_idx_common")
     )
-    freq_arr = (
-        sh.join(F.broadcast(stop), "shingle")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("__freq"))
-    )
-    sizes = arrs.select("doc_id", F.size("__shingles").alias("n"))
-    empty = F.array().cast("array<bigint>")
     return (
-        cand_counts.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+        pairs.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("__shingles").alias("__sa")
             ),
             "doc_a",
         )
         .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("__shingles").alias("__sb")
             ),
             "doc_b",
-        )
-        .join(
-            freq_arr.select(
-                F.col("doc_id").alias("doc_a"), F.col("__freq").alias("__fa")
-            ),
-            "doc_a",
-            "left",
-        )
-        .join(
-            freq_arr.select(
-                F.col("doc_id").alias("doc_b"), F.col("__freq").alias("__fb")
-            ),
-            "doc_b",
-            "left",
         )
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("n_rare_common")
-                + F.size(
-                    F.array_intersect(
-                        F.coalesce("__fa", empty), F.coalesce("__fb", empty)
-                    )
-                )
-            ).alias("n_common"),
-            "n_a",
-            "n_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
+            F.size("__sa").alias("n_a"),
+            F.size("__sb").alias("n_b"),
         )
         .withColumn(
             "jaccard",

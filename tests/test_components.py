@@ -1,0 +1,113 @@
+"""Connected-components duplicate clustering (llm/components.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.llm.components import (
+    connected_components,
+    dedup_survivors,
+)
+
+
+def _uf_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find ground truth (min-id representative)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+PAIRS = [
+    (1, 2), (2, 3),            # chain -> {1,2,3}
+    (10, 11), (11, 12), (10, 12),  # triangle -> {10,11,12}
+    (20, 21),                  # isolated pair
+    (30, 31), (32, 33), (31, 32),  # two pairs merged by a bridge
+    (42, 40), (40, 41),        # out-of-order ids
+]
+
+
+def test_components_match_union_find(spark):
+    df = spark.createDataFrame(PAIRS, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(PAIRS)
+
+
+def test_components_long_chain_converges(spark):
+    # a 30-node path is far past any realistic dedup diameter; the
+    # fixpoint loop must still close it (label floods from node 0)
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = connected_components(df, max_iter=35)
+    assert got.select("component_id").distinct().count() == 1
+    assert got.count() == 31
+    assert got.agg(F.min("component_id")).first()[0] == 0
+
+
+def test_components_direction_invariant(spark):
+    fwd = spark.createDataFrame(PAIRS, "doc_a long, doc_b long")
+    rev = fwd.select(
+        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    )
+    a = sorted(map(tuple, connected_components(fwd).collect()))
+    b = sorted(map(tuple, connected_components(rev).collect()))
+    assert a == b
+
+
+def test_components_nonconvergence_raises(spark):
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_dedup_survivors_keeps_min_per_component_plus_untouched(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    kept = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
+    # dropped: 2,3 (component of 1) and 11 (component of 10)
+    assert kept == set(range(50)) - {2, 3, 11}
+
+
+def test_components_end_to_end_with_ngram_pairs(spark):
+    """Full pipeline: near-dup pairs from the real operator, closed
+    into clusters — (a,b) + (b,c) pairs land in ONE cluster."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        release_ngram_cache,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    rows = [
+        (1, base),
+        (2, " ".join(toks[:-1] + ["omega"])),   # near-dup of 1
+        (3, " ".join(["omega"] + toks[1:])),    # near-dup of 1 and 2
+        (4, "completely different words entirely unrelated content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs)
+    release_ngram_cache()
+    got = {r.doc_id: r.component_id for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    kept = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
+    assert kept == {1, 4}

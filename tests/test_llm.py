@@ -191,6 +191,40 @@ def test_ngram_cache_scoped_no_accretion(spark):
     assert n_cached() == base  # nothing left persisted
 
 
+def test_ngram_prefix_filter_equivalent(spark):
+    """SSJoin prefix filtering (prefix_filter=True) must emit the
+    IDENTICAL pair set + scores as the plain inverted-index mode:
+    prefix length n - ceil(t*n) + 1 over the (df, shingle)-sorted
+    surviving shingles guarantees every pair with Jaccard >= t still
+    collides inside the prefixes."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        release_ngram_cache,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(40):
+        toks = [words[(i + j) % len(words)] for j in range(8)]
+        rows.append((i, " ".join(toks)))
+        # near-dup partner: one token changed
+        rows.append((1000 + i, " ".join(toks[:-1] + ["omega"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, prefix_filter=True
+        ).collect()
+    }
+    release_ngram_cache()
+    assert plain  # non-degenerate fixture: pairs exist
+    assert pref == plain
+
+
 def test_embedding_near_dup_big_mode_equivalent_and_keys_only(spark):
     """Beyond-broadcast mode must (a) produce the identical pair set
     and scores as the fused path and (b) push NO vector payload
