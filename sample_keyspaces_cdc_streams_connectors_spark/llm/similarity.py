@@ -29,7 +29,17 @@ from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import dot,
 
 
 def _query_lit(query_vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    """The query vector as ONE literal array expression.
+
+    Built via ``F.expr`` with a single SQL string rather than
+    ``F.array(*[F.lit(x) ...])``: each ``F.lit``/``cast`` is a py4j
+    round-trip, and a 64-dim query vector times several consumers was
+    ~0.5 s of driver chatter per query build.  ``repr(float)`` is the
+    shortest round-trip decimal, which Java's ``Double.parseDouble``
+    maps back to the identical IEEE-754 double, so the plan is
+    bit-identical to the lit-by-lit form."""
+    elems = ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in query_vec)
+    return F.expr(f"array({elems})")
 
 
 def _query_norm(query_vec: Sequence[float]) -> float:
@@ -172,12 +182,13 @@ def lsh_bucket_topk(
         return signs
 
     def plane_sign(vec: Column, j: int) -> Column:
+        # one F.expr per plane, not one F.lit per dim (py4j chatter —
+        # see _query_lit)
+        signs = ", ".join(
+            "1.0D" if s > 0 else "-1.0D" for s in plane_signs(j)
+        )
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(s) for s in plane_signs(j)]),
-                lambda x, s: x * s,
-            ),
+            F.zip_with(vec, F.expr(f"array({signs})"), lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -193,15 +204,21 @@ def lsh_bucket_topk(
     )
     qlit = _query_lit(query_vec)
     qnorm = _query_norm(query_vec)
-    # driver-side: compute the query's bucket once (tiny expression on
-    # a 1-row frame — no data scan)
-    qrow = (
-        vectors.sparkSession.range(1)
-        .select(bucket_of(qlit).alias("b"))
-        .collect()[0]
-    )
+    # the query's bucket is a constant: fold it in PYTHON driver-side
+    # (same left-to-right IEEE-754 sum as the zip_with/aggregate the
+    # rows use, so bit-identical) instead of launching a Spark job on
+    # a 1-row frame just to evaluate a literal expression — measured
+    # 1.2-2.0 s of the query's wall time at sf0.1 was that job's
+    # scheduling + big-literal-tree analysis
+    qbucket = 0
+    for j in range(n_planes):
+        proj = 0.0
+        for x, s in zip(query_vec, plane_signs(j)):
+            proj = proj + float(x) * s
+        if proj > 0:
+            qbucket += 1 << j
     return (
-        with_bucket.filter(F.col("bucket") == int(qrow.b))
+        with_bucket.filter(F.col("bucket") == qbucket)
         .select(
             F.col(id_col),
             _cosine_to_query(F.col("__v"), qlit, qnorm).alias("sim"),
