@@ -83,20 +83,40 @@ def build_corpus_pipeline(
 
     - ``languages``    csv of lang ids to keep (empty = keep all)
     - ``min-quality``  int per-mille threshold (default 0 = keep all)
-    - ``dedup``        none | exact | near  (default none)
-    - ``shingle-k``    shingle width for near dedup (default 3)
+    - ``scrub-pii``    true|false — redact emails/phones/IPs/SSNs/cards
+      BEFORE annotation (quality is scored on the scrubbed text, and
+      redaction counts ride along as ``n_email`` etc.)
+    - ``dedup``        none | exact | near | cluster  (default none)
+    - ``shingle-k``    shingle width for near/cluster dedup (default 3)
+    - ``jaccard-threshold``  pair threshold for cluster dedup /1000
+      (int per-mille, default 500 = 0.5)
+
+    ``near`` keeps one doc per identical MinHash signature (a narrow,
+    stream-safe approximation); ``cluster`` runs the full exact-Jaccard
+    pair generation and closes pairs into components, keeping the
+    min-id survivor per cluster — transitive ((a,b)+(b,c) drops both b
+    AND c), the batch-corpus gold standard.
     """
     languages = cfg.get_list(f"{_P}.languages", default=[]) or []
     min_quality = cfg.get_int(f"{_P}.min-quality", default=0)
+    scrub = (cfg.get(f"{_P}.scrub-pii", "false") or "false").lower() == "true"
     dedup_mode = (cfg.get(f"{_P}.dedup", "none") or "none").lower()
     shingle_k = cfg.get_int(f"{_P}.shingle-k", default=3)
-    if dedup_mode not in ("none", "exact", "near"):
+    jaccard_permille = cfg.get_int(f"{_P}.jaccard-threshold", default=500)
+    if dedup_mode not in ("none", "exact", "near", "cluster"):
         from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
 
-        raise ConfigError(f"corpus.dedup must be none|exact|near, got {dedup_mode!r}")
+        raise ConfigError(
+            f"corpus.dedup must be none|exact|near|cluster, got {dedup_mode!r}"
+        )
 
     def run(df: DataFrame) -> DataFrame:
-        out = annotate_corpus(df, text_col)
+        out = df
+        if scrub:
+            from sample_keyspaces_cdc_streams_connectors_spark.functions.pii import with_pii_scrubbed
+
+            out = with_pii_scrubbed(out, text_col=text_col)
+        out = annotate_corpus(out, text_col)
         if languages:
             out = out.filter(F.col("lang").isin(languages))
         if min_quality > 0:
@@ -109,6 +129,17 @@ def build_corpus_pipeline(
                 out, text_col=text_col, k=shingle_k, sig_col="__key"
             )
             out = keep_first_per(out, "__key", id_col).drop("__key")
+        elif dedup_mode == "cluster":
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.components import dedup_survivors
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import ngram_jaccard_pairs
+
+            pairs = ngram_jaccard_pairs(
+                out.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+                text_col=text_col,
+                k=shingle_k,
+                threshold=jaccard_permille / 1000.0,
+            )
+            out = dedup_survivors(out, pairs, id_col=id_col)
         return out
 
     return run

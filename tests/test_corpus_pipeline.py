@@ -80,6 +80,45 @@ def test_near_dedup_and_stats(spark, docs):
     assert row.total_tokens > 0 and row.mean_quality > 0
 
 
+def test_cluster_dedup_transitive(spark):
+    """dedup=cluster must close pairs transitively: (a,b)+(a,c) near
+    pairs keep only a — even when b and c are not directly paired."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    rows = [
+        (1, base),
+        (2, " ".join(toks[:-1] + ["omega"])),
+        (3, " ".join(["omega"] + toks[1:])),
+        (4, "completely different words entirely unrelated content here"),
+    ]
+    docs4 = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = load_config(
+        {"keyspaces-cdc-streams": {"corpus": {"dedup": "cluster"}}}
+    )
+    out = build_corpus_pipeline(cfg)(docs4)
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {1, 4}
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import release_ngram_cache
+
+    release_ngram_cache()
+
+
+def test_scrub_pii_stage_before_annotation(spark):
+    rows = [
+        (1, "email bob@example.com and phone (555) 123-4567 here"),
+        (2, "nothing sensitive at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = load_config(
+        {"keyspaces-cdc-streams": {"corpus": {"scrub-pii": "true"}}}
+    )
+    out = {r.doc_id: r for r in build_corpus_pipeline(cfg)(df).collect()}
+    assert "[PII:email]" in out[1].text and "[PII:phone]" in out[1].text
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert out[2].text == rows[1][1] and out[2].n_email == 0
+    # annotation ran on the scrubbed text (token count sees the markers)
+    assert out[1].n_tokens == len(out[1].text.split())
+
+
 def test_env_override_reaches_corpus_keys(spark, docs):
     cfg = load_config({}, env={"CORPUS_MIN_QUALITY": "999999"})
     out = build_corpus_pipeline(cfg)(docs)
