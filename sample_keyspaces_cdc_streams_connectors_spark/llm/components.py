@@ -24,10 +24,13 @@ At 100 TB: the edge list for D documents with bucketed candidate
 generation is O(D) rows (near-dup graphs are sparse by construction
 — the LSH/stop-shingle caps bound per-doc degree), so each iteration
 shuffles O(D) longs.  Worst-case long chains (diameter ~ D) do not
-occur in dedup graphs; the documented upgrade path for adversarial
-graphs is the alternating large-star/small-star algorithm (Kiveris
-et al., "Connected Components in MapReduce and Beyond", SoCC'14),
-which converges in O(log^2 D) rounds with the same per-round shape.
+occur in dedup graphs; for adversarial/unknown topologies pass
+``algorithm="star"`` — the alternating large-star/small-star
+contraction (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14), which converges in O(log^2 D) rounds of two
+edge-list shuffles each, regardless of diameter.  Both algorithms
+produce the identical (doc_id, component_id) mapping
+(equivalence-tested against union-find on randomized graphs).
 
 Reference parity note: the reference engine has no clustering
 operator (its dedup surface ends at per-record transforms); this
@@ -43,11 +46,91 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "dedup_survivors"]
 
 
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., SoCC'14): every neighbor
+    of ``u`` strictly larger than ``u`` re-attaches to the minimum of
+    ``u``'s closed neighborhood.  ``sym`` must hold both directions of
+    every edge."""
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge large->small, then
+    attach each node's smaller neighbors (and the node itself) to the
+    minimum of its smaller neighborhood."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = oriented.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction: converges in
+    O(log^2 n) rounds on ANY graph (adversarial chains included),
+    each round two shuffles of the current edge list.  At the
+    fixpoint the edge list IS the star graph (node -> component
+    minimum)."""
+    cur = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        sym = cur.union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        cur = (
+            _small_star(_large_star(sym))
+            .localCheckpoint(eager=True)
+        )
+        sig = cur.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        if prev_sig == (sig.n, sig.h):
+            # fixpoint: cur IS the star graph (node -> component min).
+            # Add the root rows (min -> min) so the mapping covers
+            # every node, exactly like label mode.
+            members = cur.select(
+                F.col("u").alias("doc_id"), F.col("v").alias("component_id")
+            )
+            roots = (
+                cur.select(F.col("v").alias("doc_id"))
+                .distinct()
+                .withColumn("component_id", F.col("doc_id"))
+            )
+            return members.union(roots)
+        prev_sig = (sig.n, sig.h)
+    raise RuntimeError(
+        f"connected_components(star) did not converge in {max_iter} rounds"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Resolve ``(src, dst)`` duplicate pairs into components.
 
@@ -55,9 +138,25 @@ def connected_components(
     least one pair, where ``component_id`` is the MINIMUM doc_id of
     the component — a deterministic, join-free-to-interpret cluster
     key.  Raises ``RuntimeError`` if ``max_iter`` iterations did not
-    reach the fixpoint (never observed on dedup graphs; see module
-    docstring for the adversarial-graph upgrade path).
+    reach the fixpoint.
+
+    ``algorithm="label"`` (default) is min-label propagation — one
+    shuffle per round, rounds ~= component diameter: the right choice
+    for dedup graphs (cliques/stars, diameter 1-3).
+    ``algorithm="star"`` is the alternating large-star/small-star
+    contraction (Kiveris et al., SoCC'14) — two shuffles per round
+    but O(log^2 n) rounds on ANY topology: the choice when the pair
+    graph's diameter is unknown or adversarial (long chains).  Both
+    return identical output (equivalence-tested vs union-find).
     """
+    if algorithm == "star":
+        edges0 = (
+            pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        return _star_components(edges0, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"algorithm must be label|star, got {algorithm!r}")
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))

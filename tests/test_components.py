@@ -75,6 +75,49 @@ def test_components_nonconvergence_raises(spark):
         connected_components(df, max_iter=1)
 
 
+def test_star_algorithm_matches_union_find_and_label(spark):
+    """Alternating large-star/small-star must produce the identical
+    mapping as min-label propagation and union-find — on the fixture
+    AND on seeded random graphs (the adversarial-topology path)."""
+    import random
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        nodes = list(range(60))
+        pairs = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        star = {
+            r.doc_id: r.component_id
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        label = {
+            r.doc_id: r.component_id
+            for r in connected_components(df).collect()
+        }
+        truth = _uf_components(pairs)
+        assert star == truth, f"seed {seed}"
+        assert label == truth, f"seed {seed}"
+
+
+def test_star_algorithm_long_chain_few_rounds(spark):
+    # a 64-node path needs ~63 label rounds but only O(log^2) star
+    # rounds — 10 is comfortably enough and far below the diameter
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = connected_components(df, algorithm="star", max_iter=10)
+    assert got.count() == 64
+    assert got.select("component_id").distinct().collect()[0][0] == 0
+
+
+def test_bad_algorithm_rejected(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="label|star"):
+        connected_components(df, algorithm="bogus")
+
+
 def test_dedup_survivors_keeps_min_per_component_plus_untouched(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
