@@ -248,8 +248,15 @@ FROM bits
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (bit-majority of md5
-    token hashes) — the hamming-bucketable near-dup key."""
-    return simhash(load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+    token hashes) — the hamming-bucketable near-dup key.  simhash()
+    itself is a narrow zero-shuffle projection; the repartition here
+    only spreads the single-file fixture across cores (a real table
+    arrives already partitioned)."""
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return simhash(
+        load_table(spark, sf_dir, "documents").repartition(nparts),
+        bits=_SIMHASH_BITS,
+    )
 
 
 def _minhash_oracle() -> str:
