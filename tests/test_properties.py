@@ -237,3 +237,53 @@ def test_json_roundtrip_survives_arbitrary_text(spark, tmp_path_factory, texts):
     back = load_json(spark, path, {"id": "bigint", "body": "text"})
     got = sorted((r.id, r.body) for r in back.collect())
     assert got == sorted(rows)
+
+
+# --- PII scrub invariants --------------------------------------------------
+
+pii_fragments = st.lists(
+    st.sampled_from(
+        [
+            "plain words here",
+            "bob@example.com",
+            "(555) 123-4567",
+            "10.0.0.1",
+            "123-45-6789",
+            "4111 1111 1111 1111",
+            "v1.2.3.4.5",
+            "x" * 30,
+            "unicode ñöŵ",
+        ]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SLOW
+@given(frags=st.lists(pii_fragments, min_size=1, max_size=10))
+def test_pii_scrub_idempotent_and_complete(spark, frags):
+    """Scrubbing twice equals scrubbing once (redaction tokens contain
+    no PII-shaped substrings), and no scrubbed row still matches any
+    PII pattern."""
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.pii import (
+        PII_PATTERNS,
+        scrub_pii,
+    )
+
+    rows = [(i, " ".join(f)) for i, f in enumerate(frags)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    once = scrub_pii(F.col("text"))
+    out = df.select(
+        "id",
+        once.alias("once"),
+        scrub_pii(once).alias("twice"),
+        *[
+            F.regexp_count(once, F.lit(p)).alias(f"left_{k}")
+            for k, p in PII_PATTERNS.items()
+        ],
+    )
+    for r in out.collect():
+        assert r.once == r.twice, "scrub must be idempotent"
+        for k in PII_PATTERNS:
+            assert getattr(r, f"left_{k}") == 0, (k, r.once)
