@@ -170,6 +170,32 @@ def main() -> None:
         else None
     )
 
+    # corpus-curation throughput: docs/sec through the full
+    # annotate -> PII-scrub -> language gate -> exact-dedup stack
+    # (the training-data-pipeline headline path; min of 2 passes)
+    from sample_keyspaces_cdc_streams_connectors_spark.config import load_config
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_corpus_pipeline
+
+    curate = build_corpus_pipeline(
+        load_config(
+            {
+                "keyspaces-cdc-streams": {
+                    "corpus": {"scrub-pii": "true", "dedup": "exact"}
+                }
+            }
+        )
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    n_docs = docs.count()
+    curate_best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        curate(docs).write.mode("overwrite").format("noop").save()
+        curate_best = min(curate_best, time.time() - t0)
+    corpus_docs_per_sec = int(n_docs / curate_best) if curate_best else None
+
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -177,6 +203,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cdc_rows_per_sec": cdc_rows_per_sec,
+        "corpus_docs_per_sec": corpus_docs_per_sec,
     }
     prev = _prev_bench()
     if prev is not None:
