@@ -49,7 +49,6 @@ HEADLINE = [
     "batch_bounds",
     "time_partition_counts",
     "mv_apply",
-    "session_window_agg",
     "text_analysis",
     "dedup_exact",
     "dedup_ngram",

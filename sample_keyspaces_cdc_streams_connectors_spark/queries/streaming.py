@@ -233,22 +233,113 @@ def stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native ``F.session_window`` (30-minute gap) per user — the
-    idiomatic Structured Streaming session operator run in batch; the
-    oracle reconstructs identical sessions with gaps-and-islands SQL
-    (Spark's session end = last event + gap)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            "user_id", F.session_window("ts", "30 minutes").alias("w")
+    """REAL streaming execution of ``F.session_window`` (30-minute
+    gap) per user: events replay through readStream micro-batches in
+    time-ordered chunks and SESSION-MERGE STATE lives on the state
+    store across batches (a session spanning chunk boundaries is
+    merged by the store, not by a batch sort).
+
+    Append mode emits each session exactly once, AFTER the watermark
+    passes its end — i.e. the FINAL merged session, which is what
+    made this query batch-equivalent in round 2 (update-mode partial
+    emissions are not reconstructible).  Two mechanics make the
+    append-mode replay exact and terminating:
+
+    - **Time-ordered chunk replay**: the events are split into three
+      consecutive time ranges written as separate files whose mtimes
+      force the file source to process them oldest-first, so the
+      watermark (which lags one micro-batch) never drops an in-order
+      event; the 1-minute delay absorbs boundary ties.
+    - **Watermark sentinel**: one synthetic far-future event
+      (``user_id = -1``, max ts + 2 h) in the LAST chunk pushes the
+      final watermark past every real session's end, so the no-data
+      flush batch emits the remaining open sessions before
+      availableNow terminates.  The sentinel's own session is
+      filtered out of the result.
+
+    The oracle reconstructs identical sessions with gaps-and-islands
+    SQL (Spark's session end = last event + gap).
+
+    Scale: session state is per (user, open-session) and evicted at
+    watermark + gap; the replay's chunking is a test-harness artifact
+    — a production stream is already time-ordered per source
+    partition and uses the identical plan."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+    import time as time_mod
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    base = tempfile.mkdtemp(prefix="session_replay_src_")
+    name = f"sess_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 3
+        bounds = [lo + span, lo + 2 * span]
+        sentinel = spark.createDataFrame(
+            [(-1, hi + datetime.timedelta(hours=2), -1)],
+            "user_id long, ts timestamp, event_id long",
         )
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
+        chunks = [
+            ev.filter(F.col("ts") < bounds[0]),
+            ev.filter(
+                (F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])
+            ),
+            ev.filter(F.col("ts") >= bounds[1]).unionByName(sentinel),
+        ]
+        seen: set[str] = set()
+        for i, chunk in enumerate(chunks):
+            chunk.coalesce(1).write.mode("append").parquet(base)
+            stamp = time_mod.time() + i * 10
+            for f in os.listdir(base):
+                if f in seen:
+                    continue
+                seen.add(f)
+                p = os.path.join(base, f)
+                os.utime(p, (stamp, stamp))
+        schema = spark.read.parquet(base).schema
+        with _scoped_shuffle_partitions(spark, 8):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(base)
+                .withWatermark("ts", "1 minute")
+            )
+            agg = (
+                stream.groupBy(
+                    "user_id",
+                    F.session_window("ts", "30 minutes").alias("w"),
+                )
+                .agg(F.count("*").alias("n_events"))
+                .select(
+                    "user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events",
+                )
+            )
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_converged(q)
+            rows = (
+                spark.table(name).filter(F.col("user_id") != -1).collect()
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_start timestamp, "
+        "session_end timestamp, n_events long",
     )
 
 
