@@ -1,11 +1,14 @@
-"""Streaming-semantics correctness queries (batch-equivalent forms).
+"""Streaming-semantics correctness queries — REAL streaming in-gate.
 
-Structured Streaming's windowed aggregations over event time produce,
-once the watermark closes, exactly the result of the same aggregation
-run in batch — so the driver-checkable forms here run the identical
-expressions in batch mode over `events`, while
-tests/test_streaming.py runs the real streaming path (readStream +
-watermark + availableNow) and asserts it converges to these results.
+As of round 3 all five queries here replay events through readStream
+micro-batches with their state on the state store (windowed-agg
+state, session-merge state, stream-stream join state, GroupState,
+dedup state) and reconstruct the driver-checkable batch-equivalent
+result from the stream's own emissions: update-mode final captures
+via foreachBatch for the windowed aggregate, append-mode with a
+watermark sentinel for session windows, emitted pairs for the
+interval join.  tests/test_streaming.py additionally exercises the
+watermarked late-drop paths on hand-built fixtures.
 """
 
 from __future__ import annotations
