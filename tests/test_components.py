@@ -130,6 +130,16 @@ def test_dedup_survivors_keeps_min_per_component_plus_untouched(spark):
     assert kept == set(range(50)) - {2, 3, 11}
 
 
+def test_empty_pairs_all_docs_survive_both_algorithms(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(5)], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    for algo in ("label", "star"):
+        assert connected_components(empty, algorithm=algo).count() == 0
+    assert dedup_survivors(docs, empty).count() == 5
+
+
 def test_components_end_to_end_with_ngram_pairs(spark):
     """Full pipeline: near-dup pairs from the real operator, closed
     into clusters — (a,b) + (b,c) pairs land in ONE cluster."""
