@@ -391,3 +391,44 @@ def test_resize_images_bounded_box(spark):
         else:
             assert (r.out_width, r.out_height) == (r.width, r.height)
         assert len(r.out_payload) <= r.out_width * r.out_height
+
+
+def test_minhash_recall_vs_exact_ngram(spark, sf_dir):
+    """Quality pin for the LSH parameterization (16 hashes, 4 bands x
+    4 rows): on the real documents fixture, the MinHash-LSH pipeline
+    must recover nearly all pairs the EXACT n-gram Jaccard join finds
+    at the same threshold.  Both verify candidates with exact Jaccard,
+    so precision is 1.0 by construction — the pin is recall (band
+    collision probability at j>=0.5 is 1-(1-j^4)^4 ~ 0.74 per pair
+    MINIMUM at the threshold boundary, far higher for true near-dups;
+    planted dups push observed recall well above it)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+        release_ngram_cache,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant unambiguous near-dups so the pin is not vacuous
+    perturbed = docs.limit(30).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tail tail")).alias("text"),
+    )
+    corpus = docs.unionByName(perturbed)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    release_ngram_cache()
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(
+            corpus, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert exact, "fixture must produce exact pairs"
+    assert lsh <= exact  # exact-verified candidates: precision 1.0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.85, f"LSH recall {recall:.3f} below pin"
