@@ -21,6 +21,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
     with_minhash_signature,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+    append_to_ivf_index,
     ivf_index_topk,
     load_codebook,
     write_ivf_index,
@@ -50,6 +51,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
 )
 
 __all__ = [
+    "append_to_ivf_index",
     "connected_components",
     "dedup_survivors",
     "hash_embed",

@@ -137,3 +137,30 @@ def ivf_index_topk(
     return brute_force_topk(
         scan, query_vec, k=topk, id_col=id_col, vec_col=vec_col
     )
+
+
+def append_to_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to an existing index — the
+    production upsert path (a vector corpus grows continuously; the
+    reference streams vector upserts to S3 Vectors the same way,
+    S3VectorTargetMapper.java:87-177).
+
+    New vectors are assigned to cells of the EXISTING codebook (one
+    map-only scan against the broadcast centroids — centroids are not
+    refit, the standard IVF practice until drift warrants a rebuild)
+    and appended into their cell directories: untouched cells gain no
+    files, probes keep pruning at the directory level, and readers
+    see either the old or the extended listing — never a partial
+    cell.  Periodic re-fit + rewrite (``write_ivf_index``) is the
+    compaction story, same as any LSM-ish layout.
+    """
+    centroids = load_codebook(path, vectors.sparkSession)
+    labeled = kmeans_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"
+    )
+    labeled.write.mode("append").partitionBy("cell").parquet(path)

@@ -83,3 +83,46 @@ def test_codebook_roundtrips_through_hadoop_fs_uri(spark, sf_dir, tmp_path):
         spark, path, [0.05] * 64, topk=5, n_probe=2
     ).collect()
     assert 1 <= len(got) <= 5
+
+
+def test_append_extends_cells_without_rewriting_untouched_files(
+    spark, sf_dir, tmp_path_factory
+):
+    """Incremental append: new vectors join their nearest EXISTING
+    cell, pre-existing files are untouched (byte-identical listing +
+    mtimes for cells the append did not reach), and a probe finds an
+    appended vector through the same pruned scan."""
+    import os
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import append_to_ivf_index
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("ivf_append") / "index")
+    write_ivf_index(vectors.filter(F.col("vec_id") % 2 == 0), path, k=4, n_iter=3)
+    n0 = spark.read.parquet(path).count()
+
+    def listing():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = listing()
+    odd = vectors.filter(F.col("vec_id") % 2 == 1)
+    append_to_ivf_index(odd, path)
+    after = listing()
+
+    assert spark.read.parquet(path).count() == n0 + odd.count()
+    # every pre-existing file survives byte-for-byte (same mtime)
+    for p, mt in before.items():
+        assert p in after and after[p] == mt, f"rewrote {p}"
+    assert len(after) > len(before)  # appends added new files
+    # an appended vector is findable through the pruned probe scan
+    target = odd.first()
+    got = ivf_index_topk(
+        spark, path, [float(x) for x in target.embedding], topk=1, n_probe=1
+    ).first()
+    assert got.vec_id == target.vec_id
