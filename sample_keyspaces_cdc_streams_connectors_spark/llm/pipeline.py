@@ -90,6 +90,10 @@ def build_corpus_pipeline(
     - ``shingle-k``    shingle width for near/cluster dedup (default 3)
     - ``jaccard-threshold``  pair threshold for cluster dedup /1000
       (int per-mille, default 500 = 0.5)
+    - ``cluster-method``  ngram | minhash — pair generator for cluster
+      dedup (default ngram = exact inverted-index Jaccard; minhash =
+      LSH-bucketed candidates, cheaper at scale, recall-pinned in
+      tests/test_llm.py)
 
     ``near`` keeps one doc per identical MinHash signature (a narrow,
     stream-safe approximation); ``cluster`` runs the full exact-Jaccard
@@ -103,11 +107,21 @@ def build_corpus_pipeline(
     dedup_mode = (cfg.get(f"{_P}.dedup", "none") or "none").lower()
     shingle_k = cfg.get_int(f"{_P}.shingle-k", default=3)
     jaccard_permille = cfg.get_int(f"{_P}.jaccard-threshold", default=500)
+    cluster_method = (
+        cfg.get(f"{_P}.cluster-method", "ngram") or "ngram"
+    ).lower()
     if dedup_mode not in ("none", "exact", "near", "cluster"):
         from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
 
         raise ConfigError(
             f"corpus.dedup must be none|exact|near|cluster, got {dedup_mode!r}"
+        )
+    if cluster_method not in ("ngram", "minhash"):
+        from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
+
+        raise ConfigError(
+            "corpus.cluster-method must be ngram|minhash, "
+            f"got {cluster_method!r}"
         )
 
     def run(df: DataFrame) -> DataFrame:
@@ -131,14 +145,28 @@ def build_corpus_pipeline(
             out = keep_first_per(out, "__key", id_col).drop("__key")
         elif dedup_mode == "cluster":
             from sample_keyspaces_cdc_streams_connectors_spark.llm.components import dedup_survivors
-            from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import ngram_jaccard_pairs
-
-            pairs = ngram_jaccard_pairs(
-                out.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
-                text_col=text_col,
-                k=shingle_k,
-                threshold=jaccard_permille / 1000.0,
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+                minhash_candidate_pairs,
+                ngram_jaccard_pairs,
             )
+
+            docs_kv = out.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col)
+            )
+            if cluster_method == "minhash":
+                pairs = minhash_candidate_pairs(
+                    docs_kv,
+                    text_col=text_col,
+                    k=shingle_k,
+                    jaccard_threshold=jaccard_permille / 1000.0,
+                )
+            else:
+                pairs = ngram_jaccard_pairs(
+                    docs_kv,
+                    text_col=text_col,
+                    k=shingle_k,
+                    threshold=jaccard_permille / 1000.0,
+                )
             out = dedup_survivors(out, pairs, id_col=id_col)
         return out
 

@@ -102,6 +102,44 @@ def test_cluster_dedup_transitive(spark):
     release_ngram_cache()
 
 
+def test_cluster_dedup_minhash_method(spark):
+    """cluster-method=minhash: LSH-bucketed pair generation feeding
+    the same components closure — near-dup triplet collapses to its
+    min-id survivor."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    rows = [
+        (1, base),
+        (2, " ".join(toks[:-1] + ["omega"])),
+        (3, " ".join(["omega"] + toks[1:])),
+        (4, "completely different words entirely unrelated content here"),
+    ]
+    docs4 = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"dedup": "cluster", "cluster-method": "minhash"}
+            }
+        }
+    )
+    out = build_corpus_pipeline(cfg)(docs4)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 4 in kept and 1 in kept
+    assert 2 not in kept  # near-dup of 1 via LSH candidates
+
+
+def test_bad_cluster_method_rejected():
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"dedup": "cluster", "cluster-method": "simhash"}
+            }
+        }
+    )
+    with pytest.raises(ConfigError):
+        build_corpus_pipeline(cfg)
+
+
 def test_scrub_pii_stage_before_annotation(spark):
     rows = [
         (1, "email bob@example.com and phone (555) 123-4567 here"),

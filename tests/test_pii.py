@@ -84,3 +84,28 @@ def test_custom_token_and_counts_off(spark):
         scrub_pii(F.col("text"), token="<x>").alias("t")
     ).first()
     assert "<x>" in row.t and "@" not in row.t
+
+
+def test_scrub_works_on_streaming_frames(spark, tmp_path):
+    """The scrub is a stateless projection, so it must compose with
+    readStream unchanged — no aggregation state, no watermark
+    needed."""
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = with_pii_scrubbed(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pii_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {r.doc_id: r for r in spark.table("pii_stream").collect()}
+    spark.catalog.dropTempView("pii_stream")
+    assert len(got) == len(ROWS)
+    assert "[PII:email]" in got[1].text and got[1].n_email == 1
+    assert got[6].text == ROWS[5][1]
