@@ -60,6 +60,18 @@ def test_window_rank_single_exchange(plans):
     assert plans("window_rank").count("Exchange") <= 2
 
 
+def test_simhash_is_narrow_zero_shuffle(plans):
+    """SimHash must stay a per-row projection: the ONLY exchange is
+    the declared query's fixture repartition (RoundRobin), never a
+    hash-aggregate shuffle — the round-2 explode+groupBy form would
+    reintroduce both."""
+    plan = plans("dedup_simhash")
+    assert plan.count("Exchange") == 1
+    assert "roundrobin" in plan.lower()
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan  # no explode
+
+
 def test_cdc_shape_no_python_no_shuffle(plans):
     plan = plans("project_enrich")
     assert "Exchange" not in plan  # pure map-side pipeline
