@@ -85,6 +85,47 @@ def test_main_corpus_mode(spark, sf_dir, tmp_path):
     assert 0 < curated.count() <= spark.read.parquet(src).count()
 
 
+def test_main_corpus_mode_scrub_and_cluster(spark, sf_dir, tmp_path):
+    """The round-3 stages reach the CLI through the same config file:
+    scrub-pii redacts before annotation, cluster dedup transitively
+    collapses planted near-dups."""
+    src = str(tmp_path / "docs_src3")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    import pyspark.sql.functions as F
+
+    planted = docs.limit(5).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("contact me bob@example.com "), F.col("text")).alias(
+            "text"
+        ),
+    )
+    docs.unionByName(planted).write.parquet(src)
+    conf = tmp_path / "corpus3.conf"
+    conf.write_text(
+        "keyspaces-cdc-streams.corpus.scrub-pii = true\n"
+        "keyspaces-cdc-streams.corpus.dedup = cluster\n"
+        "keyspaces-cdc-streams.corpus.jaccard-threshold = 500\n"
+    )
+    out = str(tmp_path / "curated3")
+    rc = main(
+        ["--mode", "corpus", "--config", str(conf), "--source", src, "--out", out]
+    )
+    assert rc == 0
+    curated = spark.read.parquet(out)
+    # the email never survives into the curated output
+    assert curated.filter(F.col("text").contains("bob@example.com")).count() == 0
+    assert "n_email" in curated.columns
+    # each planted near-dup clustered with its base doc; min-id survives
+    assert curated.filter(F.col("doc_id") >= 500000).count() == 0
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import release_ngram_cache
+
+    release_ngram_cache()
+
+
 def test_main_corpus_requires_out(spark, sf_dir, tmp_path):
     src = str(tmp_path / "docs_src2")
     spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5).write.parquet(src)
