@@ -40,6 +40,11 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
     pack_sequences,
     sample_corpus_mixture,
 )
+from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import (
+    contamination_flags,
+    decontaminate,
+    eval_gram_hashes,
+)
 from sample_keyspaces_cdc_streams_connectors_spark.llm.components import (
     connected_components,
     dedup_survivors,
@@ -52,6 +57,9 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
 
 __all__ = [
     "append_to_ivf_index",
+    "contamination_flags",
+    "decontaminate",
+    "eval_gram_hashes",
     "connected_components",
     "dedup_survivors",
     "hash_embed",

@@ -94,6 +94,12 @@ def build_corpus_pipeline(
       dedup (default ngram = exact inverted-index Jaccard; minhash =
       LSH-bucketed candidates, cheaper at scale, recall-pinned in
       tests/test_llm.py)
+    - ``decontaminate-path``  parquet of eval/benchmark docs (needs a
+      ``text`` column); corpus rows sharing >=
+      ``decontaminate-min-collisions`` (default 1) normalized
+      ``decontaminate-k``-grams (default 8) with ANY eval doc are
+      dropped BEFORE dedup (so survivor selection never keeps a
+      contaminated doc)
 
     ``near`` keeps one doc per identical MinHash signature (a narrow,
     stream-safe approximation); ``cluster`` runs the full exact-Jaccard
@@ -110,6 +116,11 @@ def build_corpus_pipeline(
     cluster_method = (
         cfg.get(f"{_P}.cluster-method", "ngram") or "ngram"
     ).lower()
+    decontaminate_path = cfg.get(f"{_P}.decontaminate-path", None)
+    decontaminate_k = cfg.get_int(f"{_P}.decontaminate-k", default=8)
+    decontaminate_min = cfg.get_int(
+        f"{_P}.decontaminate-min-collisions", default=1
+    )
     if dedup_mode not in ("none", "exact", "near", "cluster"):
         from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
 
@@ -135,6 +146,18 @@ def build_corpus_pipeline(
             out = out.filter(F.col("lang").isin(languages))
         if min_quality > 0:
             out = out.filter(F.col("quality") >= min_quality)
+        if decontaminate_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import decontaminate
+
+            eval_docs = out.sparkSession.read.parquet(decontaminate_path)
+            out = decontaminate(
+                out,
+                eval_docs,
+                text_col=text_col,
+                k=decontaminate_k,
+                min_collisions=decontaminate_min,
+                id_col=id_col,
+            )
         if dedup_mode == "exact":
             out = out.withColumn("__key", doc_fingerprint(F.col(text_col)))
             out = keep_first_per(out, "__key", id_col).drop("__key")

@@ -128,6 +128,30 @@ def test_cluster_dedup_minhash_method(spark):
     assert 2 not in kept  # near-dup of 1 via LSH candidates
 
 
+def test_decontaminate_stage_drops_leaked_docs(spark, tmp_path):
+    eval_q = "what is the capital of france the answer is paris exactly"
+    eval_path = str(tmp_path / "eval")
+    spark.createDataFrame(
+        [(1, eval_q)], "doc_id long, text string"
+    ).write.parquet(eval_path)
+    corpus = spark.createDataFrame(
+        [
+            (1, f"leaked: {eval_q} with commentary"),
+            (2, "a perfectly clean document about distributed joins"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"decontaminate-path": eval_path}
+            }
+        }
+    )
+    out = build_corpus_pipeline(cfg)(corpus)
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {2}
+
+
 def test_bad_cluster_method_rejected():
     cfg = load_config(
         {
