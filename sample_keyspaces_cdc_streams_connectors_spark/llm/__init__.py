@@ -5,8 +5,13 @@ feeding S3 Vectors (S3VectorTargetMapper.java:87-177).  This package
 generalizes that into the operations a 100 TB training-data pipeline
 needs: embedding generation (pluggable, deterministic local default),
 deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
-embedding cosine), similarity search (exact, LSH-bucketed, IVF), and
-multimodal column plumbing.
+embedding cosine) with connected-components cluster closure and
+survivor selection, eval-set decontamination, similarity search
+(exact, LSH-bucketed, IVF — in-memory and as a persisted
+cell-partitioned index with incremental appends), config-driven
+corpus curation (PII scrub / language / quality / decontaminate /
+dedup), deterministic data mixing + sequence packing, and multimodal
+column plumbing.
 """
 
 from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
