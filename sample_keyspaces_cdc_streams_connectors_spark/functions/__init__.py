@@ -1,6 +1,7 @@
 from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
     doc_fingerprint,
     lang_id,
+    lang_id_multi,
     normalize_text,
     quality_score,
     token_count,
@@ -25,6 +26,7 @@ __all__ = [
     "token_count",
     "normalize_text",
     "lang_id",
+    "lang_id_multi",
     "quality_score",
     "doc_fingerprint",
     "dot",

@@ -52,11 +52,58 @@ def stopword_count(col: Column) -> Column:
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: 'en' when the stopword density over the
     token stream clears 8%, else 'unknown' (n-gram-free variant of
-    the classic stopword profile method)."""
+    the classic stopword profile method).  This is the oracle-pinned
+    form used by the `text_analysis` gate query; for multilingual
+    corpora use :func:`lang_id_multi`."""
     n = token_count(col)
     return F.when(
         (n > 0) & (stopword_count(col) / n > 0.08), F.lit("en")
     ).otherwise(F.lit("unknown"))
+
+
+#: per-language stopword profiles for :func:`lang_id_multi` — the
+#: highest-frequency function words, chosen to be (mostly) disjoint
+#: across the four languages so densities separate cleanly
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es": ("el", "la", "los", "las", "que", "y", "en", "un", "una", "por"),
+    "fr": ("le", "les", "des", "une", "est", "et", "dans", "qui", "pas", "au"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
+}
+
+
+def lang_id_multi(col: Column, min_density: float = 0.08) -> Column:
+    """Multi-language stopword-profile ID over en/es/fr/de.
+
+    Scores each language as (its stopword hits / token count) and
+    returns the argmax when it clears ``min_density``, else
+    'unknown'.  All-JVM ``regexp_count`` per language — one
+    projection, no shuffle, no Python; ties break by the fixed
+    profile order (en, es, fr, de), deterministically.
+
+    This is the classic stopword-profile method (the degenerate
+    single-language form is :func:`lang_id`); character-n-gram models
+    beat it on short texts but need a trained profile table — the
+    upgrade path is a broadcast-joined n-gram profile, same plan
+    shape as the eval-decontamination probe.
+    """
+    n = token_count(col)
+    lowered = F.lower(col)
+    densities = {
+        lang: F.regexp_count(
+            lowered, F.lit(r"\b(" + "|".join(words) + r")\b")
+        )
+        / n
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.lit("unknown")
+    best_d = F.lit(float(min_density))
+    # reversed so earlier profile order wins exact ties
+    for lang in reversed(list(densities)):
+        d = densities[lang]
+        best = F.when(d >= best_d, F.lit(lang)).otherwise(best)
+        best_d = F.when(d >= best_d, d).otherwise(best_d)
+    return F.when(n > 0, best).otherwise(F.lit("unknown"))
 
 
 def quality_score(col: Column) -> Column:

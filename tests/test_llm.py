@@ -432,3 +432,32 @@ def test_minhash_recall_vs_exact_ngram(spark, sf_dir):
     assert lsh <= exact  # exact-verified candidates: precision 1.0
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.85, f"LSH recall {recall:.3f} below pin"
+
+
+def test_lang_id_multi(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import lang_id_multi
+
+    rows = [
+        (1, "the cat sat on the mat and it was happy in the sun"),
+        (2, "el perro corre por la calle y las casas son grandes en la ciudad"),
+        (3, "le chat est dans la maison et les enfants sont au jardin qui est grand"),
+        (4, "der hund ist nicht mit der katze und das haus ist auf dem berg"),
+        (5, "zxq wvv qqpl mnbr xxzz yyqq"),  # gibberish
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", lang_id_multi(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "unknown", 6: "unknown"}
+    # plan stays a pure projection: no shuffle, no Python
+    plan = (
+        df.select(lang_id_multi(F.col("text")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
