@@ -216,22 +216,48 @@ def dedup_survivors(
     id_col: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    prefer: str | None = None,
 ) -> DataFrame:
     """Keep one survivor per duplicate component.
 
-    The survivor is the minimum ``id_col`` of each component (the
-    same canonical-winner rule as :func:`exact_duplicates`); documents
-    in no pair survive untouched.  One extra left join over
-    :func:`connected_components`' output — non-survivors are exactly
-    the nodes whose component_id differs from their own id.
+    By default the survivor is the minimum ``id_col`` of each
+    component (the same canonical-winner rule as
+    :func:`exact_duplicates`) — non-survivors are exactly the nodes
+    whose component_id differs from their own id, one anti-join, no
+    extra shuffle.
+
+    ``prefer=<column>`` keeps the component member with the HIGHEST
+    value of that column instead (ties break to the lowest id, so the
+    choice stays deterministic) — the production rule when a quality
+    score exists: survivors should be the best representative, not
+    the earliest-crawled.  Costs one ``max_by`` aggregate over
+    component members (map-side combinable) plus the flag join.
+    Documents in no pair survive untouched either way.
     """
     comp = connected_components(pairs, src=src, dst=dst)
-    return (
-        docs.join(
+    if prefer is None:
+        return docs.join(
             comp.filter(F.col("doc_id") != F.col("component_id")).select(
                 F.col("doc_id").alias(id_col)
             ),
             id_col,
             "left_anti",
         )
+    members = comp.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(prefer).alias("__pref")
+        ),
+        "doc_id",
     )
+    winners = members.groupBy("component_id").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("__pref"), (-F.col("doc_id")).alias("__nid")),
+        ).alias("keep_id")
+    )
+    losers = members.join(
+        winners.select(F.col("keep_id")),
+        members["doc_id"] == winners["keep_id"],
+        "left_anti",
+    ).select(F.col("doc_id").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

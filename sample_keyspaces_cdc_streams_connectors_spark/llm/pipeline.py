@@ -94,6 +94,9 @@ def build_corpus_pipeline(
       dedup (default ngram = exact inverted-index Jaccard; minhash =
       LSH-bucketed candidates, cheaper at scale, recall-pinned in
       tests/test_llm.py)
+    - ``cluster-prefer``  column whose HIGHEST value picks each
+      cluster's survivor (e.g. ``quality`` — annotation runs before
+      dedup so the score exists); empty (default) keeps the min-id
     - ``decontaminate-path``  parquet of eval/benchmark docs (needs a
       ``text`` column); corpus rows sharing >=
       ``decontaminate-min-collisions`` (default 1) normalized
@@ -116,6 +119,7 @@ def build_corpus_pipeline(
     cluster_method = (
         cfg.get(f"{_P}.cluster-method", "ngram") or "ngram"
     ).lower()
+    cluster_prefer = cfg.get(f"{_P}.cluster-prefer", None) or None
     decontaminate_path = cfg.get(f"{_P}.decontaminate-path", None)
     decontaminate_k = cfg.get_int(f"{_P}.decontaminate-k", default=8)
     decontaminate_min = cfg.get_int(
@@ -190,7 +194,9 @@ def build_corpus_pipeline(
                     k=shingle_k,
                     threshold=jaccard_permille / 1000.0,
                 )
-            out = dedup_survivors(out, pairs, id_col=id_col)
+            out = dedup_survivors(
+                out, pairs, id_col=id_col, prefer=cluster_prefer
+            )
         return out
 
     return run

@@ -164,3 +164,25 @@ def test_components_end_to_end_with_ngram_pairs(spark):
     assert got == {1: 1, 2: 1, 3: 1}
     kept = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
     assert kept == {1, 4}
+
+
+def test_dedup_survivors_prefer_quality(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, 10), (2, 99), (3, 50),   # component {1,2,3}: 2 wins on quality
+            (10, 70), (11, 70),          # component {10,11}: tie -> lowest id
+            (20, 5),                     # untouched
+        ],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    kept = {
+        r.doc_id
+        for r in dedup_survivors(docs, pairs, prefer="quality").collect()
+    }
+    assert kept == {2, 10, 20}
+    # default rule unchanged: min-id survivors
+    kept_min = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
+    assert kept_min == {1, 10, 20}

@@ -128,6 +128,38 @@ def test_cluster_dedup_minhash_method(spark):
     assert 2 not in kept  # near-dup of 1 via LSH candidates
 
 
+def test_cluster_prefer_keeps_best_quality(spark):
+    """cluster-prefer=quality: the survivor is the highest-quality
+    member of each duplicate cluster, not the lowest id."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    rows = [
+        # doc 2 is the near-dup with MORE text -> higher quality score
+        (1, base),
+        (2, base + " " + " ".join(toks)),
+        (3, "completely different words entirely unrelated content here"),
+    ]
+    docs3 = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {
+                    "dedup": "cluster",
+                    "jaccard-threshold": "400",
+                    "cluster-prefer": "quality",
+                }
+            }
+        }
+    )
+    out = build_corpus_pipeline(cfg)(docs3)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import release_ngram_cache
+
+    release_ngram_cache()
+    assert 3 in kept and len(kept) == 2
+    assert 2 in kept  # quality winner, though 1 has the lower id
+
+
 def test_decontaminate_stage_drops_leaked_docs(spark, tmp_path):
     eval_q = "what is the capital of france the answer is paris exactly"
     eval_path = str(tmp_path / "eval")
