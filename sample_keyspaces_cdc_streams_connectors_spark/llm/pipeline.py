@@ -9,20 +9,28 @@ from the same ``EngineConfig`` machinery (env override included).
 
 Stage order (each optional, config-gated):
 
-1. annotate   — token counts, BPE estimate, language id, quality
-                score (one projection, zero Python)
-2. language   — keep configured languages
-3. quality    — keep docs at/above the configured score
-4. dedup      — ``exact`` (md5 fingerprint) or ``near`` (full MinHash
-                signature digest); keeps the LOWEST doc_id per group
-                (deterministic survivor, same rule as the batch dedup
-                operators)
+1. scrub-pii     — redact emails/phones/IPs/SSNs/cards (codegen-only
+                   projection; redaction counts ride along)
+2. annotate      — token counts, BPE estimate, language id, quality
+                   score (one projection, zero Python)
+3. language      — keep configured languages
+4. quality       — keep docs at/above the configured score
+5. decontaminate — drop docs sharing long k-grams with an eval corpus
+                   (broadcast-probe; see ``llm.decontaminate``)
+6. dedup         — ``exact`` (md5 fingerprint), ``near`` (full
+                   MinHash signature digest), or ``cluster``
+                   (ngram/minhash pairs closed into connected
+                   components; min-id or ``cluster-prefer``-column
+                   survivor)
 
-Scale: annotate/language/quality are map-only; each dedup mode costs
-exactly ONE hash-shuffle of (key, id) pairs — document text never
-moves.  The survivor rule uses min-over-window rather than
-``dropDuplicates`` so the kept row is deterministic under any
-partitioning (dropDuplicates keeps an arbitrary first row).
+Scale: scrub/annotate/language/quality are map-only;
+exact/near dedup cost exactly ONE hash-shuffle of (key, id) pairs —
+document text never moves; cluster dedup adds the bucketed pair
+generation + the iterative components closure (see
+``llm.components``).  The exact/near survivor rule uses
+min-over-window rather than ``dropDuplicates`` so the kept row is
+deterministic under any partitioning (dropDuplicates keeps an
+arbitrary first row).
 """
 
 from __future__ import annotations
