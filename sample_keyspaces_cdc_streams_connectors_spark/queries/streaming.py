@@ -36,6 +36,17 @@ def _scoped_shuffle_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _drain_view(spark: SparkSession, name: str, result: DataFrame) -> DataFrame:
+    """Materialize a memory-sink-derived result and DROP the sink's
+    temp view: the uuid-named views would otherwise accrete one per
+    invocation for the session's lifetime (the same leak class as the
+    round-2 ngram persist).  Gate results are small; the caller gets
+    a local DataFrame with the identical schema."""
+    rows = result.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def _await_converged(q, timeout_s: int = 300) -> None:
     """availableNow replays must DRAIN; on timeout, stop the query and
     fail loudly instead of returning partial results (and instead of
@@ -203,9 +214,13 @@ def stateful_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             _await_converged(q)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the result
-    return spark.sql(
-        f"SELECT key, max(n_events) AS n_events, max(max_seq) AS max_seq "
-        f"FROM {name} GROUP BY key"
+    return _drain_view(
+        spark,
+        name,
+        spark.sql(
+            f"SELECT key, max(n_events) AS n_events, max(max_seq) AS max_seq "
+            f"FROM {name} GROUP BY key"
+        ),
     )
 
 
@@ -425,10 +440,14 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)  # memory sink holds the pairs
     pairs = spark.sql(f"SELECT * FROM {name}")
     lag_us = F.unix_micros(F.col("b_ts")) - F.unix_micros(F.col("a_ts"))
-    return pairs.groupBy(F.col("a_user").alias("user_id")).agg(
-        F.count("*").alias("n_pairs"),
-        F.min(lag_us).alias("min_lag_us"),
-        F.max(lag_us).alias("max_lag_us"),
+    return _drain_view(
+        spark,
+        name,
+        pairs.groupBy(F.col("a_user").alias("user_id")).agg(
+            F.count("*").alias("n_pairs"),
+            F.min(lag_us).alias("min_lag_us"),
+            F.max(lag_us).alias("max_lag_us"),
+        ),
     )
 
 
@@ -489,7 +508,11 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             _await_converged(q)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)  # memory sink holds the result
-    return spark.sql(
-        f"SELECT event_type, count(*) AS n, sum(event_id) AS id_sum "
-        f"FROM {name} GROUP BY event_type"
+    return _drain_view(
+        spark,
+        name,
+        spark.sql(
+            f"SELECT event_type, count(*) AS n, sum(event_id) AS id_sum "
+            f"FROM {name} GROUP BY event_type"
+        ),
     )

@@ -472,3 +472,23 @@ def test_local_dir_transport_writes_jsonl(spark, envelopes, tmp_path):
     lines = [json.loads(line) for f in files for line in open(f)]
     assert len(lines) == 20
     assert all("stream_sequence_number" in rec for rec in lines)
+
+
+def test_replay_queries_leave_no_temp_views(spark, sf_dir):
+    """The memory-sink replays must DROP their uuid-named temp views:
+    a long-lived session invoking gate queries repeatedly would
+    otherwise accrete one view per call (same leak class as the
+    round-2 ngram persist)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.queries import load_all
+
+    before = {t.name for t in spark.catalog.listTables()}
+    reg = load_all()
+    for name in (
+        "stream_dedup_watermark",
+        "stateful_running_stats",
+        "stream_interval_join",
+        "session_window_agg",
+    ):
+        assert reg[name].fn(spark, sf_dir).count() > 0
+    after = {t.name for t in spark.catalog.listTables()}
+    assert after == before, f"leaked temp views: {after - before}"
