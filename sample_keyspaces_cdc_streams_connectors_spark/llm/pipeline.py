@@ -15,9 +15,11 @@ Stage order (each optional, config-gated):
                    score (one projection, zero Python)
 3. language      — keep configured languages
 4. quality       — keep docs at/above the configured score
-5. decontaminate — drop docs sharing long k-grams with an eval corpus
+5. repetition    — drop boilerplate docs by the Gopher repetition
+                   rules (``functions.repetition``; pure projection)
+6. decontaminate — drop docs sharing long k-grams with an eval corpus
                    (broadcast-probe; see ``llm.decontaminate``)
-6. dedup         — ``exact`` (md5 fingerprint), ``near`` (full
+7. dedup         — ``exact`` (md5 fingerprint), ``near`` (full
                    MinHash signature digest), or ``cluster``
                    (ngram/minhash pairs closed into connected
                    components; min-id or ``cluster-prefer``-column
@@ -105,6 +107,16 @@ def build_corpus_pipeline(
     - ``cluster-prefer``  column whose HIGHEST value picks each
       cluster's survivor (e.g. ``quality`` — annotation runs before
       dedup so the score exists); empty (default) keeps the min-id
+    - ``repetition-filter``  true|false — drop boilerplate docs by the
+      Gopher repetition rules (duplicate-line/paragraph and top-n-gram
+      character fractions; ``functions.repetition.GOPHER_DEFAULTS``
+      bounds).  Runs AFTER the quality gate, BEFORE decontamination —
+      a pure projection + filter, no shuffle
+    - ``repetition-max-permille.<stat>`` / ``repetition-min-permille.<stat>``
+      int per-mille override for one stat's bound (e.g.
+      ``repetition-max-permille.dup_line_frac: 500`` allows up to 50%
+      duplicated lines); the min/max direction must match the stat's
+      GOPHER_DEFAULTS direction
     - ``decontaminate-path``  parquet of eval/benchmark docs (needs a
       ``text`` column); corpus rows sharing >=
       ``decontaminate-min-collisions`` (default 1) normalized
@@ -128,6 +140,17 @@ def build_corpus_pipeline(
         cfg.get(f"{_P}.cluster-method", "ngram") or "ngram"
     ).lower()
     cluster_prefer = cfg.get(f"{_P}.cluster-prefer", None) or None
+    repetition = cfg.get_bool(f"{_P}.repetition-filter", default=False)
+    repetition_overrides: dict[str, float] = {}
+    if repetition:
+        from sample_keyspaces_cdc_streams_connectors_spark.functions.repetition import GOPHER_DEFAULTS
+
+        for stat, (direction, _) in GOPHER_DEFAULTS.items():
+            permille = cfg.get_int(
+                f"{_P}.repetition-{direction}-permille.{stat}", default=-1
+            )
+            if permille >= 0:
+                repetition_overrides[stat] = permille / 1000.0
     decontaminate_path = cfg.get(f"{_P}.decontaminate-path", None)
     decontaminate_k = cfg.get_int(f"{_P}.decontaminate-k", default=8)
     decontaminate_min = cfg.get_int(
@@ -158,6 +181,12 @@ def build_corpus_pipeline(
             out = out.filter(F.col("lang").isin(languages))
         if min_quality > 0:
             out = out.filter(F.col("quality") >= min_quality)
+        if repetition:
+            from sample_keyspaces_cdc_streams_connectors_spark.functions.repetition import repetition_filter
+
+            out = repetition_filter(
+                out, text_col=text_col, thresholds=repetition_overrides
+            )
         if decontaminate_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import decontaminate
 

@@ -277,3 +277,40 @@ def test_pack_sequences_bound_and_totality(spark, docs):
     ).count() == 0
     # parallel shards actually used
     assert packed.select("pack_shard").distinct().count() > 1
+
+
+def test_repetition_stage_gated_and_overridable(spark, docs):
+    spam = spark.createDataFrame(
+        [(900001, "\n".join(["buy now limited offer"] * 30))],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(spam)
+    cfg_on = load_config(
+        {"keyspaces-cdc-streams": {"corpus": {"repetition-filter": "true"}}}
+    )
+    out = build_corpus_pipeline(cfg_on)(corpus)
+    assert out.filter(F.col("doc_id") == 900001).count() == 0
+    # stat columns do not leak into the pipeline output
+    assert "dup_line_frac" not in out.columns
+
+    # per-mille override loosens one bound enough to keep the spam doc
+    cfg_loose = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {
+                    "repetition-filter": "true",
+                    "repetition-max-permille": {
+                        "dup_line_frac": 1000,
+                        "dup_line_char_frac": 1000,
+                        "top_2gram_char_frac": 1000,
+                        "top_3gram_char_frac": 1000,
+                        "top_4gram_char_frac": 1000,
+                        "dup_5gram_frac": 1000,
+                        "dup_10gram_frac": 1000,
+                    },
+                }
+            }
+        }
+    )
+    out_loose = build_corpus_pipeline(cfg_loose)(corpus)
+    assert out_loose.filter(F.col("doc_id") == 900001).count() == 1
