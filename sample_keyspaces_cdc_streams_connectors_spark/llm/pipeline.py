@@ -17,9 +17,12 @@ Stage order (each optional, config-gated):
 4. quality       — keep docs at/above the configured score
 5. repetition    — drop boilerplate docs by the Gopher repetition
                    rules (``functions.repetition``; pure projection)
-6. decontaminate — drop docs sharing long k-grams with an eval corpus
+6. quality-model — score with the learned hashed-feature classifier
+                   (``llm.quality_model``; map-only Arrow margin
+                   pass) and keep docs above the threshold
+7. decontaminate — drop docs sharing long k-grams with an eval corpus
                    (broadcast-probe; see ``llm.decontaminate``)
-7. dedup         — ``exact`` (md5 fingerprint), ``near`` (full
+8. dedup         — ``exact`` (md5 fingerprint), ``near`` (full
                    MinHash signature digest), or ``cluster``
                    (ngram/minhash pairs closed into connected
                    components; min-id or ``cluster-prefer``-column
@@ -117,6 +120,11 @@ def build_corpus_pipeline(
       ``repetition-max-permille.dup_line_frac: 500`` allows up to 50%
       duplicated lines); the min/max direction must match the stat's
       GOPHER_DEFAULTS direction
+    - ``quality-model-path``  saved ``llm.quality_model`` layout; when
+      set, docs are scored with the learned classifier (map-only
+      Arrow margin pass) and rows below
+      ``quality-model-min-permille`` (default 500 = P(good) ≥ 0.5)
+      are dropped; the ``model_quality`` score rides along
     - ``decontaminate-path``  parquet of eval/benchmark docs (needs a
       ``text`` column); corpus rows sharing >=
       ``decontaminate-min-collisions`` (default 1) normalized
@@ -151,6 +159,10 @@ def build_corpus_pipeline(
             )
             if permille >= 0:
                 repetition_overrides[stat] = permille / 1000.0
+    quality_model_path = cfg.get(f"{_P}.quality-model-path", None)
+    quality_model_min = cfg.get_int(
+        f"{_P}.quality-model-min-permille", default=500
+    )
     decontaminate_path = cfg.get(f"{_P}.decontaminate-path", None)
     decontaminate_k = cfg.get_int(f"{_P}.decontaminate-k", default=8)
     decontaminate_min = cfg.get_int(
@@ -186,6 +198,16 @@ def build_corpus_pipeline(
 
             out = repetition_filter(
                 out, text_col=text_col, thresholds=repetition_overrides
+            )
+        if quality_model_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import (
+                load_quality_model,
+                score_quality,
+            )
+
+            qm = load_quality_model(out.sparkSession, quality_model_path)
+            out = score_quality(out, qm, text_col=text_col).filter(
+                F.col("model_quality") >= quality_model_min / 1000.0
             )
         if decontaminate_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import decontaminate

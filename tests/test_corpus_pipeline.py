@@ -314,3 +314,42 @@ def test_repetition_stage_gated_and_overridable(spark, docs):
     )
     out_loose = build_corpus_pipeline(cfg_loose)(corpus)
     assert out_loose.filter(F.col("doc_id") == 900001).count() == 1
+
+
+def test_quality_model_stage(spark, docs, tmp_path):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import (
+        save_quality_model,
+        train_quality_model,
+    )
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", 1),
+            (2, "a bright cold day in april with striking clocks", 1),
+            (3, "click here buy now free offer click subscribe", 0),
+            (4, "win win casino prize jackpot claim now cheap", 0),
+        ],
+        "doc_id int, text string, label int",
+    )
+    model = train_quality_model(labeled, n_buckets=2048, n_iters=30, lr=1.0)
+    path = str(tmp_path / "qm")
+    save_quality_model(spark, model, path)
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the fox and the dog met on a bright cold day"),
+            (2, "click buy now free casino prize win subscribe now"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"quality-model-path": path}
+            }
+        }
+    )
+    out = build_corpus_pipeline(cfg)(corpus)
+    kept = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert kept == [1]
+    assert "model_quality" in out.columns
