@@ -1,0 +1,155 @@
+"""Incremental cross-corpus dedup: a persisted fingerprint index.
+
+The batch dedup operators (`llm.dedup`) answer "which docs inside
+THIS corpus duplicate each other".  Production ingestion asks a
+different question every day: "which docs of this NEW batch already
+exist in the 100 TB corpus we keep" — without re-reading the corpus.
+This module persists the corpus's dedup keys once and anti-joins each
+incoming batch against them:
+
+- ``exact``  — the md5 content fingerprint (`functions.text.doc_fingerprint`)
+- ``minhash`` — the narrow full-signature digest
+  (`llm.dedup.with_minhash_signature`): near-identical suppression
+  with the SAME key the streaming dedup path uses, so batch index,
+  streaming dedup, and pipeline `near` mode agree on what counts as
+  a duplicate.
+
+Scale design:
+
+- The index stores KEYS ONLY (16-byte md5 strings), laid out in 256
+  ``bucket=XX`` partition directories by fingerprint prefix — at
+  10^11 docs the whole index is a few TB of parquet while the
+  corpus is 100 TB.
+- The anti-join projects the batch to (id, key) first, joins on
+  (bucket, key) — both sides shuffle ONLY keys and ids, never
+  document text — and surviving ids re-join the full batch rows,
+  which AQE broadcasts whenever a day's survivors fit (batch ≪
+  corpus by construction).  Plan-pinned: no Exchange carries the
+  text column.
+- ``append_to_dedup_index`` appends the surviving batch's keys into
+  the matching bucket directories (dynamic partition overwrite is
+  NOT used — appends only add files, existing files are untouched),
+  so daily ingestion is: dedup batch → append survivors → write
+  survivors to the corpus.  Re-running the same batch then drops
+  everything (idempotent ingest, pinned by test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.functions.text import doc_fingerprint
+from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import with_minhash_signature
+
+#: supported key modes → (sub-directory, key column name)
+_MODES = {
+    "exact": ("exact", "fp"),
+    "minhash": ("minhash", "fp"),
+}
+
+
+def _check_mode(mode: str) -> tuple[str, str]:
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {sorted(_MODES)}, got {mode!r}")
+    return _MODES[mode]
+
+
+def _with_key(
+    docs: DataFrame, mode: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """Project (original columns…, fp) with the mode's dedup key."""
+    if mode == "exact":
+        return docs.withColumn("fp", doc_fingerprint(F.col(text_col)))
+    return with_minhash_signature(
+        docs, text_col=text_col, k=shingle_k, sig_col="fp"
+    )
+
+
+def _keys_frame(docs_with_key: DataFrame) -> DataFrame:
+    """Distinct (bucket, fp) pairs — all the index ever stores."""
+    return (
+        docs_with_key.select(
+            F.substring("fp", 1, 2).alias("bucket"), "fp"
+        )
+        .distinct()
+    )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    mode: str = "exact",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> None:
+    """Create (overwrite) the index for ``mode`` from an existing
+    corpus: one distinct-shuffle of 16-byte keys, written into 256
+    prefix-bucket directories."""
+    sub, _ = _check_mode(mode)
+    keyed = _with_key(docs, mode, text_col, shingle_k)
+    (
+        _keys_frame(keyed)
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/{sub}")
+    )
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    path: str,
+    mode: str = "exact",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    keep_key: bool = False,
+) -> DataFrame:
+    """Rows of ``batch`` whose dedup key is NOT in the index.
+
+    The anti-join sees only (id, bucket, key) on the batch side and
+    (bucket, key) on the index side; survivors re-join the full batch
+    rows by id (AQE-broadcast when the batch is small).  With
+    ``keep_key`` the computed ``fp`` column survives — callers that
+    go on to ``append_to_dedup_index`` the survivors should keep it
+    to avoid recomputing signatures."""
+    sub, _ = _check_mode(mode)
+    spark = batch.sparkSession
+    keyed = _with_key(batch, mode, text_col, shingle_k)
+    slim = keyed.select(
+        id_col, F.substring("fp", 1, 2).alias("bucket"), "fp"
+    )
+    index = spark.read.parquet(f"{path}/{sub}")
+    fresh_ids = slim.join(index, ["bucket", "fp"], "left_anti").select(
+        id_col
+    )
+    out = keyed.join(fresh_ids, id_col)
+    return out if keep_key else out.drop("fp")
+
+
+def append_to_dedup_index(
+    survivors: DataFrame,
+    path: str,
+    mode: str = "exact",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> None:
+    """Append the surviving batch's keys into the bucket directories.
+    Pure file appends — existing index files are never rewritten (the
+    same untouched-files contract as ``append_to_ivf_index``).  If
+    ``survivors`` already carries an ``fp`` column (from
+    ``dedup_against_index(keep_key=True)``) it is reused as-is."""
+    sub, _ = _check_mode(mode)
+    keyed = (
+        survivors
+        if "fp" in survivors.columns
+        else _with_key(survivors, mode, text_col, shingle_k)
+    )
+    (
+        _keys_frame(keyed)
+        .repartition(F.col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/{sub}")
+    )

@@ -131,6 +131,12 @@ def build_corpus_pipeline(
       ``decontaminate-k``-grams (default 8) with ANY eval doc are
       dropped BEFORE dedup (so survivor selection never keeps a
       contaminated doc)
+    - ``dedup-index-path`` / ``dedup-index-mode`` (exact|minhash,
+      default exact) — suppress docs already present in a persisted
+      cross-corpus fingerprint index (``llm.dedup_index``) BEFORE
+      within-batch dedup: the incremental-ingestion mode, where the
+      batch is deduped against the standing corpus without re-reading
+      it
 
     ``near`` keeps one doc per identical MinHash signature (a narrow,
     stream-safe approximation); ``cluster`` runs the full exact-Jaccard
@@ -168,6 +174,17 @@ def build_corpus_pipeline(
     decontaminate_min = cfg.get_int(
         f"{_P}.decontaminate-min-collisions", default=1
     )
+    dedup_index_path = cfg.get(f"{_P}.dedup-index-path", None)
+    dedup_index_mode = (
+        cfg.get(f"{_P}.dedup-index-mode", "exact") or "exact"
+    ).lower()
+    if dedup_index_path and dedup_index_mode not in ("exact", "minhash"):
+        from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
+
+        raise ConfigError(
+            "corpus.dedup-index-mode must be exact|minhash, "
+            f"got {dedup_index_mode!r}"
+        )
     if dedup_mode not in ("none", "exact", "near", "cluster"):
         from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
 
@@ -220,6 +237,17 @@ def build_corpus_pipeline(
                 k=decontaminate_k,
                 min_collisions=decontaminate_min,
                 id_col=id_col,
+            )
+        if dedup_index_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import dedup_against_index
+
+            out = dedup_against_index(
+                out,
+                dedup_index_path,
+                mode=dedup_index_mode,
+                text_col=text_col,
+                id_col=id_col,
+                shingle_k=shingle_k,
             )
         if dedup_mode == "exact":
             out = out.withColumn("__key", doc_fingerprint(F.col(text_col)))

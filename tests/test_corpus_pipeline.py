@@ -353,3 +353,41 @@ def test_quality_model_stage(spark, docs, tmp_path):
     kept = [r["doc_id"] for r in out.select("doc_id").collect()]
     assert kept == [1]
     assert "model_quality" in out.columns
+
+
+def test_dedup_index_stage(spark, docs, tmp_path):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import build_dedup_index
+
+    # the standing corpus = the first 10 docs; the batch = 20 docs
+    standing = docs.orderBy("doc_id").limit(10)
+    batch = docs.orderBy("doc_id").limit(20)
+    idx = str(tmp_path / "dedup_idx")
+    build_dedup_index(standing, idx, mode="exact")
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"dedup-index-path": idx}
+            }
+        }
+    )
+    out = build_corpus_pipeline(cfg)(batch)
+    known = {r["doc_id"] for r in standing.select("doc_id").collect()}
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept.isdisjoint(known)
+    assert len(kept) == 10
+
+
+def test_dedup_index_mode_validated(spark):
+    with pytest.raises(ConfigError):
+        build_corpus_pipeline(
+            load_config(
+                {
+                    "keyspaces-cdc-streams": {
+                        "corpus": {
+                            "dedup-index-path": "/tmp/x",
+                            "dedup-index-mode": "fuzzy",
+                        }
+                    }
+                }
+            )
+        )
