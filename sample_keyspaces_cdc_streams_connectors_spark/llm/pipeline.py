@@ -131,6 +131,11 @@ def build_corpus_pipeline(
       ``decontaminate-k``-grams (default 8) with ANY eval doc are
       dropped BEFORE dedup (so survivor selection never keeps a
       contaminated doc)
+    - ``observe``  true|false — attach a zero-cost row counter
+      (``DataFrame.observe``/CollectMetrics) to the input, every
+      row-changing stage, and the output; after the caller executes
+      an action, per-stage counts are readable from
+      ``run.last_observations`` (stage name → ``Observation``)
     - ``dedup-index-path`` / ``dedup-index-mode`` (exact|minhash,
       default exact) — suppress docs already present in a persisted
       cross-corpus fingerprint index (``llm.dedup_index``) BEFORE
@@ -199,22 +204,42 @@ def build_corpus_pipeline(
             f"got {cluster_method!r}"
         )
 
+    observe = cfg.get_bool(f"{_P}.observe", default=False)
+
     def run(df: DataFrame) -> DataFrame:
-        out = df
+        observations: dict[str, "Observation"] = {}
+        run.last_observations = observations
+
+        def tap(frame: DataFrame, stage: str) -> DataFrame:
+            """Attach a zero-cost row counter (CollectMetrics rides
+            the existing pass; no extra job).  Counters populate when
+            the caller executes an action over the result."""
+            if not observe:
+                return frame
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observations[stage] = obs
+            return frame.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+        out = tap(df, "input")
         if scrub:
             from sample_keyspaces_cdc_streams_connectors_spark.functions.pii import with_pii_scrubbed
 
             out = with_pii_scrubbed(out, text_col=text_col)
         out = annotate_corpus(out, text_col)
         if languages:
-            out = out.filter(F.col("lang").isin(languages))
+            out = tap(out.filter(F.col("lang").isin(languages)), "language")
         if min_quality > 0:
-            out = out.filter(F.col("quality") >= min_quality)
+            out = tap(out.filter(F.col("quality") >= min_quality), "quality")
         if repetition:
             from sample_keyspaces_cdc_streams_connectors_spark.functions.repetition import repetition_filter
 
-            out = repetition_filter(
-                out, text_col=text_col, thresholds=repetition_overrides
+            out = tap(
+                repetition_filter(
+                    out, text_col=text_col, thresholds=repetition_overrides
+                ),
+                "repetition",
             )
         if quality_model_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import (
@@ -223,31 +248,40 @@ def build_corpus_pipeline(
             )
 
             qm = load_quality_model(out.sparkSession, quality_model_path)
-            out = score_quality(out, qm, text_col=text_col).filter(
-                F.col("model_quality") >= quality_model_min / 1000.0
+            out = tap(
+                score_quality(out, qm, text_col=text_col).filter(
+                    F.col("model_quality") >= quality_model_min / 1000.0
+                ),
+                "quality-model",
             )
         if decontaminate_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import decontaminate
 
             eval_docs = out.sparkSession.read.parquet(decontaminate_path)
-            out = decontaminate(
-                out,
-                eval_docs,
-                text_col=text_col,
-                k=decontaminate_k,
-                min_collisions=decontaminate_min,
-                id_col=id_col,
+            out = tap(
+                decontaminate(
+                    out,
+                    eval_docs,
+                    text_col=text_col,
+                    k=decontaminate_k,
+                    min_collisions=decontaminate_min,
+                    id_col=id_col,
+                ),
+                "decontaminate",
             )
         if dedup_index_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import dedup_against_index
 
-            out = dedup_against_index(
-                out,
-                dedup_index_path,
-                mode=dedup_index_mode,
-                text_col=text_col,
-                id_col=id_col,
-                shingle_k=shingle_k,
+            out = tap(
+                dedup_against_index(
+                    out,
+                    dedup_index_path,
+                    mode=dedup_index_mode,
+                    text_col=text_col,
+                    id_col=id_col,
+                    shingle_k=shingle_k,
+                ),
+                "dedup-index",
             )
         if dedup_mode == "exact":
             out = out.withColumn("__key", doc_fingerprint(F.col(text_col)))
@@ -284,7 +318,7 @@ def build_corpus_pipeline(
             out = dedup_survivors(
                 out, pairs, id_col=id_col, prefer=cluster_prefer
             )
-        return out
+        return tap(out, "output")
 
     return run
 

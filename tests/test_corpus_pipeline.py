@@ -391,3 +391,36 @@ def test_dedup_index_mode_validated(spark):
                 }
             )
         )
+
+
+def test_observe_reports_per_stage_counts(spark, docs):
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {
+                    "observe": "true",
+                    "languages": "en",
+                    "dedup": "exact",
+                }
+            }
+        }
+    )
+    run = build_corpus_pipeline(cfg)
+    out = run(docs)
+    n_out = out.count()  # the action that populates the observations
+    obs = run.last_observations
+    assert set(obs) == {"input", "language", "output"}
+    n_in = obs["input"].get["rows"]
+    n_lang = obs["language"].get["rows"]
+    assert n_in == docs.count()
+    assert n_lang <= n_in
+    assert obs["output"].get["rows"] == n_out
+    # observation is per-run: a fresh run repopulates cleanly
+    run(docs).count()
+    assert run.last_observations["input"].get["rows"] == n_in
+
+
+def test_observe_off_by_default(spark, docs):
+    run = build_corpus_pipeline(load_config({}))
+    run(docs).count()
+    assert run.last_observations == {}
