@@ -50,8 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--mode",
         default="cdc",
-        choices=("cdc", "corpus"),
-        help="cdc: stream envelopes to a sink; corpus: batch-curate documents",
+        choices=("cdc", "corpus", "profile"),
+        help="cdc: stream envelopes to a sink; corpus: batch-curate "
+        "documents; profile: one-pass per-column table statistics",
     )
     p.add_argument(
         "--sink",
@@ -76,6 +77,18 @@ def main(argv: list[str] | None = None) -> int:
         print(f"config error: {e}", file=sys.stderr)
         return 2
 
+    if args.mode == "profile":
+        from sample_keyspaces_cdc_streams_connectors_spark.operators.profile import profile_table
+
+        spark = get_spark("table-profile")
+        prof = profile_table(spark.read.parquet(args.source))
+        if args.out:
+            prof.repartition(1).write.mode("overwrite").parquet(args.out)
+        for r in prof.collect():
+            v = "" if r["value"] is None else f"{r['value']:.6g}"
+            print(f"{r['column']}\t{r['metric']}\t{v}")
+        return 0
+
     if args.mode == "corpus":
         from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_corpus_pipeline, corpus_stats
 
@@ -95,6 +108,8 @@ def main(argv: list[str] | None = None) -> int:
             f"corpus curated: {args.source} -> {args.out} "
             f"({stats.n_docs} docs, {stats.total_tokens} tokens)"
         )
+        for stage, obs in getattr(run, "last_observations", {}).items():
+            print(f"stage {stage}: {obs.get['rows']} rows")
         return 0
 
     spark = get_spark("cdc-pipeline")

@@ -130,3 +130,51 @@ def test_main_corpus_requires_out(spark, sf_dir, tmp_path):
     src = str(tmp_path / "docs_src2")
     spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5).write.parquet(src)
     assert main(["--mode", "corpus", "--source", src]) == 2
+
+
+def test_main_profile_mode(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "prof")
+    rc = main(
+        [
+            "--mode",
+            "profile",
+            "--source",
+            f"{sf_dir}/documents.parquet",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    lines = [
+        l for l in capsys.readouterr().out.splitlines() if "\t" in l
+    ]
+    assert any(l.startswith("*\trows\t") for l in lines)
+    assert any(l.startswith("text\tmean_length\t") for l in lines)
+    prof = spark.read.parquet(out)
+    assert prof.count() == len(lines)
+
+
+def test_main_corpus_mode_prints_stage_counts(spark, sf_dir, tmp_path, capsys):
+    conf = tmp_path / "c.conf"
+    conf.write_text(
+        "keyspaces-cdc-streams.corpus.observe = true\n"
+        "keyspaces-cdc-streams.corpus.languages = en\n"
+    )
+    out = str(tmp_path / "cur")
+    rc = main(
+        [
+            "--mode",
+            "corpus",
+            "--config",
+            str(conf),
+            "--source",
+            f"{sf_dir}/documents.parquet",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "stage input:" in printed
+    assert "stage language:" in printed
+    assert "stage output:" in printed

@@ -287,3 +287,87 @@ def test_pii_scrub_idempotent_and_complete(spark, frags):
         assert r.once == r.twice, "scrub must be idempotent"
         for k in PII_PATTERNS:
             assert getattr(r, f"left_{k}") == 0, (k, r.once)
+
+
+# --- repetition statistics invariants --------------------------------------
+
+words = st.text(
+    alphabet="abcdefg", min_size=1, max_size=4
+)
+lines_strategy = st.lists(
+    st.lists(words, min_size=1, max_size=6).map(" ".join),
+    min_size=0,
+    max_size=12,
+)
+
+
+@SLOW
+@given(lines=lines_strategy)
+def test_repetition_stats_are_valid_fractions(spark, lines):
+    """Every repetition statistic is in [0,1] on arbitrary text, and
+    the duplicate-line fraction is 0 iff all non-blank lines are
+    distinct."""
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.repetition import (
+        GOPHER_DEFAULTS,
+        with_repetition_stats,
+    )
+
+    text = "\n".join(lines)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    row = with_repetition_stats(df).collect()[0].asDict()
+    for stat in GOPHER_DEFAULTS:
+        assert 0.0 <= row[stat] <= 1.0, (stat, row[stat], text)
+    nonblank = [l for l in lines if l.strip()]
+    if len(set(nonblank)) == len(nonblank):
+        assert row["dup_line_frac"] == 0.0
+        assert row["dup_line_char_frac"] == 0.0
+    else:
+        assert row["dup_line_frac"] > 0.0
+
+
+@SLOW
+@given(vals=st.lists(words, min_size=0, max_size=30))
+def test_most_common_run_matches_counter(spark, vals):
+    """The sorted-array mode pass agrees with a Python Counter (on
+    count; the winning value must carry that count)."""
+    from collections import Counter
+
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.repetition import most_common_run
+
+    df = spark.createDataFrame([(1, vals)], "id long, arr array<string>")
+    got = df.select(
+        most_common_run(F.array_sort("arr")).alias("m")
+    ).collect()[0]["m"]
+    if not vals:
+        assert got["best_run"] == 0
+    else:
+        counts = Counter(vals)
+        assert got["best_run"] == max(counts.values())
+        assert counts[got["best"]] == got["best_run"]
+
+
+# --- importance resampling invariants --------------------------------------
+
+
+@SLOW
+@given(
+    weights=st.lists(
+        st.floats(min_value=-5, max_value=5, allow_nan=False),
+        min_size=1,
+        max_size=20,
+    ),
+    k=st.integers(1, 25),
+)
+def test_gumbel_topk_size_and_subset(spark, weights, k):
+    """Gumbel top-k returns exactly min(k, n) rows drawn from the
+    input, independent of partitioning."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.importance import gumbel_resample_top_k
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, log_importance double")
+    picked = gumbel_resample_top_k(df, k).collect()
+    assert len(picked) == min(k, len(weights))
+    ids = {r["doc_id"] for r in picked}
+    assert ids <= {i for i, _ in rows}
+    again = gumbel_resample_top_k(df.repartition(5), k).collect()
+    assert {r["doc_id"] for r in again} == ids
