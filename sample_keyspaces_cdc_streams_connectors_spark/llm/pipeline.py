@@ -323,6 +323,102 @@ def build_corpus_pipeline(
     return run
 
 
+def build_streaming_curation(
+    cfg: EngineConfig,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame], DataFrame]:
+    """The STREAM-SAFE subset of the corpus pipeline, same config keys.
+
+    Every filtering/annotation stage of :func:`build_corpus_pipeline`
+    is a stateless map (scrub-pii, annotate, language, quality,
+    repetition, quality-model), so the identical transforms apply to
+    a ``readStream`` frame — micro-batch outputs equal the batch
+    pipeline run on the same rows (equivalence pinned in
+    tests/test_corpus_pipeline.py).  Cross-corpus suppression
+    (``dedup-index-path``) joins the stream against the STATIC index
+    as a stream-static left-anti join — stateless, no watermark
+    needed; unlike the batch path it anti-joins full rows directly
+    (micro-batches are small; the batch path's id-rejoin trick exists
+    to keep text out of corpus-sized shuffles).
+
+    Batch-only keys raise ``ConfigError``: within-batch ``dedup``
+    modes (global aggregation state — use
+    ``streaming.dedup.streaming_near_dedup`` with a watermark for the
+    streaming analog), ``decontaminate-path`` (explode+aggregate
+    probe), and ``observe`` (batch Observation semantics).
+    """
+    from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
+
+    unsupported = {
+        "dedup": (cfg.get(f"{_P}.dedup", "none") or "none").lower() != "none",
+        "decontaminate-path": bool(cfg.get(f"{_P}.decontaminate-path", None)),
+        "observe": cfg.get_bool(f"{_P}.observe", default=False),
+    }
+    bad = sorted(k for k, v in unsupported.items() if v)
+    if bad:
+        raise ConfigError(
+            f"corpus keys not stream-safe: {bad}; use the batch "
+            "pipeline or streaming.dedup for these stages"
+        )
+
+    languages = cfg.get_list(f"{_P}.languages", default=[]) or []
+    min_quality = cfg.get_int(f"{_P}.min-quality", default=0)
+    scrub = (cfg.get(f"{_P}.scrub-pii", "false") or "false").lower() == "true"
+    repetition = cfg.get_bool(f"{_P}.repetition-filter", default=False)
+    quality_model_path = cfg.get(f"{_P}.quality-model-path", None)
+    quality_model_min = cfg.get_int(
+        f"{_P}.quality-model-min-permille", default=500
+    )
+    dedup_index_path = cfg.get(f"{_P}.dedup-index-path", None)
+    dedup_index_mode = (
+        cfg.get(f"{_P}.dedup-index-mode", "exact") or "exact"
+    ).lower()
+    shingle_k = cfg.get_int(f"{_P}.shingle-k", default=3)
+
+    def run(stream: DataFrame) -> DataFrame:
+        out = stream
+        if scrub:
+            from sample_keyspaces_cdc_streams_connectors_spark.functions.pii import with_pii_scrubbed
+
+            out = with_pii_scrubbed(out, text_col=text_col)
+        out = annotate_corpus(out, text_col)
+        if languages:
+            out = out.filter(F.col("lang").isin(languages))
+        if min_quality > 0:
+            out = out.filter(F.col("quality") >= min_quality)
+        if repetition:
+            from sample_keyspaces_cdc_streams_connectors_spark.functions.repetition import repetition_filter
+
+            out = repetition_filter(out, text_col=text_col)
+        if quality_model_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import (
+                load_quality_model,
+                score_quality,
+            )
+
+            qm = load_quality_model(out.sparkSession, quality_model_path)
+            out = score_quality(out, qm, text_col=text_col).filter(
+                F.col("model_quality") >= quality_model_min / 1000.0
+            )
+        if dedup_index_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import _check_mode, _with_key
+
+            sub, _ = _check_mode(dedup_index_mode)
+            index = out.sparkSession.read.parquet(
+                f"{dedup_index_path}/{sub}"
+            )
+            keyed = _with_key(
+                out, dedup_index_mode, text_col, shingle_k
+            ).withColumn("bucket", F.substring("fp", 1, 2))
+            out = keyed.join(
+                index, ["bucket", "fp"], "left_anti"
+            ).drop("bucket", "fp")
+        return out
+
+    return run
+
+
 def corpus_stats(df: DataFrame) -> DataFrame:
     """One-row curation summary (docs, tokens, mean quality) — the
     numbers a data-mix report needs; decimal-exact sums emitted as

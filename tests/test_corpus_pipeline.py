@@ -424,3 +424,67 @@ def test_observe_off_by_default(spark, docs):
     run = build_corpus_pipeline(load_config({}))
     run(docs).count()
     assert run.last_observations == {}
+
+
+def test_streaming_curation_matches_batch(spark, docs, tmp_path):
+    """The stream-safe stage subset produces EXACTLY the batch
+    pipeline's rows when replayed through readStream micro-batches."""
+    import uuid
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import build_dedup_index
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_streaming_curation
+
+    standing = docs.orderBy("doc_id").limit(5)
+    idx = str(tmp_path / "idx")
+    build_dedup_index(standing, idx, mode="exact")
+    conf = {
+        "keyspaces-cdc-streams": {
+            "corpus": {
+                "languages": "en",
+                "repetition-filter": "true",
+                "dedup-index-path": idx,
+            }
+        }
+    }
+    src = str(tmp_path / "src")
+    docs.select("doc_id", "text").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"curated_{uuid.uuid4().hex[:8]}"
+    q = (
+        build_streaming_curation(load_config(conf))(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    streamed = {
+        r["doc_id"] for r in spark.table(name).select("doc_id").collect()
+    }
+    spark.catalog.dropTempView(name)
+
+    batch = build_corpus_pipeline(load_config(conf))(
+        spark.read.parquet(src)
+    )
+    expected = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert streamed == expected
+    assert 0 < len(expected) < docs.count()
+
+
+def test_streaming_curation_rejects_batch_only_keys(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_streaming_curation
+
+    with pytest.raises(ConfigError) as e:
+        build_streaming_curation(
+            load_config(
+                {"keyspaces-cdc-streams": {"corpus": {"dedup": "exact"}}}
+            )
+        )
+    assert "dedup" in str(e.value)
