@@ -276,10 +276,12 @@ def ngram_jaccard_pairs(
     extra small stages, a wash locally — at 100 TB the candidate
     volume is the dominant shuffle, so the default flips there.
 
-    PERF (measured at sf0.1, local[32]; ~2.7 s honest-cold after the
-    round-3 cache scoping — the round-2 bench's 2.8 s was partially
-    warm because leaked persists from earlier invocations were being
-    re-hit across bench passes):
+    PERF (measured at sf0.1, local[32]; ~3.1-3.8 s honest steady-state
+    after the round-3 cache scoping — the round-2 bench's 2.8 s was
+    partially warm because leaked persists from earlier invocations
+    were being re-hit across bench passes.  Candidate-pair generation
+    dominates: ~2.7 s for the 1.13M pairs this fixture yields under
+    the df cap):
 
     * The per-doc shingle *array* is computed behind an explicit
       ``repartition`` (a single parquet file otherwise serializes the
