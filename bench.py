@@ -195,6 +195,76 @@ def main() -> None:
         curate_best = min(curate_best, time.time() - t0)
     corpus_docs_per_sec = int(n_docs / curate_best) if curate_best else None
 
+    # auxiliary operators (round-3 additions outside the oracle
+    # registry): one timed pass each, reported separately so they
+    # never perturb the headline timings or cross-round deltas
+    aux: dict[str, float] = {}
+
+    def _aux(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        aux[name] = round(time.time() - t0, 3)
+
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as AF
+
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.repetition import repetition_filter
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.importance import select_like_target
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.layout import write_zordered
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.profile import profile_table
+
+    raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tmpdir = tempfile.mkdtemp(prefix="bench_aux_")
+    try:
+        _aux(
+            "repetition_filter",
+            lambda: repetition_filter(docs)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        _aux("profile_table", lambda: profile_table(raw_docs).collect())
+        _aux(
+            "dsir_select",
+            lambda: select_like_target(
+                docs,
+                docs.filter(AF.col("doc_id") % 50 == 0),
+                k=200,
+                n_buckets=1 << 16,
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        _aux(
+            "zorder_write_events",
+            lambda: write_zordered(
+                spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+                    "event_id", "user_id", "value"
+                ),
+                f"{tmpdir}/z",
+                ["user_id", "value"],
+                n_files=32,
+                bits=6,
+            ),
+        )
+        build_dedup_index(docs, f"{tmpdir}/idx", mode="exact")
+        _aux(
+            "dedup_index_probe",
+            lambda: dedup_against_index(docs, f"{tmpdir}/idx", mode="exact")
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -203,6 +273,7 @@ def main() -> None:
         "sf": sf,
         "cdc_rows_per_sec": cdc_rows_per_sec,
         "corpus_docs_per_sec": corpus_docs_per_sec,
+        "aux_ops_sec": aux,
     }
     prev = _prev_bench()
     if prev is not None:

@@ -96,49 +96,65 @@ def dup_ngram_fraction(grams: Column) -> Column:
 
 
 def most_common_run(sorted_arr: Column) -> Column:
-    """Mode of a SORTED string array via one linear ``aggregate`` pass
+    """Mode of a SORTED string array via run-length analysis
     → struct(best_run bigint, best string).
 
-    Sorting groups equal values into runs, so the mode is the longest
-    run — O(n log n) per document inside codegen, no explode, no
-    shuffle.  Empty arrays yield (0, "")."""
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("bigint").alias("run"),
-        F.lit(0).cast("bigint").alias("best_run"),
-        F.lit("").alias("best"),
+    Sorting groups equal values into runs; the run boundaries are the
+    positions where the value changes, run lengths are consecutive
+    boundary differences, and the mode is the value at the longest
+    run's start (first such run on ties → the lexicographically
+    smallest mode, deterministic).  All integer-array higher-order
+    functions — array HOFs are CodegenFallback (interpreted per row),
+    so cheap int comparisons beat a struct-state ``aggregate`` whose
+    per-element struct rebuild measured ~20× slower at sf0.1.
+
+    INLINING-TOLERANT: no lambda references the outer array — every
+    ``sorted_arr`` reference sits at an HOF argument position
+    (``zip_with`` pairs each element with its successor; a two-arg
+    ``transform`` turns end-of-run flags into positions), so even
+    when Catalyst's predicate pushdown inlines a whole
+    sort-of-shingles-of-tokens expression here, it is re-evaluated a
+    constant number of times per row, never per element.  Empty
+    arrays yield (0, "")."""
+    n = F.size(sorted_arr)
+    nxt = F.concat(
+        F.slice(sorted_arr, 2, F.greatest(n - 1, F.lit(0))),
+        F.array(F.lit(None).cast("string")),
+    )
+    flags = F.zip_with(
+        sorted_arr, nxt, lambda a, b: b.isNull() | (a != b)
+    )
+    ends = F.filter(
+        F.transform(flags, lambda f, i: F.when(f, i)),
+        lambda x: x.isNotNull(),
+    )
+    prev_ends = F.concat(
+        F.array(F.lit(-1)),
+        F.slice(ends, 1, F.greatest(F.size(ends) - 1, F.lit(0))),
+    )
+    lens = F.zip_with(ends, prev_ends, lambda e, p: (e - p).cast("bigint"))
+    best_run = F.array_max(lens)
+    pos = F.array_position(lens, best_run).cast("int")
+    best = F.element_at(sorted_arr, F.element_at(ends, pos) + 1)
+    return F.when(
+        n > 0,
+        F.struct(best_run.alias("best_run"), best.alias("best")),
+    ).otherwise(
+        F.struct(
+            F.lit(0).cast("bigint").alias("best_run"),
+            F.lit("").alias("best"),
+        )
     )
 
-    def step(acc: Column, x: Column) -> Column:
-        # acc.run > 0 guards the first element against matching the
-        # sentinel prev="" (a legitimate empty-string value)
-        run = F.when((acc.run > 0) & (x == acc.prev), acc.run + 1).otherwise(
-            F.lit(1).cast("bigint")
-        )
-        better = run > acc.best_run
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.when(better, run).otherwise(acc.best_run).alias("best_run"),
-            F.when(better, x).otherwise(acc.best).alias("best"),
-        )
 
-    return F.aggregate(
-        sorted_arr,
-        init,
-        step,
-        lambda acc: F.struct(
-            acc.best_run.alias("best_run"), acc.best.alias("best")
-        ),
-    )
-
-
-def top_ngram_char_fraction(grams: Column, text_chars: Column) -> Column:
+def top_ngram_char_fraction(mode: Column, text_chars: Column) -> Column:
     """Fraction of document characters covered by the single most
     frequent n-gram: ``count(mode) * len(mode) / chars`` (the Gopher
     "top n-gram character fraction", computed against the normalized
-    text length passed in ``text_chars``)."""
-    mode = most_common_run(F.array_sort(grams))
+    text length in ``text_chars``).  ``mode`` is a MATERIALIZED
+    :func:`most_common_run` struct column — passing the raw
+    expression would re-run the whole run-length analysis once per
+    field reference."""
     covered = mode.best_run * F.length(mode.best)
     return (
         F.when(text_chars > 0, covered / text_chars)
@@ -210,17 +226,38 @@ def with_repetition_stats(
     Plan: no shuffle, no Python (pinned in tests/test_repetition.py).
     """
     t = F.col(text_col)
-    staged = df.withColumns(
-        {
-            "__lines": nonblank_lines(t),
-            "__toks": tokens(normalize_text(t)),
-            "__chars": F.length(normalize_text(t)).cast("bigint"),
-        }
-    ).withColumns(
-        {
-            f"__g{k}": shingles_from_tokens(F.col("__toks"), k)
-            for k in (2, 3, 4, 5, 10)
-        }
+    staged = (
+        df.withColumns(
+            {
+                "__lines": nonblank_lines(t),
+                "__toks": tokens(normalize_text(t)),
+                "__chars": F.length(normalize_text(t)).cast("bigint"),
+            }
+        )
+        .withColumns(
+            {
+                # sorted for the mode pass (2-4), raw for dup counting
+                "__s2": F.array_sort(
+                    shingles_from_tokens(F.col("__toks"), 2)
+                ),
+                "__s3": F.array_sort(
+                    shingles_from_tokens(F.col("__toks"), 3)
+                ),
+                "__s4": F.array_sort(
+                    shingles_from_tokens(F.col("__toks"), 4)
+                ),
+                "__g5": shingles_from_tokens(F.col("__toks"), 5),
+                "__g10": shingles_from_tokens(F.col("__toks"), 10),
+            }
+        )
+        .withColumns(
+            {
+                # materialize each mode struct ONCE — field references
+                # on an expression would re-run the analysis per field
+                f"__m{k}": most_common_run(F.col(f"__s{k}"))
+                for k in (2, 3, 4)
+            }
+        )
     )
     lines, toks = F.col("__lines"), F.col("__toks")
     chars = F.col("__chars")
@@ -230,13 +267,13 @@ def with_repetition_stats(
             "dup_line_frac": dup_line_fraction(lines),
             "dup_line_char_frac": dup_line_char_fraction(lines),
             "top_2gram_char_frac": top_ngram_char_fraction(
-                F.col("__g2"), chars
+                F.col("__m2"), chars
             ),
             "top_3gram_char_frac": top_ngram_char_fraction(
-                F.col("__g3"), chars
+                F.col("__m3"), chars
             ),
             "top_4gram_char_frac": top_ngram_char_fraction(
-                F.col("__g4"), chars
+                F.col("__m4"), chars
             ),
             "dup_5gram_frac": dup_ngram_fraction(F.col("__g5")),
             "dup_10gram_frac": dup_ngram_fraction(F.col("__g10")),
@@ -247,7 +284,17 @@ def with_repetition_stats(
         }
     )
     return out.drop(
-        "__lines", "__toks", "__chars", "__g2", "__g3", "__g4", "__g5", "__g10"
+        "__lines",
+        "__toks",
+        "__chars",
+        "__s2",
+        "__s3",
+        "__s4",
+        "__g5",
+        "__g10",
+        "__m2",
+        "__m3",
+        "__m4",
     )
 
 
@@ -281,5 +328,24 @@ def repetition_filter(
         col = F.col(stat)
         rule = col <= F.lit(bound) if direction == "max" else col >= F.lit(bound)
         cond = cond & rule
-    kept = staged.filter(cond)
+    # PUSHDOWN BARRIER: a predicate on the stat columns gets pushed
+    # below the stats projections with every stat's full expression
+    # tree substituted into the condition — the nested references
+    # multiply (struct-field access ×2; the run-length arrays are
+    # each referenced by max/position/element_at), ending with the
+    # tokenizer inlined ~950× and re-run per reference (measured
+    # 124 s vs 2 s for the stats projection itself at sf0.1; a
+    # non-deterministic rand() wrapper did NOT stop the push in
+    # Spark 4).  A CollectMetrics node does: predicates never cross
+    # it, so the filter stays above and each stat is computed exactly
+    # once per row.  The string-named observe form is valid on batch
+    # AND streaming frames; the metric itself (row count) is a free
+    # accumulator.  Plan shape pinned in tests/test_repetition.py.
+    import uuid
+
+    barrier = staged.observe(
+        f"__repetition_barrier_{uuid.uuid4().hex[:12]}",
+        F.count(F.lit(1)).alias("rows"),
+    )
+    kept = barrier.filter(cond)
     return kept if keep_stats else kept.drop(*GOPHER_DEFAULTS.keys())

@@ -136,25 +136,35 @@ def doc_fingerprint(col: Column) -> Column:
 
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
-    """k-word shingles from a *materialized* token-array column.
+    """k-word shingles from a token-array column.
 
-    PERF: ``toks`` must be a plain column reference, not the full
-    tokenization expression — Catalyst inlines expressions referenced
-    inside higher-order-function lambdas, so an inlined tokenizer is
-    re-evaluated once per shingle index (O(tokens²) regexp work per
-    document; measured 10× slower at sf0.1).  Callers project the
-    token array first (see ``word_shingles`` / dedup ``_doc_shingles``).
+    INLINING-TOLERANT by construction: built as a left fold of
+    ``zip_with`` over k aligned slices, so no lambda ever references
+    the outer token array — every ``toks`` reference sits at an HOF
+    *argument* position, evaluated once per row.  (The previous
+    ``transform(sequence, i -> slice(toks, i+1, k))`` form re-ran any
+    inlined ``toks`` expression once per shingle index — O(tokens²)
+    regexp work when Catalyst's predicate pushdown substituted the
+    tokenizer into a filter condition, the blowup that made
+    ``repetition_filter`` quadratic.)  Callers should still project
+    the token array first when convenient (saves the constant-factor
+    re-evaluations), but correctness of the cost model no longer
+    depends on it.
 
     Documents shorter than k tokens yield a single shingle of all
     tokens, so no doc vanishes.
     """
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    m = n - k + 1
+    shingles = F.slice(toks, 1, m)
+    for j in range(1, k):
+        shingles = F.zip_with(
+            shingles,
+            F.slice(toks, j + 1, m),
+            lambda a, b: F.concat_ws(" ", a, b),
         )
+    return F.when(n <= k, F.array(F.array_join(toks, " "))).otherwise(
+        shingles
     )
 
 
@@ -174,13 +184,23 @@ def winnow_fingerprints(hashes: Column, w: int = 4) -> Column:
     ordered k-gram hash sequence → array<bigint>.
 
     Guarantees any match of length >= w+k-1 tokens shares a selected
-    fingerprint, with ~2/(w+1) selection density.  ``hashes`` must be
-    a *materialized* array column (see ``shingles_from_tokens`` PERF
-    note).  Documents with fewer than w hashes yield the single global
-    minimum, so no doc vanishes.
+    fingerprint, with ~2/(w+1) selection density.  INLINING-TOLERANT:
+    the sliding-window minimum is a left fold of ``least`` via
+    ``zip_with`` over w aligned slices — no lambda references the
+    outer hash array (the ``shingles_from_tokens`` construction), so
+    an optimizer-substituted expression is re-evaluated a constant
+    number of times, never per window.  Documents with fewer than w
+    hashes yield the single global minimum, so no doc vanishes.
     """
     n = F.size(hashes)
-    starts = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+    m = n - w + 1
+    mins = F.slice(hashes, 1, m)
+    for j in range(1, w):
+        mins = F.zip_with(
+            mins,
+            F.slice(hashes, j + 1, m),
+            lambda a, b: F.least(a, b),
+        )
     return F.array_distinct(
-        F.transform(starts, lambda i: F.array_min(F.slice(hashes, i + 1, w)))
+        F.when(n <= w, F.array(F.array_min(hashes))).otherwise(mins)
     )

@@ -42,21 +42,57 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import Qual
 _GUMBEL_MOD = 1_000_000
 
 
-def hashed_ngram_buckets(col: Column, n_buckets: int) -> Column:
-    """Unigram + bigram feature-bucket ids per document (array<int>,
-    one id per occurrence).  Bigrams are built from the materialized
-    token array inside one expression tree — no explode until the
-    caller decides to aggregate."""
-    toks = tokens(normalize_text(col))
-    n = F.size(toks)
-    bigrams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )).otherwise(F.array().cast("array<string>"))
+def ngram_buckets_from_tokens(toks: Column, n_buckets: int) -> Column:
+    """Unigram + bigram feature-bucket ids (array<int>, one id per
+    occurrence) from a MATERIALIZED token-array column.
+
+    INLINING-TOLERANT: bigrams come from ``zip_with`` over two
+    aligned slices, so no lambda references the outer token array —
+    every ``toks`` reference sits at an HOF argument position.  The
+    previous ``transform(sequence, i -> element_at(toks, i))`` form
+    went quadratic whenever Catalyst inlined the tokenizer into the
+    lambda: ``InferFiltersFromGenerate`` synthesizes a
+    ``size(grams) > 0`` predicate below the explode, pushdown carries
+    it (fully substituted) to the scan, and the per-element
+    ``element_at(tokens(...), i)`` re-tokenized per bigram index —
+    measured 12.5 s vs ~4 s for a 5k-doc count pass at sf0.1."""
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
     grams = F.concat(toks, bigrams)
     return F.transform(
         grams, lambda g: F.pmod(md5_int(g), F.lit(n_buckets)).cast("int")
     )
+
+
+def with_ngram_buckets(
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    out_col: str = "__buckets",
+) -> DataFrame:
+    """Append the feature-bucket array, tokenizing ONCE behind a
+    materialized projection (see ``ngram_buckets_from_tokens``)."""
+    return (
+        df.withColumn(
+            "__nb_toks", tokens(normalize_text(F.col(text_col)))
+        )
+        .withColumn(
+            out_col,
+            ngram_buckets_from_tokens(F.col("__nb_toks"), n_buckets),
+        )
+        .drop("__nb_toks")
+    )
+
+
+def hashed_ngram_buckets(col: Column, n_buckets: int) -> Column:
+    """Single-expression convenience form (tiny inputs only — the
+    inlined tokenizer re-runs per bigram; hot paths use
+    :func:`with_ngram_buckets`)."""
+    return ngram_buckets_from_tokens(tokens(normalize_text(col)), n_buckets)
 
 
 def ngram_bucket_counts(
@@ -65,11 +101,8 @@ def ngram_bucket_counts(
     """Per-bucket n-gram occurrence counts → (bucket int, cnt long).
     One explode + one groupBy; the shuffle is bucket-bounded."""
     return (
-        df.select(
-            F.explode(
-                hashed_ngram_buckets(F.col(text_col), n_buckets)
-            ).alias("bucket")
-        )
+        with_ngram_buckets(df, text_col, n_buckets)
+        .select(F.explode("__buckets").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -113,9 +146,10 @@ def importance_log_weights(
     """Append the per-document importance log-weight
     ``Σ w[h(gram)]`` — map-only (one Arrow margin pass)."""
     margin = _margin_udf(model.weights, model.bias)
-    return df.withColumn(
-        weight_col,
-        margin(hashed_ngram_buckets(F.col(text_col), model.n_buckets)),
+    return (
+        with_ngram_buckets(df, text_col, model.n_buckets)
+        .withColumn(weight_col, margin(F.col("__buckets")))
+        .drop("__buckets")
     )
 
 

@@ -119,3 +119,20 @@ def test_runs_on_real_documents_table(spark, sf_dir):
     ).collect()[0]
     assert 0.0 <= agg[0] <= 0.30
     assert agg[1] >= 0.80
+
+
+def test_filter_does_not_inline_stats_into_condition(spark, sf_dir):
+    """The observe barrier must keep the filter ABOVE the stats
+    projections: a pushed-down condition re-inlines the tokenizer
+    hundreds of times (measured 60x slower).  Pin the plan: the
+    tokenizer split() appears a handful of times, never hundreds,
+    and the filter sits above a CollectMetrics node."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        repetition_filter(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") < 20
+    assert "CollectMetrics" in plan
