@@ -11,14 +11,15 @@ part of the north-star LLM-data-pipeline surface this engine adds on
 top.
 
 Everything here is a pure Column expression over JVM built-ins
-(split / array_distinct / aggregate / regexp_count) — zero Python
-touches row data, no shuffle, so the whole family runs inside one
-whole-stage-codegen projection at full scan speed over a 100 TB
-`documents` table.  The only subtlety is the higher-order-function
-inlining hazard documented at
-:func:`~sample_keyspaces_cdc_streams_connectors_spark.functions.text.shingles_from_tokens`:
-:func:`with_repetition_stats` therefore materializes the line / token
-arrays as real columns before computing the statistics.
+(split / array_distinct / zip_with / regexp_count) — zero Python
+touches row data, no shuffle, so the whole family runs as one narrow
+projection at full scan speed over a 100 TB `documents` table.  Two
+Catalyst hazards shape the implementation (measured + root-caused in
+SCALE.md "Catalyst inlining hazards"): every array lambda avoids
+outer-array references (zip_with folds over aligned slices), and
+:func:`repetition_filter` interposes a CollectMetrics pushdown
+barrier so its predicate is never substituted below the stats
+projection.
 """
 
 from __future__ import annotations
