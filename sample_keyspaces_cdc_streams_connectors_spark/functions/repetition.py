@@ -226,6 +226,13 @@ def with_repetition_stats(
     every statistic from the materialized arrays and drops them.
     Plan: no shuffle, no Python (pinned in tests/test_repetition.py).
     """
+    clash = sorted(set(df.columns) & set(GOPHER_DEFAULTS))
+    if clash:
+        raise ValueError(
+            f"input already has repetition-stat column(s) {clash}; "
+            "rename them — the stats stage would overwrite and (in "
+            "filter mode) drop them"
+        )
     t = F.col(text_col)
     staged = (
         df.withColumns(

@@ -249,10 +249,18 @@ def dedup_survivors(
         ),
         "doc_id",
     )
+    # highest prefer wins, ties break to the LOWEST id: min_by over
+    # (negated numeric prefer, id) — struct comparison is
+    # lexicographic, and keeping the id un-negated makes the
+    # tie-break valid for ANY orderable id type (a negated string id
+    # would cast to NULL and make the winner nondeterministic)
     winners = members.groupBy("component_id").agg(
-        F.max_by(
+        F.min_by(
             F.col("doc_id"),
-            F.struct(F.col("__pref"), (-F.col("doc_id")).alias("__nid")),
+            F.struct(
+                (-F.col("__pref").cast("double")).alias("__npref"),
+                F.col("doc_id").alias("__id"),
+            ),
         ).alias("keep_id")
     )
     losers = members.join(

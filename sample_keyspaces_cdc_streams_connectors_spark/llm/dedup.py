@@ -628,9 +628,18 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     output; at 100 TB the win is structural (a map-only stage
     pipelines with whatever follows).
     """
-    hs = F.transform(
-        F.array_distinct(tokens(normalize_text(F.col(text_col)))), md5_int
-    )
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens(normalize_text(F.col(text_col)))),
+            md5_int,
+        ).alias("__hs"),
+    ).filter(F.size("__hs") > 0)
+    # token-less documents (empty/blank/NULL text) are OMITTED, same
+    # as the round-2 explode+groupBy form and the DuckDB oracle's
+    # unnest — an all-zero-sum fingerprint would otherwise cluster
+    # every blank doc together at hamming distance 0
+    hs = F.col("__hs")
     acc0 = F.struct(
         *[F.lit(0).cast("long").alias(f"s{i}") for i in range(bits)]
     )
@@ -654,7 +663,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
         ],
         F.lit(0),
     )
-    return docs.select("doc_id", code.cast("bigint").alias("simhash"))
+    return hashed.select("doc_id", code.cast("bigint").alias("simhash"))
 
 
 def with_minhash_signature(

@@ -120,9 +120,15 @@ def kmeans_fit(
     dims = len(
         vectors.select(F.col(vec_col)).first()[0]
     )
+    # kmeans_seed always returns k seeds (the greedy max-min pick
+    # repeats points when the table runs short), so the row-count
+    # check must happen HERE — otherwise a small table silently
+    # yields a codebook with duplicate centroids and permanently
+    # empty IVF cells
+    n = vectors.count()
+    if n < k:
+        raise ValueError(f"need >= {k} vectors, got {n}")
     centroids = kmeans_seed(vectors, k, id_col=id_col, vec_col=vec_col)
-    if len(centroids) < k:
-        raise ValueError(f"need >= {k} vectors, got {len(centroids)}")
 
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     prev_inertia: float | None = None

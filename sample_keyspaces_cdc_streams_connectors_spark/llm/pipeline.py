@@ -59,6 +59,23 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import with_minhash
 _P = "keyspaces-cdc-streams.corpus"
 
 
+
+def _repetition_overrides(cfg: EngineConfig) -> dict[str, float]:
+    """Parse the per-mille repetition threshold overrides (shared by
+    the batch pipeline and the streaming curation subset so both
+    apply IDENTICAL bounds for the same config)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.repetition import GOPHER_DEFAULTS
+
+    overrides: dict[str, float] = {}
+    for stat, (direction, _) in GOPHER_DEFAULTS.items():
+        permille = cfg.get_int(
+            f"{_P}.repetition-{direction}-permille.{stat}", default=-1
+        )
+        if permille >= 0:
+            overrides[stat] = permille / 1000.0
+    return overrides
+
+
 def annotate_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append the standard curation columns in one projection."""
     t = F.col(text_col)
@@ -160,16 +177,7 @@ def build_corpus_pipeline(
     ).lower()
     cluster_prefer = cfg.get(f"{_P}.cluster-prefer", None) or None
     repetition = cfg.get_bool(f"{_P}.repetition-filter", default=False)
-    repetition_overrides: dict[str, float] = {}
-    if repetition:
-        from sample_keyspaces_cdc_streams_connectors_spark.functions.repetition import GOPHER_DEFAULTS
-
-        for stat, (direction, _) in GOPHER_DEFAULTS.items():
-            permille = cfg.get_int(
-                f"{_P}.repetition-{direction}-permille.{stat}", default=-1
-            )
-            if permille >= 0:
-                repetition_overrides[stat] = permille / 1000.0
+    repetition_overrides = _repetition_overrides(cfg) if repetition else {}
     quality_model_path = cfg.get(f"{_P}.quality-model-path", None)
     quality_model_min = cfg.get_int(
         f"{_P}.quality-model-min-permille", default=500
@@ -366,6 +374,7 @@ def build_streaming_curation(
     min_quality = cfg.get_int(f"{_P}.min-quality", default=0)
     scrub = (cfg.get(f"{_P}.scrub-pii", "false") or "false").lower() == "true"
     repetition = cfg.get_bool(f"{_P}.repetition-filter", default=False)
+    repetition_overrides = _repetition_overrides(cfg) if repetition else {}
     quality_model_path = cfg.get(f"{_P}.quality-model-path", None)
     quality_model_min = cfg.get_int(
         f"{_P}.quality-model-min-permille", default=500
@@ -390,7 +399,9 @@ def build_streaming_curation(
         if repetition:
             from sample_keyspaces_cdc_streams_connectors_spark.functions.repetition import repetition_filter
 
-            out = repetition_filter(out, text_col=text_col)
+            out = repetition_filter(
+                out, text_col=text_col, thresholds=repetition_overrides
+            )
         if quality_model_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import (
                 load_quality_model,

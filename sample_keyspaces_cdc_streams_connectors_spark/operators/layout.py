@@ -87,10 +87,14 @@ def zorder_column(
     doubled = df.select(
         *[F.col(c).cast("double").alias(c) for c in cols]
     )
-    buckets = []
-    for c in cols:
-        bounds = doubled.approxQuantile(c, probs, rel_err)
-        buckets.append(_bucket_by_bounds(F.col(c), sorted(set(bounds))))
+    # ONE multi-column approxQuantile call = one scan for all
+    # boundary sets (the per-column form would launch a full
+    # Greenwald-Khanna pass per clustered column)
+    all_bounds = doubled.approxQuantile(cols, probs, rel_err)
+    buckets = [
+        _bucket_by_bounds(F.col(c), sorted(set(bounds)))
+        for c, bounds in zip(cols, all_bounds)
+    ]
     return df.withColumn(out_col, _interleave(buckets, bits))
 
 

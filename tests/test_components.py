@@ -186,3 +186,28 @@ def test_dedup_survivors_prefer_quality(spark):
     # default rule unchanged: min-id survivors
     kept_min = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
     assert kept_min == {1, 10, 20}
+
+
+def test_prefer_survivor_with_string_ids_ties_deterministic(spark):
+    """Equal prefer values with STRING ids: the tie must break to the
+    lexicographically lowest id (a negated string id would cast to
+    NULL and make the winner arbitrary)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.components import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [("url-b", "t", 5), ("url-a", "t", 5), ("url-c", "t", 5)],
+        "doc_id string, text string, q int",
+    )
+    pairs = spark.createDataFrame(
+        [("url-a", "url-b"), ("url-b", "url-c")],
+        "doc_a string, doc_b string",
+    )
+    kept = dedup_survivors(docs, pairs, prefer="q")
+    assert [r["doc_id"] for r in kept.collect()] == ["url-a"]
+    # and highest prefer still wins outright
+    docs2 = spark.createDataFrame(
+        [("url-b", "t", 9), ("url-a", "t", 5), ("url-c", "t", 7)],
+        "doc_id string, text string, q int",
+    )
+    kept2 = dedup_survivors(docs2, pairs, prefer="q")
+    assert [r["doc_id"] for r in kept2.collect()] == ["url-b"]

@@ -488,3 +488,65 @@ def test_streaming_curation_rejects_batch_only_keys(spark):
             )
         )
     assert "dedup" in str(e.value)
+
+
+def test_streaming_matches_batch_with_repetition_overrides(spark, tmp_path):
+    """Threshold overrides must apply identically in the batch and
+    streaming paths (a streaming path that silently used the default
+    bounds would drop different docs for the same config)."""
+    import uuid
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_streaming_curation
+
+    spam = "\n".join(["buy now limited offer"] * 30)
+    corpus = spark.createDataFrame(
+        [(1, spam), (2, "a perfectly ordinary clean sentence here.")],
+        "doc_id long, text string",
+    )
+    conf = {
+        "keyspaces-cdc-streams": {
+            "corpus": {
+                "repetition-filter": "true",
+                "repetition-max-permille": {
+                    k: 1000
+                    for k in (
+                        "dup_line_frac",
+                        "dup_line_char_frac",
+                        "top_2gram_char_frac",
+                        "top_3gram_char_frac",
+                        "top_4gram_char_frac",
+                        "dup_5gram_frac",
+                        "dup_10gram_frac",
+                    )
+                },
+            }
+        }
+    }
+    batch_ids = {
+        r["doc_id"]
+        for r in build_corpus_pipeline(load_config(conf))(corpus)
+        .select("doc_id")
+        .collect()
+    }
+    assert batch_ids == {1, 2}  # loosened bounds keep the spam doc
+
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    name = f"ovr_{uuid.uuid4().hex[:8]}"
+    q = (
+        build_streaming_curation(load_config(conf))(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    stream_ids = {
+        r["doc_id"] for r in spark.table(name).select("doc_id").collect()
+    }
+    spark.catalog.dropTempView(name)
+    assert stream_ids == batch_ids

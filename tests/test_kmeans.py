@@ -179,3 +179,16 @@ def test_ivf_with_kmeans_cells_recall(spark, vectors):
         ).collect()
     }
     assert all_cells == exact
+
+
+def test_fit_rejects_fewer_vectors_than_k(spark):
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
+
+    small = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [10.0, 10.0]), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="need >= 6"):
+        kmeans_fit(small, k=6)

@@ -461,3 +461,17 @@ def test_lang_id_multi(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_simhash_omits_tokenless_docs(spark):
+    """Blank/empty/NULL-text documents produce NO simhash row (same as
+    the explode-form and the DuckDB oracle's unnest) — an all-zero
+    fingerprint would cluster every blank doc as distance-0 dups."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real tokens here")],
+        "doc_id long, text string",
+    )
+    rows = simhash(docs).collect()
+    assert [r["doc_id"] for r in rows] == [4]

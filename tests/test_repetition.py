@@ -136,3 +136,11 @@ def test_filter_does_not_inline_stats_into_condition(spark, sf_dir):
     )
     assert plan.count("split(") < 20
     assert "CollectMetrics" in plan
+
+
+def test_stat_name_collision_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 0.5)], "doc_id int, text string, dup_line_frac double"
+    )
+    with pytest.raises(ValueError, match="dup_line_frac"):
+        with_repetition_stats(df)
