@@ -201,9 +201,15 @@ def main() -> None:
     aux: dict[str, float] = {}
 
     def _aux(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        aux[name] = round(time.time() - t0, 3)
+        # min of 2 passes, same rationale as the headline suite: the
+        # first execution pays codegen JIT for these (large) column
+        # programs and is exposed to contention bursts
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        aux[name] = round(best, 3)
 
     import shutil
     import tempfile
