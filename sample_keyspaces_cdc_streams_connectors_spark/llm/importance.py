@@ -192,11 +192,39 @@ def select_like_target(
 ) -> DataFrame:
     """End-to-end DSIR: fit the ratio model, weight raw docs, Gumbel
     top-k resample.  Returns the selected rows with their
-    ``log_importance`` attached."""
-    model = fit_importance_model(
-        target, raw, text_col=text_col, n_buckets=n_buckets, alpha=alpha
-    )
-    weighted = importance_log_weights(raw, model, text_col=text_col)
-    return gumbel_resample_top_k(
-        weighted, k, id_col=id_col, salt=salt
-    )
+    ``log_importance`` attached.
+
+    The RAW corpus is scanned ONCE: its bucket arrays are staged and
+    cached, the profile counts and the weighting pass both read the
+    cache, and the k-row selection materializes eagerly
+    (``localCheckpoint``) so the cache can be released before
+    returning — at 100 TB the second full-corpus
+    tokenize-and-hash pass this removes is the dominant cost."""
+    bucketed = with_ngram_buckets(raw, text_col, n_buckets).persist()
+    try:
+        r_counts = (
+            bucketed.select(F.explode("__buckets").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        t_counts = ngram_bucket_counts(target, text_col, n_buckets).collect()
+        t = np.zeros(n_buckets, dtype=np.float64)
+        r = np.zeros(n_buckets, dtype=np.float64)
+        for row in t_counts:
+            t[row["bucket"]] = row["cnt"]
+        for row in r_counts:
+            r[row["bucket"]] = row["cnt"]
+        t_tot = t.sum() + alpha * n_buckets
+        r_tot = r.sum() + alpha * n_buckets
+        w = np.log((t + alpha) / t_tot) - np.log((r + alpha) / r_tot)
+        model = QualityModel(weights=w, bias=0.0, n_buckets=n_buckets)
+        margin = _margin_udf(model.weights, model.bias)
+        weighted = bucketed.withColumn(
+            "log_importance", margin(F.col("__buckets"))
+        ).drop("__buckets")
+        return gumbel_resample_top_k(
+            weighted, k, id_col=id_col, salt=salt
+        ).localCheckpoint(eager=True)
+    finally:
+        bucketed.unpersist()
