@@ -50,9 +50,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--mode",
         default="cdc",
-        choices=("cdc", "corpus", "profile"),
+        choices=("cdc", "corpus", "profile", "select"),
         help="cdc: stream envelopes to a sink; corpus: batch-curate "
-        "documents; profile: one-pass per-column table statistics",
+        "documents; profile: one-pass per-column table statistics; "
+        "select: DSIR importance resampling of --source docs that "
+        "resemble the --target exemplar corpus",
+    )
+    p.add_argument(
+        "--target",
+        default=None,
+        help="select mode: parquet of exemplar documents (text column)",
+    )
+    p.add_argument(
+        "--k",
+        type=int,
+        default=10_000,
+        help="select mode: number of documents to sample",
     )
     p.add_argument(
         "--sink",
@@ -76,6 +89,23 @@ def main(argv: list[str] | None = None) -> int:
     except ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
         return 2
+
+    if args.mode == "select":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.importance import select_like_target
+
+        if not args.target or not args.out:
+            print("--target and --out required for select mode", file=sys.stderr)
+            return 2
+        spark = get_spark("dsir-select")
+        chosen = select_like_target(
+            spark.read.parquet(args.source),
+            spark.read.parquet(args.target),
+            k=args.k,
+        )
+        chosen.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"selected {n} docs like {args.target} -> {args.out}")
+        return 0
 
     if args.mode == "profile":
         from sample_keyspaces_cdc_streams_connectors_spark.operators.profile import profile_table

@@ -178,3 +178,39 @@ def test_main_corpus_mode_prints_stage_counts(spark, sf_dir, tmp_path, capsys):
     assert "stage input:" in printed
     assert "stage language:" in printed
     assert "stage output:" in printed
+
+
+def test_main_select_mode(spark, sf_dir, tmp_path, capsys):
+    target = str(tmp_path / "target")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(20)
+        .select("text")
+        .write.parquet(target)
+    )
+    out = str(tmp_path / "sel")
+    rc = main(
+        [
+            "--mode",
+            "select",
+            "--source",
+            f"{sf_dir}/documents.parquet",
+            "--target",
+            target,
+            "--k",
+            "50",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    sel = spark.read.parquet(out)
+    assert sel.count() == 50
+    assert "log_importance" in sel.columns
+
+
+def test_main_select_requires_target_and_out(spark, sf_dir):
+    rc = main(
+        ["--mode", "select", "--source", f"{sf_dir}/documents.parquet"]
+    )
+    assert rc == 2
