@@ -50,11 +50,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--mode",
         default="cdc",
-        choices=("cdc", "corpus", "profile", "select"),
+        choices=("cdc", "corpus", "profile", "select", "train-quality"),
         help="cdc: stream envelopes to a sink; corpus: batch-curate "
         "documents; profile: one-pass per-column table statistics; "
         "select: DSIR importance resampling of --source docs that "
-        "resemble the --target exemplar corpus",
+        "resemble the --target exemplar corpus; train-quality: fit "
+        "the hashed-feature quality classifier on --source labeled "
+        "docs (text + label columns) and save it to --out",
     )
     p.add_argument(
         "--target",
@@ -89,6 +91,28 @@ def main(argv: list[str] | None = None) -> int:
     except ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
         return 2
+
+    if args.mode == "train-quality":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import (
+            save_quality_model,
+            train_quality_model,
+        )
+
+        if not args.out:
+            print("--out required for train-quality mode", file=sys.stderr)
+            return 2
+        spark = get_spark("train-quality")
+        model = train_quality_model(spark.read.parquet(args.source))
+        save_quality_model(spark, model, args.out)
+        import numpy as _np
+
+        nz = int(_np.count_nonzero(model.weights))
+        print(
+            f"quality model saved to {args.out} "
+            f"({nz} non-zero weights, bias {model.bias:.4f}); use it via "
+            f"corpus.quality-model-path"
+        )
+        return 0
 
     if args.mode == "select":
         from sample_keyspaces_cdc_streams_connectors_spark.llm.importance import select_like_target

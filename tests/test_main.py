@@ -214,3 +214,35 @@ def test_main_select_requires_target_and_out(spark, sf_dir):
         ["--mode", "select", "--source", f"{sf_dir}/documents.parquet"]
     )
     assert rc == 2
+
+
+def test_main_train_quality_mode(spark, tmp_path, capsys):
+    labeled = str(tmp_path / "labeled")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", 1),
+            (2, "a bright cold day in april with clocks", 1),
+            (3, "click here buy now free offer subscribe", 0),
+            (4, "win casino prize jackpot claim now", 0),
+        ],
+        "doc_id int, text string, label int",
+    ).write.parquet(labeled)
+    out = str(tmp_path / "model")
+    rc = main(
+        ["--mode", "train-quality", "--source", labeled, "--out", out]
+    )
+    assert rc == 0
+    assert "quality model saved" in capsys.readouterr().out
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import load_quality_model, score_quality
+
+    model = load_quality_model(spark, out)
+    probe = spark.createDataFrame(
+        [(1, "the fox and the dog in april"), (2, "click buy casino now")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["model_quality"]
+        for r in score_quality(probe, model).collect()
+    }
+    assert got[1] > got[2]
