@@ -50,13 +50,28 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--mode",
         default="cdc",
-        choices=("cdc", "corpus", "profile", "select", "train-quality"),
+        choices=(
+            "cdc",
+            "corpus",
+            "profile",
+            "select",
+            "train-quality",
+            "chunk",
+        ),
         help="cdc: stream envelopes to a sink; corpus: batch-curate "
         "documents; profile: one-pass per-column table statistics; "
         "select: DSIR importance resampling of --source docs that "
         "resemble the --target exemplar corpus; train-quality: fit "
         "the hashed-feature quality classifier on --source labeled "
-        "docs (text + label columns) and save it to --out",
+        "docs (text + label columns) and save it to --out; chunk: "
+        "split --source docs into sentence-aligned pieces of at most "
+        "--max-tokens tokens",
+    )
+    p.add_argument(
+        "--max-tokens",
+        type=int,
+        default=2048,
+        help="chunk mode: token budget per chunk",
     )
     p.add_argument(
         "--target",
@@ -91,6 +106,24 @@ def main(argv: list[str] | None = None) -> int:
     except ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
         return 2
+
+    if args.mode == "chunk":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.chunking import chunk_documents
+
+        if not args.out:
+            print("--out required for chunk mode", file=sys.stderr)
+            return 2
+        spark = get_spark("chunk-documents")
+        chunks = chunk_documents(
+            spark.read.parquet(args.source), max_tokens=args.max_tokens
+        )
+        chunks.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(
+            f"chunked {args.source} -> {args.out} "
+            f"({n} chunks, budget {args.max_tokens} tokens)"
+        )
+        return 0
 
     if args.mode == "train-quality":
         from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import (

@@ -246,3 +246,26 @@ def test_main_train_quality_mode(spark, tmp_path, capsys):
         for r in score_quality(probe, model).collect()
     }
     assert got[1] > got[2]
+
+
+def test_main_chunk_mode(spark, sf_dir, tmp_path, capsys):
+    out = str(tmp_path / "chunks")
+    rc = main(
+        [
+            "--mode",
+            "chunk",
+            "--source",
+            f"{sf_dir}/documents.parquet",
+            "--max-tokens",
+            "30",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    chunks = spark.read.parquet(out)
+    assert {"doc_id", "chunk_idx", "chunk_text", "n_tokens"} <= set(
+        chunks.columns
+    )
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert chunks.count() >= n_docs  # chunking never loses documents
