@@ -196,7 +196,7 @@ def main() -> None:
     corpus_docs_per_sec = int(n_docs / curate_best) if curate_best else None
 
     # auxiliary operators (round-3 additions outside the oracle
-    # registry): one timed pass each, reported separately so they
+    # registry): timed min-of-2 each, reported separately so they
     # never perturb the headline timings or cross-round deltas
     aux: dict[str, float] = {}
 

@@ -249,19 +249,23 @@ def dedup_survivors(
         ),
         "doc_id",
     )
-    # highest prefer wins, ties break to the LOWEST id: min_by over
-    # (negated numeric prefer, id) — struct comparison is
-    # lexicographic, and keeping the id un-negated makes the
-    # tie-break valid for ANY orderable id type (a negated string id
-    # would cast to NULL and make the winner nondeterministic)
-    winners = members.groupBy("component_id").agg(
-        F.min_by(
-            F.col("doc_id"),
-            F.struct(
-                (-F.col("__pref").cast("double")).alias("__npref"),
-                F.col("doc_id").alias("__id"),
-            ),
-        ).alias("keep_id")
+    # highest prefer wins (the column's NATURAL ordering — numeric,
+    # string, timestamp alike; no cast), NULL prefer always loses,
+    # ties break to the LOWEST id for any orderable id type.  Two
+    # small component-keyed aggregates instead of one min_by with a
+    # negated key: negating the prefer value needs a numeric cast
+    # (ANSI crash / silent NULL on strings) and negating the id
+    # breaks string ids — both measured regressions.  eqNullSafe
+    # keeps the all-NULL-prefer component deterministic (falls back
+    # to min id).
+    best = members.groupBy("component_id").agg(
+        F.max("__pref").alias("__best")
+    )
+    winners = (
+        members.join(best, "component_id")
+        .filter(F.col("__pref").eqNullSafe(F.col("__best")))
+        .groupBy("component_id")
+        .agg(F.min("doc_id").alias("keep_id"))
     )
     losers = members.join(
         winners.select(F.col("keep_id")),

@@ -125,6 +125,14 @@ def fit_importance_model(
     subtraction; nothing here scales with corpus size."""
     t_rows = ngram_bucket_counts(target, text_col, n_buckets).collect()
     r_rows = ngram_bucket_counts(raw, text_col, n_buckets).collect()
+    return _model_from_counts(t_rows, r_rows, n_buckets, alpha)
+
+
+def _model_from_counts(t_rows, r_rows, n_buckets: int, alpha: float) -> QualityModel:
+    """Smoothed log-ratio model from collected (bucket, cnt) rows —
+    the single source of truth for the smoothing/normalization math
+    (shared by :func:`fit_importance_model` and the one-scan
+    :func:`select_like_target` path)."""
     t = np.zeros(n_buckets, dtype=np.float64)
     r = np.zeros(n_buckets, dtype=np.float64)
     for row in t_rows:
@@ -209,16 +217,7 @@ def select_like_target(
             .collect()
         )
         t_counts = ngram_bucket_counts(target, text_col, n_buckets).collect()
-        t = np.zeros(n_buckets, dtype=np.float64)
-        r = np.zeros(n_buckets, dtype=np.float64)
-        for row in t_counts:
-            t[row["bucket"]] = row["cnt"]
-        for row in r_counts:
-            r[row["bucket"]] = row["cnt"]
-        t_tot = t.sum() + alpha * n_buckets
-        r_tot = r.sum() + alpha * n_buckets
-        w = np.log((t + alpha) / t_tot) - np.log((r + alpha) / r_tot)
-        model = QualityModel(weights=w, bias=0.0, n_buckets=n_buckets)
+        model = _model_from_counts(t_counts, r_counts, n_buckets, alpha)
         margin = _margin_udf(model.weights, model.bias)
         weighted = bucketed.withColumn(
             "log_importance", margin(F.col("__buckets"))

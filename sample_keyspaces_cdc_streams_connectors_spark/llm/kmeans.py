@@ -117,17 +117,20 @@ def kmeans_fit(
     below ``tol`` (inertia is computed inside the same aggregation as
     the means, so the stop costs no extra pass).  Pass ``history=[]``
     to observe the per-iteration assignment inertia."""
-    dims = len(
-        vectors.select(F.col(vec_col)).first()[0]
-    )
     # kmeans_seed always returns k seeds (the greedy max-min pick
     # repeats points when the table runs short), so the row-count
     # check must happen HERE — otherwise a small table silently
     # yields a codebook with duplicate centroids and permanently
-    # empty IVF cells
-    n = vectors.count()
+    # empty IVF cells.  limit(k) bounds the validation scan at k
+    # rows (a bare count() would read the whole table), and running
+    # it BEFORE the dims probe gives the empty table the same clean
+    # error instead of a NoneType crash.
+    n = vectors.limit(k).count()
     if n < k:
         raise ValueError(f"need >= {k} vectors, got {n}")
+    dims = len(
+        vectors.select(F.col(vec_col)).first()[0]
+    )
     centroids = kmeans_seed(vectors, k, id_col=id_col, vec_col=vec_col)
 
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))

@@ -211,3 +211,44 @@ def test_prefer_survivor_with_string_ids_ties_deterministic(spark):
     )
     kept2 = dedup_survivors(docs2, pairs, prefer="q")
     assert [r["doc_id"] for r in kept2.collect()] == ["url-b"]
+
+
+def test_prefer_survivor_null_prefer_loses(spark):
+    """A NULL prefer value must never beat a scored doc (a negated
+    NULL sorts first under min_by — the regression this pins)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.components import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, "t", None), (2, "t", 9)],
+        "doc_id long, text string, q int",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    kept = dedup_survivors(docs, pairs, prefer="q")
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    # all-NULL prefer: deterministic fallback to the lowest id
+    docs2 = spark.createDataFrame(
+        [(1, "t", None), (2, "t", None)],
+        "doc_id long, text string, q int",
+    )
+    kept2 = dedup_survivors(docs2, pairs, prefer="q")
+    assert [r["doc_id"] for r in kept2.collect()] == [1]
+
+
+def test_prefer_survivor_string_prefer_natural_order(spark):
+    """prefer columns keep their NATURAL ordering — a string prefer
+    (e.g. an ISO timestamp) must not be cast to double."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.components import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t", "2024-01-01T00:00:00"),
+            (2, "t", "2025-06-15T12:00:00"),
+            (3, "t", "2023-03-03T08:00:00"),
+        ],
+        "doc_id long, text string, crawl_ts string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    kept = dedup_survivors(docs, pairs, prefer="crawl_ts")
+    assert [r["doc_id"] for r in kept.collect()] == [2]  # latest crawl

@@ -192,3 +192,15 @@ def test_fit_rejects_fewer_vectors_than_k(spark):
     )
     with _pytest.raises(ValueError, match="need >= 6"):
         kmeans_fit(small, k=6)
+
+
+def test_fit_rejects_empty_table_cleanly(spark):
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="got 0"):
+        kmeans_fit(empty, k=4)

@@ -267,5 +267,13 @@ def test_main_chunk_mode(spark, sf_dir, tmp_path, capsys):
     assert {"doc_id", "chunk_idx", "chunk_text", "n_tokens"} <= set(
         chunks.columns
     )
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    assert chunks.count() >= n_docs  # chunking never loses documents
+    # every doc with non-blank text yields at least one chunk (blank
+    # docs produce no rows by contract — chunking.py)
+    from pyspark.sql import functions as F
+
+    n_nonblank = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.trim("text") != "")
+        .count()
+    )
+    assert chunks.select("doc_id").distinct().count() == n_nonblank
