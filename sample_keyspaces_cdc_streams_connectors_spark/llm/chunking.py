@@ -86,8 +86,11 @@ def chunk_documents(
         F.sum("__n").cast("bigint").alias("n_tokens"),
     )
     # buckets are monotone but sparse (floor of the running total);
-    # re-index densely per document — same partitioning, no extra
-    # shuffle beyond the grouping's
+    # re-index densely per document.  The window partitions by id_col
+    # while the grouping hash-partitioned by (id_col, __bucket), so
+    # this costs ONE more exchange — but over the chunk rows (output
+    # cardinality), not the sentence rows, so it is the cheapest
+    # frame in the plan to re-shuffle
     dense = (
         F.dense_rank().over(
             Window.partitionBy(id_col).orderBy("__bucket")

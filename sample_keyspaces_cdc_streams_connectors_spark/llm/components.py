@@ -227,12 +227,17 @@ def dedup_survivors(
     extra shuffle.
 
     ``prefer=<column>`` keeps the component member with the HIGHEST
-    value of that column instead (ties break to the lowest id, so the
-    choice stays deterministic) — the production rule when a quality
-    score exists: survivors should be the best representative, not
-    the earliest-crawled.  Costs one ``max_by`` aggregate over
-    component members (map-side combinable) plus the flag join.
-    Documents in no pair survive untouched either way.
+    value of that column instead (the column's natural ordering;
+    NULL always loses; ties — including the all-NULL component —
+    break to the LOWEST id, so the choice stays deterministic) — the
+    production rule when a quality score exists: survivors should be
+    the best representative, not the earliest-crawled.  Costs TWO
+    component-keyed aggregates (``max`` of the prefer value, then an
+    ``eqNullSafe`` filter to the besties and ``min`` of their ids —
+    both map-side combinable) plus the flag join; see the inline
+    comment for why this beats a single ``min_by``/``max_by`` with a
+    composite key.  Documents in no pair survive untouched either
+    way.
     """
     comp = connected_components(pairs, src=src, dst=dst)
     if prefer is None:

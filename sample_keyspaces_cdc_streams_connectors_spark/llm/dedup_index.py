@@ -113,7 +113,15 @@ def dedup_against_index(
     rows by id (AQE-broadcast when the batch is small).  With
     ``keep_key`` the computed ``fp`` column survives — callers that
     go on to ``append_to_dedup_index`` the survivors should keep it
-    to avoid recomputing signatures."""
+    to avoid recomputing signatures.
+
+    PRECONDITION: ``id_col`` should be unique within the batch — this
+    operator suppresses docs already in the STANDING index only;
+    duplicates WITHIN the batch all survive together (within-batch
+    dedup is a separate stage, ``corpus.dedup`` in the pipeline).
+    The survivor-id frame is ``distinct``-ed before the re-join, so a
+    batch that does carry repeated ids keeps each row exactly once
+    rather than multiplying through the join."""
     sub, _ = _check_mode(mode)
     spark = batch.sparkSession
     keyed = _with_key(batch, mode, text_col, shingle_k)
@@ -121,8 +129,10 @@ def dedup_against_index(
         id_col, F.substring("fp", 1, 2).alias("bucket"), "fp"
     )
     index = spark.read.parquet(f"{path}/{sub}")
-    fresh_ids = slim.join(index, ["bucket", "fp"], "left_anti").select(
-        id_col
+    fresh_ids = (
+        slim.join(index, ["bucket", "fp"], "left_anti")
+        .select(id_col)
+        .distinct()
     )
     out = keyed.join(fresh_ids, id_col)
     return out if keep_key else out.drop("fp")

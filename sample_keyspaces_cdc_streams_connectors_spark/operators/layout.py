@@ -108,13 +108,17 @@ def write_zordered(
     """Write ``df`` as parquet clustered on the Z-order curve over
     ``cols``: one shuffle keyed by the Morton super-cell + an
     in-partition sort, laid out as one ``z_cell=K`` partition
-    directory per cell (``n_files`` cells).  Readers see ``z_cell``
-    as a partition column; the pruning payoff needs no predicate on
-    it — every data file's per-column min/max footer spans exactly
-    one cell, so stats-based skipping works on EVERY z-ordered
-    column."""
+    directory per cell.  ``n_files`` is rounded UP to the next power
+    of two (cells are named by the top z bits, so cell counts are
+    binary by construction — 48 requested cells yields 64).  Readers
+    see ``z_cell`` as a partition column; the pruning payoff needs no
+    predicate on it — every data file's per-column min/max footer
+    spans exactly one cell, so stats-based skipping works on EVERY
+    z-ordered column."""
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
     z = zorder_column(df, cols, bits=bits)
-    # Deterministic cell → file assignment: the top-log2(n_files)
+    # Deterministic cell → file assignment: the top-log2(n_cells)
     # z bits name a Morton super-cell, written as a partition
     # directory.  Range-sampling boundaries (repartitionByRange on z)
     # were measured to straddle cells systematically — every
@@ -122,10 +126,11 @@ def write_zordered(
     # admitted width — whereas one-cell-per-file keeps every file's
     # per-column range exactly one cell wide.  Equi-depth buckets
     # make cell populations near-equal, so file sizes balance.
-    cell_shift = max(len(cols) * bits - max(n_files - 1, 1).bit_length(), 0)
+    n_cells = 1 << (n_files - 1).bit_length()  # next power of two
+    cell_shift = max(len(cols) * bits - (n_cells.bit_length() - 1), 0)
     (
         z.withColumn("z_cell", F.shiftright(F.col("__z"), cell_shift))
-        .repartition(n_files, F.col("z_cell"))
+        .repartition(n_cells, F.col("z_cell"))
         .sortWithinPartitions("z_cell", "__z")
         .drop("__z")
         .write.mode("overwrite")

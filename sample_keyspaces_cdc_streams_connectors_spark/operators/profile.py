@@ -91,7 +91,8 @@ def profile_table(
     value double), ordered by (column, metric).
 
     Unsupported types (arrays, structs, binary) get the generic
-    count/null/distinct metrics only."""
+    count/null metrics only (``approx_distinct`` is gated to atomic
+    types)."""
     fields = {f.name: f.dataType for f in df.schema.fields}
     if columns is None:
         columns = list(fields)

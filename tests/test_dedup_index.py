@@ -126,3 +126,24 @@ def test_anti_join_shuffles_keys_only(spark, sf_dir, tmp_path, corpus):
             assert out_line and "text" not in out_line[0], b.splitlines()[0]
     # and the result is correct: none of the sf docs are in the corpus
     assert fresh.count() == docs.count()
+
+
+def test_duplicate_batch_ids_do_not_multiply(spark, corpus, tmp_path):
+    """A batch carrying a repeated id keeps each ROW exactly once:
+    the survivor-id frame is distinct-ed before the re-join, so the
+    join cannot multiply rows (within-batch dedup is a separate
+    stage and is NOT performed here — both copies survive)."""
+    path = str(tmp_path / "idx")
+    build_dedup_index(corpus, path, mode="exact")
+    batch = spark.createDataFrame(
+        [
+            (301, "a brand new document about adaptive query execution"),
+            (301, "a brand new document about adaptive query execution"),
+            (302, "another new one about shuffle partition coalescing"),
+        ],
+        "doc_id long, text string",
+    )
+    fresh = dedup_against_index(batch, path, mode="exact")
+    rows = fresh.collect()
+    assert len(rows) == 3  # no join multiplication (2x2 would give 5)
+    assert sorted(r["doc_id"] for r in rows) == [301, 301, 302]

@@ -127,3 +127,27 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert z_v <= n_files / 2
     # and the two-predicate workload scans fewer files overall
     assert z_u + z_v < s_u + s_v
+
+
+def test_n_files_rounds_up_to_power_of_two(spark, tmp_path):
+    """Cell count is n_files rounded UP to a power of two (cells are
+    named by top z bits); n_files=1 degenerates to a single cell."""
+    # decorrelated dims so every quadrant cell is populated
+    df = spark.range(256).select(
+        F.col("id").alias("a"), ((F.col("id") * 37) % 256).alias("b")
+    )
+    out3 = str(tmp_path / "z3")
+    write_zordered(df, out3, ["a", "b"], n_files=3, bits=4)
+    cells3 = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(out3, "z_cell=*"))
+    }
+    assert len(cells3) == 4  # 3 -> next power of two
+
+    out1 = str(tmp_path / "z1")
+    write_zordered(df, out1, ["a", "b"], n_files=1, bits=4)
+    cells1 = glob.glob(os.path.join(out1, "z_cell=*"))
+    assert len(cells1) == 1
+
+    with pytest.raises(ValueError):
+        write_zordered(df, str(tmp_path / "z0"), ["a", "b"], n_files=0)
