@@ -107,6 +107,21 @@ def _prev_bench() -> tuple[int, dict] | None:
             # the driver wraps bench stdout under "parsed"
             if isinstance(doc.get("parsed"), dict):
                 doc = doc["parsed"]
+            elif "queries" not in doc and isinstance(doc.get("tail"), str):
+                # round-3 artifact: the one-line JSON outran the
+                # driver's tail window (parsed:null) — recover the
+                # per-query times from the truncated tail text
+                # only the region BEFORE delta_vs_prev_sec holds raw
+                # timings (the delta section reuses the same keys)
+                tail = doc["tail"].split('"delta_vs_prev_sec"')[0]
+                q = {
+                    m.group(1): float(m.group(2))
+                    for m in re.finditer(
+                        r'"([a-z0-9_]+)":\s*([0-9.]+)', tail
+                    )
+                    if m.group(1) in HEADLINE
+                }
+                doc = {"queries": q, "value": None}
             best = (n, doc)
     return best
 
@@ -236,6 +251,25 @@ def main() -> None:
             .save(),
         )
         _aux("profile_table", lambda: profile_table(raw_docs).collect())
+        import numpy as np
+
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import (
+            QualityModel,
+            score_quality,
+        )
+
+        qm = QualityModel(
+            weights=np.arange(1 << 16, dtype=np.float64) % 997 / 997.0 - 0.5,
+            bias=0.1,
+            n_buckets=1 << 16,
+        )
+        _aux(
+            "quality_score",
+            lambda: score_quality(docs, qm)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
         _aux(
             "dsir_select",
             lambda: select_like_target(
@@ -271,6 +305,11 @@ def main() -> None:
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
+    # --- emission: the driver parses the TAIL of stdout, and round 3
+    # proved a single fat line outruns its window (BENCH_r03 recorded
+    # parsed:null).  So: the LAST line is the compact headline JSON
+    # (always parseable), and everything bulky (aux timings, deltas)
+    # goes to BENCH_DETAIL.json on disk + an EARLIER stdout line.
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -279,7 +318,14 @@ def main() -> None:
         "sf": sf,
         "cdc_rows_per_sec": cdc_rows_per_sec,
         "corpus_docs_per_sec": corpus_docs_per_sec,
+        # throughputs derive from the min-time over interleaved passes
+        # (same minima methodology as the query suite), N recorded:
+        "cdc_passes": 3 + (1 if timings.get("project_enrich", 0) > 2 else 0),
+        "corpus_passes": 2,
+    }
+    detail = {
         "aux_ops_sec": aux,
+        "aux_passes": 2,
     }
     prev = _prev_bench()
     if prev is not None:
@@ -293,9 +339,13 @@ def main() -> None:
             for name, t in timings.items()
             if name in prev_q
         }
-        out["prev_round"] = n
-        out["prev_total_sec"] = prev_doc.get("value")
-        out["delta_vs_prev_sec"] = deltas
+        detail["prev_round"] = n
+        detail["prev_total_sec"] = prev_doc.get("value")
+        detail["delta_vs_prev_sec"] = deltas
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump({**out, **detail}, fh, indent=1)
+    print(json.dumps(detail))
     print(json.dumps(out))
 
 

@@ -75,15 +75,37 @@ def hashed_features(col: Column, n_buckets: int) -> Column:
 
 
 def _margin_udf(weights: np.ndarray, bias: float):
-    """Arrow-batched margin kernel: per row one vectorized numpy
-    gather+sum over the row's bucket ids."""
+    """Arrow-batched margin kernel, fully vectorized: the batch's
+    ragged bucket arrays flatten into ONE gather + ONE segment-sum
+    (``np.add.reduceat`` over the rows' offsets) — no per-row Python
+    work beyond building the flat view, so the full-corpus scoring
+    pass stays numpy-bound instead of interpreter-bound."""
 
     @F.pandas_udf(DoubleType())
     def margin(feats: pd.Series) -> pd.Series:
-        out = np.full(len(feats), bias, dtype=np.float64)
-        for i, ids in enumerate(feats):
-            if ids is not None and len(ids):
-                out[i] += weights[np.asarray(ids, dtype=np.int64)].sum()
+        vals = feats.values
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in vals),
+            dtype=np.int64,
+            count=len(vals),
+        )
+        out = np.full(len(vals), bias, dtype=np.float64)
+        nonempty = [
+            np.asarray(v, dtype=np.int64)
+            for v in vals
+            if v is not None and len(v)
+        ]
+        if nonempty:
+            flat = (
+                nonempty[0]
+                if len(nonempty) == 1
+                else np.concatenate(nonempty)
+            )
+            gathered = weights[flat]
+            mask = lens > 0
+            starts = np.zeros(int(mask.sum()), dtype=np.int64)
+            np.cumsum(lens[mask][:-1], out=starts[1:])
+            out[mask] += np.add.reduceat(gathered, starts)
         return pd.Series(out)
 
     return margin

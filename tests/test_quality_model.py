@@ -121,3 +121,50 @@ def test_empty_training_set_rejected(spark):
 def test_model_shape_validated():
     with pytest.raises(ValueError):
         QualityModel(weights=np.zeros(3), bias=0.0, n_buckets=4)
+
+
+def test_vectorized_margin_matches_per_row_reference(spark):
+    """The flattened reduceat kernel must equal the naive per-row
+    gather+sum on every edge shape: None arrays, empty arrays,
+    singleton batches, repeated bucket ids."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import _margin_udf
+
+    rng = np.random.default_rng(7)
+    weights = rng.standard_normal(64)
+    bias = 0.25
+    rows = [
+        ([0, 1, 2],),
+        (None,),
+        ([],),
+        ([63],),
+        ([5, 5, 5, 5],),
+        (list(rng.integers(0, 64, size=37)),),
+    ]
+    schema = StructType(
+        [StructField("f", ArrayType(IntegerType()), True)]
+    )
+    df = spark.createDataFrame(
+        [(list(map(int, r[0])) if r[0] is not None else None,) for r in rows],
+        schema,
+    )
+    got = [
+        r["m"]
+        for r in df.select(
+            _margin_udf(weights, bias)(F.col("f")).alias("m")
+        ).collect()
+    ]
+    want = [
+        bias + (sum(weights[i] for i in r[0]) if r[0] else 0.0)
+        for r in rows
+    ]
+    assert np.allclose(got, want)
