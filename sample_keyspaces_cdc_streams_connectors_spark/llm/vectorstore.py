@@ -113,3 +113,90 @@ def vector_records(
             "metadata"
         ),
     )
+
+
+#: public S3 Vectors PutVectors API cap (vectors per request) — the
+#: reference sends one PutVectorsRequest per KCL record batch
+#: (S3VectorTargetMapper.java:169-177), which stays under this only
+#: because KCL batches are small; the Spark sink chunks explicitly
+PUT_VECTORS_MAX = 500
+
+
+def vector_upsert_sink(
+    put_batch_factory,
+    key_field: str,
+    embedding_col: str,
+    metadata_fields: Sequence[str] = (),
+    batch_size: int = PUT_VECTORS_MAX,
+    max_retries: int = 3,
+    registry=None,
+    metrics_name: str = "vectors",
+    retry_kwargs: dict | None = None,
+):
+    """foreachBatch sink: shape rows via :func:`vector_records` and
+    put them executor-side in chunks of ``batch_size``.
+
+    ``put_batch_factory`` is a picklable zero-arg callable returning
+    the put function ``(list[Row(key,data,metadata)]) -> None`` —
+    invoked once per partition on the executor (the reference's
+    lazy-client-singleton, S3VectorTargetMapper.java:183-190).  Each
+    put runs under the Bedrock exponential-backoff policy
+    (VectorHelper.java:61-168): transient markers retry up to
+    ``max_retries`` with jittered backoff; retries are counted with a
+    Spark ACCUMULATOR and folded into the driver-side metrics
+    registry as ``retry.vectorstore`` after the action (executor
+    processes cannot reach the driver registry directly), alongside
+    ``sink.<name>.{batches,failed_batches,vectors_out}``.  A put that
+    exhausts retries fails the task → Spark task retry → failed
+    micro-batch (checkpoint does not advance): the reference's
+    at-least-once contract.
+    """
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming.retry import with_backoff
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from sample_keyspaces_cdc_streams_connectors_spark.metrics import DEFAULT_REGISTRY
+
+        reg = registry or DEFAULT_REGISTRY
+        recs = vector_records(
+            batch_df, key_field, embedding_col, metadata_fields
+        )
+        sc = batch_df.sparkSession.sparkContext
+        acc_retries = sc.accumulator(0)
+        acc_vectors = sc.accumulator(0)
+
+        def put_partition(rows) -> None:
+            put = None
+            pending: list = []
+
+            def flush() -> None:
+                nonlocal put
+                if not pending:
+                    return
+                if put is None:
+                    put = with_backoff(
+                        put_batch_factory(),
+                        max_retries=max_retries,
+                        on_retry=lambda: acc_retries.add(1),
+                        **(retry_kwargs or {}),
+                    )
+                put(list(pending))
+                acc_vectors.add(len(pending))
+                pending.clear()
+
+            for row in rows:
+                pending.append(row)
+                if len(pending) == batch_size:
+                    flush()
+            flush()
+
+        try:
+            recs.foreachPartition(put_partition)
+        except Exception:
+            reg.inc(f"sink.{metrics_name}.failed_batches")
+            reg.inc("retry.vectorstore", acc_retries.value)
+            raise
+        reg.inc(f"sink.{metrics_name}.batches")
+        reg.inc(f"sink.{metrics_name}.vectors_out", acc_vectors.value)
+        reg.inc("retry.vectorstore", acc_retries.value)
+
+    return sink

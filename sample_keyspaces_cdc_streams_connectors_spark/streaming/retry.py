@@ -67,6 +67,20 @@ def backoff_delay(
     return max(0.0, delay + delay * jitter * (u - 0.5))
 
 
+def _default_counter(metric: str, registry=None) -> Callable[[], None]:
+    """Count re-attempts into the metrics registry — the DEFAULT
+    ``on_retry`` hook, so retries surface on ``GET /metrics`` without
+    caller plumbing.  Lazy import (metrics pulls in pyspark.sql;
+    retry itself stays importable without a session)."""
+
+    def count() -> None:
+        from sample_keyspaces_cdc_streams_connectors_spark.metrics import DEFAULT_REGISTRY
+
+        (registry or DEFAULT_REGISTRY).inc(metric)
+
+    return count
+
+
 def with_backoff(
     fn: Callable[..., T],
     max_retries: int = 3,
@@ -74,13 +88,23 @@ def with_backoff(
     sleep: Callable[[float], None] = time.sleep,
     rng: random.Random | None = None,
     on_retry: Callable[[], None] | None = None,
+    metric: str = "retry.backoff",
+    registry=None,
     **delay_kwargs: Any,
 ) -> Callable[..., T]:
     """Wrap ``fn`` with the Bedrock retry loop: up to ``max_retries``
     re-attempts, backoff between them, non-retryable errors and
     exhaustion re-raise the last exception (VectorHelper:114-169).
-    ``on_retry`` fires once per RE-attempt (metrics hook — e.g.
-    ``lambda: registry.inc("retry.vectorstore")``)."""
+    ``on_retry`` fires once per RE-attempt; by DEFAULT it increments
+    ``metric`` in ``registry`` (falling back to the process
+    :data:`~sample_keyspaces_cdc_streams_connectors_spark.metrics.DEFAULT_REGISTRY`), so every
+    engine retry shows up on ``GET /metrics`` with no caller
+    plumbing.  Pass an explicit ``on_retry`` to override (it
+    replaces, not augments, the default counter)."""
+
+    notify = on_retry if on_retry is not None else _default_counter(
+        metric, registry
+    )
 
     def call(*args: Any, **kwargs: Any) -> T:
         last: Exception | None = None
@@ -90,8 +114,7 @@ def with_backoff(
             except Exception as e:  # noqa: BLE001
                 last = e
                 if attempt < max_retries and retryable(e):
-                    if on_retry is not None:
-                        on_retry()
+                    notify()
                     sleep(backoff_delay(attempt, rng=rng, **delay_kwargs))
                 else:
                     break
@@ -108,10 +131,16 @@ def with_linear_retry(
     step_s: float = 0.010,
     sleep: Callable[[float], None] = time.sleep,
     on_retry: Callable[[], None] | None = None,
+    metric: str = "retry.linear",
+    registry=None,
 ) -> Callable[..., T]:
     """MV-sink policy: retry everything, sleep(step*attempt) between
     attempts (KeyspacesViewTargetMapper.java:136-149).  ``on_retry``
-    fires once per re-attempt (metrics hook)."""
+    fires once per re-attempt; defaults to counting ``metric`` in the
+    metrics registry (same contract as :func:`with_backoff`)."""
+    notify = on_retry if on_retry is not None else _default_counter(
+        metric, registry
+    )
 
     def call(*args: Any, **kwargs: Any) -> T:
         last: Exception | None = None
@@ -121,8 +150,7 @@ def with_linear_retry(
             except Exception as e:  # noqa: BLE001
                 last = e
                 if attempt < max_retries:
-                    if on_retry is not None:
-                        on_retry()
+                    notify()
                     sleep(step_s * attempt)
         raise RuntimeError(f"failed after {max_retries} attempts") from last
 

@@ -341,12 +341,23 @@ def _mv_read_manifest(view_dir: str) -> dict[str, str]:
         return json.load(fh)
 
 
+def _mv_write_version(latest: DataFrame, new_dir: str) -> None:
+    """One version-directory write (module-level so tests can inject
+    transient failures around the retried unit).  ``overwrite`` makes
+    a retried half-written attempt idempotent."""
+    latest.withColumn("__pb", F.col("__bucket")).write.mode(
+        "overwrite"
+    ).partitionBy("__pb").parquet(new_dir)
+
+
 def materialized_view_sink(
     view_dir: str,
     pk: Sequence[str],
     fields: Sequence[str],
     seq_col: str = "metadata.stream_sequence_number",
     n_buckets: int = 64,
+    max_retries: int = 3,
+    registry=None,
 ) -> Callable[[DataFrame, int], None]:
     """Keyspaces materialized-view sink analog
     (KeyspacesViewTargetMapper.java:81-154): maintains a parquet table
@@ -366,6 +377,12 @@ def materialized_view_sink(
     winners (idempotent under at-least-once redelivery).  Deletes stay
     as tombstones in the stored state so replays cannot resurrect
     deleted keys; readers filter them.
+
+    The version write retries under the reference's linear MV policy
+    (``sleep(10ms * attempt)`` up to ``max_retries``,
+    KeyspacesViewTargetMapper.java:136-149); each re-attempt
+    increments ``retry.mv_sink`` in ``registry`` (default: the
+    process metrics registry → visible on ``GET /metrics``).
     """
     from sample_keyspaces_cdc_streams_connectors_spark.operators.mv import mv_apply
 
@@ -410,10 +427,18 @@ def materialized_view_sink(
         new_dir = os.path.join(view_dir, f"v{batch_id:06d}")
         # __pb duplicates __bucket as a partition column: the layout is
         # one subdir per bucket, while __bucket survives as data so
-        # later leaf-dir reads don't lose it
-        latest.withColumn("__pb", F.col("__bucket")).write.mode(
-            "overwrite"
-        ).partitionBy("__pb").parquet(new_dir)
+        # later leaf-dir reads don't lose it.  The write runs under
+        # the reference's linear MV retry policy
+        # (KeyspacesViewTargetMapper.java:136-149); retries count into
+        # the metrics registry as ``retry.mv_sink`` by default
+        from sample_keyspaces_cdc_streams_connectors_spark.streaming.retry import with_linear_retry
+
+        with_linear_retry(
+            lambda: _mv_write_version(latest, new_dir),
+            max_retries=max_retries,
+            metric="retry.mv_sink",
+            registry=registry,
+        )()
 
         new_manifest = dict(manifest)
         for b in touched:

@@ -193,3 +193,156 @@ def test_metrics_endpoint_absent_without_registry():
         assert exc.value.code == 404
     finally:
         server.stop()
+
+
+def test_retry_counts_default_to_registry(monkeypatch):
+    """No caller plumbing: a with_backoff/with_linear_retry wrapper
+    built WITHOUT on_retry counts re-attempts into DEFAULT_REGISTRY
+    (overridable per call via registry=/metric=)."""
+    from sample_keyspaces_cdc_streams_connectors_spark import metrics as m
+
+    reg = MetricsRegistry()
+    monkeypatch.setattr(m, "DEFAULT_REGISTRY", reg)
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("ThrottlingException")
+        return "ok"
+
+    assert with_backoff(flaky, sleep=lambda s: None)() == "ok"
+    assert reg.get("retry.backoff") == 2
+
+    calls.clear()
+    assert with_linear_retry(flaky, sleep=lambda s: None)() == "ok"
+    assert reg.get("retry.linear") == 2
+
+    # explicit registry + metric override
+    reg2 = MetricsRegistry()
+    calls.clear()
+    with_backoff(
+        flaky, sleep=lambda s: None, metric="retry.custom", registry=reg2
+    )()
+    assert reg2.get("retry.custom") == 2
+    assert reg.get("retry.custom") == 0
+
+
+def test_mv_sink_retries_surface_in_metrics(
+    spark, envelopes, tmp_path, monkeypatch
+):
+    """An injected transient write failure inside the MV sink is
+    retried under the linear policy and counted as retry.mv_sink —
+    and the view still converges to the correct contents."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.mv import mv_apply
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming import sinks
+
+    env = envelopes.limit(100)
+    src = str(tmp_path / "src")
+    env.repartition(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    reg = MetricsRegistry()
+    real = sinks._mv_write_version
+    fails = {"n": 2}
+
+    def flaky(latest, new_dir):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise RuntimeError("ServiceUnavailableException (injected)")
+        real(latest, new_dir)
+
+    monkeypatch.setattr(sinks, "_mv_write_version", flaky)
+
+    view_dir = str(tmp_path / "view")
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            sinks.materialized_view_sink(
+                view_dir,
+                pk=["user_id"],
+                fields=["event_type", "value"],
+                registry=reg,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert reg.get("retry.mv_sink") == 2
+    got = {
+        r.user_id: (r.event_type, r.value)
+        for r in sinks.read_materialized_view(spark, view_dir).collect()
+    }
+    expect = {
+        r.user_id: (r.event_type, r.value)
+        for r in mv_apply(
+            spark.read.parquet(src),
+            pk=["user_id"],
+            fields=["event_type", "value"],
+        ).collect()
+    }
+    assert got == expect and expect
+
+
+def _put_factory(out_dir):
+    """Picklable factory closure (cloudpickle serializes nested
+    functions by value): first call per partition raises a transient
+    marker, later calls record batch lengths to a temp dir."""
+
+    def make():
+        state = {"failed": False}
+
+        def put(batch):
+            import os
+            import uuid
+
+            if not state["failed"]:
+                state["failed"] = True
+                raise RuntimeError("ThrottlingException: injected")
+            with open(
+                os.path.join(out_dir, uuid.uuid4().hex), "w"
+            ) as fh:
+                fh.write(str(len(batch)))
+
+        return put
+
+    return make
+
+
+def test_vector_upsert_sink_counts_retries_and_vectors(spark, tmp_path):
+    """Executor-side put retries ride an accumulator into the
+    driver-side registry: one throttle per partition -> retry count =
+    n_partitions, all vectors delivered."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.vectorstore import vector_upsert_sink
+
+    out = tmp_path / "puts"
+    out.mkdir()
+    reg = MetricsRegistry()
+    df = (
+        spark.range(40)
+        .selectExpr(
+            "cast(id as string) as key",
+            "array(cast(id as float), 1.0f) as emb",
+        )
+        .repartition(2)
+    )
+    sink = vector_upsert_sink(
+        _put_factory(str(out)),
+        key_field="key",
+        embedding_col="emb",
+        batch_size=7,
+        registry=reg,
+        retry_kwargs={"base": 0.001, "cap": 0.002},
+    )
+    sink(df, 0)
+    assert reg.get("retry.vectorstore") == 2  # one throttle per partition
+    assert reg.get("sink.vectors.batches") == 1
+    assert reg.get("sink.vectors.vectors_out") == 40
+    delivered = sum(
+        int(p.read_text()) for p in out.iterdir()
+    )
+    assert delivered == 40
