@@ -161,30 +161,70 @@ def importance_log_weights(
     )
 
 
+#: above this k the exact heap path stops being the right physical
+#: plan (TakeOrderedAndProject keeps a k-row heap per task and ships
+#: n_tasks*k rows to one place) and selection switches to the
+#: approx-quantile threshold prefilter
+EXACT_TOP_K_LIMIT = 100_000
+
+
 def gumbel_resample_top_k(
     df: DataFrame,
     k: int,
     weight_col: str = "log_importance",
     id_col: str = "doc_id",
     salt: str = "dsir",
+    exact_limit: int = EXACT_TOP_K_LIMIT,
 ) -> DataFrame:
     """Sample ``k`` documents without replacement ∝ exp(weight) via
     the Gumbel-top-k trick, with hash-derived noise: the Gumbel
     variate is ``-log(-log(u))`` for ``u = (md5(salt,id) % M + 0.5)/M``
     — a pure function of (salt, id), so the draw is reproducible and
-    partition-invariant.  Executes as a per-partition top-k heap
-    (``TakeOrderedAndProject``), never a global sort."""
+    partition-invariant.
+
+    ``k <= exact_limit``: a per-partition top-k heap
+    (``TakeOrderedAndProject``), never a global sort.
+
+    ``k > exact_limit``: per-task k-row heaps funneling to the driver
+    stop scaling, so the selection becomes threshold-based — ONE
+    ``approxQuantile`` on the perturbed key at probability
+    ``1 - k/n - 2*err`` (err = k/2n) gives a cutoff guaranteed (by
+    the quantile-sketch rank bound) to admit at least k and at most
+    ~2.5k candidates; the exact top-k heap then runs over only those
+    candidates.  Output is IDENTICAL to the exact path
+    (equivalence-tested) — the threshold is a prefilter, not an
+    approximation of the result."""
     u = (
         md5_int(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
         % _GUMBEL_MOD
         + F.lit(0.5)
     ) / _GUMBEL_MOD
     gumbel = -F.log(-F.log(u))
+    keyed = df.withColumn("__key", F.col(weight_col) + gumbel)
+    if k > exact_limit:
+        n = keyed.count()
+        if k < n:
+            err = max(k / (2.0 * n), 1e-6)
+            p_lo = max(0.0, 1.0 - k / n - 2.0 * err)
+            [cut] = keyed.approxQuantile("__key", [p_lo], err)
+            keyed = keyed.filter(F.col("__key") >= cut)
     return (
-        df.withColumn("__key", F.col(weight_col) + gumbel)
-        .orderBy(F.desc("__key"), F.asc(id_col))
+        keyed.orderBy(F.desc("__key"), F.asc(id_col))
         .limit(k)
         .drop("__key")
+    )
+
+
+def _staged_buckets(
+    raw: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """The frame :func:`select_like_target` persists: ONLY
+    ``(id_col, __buckets)`` — the text column (and every other corpus
+    column) must NOT ride the cache, or the one-scan property costs a
+    corpus-sized text copy in storage (plan-pinned in
+    tests/test_importance.py)."""
+    return with_ngram_buckets(raw, text_col, n_buckets).select(
+        id_col, "__buckets"
     )
 
 
@@ -197,18 +237,25 @@ def select_like_target(
     n_buckets: int = 1 << 18,
     alpha: float = 1.0,
     salt: str = "dsir",
+    exact_limit: int = EXACT_TOP_K_LIMIT,
 ) -> DataFrame:
     """End-to-end DSIR: fit the ratio model, weight raw docs, Gumbel
     top-k resample.  Returns the selected rows with their
     ``log_importance`` attached.
 
-    The RAW corpus is scanned ONCE: its bucket arrays are staged and
-    cached, the profile counts and the weighting pass both read the
-    cache, and the k-row selection materializes eagerly
-    (``localCheckpoint``) so the cache can be released before
-    returning — at 100 TB the second full-corpus
-    tokenize-and-hash pass this removes is the dominant cost."""
-    bucketed = with_ngram_buckets(raw, text_col, n_buckets).persist()
+    The RAW corpus is scanned ONCE for features: only
+    ``(id, bucket-array)`` is staged and cached (text never enters
+    storage), the profile counts and the weighting pass both read
+    that slim cache, and the selected ids join back to the full rows
+    by id — the winners frame is k rows, so AQE broadcasts the join
+    at typical k and the corpus side stays map-only.  The selection
+    materializes eagerly (``localCheckpoint``) so the cache can be
+    released before returning — at 100 TB the second full-corpus
+    tokenize-and-hash pass this removes is the dominant cost, and
+    the slim cache is ~10x smaller than caching the corpus rows.
+    ``k > exact_limit`` switches the selection to the approx-quantile
+    threshold path (see :func:`gumbel_resample_top_k`)."""
+    bucketed = _staged_buckets(raw, text_col, id_col, n_buckets).persist()
     try:
         r_counts = (
             bucketed.select(F.explode("__buckets").alias("bucket"))
@@ -219,11 +266,20 @@ def select_like_target(
         t_counts = ngram_bucket_counts(target, text_col, n_buckets).collect()
         model = _model_from_counts(t_counts, r_counts, n_buckets, alpha)
         margin = _margin_udf(model.weights, model.bias)
-        weighted = bucketed.withColumn(
-            "log_importance", margin(F.col("__buckets"))
-        ).drop("__buckets")
-        return gumbel_resample_top_k(
-            weighted, k, id_col=id_col, salt=salt
-        ).localCheckpoint(eager=True)
+        weighted = bucketed.select(
+            id_col, margin(F.col("__buckets")).alias("log_importance")
+        )
+        winners = gumbel_resample_top_k(
+            weighted,
+            k,
+            id_col=id_col,
+            salt=salt,
+            exact_limit=exact_limit,
+        )
+        return (
+            raw.join(winners, id_col)
+            .select(*raw.columns, "log_importance")
+            .localCheckpoint(eager=True)
+        )
     finally:
         bucketed.unpersist()

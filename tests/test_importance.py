@@ -128,3 +128,42 @@ def test_weight_plan_is_map_only(spark, sf_dir, raw, target):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_staged_cache_carries_no_text(spark, raw):
+    """The frame select_like_target persists is exactly
+    (id, __buckets) — the corpus text must never enter storage."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.importance import _staged_buckets
+
+    staged = _staged_buckets(raw, "text", "doc_id", 1 << 14)
+    assert staged.columns == ["doc_id", "__buckets"]
+    # and the full pipeline releases the staged cache: the only NEW
+    # persisted RDD after the call is the k-row localCheckpoint of
+    # the RESULT (module fixtures keep their own caches)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    select_like_target(raw, raw.limit(2), k=3, n_buckets=1 << 14).count()
+    assert jsc.getPersistentRDDs().size() <= before + 1
+
+
+def test_threshold_selection_equals_exact_top_k(raw, target):
+    """exact_limit=0 forces the approx-quantile threshold path; the
+    selected set must be IDENTICAL to the per-partition heap path
+    (the threshold is a prefilter, not an approximation)."""
+    exact = select_like_target(raw, target, k=4, n_buckets=1 << 14)
+    thresh = select_like_target(
+        raw, target, k=4, n_buckets=1 << 14, exact_limit=0
+    )
+    e = {r["doc_id"] for r in exact.select("doc_id").collect()}
+    t = {r["doc_id"] for r in thresh.select("doc_id").collect()}
+    assert e == t and len(e) == 4
+    # schema contract unchanged: raw columns + log_importance
+    assert thresh.columns == raw.columns + ["log_importance"]
+
+
+def test_threshold_path_k_exceeding_n(raw, target):
+    n = raw.count()
+    got = select_like_target(
+        raw, target, k=n + 5, n_buckets=1 << 14, exact_limit=0
+    )
+    assert got.count() == n
