@@ -35,6 +35,8 @@ contaminated-id table against the corpus.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,7 +47,14 @@ from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
 
-__all__ = ["contamination_flags", "decontaminate", "eval_gram_hashes"]
+__all__ = [
+    "contamination_flags",
+    "contamination_flags_map_only",
+    "decontaminate",
+    "decontaminate_map_only",
+    "eval_gram_hashes",
+    "eval_gram_table",
+]
 
 
 def _gram_hashes(text_col: Column, k: int) -> Column:
@@ -119,5 +128,114 @@ def decontaminate(
         k=k,
         min_collisions=min_collisions,
         id_col=id_col,
+    )
+    return flagged.filter(~F.col("contaminated")).select(*docs.columns)
+
+
+def eval_gram_table(
+    eval_docs: DataFrame, text_col: str = "text", k: int = 8
+):
+    """Collect the eval corpus' distinct k-gram hashes into a SORTED
+    int64 array and broadcast it — the build side for the map-only
+    probe (:func:`contamination_flags_map_only`).
+
+    Eval sets are thousands of documents (module docstring), so the
+    collected array is megabytes: the same broadcast-sized-by-
+    construction argument as the k-means codebook.  Build ONCE per
+    query (this runs a small Spark job), reuse across micro-batches.
+    """
+    vals = [
+        r["gram"]
+        for r in eval_gram_hashes(
+            eval_docs, text_col=text_col, k=k
+        ).collect()
+    ]
+    arr = np.sort(np.asarray(vals, dtype=np.int64))
+    return eval_docs.sparkSession.sparkContext.broadcast(arr)
+
+
+def contamination_flags_map_only(
+    docs: DataFrame,
+    gram_table,
+    text_col: str = "text",
+    k: int = 8,
+    min_collisions: int = 1,
+) -> DataFrame:
+    """STATELESS variant of :func:`contamination_flags`: the per-doc
+    collision count comes from ONE Arrow-batched membership probe
+    against the broadcast sorted eval-gram array — no explode, no
+    aggregation, no join, so it applies unchanged to a streaming
+    DataFrame in append mode (the batch operator's
+    groupBy-per-doc-count is a stateful aggregation under Structured
+    Streaming).
+
+    IDENTICAL decisions to the join formulation: both sides hash with
+    the same normalize/tokenize/shingle/md5 stack, both count
+    DISTINCT doc grams present in the eval set (equivalence pinned in
+    tests).  Kernel shape mirrors the margin kernel: flatten the
+    batch's ragged gram arrays, one vectorized ``searchsorted``
+    membership test, one ``np.add.reduceat`` segment sum.
+
+    ``gram_table`` is the broadcast from :func:`eval_gram_table`.
+    At 100 TB this is the cheapest possible shape — map-only over the
+    corpus, zero shuffle — at the price of holding the eval grams in
+    executor memory (fine for eval-scale tables; use the join variant
+    if the "eval" side is itself corpus-sized)."""
+
+    @F.pandas_udf("long")
+    def n_collisions(gram_arrays: pd.Series) -> pd.Series:
+        table = gram_table.value
+        vals = gram_arrays.values
+        out = np.zeros(len(vals), dtype=np.int64)
+        if table.size:
+            lens = np.fromiter(
+                (0 if v is None else len(v) for v in vals),
+                dtype=np.int64,
+                count=len(vals),
+            )
+            nonempty = [
+                np.asarray(v, dtype=np.int64)
+                for v in vals
+                if v is not None and len(v)
+            ]
+            if nonempty:
+                flat = (
+                    nonempty[0]
+                    if len(nonempty) == 1
+                    else np.concatenate(nonempty)
+                )
+                idx = np.searchsorted(table, flat)
+                idx_c = np.minimum(idx, table.size - 1)
+                hits = (table[idx_c] == flat).astype(np.int64)
+                mask = lens > 0
+                starts = np.zeros(int(mask.sum()), dtype=np.int64)
+                np.cumsum(lens[mask][:-1], out=starts[1:])
+                out[mask] = np.add.reduceat(hits, starts)
+        return pd.Series(out)
+
+    counts = n_collisions(_gram_hashes(F.col(text_col), k))
+    return docs.withColumn(
+        "n_eval_collisions", counts
+    ).withColumn(
+        "contaminated",
+        F.col("n_eval_collisions") >= F.lit(min_collisions),
+    )
+
+
+def decontaminate_map_only(
+    docs: DataFrame,
+    gram_table,
+    text_col: str = "text",
+    k: int = 8,
+    min_collisions: int = 1,
+) -> DataFrame:
+    """Drop contaminated rows with the stateless probe — the
+    stream-safe analog of :func:`decontaminate` (schema preserved)."""
+    flagged = contamination_flags_map_only(
+        docs,
+        gram_table,
+        text_col=text_col,
+        k=k,
+        min_collisions=min_collisions,
     )
     return flagged.filter(~F.col("contaminated")).select(*docs.columns)

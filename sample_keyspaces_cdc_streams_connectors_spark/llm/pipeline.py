@@ -349,18 +349,21 @@ def build_streaming_curation(
     needed; unlike the batch path it anti-joins full rows directly
     (micro-batches are small; the batch path's id-rejoin trick exists
     to keep text out of corpus-sized shuffles).
+    ``decontaminate-path`` is stream-safe too: the eval-gram table
+    collects ONCE at query-definition time into a broadcast sorted
+    array and each row's collision count is a map-only Arrow
+    membership probe (``llm.decontaminate.decontaminate_map_only``)
+    — decision-identical to the batch join formulation.
 
     Batch-only keys raise ``ConfigError``: within-batch ``dedup``
     modes (global aggregation state — use
     ``streaming.dedup.streaming_near_dedup`` with a watermark for the
-    streaming analog), ``decontaminate-path`` (explode+aggregate
-    probe), and ``observe`` (batch Observation semantics).
+    streaming analog) and ``observe`` (batch Observation semantics).
     """
     from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
 
     unsupported = {
         "dedup": (cfg.get(f"{_P}.dedup", "none") or "none").lower() != "none",
-        "decontaminate-path": bool(cfg.get(f"{_P}.decontaminate-path", None)),
         "observe": cfg.get_bool(f"{_P}.observe", default=False),
     }
     bad = sorted(k for k, v in unsupported.items() if v)
@@ -378,6 +381,11 @@ def build_streaming_curation(
     quality_model_path = cfg.get(f"{_P}.quality-model-path", None)
     quality_model_min = cfg.get_int(
         f"{_P}.quality-model-min-permille", default=500
+    )
+    decontaminate_path = cfg.get(f"{_P}.decontaminate-path", None)
+    decontaminate_k = cfg.get_int(f"{_P}.decontaminate-k", default=8)
+    decontaminate_min = cfg.get_int(
+        f"{_P}.decontaminate-min-collisions", default=1
     )
     dedup_index_path = cfg.get(f"{_P}.dedup-index-path", None)
     dedup_index_mode = (
@@ -411,6 +419,23 @@ def build_streaming_curation(
             qm = load_quality_model(out.sparkSession, quality_model_path)
             out = score_quality(out, qm, text_col=text_col).filter(
                 F.col("model_quality") >= quality_model_min / 1000.0
+            )
+        if decontaminate_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import (
+                decontaminate_map_only,
+                eval_gram_table,
+            )
+
+            eval_docs = out.sparkSession.read.parquet(decontaminate_path)
+            grams = eval_gram_table(
+                eval_docs, text_col=text_col, k=decontaminate_k
+            )
+            out = decontaminate_map_only(
+                out,
+                grams,
+                text_col=text_col,
+                k=decontaminate_k,
+                min_collisions=decontaminate_min,
             )
         if dedup_index_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import _check_mode, _with_key

@@ -437,12 +437,19 @@ def test_streaming_curation_matches_batch(spark, docs, tmp_path):
     standing = docs.orderBy("doc_id").limit(5)
     idx = str(tmp_path / "idx")
     build_dedup_index(standing, idx, mode="exact")
+    # an eval set overlapping part of the corpus, so the streaming
+    # decontamination stage actually has docs to drop
+    eval_path = str(tmp_path / "eval")
+    docs.orderBy(F.desc("doc_id")).limit(3).select("doc_id", "text").write.parquet(
+        eval_path
+    )
     conf = {
         "keyspaces-cdc-streams": {
             "corpus": {
                 "languages": "en",
                 "repetition-filter": "true",
                 "dedup-index-path": idx,
+                "decontaminate-path": eval_path,
             }
         }
     }

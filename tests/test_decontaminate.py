@@ -90,3 +90,38 @@ def test_plan_shape_broadcast_probe_no_corpus_shuffle_before_join(spark):
     assert "Generate explode" in plan
     # (the final flag join's strategy is AQE's runtime choice — the
     # counts side is contamination-sized and broadcasts in practice)
+
+
+def test_map_only_probe_matches_join_formulation(spark):
+    """The stateless broadcast-membership probe must make IDENTICAL
+    decisions (and counts) to the join formulation — including docs
+    with zero grams and an empty eval table."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import (
+        contamination_flags_map_only,
+        decontaminate_map_only,
+        eval_gram_table,
+    )
+
+    corpus = _corpus(spark).union(
+        spark.createDataFrame([(5, ""), (6, "short")], "doc_id long, text string")
+    )
+    table = eval_gram_table(_eval(spark), k=8)
+    joined = {
+        r.doc_id: (r.n_eval_collisions, r.contaminated)
+        for r in contamination_flags(corpus, _eval(spark), k=8).collect()
+    }
+    mapped = {
+        r.doc_id: (r.n_eval_collisions, r.contaminated)
+        for r in contamination_flags_map_only(corpus, table, k=8).collect()
+    }
+    assert mapped == joined
+
+    clean = decontaminate_map_only(corpus, table, k=8)
+    assert clean.columns == corpus.columns
+    assert {r.doc_id for r in clean.collect()} == {
+        d for d, (_, c) in joined.items() if not c
+    }
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    empty_table = eval_gram_table(empty, k=8)
+    assert decontaminate_map_only(corpus, empty_table, k=8).count() == corpus.count()
