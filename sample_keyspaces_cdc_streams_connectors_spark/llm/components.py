@@ -125,12 +125,20 @@ def _star_components(edges: DataFrame, max_iter: int) -> DataFrame:
     )
 
 
+#: label mode routes a node's whole neighborhood into one task when
+#: it joins labels on the hub's key — above this max-degree the auto
+#: mode switches to star contraction, whose first large-star round
+#: collapses hub degree (adversarial-safe by construction)
+SKEW_DEGREE_THRESHOLD = 1_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
-    algorithm: str = "label",
+    algorithm: str = "auto",
+    skew_threshold: int = SKEW_DEGREE_THRESHOLD,
 ) -> DataFrame:
     """Resolve ``(src, dst)`` duplicate pairs into components.
 
@@ -140,13 +148,19 @@ def connected_components(
     key.  Raises ``RuntimeError`` if ``max_iter`` iterations did not
     reach the fixpoint.
 
-    ``algorithm="label"`` (default) is min-label propagation — one
-    shuffle per round, rounds ~= component diameter: the right choice
-    for dedup graphs (cliques/stars, diameter 1-3).
-    ``algorithm="star"`` is the alternating large-star/small-star
-    contraction (Kiveris et al., SoCC'14) — two shuffles per round
-    but O(log^2 n) rounds on ANY topology: the choice when the pair
-    graph's diameter is unknown or adversarial (long chains).  Both
+    ``algorithm="label"`` is min-label propagation — one shuffle per
+    round, rounds ~= component diameter: the right choice for dedup
+    graphs (cliques/stars, diameter 1-3) WITHOUT extreme hubs (its
+    per-round ``sym.join(labels)`` lands a node's entire neighborhood
+    in one task).  ``algorithm="star"`` is the alternating
+    large-star/small-star contraction (Kiveris et al., SoCC'14) — two
+    shuffles per round but O(log^2 n) rounds on ANY topology, and the
+    first large-star round collapses hub neighborhoods: the choice
+    when the diameter is unknown/adversarial or the degree
+    distribution is heavy.  ``algorithm="auto"`` (default) probes the
+    max degree with one count aggregate over the checkpointed edge
+    list (map-side combined — bounded by node count, not edge count)
+    and picks star when it exceeds ``skew_threshold``.  All modes
     return identical output (equivalence-tested vs union-find).
     """
     if algorithm == "star":
@@ -155,8 +169,10 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
         )
         return _star_components(edges0, max_iter)
-    if algorithm != "label":
-        raise ValueError(f"algorithm must be label|star, got {algorithm!r}")
+    if algorithm not in ("label", "auto"):
+        raise ValueError(
+            f"algorithm must be auto|label|star, got {algorithm!r}"
+        )
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -166,6 +182,18 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+
+    if algorithm == "auto":
+        max_deg = (
+            sym.groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .agg(F.max("d").alias("m"))
+            .first()["m"]
+        )
+        if max_deg is not None and max_deg > skew_threshold:
+            # sym is already deduplicated per direction; star's own
+            # orient+distinct canonicalizes it
+            return _star_components(sym, max_iter)
 
     # label(v) starts as min(v, min neighbor)
     labels = (

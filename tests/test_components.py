@@ -252,3 +252,38 @@ def test_prefer_survivor_string_prefer_natural_order(spark):
     )
     kept = dedup_survivors(docs, pairs, prefer="crawl_ts")
     assert [r["doc_id"] for r in kept.collect()] == [2]  # latest crawl
+
+
+def test_auto_routes_hot_hub_to_star(spark, monkeypatch):
+    """A hub whose degree exceeds the skew threshold makes auto mode
+    take the star path (whose first large-star round collapses the
+    hub), with identical components either way."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import components as C
+
+    # star topology: node 0 paired with 1..60, plus a disjoint pair
+    pairs = [(0, i) for i in range(1, 61)] + [(1000, 1001)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    star_calls = []
+    real_star = C._star_components
+
+    def spy(edges, max_iter):
+        star_calls.append(1)
+        return real_star(edges, max_iter)
+
+    monkeypatch.setattr(C, "_star_components", spy)
+
+    low = {
+        (r.doc_id, r.component_id)
+        for r in C.connected_components(df, skew_threshold=8).collect()
+    }
+    assert star_calls  # hub degree 60 > 8 -> star path taken
+
+    star_calls.clear()
+    high = {
+        (r.doc_id, r.component_id)
+        for r in C.connected_components(df, skew_threshold=10_000).collect()
+    }
+    assert not star_calls  # below threshold -> label path
+    assert low == high
+    assert {c for _, c in low} == {0, 1000}
