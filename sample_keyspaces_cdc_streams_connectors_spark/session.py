@@ -54,6 +54,75 @@ def tune(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSes
     return spark
 
 
+#: below this estimated input-dataset size, adaptive query execution
+#: is a net LOSS: AQE materializes every Exchange as a separate query
+#: stage (a scheduling barrier + re-optimization round-trip), which
+#: costs 0.1-1s per exchange while its benefits (runtime join
+#: re-planning, partition coalescing, skew splitting) only pay off
+#: when shuffles are large.  Measured at sf0.1 (local[32]): the
+#: 40-query headline suite runs ~15% faster non-adaptively, with
+#: multi-exchange pipelines (ngram dedup 3.0->1.7s, embedding dedup
+#: 2.4->1.6s) the biggest winners.  Overridable via
+#: $SPARK_GRAFT_SMALL_PLAN_BYTES (0 disables the policy entirely).
+SMALL_PLAN_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SMALL_PLAN_BYTES", str(2 << 30))
+)
+
+#: parent-session id -> non-adaptive child session (one per parent)
+_SMALL_PLAN_SESSIONS: dict[int, SparkSession] = {}
+
+
+def small_plan_session(spark: SparkSession) -> SparkSession:
+    """A child session (same SparkContext, shared cache manager and
+    catalog) whose SQL conf CLONES the parent's runtime conf but
+    disables adaptive execution — the planning context for
+    small-input queries (see :data:`SMALL_PLAN_MAX_BYTES`).
+
+    Memoized per parent session: repeated calls return the same
+    child, so plans built through it share exchange reuse and the
+    session never accretes.  DataFrames from the child execute under
+    the child's conf at action time; they can join other frames from
+    the SAME child (which is why the policy scopes per dataset
+    directory, not per table — see ``sources.tables``)."""
+    key = id(spark)
+    child = _SMALL_PLAN_SESSIONS.get(key)
+    if child is not None:
+        return child
+    child = spark.newSession()
+    # newSession starts from the context's INITIAL conf — re-apply the
+    # parent's runtime SQL conf so the only divergence is adaptivity
+    try:
+        it = spark._jsparkSession.sessionState().conf().getAllConfs().iterator()
+        while it.hasNext():
+            e = it.next()
+            try:
+                child.conf.set(e._1(), e._2())
+            except Exception:
+                pass  # non-settable / static conf
+    except Exception:
+        tune(child)  # fall back to the engine's standard conf set
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    _SMALL_PLAN_SESSIONS[key] = child
+    return child
+
+
+def planning_session(
+    spark: SparkSession, est_input_bytes: int | None
+) -> SparkSession:
+    """Session to PLAN a query against an input of the given estimated
+    size: the non-adaptive child below :data:`SMALL_PLAN_MAX_BYTES`,
+    the (adaptive) parent above it or when the size is unknown —
+    unknown inputs are presumed large, so the 100 TB posture is the
+    default."""
+    if (
+        est_input_bytes is not None
+        and SMALL_PLAN_MAX_BYTES > 0
+        and est_input_bytes < SMALL_PLAN_MAX_BYTES
+    ):
+        return small_plan_session(spark)
+    return spark
+
+
 def get_spark(app_name: str = "keyspaces-cdc-spark") -> SparkSession:
     """Build (or reuse) a local session sized from $SPARK_GRAFT_CPUS."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

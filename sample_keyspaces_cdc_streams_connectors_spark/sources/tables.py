@@ -29,10 +29,42 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: sf_dir -> total on-disk bytes (None = not statable, e.g. s3a://)
+_DIR_BYTES: dict[str, int | None] = {}
+
+
+def _dataset_bytes(sf_dir: str) -> int | None:
+    """Total parquet footprint of the dataset directory — the size
+    estimate behind the small-input planning policy.  Only local
+    paths are statted (cheaply); object-store URIs return None and
+    keep the adaptive (at-scale) session."""
+    if sf_dir not in _DIR_BYTES:
+        total: int | None = None
+        if os.path.isdir(sf_dir):
+            total = 0
+            for root, _dirs, files in os.walk(sf_dir):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        _DIR_BYTES[sf_dir] = total
+    return _DIR_BYTES[sf_dir]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Size-estimated planning policy: datasets under
+    # session.SMALL_PLAN_MAX_BYTES plan in the non-adaptive child
+    # session (AQE's per-exchange stage barriers dominate at small
+    # input sizes); larger or unstatable datasets keep the adaptive
+    # parent.  The decision keys on the DATASET directory, not the
+    # table, so every frame of one dataset shares a session and joins
+    # compose.
+    from sample_keyspaces_cdc_streams_connectors_spark.session import planning_session
+
+    spark = planning_session(spark, _dataset_bytes(sf_dir))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":

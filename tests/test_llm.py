@@ -212,7 +212,9 @@ def test_ngram_prefix_filter_equivalent(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     plain = {
         (r.doc_a, r.doc_b, r.jaccard)
-        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, prefix_filter=False
+        ).collect()
     }
     pref = {
         (r.doc_a, r.doc_b, r.jaccard)
@@ -223,6 +225,49 @@ def test_ngram_prefix_filter_equivalent(spark):
     release_ngram_cache()
     assert plain  # non-degenerate fixture: pairs exist
     assert pref == plain
+
+
+def _ngram_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_ngram_auto_mode_flips_on_size_estimate(spark):
+    """prefix_filter=None picks the plan from Catalyst's size
+    estimate: small inputs plan the plain inverted index, inputs at/
+    above auto_prefix_bytes plan the SSJoin prefix shape (pinned via
+    the prefix-slice expression, which only that mode emits) — the
+    100 TB default needs no caller flag."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        release_ngram_cache,
+    )
+
+    # parquet-backed input: Catalyst reports a REAL size estimate
+    # (local relations report unknown=Long.Max and are presumed large)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # the prefix index is the only place slicing the (df,shingle)-
+    # sorted struct list — "slice(transform(__rs" pins that shape
+    # (a bare "slice(" also matches the bigram tokenizer)
+    marker = "slice(transform(__rs"
+    small = ngram_jaccard_pairs(docs, threshold=0.5)  # auto -> plain
+    big = ngram_jaccard_pairs(
+        docs, threshold=0.5, auto_prefix_bytes=0
+    )  # auto -> prefix (everything >= 0 bytes)
+    local = ngram_jaccard_pairs(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        ),
+        threshold=0.5,
+    )  # unknown stats -> presumed large -> prefix
+    try:
+        assert marker not in _ngram_plan(small)
+        assert marker in _ngram_plan(big)
+        assert marker in _ngram_plan(local)
+    finally:
+        release_ngram_cache()
 
 
 def test_embedding_near_dup_big_mode_equivalent_and_keys_only(spark):
