@@ -1,0 +1,273 @@
+"""Distributed Avro CONTAINER writes — no spark-avro module needed.
+
+The reference's default S3 object format is Avro
+(S3TargetMapper.java:70-76); its converter serializes each record
+with the Avro Java library (AbstractAvroConverter.java:146-270).
+This container lacks the external spark-avro DataSource (vendoring
+probe: no network), so this module implements the small, stable
+subset of the `Avro 1.11 spec <https://avro.apache.org/docs/1.11.1/
+specification/>`_ the engine's inferred schemas actually use — flat
+records of primitives and ``["null", primitive]`` unions — and
+writes real ``.avro`` object-container files from EXECUTORS
+(``foreachPartition``, one file per task per partition-dir), so the
+write distributes exactly like the parquet path.
+
+Everything here is validated against the Avro JAVA implementation on
+Spark's classpath (tests read the files back through
+``DataFileReader`` + ``SpecificDatumReader``): the header layout
+(magic ``Obj\\x01``, metadata map with ``avro.schema``/``avro.codec``,
+16-byte sync marker), zig-zag varint longs, little-endian
+float/double, length-prefixed UTF-8/bytes, and per-block
+count+size+payload+sync framing are byte-compatible.
+
+Scale notes: encoding is per-row Python in the sink task — the same
+role (and cost center) as the reference's per-record
+``GenericRecord`` construction; rows never funnel through the
+driver, files are append-only with task-unique names (idempotent
+under at-least-once redelivery, like the sequence-ranged S3 object
+names), and a partition's rows stream through constant memory
+(blocks flush every ``block_records``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro import infer_avro_schema
+
+MAGIC = b"Obj\x01"
+
+__all__ = ["encode_record", "write_container", "write_avro_dir"]
+
+
+def _zigzag_long(n: int) -> bytes:
+    """Avro long: zig-zag then base-128 varint, little-endian groups."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_bytes(b: bytes) -> bytes:
+    return _zigzag_long(len(b)) + b
+
+
+def _encode_str(s: str) -> bytes:
+    return _encode_bytes(s.encode("utf-8"))
+
+
+def _base_type(schema) -> str:
+    """Primitive name of a non-union schema fragment (logical types
+    ride their base primitive)."""
+    if isinstance(schema, dict):
+        return schema["type"]
+    return schema
+
+
+def _encode_primitive(value, schema) -> bytes:
+    t = _base_type(schema)
+    if t == "string":
+        return _encode_str(value)
+    if t in ("int", "long"):
+        return _zigzag_long(int(value))
+    if t == "double":
+        return struct.pack("<d", float(value))
+    if t == "float":
+        return struct.pack("<f", float(value))
+    if t == "boolean":
+        return b"\x01" if value else b"\x00"
+    if t == "bytes":
+        return _encode_bytes(bytes(value))
+    if t == "null":
+        return b""
+    raise ValueError(f"unsupported Avro type: {schema!r}")
+
+
+def _encode_field(value, schema) -> bytes:
+    if isinstance(schema, list):  # union: zig-zag branch index + value
+        if value is None:
+            idx = schema.index("null")
+            return _zigzag_long(idx)
+        idx, branch = next(
+            (i, s) for i, s in enumerate(schema) if s != "null"
+        )
+        return _zigzag_long(idx) + _encode_primitive(value, branch)
+    if value is None:
+        raise ValueError(f"null value for non-null Avro field {schema!r}")
+    return _encode_primitive(value, schema)
+
+
+def encode_record(row, field_schemas: list[tuple[int, object]]) -> bytes:
+    """One record body: fields in schema order, no per-record framing
+    (the container's block does the framing).  ``field_schemas`` is
+    [(row_index, schema_fragment), ...] prepared once per file."""
+    return b"".join(
+        _encode_field(row[i], schema) for i, schema in field_schemas
+    )
+
+
+def _header(schema: dict, sync: bytes) -> bytes:
+    """Container header: magic, metadata map (one block, then the
+    zero terminator), sync marker."""
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": b"null",
+    }
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    buf.write(_zigzag_long(len(meta)))
+    for k, v in meta.items():
+        buf.write(_encode_str(k))
+        buf.write(_encode_bytes(v))
+    buf.write(_zigzag_long(0))
+    buf.write(sync)
+    return buf.getvalue()
+
+
+def write_container(
+    path: str,
+    schema: dict,
+    rows: Iterable,
+    field_indexes: list[int] | None = None,
+    block_records: int = 1000,
+) -> int:
+    """Write ``rows`` (Row/tuple-likes, positionally aligned with
+    ``schema['fields']`` or remapped via ``field_indexes``) as one
+    Avro object-container file.  Returns the record count."""
+    fields = schema["fields"]
+    idx = field_indexes or list(range(len(fields)))
+    field_schemas = [(i, f["type"]) for i, f in zip(idx, fields)]
+    sync = uuid.uuid4().bytes
+    n_total = 0
+    with open(path, "wb") as fh:
+        fh.write(_header(schema, sync))
+        block: list[bytes] = []
+
+        def flush() -> None:
+            nonlocal n_total
+            if not block:
+                return
+            payload = b"".join(block)
+            fh.write(_zigzag_long(len(block)))
+            fh.write(_zigzag_long(len(payload)))
+            fh.write(payload)
+            fh.write(sync)
+            n_total += len(block)
+            block.clear()
+
+        for row in rows:
+            block.append(encode_record(row, field_schemas))
+            if len(block) >= block_records:
+                flush()
+        flush()
+    return n_total
+
+
+#: characters Hive/Spark escape in partition directory names
+#: (ExternalCatalogUtils.charToEscape) — matching the parquet/json
+#: writers' layout exactly, so readers treat both alike
+_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {
+    chr(i) for i in range(0x20)
+}
+
+
+def _escape_part(value) -> str:
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(value)
+    return "".join(
+        f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c for c in s
+    )
+
+
+def write_avro_dir(
+    df: DataFrame,
+    out_dir: str,
+    partition_col: str | None = None,
+    block_records: int = 1000,
+) -> None:
+    """Distributed ``.avro`` write: each task writes one container
+    file per (task, partition-value) under
+    ``out_dir[/<partition_col>=<value>]/part-<task>-<uuid>.avro``.
+
+    Mirrors the parquet writer's append layout — unique file names
+    make redelivered micro-batches add files, never corrupt them.
+    The Avro schema is inferred from ``df`` minus the partition
+    column (``streaming.avro.infer_avro_schema`` — the reference's
+    nullable-union inference).  Requires a task-visible filesystem
+    path (local/NFS/fuse mount), like every local-dir transport in
+    the engine; object-store writes go through the reference's SDK
+    client seam instead."""
+    data_cols = [c for c in df.columns if c != partition_col]
+    schema = infer_avro_schema(df.select(*data_cols))
+    all_cols = list(df.columns)
+    data_idx = [all_cols.index(c) for c in data_cols]
+    part_idx = all_cols.index(partition_col) if partition_col else None
+
+    def write_partition(rows: Iterator) -> None:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        task = tc.partitionId() if tc is not None else 0
+        tag = uuid.uuid4().hex[:12]
+        field_schemas = [
+            (i, f["type"]) for i, f in zip(data_idx, schema["fields"])
+        ]
+        sinks: dict[object, tuple] = {}
+        try:
+            for row in rows:
+                key = row[part_idx] if part_idx is not None else None
+                sink = sinks.get(key)
+                if sink is None:
+                    subdir = (
+                        os.path.join(
+                            out_dir,
+                            f"{partition_col}={_escape_part(key)}",
+                        )
+                        if part_idx is not None
+                        else out_dir
+                    )
+                    os.makedirs(subdir, exist_ok=True)
+                    path = os.path.join(
+                        subdir, f"part-{task:05d}-{tag}.avro"
+                    )
+                    fh = open(path, "wb")
+                    sync = uuid.uuid4().bytes
+                    fh.write(_header(schema, sync))
+                    sink = (fh, sync, [])
+                    sinks[key] = sink
+                fh, sync, block = sink
+                block.append(encode_record(row, field_schemas))
+                if len(block) >= block_records:
+                    _flush_block(fh, sync, block)
+            for fh, sync, block in sinks.values():
+                _flush_block(fh, sync, block)
+        finally:
+            for fh, _sync, _block in sinks.values():
+                fh.close()
+
+    df.foreachPartition(write_partition)
+
+
+def _flush_block(fh, sync: bytes, block: list[bytes]) -> None:
+    if not block:
+        return
+    payload = b"".join(block)
+    fh.write(_zigzag_long(len(block)))
+    fh.write(_zigzag_long(len(payload)))
+    fh.write(payload)
+    fh.write(sync)
+    block.clear()

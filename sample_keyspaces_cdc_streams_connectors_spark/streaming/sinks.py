@@ -73,9 +73,14 @@ def object_store_sink(
 ) -> Callable[[DataFrame, int], None]:
     """S3-object-sink analog (S3TargetMapper.java:70-179): files under
     a time-partitioned path, format ``json`` | ``avro`` | ``parquet``
-    (the reference default is avro, S3TargetMapper.java:70-76; when the
-    external spark-avro module is absent, avro falls back to parquet —
-    the same self-describing-container role).
+    (the reference default is avro, S3TargetMapper.java:70-76).
+
+    ``avro`` writes REAL ``.avro`` object-container files either way:
+    through the external spark-avro DataSource when present, else
+    through the engine's executor-side container writer
+    (:mod:`.avro_io` — validated byte-compatible with the Avro Java
+    reader), so the reference's default format no longer degrades to
+    parquet when the module is absent.
 
     Uses the distributed writer (no driver collect): partition path
     columns + ``partitionBy`` give `prefix/YYYY/MM/...` layout; file
@@ -86,7 +91,7 @@ def object_store_sink(
         if output_format == "avro":
             # reference Avro value semantics (decimal-as-string,
             # date-as-int, timestamp-as-millis) apply regardless of
-            # whether the avro container or the parquet fallback writes
+            # which container writer runs
             from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro import to_avro_compatible
 
             batch_df = to_avro_compatible(batch_df)
@@ -94,15 +99,23 @@ def object_store_sink(
         with_part = batch_df.withColumn(
             "__part", time_partition(ts, granularity)
         )
-        writer = with_part.write.mode("append").partitionBy("__part")
         if output_format == "json":
-            writer.json(out_dir)
-        elif output_format == "avro" and _avro_available(
-            batch_df.sparkSession
-        ):
-            writer.format("avro").save(out_dir)
+            with_part.write.mode("append").partitionBy("__part").json(
+                out_dir
+            )
+        elif output_format == "avro":
+            if _avro_available(batch_df.sparkSession):
+                with_part.write.mode("append").partitionBy(
+                    "__part"
+                ).format("avro").save(out_dir)
+            else:
+                from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro_io import write_avro_dir
+
+                write_avro_dir(with_part, out_dir, partition_col="__part")
         else:
-            writer.parquet(out_dir)
+            with_part.write.mode("append").partitionBy("__part").parquet(
+                out_dir
+            )
 
     return sink
 

@@ -118,10 +118,13 @@ def test_avro_default_is_one_record_per_message(spark, envelopes):
     assert n_msgs >= (n + 9) // 10 and n_msgs < n
 
 
-def test_object_store_avro_fallback_applies_semantics(spark, envelopes, tmp_path):
-    """output_format='avro' without spark-avro still lands the Avro
-    value semantics in the fallback files: decimals stringified,
-    timestamps as epoch-millis longs."""
+def test_object_store_avro_applies_semantics_and_layout(
+    spark, envelopes, tmp_path
+):
+    """output_format='avro' without spark-avro lands REAL .avro
+    container files (engine writer, streaming/avro_io.py) in the same
+    url-encoded time-partition layout as the json/parquet writers —
+    byte-level value checks live in tests/test_avro_io.py."""
     from sample_keyspaces_cdc_streams_connectors_spark.operators import shape_output
     from sample_keyspaces_cdc_streams_connectors_spark.streaming.sinks import object_store_sink
 
@@ -130,11 +133,11 @@ def test_object_store_avro_fallback_applies_semantics(spark, envelopes, tmp_path
         "price", F.lit("3.14").cast("decimal(10,2)")
     )
     object_store_sink(out, granularity="hours", output_format="avro")(batch, 0)
-    files = glob.glob(f"{out}/__part=*/*.parquet")
-    assert files
-    back = spark.read.parquet(*files)
-    assert dict(back.dtypes)["price"] == "string"
-    assert back.filter(F.col("price") != "3.14").count() == 0
+    files = glob.glob(f"{out}/__part=*/*.avro")
+    assert files and not glob.glob(f"{out}/__part=*/**/*.parquet")
+    # layout parity: partition value is YYYY/MM/DD/HH with %2F slashes
+    sample = glob.glob(f"{out}/__part=*")[0].rsplit("__part=", 1)[1]
+    assert len(sample.replace("%2F", "/").split("/")) == 4
 
 
 def test_avro_datasource_probe_documented(spark, envelopes, tmp_path):
