@@ -31,6 +31,7 @@ HEADLINE = [
     "project_enrich",        # full CDC shape pipeline
     "scan_cast_project",
     "scan_csv_roundtrip",
+    "scan_avro_roundtrip",
     "join_inner",
     "join_left",
     "asof_join_purchase",

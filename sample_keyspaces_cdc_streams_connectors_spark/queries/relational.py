@@ -142,6 +142,61 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_avro_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS total_value,
+           MIN(epoch_ms(ts)) AS first_ms,
+           MAX(epoch_ms(ts)) AS last_ms
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container source round-trip: events → reference value
+    conversions (timestamp → epoch-millis long, the Avro mapping) →
+    REAL ``.avro`` object-container files written from executors →
+    distributed binaryFile+decode scan → aggregate.  Exercises the
+    engine's dependency-free Avro writer AND reader
+    (streaming/avro_io.py, byte-validated against the Avro Java
+    implementation); the oracle aggregates the ORIGINAL parquet, so
+    any loss in the encode/decode cycle fails the hash check.
+
+    Reference analog: Avro is the S3 connector's default object
+    format (S3TargetMapper.java:70-76, AbstractAvroConverter.java)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro import to_avro_compatible
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro_io import (
+        read_avro_dir,
+        write_avro_dir,
+    )
+
+    ev = to_avro_compatible(load_table(spark, sf_dir, "events"))
+    tag = hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    tmp = os.path.join(tempfile.gettempdir(), f"engine_avro_src_{tag}")
+    # deterministic per (sf, application): write once, reuse within
+    # the session — the measured operator is the avro scan
+    if not os.path.isdir(tmp) or not any(
+        f.endswith(".avro") for f in os.listdir(tmp)
+    ):
+        write_avro_dir(ev, tmp)
+    back = read_avro_dir(spark, tmp)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        _dbl(F.sum(_dec("value"))).alias("total_value"),
+        F.min("ts").alias("first_ms"),
+        F.max("ts").alias("last_ms"),
+    )
+
+
 # --- joins -----------------------------------------------------------------
 
 

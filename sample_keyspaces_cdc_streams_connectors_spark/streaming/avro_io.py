@@ -44,7 +44,13 @@ from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro import infer_a
 
 MAGIC = b"Obj\x01"
 
-__all__ = ["encode_record", "write_container", "write_avro_dir"]
+__all__ = [
+    "decode_container",
+    "encode_record",
+    "read_avro_dir",
+    "write_avro_dir",
+    "write_container",
+]
 
 
 def _zigzag_long(n: int) -> bytes:
@@ -271,3 +277,193 @@ def _flush_block(fh, sync: bytes, block: list[bytes]) -> None:
     fh.write(payload)
     fh.write(sync)
     block.clear()
+
+
+# --------------------------------------------------------------------------
+# Distributed reads: .avro container files -> DataFrame, no spark-avro.
+# Files load as whole objects through Spark's binaryFile source (one
+# task per file group) and decode executor-side with the pure-Python
+# mirror of the encoder above — the standard pattern for a format
+# Spark lacks a native reader for, and the right granularity because
+# Avro containers are not splittable mid-block without an index.
+# --------------------------------------------------------------------------
+
+
+class _Decoder:
+    """Cursor over one container file's bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.data)
+
+    def long(self) -> int:
+        shift = acc = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)  # un-zigzag
+
+    def raw(self, n: int) -> bytes:
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def bytes_(self) -> bytes:
+        return self.raw(self.long())
+
+    def value(self, schema):
+        if isinstance(schema, list):  # union
+            return self.value(schema[self.long()])
+        t = _base_type(schema)
+        if t == "string":
+            return self.bytes_().decode("utf-8")
+        if t in ("int", "long"):
+            return self.long()
+        if t == "double":
+            return struct.unpack("<d", self.raw(8))[0]
+        if t == "float":
+            return struct.unpack("<f", self.raw(4))[0]
+        if t == "boolean":
+            return self.raw(1) == b"\x01"
+        if t == "bytes":
+            return self.bytes_()
+        if t == "null":
+            return None
+        raise ValueError(f"unsupported Avro type: {schema!r}")
+
+
+def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
+    """Parse one object-container file → (schema dict, record tuples).
+    Supports the ``null`` and ``deflate`` codecs."""
+    import zlib
+
+    d = _Decoder(data)
+    if d.raw(4) != MAGIC:
+        raise ValueError("not an Avro object container (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = d.long()
+        if n == 0:
+            break
+        for _ in range(abs(n)):  # negative counts carry a block size
+            if n < 0:
+                d.long()
+            k = d.bytes_().decode("utf-8")
+            meta[k] = d.bytes_()
+    sync = d.raw(16)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec: {codec}")
+    field_schemas = [f["type"] for f in schema["fields"]]
+    rows: list[tuple] = []
+    while not d.eof():
+        count = d.long()
+        size = d.long()
+        payload = d.raw(size)
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        block = _Decoder(payload)
+        for _ in range(count):
+            rows.append(tuple(block.value(s) for s in field_schemas))
+        if d.raw(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+    return schema, rows
+
+
+def _spark_type(schema) -> str:
+    """Avro schema fragment → Spark SQL type string (inverse of the
+    inference map; logical date stays int, as to_avro_compatible
+    already lowered dates)."""
+    if isinstance(schema, list):
+        branch = next(s for s in schema if s != "null")
+        return _spark_type(branch)
+    t = _base_type(schema)
+    return {
+        "string": "string",
+        "int": "int",
+        "long": "bigint",
+        "float": "float",
+        "double": "double",
+        "boolean": "boolean",
+        "bytes": "binary",
+    }[t]
+
+
+def read_avro_dir(
+    spark,
+    path: str,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Distributed ``.avro`` scan: container files load through the
+    ``binaryFile`` source (so globbing, FS abstraction, and task
+    scheduling are Spark's) and decode executor-side in one Arrow
+    pass.  The record schema comes from ONE file's header read
+    driver-side; all files must share it (the engine's writers
+    guarantee that per directory).  With ``partition_col`` the
+    Hive-style directory values come back as a string column, like
+    the parquet reader's partition discovery."""
+    import urllib.parse
+
+    import pandas as pd
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    first = bf.select("content").head()
+    if first is None:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    schema, _ = decode_container(bytes(first["content"]))
+    names = [f["name"] for f in schema["fields"]]
+    out_fields = [
+        f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]
+    ]
+    if partition_col:
+        out_fields.append(f"`{partition_col}` string")
+    out_schema = ", ".join(out_fields)
+    marker = f"{partition_col}=" if partition_col else None
+
+    def decode_files(batches):
+        for pdf in batches:
+            out: dict[str, list] = {n: [] for n in names}
+            parts: list = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                fschema, rows = decode_container(bytes(content))
+                fnames = [f["name"] for f in fschema["fields"]]
+                if fnames != names:
+                    raise ValueError(
+                        f"schema drift in {fpath}: {fnames} != {names}"
+                    )
+                for row in rows:
+                    for n, v in zip(names, row):
+                        out[n].append(v)
+                if marker:
+                    seg = next(
+                        s
+                        for s in fpath.split("/")
+                        if s.startswith(marker)
+                    )
+                    raw = seg[len(marker):]
+                    val = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(raw)
+                    )
+                    parts.extend([val] * len(rows))
+            if marker:
+                out[partition_col] = parts
+            yield pd.DataFrame(out, columns=names + ([partition_col] if marker else []))
+
+    return bf.select("path", "content").mapInPandas(
+        decode_files, schema=out_schema
+    )
