@@ -34,12 +34,22 @@ _MERGEABLE = {
 }
 
 
-def add_salt(df: DataFrame, n_salts: int, col_name: str = "__salt") -> DataFrame:
-    """Deterministic row salt 0..n_salts-1 (hash of the whole row's
-    partition id + monotonic id is non-deterministic under retry;
-    a content hash is replay-stable)."""
+def add_salt(
+    df: DataFrame,
+    n_salts: int,
+    col_name: str = "__salt",
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Deterministic row salt 0..n_salts-1 (partition id + monotonic
+    id is non-deterministic under retry; a content hash is
+    replay-stable).  ``cols`` bounds the hash input — hashing the
+    WHOLE row forces the scan to read every column, destroying column
+    pruning (a 16-column lineitem scan for a 2-column aggregate);
+    pass the columns the query consumes and pruning survives.  Any
+    deterministic per-row value salts correctly — uniformity only
+    needs the hashed tuple to vary across the hot key's rows."""
     salt = F.pmod(
-        F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+        F.hash(*[F.col(c) for c in (cols or df.columns)]), F.lit(n_salts)
     ).cast("int")
     return df.withColumn(col_name, salt)
 
@@ -60,20 +70,22 @@ def salted_agg(
     keys: Sequence[str],
     aggs: dict[str, tuple[str, Column]],
     n_salts: int = 8,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase salted aggregation.
 
     ``aggs`` maps output column -> (agg_name, input Column) with
     agg_name in {sum, count, min, max}.  The hot key's phase-1 load
     spreads across ``n_salts`` reducers; phase 2 merges ~n_salts rows
-    per key.
+    per key.  Pass ``salt_cols`` (the columns the query actually
+    consumes) to keep column pruning alive — see :func:`add_salt`.
     """
     for name, (kind, _) in aggs.items():
         if kind not in _MERGEABLE:
             raise ValueError(
                 f"{name}: {kind!r} is not mergeable; use {sorted(_MERGEABLE)}"
             )
-    salted = add_salt(df, n_salts)
+    salted = add_salt(df, n_salts, cols=salt_cols)
     phase1 = salted.groupBy(*keys, "__salt").agg(
         *[
             _MERGEABLE[kind][0](col).alias(name)

@@ -729,6 +729,7 @@ def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n": ("count", F.lit(1)),
         },
         n_salts=8,
+        salt_cols=["l_suppkey", "l_quantity"],
     ).select(
         "l_suppkey",
         _dbl(F.col("sum_qty")).alias("sum_qty"),
