@@ -60,6 +60,7 @@ HEADLINE = [
     "vector_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "embed_dims",
     "multimodal_geom",
     "multimodal_frames",

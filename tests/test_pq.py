@@ -1,0 +1,122 @@
+"""Product quantization (llm/pq.py): encode/ADC exactness on
+codebook-aligned data, recall with re-rank, determinism, and shape
+validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import (
+    PQModel,
+    encode_pq,
+    pq_topk,
+    pq_topk_rerank,
+    train_pq,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import brute_force_topk
+
+DIMS, M, KSUB = 16, 4, 4
+
+
+def _model(seed: int = 3) -> PQModel:
+    rng = np.random.default_rng(seed)
+    return PQModel(
+        codebooks=rng.standard_normal((M, KSUB, DIMS // M)), dims=DIMS
+    )
+
+
+def _df_from(spark, mat: np.ndarray):
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_model_validation():
+    with pytest.raises(ValueError):
+        PQModel(codebooks=np.zeros((4, 4, 3)), dims=16)  # 4*3 != 16
+    with pytest.raises(ValueError):
+        PQModel(codebooks=np.zeros((2, 300, 8)), dims=16)  # ksub > 256
+
+
+def test_adc_exact_on_codebook_aligned_vectors(spark):
+    """Vectors assembled FROM the codebooks reconstruct losslessly, so
+    ADC distance equals true squared L2 and PQ top-k equals exact
+    top-k (float32 storage keeps the small integer grid exact)."""
+    model = PQModel(
+        codebooks=np.arange(M * KSUB * (DIMS // M), dtype=np.float64).reshape(
+            M, KSUB, DIMS // M
+        )
+        % 7,
+        dims=DIMS,
+    )
+    rng = np.random.default_rng(0)
+    choices = rng.integers(0, KSUB, size=(40, M))
+    mat = np.concatenate(
+        [model.codebooks[s][choices[:, s]] for s in range(M)], axis=1
+    )
+    df = _df_from(spark, mat)
+    coded = encode_pq(df, model)
+    got = {
+        r.vec_id: bytes(r.pq_code) for r in coded.collect()
+    }
+    for i in range(40):
+        assert got[i] == choices[i].astype(np.uint8).tobytes()
+
+    q = mat[7]
+    top = pq_topk(coded, model, q, k=5).collect()
+    true_d = ((mat - q) ** 2).sum(1)
+    order = sorted(range(40), key=lambda i: (true_d[i], i))[:5]
+    assert [r.vec_id for r in top] == order
+    for r in top:
+        assert r.adc_dist == pytest.approx(true_d[r.vec_id], abs=1e-9)
+
+
+def test_train_encode_search_recall_with_rerank(spark):
+    """On clustered unit-norm data, ADC-prefilter + exact re-rank
+    reproduces the exact cosine top-k bit-identically once the
+    candidate set covers it (here: candidates = the whole table via
+    the min_candidates floor — the declared-query posture)."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((5, DIMS))
+    mat = np.vstack([
+        c + 0.05 * rng.standard_normal((30, DIMS)) for c in centers
+    ])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    df = _df_from(spark, mat).cache()
+    model = train_pq(df, m=M, ksub=8, n_iter=4)
+    assert model.codebooks.shape == (M, 8, DIMS // M)
+
+    q = [float(x) for x in mat[3]]
+    exact = [(r.vec_id, round(r.sim, 8)) for r in brute_force_topk(df, q, k=10).collect()]
+    got = [
+        (r.vec_id, round(r.sim, 8))
+        for r in pq_topk_rerank(df, model, q, k=10, min_candidates=1000).collect()
+    ]
+    assert got == exact
+
+    # tight candidate budget: recall@10 against exact top-10 stays high
+    approx = {
+        r.vec_id
+        for r in pq_topk_rerank(
+            df, model, q, k=10, refine=3, min_candidates=0
+        ).collect()
+    }
+    assert len(approx & {v for v, _ in exact}) >= 8
+
+    # determinism: training twice yields identical codebooks
+    model2 = train_pq(df, m=M, ksub=8, n_iter=4)
+    assert np.array_equal(model.codebooks, model2.codebooks)
+    df.unpersist()
+
+
+def test_encode_is_map_only(spark):
+    """The encode plan has no Exchange — codes are a pure projection."""
+    rng = np.random.default_rng(2)
+    df = _df_from(spark, rng.standard_normal((20, DIMS)))
+    coded = encode_pq(df, _model())
+    plan = coded._sc._jvm.PythonSQLUtils.explainString(
+        coded._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # Arrow-batched, not row-at-a-time
