@@ -50,7 +50,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, DoubleType
 
-__all__ = ["PQModel", "train_pq", "encode_pq", "pq_topk", "pq_topk_rerank"]
+__all__ = [
+    "PQModel",
+    "train_pq",
+    "encode_pq",
+    "pq_topk",
+    "pq_topk_rerank",
+    "save_pq_model",
+    "load_pq_model",
+]
 
 
 @dataclass(frozen=True)
@@ -268,3 +276,41 @@ def pq_topk_rerank(
     return brute_force_topk(
         candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col
     )
+
+
+def save_pq_model(spark, model: PQModel, path: str) -> None:
+    """Persist as a parquet of (subspace, centroid, component, value)
+    rows plus a one-row meta file — written THROUGH Spark (same
+    portable layout contract as ``save_quality_model``), so encode
+    jobs on other sessions/clusters can load it from any
+    Hadoop-visible filesystem."""
+    import json as _json
+
+    rows = [
+        (s, c, d, float(model.codebooks[s, c, d]))
+        for s in range(model.m)
+        for c in range(model.ksub)
+        for d in range(model.dsub)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, centroid int, component int, value double"
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    meta = _json.dumps(
+        {"m": model.m, "ksub": model.ksub, "dsub": model.dsub, "dims": model.dims}
+    )
+    spark.createDataFrame([(meta,)], "meta string").repartition(
+        1
+    ).write.mode("overwrite").text(f"{path}/meta")
+
+
+def load_pq_model(spark, path: str) -> PQModel:
+    import json as _json
+
+    meta = _json.loads(spark.read.text(f"{path}/meta").collect()[0]["value"])
+    books = np.zeros(
+        (int(meta["m"]), int(meta["ksub"]), int(meta["dsub"])),
+        dtype=np.float64,
+    )
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        books[r["subspace"], r["centroid"], r["component"]] = r["value"]
+    return PQModel(codebooks=books, dims=int(meta["dims"]))

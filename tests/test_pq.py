@@ -120,3 +120,14 @@ def test_encode_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan  # Arrow-batched, not row-at-a-time
+
+
+def test_pq_model_save_load_roundtrip(spark, tmp_path):
+    model = _model(seed=9)
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import load_pq_model, save_pq_model
+
+    path = str(tmp_path / "pq")
+    save_pq_model(spark, model, path)
+    back = load_pq_model(spark, path)
+    assert back.dims == model.dims
+    assert np.array_equal(back.codebooks, model.codebooks)
