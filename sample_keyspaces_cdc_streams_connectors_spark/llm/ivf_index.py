@@ -164,3 +164,106 @@ def append_to_ivf_index(
         vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"
     )
     labeled.write.mode("append").partitionBy("cell").parquet(path)
+
+
+PQ_MODEL_FILE = "_pq_model.json"
+
+
+def write_ivf_pq_index(
+    vectors: DataFrame,
+    path: str,
+    k: int = 16,
+    n_iter: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-PQ layout (the FAISS IVFPQ architecture, Jégou et al.
+    TPAMI'11): cells partition the FILES, PQ codes compress the
+    SCAN.  Each row stores its raw vector AND its m-byte code in the
+    same cell-partitioned parquet — columnar storage makes that free:
+    the ADC pass projects only ``(id, pq_code)`` (column pruning) over
+    only the probed cells (partition pruning), and the raw vectors
+    are fetched just for the re-ranked candidate ids.  Codes encode
+    the RAW vectors, not residuals — simpler, and the exact re-rank
+    step absorbs the recall difference (documented divergence from
+    FAISS's residual default).
+
+    Returns ``(centroids, PQModel)``; both persist alongside the data
+    through the Hadoop FS (object-store safe)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import encode_pq, train_pq
+
+    centroids = kmeans_fit(
+        vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    model = train_pq(
+        vectors, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    labeled = kmeans_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"
+    )
+    coded = encode_pq(labeled, model, vec_col=vec_col)
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    spark = vectors.sparkSession
+    _write_text(spark, _codebook_path(path), json.dumps(centroids))
+    _write_text(
+        spark,
+        f"{path.rstrip('/')}/{PQ_MODEL_FILE}",
+        json.dumps(
+            {"dims": model.dims, "codebooks": model.codebooks.tolist()}
+        ),
+    )
+    return centroids, model
+
+
+def load_pq_model_json(path: str, spark: SparkSession | None = None):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import PQModel
+
+    import numpy as np
+
+    spark = spark or SparkSession.getActiveSession()
+    raw = (
+        _read_text(spark, f"{path.rstrip('/')}/{PQ_MODEL_FILE}")
+        if spark is not None
+        else open(f"{path.rstrip('/')}/{PQ_MODEL_FILE}", encoding="utf-8").read()
+    )
+    doc = json.loads(raw)
+    return PQModel(
+        codebooks=np.asarray(doc["codebooks"], dtype=np.float64),
+        dims=int(doc["dims"]),
+    )
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    topk: int = 10,
+    n_probe: int = 2,
+    refine: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level pruned search over an IVF-PQ layout: partition
+    pruning picks the probed cells, the ADC pass scans only
+    ``(id, pq_code)`` of those cells (both prunings pinned in
+    tests/test_ivf_index.py), and the final exact cosine re-ranks the
+    ``topk*refine`` ADC candidates against their raw vectors."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import pq_topk
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import brute_force_topk
+
+    model = load_pq_model_json(path, spark)
+    cells = _probe_cells(query_vec, load_codebook(path, spark), n_probe)
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    cand_ids = pq_topk(
+        scan.select(id_col, "pq_code"),
+        model,
+        query_vec,
+        k=topk * refine,
+        id_col=id_col,
+    ).select(id_col)
+    candidates = scan.join(cand_ids, id_col)
+    return brute_force_topk(
+        candidates, query_vec, k=topk, id_col=id_col, vec_col=vec_col
+    )

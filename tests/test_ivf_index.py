@@ -126,3 +126,71 @@ def test_append_extends_cells_without_rewriting_untouched_files(
         spark, path, [float(x) for x in target.embedding], topk=1, n_probe=1
     ).first()
     assert got.vec_id == target.vec_id
+
+
+@pytest.fixture(scope="module")
+def ivfpq_path(spark, sf_dir, tmp_path_factory):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import write_ivf_pq_index
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    write_ivf_pq_index(vectors, path, k=8, n_iter=3, m=8, ksub=8)
+    return path
+
+
+def test_ivf_pq_layout_and_model_roundtrip(spark, ivfpq_path):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import load_pq_model_json
+
+    assert len(glob.glob(f"{ivfpq_path}/cell=*")) == 8
+    model = load_pq_model_json(ivfpq_path, spark)
+    assert model.m == 8 and model.ksub == 8 and model.dims == 64
+    row = spark.read.parquet(ivfpq_path).select("pq_code").first()
+    assert len(bytes(row["pq_code"])) == 8  # m one-byte codes
+
+
+def test_ivf_pq_adc_scan_prunes_both_ways(spark, ivfpq_path):
+    """The ADC candidate pass must prune PARTITIONS (probed cells
+    only) and COLUMNS (codes, never the raw vectors)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+        _probe_cells,
+        load_codebook,
+        load_pq_model_json,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import pq_topk
+
+    q = [0.1] * 64
+    model = load_pq_model_json(ivfpq_path, spark)
+    cells = _probe_cells(q, load_codebook(ivfpq_path, spark), 2)
+    scan = spark.read.parquet(ivfpq_path).filter(F.col("cell").isin(cells))
+    adc = pq_topk(scan.select("vec_id", "pq_code"), model, q, k=50)
+    plan = adc._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters: [cell" in scan_line
+    assert "embedding" not in scan_line.split("ReadSchema")[1]
+
+
+def test_ivf_pq_recall_vs_exact(spark, sf_dir, ivfpq_path):
+    """Full-probe IVF-PQ with generous refine reproduces exact top-10;
+    a 2-probe search keeps recall@10 high on the clustered fixture."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    exact = [
+        (r.vec_id, round(r.sim, 8))
+        for r in brute_force_topk(emb, qvec, k=10).collect()
+    ]
+    full = [
+        (r.vec_id, round(r.sim, 8))
+        for r in ivf_pq_topk(
+            spark, ivfpq_path, qvec, topk=10, n_probe=8, refine=100
+        ).collect()
+    ]
+    assert full == exact  # all cells probed + covering refine = exact
+    probed = {
+        r.vec_id
+        for r in ivf_pq_topk(
+            spark, ivfpq_path, qvec, topk=10, n_probe=2, refine=10
+        ).collect()
+    }
+    assert len(probed & {v for v, _ in exact}) >= 7
