@@ -57,6 +57,8 @@ def main(argv: list[str] | None = None) -> int:
             "select",
             "train-quality",
             "chunk",
+            "index-vectors",
+            "search-vectors",
         ),
         help="cdc: stream envelopes to a sink; corpus: batch-curate "
         "documents; profile: one-pass per-column table statistics; "
@@ -65,7 +67,10 @@ def main(argv: list[str] | None = None) -> int:
         "the hashed-feature quality classifier on --source labeled "
         "docs (text + label columns) and save it to --out; chunk: "
         "split --source docs into sentence-aligned pieces of at most "
-        "--max-tokens tokens",
+        "--max-tokens tokens; index-vectors: build a cell-partitioned "
+        "ANN index (--index-kind ivf|ivf-pq) from --source embeddings "
+        "into --out; search-vectors: top-k over an --source index for "
+        "the --query-id row of --target embeddings",
     )
     p.add_argument(
         "--max-tokens",
@@ -91,6 +96,37 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--out", default=None, help="output dir")
     p.add_argument(
+        "--index-kind",
+        default="ivf",
+        choices=("ivf", "ivf-pq"),
+        help="index-vectors mode: plain IVF cells, or IVF-PQ "
+        "(cells + m-byte ADC codes)",
+    )
+    p.add_argument(
+        "--cells",
+        type=int,
+        default=16,
+        help="index-vectors mode: coarse-quantizer cell count",
+    )
+    p.add_argument(
+        "--n-probe",
+        type=int,
+        default=2,
+        help="search-vectors mode: probed cell count",
+    )
+    p.add_argument(
+        "--topk",
+        type=int,
+        default=10,
+        help="search-vectors mode: results to return",
+    )
+    p.add_argument(
+        "--query-id",
+        type=int,
+        default=None,
+        help="search-vectors mode: vec_id of the query row in --target",
+    )
+    p.add_argument(
         "--health-port",
         type=int,
         default=None,
@@ -106,6 +142,73 @@ def main(argv: list[str] | None = None) -> int:
     except ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
         return 2
+
+    if args.mode == "index-vectors":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+            write_ivf_index,
+            write_ivf_pq_index,
+        )
+
+        if not args.out:
+            print("--out required for index-vectors mode", file=sys.stderr)
+            return 2
+        spark = get_spark("index-vectors")
+        vectors = spark.read.parquet(args.source)
+        if args.index_kind == "ivf-pq":
+            write_ivf_pq_index(vectors, args.out, k=args.cells)
+        else:
+            write_ivf_index(vectors, args.out, k=args.cells)
+        print(
+            f"{args.index_kind} index over {args.source} -> {args.out} "
+            f"({args.cells} cells)"
+        )
+        return 0
+
+    if args.mode == "search-vectors":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+            PQ_MODEL_FILE,
+            ivf_index_topk,
+            ivf_pq_topk,
+        )
+
+        if not args.target or args.query_id is None:
+            print(
+                "--target (embeddings parquet) and --query-id required "
+                "for search-vectors mode",
+                file=sys.stderr,
+            )
+            return 2
+        spark = get_spark("search-vectors")
+        from pyspark.sql import functions as F
+
+        row = (
+            spark.read.parquet(args.target)
+            .filter(F.col("vec_id") == args.query_id)
+            .select("embedding")
+            .first()
+        )
+        if row is None:
+            print(f"query id {args.query_id} not found", file=sys.stderr)
+            return 2
+        qvec = [float(x) for x in row[0]]
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{args.source.rstrip('/')}/{PQ_MODEL_FILE}"
+        )
+        has_pq = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        ).exists(jvm_path)
+        top = (
+            ivf_pq_topk(
+                spark, args.source, qvec, topk=args.topk, n_probe=args.n_probe
+            )
+            if has_pq
+            else ivf_index_topk(
+                spark, args.source, qvec, topk=args.topk, n_probe=args.n_probe
+            )
+        )
+        for r in top.collect():
+            print(f"{r['vec_id']}	{r['sim']:.6f}")
+        return 0
 
     if args.mode == "chunk":
         from sample_keyspaces_cdc_streams_connectors_spark.llm.chunking import chunk_documents

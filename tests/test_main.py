@@ -277,3 +277,41 @@ def test_main_chunk_mode(spark, sf_dir, tmp_path, capsys):
         .count()
     )
     assert chunks.select("doc_id").distinct().count() == n_nonblank
+
+
+def test_cli_index_and_search_vectors(spark, sf_dir, tmp_path, capsys):
+    """index-vectors (both kinds) + search-vectors end-to-end: the
+    IVF-PQ index is auto-detected by its persisted model file and the
+    printed top-k leads with the nearest neighbor."""
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    for kind in ("ivf", "ivf-pq"):
+        out = str(tmp_path / kind)
+        rc = main(
+            [
+                "--source", src,
+                "--mode", "index-vectors",
+                "--index-kind", kind,
+                "--cells", "4",
+                "--out", out,
+            ]
+        )
+        assert rc == 0
+        rc = main(
+            [
+                "--source", out,
+                "--mode", "search-vectors",
+                "--target", src,
+                "--query-id", "1",
+                "--topk", "5",
+                "--n-probe", "4",
+            ]
+        )
+        assert rc == 0
+        lines = [
+            l for l in capsys.readouterr().out.splitlines() if "\t" in l
+        ]
+        assert len(lines) == 5
+        top_id, top_sim = lines[0].split("\t")
+        assert top_id == "1" and float(top_sim) > 0.999  # self is nearest
