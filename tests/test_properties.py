@@ -371,3 +371,94 @@ def test_gumbel_topk_size_and_subset(spark, weights, k):
     assert ids <= {i for i, _ in rows}
     again = gumbel_resample_top_k(df.repartition(5), k).collect()
     assert {r["doc_id"] for r in again} == ids
+
+
+# --- Avro codec round-trip (pure Python — no Spark session needed) --------
+
+_avro_field_types = st.sampled_from(
+    ["string", "long", "int", "double", "float", "boolean", "bytes"]
+)
+
+
+def _value_for(t: str):
+    if t == "string":
+        return st.text(max_size=40)
+    if t in ("long", "int"):
+        lo, hi = (
+            (-(2**63), 2**63 - 1) if t == "long" else (-(2**31), 2**31 - 1)
+        )
+        return st.integers(lo, hi)
+    if t == "double":
+        return st.floats(allow_nan=False, width=64)
+    if t == "float":
+        return st.floats(allow_nan=False, width=32)
+    if t == "boolean":
+        return st.booleans()
+    return st.binary(max_size=40)
+
+
+@st.composite
+def _avro_tables(draw):
+    n_fields = draw(st.integers(1, 5))
+    fields = []
+    for i in range(n_fields):
+        t = draw(_avro_field_types)
+        nullable = draw(st.booleans())
+        fields.append(
+            {"name": f"f{i}", "type": ["null", t] if nullable else t}
+        )
+    schema = {"type": "record", "name": "prop", "fields": fields}
+    n_rows = draw(st.integers(0, 30))
+    rows = []
+    for _ in range(n_rows):
+        row = []
+        for f in fields:
+            t = f["type"]
+            if isinstance(t, list) and draw(st.booleans()):
+                row.append(None)
+            else:
+                base = t[1] if isinstance(t, list) else t
+                row.append(draw(_value_for(base)))
+        rows.append(tuple(row))
+    return schema, rows
+
+
+@settings(max_examples=60, deadline=None)
+@given(table=_avro_tables(), block=st.integers(1, 7))
+def test_avro_container_roundtrip_property(tmp_path_factory, table, block):
+    """encode -> container -> decode is the identity for every
+    supported type/nullability/row-count/block-size combination
+    (floats compare exactly: the codec stores the bit pattern)."""
+    import os
+    import struct as _struct
+    import uuid
+
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro_io import (
+        decode_container,
+        write_container,
+    )
+
+    schema, rows = table
+    path = os.path.join(
+        str(tmp_path_factory.mktemp("avp")), f"{uuid.uuid4().hex}.avro"
+    )
+    # float32 fields: pre-round the expectation to float32 precision
+    def f32(v):
+        return _struct.unpack("<f", _struct.pack("<f", v))[0]
+
+    expect = []
+    for row in rows:
+        vals = []
+        for f, v in zip(schema["fields"], row):
+            base = f["type"][1] if isinstance(f["type"], list) else f["type"]
+            vals.append(f32(v) if base == "float" and v is not None else v)
+        expect.append(tuple(vals))
+
+    n = write_container(path, schema, rows, block_records=block)
+    assert n == len(rows)
+    with open(path, "rb") as fh:
+        got_schema, got = decode_container(fh.read())
+    assert [f["name"] for f in got_schema["fields"]] == [
+        f["name"] for f in schema["fields"]
+    ]
+    assert got == expect
