@@ -164,3 +164,80 @@ def test_embedding_input_neither_raises(spark):
     with pytest.raises(Exception) as ei:
         df.collect()
     assert "No description or key field" in str(ei.value)
+
+def _collect_dir_factory(out_dir: str):
+    """Picklable executor-side put: append one jsonl line per vector."""
+
+    def make():
+        def put(batch):
+            import json
+            import os
+            import uuid
+
+            path = os.path.join(out_dir, f"{uuid.uuid4().hex}.jsonl")
+            with open(path, "w", encoding="utf-8") as fh:
+                for row in batch:
+                    fh.write(
+                        json.dumps(
+                            {"key": row["key"], "dims": len(row["data"])}
+                        )
+                        + "\n"
+                    )
+
+        return put
+
+    return make
+
+
+def test_vector_upsert_sink_streaming_end_to_end(spark, tmp_path):
+    """readStream -> embed -> vector_records shaping -> executor-side
+    puts across micro-batches: every row lands exactly once as a
+    typed vector record (the reference's KCL-batch -> PutVectors flow,
+    S3VectorTargetMapper.java:87-177, as a Structured Streaming sink)."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.vectorstore import vector_upsert_sink
+
+    src = str(tmp_path / "src")
+    spark.range(30).selectExpr(
+        "cast(id as string) as key", "concat('doc ', id) as text"
+    ).repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out = tmp_path / "puts"
+    out.mkdir()
+    sink = vector_upsert_sink(
+        _collect_dir_factory(str(out)),
+        key_field="key",
+        embedding_col="emb",
+        metadata_fields=(),
+        batch_size=7,
+    )
+
+    def with_embeddings(batch_df, batch_id):
+        sink(
+            batch_df.withColumn("emb", hash_embed(F.col("text"), 32)),
+            batch_id,
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(with_embeddings)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    recs = [
+        json.loads(line)
+        for p in glob.glob(str(out / "*.jsonl"))
+        for line in open(p, encoding="utf-8")
+    ]
+    assert sorted(int(r["key"]) for r in recs) == list(range(30))
+    assert {r["dims"] for r in recs} == {32}
