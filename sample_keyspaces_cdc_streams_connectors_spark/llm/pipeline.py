@@ -116,6 +116,13 @@ def build_corpus_pipeline(
     - ``scrub-pii``    true|false — redact emails/phones/IPs/SSNs/cards
       BEFORE annotation (quality is scored on the scrubbed text, and
       redaction counts ride along as ``n_email`` etc.)
+    - ``remove-repeated-spans``  true|false — drop every ``span-k``-token
+      window occurring in >= ``span-min-docs`` distinct docs (exact
+      substring boilerplate, Lee et al. ACL'22 EXACTSUBSTR recipe;
+      ``llm.spans``).  Runs BEFORE annotation so quality/token counts
+      reflect the scrubbed text; ``n_removed_tokens`` /
+      ``n_flagged_spans`` ride along.  Batch-only (corpus-wide window
+      frequencies)
     - ``dedup``        none | exact | near | cluster  (default none)
     - ``shingle-k``    shingle width for near/cluster dedup (default 3)
     - ``jaccard-threshold``  pair threshold for cluster dedup /1000
@@ -169,6 +176,9 @@ def build_corpus_pipeline(
     languages = cfg.get_list(f"{_P}.languages", default=[]) or []
     min_quality = cfg.get_int(f"{_P}.min-quality", default=0)
     scrub = (cfg.get(f"{_P}.scrub-pii", "false") or "false").lower() == "true"
+    spans = cfg.get_bool(f"{_P}.remove-repeated-spans", default=False)
+    span_k = cfg.get_int(f"{_P}.span-k", default=10)
+    span_min_docs = cfg.get_int(f"{_P}.span-min-docs", default=2)
     dedup_mode = (cfg.get(f"{_P}.dedup", "none") or "none").lower()
     shingle_k = cfg.get_int(f"{_P}.shingle-k", default=3)
     jaccard_permille = cfg.get_int(f"{_P}.jaccard-threshold", default=500)
@@ -235,6 +245,16 @@ def build_corpus_pipeline(
             from sample_keyspaces_cdc_streams_connectors_spark.functions.pii import with_pii_scrubbed
 
             out = with_pii_scrubbed(out, text_col=text_col)
+        if spans:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.spans import remove_repeated_spans
+
+            out = remove_repeated_spans(
+                out,
+                text_col=text_col,
+                k=span_k,
+                min_docs=span_min_docs,
+                id_col=id_col,
+            )
         out = annotate_corpus(out, text_col)
         if languages:
             out = tap(out.filter(F.col("lang").isin(languages)), "language")
@@ -358,12 +378,16 @@ def build_streaming_curation(
     Batch-only keys raise ``ConfigError``: within-batch ``dedup``
     modes (global aggregation state — use
     ``streaming.dedup.streaming_near_dedup`` with a watermark for the
-    streaming analog) and ``observe`` (batch Observation semantics).
+    streaming analog), ``remove-repeated-spans`` (corpus-wide window
+    frequencies), and ``observe`` (batch Observation semantics).
     """
     from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
 
     unsupported = {
         "dedup": (cfg.get(f"{_P}.dedup", "none") or "none").lower() != "none",
+        "remove-repeated-spans": cfg.get_bool(
+            f"{_P}.remove-repeated-spans", default=False
+        ),
         "observe": cfg.get_bool(f"{_P}.observe", default=False),
     }
     bad = sorted(k for k, v in unsupported.items() if v)

@@ -1,0 +1,165 @@
+"""Repeated-span removal: exact substring-level dedup.
+
+Document-level dedup (exact / MinHash / Jaccard) keeps one copy of
+near-identical DOCUMENTS, but boilerplate — license headers,
+navigation chrome, cookie banners — repeats inside otherwise-unique
+pages and survives it.  The public recipe (Lee et al.,
+"Deduplicating Training Data Makes Language Models Better",
+ACL'22 — their EXACTSUBSTR variant, simplified from suffix arrays to
+fixed-width windows): any k-token span occurring in at least
+``min_docs`` distinct documents is presumed boilerplate, and every
+token covered by such a span is removed from every document.
+
+Spark-first shape (every stage bounded):
+
+1. tokens → k-token rolling windows with POSITIONS (`posexplode`) —
+   map-only; window identity is the 60-bit md5 int, so every
+   downstream key is an int64, never a k-word string;
+2. window document-frequency: one `groupBy(gram)` over (gram,
+   doc_id) with `countDistinct` — the same shuffle family as the
+   n-gram dedup's frequency pass;
+3. hot windows join back to the per-doc positions (AQE picks
+   broadcast vs shuffle by the hot set's size — boilerplate
+   vocabularies are small by construction, but nothing breaks if
+   they are not) and collect per-doc sorted start lists;
+4. one Arrow pass marks covered token indexes with a numpy mask and
+   rebuilds the text — per-doc work linear in tokens + flagged
+   spans, never O(tokens × spans).
+
+Reconstruction note: scrubbed documents are rebuilt from the
+NORMALIZED token stream (single spaces, the engine tokenizer's
+casefold) — the same canonical form every other text operator keys
+on.  Documents with no flagged span keep their original text
+byte-identical (the rebuild never runs for them).
+
+Batch-only: window frequencies are corpus-wide aggregates, so the
+streaming curation chain rejects the stage (same class as
+within-batch dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
+
+__all__ = ["flag_repeated_spans", "remove_repeated_spans"]
+
+
+def flag_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc flagged span starts: ``(id_col, __n_tokens,
+    __starts array<int> sorted 0-based)`` — only docs with at least
+    one flagged span appear.  A start ``p`` covers token indexes
+    ``[p, min(p + k, n_tokens))``; documents shorter than ``k``
+    tokens form one window covering the whole doc (the engine's
+    shingle rule, so short boilerplate still counts)."""
+    toked = docs.select(
+        F.col(id_col),
+        tokens(normalize_text(F.col(text_col))).alias("__toks"),
+    )
+    grams = toked.select(
+        F.col(id_col),
+        F.size("__toks").alias("__n_tokens"),
+        F.posexplode(
+            F.transform(shingles_from_tokens(F.col("__toks"), k), md5_int)
+        ).alias("__pos", "__gram"),
+    )
+    hot = (
+        grams.groupBy("__gram")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__gram")
+    )
+    return (
+        grams.join(hot, "__gram")
+        .groupBy(id_col)
+        .agg(
+            F.first("__n_tokens").alias("__n_tokens"),
+            F.sort_array(F.collect_set("__pos")).alias("__starts"),
+        )
+    )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scrub every flagged span from every document.
+
+    Returns ``docs`` with ``text_col`` rewritten (normalized-token
+    rebuild; untouched docs keep their original bytes) plus
+    ``n_removed_tokens`` (distinct covered token indexes) and
+    ``n_flagged_spans`` (distinct flagged starts) — schema otherwise
+    preserved."""
+    flagged = flag_repeated_spans(
+        docs, text_col=text_col, k=k, min_docs=min_docs, id_col=id_col
+    )
+
+    out_schema = StructType(
+        [
+            StructField("clean", StringType()),
+            StructField("removed", IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def scrub(toks: pd.Series, starts: pd.Series) -> pd.DataFrame:
+        cleans: list = []
+        removed: list = []
+        for tk, st in zip(toks, starts):
+            # the UDF evaluates for every row (Catalyst extracts it
+            # below the when()); unflagged rows arrive with null
+            # starts and their output is discarded by the coalesce
+            words = list(tk) if tk is not None else []
+            n = len(words)
+            mask = np.zeros(n, dtype=bool)
+            for p in st if st is not None else ():
+                mask[p : min(p + k, n)] = True
+            keep = [w for w, m in zip(words, mask) if not m]
+            cleans.append(" ".join(keep))
+            removed.append(int(mask.sum()))
+        return pd.DataFrame({"clean": cleans, "removed": removed})
+
+    joined = docs.join(flagged, id_col, "left")
+    toks_expr = tokens(normalize_text(F.col(text_col)))
+    scrubbed = F.when(
+        F.col("__starts").isNotNull(), scrub(toks_expr, F.col("__starts"))
+    )
+    out_cols = []
+    for c in docs.columns:
+        if c == text_col:
+            out_cols.append(
+                F.coalesce(scrubbed["clean"], F.col(text_col)).alias(text_col)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(
+        *out_cols,
+        F.coalesce(scrubbed["removed"], F.lit(0))
+        .cast("int")
+        .alias("n_removed_tokens"),
+        # size(NULL) is -1 under non-ANSI semantics, so guard on the
+        # null itself rather than coalescing the size
+        F.when(F.col("__starts").isNotNull(), F.size("__starts"))
+        .otherwise(0)
+        .cast("int")
+        .alias("n_flagged_spans"),
+    )

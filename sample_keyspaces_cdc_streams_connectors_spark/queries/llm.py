@@ -214,6 +214,103 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_K, _SPAN_MIN_DOCS = 5, 2
+
+
+@register(
+    "dedup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all({NORM}, '\\S+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i - 1 AS pos,
+             CASE WHEN len(t) <= {_SPAN_K} THEN array_to_string(t, ' ')
+                  ELSE array_to_string(t[i:i+{_SPAN_K - 1}], ' ')
+             END AS shingle
+      FROM toks,
+           LATERAL (SELECT unnest(
+             CASE WHEN len(t) <= {_SPAN_K} THEN [1]
+                  ELSE generate_series(1, len(t) - {_SPAN_K - 1})
+             END) AS i)
+    ),
+    hot AS (
+      SELECT shingle FROM (
+        SELECT shingle, COUNT(DISTINCT doc_id) AS df
+        FROM sh GROUP BY shingle
+      ) WHERE df >= {_SPAN_MIN_DOCS}
+    ),
+    flagged AS (SELECT DISTINCT doc_id, pos FROM sh JOIN hot USING (shingle)),
+    fl AS (
+      SELECT f.doc_id, f.pos, len(tk.t) AS n
+      FROM flagged f JOIN toks tk ON tk.doc_id = f.doc_id
+    ),
+    cov AS (
+      SELECT doc_id,
+             COUNT(DISTINCT idx) AS n_removed,
+             COUNT(DISTINCT pos) AS n_flagged
+      FROM fl,
+           LATERAL (SELECT unnest(generate_series(
+             pos, LEAST(pos + {_SPAN_K - 1}, n - 1))) AS idx)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_flagged, 0) AS BIGINT) AS n_flagged,
+           CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span (exact substring) dedup stats — llm/spans.py,
+    the Lee et al. ACL'22 EXACTSUBSTR recipe with fixed k-token
+    windows: every {k}-token span occurring in >= {min_docs} distinct
+    docs is boilerplate; per doc this query reports how many window
+    starts were flagged and how many distinct token indexes they
+    cover (the tokens remove_repeated_spans scrubs — the scrub
+    equivalence is pinned in tests/test_spans.py).  Window identity
+    is the 60-bit md5 int on the Spark side and the shingle string in
+    the oracle — identical grouping, hash-collision-free at fixture
+    scale; the coverage union is pure JVM interval math
+    (sequence + flatten + array_distinct), no UDF."""
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import normalize_text, tokens
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.spans import flag_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = flag_repeated_spans(
+        docs, k=_SPAN_K, min_docs=_SPAN_MIN_DOCS
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(normalize_text(F.col("text")))).alias("__n"),
+    )
+    joined = base.join(flagged, "doc_id", "left")
+    covered = F.size(
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    "__starts",
+                    lambda p: F.sequence(
+                        p, F.least(p + _SPAN_K - 1, F.col("__n") - 1)
+                    ),
+                )
+            )
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        F.when(F.col("__starts").isNotNull(), F.size("__starts"))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.when(F.col("__starts").isNotNull(), covered)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
 _SIMHASH_BITS = 16
 
 _SIMHASH_ORACLE = f"""
