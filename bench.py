@@ -253,6 +253,15 @@ def main() -> None:
             .save(),
         )
         _aux("profile_table", lambda: profile_table(raw_docs).collect())
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.spans import remove_repeated_spans
+
+        _aux(
+            "remove_repeated_spans",
+            lambda: remove_repeated_spans(docs, k=5, min_docs=2)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
         import numpy as np
 
         from sample_keyspaces_cdc_streams_connectors_spark.llm.quality_model import (

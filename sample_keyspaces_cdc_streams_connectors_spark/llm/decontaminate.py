@@ -182,36 +182,21 @@ def contamination_flags_map_only(
     executor memory (fine for eval-scale tables; use the join variant
     if the "eval" side is itself corpus-sized)."""
 
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.ragged import ragged_segment_sums
+
     @F.pandas_udf("long")
     def n_collisions(gram_arrays: pd.Series) -> pd.Series:
         table = gram_table.value
-        vals = gram_arrays.values
-        out = np.zeros(len(vals), dtype=np.int64)
-        if table.size:
-            lens = np.fromiter(
-                (0 if v is None else len(v) for v in vals),
-                dtype=np.int64,
-                count=len(vals),
-            )
-            nonempty = [
-                np.asarray(v, dtype=np.int64)
-                for v in vals
-                if v is not None and len(v)
-            ]
-            if nonempty:
-                flat = (
-                    nonempty[0]
-                    if len(nonempty) == 1
-                    else np.concatenate(nonempty)
-                )
-                idx = np.searchsorted(table, flat)
-                idx_c = np.minimum(idx, table.size - 1)
-                hits = (table[idx_c] == flat).astype(np.int64)
-                mask = lens > 0
-                starts = np.zeros(int(mask.sum()), dtype=np.int64)
-                np.cumsum(lens[mask][:-1], out=starts[1:])
-                out[mask] = np.add.reduceat(hits, starts)
-        return pd.Series(out)
+        if not table.size:
+            return pd.Series(np.zeros(len(gram_arrays), dtype=np.int64))
+
+        def membership(flat: np.ndarray) -> np.ndarray:
+            idx = np.minimum(np.searchsorted(table, flat), table.size - 1)
+            return (table[idx] == flat).astype(np.int64)
+
+        return pd.Series(
+            ragged_segment_sums(gram_arrays.values, membership, dtype=np.int64)
+        )
 
     counts = n_collisions(_gram_hashes(F.col(text_col), k))
     return docs.withColumn(

@@ -204,10 +204,21 @@ def gumbel_resample_top_k(
     if k > exact_limit:
         n = keyed.count()
         if k < n:
+            # NULL weights sort last under the exact path's desc
+            # ordering; approxQuantile IGNORES nulls, so the
+            # prefilter must only run when the non-null population
+            # alone can fill k — otherwise (or when the quantile
+            # comes back empty / admits fewer than k survivors, both
+            # possible with heavy null fractions) fall back to the
+            # exact heap, which handles nulls correctly.
+            cuts = []
             err = max(k / (2.0 * n), 1e-6)
             p_lo = max(0.0, 1.0 - k / n - 2.0 * err)
-            [cut] = keyed.approxQuantile("__key", [p_lo], err)
-            keyed = keyed.filter(F.col("__key") >= cut)
+            cuts = keyed.approxQuantile("__key", [p_lo], err)
+            if cuts:
+                cand = keyed.filter(F.col("__key") >= cuts[0])
+                if cand.count() >= k:
+                    keyed = cand
     return (
         keyed.orderBy(F.desc("__key"), F.asc(id_col))
         .limit(k)

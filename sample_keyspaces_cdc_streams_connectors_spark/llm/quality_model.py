@@ -81,32 +81,12 @@ def _margin_udf(weights: np.ndarray, bias: float):
     work beyond building the flat view, so the full-corpus scoring
     pass stays numpy-bound instead of interpreter-bound."""
 
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.ragged import ragged_segment_sums
+
     @F.pandas_udf(DoubleType())
     def margin(feats: pd.Series) -> pd.Series:
-        vals = feats.values
-        lens = np.fromiter(
-            (0 if v is None else len(v) for v in vals),
-            dtype=np.int64,
-            count=len(vals),
-        )
-        out = np.full(len(vals), bias, dtype=np.float64)
-        nonempty = [
-            np.asarray(v, dtype=np.int64)
-            for v in vals
-            if v is not None and len(v)
-        ]
-        if nonempty:
-            flat = (
-                nonempty[0]
-                if len(nonempty) == 1
-                else np.concatenate(nonempty)
-            )
-            gathered = weights[flat]
-            mask = lens > 0
-            starts = np.zeros(int(mask.sum()), dtype=np.int64)
-            np.cumsum(lens[mask][:-1], out=starts[1:])
-            out[mask] += np.add.reduceat(gathered, starts)
-        return pd.Series(out)
+        sums = ragged_segment_sums(feats.values, lambda flat: weights[flat])
+        return pd.Series(bias + sums)
 
     return margin
 

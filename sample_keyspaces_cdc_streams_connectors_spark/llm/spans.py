@@ -71,7 +71,13 @@ def flag_repeated_spans(
     toked = docs.select(
         F.col(id_col),
         tokens(normalize_text(F.col(text_col))).alias("__toks"),
-    )
+    ).filter(F.size("__toks") > 0)
+    # empty/whitespace-only docs are excluded BEFORE the window
+    # explode: the shingle short-doc rule would otherwise give them a
+    # single empty-string window, repeated empties would count as a
+    # hot span, and coverage over zero tokens is degenerate (the
+    # DuckDB oracle's generate_series join drops such rows the same
+    # way — both sides report 0 flagged / 0 removed for empty docs)
     grams = toked.select(
         F.col(id_col),
         F.size("__toks").alias("__n_tokens"),

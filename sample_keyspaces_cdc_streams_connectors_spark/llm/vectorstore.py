@@ -153,6 +153,12 @@ def vector_upsert_sink(
     """
     from sample_keyspaces_cdc_streams_connectors_spark.streaming.retry import with_backoff
 
+    # ONE accumulator pair per sink instance, reused across
+    # micro-batches (accumulators register in the driver for the
+    # SparkContext lifetime — per-batch creation leaks registry
+    # entries on long streams); per-batch counts are value deltas
+    acc: dict = {}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from sample_keyspaces_cdc_streams_connectors_spark.metrics import DEFAULT_REGISTRY
 
@@ -161,8 +167,11 @@ def vector_upsert_sink(
             batch_df, key_field, embedding_col, metadata_fields
         )
         sc = batch_df.sparkSession.sparkContext
-        acc_retries = sc.accumulator(0)
-        acc_vectors = sc.accumulator(0)
+        if not acc:
+            acc["retries"] = sc.accumulator(0)
+            acc["vectors"] = sc.accumulator(0)
+        acc_retries, acc_vectors = acc["retries"], acc["vectors"]
+        retries0, vectors0 = acc_retries.value, acc_vectors.value
 
         def put_partition(rows) -> None:
             put = None
@@ -193,10 +202,12 @@ def vector_upsert_sink(
             recs.foreachPartition(put_partition)
         except Exception:
             reg.inc(f"sink.{metrics_name}.failed_batches")
-            reg.inc("retry.vectorstore", acc_retries.value)
+            reg.inc("retry.vectorstore", acc_retries.value - retries0)
             raise
         reg.inc(f"sink.{metrics_name}.batches")
-        reg.inc(f"sink.{metrics_name}.vectors_out", acc_vectors.value)
-        reg.inc("retry.vectorstore", acc_retries.value)
+        reg.inc(
+            f"sink.{metrics_name}.vectors_out", acc_vectors.value - vectors0
+        )
+        reg.inc("retry.vectorstore", acc_retries.value - retries0)
 
     return sink

@@ -68,31 +68,23 @@ SMALL_PLAN_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_SMALL_PLAN_BYTES", str(2 << 30))
 )
 
-#: parent-session id -> non-adaptive child session (one per parent)
-_SMALL_PLAN_SESSIONS: dict[int, SparkSession] = {}
+#: parent-session id -> (weakref to parent, child session).  The
+#: weakref guards against CPython id() recycling: if the id's parent
+#: was collected and a NEW session landed at the same address, the
+#: cached child (bound to the dead parent's context) must not be
+#: returned.
+_SMALL_PLAN_SESSIONS: dict[int, tuple] = {}
 
 
-def small_plan_session(spark: SparkSession) -> SparkSession:
-    """A child session (same SparkContext, shared cache manager and
-    catalog) whose SQL conf CLONES the parent's runtime conf but
-    disables adaptive execution — the planning context for
-    small-input queries (see :data:`SMALL_PLAN_MAX_BYTES`).
-
-    Memoized per parent session: repeated calls return the same
-    child, so plans built through it share exchange reuse and the
-    session never accretes.  DataFrames from the child execute under
-    the child's conf at action time; they can join other frames from
-    the SAME child (which is why the policy scopes per dataset
-    directory, not per table — see ``sources.tables``)."""
-    key = id(spark)
-    child = _SMALL_PLAN_SESSIONS.get(key)
-    if child is not None:
-        return child
-    child = spark.newSession()
-    # newSession starts from the context's INITIAL conf — re-apply the
-    # parent's runtime SQL conf so the only divergence is adaptivity
+def _sync_conf(parent: SparkSession, child: SparkSession) -> None:
+    """Copy the parent's runtime SQL conf onto the child (newSession
+    starts from the context's INITIAL conf, and the parent's conf may
+    drift after the child is created — re-sync keeps the only
+    divergence adaptivity)."""
     try:
-        it = spark._jsparkSession.sessionState().conf().getAllConfs().iterator()
+        it = (
+            parent._jsparkSession.sessionState().conf().getAllConfs().iterator()
+        )
         while it.hasNext():
             e = it.next()
             try:
@@ -102,7 +94,34 @@ def small_plan_session(spark: SparkSession) -> SparkSession:
     except Exception:
         tune(child)  # fall back to the engine's standard conf set
     child.conf.set("spark.sql.adaptive.enabled", "false")
-    _SMALL_PLAN_SESSIONS[key] = child
+
+
+def small_plan_session(spark: SparkSession) -> SparkSession:
+    """A child session (same SparkContext, shared cache manager and
+    catalog) whose SQL conf MIRRORS the parent's runtime conf but
+    disables adaptive execution — the planning context for
+    small-input queries (see :data:`SMALL_PLAN_MAX_BYTES`).
+
+    Memoized per parent session (weakref-validated against id
+    recycling); the conf re-syncs from the parent on EVERY call, so
+    later parent conf changes (shuffle partitions, timezone) reach
+    the child too.  DataFrames from the child execute under the
+    child's conf at action time; they can join other frames from the
+    SAME child (which is why the policy scopes per dataset directory,
+    not per table — see ``sources.tables``)."""
+    import weakref
+
+    key = id(spark)
+    entry = _SMALL_PLAN_SESSIONS.get(key)
+    child = None
+    if entry is not None:
+        parent_ref, cached = entry
+        if parent_ref() is spark:
+            child = cached
+    if child is None:
+        child = spark.newSession()
+        _SMALL_PLAN_SESSIONS[key] = (weakref.ref(spark), child)
+    _sync_conf(spark, child)
     return child
 
 

@@ -164,15 +164,8 @@ def write_container(
 
         def flush() -> None:
             nonlocal n_total
-            if not block:
-                return
-            payload = b"".join(block)
-            fh.write(_zigzag_long(len(block)))
-            fh.write(_zigzag_long(len(payload)))
-            fh.write(payload)
-            fh.write(sync)
             n_total += len(block)
-            block.clear()
+            _flush_block(fh, sync, block)
 
         for row in rows:
             block.append(encode_record(row, field_schemas))
@@ -180,6 +173,17 @@ def write_container(
                 flush()
         flush()
     return n_total
+
+
+def _flush_block(fh, sync: bytes, block: list[bytes]) -> None:
+    if not block:
+        return
+    payload = b"".join(block)
+    fh.write(_zigzag_long(len(block)))
+    fh.write(_zigzag_long(len(payload)))
+    fh.write(payload)
+    fh.write(sync)
+    block.clear()
 
 
 #: characters Hive/Spark escape in partition directory names
@@ -211,12 +215,29 @@ def write_avro_dir(
 
     Mirrors the parquet writer's append layout — unique file names
     make redelivered micro-batches add files, never corrupt them.
+    Files COMMIT atomically: each task writes ``*.avro.inprogress``
+    and renames on success, so a failed/retried task can only leave
+    an in-progress file that readers never match (the glob admits
+    ``*.avro`` alone) — truncated containers are unobservable.  (A
+    retried task that died AFTER its renames can still duplicate a
+    partition's rows — the same at-least-once contract as every sink
+    here; keep speculative execution off for this writer.)
     The Avro schema is inferred from ``df`` minus the partition
     column (``streaming.avro.infer_avro_schema`` — the reference's
-    nullable-union inference).  Requires a task-visible filesystem
+    nullable-union inference); decimal/date/timestamp columns must be
+    lowered FIRST via ``streaming.avro.to_avro_compatible`` (the
+    object-store sink does this; the schema maps them to
+    string/int/long and the encoder expects those Python types).  Requires a task-visible filesystem
     path (local/NFS/fuse mount), like every local-dir transport in
-    the engine; object-store writes go through the reference's SDK
-    client seam instead."""
+    the engine; a schemed URI (s3a://, hdfs://) raises rather than
+    writing to a look-alike local directory — object-store writes go
+    through the reference's SDK client seam instead."""
+    if "://" in out_dir:
+        raise ValueError(
+            f"write_avro_dir needs a task-visible filesystem path, got "
+            f"URI {out_dir!r} (use the spark-avro DataSource or an SDK "
+            "client sink for object stores)"
+        )
     data_cols = [c for c in df.columns if c != partition_col]
     schema = infer_avro_schema(df.select(*data_cols))
     all_cols = list(df.columns)
@@ -233,6 +254,7 @@ def write_avro_dir(
             (i, f["type"]) for i, f in zip(data_idx, schema["fields"])
         ]
         sinks: dict[object, tuple] = {}
+        committed = False
         try:
             for row in rows:
                 key = row[part_idx] if part_idx is not None else None
@@ -250,33 +272,28 @@ def write_avro_dir(
                     path = os.path.join(
                         subdir, f"part-{task:05d}-{tag}.avro"
                     )
-                    fh = open(path, "wb")
+                    fh = open(path + ".inprogress", "wb")
                     sync = uuid.uuid4().bytes
                     fh.write(_header(schema, sync))
-                    sink = (fh, sync, [])
+                    sink = (fh, sync, [], path)
                     sinks[key] = sink
-                fh, sync, block = sink
+                fh, sync, block, _ = sink
                 block.append(encode_record(row, field_schemas))
                 if len(block) >= block_records:
                     _flush_block(fh, sync, block)
-            for fh, sync, block in sinks.values():
+            for fh, sync, block, _ in sinks.values():
                 _flush_block(fh, sync, block)
+            committed = True
+        except BaseException:
+            committed = False
+            raise
         finally:
-            for fh, _sync, _block in sinks.values():
+            for fh, _sync, _block, path in sinks.values():
                 fh.close()
+                if committed:
+                    os.replace(path + ".inprogress", path)
 
     df.foreachPartition(write_partition)
-
-
-def _flush_block(fh, sync: bytes, block: list[bytes]) -> None:
-    if not block:
-        return
-    payload = b"".join(block)
-    fh.write(_zigzag_long(len(block)))
-    fh.write(_zigzag_long(len(payload)))
-    fh.write(payload)
-    fh.write(sync)
-    block.clear()
 
 
 # --------------------------------------------------------------------------
@@ -406,9 +423,10 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
         n = d.long()
         if n == 0:
             break
-        for _ in range(abs(n)):  # negative counts carry a block size
-            if n < 0:
-                d.long()
+        if n < 0:  # negative count: abs value, preceded by ONE size long
+            n = -n
+            d.long()
+        for _ in range(n):
             k = d.bytes_().decode("utf-8")
             meta[k] = d.bytes_()
     sync = d.raw(16)
@@ -500,12 +518,18 @@ def read_avro_dir(
                     for n, v in zip(names, row):
                         out[n].append(v)
                 if marker:
-                    seg = next(
+                    segs = [
                         s
                         for s in fpath.split("/")
                         if s.startswith(marker)
-                    )
-                    raw = seg[len(marker):]
+                    ]
+                    if not segs:
+                        raise ValueError(
+                            f"no {marker!r} directory segment in "
+                            f"{fpath!r} — file not under the expected "
+                            "partition layout"
+                        )
+                    raw = segs[-1][len(marker):]
                     val = (
                         None
                         if raw == "__HIVE_DEFAULT_PARTITION__"

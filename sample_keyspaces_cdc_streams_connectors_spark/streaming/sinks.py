@@ -75,12 +75,14 @@ def object_store_sink(
     a time-partitioned path, format ``json`` | ``avro`` | ``parquet``
     (the reference default is avro, S3TargetMapper.java:70-76).
 
-    ``avro`` writes REAL ``.avro`` object-container files either way:
-    through the external spark-avro DataSource when present, else
-    through the engine's executor-side container writer
-    (:mod:`.avro_io` — validated byte-compatible with the Avro Java
-    reader), so the reference's default format no longer degrades to
-    parquet when the module is absent.
+    ``avro`` writes REAL ``.avro`` object-container files: through
+    the external spark-avro DataSource when present, else through the
+    engine's executor-side container writer (:mod:`.avro_io` —
+    validated byte-compatible with the Avro Java reader) for
+    task-visible filesystem paths.  A schemed URI (s3a://, hdfs://)
+    without spark-avro keeps the parquet fallback through Spark's
+    Hadoop-FS writer — the engine writer opens local files and must
+    not silently shadow an object-store path.
 
     Uses the distributed writer (no driver collect): partition path
     columns + ``partitionBy`` give `prefix/YYYY/MM/...` layout; file
@@ -108,10 +110,19 @@ def object_store_sink(
                 with_part.write.mode("append").partitionBy(
                     "__part"
                 ).format("avro").save(out_dir)
-            else:
+            elif "://" not in out_dir:
                 from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro_io import write_avro_dir
 
                 write_avro_dir(with_part, out_dir, partition_col="__part")
+            else:
+                # schemed URI without spark-avro: the engine writer
+                # opens local files executor-side and would silently
+                # write to a look-alike local path — keep the parquet
+                # fallback (same self-describing-container role)
+                # through Spark's Hadoop-FS writer instead
+                with_part.write.mode("append").partitionBy(
+                    "__part"
+                ).parquet(out_dir)
         else:
             with_part.write.mode("append").partitionBy("__part").parquet(
                 out_dir
@@ -232,16 +243,27 @@ def queue_sink(
     ledger.
     """
 
+    # accumulators are created ONCE per sink instance and reused
+    # across micro-batches (per-batch creation leaks driver registry
+    # entries on long streams); per-batch counts are value deltas
+    acc: dict = {}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         messages = _bounded_messages(
             batch_df, shard_col, seq_col, max_message_size, max_records
         )
         acc_msgs = acc_records = acc_bytes = None
+        base = (0, 0, 0)
         if registry is not None:
             sc = batch_df.sparkSession.sparkContext
-            acc_msgs = sc.accumulator(0)
-            acc_records = sc.accumulator(0)
-            acc_bytes = sc.accumulator(0)
+            if not acc:
+                acc["msgs"] = sc.accumulator(0)
+                acc["records"] = sc.accumulator(0)
+                acc["bytes"] = sc.accumulator(0)
+            acc_msgs, acc_records, acc_bytes = (
+                acc["msgs"], acc["records"], acc["bytes"],
+            )
+            base = (acc_msgs.value, acc_records.value, acc_bytes.value)
 
         def send_partition(rows) -> None:
             transport = None
@@ -281,11 +303,17 @@ def queue_sink(
             raise
         if registry is not None:
             registry.inc(f"sink.{metrics_name}.batches")
-            registry.inc(f"sink.{metrics_name}.messages_out", acc_msgs.value)
             registry.inc(
-                f"sink.{metrics_name}.records_out", acc_records.value
+                f"sink.{metrics_name}.messages_out",
+                acc_msgs.value - base[0],
             )
-            registry.inc(f"sink.{metrics_name}.bytes_out", acc_bytes.value)
+            registry.inc(
+                f"sink.{metrics_name}.records_out",
+                acc_records.value - base[1],
+            )
+            registry.inc(
+                f"sink.{metrics_name}.bytes_out", acc_bytes.value - base[2]
+            )
 
     return sink
 

@@ -231,3 +231,63 @@ def test_decoder_reads_jvm_written_deflate_container(spark, tmp_path):
     for i, (a, b) in enumerate(rows):
         assert a == i
         assert b == (None if i % 7 == 0 else f"v{i}")
+
+
+def test_negative_count_metadata_block_decodes():
+    """Spec-valid containers may write map blocks with a NEGATIVE
+    count (abs value, preceded by ONE byte-size long) — the decoder
+    must read the size once per block, not once per entry."""
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro_io import (
+        MAGIC,
+        _encode_bytes,
+        _encode_str,
+        _zigzag_long,
+        decode_container,
+    )
+
+    schema = {"type": "record", "name": "n", "fields": [{"name": "a", "type": "long"}]}
+    import json as _json
+
+    entries = (
+        _encode_str("avro.schema")
+        + _encode_bytes(_json.dumps(schema).encode())
+        + _encode_str("avro.codec")
+        + _encode_bytes(b"null")
+    )
+    sync = b"\x07" * 16
+    data = (
+        MAGIC
+        + _zigzag_long(-2)          # negative count: 2 entries
+        + _zigzag_long(len(entries))  # ONE size long for the block
+        + entries
+        + _zigzag_long(0)
+        + sync
+        # one data block: 1 record, value 5
+        + _zigzag_long(1)
+        + _zigzag_long(len(_zigzag_long(5)))
+        + _zigzag_long(5)
+        + sync
+    )
+    got_schema, rows = decode_container(data)
+    assert got_schema["name"] == "n"
+    assert rows == [(5,)]
+
+
+def test_inprogress_files_invisible_and_uri_rejected(spark, tmp_path):
+    """A crashed task's *.avro.inprogress leftover must be ignored by
+    the reader (only committed files match the glob), and schemed
+    URIs are rejected rather than shadowed by a local path."""
+    from sample_keyspaces_cdc_streams_connectors_spark.streaming.avro_io import read_avro_dir
+
+    df = spark.range(10).selectExpr("id as k", "cast(id * 2.0 as double) as v")
+    out = str(tmp_path / "d")
+    write_avro_dir(df.repartition(2), out)
+    # simulate a task that died mid-write
+    junk = os.path.join(out, "part-99999-dead.avro.inprogress")
+    with open(junk, "wb") as fh:
+        fh.write(b"Obj\x01truncated-garbage")
+    back = read_avro_dir(spark, out)
+    assert back.count() == 10  # garbage never scanned
+
+    with pytest.raises(ValueError, match="task-visible filesystem"):
+        write_avro_dir(df, "s3a://bucket/prefix")

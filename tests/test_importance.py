@@ -167,3 +167,30 @@ def test_threshold_path_k_exceeding_n(raw, target):
         raw, target, k=n + 5, n_buckets=1 << 14, exact_limit=0
     )
     assert got.count() == n
+
+
+def test_threshold_path_with_null_weights_matches_exact(spark):
+    """NULL weights sort last under the exact heap; the threshold
+    prefilter ignores nulls in approxQuantile, so it must fall back
+    whenever non-null rows alone cannot fill k — including the
+    all-null corner (approxQuantile returns no cut at all)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.importance import gumbel_resample_top_k
+
+    rows = [(i, float(i) if i % 3 == 0 else None) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, log_importance double")
+    k = 40  # > 20 non-null rows: prefilter cannot fill k
+    exact = {
+        r.doc_id
+        for r in gumbel_resample_top_k(df, k, exact_limit=10**9).collect()
+    }
+    thresh = {
+        r.doc_id
+        for r in gumbel_resample_top_k(df, k, exact_limit=0).collect()
+    }
+    assert thresh == exact and len(exact) == k
+
+    all_null = spark.createDataFrame(
+        [(i, None) for i in range(20)], "doc_id long, log_importance double"
+    )
+    got = gumbel_resample_top_k(all_null, 5, exact_limit=0)
+    assert got.count() == 5  # no crash, exact fallback fills k

@@ -145,3 +145,18 @@ def test_pipeline_stage_remove_repeated_spans(spark, corpus):
     with pytest.raises(ConfigError) as e:
         build_streaming_curation(load_config(conf))
     assert "remove-repeated-spans" in str(e.value)
+
+
+def test_empty_docs_never_flagged(spark):
+    """Empty/whitespace-only docs must report 0 flagged / 0 removed
+    and keep their bytes — matching the oracle, where the coverage
+    join drops zero-token docs (the latent sequence(0,-1) divergence
+    found in review)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, ""), (4, "real words in here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_repeated_spans(df, k=5, min_docs=2).collect()}
+    for d in (1, 2, 3):
+        assert out[d].n_flagged_spans == 0 and out[d].n_removed_tokens == 0
+    assert out[2].text == "   "  # bytes preserved
