@@ -160,6 +160,12 @@ def build_corpus_pipeline(
       row-changing stage, and the output; after the caller executes
       an action, per-stage counts are readable from
       ``run.last_observations`` (stage name → ``Observation``)
+    - ``max-docs-per-group``  int (default 0 = off) — after dedup,
+      keep at most this many docs per ``group-column`` (default
+      ``source``), ranked by ``cap-order-column`` descending (empty =
+      lowest ids win): the per-domain quota that stops one
+      over-crawled site dominating the mixture
+      (:func:`cap_per_group`, skew-safe two-phase).  Batch-only
     - ``dedup-index-path`` / ``dedup-index-mode`` (exact|minhash,
       default exact) — suppress docs already present in a persisted
       cross-corpus fingerprint index (``llm.dedup_index``) BEFORE
@@ -197,6 +203,9 @@ def build_corpus_pipeline(
     decontaminate_min = cfg.get_int(
         f"{_P}.decontaminate-min-collisions", default=1
     )
+    max_per_group = cfg.get_int(f"{_P}.max-docs-per-group", default=0)
+    group_column = cfg.get(f"{_P}.group-column", "source") or "source"
+    cap_order = cfg.get(f"{_P}.cap-order-column", None) or None
     dedup_index_path = cfg.get(f"{_P}.dedup-index-path", None)
     dedup_index_mode = (
         cfg.get(f"{_P}.dedup-index-mode", "exact") or "exact"
@@ -346,6 +355,17 @@ def build_corpus_pipeline(
             out = dedup_survivors(
                 out, pairs, id_col=id_col, prefer=cluster_prefer
             )
+        if max_per_group > 0:
+            out = tap(
+                cap_per_group(
+                    out,
+                    group_column,
+                    max_per_group,
+                    order_col=cap_order,
+                    id_col=id_col,
+                ),
+                "group-cap",
+            )
         return tap(out, "output")
 
     return run
@@ -388,6 +408,10 @@ def build_streaming_curation(
         "remove-repeated-spans": cfg.get_bool(
             f"{_P}.remove-repeated-spans", default=False
         ),
+        "max-docs-per-group": cfg.get_int(
+            f"{_P}.max-docs-per-group", default=0
+        )
+        > 0,
         "observe": cfg.get_bool(f"{_P}.observe", default=False),
     }
     bad = sorted(k for k, v in unsupported.items() if v)
@@ -492,6 +516,52 @@ def corpus_stats(df: DataFrame) -> DataFrame:
 
 
 # --- data mixing & sequence packing ---------------------------------------
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the per-domain/per-source
+    quota every curation recipe applies so one over-crawled site
+    cannot dominate the mixture.
+
+    Deterministic: the kept rows are the group's top-``n`` by
+    ``order_col`` DESCENDING (ties, and the no-order-column case,
+    break to the LOWEST id).  SKEW-SAFE in two phases, the same
+    discipline as ``operators.skew.salted_agg``: phase 1 ranks within
+    ``(group, salt)`` — a hot group's rows spread over ``n_salts``
+    window partitions — and keeps each salt's local top-``n``; phase
+    2 ranks the surviving ``<= n_salts*n`` rows per group and keeps
+    the global top-``n``.  Every global top-``n`` row is a local
+    top-``n`` row of its salt, so the two-phase result is EXACTLY the
+    single-window result (pinned in tests), but no task ever holds
+    more than a salt's share of a hot group.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    order = (
+        [F.col(order_col).desc_nulls_last(), F.col(id_col).asc()]
+        if order_col
+        else [F.col(id_col).asc()]
+    )
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)).cast("int")
+    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
+    local = (
+        df.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        local.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
 
 #: sampling resolution (1e-6 fraction granularity)
 _SAMPLE_MOD = 1_000_000

@@ -214,6 +214,35 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cap_per_source",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota capping (llm/pipeline.cap_per_group): keep the
+    top-3 docs per crawl source by n_chars (ties to lowest id) — the
+    per-domain cap every curation recipe applies.  The declared plan
+    is the SKEW-SAFE two-phase rank (local top-n per (group, salt),
+    then global top-n over <= n_salts*n survivors per group), proven
+    here against the plain single-window oracle."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", 3, order_col="n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 _SPAN_K, _SPAN_MIN_DOCS = 5, 2
 
 

@@ -557,3 +557,73 @@ def test_streaming_matches_batch_with_repetition_overrides(spark, tmp_path):
     }
     spark.catalog.dropTempView(name)
     assert stream_ids == batch_ids
+
+
+def test_cap_per_group_two_phase_equals_single_window(spark):
+    """The skew-safe two-phase rank must select EXACTLY the rows a
+    single global window would, for every salt layout — and hot
+    groups cap at n while small groups pass through."""
+    from pyspark.sql import Window
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import cap_per_group
+
+    rows = [
+        (i, "hot" if i < 40 else f"s{i % 3}", float(i % 7)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    for n_salts in (1, 4, 16):
+        got = {
+            r.doc_id
+            for r in cap_per_group(
+                df, "source", 5, order_col="score", n_salts=n_salts
+            ).collect()
+        }
+        w = Window.partitionBy("source").orderBy(
+            F.col("score").desc_nulls_last(), F.col("doc_id").asc()
+        )
+        want = {
+            r.doc_id
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .collect()
+        }
+        assert got == want
+    counts = (
+        cap_per_group(df, "source", 5, order_col="score")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert {r["source"]: r["count"] for r in counts}["hot"] == 5
+
+
+def test_pipeline_group_cap_stage(spark, sf_dir):
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    run = build_corpus_pipeline(
+        load_config(
+            {
+                "keyspaces-cdc-streams": {
+                    "corpus": {"max-docs-per-group": 2}
+                }
+            }
+        )
+    )
+    out = run(full)
+    per = out.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 2 for r in per)
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_streaming_curation
+
+    with pytest.raises(ConfigError) as e:
+        build_streaming_curation(
+            load_config(
+                {
+                    "keyspaces-cdc-streams": {
+                        "corpus": {"max-docs-per-group": 2}
+                    }
+                }
+            )
+        )
+    assert "max-docs-per-group" in str(e.value)
