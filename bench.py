@@ -52,6 +52,7 @@ HEADLINE = [
     "mv_apply",
     "text_analysis",
     "dedup_exact",
+    "cap_per_source",
     "dedup_ngram",
     "dedup_minhash",
     "dedup_simhash",
