@@ -76,21 +76,32 @@ SMALL_PLAN_MAX_BYTES = int(
 _SMALL_PLAN_SESSIONS: dict[int, tuple] = {}
 
 
+#: child-session id -> hashCode of the parent conf map last synced
+#: onto it (Scala immutable maps hash by content, so ONE py4j call
+#: detects drift; the full ~hundreds-of-round-trips copy only runs
+#: when the parent's conf actually changed)
+_SYNCED_CONF_HASH: dict[int, int] = {}
+
+
 def _sync_conf(parent: SparkSession, child: SparkSession) -> None:
     """Copy the parent's runtime SQL conf onto the child (newSession
     starts from the context's INITIAL conf, and the parent's conf may
     drift after the child is created — re-sync keeps the only
-    divergence adaptivity)."""
+    divergence adaptivity).  Skips the copy when a content hash shows
+    nothing changed since the last sync."""
     try:
-        it = (
-            parent._jsparkSession.sessionState().conf().getAllConfs().iterator()
-        )
+        jconfs = parent._jsparkSession.sessionState().conf().getAllConfs()
+        h = jconfs.hashCode()
+        if _SYNCED_CONF_HASH.get(id(child)) == h:
+            return
+        it = jconfs.iterator()
         while it.hasNext():
             e = it.next()
             try:
                 child.conf.set(e._1(), e._2())
             except Exception:
                 pass  # non-settable / static conf
+        _SYNCED_CONF_HASH[id(child)] = h
     except Exception:
         tune(child)  # fall back to the engine's standard conf set
     child.conf.set("spark.sql.adaptive.enabled", "false")
