@@ -151,17 +151,20 @@ def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
 
-    # min of 3 INTERLEAVED passes per query: the first executions of a
+    # min of 4 INTERLEAVED passes per query: the first executions of a
     # query shape pay whole-stage-codegen JIT compilation, and host
     # contention is bursty on minute scales (a 0.4s-steady-state query
-    # has measured 15-36s on a cold noisy run).  Running the whole
-    # suite three times and taking the per-query minimum samples each
-    # query in three separate time windows, so a contention burst
-    # inflates at most one of them; back-to-back trials would put all
-    # of a query's samples inside the same burst.  Queries still > 2s
-    # after the passes get one extra back-to-back trial.
+    # has measured 15-36s on a cold noisy run; round-4 measured
+    # back-to-back full-suite totals swinging 32-37s with an idle
+    # process table — the noise is the shared microVM host).  Running
+    # the whole suite four times and taking the per-query minimum
+    # samples each query in four separate time windows, so a
+    # contention burst inflates at most one of them; back-to-back
+    # trials would put all of a query's samples inside the same
+    # burst.  Queries still > 2s after the passes get one extra
+    # back-to-back trial.
     timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
-    for _pass in range(3):
+    for _pass in range(4):
         for name in HEADLINE:
             t0 = time.time()
             df = queries[name](spark, SF_DIR)
