@@ -192,7 +192,7 @@ def main() -> None:
 
     # corpus-curation throughput: docs/sec through the full
     # annotate -> PII-scrub -> language gate -> exact-dedup stack
-    # (the training-data-pipeline headline path; min of 2 passes)
+    # (the training-data-pipeline headline path; min of 3 passes)
     from sample_keyspaces_cdc_streams_connectors_spark.config import load_config
     from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_corpus_pipeline
 
@@ -210,7 +210,7 @@ def main() -> None:
     )
     n_docs = docs.count()
     curate_best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         curate(docs).write.mode("overwrite").format("noop").save()
         curate_best = min(curate_best, time.time() - t0)
@@ -335,8 +335,8 @@ def main() -> None:
         "corpus_docs_per_sec": corpus_docs_per_sec,
         # throughputs derive from the min-time over interleaved passes
         # (same minima methodology as the query suite), N recorded:
-        "cdc_passes": 3 + (1 if timings.get("project_enrich", 0) > 2 else 0),
-        "corpus_passes": 2,
+        "cdc_passes": 4 + (1 if timings.get("project_enrich", 0) > 2 else 0),
+        "corpus_passes": 3,
     }
     detail = {
         "aux_ops_sec": aux,
