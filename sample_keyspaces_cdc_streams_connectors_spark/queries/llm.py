@@ -159,13 +159,10 @@ sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
 NGRAM_MAX_SHINGLE_FREQ = 100
 
 
-@register(
-    "dedup_ngram",
-    # hsh: shingle identity is the md5-derived 60-bit int (exactly the
-    # engine's md5_int) — int64 join keys instead of strings; a
-    # collision would merge the same shingles in both engines
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
+#: shared CTE chain: normalized shingles -> hashed -> candidate pairs
+#: -> common-shingle counts (used by the dedup_ngram oracle and the
+#: cluster-closure oracle, which must agree on the pair set exactly)
+_NGRAM_COMMON_CTES = f"""{_SHINGLES_CTE},
     hsh AS (
       SELECT DISTINCT doc_id,
              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
@@ -192,7 +189,16 @@ NGRAM_MAX_SHINGLE_FREQ = 100
       JOIN hsh sa ON sa.doc_id = c.doc_a
       JOIN hsh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
       GROUP BY c.doc_a, c.doc_b
-    )
+    )"""
+
+
+@register(
+    "dedup_ngram",
+    # hsh: shingle identity is the md5-derived 60-bit int (exactly the
+    # engine's md5_int) — int64 join keys instead of strings; a
+    # collision would merge the same shingles in both engines
+    oracle=f"""
+    WITH {_NGRAM_COMMON_CTES}
     SELECT doc_a, doc_b,
            CAST(CAST(n_common / (na.n + nb.n - n_common) AS DECIMAL(18,6))
                 AS DOUBLE) AS jaccard
@@ -211,6 +217,56 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         docs, k=3, threshold=0.5, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
+    )
+
+
+@register(
+    "dedup_cluster",
+    # WITH RECURSIVE closes the pair graph transitively in DuckDB —
+    # the declarative twin of the engine's iterative label
+    # propagation / star contraction (which cannot be one SQL query
+    # on the Spark side; the OUTPUT is still exactly comparable)
+    oracle=f"""
+    WITH RECURSIVE {_NGRAM_COMMON_CTES},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN hsizes na ON na.doc_id = doc_a
+      JOIN hsizes nb ON nb.doc_id = doc_b
+      WHERE n_common / (na.n + nb.n - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER closure (llm/components.py): the exact-Jaccard
+    near-dup pairs close transitively into components, keyed by each
+    component's minimum doc id — the decision layer behind
+    ``corpus.dedup=cluster`` survivor selection.  The Spark side is
+    the iterative min-label/star algorithm (auto-routed by the hub
+    probe); the oracle reaches the same fixpoint via a recursive CTE
+    over the identical pair set, so the gate pins the CLOSURE, not
+    just the pair generation."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("component_id").cast("bigint").alias("component_id"),
     )
 
 
