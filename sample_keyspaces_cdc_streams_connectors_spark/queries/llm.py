@@ -271,6 +271,90 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_docs",
+    # the fixture has no punctuation, so both sides first plant a
+    # period after every 5th token with the IDENTICAL regex (no
+    # lookaround — RE2 and Java agree on it); the oracle then
+    # emulates the engine's lookbehind sentence split with two
+    # RE2-safe marker replacements, re-derives the batcher's
+    # floor(exclusive-running-total / budget) chunk assignment as
+    # window SQL, and reassembles chunk texts with ordered string_agg
+    oracle=r"""
+    WITH sdocs AS (
+      SELECT doc_id,
+             regexp_replace(text, '((?:\S+\s+){4}\S+)\s+', '\1. ', 'g')
+               AS t2
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(t2, '([.!?])\s+', '\1' || chr(1), 'g'),
+               '\n+', chr(1), 'g') AS m
+      FROM sdocs
+    ),
+    sents0 AS (
+      SELECT doc_id, i AS pos, trim(s) AS sent
+      FROM marked,
+           LATERAL (SELECT unnest(str_split(m, chr(1))) AS s,
+                    unnest(generate_series(1, len(str_split(m, chr(1)))))
+                      AS i)
+    ),
+    sents AS (
+      SELECT doc_id, pos, sent,
+             len(regexp_extract_all(sent, '\S+')) AS n
+      FROM sents0 WHERE sent != ''
+    ),
+    run AS (
+      SELECT *,
+             COALESCE(SUM(n) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS excl
+      FROM sents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(floor(excl / 12) AS BIGINT) AS bucket,
+             string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+             CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM run GROUP BY doc_id, CAST(floor(excl / 12) AS BIGINT)
+    )
+    SELECT doc_id,
+           CAST(DENSE_RANK() OVER (
+             PARTITION BY doc_id ORDER BY bucket) - 1 AS INT) AS chunk_idx,
+           chunk_text,
+           n_tokens
+    FROM chunks
+    """,
+)
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aligned token-bounded chunking (llm/chunking.py): a
+    period is planted after every 5th token (the fixture has none),
+    then documents split at sentence boundaries and pack into chunks
+    of at most 12 tokens + the largest sentence, reusing the
+    size-bounded batcher's floor(exclusive-running-total / budget)
+    assignment — the oracle re-derives the whole pipeline (split,
+    token counts, window assignment, ordered reassembly) in SQL, so
+    chunk TEXTS hash-match, not just counts."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+\s+){4}\S+)\s+", r"$1. "
+        ).alias("text"),
+    )
+    out = chunk_documents(docs, max_tokens=12)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
+@register(
     "cap_per_source",
     oracle="""
     SELECT doc_id, source, n_chars
