@@ -355,6 +355,75 @@ def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_exact",
+    # only the DETERMINISTIC metrics face the oracle: the sketch
+    # metrics (HLL distinct, t-digest percentiles) are approximate by
+    # design and stay pytest-verified; means restrict to integer
+    # columns so the double sums are exact under any addition order
+    oracle="""
+    SELECT '*' AS "column", 'rows' AS metric,
+           CAST(COUNT(*) AS DOUBLE) AS value FROM lineitem
+    UNION ALL SELECT 'l_orderkey', 'count',
+           CAST(COUNT(l_orderkey) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_orderkey', 'nulls',
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_orderkey', 'min',
+           CAST(MIN(l_orderkey) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_orderkey', 'max',
+           CAST(MAX(l_orderkey) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_orderkey', 'mean',
+           CAST(SUM(l_orderkey) AS DOUBLE) / COUNT(l_orderkey)
+           FROM lineitem
+    UNION ALL SELECT 'l_linenumber', 'count',
+           CAST(COUNT(l_linenumber) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_linenumber', 'nulls',
+           CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_linenumber', 'min',
+           CAST(MIN(l_linenumber) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_linenumber', 'max',
+           CAST(MAX(l_linenumber) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_linenumber', 'mean',
+           CAST(SUM(l_linenumber) AS DOUBLE) / COUNT(l_linenumber)
+           FROM lineitem
+    UNION ALL SELECT 'l_returnflag', 'count',
+           CAST(COUNT(l_returnflag) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_returnflag', 'nulls',
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_returnflag', 'empty',
+           CAST(SUM(CASE WHEN l_returnflag = '' THEN 1 ELSE 0 END)
+                AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_returnflag', 'min_length',
+           CAST(MIN(LENGTH(l_returnflag)) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_returnflag', 'max_length',
+           CAST(MAX(LENGTH(l_returnflag)) AS DOUBLE) FROM lineitem
+    UNION ALL SELECT 'l_returnflag', 'mean_length',
+           CAST(SUM(LENGTH(l_returnflag)) AS DOUBLE)
+           / COUNT(l_returnflag) FROM lineitem
+    """,
+)
+def profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (operators/profile.py), deterministic
+    subset: ALL columns' count/null/min/max/mean (+ length stats for
+    strings) fuse into ONE map-side-combined aggregate — the oracle
+    recomputes every cell independently per metric, so the fused
+    single-Exchange plan is proven cell-by-cell.  The sketch metrics
+    (HLL approx_distinct, t-digest percentiles) are excluded here and
+    accuracy-pinned in tests/test_profile.py."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    prof = profile_table(li)
+    return prof.filter(
+        ~F.col("metric").isin("approx_distinct", "p25", "p50", "p75")
+    )
+
+
+@register(
     "cap_per_source",
     oracle="""
     SELECT doc_id, source, n_chars
