@@ -424,6 +424,60 @@ def profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_index_probe",
+    oracle=f"""
+    WITH probe AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN upper(text) || '  '
+                  ELSE text || ' xnovel' END AS text
+      FROM documents
+    ),
+    idx AS (SELECT DISTINCT md5({NORM}) AS fp FROM documents)
+    SELECT p.doc_id
+    FROM probe p
+    WHERE md5(lower(trim(regexp_replace(p.text, '\\s+', ' ', 'g'))))
+          NOT IN (SELECT fp FROM idx)
+    """,
+)
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup (llm/dedup_index.py): the
+    standing corpus persists as a prefix-bucketed fingerprint index
+    (built once per session, like the csv/avro roundtrip fixtures);
+    a probe batch re-presents every doc under a shifted id — every
+    10th as a case/whitespace perturbation (same normalized
+    fingerprint → suppressed), the rest with an appended novel token
+    (→ fresh).  The oracle recomputes the anti-join from scratch over
+    the raw text, so the persisted bucket layout, the keys-only
+    anti-join, and the id re-join are all proven end-to-end."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"engine_dedup_idx_{tag}")
+    if not os.path.isdir(path):
+        build_dedup_index(docs, path, mode="exact")
+    probe = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.upper("text"), F.lit("  ")),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" xnovel")))
+        .alias("text"),
+    )
+    return dedup_against_index(probe, path, mode="exact").select("doc_id")
+
+
+@register(
     "cap_per_source",
     oracle="""
     SELECT doc_id, source, n_chars
