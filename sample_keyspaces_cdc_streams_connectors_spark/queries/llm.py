@@ -478,6 +478,52 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_gate",
+    # eval set = every 50th doc (so contamination exists by
+    # construction: those docs collide with themselves); k=8-grams
+    # via the same normalize/tokenize/shingle chain as the engine
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all({NORM}, '\\S+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(t) <= 8 THEN array_to_string(t, ' ')
+                  ELSE array_to_string(t[i:i+7], ' ') END AS g
+      FROM toks,
+           LATERAL (SELECT unnest(
+             CASE WHEN len(t) <= 8 THEN [1]
+                  ELSE generate_series(1, len(t) - 7) END) AS i)
+    ),
+    eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM grams c JOIN eval_grams e ON e.g = c.g
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (llm/decontaminate.py): every 50th
+    doc plays the benchmark set, so it and anything sharing one of
+    its normalized 8-grams must drop.  The engine runs the
+    broadcast-probe + collision-count formulation over 60-bit md5
+    gram ints; the oracle recomputes membership over the gram STRINGS
+    from scratch — identical survivors (collision-free at fixture
+    scale), so the whole operator, not just its flags, is
+    hash-checked."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, eval_docs, k=8).select("doc_id")
+
+
+@register(
     "cap_per_source",
     oracle="""
     SELECT doc_id, source, n_chars
