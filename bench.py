@@ -257,6 +257,25 @@ def main() -> None:
             .save(),
         )
         _aux("profile_table", lambda: profile_table(raw_docs).collect())
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.chunking import chunk_documents
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import decontaminate
+
+        _aux(
+            "chunk_documents",
+            lambda: chunk_documents(docs, max_tokens=64)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        _aux(
+            "decontaminate",
+            lambda: decontaminate(
+                docs, docs.filter(AF.col("doc_id") % 50 == 0), k=8
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
         from sample_keyspaces_cdc_streams_connectors_spark.llm.spans import remove_repeated_spans
 
         _aux(
