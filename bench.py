@@ -26,23 +26,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: headline subset of __spark_entry__.queries() — excludes only the
 #: real-streaming-execution queries (state-store micro-batch replay
-#: measures the state store, not query throughput)
+#: measures the state store, not query throughput; their rate is
+#: reported separately as streaming_events_per_sec)
 HEADLINE = [
-    "project_enrich",        # full CDC shape pipeline
+    "project_enrich",        # full CDC shape pipeline (+image_shape, r5)
+    "filter_jexl",           # 3-arm predicate surface (r5 consolidation)
     "scan_cast_project",
-    "scan_csv_roundtrip",
-    "scan_avro_roundtrip",
+    "scan_format_roundtrip",  # csv + avro arms (r5 consolidation)
     "join_inner",
     "join_left",
     "asof_join_purchase",
     "range_join_shipments",
     "revenue_topk",
     "agg_sum_by_key",
-    "agg_cube",
+    "agg_cube",              # + rollup_time arm (r5 consolidation)
     "agg_salted_sum",
-    "rollup_time",
-    "window_rank",
-    "window_distribution",
+    "window_rank",           # + window_distribution cols (r5)
     "pivot_op_counts",
     "set_union_except",
     "scalar_funcs",
@@ -50,32 +49,31 @@ HEADLINE = [
     "batch_bounds",
     "time_partition_counts",
     "mv_apply",
-    "text_analysis",
+    "text_analysis",         # + simhash col (r5 consolidation)
     "dedup_exact",
     "cap_per_source",
     "dedup_ngram",
     "dedup_minhash",
-    "dedup_simhash",
     "dedup_embedding",
     "text_winnow",
-    "vector_topk",
-    "ann_lsh_topk",
+    "vector_topk",           # brute + lsh arms (r5 consolidation)
     "ann_ivf_topk",
     "ann_pq_topk",
     "embed_dims",
-    "multimodal_geom",
-    "multimodal_frames",
-    "udaf_grouped_sum",
+    "multimodal_geom",       # + frame sampling (r5 consolidation)
+    "udaf_grouped_sum",      # + HLL sketch arm (r5 consolidation)
     "exists_semi_anti",
     "scalar_subquery_avg",
     "agg_percentiles",
-    "agg_approx_distinct",
     "explode_wordcount",
 ]
 
-#: r1 query names → round-2 consolidated names, so cross-round deltas
-#: stay comparable after the registry consolidation
+#: prior-round query names → current consolidated names, so
+#: cross-round deltas stay comparable after registry consolidations.
+#: When SEVERAL prior queries merged into one, their prior times are
+#: SUMMED as the baseline (the merged query does all their work).
 RENAMES = {
+    # r1 → r2
     "metadata_enrich": "project_enrich",
     "scan_project": "scan_cast_project",
     "agg_distinct": "agg_percentiles",
@@ -87,6 +85,18 @@ RENAMES = {
     "text_quality": "text_analysis",
     "multimodal_extract": "multimodal_geom",
     "exists_subquery": "exists_semi_anti",
+    # r4 → r5 (registry consolidation back under the 50-row window)
+    "scan_csv_roundtrip": "scan_format_roundtrip",
+    "scan_avro_roundtrip": "scan_format_roundtrip",
+    "rollup_time": "agg_cube",
+    "window_distribution": "window_rank",
+    "agg_approx_distinct": "udaf_grouped_sum",
+    "dedup_simhash": "text_analysis",
+    "multimodal_frames": "multimodal_geom",
+    "ann_lsh_topk": "vector_topk",
+    "filter_semantics": "filter_jexl",
+    "decimal_compare": "filter_jexl",
+    "image_shape": "project_enrich",
 }
 
 
@@ -215,6 +225,21 @@ def main() -> None:
         curate(docs).write.mode("overwrite").format("noop").save()
         curate_best = min(curate_best, time.time() - t0)
     corpus_docs_per_sec = int(n_docs / curate_best) if curate_best else None
+
+    # streaming throughput: events/sec through the REAL state-store
+    # pipeline (readStream availableNow replay of the sliding-window
+    # aggregate, update mode, foreachBatch capture — the machinery
+    # behind the stream_window_counts gate).  Reported so a state-store
+    # perf regression is visible round-over-round (VERDICT r4 #6);
+    # min-elapsed over N passes, same minima methodology as the suite.
+    stream_passes = 3
+    stream_best = float("inf")
+    for _ in range(stream_passes):
+        t0 = time.time()
+        df = queries["stream_window_counts"](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        stream_best = min(stream_best, time.time() - t0)
+    streaming_events_per_sec = int(n_events / stream_best)
 
     # auxiliary operators (round-3 additions outside the oracle
     # registry): timed min-of-2 each, reported separately so they
@@ -352,10 +377,12 @@ def main() -> None:
         "sf": sf,
         "cdc_rows_per_sec": cdc_rows_per_sec,
         "corpus_docs_per_sec": corpus_docs_per_sec,
+        "streaming_events_per_sec": streaming_events_per_sec,
         # throughputs derive from the min-time over interleaved passes
         # (same minima methodology as the query suite), N recorded:
         "cdc_passes": 4 + (1 if timings.get("project_enrich", 0) > 2 else 0),
         "corpus_passes": 3,
+        "streaming_passes": stream_passes,
     }
     detail = {
         "aux_ops_sec": aux,
@@ -364,18 +391,32 @@ def main() -> None:
     prev = _prev_bench()
     if prev is not None:
         n, prev_doc = prev
-        prev_q = {
-            RENAMES.get(k, k): v
-            for k, v in (prev_doc.get("queries") or {}).items()
-        }
+        # map prior names through the consolidation renames, SUMMING
+        # when several prior queries merged into one (the merged query
+        # does all their work, so the fair baseline is the sum)
+        prev_q: dict[str, float] = {}
+        for k, v in (prev_doc.get("queries") or {}).items():
+            if not isinstance(v, (int, float)):
+                continue
+            tgt = RENAMES.get(k, k)
+            prev_q[tgt] = round(prev_q.get(tgt, 0.0) + v, 3)
         deltas = {
             name: round(t - prev_q[name], 3)
             for name, t in timings.items()
             if name in prev_q
         }
+        shared = len(deltas)
         detail["prev_round"] = n
         detail["prev_total_sec"] = prev_doc.get("value")
+        detail["prev_queries_sec"] = prev_q
         detail["delta_vs_prev_sec"] = deltas
+        # every shared query must carry a delta (VERDICT r4 nit #1):
+        # record coverage explicitly so a gap is visible, not silent
+        detail["delta_coverage"] = {
+            "shared": shared,
+            "current_total": len(timings),
+            "current_only": sorted(set(timings) - set(prev_q)),
+        }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump({**out, **detail}, fh, indent=1)

@@ -678,7 +678,17 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     # as the round-2 explode+groupBy form and the DuckDB oracle's
     # unnest — an all-zero-sum fingerprint would otherwise cluster
     # every blank doc together at hamming distance 0
-    hs = F.col("__hs")
+    code = simhash_fold(F.col("__hs"), bits)
+    return hashed.select("doc_id", code.alias("simhash"))
+
+
+def simhash_fold(hs: Column, bits: int = 16) -> Column:
+    """The SimHash bit-majority fold as a pure Column over an array of
+    64-bit token hashes — shareable by :func:`simhash` and any query
+    that wants the fingerprint as one extra projection column (e.g.
+    the consolidated ``text_analysis`` gate).  BIGINT code; callers
+    decide how to treat empty arrays (:func:`simhash` filters them
+    out beforehand)."""
     acc0 = F.struct(
         *[F.lit(0).cast("long").alias(f"s{i}") for i in range(bits)]
     )
@@ -695,14 +705,13 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
         )
 
     sums = F.aggregate(hs, acc0, step)
-    code = sum(
+    return sum(
         [
             F.when(sums[f"s{i}"] > 0, F.lit(1 << i)).otherwise(F.lit(0))
             for i in range(bits)
         ],
         F.lit(0),
-    )
-    return hashed.select("doc_id", code.cast("bigint").alias("simhash"))
+    ).cast("bigint")
 
 
 def with_minhash_signature(

@@ -54,13 +54,24 @@ def register(name: str, oracle: str | None = None):
 
 
 def load_all() -> dict[str, QuerySpec]:
-    """Import all query modules (side effect: fills REGISTRY)."""
+    """Import all query modules (side effect: fills REGISTRY).
+
+    REGISTRATION ORDER MATTERS: the driver's oracle gate records the
+    first 50 registry entries in registration order (r4 lesson — the
+    registry grew to 59 and pushed the sinkshape + streaming gates out
+    of the window).  Round 5 consolidated the registry back under 50
+    (see the module docstrings' budget notes) AND reordered imports so
+    the reference-core surfaces (CDC transforms, sink shaping,
+    streaming state) register before the relational/LLM extensions —
+    if the registry ever overflows again, the overflow lands on the
+    extension tail, never on a reference operator.
+    """
     from sample_keyspaces_cdc_streams_connectors_spark.queries import (  # noqa: F401
         cdc,
-        llm,
-        relational,
         sinkshape,
         streaming,
+        relational,
+        llm,
     )
 
     return REGISTRY

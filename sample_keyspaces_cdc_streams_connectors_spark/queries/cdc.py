@@ -12,7 +12,13 @@ registered queries, so the r1 fine-grained variants are consolidated —
 ``project_fields`` + ``metadata_enrich`` → :func:`project_enrich`,
 ``image_coalesce`` + ``full_image_flatten`` → :func:`image_shape`, and
 ``type_cast`` merged with ``scan_project`` (queries/relational.py).
-Every consolidated query still exercises the same operator code paths.
+Round 5 (registry 59 > the 50-row driver window — VERDICT r4 #1):
+``filter_semantics`` + ``decimal_compare`` folded into
+:func:`filter_jexl` as tagged union arms, and ``image_shape`` folded
+into :func:`project_enrich` as one narrow pipeline.  Every
+consolidated query still exercises the same operator code paths, and
+every output column of the retired queries survives in the merged
+result (full hash coverage).
 """
 
 from __future__ import annotations
@@ -29,7 +35,6 @@ from sample_keyspaces_cdc_streams_connectors_spark.operators import (
     cdc_filter,
     classify_operation,
     coalesce_image,
-    flatten_full_image,
     project_fields,
     shape_output,
 )
@@ -64,61 +69,74 @@ def op_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
-# --- #6 predicate filter (JEXL semantics) ----------------------------------
+# --- #6 predicate filter (JEXL semantics) + #7 decimal scalar fns -----------
 
 
 @register(
     "filter_jexl",
     oracle=_with_env(
-        f"""SELECT event_id, seq, event_type, value FROM env
+        f"""SELECT 'jexl' AS gate, event_id, seq, event_type, value FROM env
         WHERE {CLASSIFY_SQL_CASE} IN ('INSERT', 'REPLICATED_INSERT', 'UPDATE')
           AND (event_type = 'click' OR value > 42.5)
-          AND NOT (user_id % 7 = 0)"""
+          AND NOT (user_id % 7 = 0)
+        UNION ALL
+        SELECT 'semantics' AS gate, event_id,
+               CAST(NULL AS VARCHAR) AS seq,
+               CAST(NULL AS VARCHAR) AS event_type, value
+        FROM events
+        WHERE (CASE WHEN value > 50 THEN NULL ELSE value END) > 25
+          AND lower(CASE WHEN value > 45 THEN 'true'
+                         WHEN value > 40 THEN 'TRUE'
+                         WHEN value > 35 THEN NULL
+                         ELSE 'no' END) = 'true'
+          AND (CAST(floor(value) AS INTEGER) % 3) <> 0
+        UNION ALL
+        SELECT 'decimal' AS gate, event_id,
+               CAST(NULL AS VARCHAR) AS seq,
+               CAST(NULL AS VARCHAR) AS event_type,
+               CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value
+        FROM events
+        WHERE CAST(value AS DECIMAL(38,18)) > CAST('49.5' AS DECIMAL(38,18))
+        """
     ),
 )
 def filter_jexl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JEXL predicate operator set in one compound filter: IN over
+    """The full JEXL predicate surface as a 3-arm tagged union (r5
+    registry consolidation — ``filter_semantics`` + ``decimal_compare``
+    folded in; every retired output column survives):
+
+    Arm ``jexl`` — operator set in one compound filter: IN over
     metadata.operation (the README's canonical example,
     sqs-connector/README.md:386-392 analog), numeric comparison and
     modulo over newImage cells, OR / AND / NOT composition
-    (JexlFilterService.java:50-130).
+    (JexlFilterService.java:50-130).  The surviving ops all guarantee
+    a newImage, so image-field access never nulls out the predicate.
 
-    The surviving ops all guarantee a newImage, so image-field access
-    never nulls out the predicate here (null semantics are covered by
-    filter_semantics)."""
+    Arm ``semantics`` — evaluation semantics, chained: (1) a NULL
+    predicate result drops the record (eval-error-drops-record,
+    JexlFilterService.java:76-79); (2) string results coerce via
+    case-insensitive parseBoolean; (3) numeric results coerce via
+    != 0 (JexlFilterService.java:102-124).
+
+    Arm ``decimal`` — converters:to_big_decimal + compare_to
+    (JexlFilterFunctions.java:4-21) as exact DECIMAL comparison; the
+    projection re-casts the decimal to DOUBLE (comparison stays
+    decimal-exact, the emitted value is hash-stable)."""
     env = _env(spark, sf_dir)
-    return cdc_filter(
+    jexl = cdc_filter(
         env,
         "metadata.stream_operation_type IN "
         "('INSERT', 'REPLICATED_INSERT', 'UPDATE')"
         " AND (newImage.event_type = 'click' OR newImage.value > 42.5)"
         " AND NOT (newImage.user_id % 7 = 0)",
     ).select(
+        F.lit("jexl").alias("gate"),
         F.col("event_id"),
         F.col("metadata.stream_sequence_number").alias("seq"),
         F.col("newImage.event_type").alias("event_type"),
         F.col("newImage.value").alias("value"),
     )
 
-
-@register(
-    "filter_semantics",
-    oracle="""
-    SELECT event_id, value FROM events
-    WHERE (CASE WHEN value > 50 THEN NULL ELSE value END) > 25
-      AND lower(CASE WHEN value > 45 THEN 'true'
-                     WHEN value > 40 THEN 'TRUE'
-                     WHEN value > 35 THEN NULL
-                     ELSE 'no' END) = 'true'
-      AND (CAST(floor(value) AS INTEGER) % 3) <> 0
-    """,
-)
-def filter_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JEXL evaluation semantics, chained: (1) a NULL predicate result
-    drops the record (eval-error-drops-record,
-    JexlFilterService.java:76-79); (2) string results coerce via
-    case-insensitive parseBoolean; (3) numeric results coerce via
-    != 0 (JexlFilterService.java:102-124)."""
     ev = load_table(spark, sf_dir, "events")
     step1 = cdc_filter(
         ev, "CASE WHEN value > 50 THEN NULL ELSE value END > 25"
@@ -128,38 +146,28 @@ def filter_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN value > 45 THEN 'true' WHEN value > 40 THEN 'TRUE' "
         "WHEN value > 35 THEN NULL ELSE 'no' END",
     )
-    step3 = cdc_filter(step2, "CAST(floor(value) AS INT) % 3")
-    return step3.select("event_id", "value")
+    semantics = cdc_filter(step2, "CAST(floor(value) AS INT) % 3").select(
+        F.lit("semantics").alias("gate"),
+        "event_id",
+        F.lit(None).cast("string").alias("seq"),
+        F.lit(None).cast("string").alias("event_type"),
+        "value",
+    )
 
-
-# --- #7 decimal scalar fns --------------------------------------------------
-
-
-@register(
-    "decimal_compare",
-    oracle="""
-    SELECT event_id,
-           CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value_dec
-    FROM events
-    WHERE CAST(value AS DECIMAL(38,18)) > CAST('49.5' AS DECIMAL(38,18))
-    """,
-)
-def decimal_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """converters:to_big_decimal + compare_to
-    (JexlFilterFunctions.java:4-21) as exact DECIMAL comparison; the
-    final projection re-casts the decimal to DOUBLE (comparison stays
-    decimal-exact, the emitted value is hash-stable)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.filter(
+    decimal = ev.filter(
         F.col("value").cast("decimal(38,18)")
         > F.lit("49.5").cast("decimal(38,18)")
     ).select(
+        F.lit("decimal").alias("gate"),
         "event_id",
-        F.col("value").cast("decimal(18,6)").cast("double").alias("value_dec"),
+        F.lit(None).cast("string").alias("seq"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("value").cast("decimal(18,6)").cast("double").alias("value"),
     )
+    return jexl.unionAll(semantics).unionAll(decimal)
 
 
-# --- #8 + #10 projection whitelist + metadata enrichment --------------------
+# --- #8 + #9 + #10 projection + image shaping + metadata enrichment ---------
 
 
 @register(
@@ -170,6 +178,10 @@ def decimal_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHEN has_old THEN user_id END AS user_id,
                    CASE WHEN has_new THEN value
                         WHEN has_old THEN old_value END AS value,
+                   CASE WHEN has_new THEN user_id END AS new_user_id,
+                   CASE WHEN has_new THEN value END AS new_value,
+                   CASE WHEN has_old THEN user_id END AS old_user_id,
+                   CASE WHEN has_old THEN old_value END AS old_value,
                    'media' AS stream_keyspace_name,
                    'events' AS stream_table_name,
                    {CLASSIFY_SQL_CASE} AS stream_operation_type,
@@ -179,60 +191,41 @@ def decimal_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def project_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fields-to-include whitelist (AbstractJSONConverter.java:256-263)
-    composed with include-metadata enrichment
-    (AbstractJSONConverter.java:207-215): the projected coalesced image
-    (user_id, value only — event_type/props dropped by the whitelist)
-    plus the stream_* metadata columns."""
+    """Projection + image shaping + metadata enrichment in ONE narrow
+    pipeline (r5 registry consolidation — ``image_shape`` folded in;
+    every retired output column survives, renamed ``new_*`` where the
+    two queries used the same name for different semantics):
+
+    - fields-to-include whitelist (AbstractJSONConverter.java:256-263):
+      user_id/value only — event_type/props dropped;
+    - default record-format image coalesce(newImage, oldImage)
+      (AbstractJSONConverter.java:218-231) → ``user_id``/``value``
+      (deletes fall back to the old image);
+    - record-format=full flatten, old image under old_ prefix
+      (AbstractAvroConverter.java:100-134,380-385) →
+      ``new_user_id``/``new_value``/``old_user_id``/``old_value``;
+    - include-metadata enrichment (AbstractJSONConverter.java:207-215)
+      → the stream_* columns.
+
+    Single map-only stage over the envelope — no self-join to glue the
+    two shapes together (they are column-level transforms of the same
+    row, so the 100 TB plan is one projection)."""
+    env = project_fields(_env(spark, sf_dir), ["user_id", "value"])
+    with_img = env.withColumn("__img", coalesce_image(env))
     shaped = shape_output(
-        project_fields(_env(spark, sf_dir), ["user_id", "value"]),
-        record_format="default",
-        include_metadata=True,
+        with_img, record_format="full", include_metadata=True
     )
     return shaped.select(
         "event_id",
-        "user_id",
-        "value",
+        F.col("__img.user_id").alias("user_id"),
+        F.col("__img.value").alias("value"),
+        F.col("user_id").alias("new_user_id"),
+        F.col("value").alias("new_value"),
+        "old_user_id",
+        "old_value",
         "stream_keyspace_name",
         "stream_table_name",
         "stream_operation_type",
         "stream_arrival_timestamp",
         "stream_sequence_number",
-    )
-
-
-# --- #9 image / format shaping ----------------------------------------------
-
-
-@register(
-    "image_shape",
-    oracle=_with_env(
-        """SELECT event_id,
-                  CASE WHEN has_new THEN user_id END AS user_id,
-                  CASE WHEN has_new THEN value END AS value,
-                  CASE WHEN has_old THEN user_id END AS old_user_id,
-                  CASE WHEN has_old THEN old_value END AS old_value,
-                  CASE WHEN has_new THEN user_id
-                       WHEN has_old THEN user_id END AS img_user_id,
-                  CASE WHEN has_new THEN value
-                       WHEN has_old THEN old_value END AS img_value
-           FROM env"""
-    ),
-)
-def image_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both record formats in one query: record-format=full flatten
-    (old image under old_ prefix, AbstractAvroConverter.java:100-134,
-    380-385) alongside the default coalesce(newImage, oldImage) image
-    (AbstractJSONConverter.java:218-231) — deletes fall back to the
-    old image."""
-    env = _env(spark, sf_dir)
-    flat = flatten_full_image(env.withColumn("__img", coalesce_image(env)))
-    return flat.select(
-        "event_id",
-        "user_id",
-        "value",
-        "old_user_id",
-        "old_value",
-        F.col("__img.user_id").alias("img_user_id"),
-        F.col("__img.value").alias("img_value"),
     )

@@ -26,7 +26,6 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
     exact_duplicates,
     md5_int,
     ngram_jaccard_pairs,
-    simhash,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
 from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import extract_features, synthesize_media
@@ -45,11 +44,46 @@ STOP_PAT = r"\b(the|a|of|and|to|in|is|on|for|it)\b"
 
 # --- text analysis ---------------------------------------------------------
 
+_SIMHASH_BITS = 16
+
+#: SimHash CTE chain (bit-majority of md5 token hashes), composed into
+#: the text_analysis oracle and reusable standalone via _SIMHASH_ORACLE
+_SIMHASH_CTES = f"""toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_extract_all({NORM}, '\\S+')) AS tok
+    FROM documents
+  )
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id,
+         {", ".join(
+             f"SUM(((h >> {i}) & 1) * 2 - 1) AS s{i}"
+             for i in range(_SIMHASH_BITS)
+         )}
+  FROM hashed GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+         CAST({" + ".join(
+             f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END"
+             for i in range(_SIMHASH_BITS)
+         )} AS BIGINT) AS simhash
+  FROM bits
+)"""
+
+_SIMHASH_ORACLE = f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM sh"
+
 
 @register(
     "text_analysis",
     oracle=f"""
-    SELECT doc_id,
+    WITH {_SIMHASH_CTES}
+    SELECT d.doc_id,
            length(regexp_extract_all(trim(text), '\\S+')) AS n_tokens,
            length(regexp_extract_all(text,
              '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_est,
@@ -69,18 +103,32 @@ STOP_PAT = r"\b(the|a|of|and|to|in|is|on|for|it)\b"
                ELSE 0 END
         + floor(least(length(regexp_extract_all(lower(text), '{STOP_PAT}')),
                       8) * 300 / 8)
-        AS INTEGER) AS quality
-    FROM documents
+        AS INTEGER) AS quality,
+      s.simhash
+    FROM documents d LEFT JOIN sh s ON s.doc_id = d.doc_id
     """,
 )
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis stack in one pass (r1's text_tokens +
-    text_quality, consolidated for the 50-query registry budget):
-    token counting (whitespace + BPE-ish regex), content fingerprint,
-    language-ID heuristic, and integer quality score — all JVM regexp
-    built-ins, zero Python in the data path."""
-    docs = load_table(spark, sf_dir, "documents")
+    text_quality consolidated for the 50-query registry budget; r5
+    folds in ``dedup_simhash`` — the {bits}-bit SimHash fingerprint is
+    one more projection column, NULL for token-less docs exactly as
+    the standalone query omitted them): token counting (whitespace +
+    BPE-ish regex), content fingerprint, language-ID heuristic,
+    integer quality score, and the hamming-bucketable SimHash near-dup
+    key (llm/dedup.py:simhash_fold) — all JVM built-ins, zero Python.
+    The only exchange is the fixture repartition (RoundRobin, spreads
+    the single-file fixture across cores for the heavy fold — a real
+    table arrives already partitioned); the analysis itself is a
+    narrow zero-shuffle projection."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import simhash_fold
+
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load_table(spark, sf_dir, "documents").repartition(nparts)
     t = F.col("text")
+    hs = F.transform(
+        F.array_distinct(tokens(normalize_text(t))), md5_int
+    )
     return docs.select(
         "doc_id",
         token_count(t).alias("n_tokens"),
@@ -88,6 +136,9 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint(t).alias("fingerprint"),
         lang_id(t).alias("lang"),
         quality_score(t).alias("quality"),
+        F.when(
+            F.size(hs) > 0, simhash_fold(hs, _SIMHASH_BITS)
+        ).alias("simhash"),
     )
 
 
@@ -649,49 +700,9 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_BITS = 16
-
-_SIMHASH_ORACLE = f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, unnest(regexp_extract_all({NORM}, '\\S+')) AS tok
-    FROM documents
-  )
-),
-hashed AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
-  FROM toks
-),
-bits AS (
-  SELECT doc_id,
-         {", ".join(
-             f"SUM(((h >> {i}) & 1) * 2 - 1) AS s{i}"
-             for i in range(_SIMHASH_BITS)
-         )}
-  FROM hashed GROUP BY doc_id
-)
-SELECT doc_id,
-       CAST({" + ".join(
-           f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END"
-           for i in range(_SIMHASH_BITS)
-       )} AS BIGINT) AS simhash
-FROM bits
-"""
-
-
-@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document (bit-majority of md5
-    token hashes) — the hamming-bucketable near-dup key.  simhash()
-    itself is a narrow zero-shuffle projection; the repartition here
-    only spreads the single-file fixture across cores (a real table
-    arrives already partitioned)."""
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return simhash(
-        load_table(spark, sf_dir, "documents").repartition(nparts),
-        bits=_SIMHASH_BITS,
-    )
+# ``dedup_simhash`` folded into :func:`text_analysis` (r5 registry
+# consolidation): the SimHash fingerprint is one more zero-shuffle
+# projection column there, sharing the same document scan.
 
 
 def _minhash_oracle() -> str:
@@ -787,36 +798,6 @@ list_sum(list_transform(list_zip(a.emb, q.emb),
 """
 
 
-@register(
-    "vector_topk",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS emb FROM embeddings WHERE vec_id = 1),
-    scored AS (
-      SELECT a.vec_id, {_DUCK_COS} AS sim
-      FROM (SELECT vec_id, embedding AS emb FROM embeddings
-            WHERE vec_id <> 1) a, q
-    )
-    SELECT vec_id, CAST(CAST(sim AS DECIMAL(18,8)) AS DOUBLE) AS sim
-    FROM scored
-    ORDER BY sim DESC, vec_id
-    LIMIT 10
-    """,
-)
-def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-10 for query vector vec_id=1 —
-    query vector broadcast as a literal, one scan, per-partition
-    heap (TakeOrderedAndProject), no shuffle of the vector table."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
-    top = brute_force_topk(
-        emb.filter(F.col("vec_id") != 1), [float(x) for x in qvec], k=10
-    )
-    return top.select(
-        "vec_id",
-        F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
-    )
-
-
 def _lsh_oracle(n_planes: int = 4) -> str:
     """Sign-projection LSH oracle: the same md5-derived ±1 plane
     pattern and sequential-double projections as llm.similarity."""
@@ -842,33 +823,62 @@ def _lsh_oracle(n_planes: int = 4) -> str:
     bucketed AS (
       SELECT vec_id, embedding AS emb, ({bucket('embedding')}) AS bucket
       FROM embeddings WHERE vec_id <> 1
+    ),
+    brute AS (
+      SELECT 'brute' AS method, a.vec_id,
+             CAST(CAST({_DUCK_COS} AS DECIMAL(18,8)) AS DOUBLE) AS sim,
+             CAST(NULL AS INTEGER) AS bucket
+      FROM (SELECT vec_id, embedding AS emb FROM embeddings
+            WHERE vec_id <> 1) a, q
+      ORDER BY sim DESC, a.vec_id
+      LIMIT 10
+    ),
+    lsh AS (
+      SELECT 'lsh' AS method, a.vec_id,
+             CAST(CAST({_DUCK_COS} AS DECIMAL(18,8)) AS DOUBLE) AS sim,
+             CAST(a.bucket AS INTEGER) AS bucket
+      FROM bucketed a, q, qb
+      WHERE a.bucket = qb.b
+      ORDER BY sim DESC, a.vec_id
+      LIMIT 10
     )
-    SELECT a.vec_id,
-           CAST(CAST({_DUCK_COS} AS DECIMAL(18,8)) AS DOUBLE) AS sim,
-           CAST(a.bucket AS INTEGER) AS bucket
-    FROM bucketed a, q, qb
-    WHERE a.bucket = qb.b
-    ORDER BY sim DESC, a.vec_id
-    LIMIT 10
+    SELECT * FROM brute UNION ALL SELECT * FROM lsh
     """
 
 
-@register("ann_lsh_topk", oracle=_lsh_oracle())
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 searching only the query's sign-projection bucket —
-    the scale path (bucket-partitioned table prunes the scan).  Fully
-    oracle-checked: the DuckDB twin derives the identical md5-seeded
-    hyperplanes and buckets."""
+@register("vector_topk", oracle=_lsh_oracle())
+def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 for query vector vec_id=1, exact AND approximate
+    as tagged arms (r5 registry consolidation — ``ann_lsh_topk``
+    folded in; both arms keep their full output columns):
+
+    Arm ``brute`` — exact brute-force baseline: query vector broadcast
+    as a literal, one scan, per-partition heap
+    (TakeOrderedAndProject), no shuffle of the vector table.
+
+    Arm ``lsh`` — ANN searching only the query's sign-projection
+    bucket — the scale path (bucket-partitioned table prunes the
+    scan).  Fully oracle-checked: the DuckDB twin derives the
+    identical md5-seeded hyperplanes and buckets."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
-    top = lsh_bucket_topk(
-        emb.filter(F.col("vec_id") != 1), [float(x) for x in qvec], k=10
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    ]
+    others = emb.filter(F.col("vec_id") != 1)
+    brute = brute_force_topk(others, qvec, k=10).select(
+        F.lit("brute").alias("method"),
+        "vec_id",
+        F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
+        F.lit(None).cast("int").alias("bucket"),
     )
-    return top.select(
+    lsh = lsh_bucket_topk(others, qvec, k=10).select(
+        F.lit("lsh").alias("method"),
         "vec_id",
         F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
         "bucket",
     )
+    return brute.unionAll(lsh)
 
 
 #: per-(sf_dir, applicationId) trained PQ model — training is
@@ -1098,72 +1108,74 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_geom",
     oracle="""
-    SELECT doc_id AS media_id,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           md5(text) AS digest,
-           CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
-           CAST(64 + (strlen(text) // 7) % 512 AS INTEGER) AS height,
-           CAST(CASE WHEN greatest(64 + strlen(text) % 512,
-                                   64 + (strlen(text) // 7) % 512) > 224
-                THEN ((64 + strlen(text) % 512) * 224)
-                     // greatest(64 + strlen(text) % 512,
-                                 64 + (strlen(text) // 7) % 512)
-                ELSE 64 + strlen(text) % 512 END AS INTEGER) AS out_width,
-           CAST(CASE WHEN greatest(64 + strlen(text) % 512,
-                                   64 + (strlen(text) // 7) % 512) > 224
-                THEN ((64 + (strlen(text) // 7) % 512) * 224)
-                     // greatest(64 + strlen(text) % 512,
-                                 64 + (strlen(text) // 7) % 512)
-                ELSE 64 + (strlen(text) // 7) % 512 END AS INTEGER)
-             AS out_height
-    FROM documents
+    WITH geom AS (
+      SELECT doc_id AS media_id,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             md5(text) AS digest,
+             CAST(64 + strlen(text) % 512 AS INTEGER) AS width,
+             CAST(64 + (strlen(text) // 7) % 512 AS INTEGER) AS height,
+             CAST(CASE WHEN greatest(64 + strlen(text) % 512,
+                                     64 + (strlen(text) // 7) % 512) > 224
+                  THEN ((64 + strlen(text) % 512) * 224)
+                       // greatest(64 + strlen(text) % 512,
+                                   64 + (strlen(text) // 7) % 512)
+                  ELSE 64 + strlen(text) % 512 END AS INTEGER) AS out_width,
+             CAST(CASE WHEN greatest(64 + strlen(text) % 512,
+                                     64 + (strlen(text) // 7) % 512) > 224
+                  THEN ((64 + (strlen(text) // 7) % 512) * 224)
+                       // greatest(64 + strlen(text) % 512,
+                                   64 + (strlen(text) // 7) % 512)
+                  ELSE 64 + (strlen(text) // 7) % 512 END AS INTEGER)
+               AS out_height
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id AS media_id, k AS frame_idx,
+             CAST(octet_length(encode(substring(text, k*64+1, 64)))
+                  AS BIGINT) AS frame_bytes,
+             md5(substring(text, k*64+1, 64)) AS frame_digest
+      FROM documents, (SELECT unnest([0, 1, 2, 3]) AS k)
+      WHERE length(text) > k*64
+    )
+    SELECT g.media_id, g.n_bytes, g.digest, g.width, g.height,
+           g.out_width, g.out_height,
+           f.frame_idx, f.frame_bytes, f.frame_digest
+    FROM geom g LEFT JOIN frames f ON f.media_id = g.media_id
     """,
 )
 def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column plumbing in one query (r1's
-    multimodal_extract + multimodal_resize, consolidated): mapInPandas
-    feature extraction (exact byte size, md5 digest, decoded
-    dimensions) joined with the bounded-box resize geometry (integer
-    floor scaling to a 224px longest side).  Decode is stubbed
-    deterministically; the Spark plumbing — schema, Arrow batches,
-    binary payloads, two mapInPandas stages joined on media_id — is
-    real."""
+    """The binary media column surface in one query (r1's
+    multimodal_extract + multimodal_resize consolidated; r5 registry
+    consolidation folds in ``multimodal_frames`` — its columns survive,
+    attached per frame via a LEFT join so frameless payloads keep
+    their geometry row):
+
+    - mapInPandas feature extraction (exact byte size, md5 digest,
+      decoded dimensions);
+    - bounded-box resize geometry (integer floor scaling to a 224px
+      longest side);
+    - video-style frame sampling: mapInPandas cuts ≤4 fixed-size
+      frames per payload (rows out > rows in — beyond pandas_udf),
+      each with exact size + md5; the oracle re-derives every frame
+      by slicing the same reel in SQL.
+
+    Decode is stubbed deterministically; the Spark plumbing — schema,
+    Arrow batches, binary payloads, three mapInPandas stages joined on
+    media_id — is real."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import resize_images, sample_frames
+
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs)
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import resize_images
-
     feats = extract_features(media, fake=True).select(
         "media_id", "n_bytes", "digest", "width", "height"
     )
     resized = resize_images(media, max_side=224, fake=True).select(
         "media_id", "out_width", "out_height"
     )
-    return feats.join(resized, "media_id")
-
-
-@register(
-    "multimodal_frames",
-    oracle="""
-    SELECT doc_id AS media_id, k AS frame_idx,
-           CAST(octet_length(encode(substring(text, k*64+1, 64)))
-                AS BIGINT) AS frame_bytes,
-           md5(substring(text, k*64+1, 64)) AS frame_digest
-    FROM documents, (SELECT unnest([0, 1, 2, 3]) AS k)
-    WHERE length(text) > k*64
-    """,
-)
-def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling: mapInPandas cuts ≤4 fixed-size
-    frames per payload (rows out > rows in — beyond pandas_udf), each
-    with exact size + md5; the oracle re-derives every frame by
-    slicing the same reel in SQL."""
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import sample_frames
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
-    return sample_frames(media, frame_chars=64, max_frames=4, fake=True).select(
-        "media_id", "frame_idx", "frame_bytes", "frame_digest"
-    )
+    frames = sample_frames(
+        media, frame_chars=64, max_frames=4, fake=True
+    ).select("media_id", "frame_idx", "frame_bytes", "frame_digest")
+    return feats.join(resized, "media_id").join(frames, "media_id", "left")
 
 
 @register(
@@ -1173,16 +1185,33 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(SUM(event_id) AS BIGINT) AS id_sum,
-           COUNT(*) AS n
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS exact_n,
+           TRUE AS sketch_ok
     FROM events
     GROUP BY event_type
     """,
 )
 def udaf_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom UDAF surface: a GROUPED_AGG pandas UDF (Arrow-batched,
-    executor-side numpy) — int64 summation, so the result is exact
-    and order-independent, giving full oracle parity for a
-    Python-defined aggregate."""
+    """Custom UDAF surface + HLL sketch cardinality over the same
+    grouping (r5 registry consolidation — ``agg_approx_distinct``
+    folded in; its output columns survive):
+
+    - a GROUPED_AGG pandas UDF (Arrow-batched, executor-side numpy) —
+      int64 summation, so the result is exact and order-independent,
+      giving full oracle parity for a Python-defined aggregate;
+    - HLL++ sketch cardinality next to the exact COUNT(DISTINCT); the
+      emitted flag asserts the sketch landed within tolerance of
+      exact, so the oracle gate fails if the sketch ever drifts.
+
+    Grouped-agg pandas UDFs cannot mix with built-in aggregates in one
+    agg(), so the two halves aggregate separately and join on the
+    8-value event_type key (broadcast, no fact shuffle).
+
+    Scale: approx_count_distinct carries a fixed-size sketch through
+    the map-side combine instead of shuffling distinct keys — at
+    100 TB the exact path shuffles |distinct| rows, the sketch path
+    shuffles KBs per partition."""
     import pandas as pd
 
     def _np_sum(v):
@@ -1200,10 +1229,24 @@ def udaf_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     _np_count.__annotations__ = {"v": pd.Series, "return": int}
     np_count = F.pandas_udf(_np_count, "bigint")
 
-    # grouped-agg pandas UDFs cannot mix with built-in aggregates in
-    # one agg() — both metrics go through the pandas path
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    udaf_half = ev.groupBy("event_type").agg(
         np_sum("event_id").alias("id_sum"),
         np_count("event_id").alias("n"),
     )
+    sketch_half = (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_n"),
+            F.approx_count_distinct("user_id", 0.05).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_n",
+            (
+                F.abs(F.col("__approx") - F.col("exact_n"))
+                <= F.greatest(F.col("exact_n") * 0.15, F.lit(1))
+            ).alias("sketch_ok"),
+        )
+    )
+    return udaf_half.join(F.broadcast(sketch_half), "event_type")

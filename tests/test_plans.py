@@ -61,15 +61,19 @@ def test_window_rank_single_exchange(plans):
 
 
 def test_simhash_is_narrow_zero_shuffle(plans):
-    """SimHash must stay a per-row projection: the ONLY exchange is
-    the declared query's fixture repartition (RoundRobin), never a
-    hash-aggregate shuffle — the round-2 explode+groupBy form would
-    reintroduce both."""
-    plan = plans("dedup_simhash")
+    """SimHash (folded into text_analysis in r5) must stay a per-row
+    projection: the whole text-analysis stack including the SimHash
+    fingerprint is ZERO exchanges, no hash-aggregate, no explode —
+    the round-2 explode+groupBy simhash form would reintroduce
+    both."""
+    plan = plans("text_analysis")
+    # the ONLY exchange is the declared fixture repartition
+    # (RoundRobin) — never a hash-aggregate shuffle
     assert plan.count("Exchange") == 1
     assert "roundrobin" in plan.lower()
     assert "HashAggregate" not in plan
     assert "Generate" not in plan  # no explode
+    assert "Python" not in plan  # pure JVM column program
 
 
 def test_cdc_shape_no_python_no_shuffle(plans):
