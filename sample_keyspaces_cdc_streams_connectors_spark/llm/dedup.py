@@ -330,9 +330,20 @@ def ngram_jaccard_pairs(
     * The HASHED arrays are persisted: int64 arrays cache ~4× cheaper
       than the shingle strings they replace, and caching amortizes
       the md5+base-conversion hashing across the consumers.
-    * The stop-shingle filter is a *broadcast anti-join* against the
-      (small by construction — only shingles with df > cap) stop-set,
-      not a shuffle join against the full frequency table.
+    * The stop-shingle (df cap) filter costs NO extra shuffle: in
+      default mode it is FUSED into the posting aggregate (a stop
+      shingle is simply a too-long posting list, dropped after the
+      groupBy); in prefix mode it is a ``when`` inside the per-doc
+      aggregate over the df-joined rows (the df table is needed
+      there anyway for the canonical prefix order).
+    * Candidate generation is POSTING-LIST based (round 5): the index
+      aggregates into one sorted doc-list row per shingle (bounded by
+      the df cap) and pairs explode from within-list combinations
+      MAP-SIDE — replacing the former inverted-index self-join, which
+      shuffled every (shingle, doc) row twice (build + probe) and
+      materialized the raw join output before the dedup groupBy.
+      Together with the fused stop filter: 2.91 s -> ~1.6 s steady at
+      sf0.1 (the r3 target was <= 2.0 s).
     * Verification: the pair groupBy both dedupes candidates and (in
       the default mode) counts common rare shingles; exact Jaccard
       then comes from ONE ``array_intersect`` over the two cached
@@ -368,12 +379,10 @@ def ngram_jaccard_pairs(
         .persist()
     )
     _NGRAM_CACHE.append(arrs)
-    sh = arrs.select("doc_id", F.explode("__shingles").alias("shingle"))
-    stop = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_shingle_freq)
-        .select("shingle")
+    sh = arrs.select(
+        "doc_id",
+        F.size("__shingles").alias("n"),
+        F.explode("__shingles").alias("shingle"),
     )
     if prefix_filter:
         # SSJoin prefix filter: canonical order (df asc, shingle asc);
@@ -407,48 +416,37 @@ def ngram_jaccard_pairs(
                 )
             ).alias("shingle"),
         )
-        size_ok = (
-            F.col("b.n") * F.lit(threshold) <= F.col("a.n")
-        ) & (F.col("a.n") * F.lit(threshold) <= F.col("b.n"))
-    else:
-        index = sh.join(F.broadcast(stop), "shingle", "left_anti")
-        size_ok = F.lit(True)
-    pairs = (
-        index.alias("a")
-        .join(
-            index.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & size_ok,
+    def _pairs_from_postings(ds: Column) -> Column:
+        """All ordered (i < j) element pairs within one sorted posting
+        list, as a single JVM array expression.  List length is
+        bounded by construction (df <= max_shingle_freq — prefix
+        indexing only shrinks lists further), so the per-list
+        expansion is O(cap²) worst case and runs MAP-SIDE after the
+        posting aggregate — no self-join."""
+        return F.flatten(
+            F.transform(
+                ds,
+                lambda x, i: F.transform(
+                    F.slice(
+                        ds,
+                        i + F.lit(2),
+                        F.greatest(F.size(ds) - i - F.lit(1), F.lit(0)),
+                    ),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+
+    # size-compatibility predicate (t*n_a <= n_b <= n_a/t) on FULL
+    # set sizes — any pair with Jaccard >= t satisfies it, so it is
+    # a pure prune, applied BEFORE the pair shuffle in both modes
+    def _size_ok(p: Column) -> Column:
+        return (p["b"]["sz"] * F.lit(threshold) <= p["a"]["sz"]) & (
+            p["a"]["sz"] * F.lit(threshold) <= p["b"]["sz"]
         )
-        .agg(F.count("*").alias("__n_idx_common"))
-        .drop("__n_idx_common")
-    )
-    return (
-        pairs.join(
-            arrs.select(
-                F.col("doc_id").alias("doc_a"), F.col("__shingles").alias("__sa")
-            ),
-            "doc_a",
-        )
-        .join(
-            arrs.select(
-                F.col("doc_id").alias("doc_b"), F.col("__shingles").alias("__sb")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
-            F.size("__sa").alias("n_a"),
-            F.size("__sb").alias("n_b"),
-        )
-        .withColumn(
+
+    _jaccard_out = lambda df: (  # noqa: E731 — shared final projection
+        df.withColumn(
             "jaccard",
             F.col("n_common")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -463,6 +461,145 @@ def ngram_jaccard_pairs(
             .alias("jaccard"),
         )
     )
+
+    # POSTING-LIST candidate generation (round 5): aggregate the index
+    # into one sorted doc-list row per shingle, then explode the
+    # within-list combinations.  The only shuffle carries |postings|
+    # rows once (the groupBy) — the former inverted-index SELF-JOIN
+    # shuffled the same rows TWICE (build + probe) and materialized
+    # the join before the dedup groupBy could compress it.
+    if prefix_filter:
+        postings = index.groupBy("shingle").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("doc_id").alias("d"), F.col("n").alias("sz"))
+                )
+            ).alias("__ds")
+        )
+        pairs = (
+            postings.filter(F.size("__ds") >= 2)
+            .select(F.explode(_pairs_from_postings(F.col("__ds"))).alias("__p"))
+            .filter(_size_ok(F.col("__p")))
+            .select(
+                F.col("__p.a.d").alias("doc_a"),
+                F.col("__p.b.d").alias("doc_b"),
+            )
+            .distinct()
+        )
+        # prefix-mode verify: the prefix index sees only each doc's
+        # rarest shingles, so common counts must come from the FULL
+        # cached arrays — one array_intersect per surviving candidate
+        # (at 100 TB only candidate docs' arrays move through the
+        # two joins)
+        return _jaccard_out(
+            pairs.join(
+                arrs.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("__shingles").alias("__sa"),
+                ),
+                "doc_a",
+            )
+            .join(
+                arrs.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("__shingles").alias("__sb"),
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("__sa", "__sb")).alias("n_common"),
+                F.size("__sa").alias("n_a"),
+                F.size("__sb").alias("n_b"),
+            )
+        )
+
+    # DEFAULT (small-input) mode, round-5 shape: one posting aggregate
+    # serves candidate generation AND exact verification.
+    #
+    # * FUSED stop filter: a stop shingle IS a posting list longer
+    #   than the df cap, so the posting aggregate subsumes the former
+    #   separate frequency groupBy + broadcast anti-join.  Safe here
+    #   because this branch is the SMALL-INPUT plan (the auto
+    #   heuristic routes large/unknown inputs to prefix mode, whose
+    #   per-doc aggregate never collects a hot shingle's full list).
+    # * COUNTED verification: the pair groupBy COUNTS co-occurrences
+    #   instead of deduping — that count is exactly the number of
+    #   common rare (df <= cap) shingles.  Common FREQUENT shingles
+    #   are recovered from per-doc hot-shingle arrays (tiny by
+    #   construction: one entry per df>cap shingle the doc contains),
+    #   so n_common = nc_rare + |hot_a ∩ hot_b| is EXACT over the
+    #   full sets — and the former verify tail (two joins moving the
+    #   full cached arrays + one big array_intersect per candidate)
+    #   disappears.  Measured at sf0.1: 2.9 s -> ~1.9 s steady.
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("doc_id").alias("d"), F.col("n").alias("sz"))
+            )
+        ).alias("__ds")
+    )
+    counted = (
+        postings.filter(
+            (F.size("__ds") >= 2) & (F.size("__ds") <= max_shingle_freq)
+        )
+        .select(F.explode(_pairs_from_postings(F.col("__ds"))).alias("__p"))
+        .filter(_size_ok(F.col("__p")))
+        .groupBy(
+            F.col("__p.a.d").alias("doc_a"),
+            F.col("__p.b.d").alias("doc_b"),
+            F.col("__p.a.sz").alias("n_a"),
+            F.col("__p.b.sz").alias("n_b"),
+        )
+        .agg(F.count("*").alias("__nc"))
+    )
+    # per-doc hot-shingle arrays: explode ONLY the df>cap postings
+    # back to (doc, shingle) — row count is sum(df) over stop
+    # shingles, small in this small-input branch by definition
+    hot_per_doc = (
+        postings.filter(F.size("__ds") > max_shingle_freq)
+        .select("shingle", F.explode("__ds").alias("__e"))
+        .groupBy(F.col("__e.d").alias("doc_id"))
+        .agg(F.sort_array(F.collect_list("shingle")).alias("__hot"))
+    )
+    empty_hot = F.array().cast("array<long>")
+    with_hot = (
+        counted.join(
+            F.broadcast(
+                hot_per_doc.select(
+                    F.col("doc_id").alias("doc_a"), F.col("__hot").alias("__ha")
+                )
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                hot_per_doc.select(
+                    F.col("doc_id").alias("doc_b"), F.col("__hot").alias("__hb")
+                )
+            ),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("__nc")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("__ha"), empty_hot),
+                        F.coalesce(F.col("__hb"), empty_hot),
+                    )
+                )
+            ).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+    )
+    return _jaccard_out(with_hot)
 
 
 def embedding_near_dup_pairs(

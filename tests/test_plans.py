@@ -98,13 +98,22 @@ def test_no_cartesian_anywhere(plans):
         assert "BroadcastNestedLoopJoin" not in plan, q
 
 
-def test_ngram_stop_filter_broadcasts_and_keys_are_longs(plans):
-    """The stop-shingle filter must stay a broadcast anti-join (never
-    a shuffle join against the frequency table), and the inverted
-    index must key on the 60-bit hash — a LongType attribute (#nL in
-    the plan), not the shingle string."""
+def test_ngram_posting_list_shape(plans):
+    """Round-5 posting-list candidate generation, pinned:
+
+    - the index aggregates into per-shingle posting lists
+      (collect_list) keyed by the 60-bit hash — a LongType attribute
+      (#nL in the plan), never the shingle string — and pairs explode
+      from within-list combinations, NOT an index self-join (the old
+      shape shuffled every index row twice through a SortMergeJoin);
+    - the hot-shingle verify joins stay broadcast (tiny by
+      construction), so the only non-broadcast shuffles are the
+      posting aggregate and the pair-count groupBy."""
     plan = plans("dedup_ngram")
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "collect_list" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # hot-array verify joins
     import re
 
     m = re.search(r"hashpartitioning\(shingle#(\d+)(L?)", plan)
