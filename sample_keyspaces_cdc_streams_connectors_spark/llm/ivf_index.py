@@ -66,16 +66,29 @@ def write_ivf_index(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float | None = 1e-4,
+    exact_means: bool = False,
+    portable_hash: bool = False,
 ) -> list[list[float]]:
     """Fit the coarse quantizer, label every vector, and write the
     partitioned layout + codebook.  Returns the codebook.
+    ``exact_means`` / ``portable_hash`` / ``tol`` pass through to
+    :func:`kmeans_fit` (bit-reproducible training — the oracle-gated
+    configuration).
 
     Scale: the write shuffles once on the cell label (partitionBy);
     each cell's files hold only that cell's vectors, so probes prune
     at the directory level — the same mechanism as the time-partitioned
     CDC sink layout (S3TargetMapper.java:84-136 analog)."""
     centroids = kmeans_fit(
-        vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        vectors,
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        tol=tol,
+        exact_means=exact_means,
+        portable_hash=portable_hash,
     )
     labeled = kmeans_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"
@@ -123,6 +136,7 @@ def ivf_index_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact cosine top-k over the probed cells only.
 
@@ -135,7 +149,12 @@ def ivf_index_topk(
     cells = _probe_cells(query_vec, load_codebook(path), n_probe)
     scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     return brute_force_topk(
-        scan, query_vec, k=topk, id_col=id_col, vec_col=vec_col
+        scan,
+        query_vec,
+        k=topk,
+        id_col=id_col,
+        vec_col=vec_col,
+        extra_cols=extra_cols,
     )
 
 

@@ -73,6 +73,7 @@ def kmeans_seed(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable_hash: bool = False,
 ) -> list[list[float]]:
     """Deterministic farthest-point (greedy max-min) seeding.
 
@@ -80,11 +81,21 @@ def kmeans_seed(
     vector maximizing ``min(dist to seeds 1..j)``, ties broken by the
     hash.  Each pick is one map-only scan (distances to a broadcast
     seed set folded into the plan) + a top-1 — k-1 scans total, no
-    RNG, no dependence on id ordering."""
+    RNG, no dependence on id ordering.
+
+    ``portable_hash=True`` swaps xxhash64 for the md5-derived 60-bit
+    hash every oracle-checked operator uses (llm.dedup.md5_int of the
+    id's decimal string) — same algorithm, engine-portable, so an
+    external SQL engine can replicate the seeding exactly.  Default
+    stays xxhash64 (cheaper, JVM-side)."""
+    if portable_hash:
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
+
+        hid = md5_int(F.col(id_col).cast("string"))
+    else:
+        hid = F.xxhash64(F.col(id_col))
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = vectors.select(
-        F.xxhash64(F.col(id_col)).alias("__hid"), dvec.alias("__v")
-    )
+    base = vectors.select(hid.alias("__hid"), dvec.alias("__v"))
     first = base.orderBy("__hid").limit(1).collect()
     if not first:
         raise ValueError("empty vector table")
@@ -107,16 +118,33 @@ def kmeans_fit(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    tol: float = 1e-4,
+    tol: float | None = 1e-4,
     history: list[float] | None = None,
+    exact_means: bool = False,
+    portable_hash: bool = False,
 ) -> list[list[float]]:
     """Run Lloyd's iterations from farthest-point seeds; return the
     final codebook (k rows of dims doubles).  Empty cells keep their
     previous centroid.  ``n_iter`` is the max iteration count; the
     loop stops early once the relative inertia improvement drops
     below ``tol`` (inertia is computed inside the same aggregation as
-    the means, so the stop costs no extra pass).  Pass ``history=[]``
-    to observe the per-iteration assignment inertia."""
+    the means, so the stop costs no extra pass).  ``tol=None``
+    disables the early stop (exactly ``n_iter`` iterations run — the
+    reproducible-training mode needs a deterministic iteration
+    count, since inertia is an order-dependent float sum).  Pass
+    ``history=[]`` to observe the per-iteration assignment inertia.
+
+    ``exact_means=True`` makes training bit-reproducible across
+    engines AND across partitionings: each centroid component is
+    ``double(Σ decimal(28,6)(x)) / count`` — the decimal sum is exact
+    and order-independent, and the final double division is one IEEE
+    op, so any engine computing the same formula lands on the
+    identical centroid bits (the default float ``avg`` is
+    shuffle-order-dependent at the ulp level).  The 1e-6 component
+    quantization inside the SUM is noise for a coarse quantizer.
+    Combined with ``portable_hash=True`` this makes the whole
+    training run replicable in plain SQL — the basis of the
+    ``ann_ivf_topk`` oracle gate."""
     # kmeans_seed always returns k seeds (the greedy max-min pick
     # repeats points when the table runs short), so the row-count
     # check must happen HERE — otherwise a small table silently
@@ -131,7 +159,9 @@ def kmeans_fit(
     dims = len(
         vectors.select(F.col(vec_col)).first()[0]
     )
-    centroids = kmeans_seed(vectors, k, id_col=id_col, vec_col=vec_col)
+    centroids = kmeans_seed(
+        vectors, k, id_col=id_col, vec_col=vec_col, portable_hash=portable_hash
+    )
 
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     prev_inertia: float | None = None
@@ -142,25 +172,46 @@ def kmeans_fit(
             _least(dists).alias("__d"),
             dvec.alias("__v"),
         )
-        # mean per cell: dims scalar avg aggregates — map-side partial
+        # mean per cell: dims scalar aggregates — map-side partial
         # (sum, count) per cell keeps the shuffle tiny.  The per-cell
         # inertia contribution rides along in the same shuffle.
-        means = assigned.groupBy("cell").agg(
-            *[
+        if exact_means:
+            aggs = [
+                F.sum(
+                    F.element_at("__v", i + 1).cast("decimal(28,6)")
+                ).alias(f"c{i}")
+                for i in range(dims)
+            ] + [F.count("*").alias("__cnt")]
+        else:
+            aggs = [
                 F.avg(F.element_at("__v", i + 1)).alias(f"c{i}")
                 for i in range(dims)
-            ],
+            ]
+        means = assigned.groupBy("cell").agg(
+            *aggs,
             F.sum("__d").alias("__inertia"),
         )
         rows = means.collect()
-        new = {r["cell"]: [r[f"c{i}"] for i in range(dims)] for r in rows}
+        if exact_means:
+            # double(exact decimal sum) / count — one IEEE division,
+            # identical in any engine computing the same formula
+            new = {
+                r["cell"]: [
+                    float(r[f"c{i}"]) / r["__cnt"] for i in range(dims)
+                ]
+                for r in rows
+            }
+        else:
+            new = {
+                r["cell"]: [r[f"c{i}"] for i in range(dims)] for r in rows
+            }
         centroids = [new.get(j, centroids[j]) for j in range(k)]
         # inertia of the ASSIGNMENT step (pre-update) — monotone
         # non-increasing across iterations by Lloyd's argument
         inertia = float(sum(r["__inertia"] for r in rows))
         if history is not None:
             history.append(inertia)
-        if prev_inertia is not None and prev_inertia > 0:
+        if tol is not None and prev_inertia is not None and prev_inertia > 0:
             if (prev_inertia - inertia) / prev_inertia < tol:
                 break
         prev_inertia = inertia

@@ -72,6 +72,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector.
 
@@ -85,7 +86,9 @@ def brute_force_topk(
         F.col(vec_col), _query_lit(query_vec), _query_norm(query_vec)
     )
     return (
-        vectors.select(F.col(id_col), sim.alias("sim"))
+        vectors.select(
+            F.col(id_col), *[F.col(c) for c in extra_cols], sim.alias("sim")
+        )
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )

