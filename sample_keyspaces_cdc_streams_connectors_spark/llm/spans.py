@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -52,7 +52,76 @@ from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
 
-__all__ = ["flag_repeated_spans", "remove_repeated_spans"]
+__all__ = [
+    "flag_repeated_spans",
+    "merged_spans_col",
+    "remove_repeated_spans",
+]
+
+
+def merged_spans_col(starts, k: int, n_tokens):
+    """Merge sorted flagged window starts into MAXIMAL repeated spans
+    (Lee et al.'s unit of removal): the union of the ``[p, min(p+k,
+    n))`` windows as an array of disjoint ``(s, e)`` structs (end
+    exclusive), via one JVM left-fold — no explode, no UDF.
+
+    Adjacent windows merge (``[0,5)`` + ``[5,10)`` → ``[0,10)``):
+    interval union over token indexes is exactly what the scrub
+    removes, so the maximal spans ARE the scrubbed regions and
+    ``Σ (e - s)`` is the removed-token count with no distinct pass.
+    """
+    starts = starts if isinstance(starts, Column) else F.col(starts)
+    n = n_tokens if isinstance(n_tokens, Column) else F.col(n_tokens)
+    span_t = "array<struct<s:int,e:int>>"
+    acc0 = F.struct(
+        F.expr(f"CAST(array() AS {span_t})").alias("done"),
+        F.lit(-1).cast("int").alias("cs"),
+        F.lit(-1).cast("int").alias("ce"),
+    )
+
+    def step(acc: Column, p: Column) -> Column:
+        e = F.least(p + F.lit(k), n).cast("int")
+        done = acc["done"]
+        closed = F.concat(
+            done,
+            F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+        )
+        return (
+            F.when(
+                acc["cs"] < 0,
+                F.struct(
+                    done.alias("done"),
+                    p.cast("int").alias("cs"),
+                    e.alias("ce"),
+                ),
+            )
+            .when(
+                p <= acc["ce"],
+                F.struct(
+                    done.alias("done"),
+                    acc["cs"].alias("cs"),
+                    F.greatest(acc["ce"], e).alias("ce"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    closed.alias("done"),
+                    p.cast("int").alias("cs"),
+                    e.alias("ce"),
+                )
+            )
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(
+            acc["cs"] >= 0,
+            F.concat(
+                acc["done"],
+                F.array(F.struct(acc["cs"].alias("s"), acc["ce"].alias("e"))),
+            ),
+        ).otherwise(acc["done"])
+
+    return F.aggregate(starts, acc0, step, finish)
 
 
 def flag_repeated_spans(
@@ -62,12 +131,15 @@ def flag_repeated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-doc flagged span starts: ``(id_col, __n_tokens,
-    __starts array<int> sorted 0-based)`` — only docs with at least
-    one flagged span appear.  A start ``p`` covers token indexes
-    ``[p, min(p + k, n_tokens))``; documents shorter than ``k``
-    tokens form one window covering the whole doc (the engine's
-    shingle rule, so short boilerplate still counts)."""
+    """Per-doc flagged spans: ``(id_col, __n_tokens, __starts
+    array<int> sorted 0-based, __spans array<struct<s,e>>)`` — only
+    docs with at least one flagged span appear.  A start ``p`` covers
+    token indexes ``[p, min(p + k, n_tokens))``; ``__spans`` is the
+    MAXIMAL-span merge of those windows (disjoint intervals, end
+    exclusive — Lee et al.'s unit of removal; see
+    :func:`merged_spans_col`).  Documents shorter than ``k`` tokens
+    form one window covering the whole doc (the engine's shingle
+    rule, so short boilerplate still counts)."""
     toked = docs.select(
         F.col(id_col),
         tokens(normalize_text(F.col(text_col))).alias("__toks"),
@@ -91,13 +163,17 @@ def flag_repeated_spans(
         .filter(F.col("__df") >= min_docs)
         .select("__gram")
     )
-    return (
+    per_doc = (
         grams.join(hot, "__gram")
         .groupBy(id_col)
         .agg(
             F.first("__n_tokens").alias("__n_tokens"),
             F.sort_array(F.collect_set("__pos")).alias("__starts"),
         )
+    )
+    return per_doc.withColumn(
+        "__spans",
+        merged_spans_col(F.col("__starts"), k, F.col("__n_tokens")),
     )
 
 
@@ -112,9 +188,16 @@ def remove_repeated_spans(
 
     Returns ``docs`` with ``text_col`` rewritten (normalized-token
     rebuild; untouched docs keep their original bytes) plus
-    ``n_removed_tokens`` (distinct covered token indexes) and
-    ``n_flagged_spans`` (distinct flagged starts) — schema otherwise
-    preserved."""
+    ``n_removed_tokens`` (distinct covered token indexes),
+    ``n_flagged_spans`` (distinct flagged window starts) and
+    ``n_maximal_spans`` (merged maximal repeated spans — Lee et al.'s
+    span count) — schema otherwise preserved.
+
+    The scrub walks the MERGED maximal intervals (r5), not the raw
+    window starts: per-doc work is O(tokens + maximal spans), and the
+    removed-token count is just Σ (e - s) over disjoint intervals —
+    no mask-distinct accounting needed (the mask remains only to
+    rebuild the kept text)."""
     flagged = flag_repeated_spans(
         docs, text_col=text_col, k=k, min_docs=min_docs, id_col=id_col
     )
@@ -127,27 +210,30 @@ def remove_repeated_spans(
     )
 
     @F.pandas_udf(out_schema)
-    def scrub(toks: pd.Series, starts: pd.Series) -> pd.DataFrame:
+    def scrub(toks: pd.Series, spans: pd.Series) -> pd.DataFrame:
         cleans: list = []
         removed: list = []
-        for tk, st in zip(toks, starts):
+        for tk, sp in zip(toks, spans):
             # the UDF evaluates for every row (Catalyst extracts it
             # below the when()); unflagged rows arrive with null
-            # starts and their output is discarded by the coalesce
+            # spans and their output is discarded by the coalesce
             words = list(tk) if tk is not None else []
             n = len(words)
             mask = np.zeros(n, dtype=bool)
-            for p in st if st is not None else ():
-                mask[p : min(p + k, n)] = True
+            total = 0
+            for iv in sp if sp is not None else ():
+                s, e = int(iv["s"]), int(iv["e"])
+                mask[s:e] = True
+                total += e - s  # intervals are disjoint by merge
             keep = [w for w, m in zip(words, mask) if not m]
             cleans.append(" ".join(keep))
-            removed.append(int(mask.sum()))
+            removed.append(total)
         return pd.DataFrame({"clean": cleans, "removed": removed})
 
     joined = docs.join(flagged, id_col, "left")
     toks_expr = tokens(normalize_text(F.col(text_col)))
     scrubbed = F.when(
-        F.col("__starts").isNotNull(), scrub(toks_expr, F.col("__starts"))
+        F.col("__spans").isNotNull(), scrub(toks_expr, F.col("__spans"))
     )
     out_cols = []
     for c in docs.columns:
@@ -168,4 +254,8 @@ def remove_repeated_spans(
         .otherwise(0)
         .cast("int")
         .alias("n_flagged_spans"),
+        F.when(F.col("__spans").isNotNull(), F.size("__spans"))
+        .otherwise(0)
+        .cast("int")
+        .alias("n_maximal_spans"),
     )

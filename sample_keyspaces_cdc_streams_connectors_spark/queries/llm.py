@@ -641,12 +641,29 @@ _SPAN_K, _SPAN_MIN_DOCS = 5, 2
            LATERAL (SELECT unnest(generate_series(
              pos, LEAST(pos + {_SPAN_K - 1}, n - 1))) AS idx)
       GROUP BY doc_id
+    ),
+    -- maximal-span count via gaps-and-islands over the sorted starts:
+    -- all windows have width k (clipped at the doc end), so a new
+    -- maximal span opens exactly when the gap to the previous start
+    -- exceeds k
+    isl AS (
+      SELECT doc_id,
+             1 + COALESCE(SUM(CASE WHEN pos - prev > {_SPAN_K}
+                               THEN 1 ELSE 0 END), 0) AS n_spans
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS prev
+            FROM fl)
+      GROUP BY doc_id
     )
     SELECT t.doc_id,
            CAST(len(t.t) AS BIGINT) AS n_tokens,
            CAST(COALESCE(c.n_flagged, 0) AS BIGINT) AS n_flagged,
-           CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed
-    FROM toks t LEFT JOIN cov c USING (doc_id)
+           CAST(COALESCE(c.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(COALESCE(i.n_spans, 0) AS BIGINT) AS n_spans
+    FROM toks t
+    LEFT JOIN cov c USING (doc_id)
+    LEFT JOIN isl i USING (doc_id)
     """,
 )
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,11 +673,14 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs is boilerplate; per doc this query reports how many window
     starts were flagged and how many distinct token indexes they
     cover (the tokens remove_repeated_spans scrubs — the scrub
-    equivalence is pinned in tests/test_spans.py).  Window identity
-    is the 60-bit md5 int on the Spark side and the shingle string in
-    the oracle — identical grouping, hash-collision-free at fixture
-    scale; the coverage union is pure JVM interval math
-    (sequence + flatten + array_distinct), no UDF."""
+    equivalence is pinned in tests/test_spans.py), plus the MAXIMAL
+    repeated-span count after merging adjacent/overlapping windows
+    (r5 — Lee et al.'s unit of removal; llm/spans.py:merged_spans_col,
+    islands-over-starts in the oracle).  Window identity is the
+    60-bit md5 int on the Spark side and the shingle string in the
+    oracle — identical grouping, hash-collision-free at fixture
+    scale; coverage is Σ (e - s) over the DISJOINT merged intervals —
+    pure JVM fold, no UDF, no distinct pass."""
     from sample_keyspaces_cdc_streams_connectors_spark.functions.text import normalize_text, tokens
     from sample_keyspaces_cdc_streams_connectors_spark.llm.spans import flag_repeated_spans
 
@@ -673,17 +693,10 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens(normalize_text(F.col("text")))).alias("__n"),
     )
     joined = base.join(flagged, "doc_id", "left")
-    covered = F.size(
-        F.array_distinct(
-            F.flatten(
-                F.transform(
-                    "__starts",
-                    lambda p: F.sequence(
-                        p, F.least(p + _SPAN_K - 1, F.col("__n") - 1)
-                    ),
-                )
-            )
-        )
+    covered = F.aggregate(
+        "__spans",
+        F.lit(0),
+        lambda acc, iv: acc + (iv["e"] - iv["s"]),
     )
     return joined.select(
         "doc_id",
@@ -692,10 +705,14 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("bigint")
         .alias("n_flagged"),
-        F.when(F.col("__starts").isNotNull(), covered)
+        F.when(F.col("__spans").isNotNull(), covered)
         .otherwise(0)
         .cast("bigint")
         .alias("n_removed"),
+        F.when(F.col("__spans").isNotNull(), F.size("__spans"))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_spans"),
     )
 
 

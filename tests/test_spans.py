@@ -160,3 +160,110 @@ def test_empty_docs_never_flagged(spark):
     for d in (1, 2, 3):
         assert out[d].n_flagged_spans == 0 and out[d].n_removed_tokens == 0
     assert out[2].text == "   "  # bytes preserved
+
+
+# --- r5: maximal-span merge, property-tested vs a sequential reference ------
+
+
+def _reference_scrub(texts, k, min_docs):
+    """Sequential single-process reference of the EXACTSUBSTR recipe:
+    same tokenizer (casefold, whitespace), window df across docs,
+    mask union, maximal spans from the mask — the ground truth the
+    distributed pipeline must reproduce exactly."""
+    import re
+    from collections import defaultdict
+
+    def toks_of(text):
+        norm = re.sub(r"\s+", " ", text or "").strip().lower()
+        return [t for t in norm.split(" ") if t != ""]
+
+    def windows(toks):
+        if len(toks) == 0:
+            return []
+        if len(toks) <= k:
+            return [(0, tuple(toks))]
+        return [(i, tuple(toks[i : i + k])) for i in range(len(toks) - k + 1)]
+
+    docs = {d: toks_of(t) for d, t in texts}
+    win_docs = defaultdict(set)
+    for d, toks in docs.items():
+        for _, w in windows(toks):
+            win_docs[w].add(d)
+    out = {}
+    for d, toks in docs.items():
+        n = len(toks)
+        mask = [False] * n
+        starts = []
+        for i, w in windows(toks):
+            if len(win_docs[w]) >= min_docs:
+                starts.append(i)
+                for j in range(i, min(i + k, n)):
+                    mask[j] = True
+        spans = []
+        j = 0
+        while j < n:
+            if mask[j]:
+                s = j
+                while j < n and mask[j]:
+                    j += 1
+                spans.append((s, j))
+            else:
+                j += 1
+        clean = " ".join(t for t, m in zip(toks, mask) if not m)
+        out[d] = {
+            "clean": clean,
+            "removed": sum(mask),
+            "starts": len(starts),
+            "spans": len(spans),
+        }
+    return out
+
+
+def test_property_vs_sequential_reference(spark):
+    """Random corpora with PLANTED long boilerplate runs (the case
+    the maximal-span merge exists for): the distributed scrub must
+    match the sequential reference on scrubbed text, removed-token
+    count, flagged-start count, and MAXIMAL-span count for every doc;
+    untouched docs keep their original bytes."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(200)]
+    long_boiler = " ".join(rng.choice(vocab) for _ in range(13))  # > k
+    mid_boiler = " ".join(rng.choice(vocab) for _ in range(6))
+    k, min_docs = 5, 2
+
+    for trial in range(3):
+        rows = []
+        for d in range(25):
+            body = [rng.choice(vocab) for _ in range(rng.randint(0, 40))]
+            text = " ".join(body)
+            r = rng.random()
+            if r < 0.35:
+                cut = rng.randint(0, len(body))
+                text = " ".join(body[:cut]) + f" {long_boiler} " + " ".join(body[cut:])
+            elif r < 0.55:
+                text = f"{mid_boiler} {text}"
+            elif r < 0.6:
+                # double plant — adjacent/overlapping windows
+                text = f"{long_boiler} {text} {long_boiler}"
+            rows.append((d, text.strip()))
+        ref = _reference_scrub(rows, k, min_docs)
+        got = {
+            r.doc_id: r
+            for r in remove_repeated_spans(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                k=k,
+                min_docs=min_docs,
+            ).collect()
+        }
+        originals = dict(rows)
+        for d, exp in ref.items():
+            row = got[d]
+            assert row.n_removed_tokens == exp["removed"], (trial, d)
+            assert row.n_flagged_spans == exp["starts"], (trial, d)
+            assert row.n_maximal_spans == exp["spans"], (trial, d)
+            if exp["starts"] == 0:
+                assert row.text == originals[d], (trial, d)  # raw bytes
+            else:
+                assert row.text == exp["clean"], (trial, d)
