@@ -53,6 +53,7 @@ from pyspark.sql.types import BinaryType, DoubleType
 __all__ = [
     "PQModel",
     "train_pq",
+    "train_pq_distributed",
     "encode_pq",
     "pq_topk",
     "pq_topk_rerank",
@@ -167,6 +168,172 @@ def train_pq(
     for s in range(m):
         books[s] = _lloyd_np(np.ascontiguousarray(x[:, s, :]), ksub, n_iter)
     return PQModel(codebooks=books, dims=dims)
+
+
+def _books_lit(books: list[list[list[float]]]):
+    """The full [m][ksub][dsub] codebook as ONE nested literal array
+    expression (repr(float) round-trips the exact double)."""
+    subs = []
+    for book in books:
+        cents = ", ".join(
+            "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
+            for c in book
+        )
+        subs.append(f"array({cents})")
+    return F.expr("array(" + ", ".join(subs) + ")")
+
+
+def _sq_dist_col(sv, cent):
+    """Sequential-fold squared L2 between a subvector column and a
+    centroid array column (elements cast inline)."""
+    return F.aggregate(
+        F.zip_with(
+            sv, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_iteration_means(exploded: DataFrame, books, dsub: int) -> DataFrame:
+    """One Lloyd iteration's assignment + per-(subspace, cell) means
+    for ALL ``m`` subspaces in a single aggregation: each exploded
+    row (subspace id, subvector) computes its distance array against
+    its OWN subspace's centroids (one nested-literal lookup), takes
+    the argmin (ties -> lowest cell, like numpy), and ONE
+    groupBy(subspace, cell) produces the dsub component means, the
+    member count, and the inertia contribution.  Exactly one
+    exchange per iteration (pinned in tests/test_pq.py)."""
+    lit = _books_lit(books)
+    darr = F.transform(
+        F.element_at(lit, F.col("__s") + 1),
+        lambda c: _sq_dist_col(F.col("__sv"), c),
+    )
+    cell = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    return (
+        exploded.select(
+            "__s",
+            "__sv",
+            cell.alias("__c"),
+            F.array_min(darr).alias("__d"),
+        )
+        .groupBy("__s", "__c")
+        .agg(
+            *[
+                F.avg(F.element_at("__sv", d + 1).cast("double")).alias(f"c{d}")
+                for d in range(dsub)
+            ],
+            F.count("*").alias("__cnt"),
+            F.sum("__d").alias("__inertia"),
+        )
+    )
+
+
+def train_pq_distributed(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float | None = 1e-4,
+) -> PQModel:
+    """Opt-in DISTRIBUTED codebook training over the FULL table — for
+    training budgets past what the driver-side sample path should
+    hold (``train_pq`` stays the default: FAISS-style sample training
+    is the right posture almost always).
+
+    Mirrors :func:`_lloyd_np`'s discipline so the two trainers agree
+    on small data (equivalence-tested): seed 0 is the row with the
+    lowest ``md5(id)`` (the sample trainer's ``x[0]`` under its hash
+    ordering), farthest-point picks break ties toward the lower hash,
+    assignment argmin breaks toward the lower cell, inertia-plateau
+    early stop at the same ``tol`` (``None`` disables).
+
+    Scale shape:
+    - rows explode once into (subspace, subvector) — map-only, then
+      ONE persisted frame feeds every step;
+    - every seeding step is one groupBy(subspace) max_by — ksub-1
+      tiny shuffles of m rows each;
+    - every Lloyd iteration is ONE groupBy(subspace, cell) — a
+      single exchange moving m·ksub partial rows per task
+      (:func:`_pq_iteration_means`, plan-pinned);
+    - only codebook-sized results (m × ksub × dsub) ever collect.
+    """
+    first = vectors.select(F.col(vec_col)).first()
+    if first is None:
+        raise ValueError("empty vector table")
+    dims = len(first[0])
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    if vectors.limit(ksub).count() < ksub:
+        raise ValueError(f"need >= {ksub} vectors")
+    dsub = dims // m
+
+    hid = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    subvecs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(F.col(vec_col), s * dsub + 1, dsub),
+    )
+    exploded = (
+        vectors.select(hid.alias("__hid"), subvecs.alias("__svs"))
+        .select("__hid", F.posexplode("__svs").alias("__s", "__sv"))
+        .persist()
+    )
+    try:
+        # seed 0: the lowest-hash row's subvectors (== _lloyd_np's
+        # x[0] under the sample's hash ordering)
+        row0 = (
+            exploded.groupBy("__s")
+            .agg(F.min_by("__sv", "__hid").alias("__sv"))
+            .collect()
+        )
+        books: list[list[list[float]]] = [[] for _ in range(m)]
+        for r in row0:
+            books[r["__s"]].append([float(x) for x in r["__sv"]])
+        for _ in range(1, ksub):
+            lit = _books_lit(books)
+            mind = F.array_min(
+                F.transform(
+                    F.element_at(lit, F.col("__s") + 1),
+                    lambda c: _sq_dist_col(F.col("__sv"), c),
+                )
+            )
+            picks = (
+                exploded.select("__s", "__sv", mind.alias("__d"), "__hid")
+                .groupBy("__s")
+                .agg(
+                    F.max_by(
+                        "__sv", F.struct(F.col("__d"), -F.col("__hid"))
+                    ).alias("__sv")
+                )
+                .collect()
+            )
+            for r in picks:
+                books[r["__s"]].append([float(x) for x in r["__sv"]])
+
+        prev_inertia: float | None = None
+        for _ in range(n_iter):
+            rows = _pq_iteration_means(exploded, books, dsub).collect()
+            new = [
+                [list(books[s][c]) for c in range(ksub)] for s in range(m)
+            ]
+            inertia = 0.0
+            for r in rows:
+                new[r["__s"]][r["__c"]] = [r[f"c{d}"] for d in range(dsub)]
+                inertia += float(r["__inertia"])
+            books = new
+            if tol is not None and prev_inertia is not None and prev_inertia > 0:
+                if (prev_inertia - inertia) / prev_inertia < tol:
+                    break
+            prev_inertia = inertia
+    finally:
+        exploded.unpersist()
+    return PQModel(
+        codebooks=np.asarray(books, dtype=np.float64), dims=dims
+    )
 
 
 def _stack(vecs: pd.Series, dims: int) -> np.ndarray:

@@ -131,3 +131,61 @@ def test_pq_model_save_load_roundtrip(spark, tmp_path):
     back = load_pq_model(spark, path)
     assert back.dims == model.dims
     assert np.array_equal(back.codebooks, model.codebooks)
+
+
+# --- r5: distributed trainer ------------------------------------------------
+
+
+def _random_vec_df(spark, n=96, dims=16, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dims)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_distributed_trainer_matches_numpy_sample_trainer(spark):
+    """When the full table fits the sample budget the two trainers
+    see the SAME data in the SAME hash order, mirror each other's
+    seeding and tie rules, and must land on the same codebooks (up to
+    summation-order ulps in the means)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import train_pq, train_pq_distributed
+
+    df = _random_vec_df(spark)
+    a = train_pq(df, m=4, ksub=4, n_iter=3)
+    b = train_pq_distributed(df, m=4, ksub=4, n_iter=3)
+    assert a.codebooks.shape == b.codebooks.shape
+    assert np.allclose(a.codebooks, b.codebooks, atol=1e-8), (
+        np.abs(a.codebooks - b.codebooks).max()
+    )
+
+
+def test_distributed_iteration_is_one_shuffle(spark):
+    """The per-iteration assignment+means aggregate for ALL m
+    subspaces must be a single exchange (hash partitioned on
+    (subspace, cell)) — m separate kmeans runs would pay m shuffles
+    per iteration."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import _pq_iteration_means
+
+    df = _random_vec_df(spark, n=32)
+    dsub = 4
+    subvecs = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda s: F.slice(F.col("embedding"), s * dsub + 1, dsub),
+    )
+    exploded = df.select(subvecs.alias("__svs")).select(
+        F.posexplode("__svs").alias("__s", "__sv")
+    )
+    books = [[[0.0] * dsub, [0.5] * dsub] for _ in range(4)]
+    plan = (
+        _pq_iteration_means(exploded, books, dsub)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(__s" in plan
