@@ -648,3 +648,65 @@ def pack_sequences(
         max_message_size=max_tokens,
         max_records=-1,
     )
+
+
+def shard_corpus(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "epoch0",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Epoch shuffle + token-balanced shard assignment — the final
+    stage before training: order the corpus by a salted content hash
+    (the deterministic "shuffle" for this epoch; a new ``salt`` is a
+    new epoch permutation) and cut the ordered token stream into
+    ``n_shards`` contiguous, token-balanced shards.
+
+    Output per document: ``epoch_pos`` (0-based position in the
+    shuffled order), ``n_tokens``, and ``shard`` — computed as
+    ``(tokens_before_this_doc * n_shards) div total_tokens``, so
+    every shard's token sum is within one document of ``total/n``
+    (property-pinned).  Everything is a pure function of
+    (salt, id, text): re-running a 100 TB pipeline reproduces the
+    identical sharding bit-for-bit on any partitioning.
+
+    Scale: uses :func:`~sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum.with_order_stats`
+    — two map-side-combined shuffles (one of ``n_buckets`` keys, one
+    of the data bucketed 256 ways), never a single-partition global
+    window.  Unlike :func:`pack_sequences` (independent hash shards,
+    no global order) this yields the *contiguous-in-epoch-order*
+    shards a sequential training loader consumes.
+    """
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum import with_order_stats
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    base = docs.select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("_h"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    scanned, _n_rows, total_tokens = with_order_stats(
+        base,
+        hash_col="_h",
+        tiebreak_cols=[id_col],
+        weight_col="n_tokens",
+        n_buckets=n_buckets,
+        pos_col="epoch_pos",
+        cum_col="_cum",
+    )
+    if total_tokens <= 0:
+        return scanned.drop("_h", "_cum").withColumn(
+            "shard", F.lit(0).cast("int")
+        )
+    return scanned.withColumn(
+        "shard",
+        F.least(
+            F.expr(f"(_cum * {n_shards}) div {total_tokens}"),
+            F.lit(n_shards - 1),
+        ).cast("int"),
+    ).drop("_h", "_cum")

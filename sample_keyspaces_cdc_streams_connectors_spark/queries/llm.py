@@ -1418,3 +1418,51 @@ def udaf_grouped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return udaf_half.join(F.broadcast(sketch_half), "event_type")
+
+
+# --- corpus sharding -------------------------------------------------------
+
+
+@register(
+    "shard_corpus",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)
+               AS n_tokens,
+             md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), w AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS epoch_pos,
+             COALESCE(SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+             SUM(n_tokens) OVER () AS total
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(epoch_pos AS BIGINT) AS epoch_pos,
+           CAST(LEAST((cum * 8) // total, 7) AS INT) AS shard
+    FROM w
+    """,
+)
+def shard_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch shuffle + token-balanced corpus sharding
+    (llm/pipeline.shard_corpus over operators/prefixsum.py).
+
+    The DuckDB oracle replays the semantics as ONE global window
+    (``ROW_NUMBER()/SUM() OVER (ORDER BY h)``) — exactly the spelling
+    the Spark side must NOT use (single-partition cliff); the engine's
+    two-pass hash-prefix-bucketed prefix sum must land bit-identical,
+    which this gate checks per row: global position, exclusive token
+    cumsum bucketing into ``(cum * 8) div total``, clamped to the last
+    shard.  No reference counterpart (KCL never needs a global order);
+    this is the Spark-native zipWithIndex for the training-loader
+    handoff."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import shard_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_corpus(docs, n_shards=8).select(
+        "doc_id", "n_tokens", "epoch_pos", "shard"
+    )

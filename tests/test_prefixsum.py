@@ -1,0 +1,139 @@
+"""Distributed prefix sum (operators/prefixsum.py) + corpus sharding
+(llm/pipeline.shard_corpus).
+
+The contract under test: the two-pass hash-prefix-bucketed scan is
+*equal* to the naive single-partition global window — bit-identical
+positions and cumulative sums — on any input partitioning, while its
+physical plan never funnels the data through one partition.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import shard_corpus
+from sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum import with_order_stats
+
+
+def _mk(spark, n=200, parts=5):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("h"),
+            (F.col("id") % 17 + 1).alias("w"),
+        )
+        .repartition(parts)
+    )
+
+
+def _reference(df):
+    """The naive global-window spelling (fine on test-sized data)."""
+    w = Window.orderBy("h", "k")
+    return {
+        r["k"]: (r["pos"], r["cum"])
+        for r in df.withColumn("pos", F.row_number().over(w) - 1)
+        .withColumn(
+            "cum",
+            F.coalesce(
+                F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("parts,n_buckets", [(1, 16), (5, 16), (5, 1), (3, 7)])
+def test_matches_global_window(spark, parts, n_buckets):
+    df = _mk(spark, parts=parts)
+    ref = _reference(df)
+    out, n_rows, total_w = with_order_stats(
+        df, "h", ["k"], weight_col="w", n_buckets=n_buckets
+    )
+    got = {r["k"]: (r["pos"], r["cum"]) for r in out.collect()}
+    assert got == ref
+    assert n_rows == 200
+    assert total_w == df.agg(F.sum("w")).first()[0]
+
+
+def test_partitioning_invariant(spark):
+    a, _, _ = with_order_stats(_mk(spark, parts=1), "h", ["k"], weight_col="w")
+    b, _, _ = with_order_stats(_mk(spark, parts=11), "h", ["k"], weight_col="w")
+    assert sorted(a.collect()) == sorted(b.collect())
+
+
+def test_row_numbering_without_weight(spark):
+    out, n_rows, total_w = with_order_stats(_mk(spark), "h", ["k"])
+    assert total_w == 0
+    assert n_rows == 200
+    rows = out.select("pos").collect()
+    assert sorted(r["pos"] for r in rows) == list(range(200))
+    assert "cum" not in out.columns
+
+
+def test_empty_input(spark):
+    df = _mk(spark).filter(F.lit(False))
+    out, n_rows, total_w = with_order_stats(df, "h", ["k"], weight_col="w")
+    assert (n_rows, total_w) == (0, 0)
+    assert out.count() == 0
+    assert {"pos", "cum"} <= set(out.columns)
+
+
+def test_no_single_partition_exchange(spark):
+    """The scale contract: pass B's window partitions by the hash
+    bucket — the plan must contain a hash exchange on the bucket and
+    NO SinglePartition exchange anywhere."""
+    out, _, _ = with_order_stats(
+        _mk(spark), "h", ["k"], weight_col="w", n_buckets=16
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "_psb" in plan  # bucketed window partitioning
+
+
+def test_shard_corpus_balance_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shard_corpus(docs, n_shards=4).cache()
+    try:
+        n = docs.count()
+        assert out.count() == n
+        # positions are exactly 0..n-1
+        assert out.agg(F.countDistinct("epoch_pos")).first()[0] == n
+        assert out.agg(F.max("epoch_pos")).first()[0] == n - 1
+        stats = (
+            out.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+        )
+        assert sorted(r["shard"] for r in stats) == [0, 1, 2, 3]
+        total = sum(r["t"] for r in stats)
+        max_doc = out.agg(F.max("n_tokens")).first()[0]
+        # contiguous-cut balance bound: each shard within one doc of ideal
+        for r in stats:
+            assert r["t"] <= total / 4 + max_doc
+        # shards are contiguous in epoch order
+        ranges = {
+            r["shard"]: (r["lo"], r["hi"])
+            for r in out.groupBy("shard")
+            .agg(F.min("epoch_pos").alias("lo"), F.max("epoch_pos").alias("hi"))
+            .collect()
+        }
+        edge = -1
+        for s in sorted(ranges):
+            lo, hi = ranges[s]
+            assert lo == edge + 1
+            edge = hi
+        # deterministic under repartitioning
+        again = shard_corpus(docs.repartition(13), n_shards=4)
+        assert sorted(out.collect()) == sorted(again.collect())
+    finally:
+        out.unpersist()
+
+
+def test_shard_corpus_validates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        shard_corpus(docs, n_shards=0)
+    with pytest.raises(ValueError):
+        with_order_stats(docs, "text", ["doc_id"], n_buckets=0)
