@@ -94,6 +94,15 @@ SHOWCASE: dict[str, list[str]] = {
         "(streaming replay — plan shown for the batch-equivalent window "
         "aggregate at this SF)",
     ],
+    "shard_corpus": [
+        "two-pass distributed prefix sum (r5): NO `SinglePartition` "
+        "exchange anywhere — the global-order window partitions by "
+        "the md5-prefix bucket (`hashpartitioning(_psb`), and the "
+        "driver-side offsets come back via `BroadcastHashJoin`",
+        "pass A (bucket totals) runs eagerly before the plan shown "
+        "here — a partial+final `HashAggregate` over 256 keys, KBs "
+        "through its exchange regardless of corpus size",
+    ],
     "decontaminate": [
         "(library operator, not a registry query) corpus k-grams expand "
         "via `Generate explode` (map-only) and probe a "
