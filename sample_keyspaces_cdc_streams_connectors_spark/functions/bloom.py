@@ -1,0 +1,174 @@
+"""Distributed Bloom filter build + vectorized membership probe.
+
+Scale role: the cross-corpus dedup index (``llm/dedup_index.py``)
+suppresses previously-seen documents with a keys-only anti-join.  At
+100 TB streaming ingest that is one stream-static join per
+micro-batch against a billions-of-keys index — correct, but every
+batch pays the probe even though almost all documents are fresh.  A
+Bloom prefilter inverts the cost: a *definitely-not-present* answer
+(the common case) is a map-only bitset lookup, and only the tiny
+might-be-present remainder reaches the join.  False positives cost a
+redundant join probe; false negatives are impossible, so exactness
+is preserved (equivalence-pinned in tests/test_bloom.py).
+
+Construction is Spark-native and deterministic:
+
+- each key hashes to k positions via Kirsch-Mitzenmacher double
+  hashing (two 60-bit slices of the key's md5) — the position
+  arithmetic is written in *reduced form* ``(h1m + i*h2m) % n_bits``
+  with both operands pre-reduced mod ``n_bits``, so it never
+  overflows int64 (ANSI-safe) and the JVM build and the numpy probe
+  compute bit-identical positions;
+- the bitset is built distributed: positions explode (map-only),
+  ``groupBy(word)`` ORs per-64-bit-word masks with ONE
+  map-side-combined shuffle of at most ``n_bits/64`` keys, and only
+  the packed words collect to the driver;
+- the probe broadcasts the packed array into an Arrow ``pandas_udf``
+  over JVM-computed (h1, h2) columns — all integer numpy math, no
+  per-row python hashing.
+
+Memory: 10⁸ keys at 1% FPR ≈ 120 MB — broadcastable.  Beyond that,
+build one filter per index prefix-bucket (the index is already
+256-bucketed) and probe the matching bucket's filter.
+
+No reference counterpart (the reference has no membership structure
+at all); Spark's own ``DataFrameStatFunctions.bloomFilter`` builds
+driver-side and cannot be probed from a Column expression, which is
+why this exists.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "BloomFilter",
+    "optimal_params",
+    "build_bloom",
+    "might_contain",
+    "save_bloom",
+    "load_bloom",
+]
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    n_bits: int
+    k: int
+    words: np.ndarray  # int64[ceil(n_bits/64)], packed little-endian bits
+
+    def __post_init__(self) -> None:
+        if self.n_bits < 64:
+            raise ValueError(f"n_bits must be >= 64, got {self.n_bits}")
+        if not 1 <= self.k <= 32:
+            raise ValueError(f"k must be in [1, 32], got {self.k}")
+
+
+def optimal_params(n_items: int, fpr: float) -> tuple[int, int]:
+    """Classic sizing: bits = -n·ln(p)/ln2², k = bits/n·ln2 (both
+    clamped to sane minimums; bits rounded up to a word multiple)."""
+    if n_items < 1:
+        raise ValueError(f"n_items must be >= 1, got {n_items}")
+    if not 0.0 < fpr < 1.0:
+        raise ValueError(f"fpr must be in (0,1), got {fpr}")
+    n_bits = max(64, int(math.ceil(-n_items * math.log(fpr) / (math.log(2) ** 2))))
+    n_bits = ((n_bits + 63) // 64) * 64
+    k = max(1, min(32, round(n_bits / n_items * math.log(2))))
+    return n_bits, int(k)
+
+
+def _hash_cols(col: Column) -> tuple[Column, Column]:
+    """Two independent 60-bit integers from one md5 — identical
+    construction on the probe side in numpy."""
+    h = F.md5(col.cast("string"))
+    h1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 17, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def build_bloom(
+    df: DataFrame, col: str, n_bits: int, k: int
+) -> BloomFilter:
+    """Distributed build: ONE shuffle of at most ``n_bits/64``
+    (word-index, mask) keys; the collected result is the packed
+    bitset only, never the keys."""
+    # validate via the dataclass contract before any job runs
+    probe = BloomFilter(n_bits=n_bits, k=k, words=np.zeros(1, dtype=np.int64))
+    del probe
+    h1, h2 = _hash_cols(F.col(col))
+    h1m = h1 % n_bits
+    h2m = (h2 % n_bits) * 2 + 1  # odd step; < 2*n_bits, no overflow
+    words = (
+        df.select(h1m.alias("_h1m"), h2m.alias("_h2m"))
+        .withColumn("_i", F.explode(F.lit(list(range(k)))))
+        .select(
+            ((F.col("_h1m") + F.col("_i") * F.col("_h2m")) % n_bits).alias(
+                "_pos"
+            )
+        )
+        .select(
+            F.expr("_pos div 64").alias("_w"),
+            F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+        .collect()
+    )
+    packed = np.zeros((n_bits + 63) // 64, dtype=np.int64)
+    for r in words:
+        packed[r["_w"]] = r["_bits"]
+    return BloomFilter(n_bits=n_bits, k=k, words=packed)
+
+
+def might_contain(col: Column, bloom: BloomFilter) -> Column:
+    """Vectorized membership probe — ``false`` means DEFINITELY not
+    inserted; ``true`` means present or a false positive.  Map-only:
+    the bitset rides the task closure; the UDF does pure numpy
+    integer math over JVM-computed hash columns."""
+    n_bits, k = bloom.n_bits, bloom.k
+    words = bloom.words.view(np.uint64)
+    import pandas as pd
+
+    # no inline type hints (module uses `from __future__ import
+    # annotations`; pandas_udf can't resolve the stringified form)
+    def probe(h1s, h2s):
+        h1m = h1s.to_numpy(dtype=np.int64) % n_bits
+        h2m = (h2s.to_numpy(dtype=np.int64) % n_bits) * 2 + 1
+        steps = np.arange(k, dtype=np.int64)[None, :]
+        pos = (h1m[:, None] + steps * h2m[:, None]) % n_bits
+        pos = pos.astype(np.uint64)
+        hits = (words[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
+        return pd.Series(hits.all(axis=1))
+
+    udf = F.pandas_udf(probe, "boolean")
+    h1, h2 = _hash_cols(col)
+    return udf(h1, h2)
+
+
+def save_bloom(spark: SparkSession, bloom: BloomFilter, path: str) -> None:
+    """Persist as parquet of (word_idx, bits) non-zero words plus a
+    meta row — written THROUGH Spark (object-store-safe)."""
+    nz = np.flatnonzero(bloom.words)
+    rows = [(int(i), int(bloom.words[i])) for i in nz]
+    spark.createDataFrame(
+        rows or [(-1, 0)], "word_idx long, bits long"
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/words")
+    spark.createDataFrame(
+        [(bloom.n_bits, bloom.k)], "n_bits long, k int"
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_bloom(spark: SparkSession, path: str) -> BloomFilter:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    packed = np.zeros((int(meta["n_bits"]) + 63) // 64, dtype=np.int64)
+    for r in spark.read.parquet(f"{path}/words").collect():
+        if r["word_idx"] >= 0:
+            packed[r["word_idx"]] = r["bits"]
+    return BloomFilter(
+        n_bits=int(meta["n_bits"]), k=int(meta["k"]), words=packed
+    )

@@ -97,6 +97,25 @@ def build_dedup_index(
     )
 
 
+def build_index_bloom(spark: SparkSession, path: str, mode: str = "exact", fpr: float = 0.01):
+    """One-time Bloom summary of the standing index's keys, sized for
+    ``fpr`` — pass to :func:`dedup_against_index` so per-batch probes
+    touch the index only for might-be-present keys.
+
+    STALENESS IS UNSAFE here (unlike a cache): a key appended to the
+    index after the filter was built would probe ``false`` and its
+    duplicates would be declared fresh.  Rebuild after appends — or
+    keep the filter fresh incrementally by OR-ing the appended keys'
+    bits in (Bloom filters union by bitwise OR)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.bloom import build_bloom, optimal_params
+
+    sub, _ = _check_mode(mode)
+    index = spark.read.parquet(f"{path}/{sub}")
+    n = max(index.count(), 1)
+    n_bits, k = optimal_params(n, fpr)
+    return build_bloom(index, "fp", n_bits, k)
+
+
 def dedup_against_index(
     batch: DataFrame,
     path: str,
@@ -105,6 +124,7 @@ def dedup_against_index(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     keep_key: bool = False,
+    bloom=None,
 ) -> DataFrame:
     """Rows of ``batch`` whose dedup key is NOT in the index.
 
@@ -114,6 +134,16 @@ def dedup_against_index(
     ``keep_key`` the computed ``fp`` column survives — callers that
     go on to ``append_to_dedup_index`` the survivors should keep it
     to avoid recomputing signatures.
+
+    With ``bloom`` (a :class:`~sample_keyspaces_cdc_streams_connectors_spark.functions.bloom.BloomFilter`
+    over the index keys, see :func:`build_index_bloom`) the batch is
+    prefiltered map-only: keys the filter rules out are fresh WITHOUT
+    joining (no false negatives ⇒ identical survivors,
+    equivalence-pinned); only might-be-present keys reach the
+    anti-join.  At streaming ingest rates this turns the per-batch
+    stream-static join into a probe over the (tiny) suspected-dup
+    slice.  The filter must cover every key in the index — rebuild
+    after appends before trusting it for later batches.
 
     PRECONDITION: ``id_col`` should be unique within the batch — this
     operator suppresses docs already in the STANDING index only;
@@ -129,11 +159,24 @@ def dedup_against_index(
         id_col, F.substring("fp", 1, 2).alias("bucket"), "fp"
     )
     index = spark.read.parquet(f"{path}/{sub}")
-    fresh_ids = (
-        slim.join(index, ["bucket", "fp"], "left_anti")
-        .select(id_col)
-        .distinct()
-    )
+    if bloom is not None:
+        from sample_keyspaces_cdc_streams_connectors_spark.functions.bloom import might_contain
+
+        flagged = slim.withColumn("_maybe", might_contain(F.col("fp"), bloom))
+        definitely_fresh = flagged.filter(~F.col("_maybe")).select(id_col)
+        suspects = flagged.filter(F.col("_maybe")).drop("_maybe")
+        fresh_ids = (
+            suspects.join(index, ["bucket", "fp"], "left_anti")
+            .select(id_col)
+            .unionByName(definitely_fresh)
+            .distinct()
+        )
+    else:
+        fresh_ids = (
+            slim.join(index, ["bucket", "fp"], "left_anti")
+            .select(id_col)
+            .distinct()
+        )
     out = keyed.join(fresh_ids, id_col)
     return out if keep_key else out.drop("fp")
 
