@@ -59,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
             "chunk",
             "index-vectors",
             "search-vectors",
+            "shard",
+            "train-bpe",
         ),
         help="cdc: stream envelopes to a sink; corpus: batch-curate "
         "documents; profile: one-pass per-column table statistics; "
@@ -125,6 +127,18 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=None,
         help="search-vectors mode: vec_id of the query row in --target",
+    )
+    p.add_argument(
+        "--n-shards",
+        type=int,
+        default=64,
+        help="shard mode: number of token-balanced output shards",
+    )
+    p.add_argument(
+        "--n-merges",
+        type=int,
+        default=8000,
+        help="train-bpe mode: merge-table size (subword vocab growth)",
     )
     p.add_argument(
         "--health-port",
@@ -265,6 +279,49 @@ def main(argv: list[str] | None = None) -> int:
         chosen.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(f"selected {n} docs like {args.target} -> {args.out}")
+        return 0
+
+    if args.mode == "shard":
+        from pyspark.sql import functions as F
+
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import shard_corpus
+
+        if not args.out:
+            print("--out required for shard mode", file=sys.stderr)
+            return 2
+        spark = get_spark("corpus-shard")
+        sharded = shard_corpus(
+            spark.read.parquet(args.source), n_shards=args.n_shards
+        )
+        docs = spark.read.parquet(args.source)
+        (
+            docs.join(sharded.select("doc_id", "epoch_pos", "shard"), "doc_id")
+            .repartition(F.col("shard"))
+            .sortWithinPartitions("epoch_pos")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(args.out)
+        )
+        n = spark.read.parquet(args.out).count()
+        print(
+            f"sharded {n} docs into {args.n_shards} token-balanced "
+            f"shards -> {args.out}"
+        )
+        return 0
+
+    if args.mode == "train-bpe":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.bpe import save_bpe_model, train_bpe
+
+        if not args.out:
+            print("--out required for train-bpe mode", file=sys.stderr)
+            return 2
+        spark = get_spark("bpe-train")
+        model = train_bpe(spark.read.parquet(args.source), n_merges=args.n_merges)
+        save_bpe_model(spark, model, args.out)
+        print(
+            f"bpe model saved to {args.out} ({len(model.merges)} merges); "
+            f"load with llm.bpe.load_bpe_model"
+        )
         return 0
 
     if args.mode == "profile":

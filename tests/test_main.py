@@ -315,3 +315,62 @@ def test_cli_index_and_search_vectors(spark, sf_dir, tmp_path, capsys):
         assert len(lines) == 5
         top_id, top_sim = lines[0].split("\t")
         assert top_id == "1" and float(top_sim) > 0.999  # self is nearest
+
+
+def test_cli_shard_corpus(spark, sf_dir, tmp_path, capsys):
+    """shard mode: token-balanced shard directories, each file sorted
+    by epoch position, all docs present exactly once."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    out = str(tmp_path / "shards")
+    rc = main(
+        [
+            "--source", f"{sf_dir}/documents.parquet",
+            "--mode", "shard",
+            "--n-shards", "4",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    assert "token-balanced" in capsys.readouterr().out
+    sharded = spark.read.parquet(out)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sharded.count() == n_docs
+    assert sharded.select("doc_id").distinct().count() == n_docs
+    assert sharded.select("shard").distinct().count() == 4
+    # epoch positions are globally unique across shard dirs
+    assert sharded.select("epoch_pos").distinct().count() == n_docs
+
+
+def test_cli_train_bpe(spark, sf_dir, tmp_path, capsys):
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.bpe import load_bpe_model
+
+    out = str(tmp_path / "bpe")
+    rc = main(
+        [
+            "--source", f"{sf_dir}/documents.parquet",
+            "--mode", "train-bpe",
+            "--n-merges", "40",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    assert "bpe model saved" in capsys.readouterr().out
+    model = load_bpe_model(spark, out)
+    assert 0 < len(model.merges) <= 40
+
+
+def test_cli_shard_requires_out(capsys):
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    rc = main(
+        ["--source", "/tmp/nope", "--mode", "shard"]
+    )
+    assert rc == 2
+    rc = main(
+        ["--source", "/tmp/nope", "--mode", "train-bpe"]
+    )
+    assert rc == 2
