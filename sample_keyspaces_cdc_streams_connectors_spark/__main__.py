@@ -61,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
             "search-vectors",
             "shard",
             "train-bpe",
+            "train-lm",
         ),
         help="cdc: stream envelopes to a sink; corpus: batch-curate "
         "documents; profile: one-pass per-column table statistics; "
@@ -72,7 +73,13 @@ def main(argv: list[str] | None = None) -> int:
         "--max-tokens tokens; index-vectors: build a cell-partitioned "
         "ANN index (--index-kind ivf|ivf-pq) from --source embeddings "
         "into --out; search-vectors: top-k over an --source index for "
-        "the --query-id row of --target embeddings",
+        "the --query-id row of --target embeddings; shard: "
+        "epoch-shuffle --source docs into --n-shards token-balanced "
+        "shard dirs under --out; train-bpe: fit a --n-merges BPE "
+        "merge table on --source docs and save it to --out; "
+        "train-lm: fit the Stupid-Backoff n-gram fluency LM on "
+        "--source docs and save it to --out (point "
+        "corpus.lm-model-path at it)",
     )
     p.add_argument(
         "--max-tokens",
@@ -306,6 +313,22 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"sharded {n} docs into {args.n_shards} token-balanced "
             f"shards -> {args.out}"
+        )
+        return 0
+
+    if args.mode == "train-lm":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.ngram_lm import save_ngram_lm, train_ngram_lm
+
+        if not args.out:
+            print("--out required for train-lm mode", file=sys.stderr)
+            return 2
+        spark = get_spark("lm-train")
+        lm = train_ngram_lm(spark.read.parquet(args.source))
+        save_ngram_lm(spark, lm, args.out)
+        print(
+            f"ngram lm saved to {args.out} ({len(lm.unigrams)} unigrams, "
+            f"{len(lm.bigrams)} bigrams, {lm.total_tokens} tokens); "
+            f"use it via corpus.lm-model-path"
         )
         return 0
 

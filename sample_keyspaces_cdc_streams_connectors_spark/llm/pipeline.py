@@ -20,6 +20,10 @@ Stage order (each optional, config-gated):
 6. quality-model — score with the learned hashed-feature classifier
                    (``llm.quality_model``; map-only Arrow margin
                    pass) and keep docs above the threshold
+6b. lm-perplexity — score fluency under a Stupid-Backoff n-gram LM
+                   trained on a trusted corpus (``llm.ngram_lm``;
+                   map-only Arrow pass) and drop the high-perplexity
+                   tail (CCNet-style)
 7. decontaminate — drop docs sharing long k-grams with an eval corpus
                    (broadcast-probe; see ``llm.decontaminate``)
 8. dedup         — ``exact`` (md5 fingerprint), ``near`` (full
@@ -149,6 +153,12 @@ def build_corpus_pipeline(
       Arrow margin pass) and rows below
       ``quality-model-min-permille`` (default 500 = P(good) ≥ 0.5)
       are dropped; the ``model_quality`` score rides along
+    - ``lm-model-path``  saved ``llm.ngram_lm`` layout (Stupid-Backoff
+      n-gram LM trained on a trusted corpus); when set, docs are
+      scored map-only and rows above ``lm-max-perplexity`` (default
+      10000) are dropped — the CCNet-style fluency gate; the
+      ``lm_ppl`` column rides along (NULL-text rows drop: no tokens,
+      no fluency evidence)
     - ``decontaminate-path``  parquet of eval/benchmark docs (needs a
       ``text`` column); corpus rows sharing >=
       ``decontaminate-min-collisions`` (default 1) normalized
@@ -198,6 +208,8 @@ def build_corpus_pipeline(
     quality_model_min = cfg.get_int(
         f"{_P}.quality-model-min-permille", default=500
     )
+    lm_model_path = cfg.get(f"{_P}.lm-model-path", None)
+    lm_max_ppl = cfg.get_int(f"{_P}.lm-max-perplexity", default=10_000)
     decontaminate_path = cfg.get(f"{_P}.decontaminate-path", None)
     decontaminate_k = cfg.get_int(f"{_P}.decontaminate-k", default=8)
     decontaminate_min = cfg.get_int(
@@ -291,6 +303,22 @@ def build_corpus_pipeline(
                 ),
                 "quality-model",
             )
+        if lm_model_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.ngram_lm import (
+                lm_perplexity,
+                load_ngram_lm,
+            )
+
+            lm = load_ngram_lm(out.sparkSession, lm_model_path)
+            out = tap(
+                out.withColumn(
+                    "lm_ppl", lm_perplexity(F.col(text_col), lm)
+                ).filter(
+                    F.col("lm_ppl").isNotNull()
+                    & (F.col("lm_ppl") <= float(lm_max_ppl))
+                ),
+                "lm-perplexity",
+            )
         if decontaminate_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import decontaminate
 
@@ -380,7 +408,8 @@ def build_streaming_curation(
 
     Every filtering/annotation stage of :func:`build_corpus_pipeline`
     is a stateless map (scrub-pii, annotate, language, quality,
-    repetition, quality-model), so the identical transforms apply to
+    repetition, quality-model, lm-perplexity), so the identical
+    transforms apply to
     a ``readStream`` frame — micro-batch outputs equal the batch
     pipeline run on the same rows (equivalence pinned in
     tests/test_corpus_pipeline.py).  Cross-corpus suppression
@@ -430,6 +459,8 @@ def build_streaming_curation(
     quality_model_min = cfg.get_int(
         f"{_P}.quality-model-min-permille", default=500
     )
+    lm_model_path = cfg.get(f"{_P}.lm-model-path", None)
+    lm_max_ppl = cfg.get_int(f"{_P}.lm-max-perplexity", default=10_000)
     decontaminate_path = cfg.get(f"{_P}.decontaminate-path", None)
     decontaminate_k = cfg.get_int(f"{_P}.decontaminate-k", default=8)
     decontaminate_min = cfg.get_int(
@@ -467,6 +498,19 @@ def build_streaming_curation(
             qm = load_quality_model(out.sparkSession, quality_model_path)
             out = score_quality(out, qm, text_col=text_col).filter(
                 F.col("model_quality") >= quality_model_min / 1000.0
+            )
+        if lm_model_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.ngram_lm import (
+                lm_perplexity,
+                load_ngram_lm,
+            )
+
+            lm = load_ngram_lm(out.sparkSession, lm_model_path)
+            out = out.withColumn(
+                "lm_ppl", lm_perplexity(F.col(text_col), lm)
+            ).filter(
+                F.col("lm_ppl").isNotNull()
+                & (F.col("lm_ppl") <= float(lm_max_ppl))
             )
         if decontaminate_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import (

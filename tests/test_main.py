@@ -374,3 +374,21 @@ def test_cli_shard_requires_out(capsys):
         ["--source", "/tmp/nope", "--mode", "train-bpe"]
     )
     assert rc == 2
+
+
+def test_cli_train_lm(spark, sf_dir, tmp_path, capsys):
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ngram_lm import load_ngram_lm
+
+    out = str(tmp_path / "lm")
+    rc = main(
+        [
+            "--source", f"{sf_dir}/documents.parquet",
+            "--mode", "train-lm",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    assert "ngram lm saved" in capsys.readouterr().out
+    lm = load_ngram_lm(spark, out)
+    assert lm.total_tokens > 0 and len(lm.unigrams) > 0
