@@ -462,3 +462,44 @@ def test_avro_container_roundtrip_property(tmp_path_factory, table, block):
         f["name"] for f in schema["fields"]
     ]
     assert got == expect
+
+
+# --- distributed prefix sum vs sequential reference ------------------------
+
+
+@SLOW
+@given(
+    weights=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=80
+    ),
+    parts=st.integers(1, 7),
+    n_buckets=st.sampled_from([1, 3, 16]),
+)
+def test_prefix_sum_matches_sequential_reference(
+    spark, weights, parts, n_buckets
+):
+    """with_order_stats == the sequential scan of rows sorted by
+    (hash, id), for ANY weights, partitioning, and bucket count."""
+    import hashlib
+
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum import with_order_stats
+
+    rows = [
+        (i, hashlib.md5(str(i).encode()).hexdigest(), w)
+        for i, w in enumerate(weights)
+    ]
+    df = spark.createDataFrame(rows, "k long, h string, w long").repartition(
+        parts
+    )
+    out, n_rows, total_w = with_order_stats(
+        df, "h", ["k"], weight_col="w", n_buckets=n_buckets
+    )
+    got = {r["k"]: (r["pos"], r["cum"]) for r in out.collect()}
+
+    expect, cum = {}, 0
+    for pos, (k, _h, w) in enumerate(sorted(rows, key=lambda r: (r[1], r[0]))):
+        expect[k] = (pos, cum)
+        cum += w
+    assert got == expect
+    assert n_rows == len(weights)
+    assert total_w == sum(weights)
