@@ -7,6 +7,14 @@ from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
     token_count,
     tokens,
 )
+from sample_keyspaces_cdc_streams_connectors_spark.functions.bloom import (
+    BloomFilter,
+    build_bloom,
+    load_bloom,
+    might_contain,
+    optimal_params,
+    save_bloom,
+)
 from sample_keyspaces_cdc_streams_connectors_spark.functions.pii import (
     pii_counts,
     scrub_pii,
@@ -19,6 +27,12 @@ from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import (
 )
 
 __all__ = [
+    "BloomFilter",
+    "build_bloom",
+    "load_bloom",
+    "might_contain",
+    "optimal_params",
+    "save_bloom",
     "pii_counts",
     "scrub_pii",
     "with_pii_scrubbed",

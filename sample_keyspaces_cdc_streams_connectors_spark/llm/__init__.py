@@ -44,6 +44,19 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
     deterministic_sample,
     pack_sequences,
     sample_corpus_mixture,
+    shard_corpus,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.bpe import (
+    BpeModel,
+    bpe_segment,
+    bpe_token_count,
+    train_bpe,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.ngram_lm import (
+    NgramLm,
+    lm_perplexity,
+    score_lm,
+    train_ngram_lm,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.decontaminate import (
     contamination_flags,
@@ -61,6 +74,15 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
 )
 
 __all__ = [
+    "BpeModel",
+    "bpe_segment",
+    "bpe_token_count",
+    "train_bpe",
+    "NgramLm",
+    "lm_perplexity",
+    "score_lm",
+    "train_ngram_lm",
+    "shard_corpus",
     "append_to_ivf_index",
     "contamination_flags",
     "decontaminate",

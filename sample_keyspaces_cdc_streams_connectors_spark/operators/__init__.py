@@ -14,10 +14,12 @@ from sample_keyspaces_cdc_streams_connectors_spark.operators.projection import (
     project_fields,
     shape_output,
 )
+from sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum import with_order_stats
 from sample_keyspaces_cdc_streams_connectors_spark.operators.range_join import range_join
 from sample_keyspaces_cdc_streams_connectors_spark.operators.skew import add_salt, explode_salt, salted_agg
 
 __all__ = [
+    "with_order_stats",
     "asof_join",
     "assign_messages",
     "classify_operation",
