@@ -1,0 +1,240 @@
+"""Semantic deduplication — SemDeDup (Abbas et al., 2023).
+
+Near-dup detection in *embedding* space: k-means partitions the
+corpus into semantic clusters, and within each cluster any document
+whose cosine similarity to an already-kept document exceeds ``eps``
+is a semantic duplicate.  This catches paraphrases and re-renderings
+that lexical dedup (MinHash / n-gram Jaccard over shingles) misses,
+at the cost of only ever comparing documents that share a cluster —
+the paper's own scoping approximation, which is what makes the
+operation tractable at corpus scale.
+
+Reference tie-in: the reference generates embeddings and delegates
+ALL vector math to a remote store (S3VectorTargetMapper.java:87-177);
+a native engine owns the embedding-space curation step itself.
+
+Algorithm (the published construction):
+1. cluster embeddings with k-means (``llm.kmeans`` — deterministic
+   farthest-point seeding, no RNG);
+2. within each cluster, order items by similarity to the centroid
+   (descending, id ascending on ties);
+3. item ``j`` is a duplicate iff ``max_{i<j} cos(x_i, x_j) > eps`` —
+   i.e. the member of every duplicate chain that is FARTHEST from
+   the centroid survives (the paper measured "keep low-similarity
+   examples" as the best-performing keep rule).
+
+Scale design:
+- Cluster assignment is a MAP-ONLY pass: the k×dims codebook folds
+  into the plan as literals (broadcast by value), normalization and
+  the argmin are JVM column expressions; nothing shuffles.
+- The only exchange moves (id, cell, centroid_sim, unit-vector) into
+  per-cluster groups for one Arrow ``applyInPandas`` pass.  Text
+  never shuffles — survivors come back as an id-join.
+- Within a group the pairwise max is computed BLOCKWISE (B×n matmul
+  slabs, O(B·n) memory), so a group costs O(n²d/B) flops vectorized
+  but never materializes the n×n similarity matrix.
+- Skew guard: cluster sizes are counted first (ONE k-row aggregate —
+  codebook-sized collect); clusters above ``max_cluster_size`` are
+  deterministically split into ``ceil(n/max)`` sub-groups by
+  ``xxhash64(id)``.  Pairs across sub-groups are then not compared —
+  a documented recall trade on pathological clusters, bounding
+  worst-case group memory regardless of how skewed the clustering
+  comes out.  At 100 TB pick ``k ~ n_docs/5000`` so the EXPECTED
+  cluster is small and the splitter almost never fires.
+- Determinism: the group pass re-sorts rows internally, numpy's
+  float64 matmul is deterministic for a fixed row order, and the
+  keep rule has a total order — results are partitioning-invariant
+  (property-tested).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import l2_norm
+from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import (
+    _argmin_cell,
+    _least,
+    _sq_dist_to,
+    kmeans_fit,
+)
+
+
+def _unit(centroid: list[float]) -> list[float]:
+    n = math.sqrt(sum(float(x) * float(x) for x in centroid))
+    if n <= 0.0:
+        return [0.0 for _ in centroid]
+    return [float(x) / n for x in centroid]
+
+
+def semantic_dedup_annotate(
+    vectors: DataFrame,
+    centroids: list[list[float]] | None = None,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 8192,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Per-document SemDeDup annotation.
+
+    Returns ``(id_col, cell, centroid_sim, max_prior_sim)`` — one row
+    per input document.  ``max_prior_sim`` is the maximum cosine
+    similarity to any cluster-mate ranked closer to the centroid
+    (-1.0, the cosine floor, for each cluster's representative — the
+    max over an empty prior set); a document is a
+    semantic duplicate at threshold ``eps`` iff
+    ``max_prior_sim > eps``.  Training runs here unless a codebook is
+    passed in (reuse one codebook across corpus snapshots to keep
+    cluster ids stable).
+    """
+    if centroids is None:
+        centroids = kmeans_fit(
+            vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    unit_cents = [_unit(c) for c in centroids]
+
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = l2_norm(dvec)
+    # unit vector JVM-side; zero-norm rows stay all-zero (cos := 0)
+    nvec = F.when(
+        norm > 0, F.transform(dvec, lambda x: x / norm)
+    ).otherwise(F.transform(dvec, lambda x: x * F.lit(0.0)))
+
+    # one pass computes the cell AND the centroid similarity: for
+    # unit vectors |x - c|^2 = 2 - 2*cos, so the argmin's distance
+    # doubles as the similarity (no second k-term when-chain)
+    dists = [_sq_dist_to(F.col("__nv"), c) for c in unit_cents]
+    assigned = (
+        vectors.select(F.col(id_col), nvec.alias("__nv"))
+        .select(
+            id_col,
+            "__nv",
+            _argmin_cell(F.col("__nv"), unit_cents).alias("cell"),
+            _least(dists).alias("__d2"),
+        )
+        .select(
+            id_col,
+            "__nv",
+            "cell",
+            F.when(
+                F.aggregate(
+                    F.col("__nv"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v * v,
+                )
+                > 0,
+                1.0 - F.col("__d2") / 2.0,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("centroid_sim"),
+        )
+    )
+
+    # skew guard: k-row aggregate -> sub-group fan-out per oversized
+    # cell (collect is codebook-sized by construction)
+    counts = {
+        r["cell"]: r["n"]
+        for r in assigned.groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_subs = [
+        max(1, math.ceil(counts.get(j, 0) / max_cluster_size))
+        for j in range(len(unit_cents))
+    ]
+    subs_arr = F.array(*[F.lit(int(s)) for s in n_subs])
+    grouped = assigned.withColumn(
+        "__sub",
+        F.pmod(
+            F.xxhash64(F.col(id_col).cast("string")),
+            F.element_at(subs_arr, F.col("cell") + 1),
+        ).cast("int"),
+    )
+
+    id_field = vectors.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("cell", IntegerType(), False),
+            StructField("centroid_sim", DoubleType(), False),
+            StructField("max_prior_sim", DoubleType(), False),
+        ]
+    )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic processing order: closest-to-centroid first
+        pdf = pdf.sort_values(
+            ["centroid_sim", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = len(pdf)
+        X = np.stack(pdf["__nv"].to_numpy()).astype(np.float64)
+        # m[j] = max_{i<j} X[i]·X[j]; the max over an EMPTY prior set
+        # is the cosine floor -1.0 (not 0.0), so each cluster's
+        # representative survives ANY threshold — eps below -1 cannot
+        # empty a cluster
+        m = np.full(n, -1.0, dtype=np.float64)
+        # blockwise upper-triangle max
+        for start in range(0, n, block_rows):
+            end = min(start + block_rows, n)
+            S = X[start:end] @ X.T  # (block, n) slab
+            for i in range(start, end):
+                if i + 1 < n:
+                    np.maximum(m[i + 1 :], S[i - start, i + 1 :], out=m[i + 1 :])
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": pdf["cell"].astype("int32"),
+                "centroid_sim": pdf["centroid_sim"],
+                "max_prior_sim": m,
+            }
+        )
+
+    return grouped.groupBy("cell", "__sub").applyInPandas(
+        score_group, out_schema
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    eps: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 8192,
+) -> DataFrame:
+    """Survivor rows of ``vectors`` after SemDeDup at threshold
+    ``eps`` (original columns preserved; duplicates removed).
+
+    Only ids travel back from the annotation — the payload columns
+    rejoin on ``id_col``, so wide rows (text, raw vectors) never
+    shuffle through the scoring pass.
+    """
+    keep = (
+        semantic_dedup_annotate(
+            vectors,
+            centroids=centroids,
+            k=k,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_cluster_size=max_cluster_size,
+        )
+        .filter(F.col("max_prior_sim") <= F.lit(float(eps)))
+        .select(id_col)
+    )
+    return vectors.join(keep, id_col, "inner")

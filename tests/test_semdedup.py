@@ -1,0 +1,202 @@
+"""SemDeDup semantic deduplication (llm/semdedup.py).
+
+Verified against a sequential numpy reference implementing the
+published construction on the SAME codebook, plus structural
+properties: partitioning invariance, threshold monotonicity, the
+one-survivor-per-cluster limit at eps=-1, and the skew-splitter's
+group bound.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+    semantic_dedup,
+    semantic_dedup_annotate,
+)
+
+
+def _fixture_vectors(spark, n_groups=6, dup_sizes=(3, 2, 4), dims=8, seed=7):
+    """Planted semantic-dup groups: each dup group is one base unit
+    vector plus tiny perturbations (cos > 0.999); singletons are
+    well-separated random unit vectors."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for g, size in enumerate(list(dup_sizes) + [1] * (n_groups - len(dup_sizes))):
+        base = rng.normal(size=dims)
+        base /= np.linalg.norm(base)
+        for j in range(size):
+            v = base + rng.normal(size=dims) * (1e-3 if j else 0.0)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v], g))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, planted int"
+    )
+
+
+def _reference_semdedup(rows, centroids, eps):
+    """Sequential reference: assign -> per-cluster sort -> triu max."""
+    cents = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c))
+        cents.append(np.array(c) / n if n > 0 else np.array(c))
+    by_cell: dict[int, list] = {}
+    for vid, vec in rows:
+        x = np.array(vec, dtype=np.float64)
+        nx = x / np.linalg.norm(x) if np.linalg.norm(x) > 0 else x * 0.0
+        d2 = [float(np.sum((nx - c) ** 2)) for c in cents]
+        cell = int(np.argmin(d2))  # numpy argmin ties -> lowest, same rule
+        sim = 0.0 if np.linalg.norm(x) == 0 else 1.0 - d2[cell] / 2.0
+        by_cell.setdefault(cell, []).append((vid, nx, sim))
+    out = {}
+    for cell, items in by_cell.items():
+        items.sort(key=lambda t: (-t[2], t[0]))
+        X = np.stack([t[1] for t in items])
+        S = X @ X.T
+        for j, (vid, _, sim) in enumerate(items):
+            m = float(np.max(S[:j, j])) if j else -1.0
+            m = max(m, -1.0)
+            out[vid] = (cell, sim, m)
+    return out
+
+
+def test_matches_sequential_reference(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
+
+    df = _fixture_vectors(spark)
+    cents = kmeans_fit(df, k=4, n_iter=4)
+    ann = {
+        r["vec_id"]: (r["cell"], r["centroid_sim"], r["max_prior_sim"])
+        for r in semantic_dedup_annotate(df, centroids=cents, k=4).collect()
+    }
+    rows = [(r["vec_id"], r["embedding"]) for r in df.collect()]
+    ref = _reference_semdedup(rows, cents, 0.9)
+    assert set(ann) == set(ref)
+    for vid in ref:
+        assert ann[vid][0] == ref[vid][0], f"cell mismatch vid={vid}"
+        assert ann[vid][1] == pytest.approx(ref[vid][1], abs=1e-9)
+        assert ann[vid][2] == pytest.approx(ref[vid][2], abs=1e-9)
+
+
+def test_planted_groups_collapse_to_one_survivor(spark):
+    df = _fixture_vectors(spark)
+    surv = semantic_dedup(df, eps=0.99, k=4, n_iter=4)
+    per_group = {
+        r["planted"]: r["n"]
+        for r in surv.groupBy("planted").agg(F.count("*").alias("n")).collect()
+    }
+    # every planted near-dup group collapses to exactly one doc;
+    # separated singletons all survive
+    assert all(n == 1 for n in per_group.values())
+    assert len(per_group) == df.select("planted").distinct().count()
+    # survivors keep the original payload columns
+    assert set(surv.columns) == {"vec_id", "embedding", "planted"}
+
+
+def test_threshold_monotone_and_extremes(spark):
+    df = _fixture_vectors(spark)
+    ann = semantic_dedup_annotate(df, k=4, n_iter=4).cache()
+    try:
+        n_total = df.count()
+        # eps > 1: cosine of unit vectors never exceeds 1 -> keep all
+        assert ann.filter(F.col("max_prior_sim") <= 1.0001).count() == n_total
+        # eps = -1: only each cluster's representative survives (its
+        # max_prior_sim is the -1.0 empty-set floor; no fixture pair
+        # is exactly antipodal)
+        reps = ann.filter(F.col("max_prior_sim") <= -1.0).count()
+        assert reps == ann.select("cell").distinct().count()
+        # monotone: survivor count non-decreasing in eps
+        counts = [
+            ann.filter(F.col("max_prior_sim") <= e).count()
+            for e in (0.0, 0.5, 0.9, 0.999, 1.1)
+        ]
+        assert counts == sorted(counts)
+    finally:
+        ann.unpersist()
+
+
+def test_partitioning_invariance(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
+
+    df = _fixture_vectors(spark, seed=11)
+    cents = kmeans_fit(df, k=3, n_iter=3)
+
+    def snap(frame):
+        return sorted(
+            (r["vec_id"], r["cell"], round(r["max_prior_sim"], 12))
+            for r in semantic_dedup_annotate(frame, centroids=cents).collect()
+        )
+
+    assert snap(df.repartition(7)) == snap(df.coalesce(1))
+
+
+def test_skew_splitter_bounds_groups_and_stays_deterministic(spark):
+    """A tiny max_cluster_size forces every cluster through the
+    splitter; the result must stay deterministic and every doc must
+    still be annotated exactly once."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
+
+    df = _fixture_vectors(spark, dup_sizes=(5, 4, 3), seed=3)
+    cents = kmeans_fit(df, k=2, n_iter=3)
+    a = semantic_dedup_annotate(
+        df, centroids=cents, max_cluster_size=2
+    ).collect()
+    b = semantic_dedup_annotate(
+        df.repartition(5), centroids=cents, max_cluster_size=2
+    ).collect()
+    assert len(a) == df.count()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # split groups can only LOWER max_prior_sim (fewer priors seen):
+    # a doc flagged dup under splitting is a dup without it too
+    full = {
+        r["vec_id"]: r["max_prior_sim"]
+        for r in semantic_dedup_annotate(df, centroids=cents).collect()
+    }
+    for r in a:
+        assert r["max_prior_sim"] <= full[r["vec_id"]] + 1e-12
+
+
+def test_zero_norm_vectors_survive_without_nan(spark):
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [1.0, 1e-5, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ann = semantic_dedup_annotate(df, k=1, n_iter=1).collect()
+    by_id = {r["vec_id"]: r for r in ann}
+    assert by_id[1]["centroid_sim"] == 0.0
+    assert not any(
+        math.isnan(r["centroid_sim"]) or math.isnan(r["max_prior_sim"])
+        for r in ann
+    )
+    # the two aligned unit vectors are near-dups; one is flagged
+    assert (
+        max(by_id[2]["max_prior_sim"], by_id[3]["max_prior_sim"]) > 0.999
+    )
+
+
+def test_single_exchange_to_the_scoring_pass(spark, sf_dir):
+    """Assignment + normalization fold into the scan side: the plan
+    from scan to the Arrow scoring pass holds exactly ONE exchange
+    (the groupBy(cell, __sub) hash partitioning).  The k-row count
+    aggregate runs as its own tiny job and is not part of this plan's
+    output path."""
+    from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [[1.0] + [0.0] * 15, [0.0, 1.0] + [0.0] * 14]
+    padded = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    ann = semantic_dedup_annotate(padded, centroids=cents)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
