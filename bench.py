@@ -420,6 +420,16 @@ def main() -> None:
             .format("noop")
             .save(),
         )
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import semantic_dedup
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        _aux(
+            "semantic_dedup",
+            lambda: semantic_dedup(emb, eps=0.9, k=8, n_iter=3)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
         from sample_keyspaces_cdc_streams_connectors_spark.llm.bpe import bpe_token_count, train_bpe
 
         bpe_model = train_bpe(raw_docs, n_merges=200)

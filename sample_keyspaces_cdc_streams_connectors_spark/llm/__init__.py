@@ -67,6 +67,10 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.components import (
     connected_components,
     dedup_survivors,
 )
+from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+    semantic_dedup,
+    semantic_dedup_annotate,
+)
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -114,4 +118,6 @@ __all__ = [
     "brute_force_topk",
     "ivf_topk",
     "lsh_bucket_topk",
+    "semantic_dedup",
+    "semantic_dedup_annotate",
 ]

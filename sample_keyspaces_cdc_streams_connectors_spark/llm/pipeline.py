@@ -27,10 +27,11 @@ Stage order (each optional, config-gated):
 7. decontaminate — drop docs sharing long k-grams with an eval corpus
                    (broadcast-probe; see ``llm.decontaminate``)
 8. dedup         — ``exact`` (md5 fingerprint), ``near`` (full
-                   MinHash signature digest), or ``cluster``
+                   MinHash signature digest), ``cluster``
                    (ngram/minhash pairs closed into connected
                    components; min-id or ``cluster-prefer``-column
-                   survivor)
+                   survivor), or ``semantic`` (SemDeDup in embedding
+                   space; see ``llm.semdedup``)
 
 Scale: scrub/annotate/language/quality are map-only;
 exact/near dedup cost exactly ONE hash-shuffle of (key, id) pairs —
@@ -127,7 +128,8 @@ def build_corpus_pipeline(
       reflect the scrubbed text; ``n_removed_tokens`` /
       ``n_flagged_spans`` ride along.  Batch-only (corpus-wide window
       frequencies)
-    - ``dedup``        none | exact | near | cluster  (default none)
+    - ``dedup``        none | exact | near | cluster | semantic
+      (default none)
     - ``shingle-k``    shingle width for near/cluster dedup (default 3)
     - ``jaccard-threshold``  pair threshold for cluster dedup /1000
       (int per-mille, default 500 = 0.5)
@@ -138,6 +140,11 @@ def build_corpus_pipeline(
     - ``cluster-prefer``  column whose HIGHEST value picks each
       cluster's survivor (e.g. ``quality`` — annotation runs before
       dedup so the score exists); empty (default) keeps the min-id
+    - ``semantic-eps-permille``  SemDeDup cosine threshold /1000 for
+      ``dedup = semantic`` (int per-mille, default 950 = 0.95)
+    - ``semantic-clusters`` / ``semantic-dims``  k-means cluster count
+      (default 16, clamped to the batch size) and hash-embedder width
+      (default 64) for ``dedup = semantic``
     - ``repetition-filter``  true|false — drop boilerplate docs by the
       Gopher repetition rules (duplicate-line/paragraph and top-n-gram
       character fractions; ``functions.repetition.GOPHER_DEFAULTS``
@@ -229,11 +236,17 @@ def build_corpus_pipeline(
             "corpus.dedup-index-mode must be exact|minhash, "
             f"got {dedup_index_mode!r}"
         )
-    if dedup_mode not in ("none", "exact", "near", "cluster"):
+    semantic_eps_permille = cfg.get_int(
+        f"{_P}.semantic-eps-permille", default=950
+    )
+    semantic_clusters = cfg.get_int(f"{_P}.semantic-clusters", default=16)
+    semantic_dims = cfg.get_int(f"{_P}.semantic-dims", default=64)
+    if dedup_mode not in ("none", "exact", "near", "cluster", "semantic"):
         from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
 
         raise ConfigError(
-            f"corpus.dedup must be none|exact|near|cluster, got {dedup_mode!r}"
+            "corpus.dedup must be none|exact|near|cluster|semantic, "
+            f"got {dedup_mode!r}"
         )
     if cluster_method not in ("ngram", "minhash"):
         from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
@@ -383,6 +396,36 @@ def build_corpus_pipeline(
             out = dedup_survivors(
                 out, pairs, id_col=id_col, prefer=cluster_prefer
             )
+        elif dedup_mode == "semantic":
+            # SemDeDup over the deterministic hash embedder (swap in a
+            # real encoder via llm.embedding.make_embedder): paraphrase-
+            # level dedup that lexical fingerprints miss.  Only
+            # (id, vector) enters the scoring pass; text rejoins by id.
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+                semantic_dedup_annotate,
+            )
+
+            vecs = out.select(
+                F.col(id_col).alias("vec_id"),
+                hash_embed(F.col(text_col), dims=semantic_dims).alias(
+                    "embedding"
+                ),
+            )
+            # clamp k for tiny batches (streaming tails, test corpora):
+            # limit(k).count() bounds the probe at k rows
+            n_probe = vecs.limit(semantic_clusters).count()
+            keep = (
+                semantic_dedup_annotate(
+                    vecs, k=max(1, min(semantic_clusters, n_probe))
+                )
+                .filter(
+                    F.col("max_prior_sim")
+                    <= semantic_eps_permille / 1000.0
+                )
+                .select(F.col("vec_id").alias(id_col))
+            )
+            out = out.join(keep, id_col, "inner")
         if max_per_group > 0:
             out = tap(
                 cap_per_group(

@@ -64,9 +64,8 @@ from pyspark.sql.types import (
 
 from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import l2_norm
 from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import (
-    _argmin_cell,
-    _least,
-    _sq_dist_to,
+    _argmin_of,
+    _dists_to_all,
     kmeans_fit,
 )
 
@@ -115,15 +114,19 @@ def semantic_dedup_annotate(
 
     # one pass computes the cell AND the centroid similarity: for
     # unit vectors |x - c|^2 = 2 - 2*cos, so the argmin's distance
-    # doubles as the similarity (no second k-term when-chain)
-    dists = [_sq_dist_to(F.col("__nv"), c) for c in unit_cents]
+    # doubles as the similarity (one shared k×dims distance array)
     assigned = (
         vectors.select(F.col(id_col), nvec.alias("__nv"))
         .select(
             id_col,
             "__nv",
-            _argmin_cell(F.col("__nv"), unit_cents).alias("cell"),
-            _least(dists).alias("__d2"),
+            _dists_to_all(F.col("__nv"), unit_cents).alias("__da"),
+        )
+        .select(
+            id_col,
+            "__nv",
+            _argmin_of(F.col("__da")).alias("cell"),
+            F.array_min("__da").alias("__d2"),
         )
         .select(
             id_col,

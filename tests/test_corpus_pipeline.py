@@ -219,6 +219,42 @@ def test_env_override_reaches_corpus_keys(spark, docs):
     assert out.count() == 0  # impossible threshold via env override
 
 
+def test_semantic_dedup_stage(spark, docs):
+    """``dedup = semantic``: exact-duplicate texts embed to identical
+    hash vectors (cos = 1 > any eps), so planted copies must vanish
+    while the base corpus stays intact; k is clamped to tiny batches."""
+    dupes = docs.limit(15).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    corpus = docs.unionByName(dupes)
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {
+                    "dedup": "semantic",
+                    "semantic-eps-permille": 999,
+                    "semantic-clusters": 4,
+                    "semantic-dims": 32,
+                }
+            }
+        }
+    )
+    out = build_corpus_pipeline(cfg)(corpus)
+    assert out.count() == docs.count()
+    # exactly one of each planted pair survives
+    planted = out.filter(
+        (F.col("doc_id") >= 100000)
+        | F.col("doc_id").isin(
+            [r["doc_id"] for r in docs.limit(15).collect()]
+        )
+    )
+    assert planted.count() == 15
+
+    # tiny batch: k clamps to the row count instead of raising
+    tiny = corpus.limit(2)
+    assert build_corpus_pipeline(cfg)(tiny).count() <= 2
+
+
 def test_bad_dedup_mode_rejected():
     cfg = load_config(
         {"keyspaces-cdc-streams": {"corpus": {"dedup": "fuzzy"}}}
