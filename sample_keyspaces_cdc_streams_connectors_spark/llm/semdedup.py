@@ -24,9 +24,15 @@ Algorithm (the published construction):
    examples" as the best-performing keep rule).
 
 Scale design:
-- Cluster assignment is a MAP-ONLY pass: the k×dims codebook folds
-  into the plan as literals (broadcast by value), normalization and
-  the argmin are JVM column expressions; nothing shuffles.
+- Cluster assignment is a MAP-ONLY Arrow pass: the k×dims codebook
+  ships as a broadcast numpy matrix and each batch is normalized +
+  argmin'd vectorized; nothing shuffles.  (An earlier spelling folded
+  the codebook into the plan as a literal expression matrix — correct,
+  but Catalyst analysis cost grows with k·dims per action, ~10 s at
+  k=8/d=64, and the paper's own sizing rule k ≈ n_docs/5000 means a
+  100 TB corpus wants *tens of thousands* of centroids, far past what
+  a literal plan can encode.  A broadcast ndarray is O(k·d) bytes once
+  per executor and the batch math is one blocked matmul-shaped sweep.)
 - The only exchange moves (id, cell, centroid_sim, unit-vector) into
   per-cluster groups for one Arrow ``applyInPandas`` pass.  Text
   never shuffles — survivors come back as an id-join.
@@ -56,18 +62,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     StructField,
     StructType,
 )
 
-from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import l2_norm
-from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import (
-    _argmin_of,
-    _dists_to_all,
-    kmeans_fit,
-)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
 
 
 def _unit(centroid: list[float]) -> list[float]:
@@ -105,45 +107,64 @@ def semantic_dedup_annotate(
         )
     unit_cents = [_unit(c) for c in centroids]
 
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = l2_norm(dvec)
-    # unit vector JVM-side; zero-norm rows stay all-zero (cos := 0)
-    nvec = F.when(
-        norm > 0, F.transform(dvec, lambda x: x / norm)
-    ).otherwise(F.transform(dvec, lambda x: x * F.lit(0.0)))
+    # one Arrow pass computes the unit vector, the cell AND the
+    # centroid similarity: for unit vectors |x - c|^2 = 2 - 2*cos, so
+    # the argmin's distance doubles as the similarity.  The codebook
+    # is a broadcast ndarray (scales to the k ~ n/5000 regime where a
+    # literal expression matrix cannot); distances are elementwise
+    # (nx - c)^2 sums — the same arithmetic as the sequential
+    # reference — swept in centroid blocks so batch memory stays
+    # O(batch · block · dims) however large k grows.  Ties keep the
+    # lowest centroid index (within-block argmin + strict-< across
+    # blocks).
+    sc = vectors.sparkSession.sparkContext
+    bc_cents = sc.broadcast(np.asarray(unit_cents, dtype=np.float64))
+    id_field = vectors.schema[id_col]
+    assign_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("__nv", ArrayType(DoubleType(), False), False),
+            StructField("cell", IntegerType(), False),
+            StructField("centroid_sim", DoubleType(), False),
+        ]
+    )
 
-    # one pass computes the cell AND the centroid similarity: for
-    # unit vectors |x - c|^2 = 2 - 2*cos, so the argmin's distance
-    # doubles as the similarity (one shared k×dims distance array)
-    assigned = (
-        vectors.select(F.col(id_col), nvec.alias("__nv"))
-        .select(
-            id_col,
-            "__nv",
-            _dists_to_all(F.col("__nv"), unit_cents).alias("__da"),
-        )
-        .select(
-            id_col,
-            "__nv",
-            _argmin_of(F.col("__da")).alias("cell"),
-            F.array_min("__da").alias("__d2"),
-        )
-        .select(
-            id_col,
-            "__nv",
-            "cell",
-            F.when(
-                F.aggregate(
-                    F.col("__nv"),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v * v,
-                )
-                > 0,
-                1.0 - F.col("__d2") / 2.0,
+    def assign_batches(batches):
+        C = bc_cents.value
+        cent_block = max(1, (1 << 22) // (8 * max(1, C.shape[1])))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            nz = norms > 0.0
+            # zero-norm rows stay all-zero (cos := 0)
+            NX = np.where(
+                nz[:, None], X / np.where(nz, norms, 1.0)[:, None], 0.0
             )
-            .otherwise(F.lit(0.0))
-            .alias("centroid_sim"),
-        )
+            n = len(NX)
+            best_d = np.full(n, np.inf)
+            best_j = np.zeros(n, dtype=np.int64)
+            for start in range(0, len(C), cent_block):
+                blk = C[start : start + cent_block]
+                d2 = ((NX[:, None, :] - blk[None, :, :]) ** 2).sum(axis=2)
+                jloc = np.argmin(d2, axis=1)
+                dloc = d2[np.arange(n), jloc]
+                upd = dloc < best_d
+                best_j[upd] = jloc[upd] + start
+                best_d[upd] = dloc[upd]
+            sim = np.where(nz, 1.0 - best_d / 2.0, 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "__nv": list(NX),
+                    "cell": best_j.astype("int32"),
+                    "centroid_sim": sim,
+                }
+            )
+
+    assigned = vectors.select(id_col, vec_col).mapInPandas(
+        assign_batches, assign_schema
     )
 
     # skew guard: k-row aggregate -> sub-group fan-out per oversized
@@ -167,7 +188,6 @@ def semantic_dedup_annotate(
         ).cast("int"),
     )
 
-    id_field = vectors.schema[id_col]
     out_schema = StructType(
         [
             StructField(id_col, id_field.dataType, id_field.nullable),
