@@ -33,8 +33,7 @@ HEADLINE = [
     "filter_jexl",           # 3-arm predicate surface (r5 consolidation)
     "scan_cast_project",
     "scan_format_roundtrip",  # csv + avro arms (r5 consolidation)
-    "join_inner",
-    "join_left",
+    "join_basic",            # inner-chain + left-agg arms (late r5)
     "asof_join_purchase",
     "range_join_shipments",
     "revenue_topk",
@@ -60,6 +59,7 @@ HEADLINE = [
     "vector_topk",           # brute + lsh arms (r5 consolidation)
     "ann_ivf_topk",
     "ann_pq_topk",
+    "dedup_semantic",        # SemDeDup gate (late r5)
     "embed_dims",
     "multimodal_geom",       # + frame sampling (r5 consolidation)
     "udaf_grouped_sum",      # + HLL sketch arm (r5 consolidation)
@@ -98,6 +98,9 @@ RENAMES = {
     "filter_semantics": "filter_jexl",
     "decimal_compare": "filter_jexl",
     "image_shape": "project_enrich",
+    # late r5 (slot freed for the dedup_semantic gate)
+    "join_inner": "join_basic",
+    "join_left": "join_basic",
 }
 
 

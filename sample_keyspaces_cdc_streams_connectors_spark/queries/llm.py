@@ -1037,29 +1037,26 @@ _IVF_GATE_ITER = 2
 _IVF_GATE_PROBE = 2
 
 
-def _ivf_oracle(
-    k: int = _IVF_GATE_K,
-    n_iter: int = _IVF_GATE_ITER,
-    n_probe: int = _IVF_GATE_PROBE,
-    dims: int = 64,  # the embeddings fixture dimension (all sfs)
-) -> str:
-    """Full-pipeline oracle for the PRODUCTION IVF path: re-runs the
-    engine's deterministic k-means training — md5-hash farthest-point
-    seeding, ``n_iter`` Lloyd iterations with decimal-exact means
-    (``double(Σ decimal(28,6)(x)) / count``, bit-reproducible in any
-    engine), ties to the lower cell — then the L2 probe decision and
-    the exact-cosine top-k inside the probed cells, all in SQL.  The
-    Spark side trains with ``kmeans_fit(exact_means=True,
-    portable_hash=True, tol=None)``: identical arithmetic, identical
-    result, so the gate hash-matches the whole train→index→probe→
-    search pipeline."""
+def _d2_sql(a: str, b: str) -> str:
+    """Squared L2 distance between two DOUBLE lists, sequential sum —
+    the arithmetic kmeans_fit/semantic_dedup use (identical fold
+    order, so the double results agree to the last rounding grain)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"s -> (s[1] - s[2]) * (s[1] - s[2])))"
+    )
 
-    def d2(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({a}, {b}), "
-            f"s -> (s[1] - s[2]) * (s[1] - s[2])))"
-        )
 
+def _kmeans_train_ctes(k: int, n_iter: int, dims: int) -> list[str]:
+    """CTE chain replaying ``kmeans_fit(exact_means=True,
+    portable_hash=True, tol=None)`` over the ``embeddings`` view in
+    DuckDB SQL: ``base`` (md5-hash ids + DOUBLE vectors), md5
+    farthest-point seeding ``s0..s{k-1}``, and ``n_iter`` Lloyd
+    iterations with decimal-exact means (``double(Σ decimal(28,6)(x))
+    / count``, bit-reproducible in any engine), ties to the lower
+    cell.  The final centroids CTE is ``cents{n_iter}``.  Shared by
+    the IVF and SemDeDup gates (both run the production quantizer)."""
+    d2 = _d2_sql
     ctes = [
         """base AS (
       SELECT vec_id,
@@ -1081,6 +1078,12 @@ def _ivf_oracle(
         f"SELECT {j} AS cell, v FROM s{j}" for j in range(k)
     )
     ctes.append(f"cents0 AS ({cents0})")
+    _append_lloyd_ctes(ctes, n_iter, dims)
+    return ctes
+
+
+def _append_lloyd_ctes(ctes: list[str], n_iter: int, dims: int) -> None:
+    d2 = _d2_sql
     for it in range(1, n_iter + 1):
         ctes.append(
             f"""assign{it} AS (
@@ -1106,6 +1109,23 @@ def _ivf_oracle(
       SELECT c.cell, COALESCE(m.v, c.v) AS v
       FROM cents{it - 1} c LEFT JOIN m{it} m USING (cell))"""
         )
+
+
+def _ivf_oracle(
+    k: int = _IVF_GATE_K,
+    n_iter: int = _IVF_GATE_ITER,
+    n_probe: int = _IVF_GATE_PROBE,
+    dims: int = 64,  # the embeddings fixture dimension (all sfs)
+) -> str:
+    """Full-pipeline oracle for the PRODUCTION IVF path: replays the
+    deterministic training (:func:`_kmeans_train_ctes`), then the L2
+    probe decision and the exact-cosine top-k inside the probed
+    cells, all in SQL.  The Spark side trains with
+    ``kmeans_fit(exact_means=True, portable_hash=True, tol=None)``:
+    identical arithmetic, identical result, so the gate hash-matches
+    the whole train→index→probe→search pipeline."""
+    d2 = _d2_sql
+    ctes = _kmeans_train_ctes(k, n_iter, dims)
     final = f"cents{n_iter}"
     ctes.append(
         f"""afinal AS (
@@ -1143,8 +1163,55 @@ def _ivf_oracle(
 #: per-(sf_dir, applicationId) persisted gate index — training is
 #: deterministic, so one index per dataset per session suffices and
 #: repeated gate/bench passes measure the SEARCH (probe + pruned
-#: scan), not training
+#: scan), not training.  The SemDeDup gate reuses the SAME index's
+#: codebook (both gates run the identical production quantizer).
 _IVF_GATE_PATHS: dict = {}
+
+
+def _ivf_gate_index(spark: SparkSession, sf_dir: str) -> str:
+    """Train-or-reuse the gate's persisted IVF index for ``sf_dir``;
+    returns its path.  Training is the production
+    ``write_ivf_index`` with the bit-reproducible knobs
+    (``exact_means=True, portable_hash=True, tol=None``) so any gate
+    oracle can replay it in SQL (:func:`_kmeans_train_ctes`)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+        CODEBOOK_FILE,
+        write_ivf_index,
+    )
+
+    tag = hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"engine_ivf_gate_{tag}")
+    key = (sf_dir, spark.sparkContext.applicationId)
+    if _IVF_GATE_PATHS.get(key) != path or not os.path.exists(
+        os.path.join(path, CODEBOOK_FILE)
+    ):
+        # train with whole-stage codegen scoped OFF: the 500-2000-row
+        # training scans evaluate giant literal-centroid expression
+        # trees whose JIT compilation dwarfs interpreted evaluation
+        # (measured 8.1 s -> 6.4 s at sf0.01; searches run with
+        # codegen as normal)
+        prev_codegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            write_ivf_index(
+                load_table(spark, sf_dir, "embeddings"),
+                path,
+                k=_IVF_GATE_K,
+                n_iter=_IVF_GATE_ITER,
+                tol=None,
+                exact_means=True,
+                portable_hash=True,
+            )
+        finally:
+            spark.conf.set("spark.sql.codegen.wholeStage", prev_codegen)
+        _IVF_GATE_PATHS[key] = path
+    return path
 
 
 @register("ann_ivf_topk", oracle=_ivf_oracle())
@@ -1161,44 +1228,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_ivf_oracle`), so probe decision, cell assignments, and
     the top-k all hash-match.  Scan pruning on the persisted layout
     is pinned in tests/test_ivf_index.py."""
-    import hashlib
-    import os
-    import tempfile
-
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
-        CODEBOOK_FILE,
-        ivf_index_topk,
-        write_ivf_index,
-    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import ivf_index_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(
-        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"engine_ivf_gate_{tag}")
-    if _IVF_GATE_PATHS.get((sf_dir, spark.sparkContext.applicationId)) != path or not os.path.exists(
-        os.path.join(path, CODEBOOK_FILE)
-    ):
-        # train with whole-stage codegen scoped OFF: the 500-2000-row
-        # training scans evaluate giant literal-centroid expression
-        # trees whose JIT compilation dwarfs interpreted evaluation
-        # (measured 8.1 s -> 6.4 s at sf0.01; the search below runs
-        # with codegen as normal)
-        prev_codegen = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-        try:
-            write_ivf_index(
-                emb,
-                path,
-                k=_IVF_GATE_K,
-                n_iter=_IVF_GATE_ITER,
-                tol=None,
-                exact_means=True,
-                portable_hash=True,
-            )
-        finally:
-            spark.conf.set("spark.sql.codegen.wholeStage", prev_codegen)
-        _IVF_GATE_PATHS[(sf_dir, spark.sparkContext.applicationId)] = path
+    path = _ivf_gate_index(spark, sf_dir)
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
@@ -1215,6 +1248,126 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
         F.col("cell").cast("int").alias("cell"),
+    )
+
+
+#: SemDeDup gate threshold (the paper's operating range is ~0.95)
+_SEM_GATE_EPS = 0.95
+
+
+def _semdedup_oracle(
+    k: int = _IVF_GATE_K,
+    n_iter: int = _IVF_GATE_ITER,
+    dims: int = 64,
+    eps: float = _SEM_GATE_EPS,
+) -> str:
+    """SemDeDup oracle: replays the shared gate quantizer training
+    (:func:`_kmeans_train_ctes` — the SAME codebook the IVF gate
+    persists), unit-normalizes centroids and vectors exactly as
+    ``llm.semdedup`` does, assigns each vector to its nearest unit
+    centroid (lowest cell on ties; ``centroid_sim = 1 - d²/2`` for
+    unit vectors), ranks cluster members closest-to-centroid-first
+    (id ascending on ties), and takes each member's max cosine to any
+    higher-ranked cluster-mate via a ranked self-join (−1.0, the
+    cosine floor, for cluster representatives).  Sims are emitted
+    through DECIMAL(18,8): the Spark side computes them with numpy
+    float64 (blocked summation) and DuckDB sequentially — equal after
+    rounding, as in the ``dedup_embedding`` gate."""
+    d2 = _d2_sql
+    ctes = _kmeans_train_ctes(k, n_iter, dims)
+    ctes.append(
+        f"""ucents AS (
+      SELECT cell,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> 0.0) END AS u
+      FROM (SELECT cell, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM cents{n_iter}))"""
+    )
+    ctes.append(
+        """nbase AS (
+      SELECT vec_id, nrm,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> 0.0) END AS x
+      FROM (SELECT vec_id, v,
+                   sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm
+            FROM base))"""
+    )
+    ctes.append(
+        f"""sassign AS (
+      SELECT vec_id, x, cell,
+             CASE WHEN nrm > 0 THEN 1.0 - dd / 2.0 ELSE 0.0 END AS csim
+      FROM (
+        SELECT n.vec_id, n.x, n.nrm, c.cell,
+               {d2("n.x", "c.u")} AS dd,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY {d2("n.x", "c.u")}, c.cell) AS rn
+        FROM nbase n, ucents c)
+      WHERE rn = 1)"""
+    )
+    ctes.append(
+        """sranked AS (
+      SELECT vec_id, x, cell, csim,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY csim DESC, vec_id) AS rn
+      FROM sassign)"""
+    )
+    ctes.append(
+        """spairs AS (
+      SELECT b.vec_id,
+             MAX(list_sum(list_transform(list_zip(a.x, b.x),
+                   s -> s[1] * s[2]))) AS mps
+      FROM sranked a JOIN sranked b
+        ON a.cell = b.cell AND a.rn < b.rn
+      GROUP BY b.vec_id)"""
+    )
+    mps = "CAST(CAST(COALESCE(p.mps, -1.0) AS DECIMAL(18,8)) AS DOUBLE)"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT r.vec_id, r.cell,
+           CAST(CAST(r.csim AS DECIMAL(18,8)) AS DOUBLE) AS centroid_sim,
+           {mps} AS max_prior_sim,
+           {mps} > {eps} AS is_dup
+    FROM sranked r LEFT JOIN spairs p USING (vec_id)"""
+    )
+
+
+@register("dedup_semantic", oracle=_semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) per-document annotation, gated
+    end to end on the PRODUCTION path: the shared gate quantizer
+    (:func:`_ivf_gate_index` — same persisted codebook the IVF gate
+    searches) feeds ``llm.semdedup.semantic_dedup_annotate`` — the
+    broadcast-codebook Arrow assignment plus the single-exchange
+    per-cluster ranked pairwise-max pass — and the oracle replays
+    training, assignment, ranking and the prior-max in SQL
+    (:func:`_semdedup_oracle`).  One row per vector: cluster, sim to
+    centroid, max cosine to any closer-to-centroid cluster-mate, and
+    the duplicate verdict at eps=0.95 (``_SEM_GATE_EPS``).
+
+    The skew splitter is disabled here (``max_cluster_size`` sentinel)
+    so the oracle's exact per-cluster semantics apply; the splitter's
+    bounded-memory behavior is pinned in tests/test_semdedup.py."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import load_codebook
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import semantic_dedup_annotate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = load_codebook(_ivf_gate_index(spark, sf_dir), spark)
+    ann = semantic_dedup_annotate(
+        emb, centroids=cents, max_cluster_size=1 << 30
+    )
+    rounded = F.col("max_prior_sim").cast("decimal(18,8)").cast("double")
+    return ann.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("centroid_sim")
+        .cast("decimal(18,8)")
+        .cast("double")
+        .alias("centroid_sim"),
+        rounded.alias("max_prior_sim"),
+        (rounded > F.lit(_SEM_GATE_EPS)).alias("is_dup"),
     )
 
 

@@ -24,7 +24,7 @@ ROLLUP's); ``window_moving_sum`` folded into :func:`window_rank`;
 ``topk_orders`` covered by :func:`revenue_topk`; ``regional_revenue``
 dropped (same shape family as revenue_topk); ``agg_distinct`` folded
 into :func:`agg_percentiles`; ``agg_collect_list`` folded into
-:func:`join_left`; ``date_funcs`` folded into :func:`json_roundtrip`;
+the left arm of :func:`join_basic`; ``date_funcs`` folded into :func:`json_roundtrip`;
 ``join_semi_anti`` + ``exists_subquery`` → :func:`exists_semi_anti`.
 Round 5 (registry 59 > the 50-row driver window — VERDICT r4 #1):
 ``scan_csv_roundtrip`` + ``scan_avro_roundtrip`` →
@@ -32,6 +32,9 @@ Round 5 (registry 59 > the 50-row driver window — VERDICT r4 #1):
 :func:`agg_cube` (tagged union), ``window_distribution`` →
 :func:`window_rank` (second window spec), and ``agg_approx_distinct``
 → queries/llm.py:udaf_grouped_sum (same events/event_type grouping).
+Late round 5 (one slot freed for the ``dedup_semantic`` gate):
+``join_inner`` + ``join_left`` → :func:`join_basic` (tagged union;
+each arm keeps its own independently-planned subtree).
 Every retired query's output columns survive in the merged result.
 """
 
@@ -196,63 +199,66 @@ def scan_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_inner",
+    "join_basic",
     oracle="""
-    SELECT o.o_orderkey, c.c_name, n.n_name AS nation,
+    SELECT 'chain' AS arm, o.o_orderkey AS id, c.c_name AS name,
+           n.n_name AS detail,
            CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
-             AS totalprice
+             AS amount,
+           CAST(NULL AS BIGINT) AS n
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE o.o_orderstatus = 'F'
-    """,
-)
-def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact→dim chain join; both dims broadcast (no fact shuffle)."""
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .select(
-            "o_orderkey",
-            "c_name",
-            F.col("n_name").alias("nation"),
-            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("totalprice"),
-        )
-    )
-
-
-@register(
-    "join_left",
-    oracle="""
-    SELECT c.c_custkey, c.c_mktsegment,
-           COUNT(o.o_orderkey) AS n_orders,
-           CAST(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0)
-                     AS DECIMAL(28,6)) AS DOUBLE) AS total_spend,
+    UNION ALL
+    SELECT 'left' AS arm, c.c_custkey AS id, c.c_mktsegment AS name,
            COALESCE(array_to_string(list_sort(
                list(o.o_orderstatus) FILTER (o.o_orderstatus IS NOT NULL)
-             ), ','), '') AS statuses
+             ), ','), '') AS detail,
+           CAST(CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 0)
+                     AS DECIMAL(28,6)) AS DOUBLE) AS amount,
+           COUNT(o.o_orderkey) AS n
     FROM customer c
     LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_mktsegment
     """,
 )
-def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving customers with no orders; decimal-
-    exact sums (emitted as DOUBLE) plus a sorted collect_list
-    serialized to a string (the only safe way to expose a
-    shuffle-order-nondeterministic array aggregate to a hash gate).
+def join_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join surface as a two-arm tagged union (r5 consolidation
+    of ``join_inner`` + ``join_left``; both arms' plans and output
+    columns are preserved inside the union — a union of two
+    independently-planned subtrees, so neither arm's physical shape
+    changes).
 
+    ``chain`` arm — fact→dim chain join; both dims broadcast (no
+    fact shuffle).
+
+    ``left`` arm — left outer join preserving customers with no
+    orders; decimal-exact sums (emitted as DOUBLE) plus a sorted
+    collect_list serialized to a string (the only safe way to expose
+    a shuffle-order-nondeterministic array aggregate to a hash gate).
     Plan: orders pre-aggregate per custkey BEFORE the join (map-side
     partial combine shrinks the fact side from |orders| to
     |active customers|), then customer left-joins the aggregate —
     AQE broadcasts it at small SFs; at 100 TB the join reuses the
     aggregate's hash partitioning so only customer shuffles.  The
     join-then-regroup shape costs a second full-width shuffle."""
-    c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    chain = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.lit("chain").alias("arm"),
+            F.col("o_orderkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("detail"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("amount"),
+            F.lit(None).cast("long").alias("n"),
+        )
+    )
     per_cust = o.groupBy("o_custkey").agg(
         F.count("o_orderkey").alias("__n"),
         F.sum(_dec("o_totalprice")).alias("__spend"),
@@ -260,13 +266,15 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list("o_orderstatus")), ","
         ).alias("__statuses"),
     )
-    return c.join(per_cust, per_cust.o_custkey == c.c_custkey, "left").select(
-        "c_custkey",
-        "c_mktsegment",
-        F.coalesce(F.col("__n"), F.lit(0)).alias("n_orders"),
-        _dbl(F.coalesce(F.col("__spend"), F.lit(0))).alias("total_spend"),
-        F.coalesce(F.col("__statuses"), F.lit("")).alias("statuses"),
+    left = c.join(per_cust, per_cust.o_custkey == c.c_custkey, "left").select(
+        F.lit("left").alias("arm"),
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("name"),
+        F.coalesce(F.col("__statuses"), F.lit("")).alias("detail"),
+        _dbl(F.coalesce(F.col("__spend"), F.lit(0))).alias("amount"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n"),
     )
+    return chain.unionByName(left)
 
 
 @register(

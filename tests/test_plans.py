@@ -25,8 +25,10 @@ def plans(spark, sf_dir):
 
 
 def test_dim_joins_broadcast(plans):
-    plan = plans("join_inner")
-    assert plan.count("BroadcastHashJoin") == 2
+    # the chain arm of the join_basic union: both dims broadcast,
+    # never a sort-merge join anywhere in the union
+    plan = plans("join_basic")
+    assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 
 
@@ -84,8 +86,7 @@ def test_cdc_shape_no_python_no_shuffle(plans):
 
 def test_no_cartesian_anywhere(plans):
     for q in (
-        "join_inner",
-        "join_left",
+        "join_basic",
         "exists_semi_anti",
         "asof_join_purchase",
         "range_join_shipments",
@@ -119,6 +120,17 @@ def test_ngram_posting_list_shape(plans):
     m = re.search(r"hashpartitioning\(shingle#(\d+)(L?)", plan)
     assert m is not None, "expected a shuffle keyed by the shingle column"
     assert m.group(2) == "L", "shingle shuffle key must be int64, not string"
+
+
+def test_semdedup_gate_single_exchange(plans):
+    """The dedup_semantic gate (late r5) keeps SemDeDup's scale shape:
+    broadcast-codebook Arrow assignment (no join to meet centroids),
+    ONE exchange into the per-cluster grouped pass."""
+    plan = plans("dedup_semantic")
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan  # codebook is a broadcast var, not a join
 
 
 def test_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):

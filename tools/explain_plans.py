@@ -24,9 +24,12 @@ SHOWCASE: dict[str, list[str]] = {
         "out of 16 (column pruning)",
         "single WholeStageCodegen span over the whole cast/project program",
     ],
-    "join_inner": [
-        "both dimension joins are `BroadcastHashJoin` (no shuffle of the "
-        "fact side), chosen statically by size",
+    "join_basic": [
+        "chain arm: both dimension joins are `BroadcastHashJoin` (no "
+        "shuffle of the fact side), chosen statically by size",
+        "left arm: orders pre-aggregate per custkey BEFORE the join — "
+        "map-side combine shrinks the fact side to one row per active "
+        "customer, then customer joins the aggregate",
     ],
     "agg_sum_by_key": [
         "`HashAggregate(partial)` before the exchange — map-side combine "
@@ -78,6 +81,14 @@ SHOWCASE: dict[str, list[str]] = {
         "(`ArrowEvalPython`), candidates select via "
         "`TakeOrderedAndProject` heaps, and the exact re-rank joins "
         "raw vectors for candidate ids only",
+    ],
+    "dedup_semantic": [
+        "SemDeDup (late r5): cluster assignment is a MAP-ONLY Arrow "
+        "pass (`MapInPandas`) against the broadcast codebook — no "
+        "join, no shuffle to meet the centroids",
+        "ONE exchange (`hashpartitioning(cell, __sub)`) feeds the "
+        "per-cluster ranked pairwise-max `FlatMapGroupsInPandas`; "
+        "payload columns never shuffle (survivors rejoin by id)",
     ],
     "scan_format_roundtrip": [
         ".avro containers load as whole objects via the `binaryFile` "
