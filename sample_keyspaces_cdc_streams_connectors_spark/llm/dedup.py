@@ -342,8 +342,9 @@ def ngram_jaccard_pairs(
       MAP-SIDE — replacing the former inverted-index self-join, which
       shuffled every (shingle, doc) row twice (build + probe) and
       materialized the raw join output before the dedup groupBy.
-      Together with the fused stop filter: 2.91 s -> ~1.6 s steady at
-      sf0.1 (the r3 target was <= 2.0 s).
+      Together with the fused stop filter: 2.91 s -> ~1.9-2.1 s
+      steady at sf0.1 depending on host load (the r3 target was
+      <= 2.0 s; candidate explode + pair groupBy now dominate).
     * Verification: the pair groupBy both dedupes candidates and (in
       the default mode) counts common rare shingles; exact Jaccard
       then comes from ONE ``array_intersect`` over the two cached
