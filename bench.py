@@ -56,10 +56,10 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_embedding",
     "text_winnow",
-    "vector_topk",           # brute + lsh arms (r5 consolidation)
+    "vector_topk",           # brute + lsh + pq arms (r5 consolidation)
     "ann_ivf_topk",
-    "ann_pq_topk",
     "dedup_semantic",        # SemDeDup gate (late r5)
+    "lm_fluency",            # Stupid-Backoff LM gate (late r5)
     "embed_dims",
     "multimodal_geom",       # + frame sampling (r5 consolidation)
     "udaf_grouped_sum",      # + HLL sketch arm (r5 consolidation)
@@ -98,9 +98,10 @@ RENAMES = {
     "filter_semantics": "filter_jexl",
     "decimal_compare": "filter_jexl",
     "image_shape": "project_enrich",
-    # late r5 (slot freed for the dedup_semantic gate)
+    # late r5 (slots freed for the dedup_semantic / lm_fluency gates)
     "join_inner": "join_basic",
     "join_left": "join_basic",
+    "ann_pq_topk": "vector_topk",
 }
 
 

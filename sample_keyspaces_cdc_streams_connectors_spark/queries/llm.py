@@ -473,6 +473,10 @@ def profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-(sf_dir, applicationId) Bloom filter over the gate index keys
+_IDX_BLOOMS: dict = {}
+
+
 @register(
     "dedup_index_probe",
     oracle=f"""
@@ -482,11 +486,16 @@ def profile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE text || ' xnovel' END AS text
       FROM documents
     ),
-    idx AS (SELECT DISTINCT md5({NORM}) AS fp FROM documents)
-    SELECT p.doc_id
-    FROM probe p
-    WHERE md5(lower(trim(regexp_replace(p.text, '\\s+', ' ', 'g'))))
-          NOT IN (SELECT fp FROM idx)
+    idx AS (SELECT DISTINCT md5({NORM}) AS fp FROM documents),
+    fresh AS (
+      SELECT p.doc_id
+      FROM probe p
+      WHERE md5(lower(trim(regexp_replace(p.text, '\\s+', ' ', 'g'))))
+            NOT IN (SELECT fp FROM idx)
+    )
+    SELECT 'plain' AS arm, doc_id FROM fresh
+    UNION ALL
+    SELECT 'bloom' AS arm, doc_id FROM fresh
     """,
 )
 def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,13 +507,22 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint → suppressed), the rest with an appended novel token
     (→ fresh).  The oracle recomputes the anti-join from scratch over
     the raw text, so the persisted bucket layout, the keys-only
-    anti-join, and the id re-join are all proven end-to-end."""
+    anti-join, and the id re-join are all proven end-to-end.
+
+    Late r5: a second arm probes THROUGH the distributed Bloom
+    prefilter (functions/bloom.py — definitely-fresh rows skip the
+    stream-static join, suspected dups fall through to it).  The
+    Bloom path must produce the IDENTICAL survivor set (false
+    positives only re-route rows into the join; they can never change
+    the verdict), so both arms share one oracle relation — the
+    equivalence that tests pin is now driver-checked every round."""
     import hashlib
     import os
     import tempfile
 
     from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
         build_dedup_index,
+        build_index_bloom,
         dedup_against_index,
     )
 
@@ -515,6 +533,11 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), f"engine_dedup_idx_{tag}")
     if not os.path.isdir(path):
         build_dedup_index(docs, path, mode="exact")
+    key = (sf_dir, spark.sparkContext.applicationId)
+    bloom = _IDX_BLOOMS.get(key)
+    if bloom is None:
+        bloom = build_index_bloom(spark, path, mode="exact")
+        _IDX_BLOOMS[key] = bloom
     probe = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.when(
@@ -524,7 +547,13 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.col("text"), F.lit(" xnovel")))
         .alias("text"),
     )
-    return dedup_against_index(probe, path, mode="exact").select("doc_id")
+    plain = dedup_against_index(probe, path, mode="exact").select(
+        F.lit("plain").alias("arm"), "doc_id"
+    )
+    via_bloom = dedup_against_index(
+        probe, path, mode="exact", bloom=bloom
+    ).select(F.lit("bloom").alias("arm"), "doc_id")
+    return plain.unionAll(via_bloom)
 
 
 @register(
@@ -857,16 +886,34 @@ def _lsh_oracle(n_planes: int = 4) -> str:
       WHERE a.bucket = qb.b
       ORDER BY sim DESC, a.vec_id
       LIMIT 10
+    ),
+    pq AS (
+      SELECT 'pq' AS method, a.vec_id,
+             CAST(CAST({_DUCK_COS} AS DECIMAL(18,8)) AS DOUBLE) AS sim,
+             CAST(NULL AS INTEGER) AS bucket
+      FROM (SELECT vec_id, embedding AS emb FROM embeddings
+            WHERE vec_id <> 1) a, q
+      ORDER BY sim DESC, a.vec_id
+      LIMIT 10
     )
     SELECT * FROM brute UNION ALL SELECT * FROM lsh
+    UNION ALL SELECT * FROM pq
     """
+
+
+#: per-(sf_dir, applicationId) trained PQ model — training is
+#: deterministic, so one model per dataset per session suffices and
+#: repeated gate/bench passes measure the SEARCH, not training
+_PQ_MODELS: dict = {}
 
 
 @register("vector_topk", oracle=_lsh_oracle())
 def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine top-10 for query vector vec_id=1, exact AND approximate
-    as tagged arms (r5 registry consolidation — ``ann_lsh_topk``
-    folded in; both arms keep their full output columns):
+    """Cosine top-10 for query vector vec_id=1: exact, LSH-bucketed
+    and product-quantized as tagged arms (r5 registry consolidation —
+    ``ann_lsh_topk`` folded in, then ``ann_pq_topk`` late-r5 when its
+    slot went to the ``lm_fluency`` gate; every arm keeps its full
+    output columns):
 
     Arm ``brute`` — exact brute-force baseline: query vector broadcast
     as a literal, one scan, per-partition heap
@@ -875,7 +922,21 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arm ``lsh`` — ANN searching only the query's sign-projection
     bucket — the scale path (bucket-partitioned table prunes the
     scan).  Fully oracle-checked: the DuckDB twin derives the
-    identical md5-seeded hyperplanes and buckets."""
+    identical md5-seeded hyperplanes and buckets.
+
+    Arm ``pq`` — product-quantized search (llm/pq.py): ADC over m=8
+    one-byte codes prefilters candidates, exact sequential-double
+    cosine re-ranks only those rows — the memory-bounded ANN path
+    (codes are ~32x smaller than the raw vectors this fixture
+    stores).  The oracle is EXACT top-10: the declared candidate
+    floor (2048) covers the whole table at every fixture scale
+    (sf0.001-0.1), where ADC-prefilter + exact re-rank is
+    bit-identical to brute force by construction — and is noise at
+    production scale, where k*refine governs and the floor costs
+    nothing.  The approximate-recall behavior under a tight candidate
+    budget is pinned separately in tests/test_pq.py."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import pq_topk_rerank, train_pq
+
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
@@ -894,64 +955,20 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
         "bucket",
     )
-    return brute.unionAll(lsh)
-
-
-#: per-(sf_dir, applicationId) trained PQ model — training is
-#: deterministic, so one model per dataset per session suffices and
-#: repeated gate/bench passes measure the SEARCH, not training
-_PQ_MODELS: dict = {}
-
-
-@register(
-    "ann_pq_topk",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS emb FROM embeddings WHERE vec_id = 1),
-    scored AS (
-      SELECT a.vec_id, {_DUCK_COS} AS sim
-      FROM (SELECT vec_id, embedding AS emb FROM embeddings
-            WHERE vec_id <> 1) a, q
-    )
-    SELECT vec_id, CAST(CAST(sim AS DECIMAL(18,8)) AS DOUBLE) AS sim
-    FROM scored
-    ORDER BY sim DESC, vec_id
-    LIMIT 10
-    """,
-)
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized top-10 (llm/pq.py): ADC over m=8 one-byte
-    codes prefilters candidates, exact sequential-double cosine
-    re-ranks only those rows — the memory-bounded ANN path (codes are
-    ~32x smaller than the raw vectors this fixture stores).
-
-    The oracle is EXACT top-10: the declared candidate floor (2048)
-    covers the whole table at every fixture scale (sf0.001-0.1), where
-    ADC-prefilter + exact re-rank is bit-identical to brute force by
-    construction — and is noise at production scale, where k*refine
-    governs and the floor costs nothing.  The approximate-recall
-    behavior under a tight candidate budget is pinned separately in
-    tests/test_pq.py."""
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import pq_topk_rerank, train_pq
-
-    emb = load_table(spark, sf_dir, "embeddings")
     key = (sf_dir, spark.sparkContext.applicationId)
     model = _PQ_MODELS.get(key)
     if model is None:
         model = train_pq(emb, m=8, ksub=16, n_iter=4)
         _PQ_MODELS[key] = model
-    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
-    top = pq_topk_rerank(
-        emb.filter(F.col("vec_id") != 1),
-        model,
-        [float(x) for x in qvec],
-        k=10,
-        refine=20,
-        min_candidates=2048,
-    )
-    return top.select(
+    pq = pq_topk_rerank(
+        others, model, qvec, k=10, refine=20, min_candidates=2048
+    ).select(
+        F.lit("pq").alias("method"),
         "vec_id",
         F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
+        F.lit(None).cast("int").alias("bucket"),
     )
+    return brute.unionAll(lsh).unionAll(pq)
 
 
 @register(
@@ -1420,6 +1437,150 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_hashes.select(
         "doc_id",
         F.explode(winnow_fingerprints(F.col("__h"), 4)).alias("fp"),
+    )
+
+
+# --- LM fluency (Stupid Backoff) --------------------------------------------
+
+#: gate training cap — chosen to BIND at sf0.01 (the trusted slice
+#: produces more distinct grams than this), so the deterministic
+#: TakeOrdered cap semantics are themselves inside the gate
+_LM_GATE_CAP = 4000
+#: mean-log10-score threshold for the fluency verdict (≈ perplexity
+#: 10^1.5 ≈ 32; the fixture's scores span [-1.70, -1.41], so this
+#: splits the corpus and the verdict column carries real signal —
+#: it derives from the already-hash-checked rounded score, so the
+#: choice adds no cross-engine divergence risk)
+_LM_GATE_THR = -1.5
+
+#: per-(sf_dir, applicationId) trained gate LM — training is
+#: deterministic, one model per dataset per session
+_LM_GATE_MODELS: dict = {}
+
+
+def _md5i(expr: str) -> str:
+    """The 60-bit md5 int in DuckDB — mirror of llm.dedup.md5_int."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _lm_oracle(cap: int = _LM_GATE_CAP, thr: float = _LM_GATE_THR) -> str:
+    """Full-pipeline Stupid-Backoff oracle: replays training (gram
+    hashing, one count aggregate, the deterministic (count, order,
+    gram) cap, pre-cap unigram mass N) AND scoring (per-token backoff
+    CASE over three LEFT JOINs against the capped tables) in SQL.
+
+    Float parity: every count is an exact integer, divisions and
+    log10 are identical IEEE operations; only the per-document SUM
+    order differs (python folds sequentially, DuckDB aggregates in
+    scan order), so the mean log-score is emitted through
+    DECIMAL(18,6) — 1e-6 grain vs ~1e-13 summation noise."""
+    bi_h = _md5i("CAST(u[i] AS VARCHAR) || ':' || CAST(u[i+1] AS VARCHAR)")
+    bi_h_prev = _md5i(
+        "CAST(u[i-1] AS VARCHAR) || ':' || CAST(u[i] AS VARCHAR)"
+    )
+    oov = "CAST(1.0 AS DOUBLE) / (CAST(10.0 AS DOUBLE) * tot.t)"
+    rounded = "CAST(CAST(s.raw AS DECIMAL(18,6)) AS DOUBLE)"
+    return f"""
+    WITH tt AS (
+      SELECT regexp_extract_all({NORM}, '\\S+') AS t
+      FROM documents WHERE doc_id % 10 < 3
+    ),
+    tu AS (
+      SELECT list_transform(t, w -> {_md5i('w')}) AS u
+      FROM tt WHERE len(t) > 0
+    ),
+    grams AS (
+      SELECT 1 AS o, unnest(u) AS g FROM tu
+      UNION ALL
+      SELECT 2 AS o,
+             unnest(list_transform(generate_series(1, len(u) - 1),
+               i -> {bi_h})) AS g
+      FROM tu WHERE len(u) >= 2
+    ),
+    counted AS (SELECT o, g, COUNT(*) AS n FROM grams GROUP BY o, g),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counted WHERE o = 1),
+    capped AS (
+      SELECT o, g, n FROM counted
+      ORDER BY n DESC, o ASC, g ASC LIMIT {cap}
+    ),
+    uni AS (SELECT g, n FROM capped WHERE o = 1),
+    bi AS (SELECT g, n FROM capped WHERE o = 2),
+    dh AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all({NORM}, '\\S+'),
+                            w -> {_md5i('w')}) AS u
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, len(u) AS n_toks,
+             unnest(list_transform(generate_series(1, len(u)),
+               i -> struct_pack(
+                 h := u[i],
+                 prev := CASE WHEN i > 1 THEN u[i-1] END,
+                 bh := CASE WHEN i > 1 THEN {bi_h_prev} END))) AS s
+      FROM dh WHERE len(u) > 0
+    ),
+    terms AS (
+      SELECT p.doc_id, p.n_toks,
+             CASE
+               WHEN p.s.prev IS NOT NULL AND b.n IS NOT NULL
+                    AND up.n IS NOT NULL
+                 THEN CAST(b.n AS DOUBLE) / CAST(up.n AS DOUBLE)
+               WHEN p.s.prev IS NULL
+                 THEN COALESCE(CAST(uh.n AS DOUBLE) / tot.t, {oov})
+               ELSE CAST(0.4 AS DOUBLE) *
+                    COALESCE(CAST(uh.n AS DOUBLE) / tot.t, {oov})
+             END AS sc
+      FROM pos p
+      LEFT JOIN bi b ON p.s.bh = b.g
+      LEFT JOIN uni up ON p.s.prev = up.g
+      LEFT JOIN uni uh ON p.s.h = uh.g, tot
+    ),
+    scores AS (
+      SELECT doc_id, MAX(n_toks) AS n_toks,
+             SUM(log10(sc)) / MAX(n_toks) AS raw
+      FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(s.n_toks AS BIGINT) AS n_toks,
+           {rounded} AS lm_score,
+           {rounded} >= CAST({thr} AS DOUBLE) AS is_fluent
+    FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+    """
+
+
+@register("lm_fluency", oracle=_lm_oracle())
+def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff LM fluency scoring (llm/ngram_lm.py),
+    oracle-gated end to end on the PRODUCTION path: train on a
+    deterministic trusted slice (doc_id % 10 < 3) with a BINDING
+    deterministic count cap, score every document with the map-only
+    Arrow scorer, and emit the CCNet-style fluency verdict.  The
+    DuckDB twin (:func:`_lm_oracle`) replays gram hashing, counting,
+    the cap, and the per-token backoff arithmetic; documents with no
+    tokens score NULL on both sides."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ngram_lm import score_lm, train_ngram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = (sf_dir, spark.sparkContext.applicationId)
+    model = _LM_GATE_MODELS.get(key)
+    if model is None:
+        model = train_ngram_lm(
+            docs.filter(F.col("doc_id") % 10 < 3),
+            max_entries=_LM_GATE_CAP,
+        )
+        _LM_GATE_MODELS[key] = model
+    ntoks = F.size(tokens(normalize_text(F.col("text"))))
+    rounded = (
+        score_lm(F.col("text"), model)
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        F.when(ntoks > 0, ntoks).cast("long").alias("n_toks"),
+        rounded.alias("lm_score"),
+        (rounded >= F.lit(_LM_GATE_THR)).alias("is_fluent"),
     )
 
 

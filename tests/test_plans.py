@@ -122,6 +122,16 @@ def test_ngram_posting_list_shape(plans):
     assert m.group(2) == "L", "shingle shuffle key must be int64, not string"
 
 
+def test_lm_fluency_scoring_map_only(plans):
+    """The lm_fluency gate's SCORING plan (training runs eagerly
+    before it) is one Arrow pass with the bounded gram tables
+    broadcast by closure — zero exchanges, the CCNet-filter shape
+    that holds at any corpus size."""
+    plan = plans("lm_fluency")
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_semdedup_gate_single_exchange(plans):
     """The dedup_semantic gate (late r5) keeps SemDeDup's scale shape:
     broadcast-codebook Arrow assignment (no join to meet centroids),

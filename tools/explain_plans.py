@@ -72,15 +72,21 @@ SHOWCASE: dict[str, list[str]] = {
         "(partial+final) — one shuffle for the whole signature matrix",
     ],
     "vector_topk": [
-        "both arms (brute baseline + LSH, merged r5): bucket filter "
-        "applied at scan time against a driver-computed constant (no "
-        "join, no second job); `TakeOrderedAndProject` top-k heaps",
-    ],
-    "ann_pq_topk": [
-        "ADC over m-byte PQ codes is one Arrow pass "
+        "three arms (brute baseline + LSH, merged r5; + PQ, late r5): "
+        "bucket filter applied at scan time against a driver-computed "
+        "constant (no join, no second job); `TakeOrderedAndProject` "
+        "top-k heaps in every arm",
+        "PQ arm: ADC over m-byte codes is one Arrow pass "
         "(`ArrowEvalPython`), candidates select via "
         "`TakeOrderedAndProject` heaps, and the exact re-rank joins "
         "raw vectors for candidate ids only",
+    ],
+    "lm_fluency": [
+        "scoring is ONE map-only Arrow pass (`ArrowEvalPython`) — the "
+        "bounded gram tables broadcast by closure; no exchange "
+        "anywhere in the scoring plan (training runs eagerly before "
+        "the plan shown: one exploded gram groupBy + a "
+        "TakeOrderedAndProject cap)",
     ],
     "dedup_semantic": [
         "SemDeDup (late r5): cluster assignment is a MAP-ONLY Arrow "
