@@ -69,7 +69,9 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.components import (
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
     semantic_dedup,
+    semantic_dedup_against_index,
     semantic_dedup_annotate,
+    write_semantic_index,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
@@ -119,5 +121,7 @@ __all__ = [
     "ivf_topk",
     "lsh_bucket_topk",
     "semantic_dedup",
+    "semantic_dedup_against_index",
     "semantic_dedup_annotate",
+    "write_semantic_index",
 ]

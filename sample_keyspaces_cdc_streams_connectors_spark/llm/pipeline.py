@@ -189,6 +189,12 @@ def build_corpus_pipeline(
       within-batch dedup: the incremental-ingestion mode, where the
       batch is deduped against the standing corpus without re-reading
       it
+    - ``semantic-index-path`` — the PARAPHRASE-level analog (late
+      r5): suppress docs with a cosine>eps neighbor in a persisted
+      semantic index (``llm.semdedup.write_semantic_index``);
+      threshold/dims shared with ``dedup = semantic``
+      (``semantic-eps-permille`` / ``semantic-dims``).  Stream-safe —
+      also accepted by :func:`build_streaming_curation`
 
     ``near`` keeps one doc per identical MinHash signature (a narrow,
     stream-safe approximation); ``cluster`` runs the full exact-Jaccard
@@ -241,6 +247,7 @@ def build_corpus_pipeline(
     )
     semantic_clusters = cfg.get_int(f"{_P}.semantic-clusters", default=16)
     semantic_dims = cfg.get_int(f"{_P}.semantic-dims", default=64)
+    semantic_index_path = cfg.get(f"{_P}.semantic-index-path", None)
     if dedup_mode not in ("none", "exact", "near", "cluster", "semantic"):
         from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
 
@@ -361,6 +368,18 @@ def build_corpus_pipeline(
                 ),
                 "dedup-index",
             )
+        if semantic_index_path:
+            out = tap(
+                _semantic_index_stage(
+                    out,
+                    semantic_index_path,
+                    eps=semantic_eps_permille / 1000.0,
+                    dims=semantic_dims,
+                    text_col=text_col,
+                    id_col=id_col,
+                ),
+                "semantic-index",
+            )
         if dedup_mode == "exact":
             out = out.withColumn("__key", doc_fingerprint(F.col(text_col)))
             out = keep_first_per(out, "__key", id_col).drop("__key")
@@ -442,6 +461,33 @@ def build_corpus_pipeline(
     return run
 
 
+def _semantic_index_stage(
+    out: DataFrame,
+    path: str,
+    eps: float,
+    dims: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-corpus SEMANTIC suppression (shared by the batch pipeline
+    and the streaming curation chain): embed the text with the
+    deterministic hash embedder (swap in a real encoder upstream by
+    precomputing an embedding column and building the index from it),
+    then drop rows with a cosine->eps neighbor in the standing
+    semantic index — ``llm.semdedup.semantic_dedup_against_index``
+    (map-only assignment + one cell-keyed stream-static left-anti
+    join; stream-safe)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import semantic_dedup_against_index
+
+    emb = out.withColumn(
+        "__emb", hash_embed(F.col(text_col), dims=dims)
+    )
+    return semantic_dedup_against_index(
+        emb, path, eps=eps, id_col=id_col, vec_col="__emb"
+    ).drop("__emb")
+
+
 def build_streaming_curation(
     cfg: EngineConfig,
     text_col: str = "text",
@@ -466,6 +512,11 @@ def build_streaming_curation(
     array and each row's collision count is a map-only Arrow
     membership probe (``llm.decontaminate.decontaminate_map_only``)
     — decision-identical to the batch join formulation.
+    ``semantic-index-path`` (late r5) completes the streaming dedup
+    ladder at the paraphrase level: map-only cell assignment against
+    the broadcast codebook + ONE cell-keyed stream-static left-anti
+    join against the persisted semantic index
+    (``llm.semdedup.semantic_dedup_against_index``).
 
     Batch-only keys raise ``ConfigError``: within-batch ``dedup``
     modes (global aggregation state — use
@@ -514,6 +565,11 @@ def build_streaming_curation(
         cfg.get(f"{_P}.dedup-index-mode", "exact") or "exact"
     ).lower()
     shingle_k = cfg.get_int(f"{_P}.shingle-k", default=3)
+    semantic_index_path = cfg.get(f"{_P}.semantic-index-path", None)
+    semantic_eps_permille = cfg.get_int(
+        f"{_P}.semantic-eps-permille", default=950
+    )
+    semantic_dims = cfg.get_int(f"{_P}.semantic-dims", default=64)
 
     def run(stream: DataFrame) -> DataFrame:
         out = stream
@@ -585,6 +641,15 @@ def build_streaming_curation(
             out = keyed.join(
                 index, ["bucket", "fp"], "left_anti"
             ).drop("bucket", "fp")
+        if semantic_index_path:
+            out = _semantic_index_stage(
+                out,
+                semantic_index_path,
+                eps=semantic_eps_permille / 1000.0,
+                dims=semantic_dims,
+                text_col=text_col,
+                id_col=id_col,
+            )
         return out
 
     return run

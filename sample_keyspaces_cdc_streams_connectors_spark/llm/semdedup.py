@@ -79,44 +79,23 @@ def _unit(centroid: list[float]) -> list[float]:
     return [float(x) / n for x in centroid]
 
 
-def semantic_dedup_annotate(
+def _assign_cells(
     vectors: DataFrame,
-    centroids: list[list[float]] | None = None,
-    k: int = 16,
-    n_iter: int = 5,
+    unit_cents: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_cluster_size: int = 8192,
-    block_rows: int = 1024,
 ) -> DataFrame:
-    """Per-document SemDeDup annotation.
-
-    Returns ``(id_col, cell, centroid_sim, max_prior_sim)`` — one row
-    per input document.  ``max_prior_sim`` is the maximum cosine
-    similarity to any cluster-mate ranked closer to the centroid
-    (-1.0, the cosine floor, for each cluster's representative — the
-    max over an empty prior set); a document is a
-    semantic duplicate at threshold ``eps`` iff
-    ``max_prior_sim > eps``.  Training runs here unless a codebook is
-    passed in (reuse one codebook across corpus snapshots to keep
-    cluster ids stable).
-    """
-    if centroids is None:
-        centroids = kmeans_fit(
-            vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
-        )
-    unit_cents = [_unit(c) for c in centroids]
-
-    # one Arrow pass computes the unit vector, the cell AND the
-    # centroid similarity: for unit vectors |x - c|^2 = 2 - 2*cos, so
-    # the argmin's distance doubles as the similarity.  The codebook
-    # is a broadcast ndarray (scales to the k ~ n/5000 regime where a
-    # literal expression matrix cannot); distances are elementwise
-    # (nx - c)^2 sums — the same arithmetic as the sequential
-    # reference — swept in centroid blocks so batch memory stays
-    # O(batch · block · dims) however large k grows.  Ties keep the
-    # lowest centroid index (within-block argmin + strict-< across
-    # blocks).
+    """MAP-ONLY cluster assignment: one Arrow pass computes the unit
+    vector, the cell AND the centroid similarity (for unit vectors
+    |x - c|² = 2 - 2·cos, so the argmin's distance doubles as the
+    similarity).  The codebook is a broadcast ndarray (scales to the
+    k ~ n/5000 regime where a literal expression matrix cannot);
+    distances are elementwise (nx - c)² sums — the same arithmetic as
+    the sequential reference — swept in centroid blocks so batch
+    memory stays O(batch · block · dims) however large k grows.  Ties
+    keep the lowest centroid index (within-block argmin + strict-<
+    across blocks).  Stream-safe: stateless, works on readStream
+    frames.  Returns ``(id_col, __nv, cell, centroid_sim)``."""
     sc = vectors.sparkSession.sparkContext
     bc_cents = sc.broadcast(np.asarray(unit_cents, dtype=np.float64))
     id_field = vectors.schema[id_col]
@@ -163,8 +142,40 @@ def semantic_dedup_annotate(
                 }
             )
 
-    assigned = vectors.select(id_col, vec_col).mapInPandas(
+    return vectors.select(id_col, vec_col).mapInPandas(
         assign_batches, assign_schema
+    )
+
+
+def semantic_dedup_annotate(
+    vectors: DataFrame,
+    centroids: list[list[float]] | None = None,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 8192,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """Per-document SemDeDup annotation.
+
+    Returns ``(id_col, cell, centroid_sim, max_prior_sim)`` — one row
+    per input document.  ``max_prior_sim`` is the maximum cosine
+    similarity to any cluster-mate ranked closer to the centroid
+    (-1.0, the cosine floor, for each cluster's representative — the
+    max over an empty prior set); a document is a
+    semantic duplicate at threshold ``eps`` iff
+    ``max_prior_sim > eps``.  Training runs here unless a codebook is
+    passed in (reuse one codebook across corpus snapshots to keep
+    cluster ids stable).
+    """
+    if centroids is None:
+        centroids = kmeans_fit(
+            vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    unit_cents = [_unit(c) for c in centroids]
+    assigned = _assign_cells(
+        vectors, unit_cents, id_col=id_col, vec_col=vec_col
     )
 
     # skew guard: k-row aggregate -> sub-group fan-out per oversized
@@ -188,6 +199,7 @@ def semantic_dedup_annotate(
         ).cast("int"),
     )
 
+    id_field = vectors.schema[id_col]
     out_schema = StructType(
         [
             StructField(id_col, id_field.dataType, id_field.nullable),
@@ -261,3 +273,104 @@ def semantic_dedup(
         .select(id_col)
     )
     return vectors.join(keep, id_col, "inner")
+
+
+# --- persisted semantic index (cross-corpus / streaming SemDeDup) ----------
+
+#: index layout: ``<path>/members`` parquet partitioned by ``cell``
+#: with (id, nv unit-vector) rows, plus the shared ``_codebook.json``
+MEMBERS_DIR = "members"
+
+
+def write_semantic_index(
+    vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Persist a STANDING semantic-dedup index: the kept corpus's
+    unit vectors, cell-partitioned under the k-means codebook (same
+    ``_codebook.json`` convention as the IVF index, so one trained
+    quantizer can back both the ANN search and the dedup gate).
+
+    Incoming batches then probe it with
+    :func:`semantic_dedup_against_index` — the cross-corpus /
+    streaming analog of :func:`semantic_dedup`, completing the
+    dedup-ladder × streaming matrix (exact and lexical-near streaming
+    suppression live in ``llm.dedup_index``; this is the
+    paraphrase-level counterpart).  Returns the codebook."""
+    import json
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _codebook_path, _write_text
+
+    if centroids is None:
+        centroids = kmeans_fit(
+            vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    unit_cents = [_unit(c) for c in centroids]
+    assigned = _assign_cells(
+        vectors, unit_cents, id_col=id_col, vec_col=vec_col
+    )
+    (
+        assigned.select(id_col, F.col("__nv").alias("nv"), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path.rstrip('/')}/{MEMBERS_DIR}")
+    )
+    _write_text(
+        vectors.sparkSession, _codebook_path(path), json.dumps(centroids)
+    )
+    return centroids
+
+
+def semantic_dedup_against_index(
+    batch: DataFrame,
+    path: str,
+    eps: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rows of ``batch`` with NO semantic duplicate (cosine > ``eps``)
+    in the standing index at ``path`` — original columns preserved.
+
+    Stream-safe by construction (the streaming-ingest scale path):
+
+    - batch vectors assign to cells MAP-ONLY against the broadcast
+      codebook (:func:`_assign_cells` — stateless Arrow pass);
+    - suppression is ONE stream-static LEFT ANTI join whose equi-key
+      is the cell and whose residual is the exact unit-dot
+      ``cos > eps`` — only same-cell (member, batch-row) pairs are
+      ever compared, the SemDeDup scoping approximation applied
+      cross-corpus.  At scale the join shuffles by ``cell``: pair
+      work is bounded by cluster sizes, never |index|×|batch|;
+    - survivors rejoin the full batch rows by id, so payload columns
+      never enter the vector comparison.
+
+    False positives cannot exist (the dot is exact); a batch row
+    identical to an index member scores cos = 1 and is suppressed.
+    Within-batch duplicates are NOT compared here — compose with
+    :func:`semantic_dedup` per micro-batch (or accept first-writer
+    semantics after the survivors are appended to the index)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import load_codebook
+
+    spark = batch.sparkSession
+    centroids = load_codebook(path, spark)
+    unit_cents = [_unit(c) for c in centroids]
+    assigned = _assign_cells(batch, unit_cents, id_col=id_col, vec_col=vec_col)
+    members = spark.read.parquet(f"{path.rstrip('/')}/{MEMBERS_DIR}").select(
+        F.col("cell").alias("__mcell"), F.col("nv").alias("__mnv")
+    )
+    dot = F.aggregate(
+        F.zip_with("__nv", "__mnv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    fresh = assigned.join(
+        members,
+        (F.col("cell") == F.col("__mcell")) & (dot > F.lit(float(eps))),
+        "left_anti",
+    ).select(id_col)
+    return batch.join(fresh, id_col, "inner")

@@ -663,3 +663,65 @@ def test_pipeline_group_cap_stage(spark, sf_dir):
             )
         )
     assert "max-docs-per-group" in str(e.value)
+
+
+def test_streaming_semantic_index_matches_batch(spark, docs, tmp_path):
+    """The late-r5 paraphrase-level suppression stage
+    (``semantic-index-path``) is stream-safe: micro-batch replay
+    produces EXACTLY the batch pipeline's rows, and docs identical to
+    standing-index members are suppressed (hash-embed cos = 1)."""
+    import uuid
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_streaming_curation
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import write_semantic_index
+
+    standing = docs.orderBy("doc_id").limit(5)
+    idx = str(tmp_path / "semidx")
+    write_semantic_index(
+        standing.select(
+            F.col("doc_id").alias("vec_id"),
+            hash_embed(F.col("text"), dims=64).alias("embedding"),
+        ),
+        idx,
+        k=4,
+        n_iter=2,
+    )
+    conf = {
+        "keyspaces-cdc-streams": {
+            "corpus": {"semantic-index-path": idx}
+        }
+    }
+    src = str(tmp_path / "src")
+    docs.select("doc_id", "text").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"semcur_{uuid.uuid4().hex[:8]}"
+    q = (
+        build_streaming_curation(load_config(conf))(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    streamed = {
+        r["doc_id"] for r in spark.table(name).select("doc_id").collect()
+    }
+    spark.catalog.dropTempView(name)
+
+    batch = build_corpus_pipeline(load_config(conf))(
+        spark.read.parquet(src)
+    )
+    expected = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert streamed == expected
+    # the standing docs themselves are suppressed (self-similarity 1)
+    standing_ids = {r["doc_id"] for r in standing.select("doc_id").collect()}
+    assert not (streamed & standing_ids)
+    assert len(streamed) > 0

@@ -200,3 +200,95 @@ def test_single_exchange_to_the_scoring_pass(spark, sf_dir):
     plan = ann._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+# --- persisted semantic index (cross-corpus / streaming, late r5) ----------
+
+
+def _reference_probe(probe_rows, index_rows, centroids, eps):
+    """Sequential reference for semantic_dedup_against_index: a probe
+    row is FRESH iff no same-cell index member has cos > eps."""
+    cents = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c))
+        cents.append(np.array(c) / n if n > 0 else np.array(c) * 0.0)
+
+    def assign(vec):
+        x = np.array(vec, dtype=np.float64)
+        nrm = np.linalg.norm(x)
+        nx = x / nrm if nrm > 0 else x * 0.0
+        d2 = [float(np.sum((nx - c) ** 2)) for c in cents]
+        return int(np.argmin(d2)), nx
+
+    members: dict[int, list] = {}
+    for _vid, vec in index_rows:
+        cell, nx = assign(vec)
+        members.setdefault(cell, []).append(nx)
+    fresh = set()
+    for vid, vec in probe_rows:
+        cell, nx = assign(vec)
+        hits = [m for m in members.get(cell, []) if float(nx @ m) > eps]
+        if not hits:
+            fresh.add(vid)
+    return fresh
+
+
+def test_semantic_index_probe_matches_reference(spark, tmp_path):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        semantic_dedup_against_index,
+        write_semantic_index,
+    )
+
+    df = _fixture_vectors(spark, n_groups=8, dup_sizes=(3, 2, 4, 2))
+    standing = df.filter(F.col("vec_id") % 2 == 0)
+    probe = df.filter(F.col("vec_id") % 2 == 1)
+    cents = kmeans_fit(standing, k=3, n_iter=3)
+    path = str(tmp_path / "semidx")
+    write_semantic_index(standing, path, centroids=cents)
+
+    out = semantic_dedup_against_index(probe, path, eps=0.95)
+    got = {r["vec_id"] for r in out.select("vec_id").collect()}
+    ref = _reference_probe(
+        [(r["vec_id"], r["embedding"]) for r in probe.collect()],
+        [(r["vec_id"], r["embedding"]) for r in standing.collect()],
+        cents,
+        0.95,
+    )
+    assert got == ref
+    assert 0 < len(got) < probe.count()  # both verdicts exercised
+    # survivors keep every original column
+    assert set(out.columns) == {"vec_id", "embedding", "planted"}
+
+
+def test_semantic_index_self_probe_suppresses_everything(spark, tmp_path):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        semantic_dedup_against_index,
+        write_semantic_index,
+    )
+
+    df = _fixture_vectors(spark)
+    path = str(tmp_path / "semidx_self")
+    write_semantic_index(df, path, k=3, n_iter=2)
+    # every member finds itself (cos = 1 > eps) in its own cell
+    assert semantic_dedup_against_index(df, path, eps=0.999).count() == 0
+
+
+def test_semantic_index_probe_plan_is_cell_keyed(spark, tmp_path):
+    """The suppression join is an equi-join on the cell with the
+    exact-dot residual — never a nested-loop/cartesian pairing — and
+    assignment is one Arrow pass (no join against the codebook)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        semantic_dedup_against_index,
+        write_semantic_index,
+    )
+
+    df = _fixture_vectors(spark)
+    path = str(tmp_path / "semidx_plan")
+    write_semantic_index(df, path, k=3, n_iter=2)
+    out = semantic_dedup_against_index(df, path, eps=0.95)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert plan.count("MapInPandas") == 1
