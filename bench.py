@@ -440,6 +440,26 @@ def main() -> None:
             .format("noop")
             .save(),
         )
+        # cross-corpus / streaming-ingest semantic probe (late r5):
+        # index built once from the corpus, the timed path is
+        # broadcast-codebook assignment + the cell-keyed anti-join
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+            semantic_dedup_against_index,
+            write_semantic_index,
+        )
+
+        write_semantic_index(
+            emb, f"{tmpdir}/semidx", centroids=sem_codebook
+        )
+        _aux(
+            "semantic_index_probe",
+            lambda: semantic_dedup_against_index(
+                emb, f"{tmpdir}/semidx", eps=0.9
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
         from sample_keyspaces_cdc_streams_connectors_spark.llm.bpe import bpe_token_count, train_bpe
 
         bpe_model = train_bpe(raw_docs, n_merges=200)

@@ -374,3 +374,44 @@ def semantic_dedup_against_index(
         "left_anti",
     ).select(id_col)
     return batch.join(fresh, id_col, "inner")
+
+
+def append_to_semantic_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add vectors to an existing semantic index — the
+    streaming-ingest loop's second half (probe with
+    :func:`semantic_dedup_against_index`, append the survivors so the
+    NEXT batch dedups against them too).
+
+    New unit vectors assign to cells of the EXISTING codebook (one
+    map-only broadcast-codebook scan — centroids are not refit, same
+    practice as ``append_to_ivf_index``) and append into their cell
+    directories: untouched cells gain no files, and readers see
+    either the old or the extended listing — never a partial cell.
+    Periodic re-fit + rewrite (:func:`write_semantic_index`) is the
+    compaction story.
+
+    Caveat (standard Spark file-source append semantics): a QUERY
+    built before the append keeps its pre-append file listing, and a
+    new probe must not be derived lazily from such a query — Spark
+    canonicalizes two scans of the same path as one relation and may
+    reuse the stale broadcast.  The streaming-ingest loop naturally
+    avoids this: each micro-batch's survivors are materialized (sunk)
+    before the append, and the next batch builds fresh plans."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import load_codebook
+
+    centroids = load_codebook(path, vectors.sparkSession)
+    unit_cents = [_unit(c) for c in centroids]
+    assigned = _assign_cells(
+        vectors, unit_cents, id_col=id_col, vec_col=vec_col
+    )
+    (
+        assigned.select(id_col, F.col("__nv").alias("nv"), "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path.rstrip('/')}/{MEMBERS_DIR}")
+    )

@@ -292,3 +292,50 @@ def test_semantic_index_probe_plan_is_cell_keyed(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_semantic_index_append_ingest_loop(spark, tmp_path):
+    """The streaming-ingest loop: probe batch-1, append its
+    survivors, and batch-2 copies of those survivors are suppressed
+    while genuinely novel vectors stay fresh.  Files of untouched
+    cells are not rewritten."""
+    import os
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        append_to_semantic_index,
+        semantic_dedup_against_index,
+        write_semantic_index,
+    )
+
+    df = _fixture_vectors(spark, n_groups=8, dup_sizes=(3, 2, 4, 2))
+    seed_rows = df.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "semidx_loop")
+    write_semantic_index(seed_rows, path, k=3, n_iter=2)
+
+    batch1 = df.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 9))
+    surv1 = semantic_dedup_against_index(batch1, path, eps=0.95)
+    ids1 = {r["vec_id"] for r in surv1.select("vec_id").collect()}
+    assert ids1  # something survived to append
+
+    members_dir = f"{path}/members"
+    before = set()
+    for root, _dirs, files in os.walk(members_dir):
+        before |= {os.path.join(root, f) for f in files if f.endswith(".parquet")}
+    append_to_semantic_index(surv1.select("vec_id", "embedding"), path)
+    after = set()
+    for root, _dirs, files in os.walk(members_dir):
+        after |= {os.path.join(root, f) for f in files if f.endswith(".parquet")}
+    assert before <= after  # append-only: no original file replaced
+
+    # batch-1 survivors re-presented under new ids are now suppressed.
+    # The replay batch is constructed INDEPENDENTLY (as a real next
+    # micro-batch is): deriving it lazily from surv1 would put the
+    # pre-append members scan and the post-append scan in ONE query,
+    # which Spark canonicalizes as the same relation (stale-broadcast
+    # reuse) — the documented append caveat.
+    rows = surv1.select("vec_id", "embedding").collect()
+    replay = spark.createDataFrame(
+        [(r["vec_id"] + 10_000, r["embedding"]) for r in rows],
+        "vec_id long, embedding array<double>",
+    )
+    assert semantic_dedup_against_index(replay, path, eps=0.999).count() == 0
