@@ -161,6 +161,14 @@ def _segment_udf(model: BpeModel, count_only: bool):
     # no inline type hints: the module-level `from __future__ import
     # annotations` would stringify them, which pandas_udf's type-hint
     # resolution cannot import here (pd is function-local)
+    import re
+
+    # Java \s (ASCII-only) — NOT python str.split()/\s (unicode-aware):
+    # encode-time words must match the JVM tokenizer training counted
+    # with, or U+00A0-style whitespace makes the two disagree on word
+    # boundaries (r5 review finding; same discipline as llm.ngram_lm)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     def encode_batch(texts):
         cache: dict[str, tuple[str, ...]] = {}
 
@@ -177,8 +185,9 @@ def _segment_udf(model: BpeModel, count_only: bool):
                 out.append(None)
                 continue
             pieces: list[str] = []
-            for w in t.lower().split():
-                pieces.extend(seg_word(w))
+            for w in ws.split(t.lower()):
+                if w:
+                    pieces.extend(seg_word(w))
             out.append(len(pieces) if count_only else pieces)
         return pd.Series(out)
 

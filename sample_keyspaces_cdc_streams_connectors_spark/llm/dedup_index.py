@@ -162,21 +162,29 @@ def dedup_against_index(
     if bloom is not None:
         from sample_keyspaces_cdc_streams_connectors_spark.functions.bloom import might_contain
 
-        flagged = slim.withColumn("_maybe", might_contain(F.col("fp"), bloom))
-        definitely_fresh = flagged.filter(~F.col("_maybe")).select(id_col)
-        suspects = flagged.filter(F.col("_maybe")).drop("_maybe")
-        fresh_ids = (
-            suspects.join(index, ["bucket", "fp"], "left_anti")
-            .select(id_col)
-            .unionByName(definitely_fresh)
-            .distinct()
-        )
-    else:
-        fresh_ids = (
-            slim.join(index, ["bucket", "fp"], "left_anti")
-            .select(id_col)
-            .distinct()
-        )
+        # one pass, inverted construction (r5 review finding — the
+        # earlier fresh/suspect two-branch union consumed the probe
+        # projection twice, evaluating the Arrow might_contain UDF
+        # and the key computation once per branch): keep ONLY the
+        # suspected-dup slice (the sole consumer of the probe), semi-
+        # join it to the index for the ACTUAL dup ids, and anti-join
+        # the batch against that.  Definitely-fresh rows still never
+        # touch the index join (they fail the map-only filter), and
+        # the id re-join now moves dup ids only — a strict shrink
+        # from the fresh-majority id set.  No false negatives ⇒ dup
+        # ids are exactly the batch keys present in the index ⇒
+        # survivors identical (equivalence stays pinned).
+        suspects = slim.filter(might_contain(F.col("fp"), bloom))
+        dup_ids = suspects.join(
+            index, ["bucket", "fp"], "left_semi"
+        ).select(id_col)
+        out = keyed.join(dup_ids, id_col, "left_anti")
+        return out if keep_key else out.drop("fp")
+    fresh_ids = (
+        slim.join(index, ["bucket", "fp"], "left_anti")
+        .select(id_col)
+        .distinct()
+    )
     out = keyed.join(fresh_ids, id_col)
     return out if keep_key else out.drop("fp")
 

@@ -149,6 +149,11 @@ def _score_udf(model: NgramLm):
     # no inline type hints (module-level `from __future__ import
     # annotations` stringifies them; pandas_udf can't resolve those)
     def score(texts):
+        # per-batch memoization: md5 costs per DISTINCT word / pair,
+        # not per token (real corpora repeat words heavily; pure
+        # caching, bit-identical results)
+        hcache: dict = {}
+        bcache: dict = {}
         out = []
         for t in texts:
             if t is None:
@@ -158,13 +163,23 @@ def _score_udf(model: NgramLm):
             if not words:
                 out.append(None)
                 continue
-            hs = [h60(w) for w in words]
+            hs = []
+            for w in words:
+                v = hcache.get(w)
+                if v is None:
+                    v = h60(w)
+                    hcache[w] = v
+                hs.append(v)
             lp = 0.0
             prev = None
             for i, h in enumerate(hs):
                 s = None
                 if prev is not None:
-                    bh = h60(f"{prev}:{h}")
+                    key = (prev, h)
+                    bh = bcache.get(key)
+                    if bh is None:
+                        bh = h60(f"{prev}:{h}")
+                        bcache[key] = bh
                     cb = bigrams.get(bh)
                     if cb is not None:
                         cu_prev = unigrams.get(prev)

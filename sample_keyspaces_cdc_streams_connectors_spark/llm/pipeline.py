@@ -432,19 +432,23 @@ def build_corpus_pipeline(
                 ),
             )
             # clamp k for tiny batches (streaming tails, test corpora):
-            # limit(k).count() bounds the probe at k rows
+            # limit(k).count() bounds the probe at k rows.  An EMPTY
+            # input skips the stage entirely — kmeans_fit needs >= 1
+            # vector, and every other dedup mode passes empty frames
+            # through (r5 review finding)
             n_probe = vecs.limit(semantic_clusters).count()
-            keep = (
-                semantic_dedup_annotate(
-                    vecs, k=max(1, min(semantic_clusters, n_probe))
+            if n_probe > 0:
+                keep = (
+                    semantic_dedup_annotate(
+                        vecs, k=min(semantic_clusters, n_probe)
+                    )
+                    .filter(
+                        F.col("max_prior_sim")
+                        <= semantic_eps_permille / 1000.0
+                    )
+                    .select(F.col("vec_id").alias(id_col))
                 )
-                .filter(
-                    F.col("max_prior_sim")
-                    <= semantic_eps_permille / 1000.0
-                )
-                .select(F.col("vec_id").alias(id_col))
-            )
-            out = out.join(keep, id_col, "inner")
+                out = out.join(keep, id_col, "inner")
         if max_per_group > 0:
             out = tap(
                 cap_per_group(

@@ -17,11 +17,13 @@ Algorithm (the published construction):
 1. cluster embeddings with k-means (``llm.kmeans`` — deterministic
    farthest-point seeding, no RNG);
 2. within each cluster, order items by similarity to the centroid
-   (descending, id ascending on ties);
+   ASCENDING (farthest first; id ascending on ties);
 3. item ``j`` is a duplicate iff ``max_{i<j} cos(x_i, x_j) > eps`` —
-   i.e. the member of every duplicate chain that is FARTHEST from
-   the centroid survives (the paper measured "keep low-similarity
-   examples" as the best-performing keep rule).
+   the first-processed member of every duplicate chain survives, so
+   the survivor is the member FARTHEST from the centroid (the paper
+   measured "keep low-similarity examples" as the best-performing
+   keep rule; r5 review fixed an inverted sort that kept the
+   closest member instead).
 
 Scale design:
 - Cluster assignment is a MAP-ONLY Arrow pass: the k×dims codebook
@@ -72,6 +74,23 @@ from pyspark.sql.types import (
 from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
 
 
+#: scoped persist of the assignment pass (see semantic_dedup_annotate)
+_SEM_CACHE: list[DataFrame] = []
+
+
+def release_semdedup_cache() -> None:
+    """Unpersist assignment frames cached by the previous annotate
+    call (same scoping discipline as ``llm.dedup.release_ngram_cache``
+    — a call's result has been consumed by the time the next one is
+    built)."""
+    while _SEM_CACHE:
+        df = _SEM_CACHE.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def _unit(centroid: list[float]) -> list[float]:
     n = math.sqrt(sum(float(x) * float(x) for x in centroid))
     if n <= 0.0:
@@ -90,12 +109,14 @@ def _assign_cells(
     |x - c|² = 2 - 2·cos, so the argmin's distance doubles as the
     similarity).  The codebook is a broadcast ndarray (scales to the
     k ~ n/5000 regime where a literal expression matrix cannot);
-    distances are elementwise (nx - c)² sums — the same arithmetic as
-    the sequential reference — swept in centroid blocks so batch
-    memory stays O(batch · block · dims) however large k grows.  Ties
-    keep the lowest centroid index (within-block argmin + strict-<
-    across blocks).  Stream-safe: stateless, works on readStream
-    frames.  Returns ``(id_col, __nv, cell, centroid_sim)``."""
+    distances are exact elementwise (nx − c)² sums — the same
+    arithmetic as the sequential reference and the SQL oracle, which
+    matters because the keep order sorts on these values — tiled over
+    (row_block × cent_block) so the broadcast difference tensor stays
+    bounded however large the batch, k, or dims grow.  Ties keep the
+    lowest centroid index (within-tile argmin + strict-< across
+    tiles).  Stream-safe: stateless, works on readStream frames.
+    Returns ``(id_col, __nv, cell, centroid_sim)``."""
     sc = vectors.sparkSession.sparkContext
     bc_cents = sc.broadcast(np.asarray(unit_cents, dtype=np.float64))
     id_field = vectors.schema[id_col]
@@ -110,7 +131,6 @@ def _assign_cells(
 
     def assign_batches(batches):
         C = bc_cents.value
-        cent_block = max(1, (1 << 22) // (8 * max(1, C.shape[1])))
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -122,16 +142,34 @@ def _assign_cells(
                 nz[:, None], X / np.where(nz, norms, 1.0)[:, None], 0.0
             )
             n = len(NX)
+            # exact elementwise (nx − c)² distances, TILED over both
+            # rows and centroid blocks so the broadcast difference
+            # tensor is bounded at row_block·cent_block·dims doubles
+            # regardless of batch size, k, or dims (r5 review finding:
+            # the untiled spelling materialized batch·block·dims and
+            # OOMed at the k ~ n/5000 / dims ≥ 512 regime).  The
+            # arithmetic is kept IDENTICAL to the sequential reference
+            # and the SQL oracle — a ‖x‖²+‖c‖²−2·x·c matmul would be
+            # cheaper but orders near-tied centroid sims differently
+            # (bit-level), and the keep order sorts on these values.
+            dims = max(1, C.shape[1])
+            cent_block = max(1, (1 << 16) // dims)
+            row_block = max(1, (1 << 22) // (cent_block * dims))
             best_d = np.full(n, np.inf)
             best_j = np.zeros(n, dtype=np.int64)
-            for start in range(0, len(C), cent_block):
-                blk = C[start : start + cent_block]
-                d2 = ((NX[:, None, :] - blk[None, :, :]) ** 2).sum(axis=2)
-                jloc = np.argmin(d2, axis=1)
-                dloc = d2[np.arange(n), jloc]
-                upd = dloc < best_d
-                best_j[upd] = jloc[upd] + start
-                best_d[upd] = dloc[upd]
+            for rs in range(0, n, row_block):
+                re_ = min(rs + row_block, n)
+                NXb = NX[rs:re_]
+                for cs in range(0, len(C), cent_block):
+                    blk = C[cs : cs + cent_block]
+                    d2 = ((NXb[:, None, :] - blk[None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    jloc = np.argmin(d2, axis=1)
+                    dloc = d2[np.arange(re_ - rs), jloc]
+                    upd = dloc < best_d[rs:re_]
+                    best_j[rs:re_][upd] = jloc[upd] + cs
+                    best_d[rs:re_][upd] = dloc[upd]
             sim = np.where(nz, 1.0 - best_d / 2.0, 0.0)
             yield pd.DataFrame(
                 {
@@ -161,22 +199,31 @@ def semantic_dedup_annotate(
 
     Returns ``(id_col, cell, centroid_sim, max_prior_sim)`` — one row
     per input document.  ``max_prior_sim`` is the maximum cosine
-    similarity to any cluster-mate ranked closer to the centroid
-    (-1.0, the cosine floor, for each cluster's representative — the
-    max over an empty prior set); a document is a
-    semantic duplicate at threshold ``eps`` iff
-    ``max_prior_sim > eps``.  Training runs here unless a codebook is
-    passed in (reuse one codebook across corpus snapshots to keep
-    cluster ids stable).
+    similarity to any cluster-mate ranked EARLIER in the keep order —
+    farther from the centroid, id ascending on ties (-1.0, the cosine
+    floor, for each cluster's representative — the max over an empty
+    prior set); a document is a semantic duplicate at threshold
+    ``eps`` iff ``max_prior_sim > eps``, so each duplicate chain's
+    survivor is its lowest-centroid-similarity member (the paper's
+    keep rule).  Training runs here unless a codebook is passed in
+    (reuse one codebook across corpus snapshots to keep cluster ids
+    stable).
     """
     if centroids is None:
         centroids = kmeans_fit(
             vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
         )
     unit_cents = [_unit(c) for c in centroids]
+    release_semdedup_cache()
+    # persist the assignment: the skew-guard count below and the
+    # scoring groupBy both consume it, and without the cache the
+    # whole-corpus normalize+argmin Arrow sweep would run TWICE
+    # (r5 review finding).  Scoped like llm.dedup's ngram cache —
+    # released on the next annotate call / by the registry wrapper.
     assigned = _assign_cells(
         vectors, unit_cents, id_col=id_col, vec_col=vec_col
-    )
+    ).persist()
+    _SEM_CACHE.append(assigned)
 
     # skew guard: k-row aggregate -> sub-group fan-out per oversized
     # cell (collect is codebook-sized by construction)
@@ -190,14 +237,28 @@ def semantic_dedup_annotate(
         max(1, math.ceil(counts.get(j, 0) / max_cluster_size))
         for j in range(len(unit_cents))
     ]
-    subs_arr = F.array(*[F.lit(int(s)) for s in n_subs])
-    grouped = assigned.withColumn(
-        "__sub",
-        F.pmod(
-            F.xxhash64(F.col(id_col).cast("string")),
-            F.element_at(subs_arr, F.col("cell") + 1),
-        ).cast("int"),
-    )
+    if max(n_subs) == 1:
+        # common case: no oversized cluster — no split machinery in
+        # the plan at all (a k-element literal array here would
+        # reintroduce the O(k) Catalyst analysis cost the broadcast
+        # codebook exists to avoid; r5 review finding)
+        grouped = assigned.withColumn("__sub", F.lit(0))
+    else:
+        subs_df = vectors.sparkSession.createDataFrame(
+            [(j, int(s)) for j, s in enumerate(n_subs)],
+            "cell int, __n_subs int",
+        )
+        grouped = (
+            assigned.join(F.broadcast(subs_df), "cell")
+            .withColumn(
+                "__sub",
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string")),
+                    F.col("__n_subs"),
+                ).cast("int"),
+            )
+            .drop("__n_subs")
+        )
 
     id_field = vectors.schema[id_col]
     out_schema = StructType(
@@ -210,9 +271,12 @@ def semantic_dedup_annotate(
     )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # deterministic processing order: closest-to-centroid first
+        # deterministic processing order: FARTHEST-from-centroid
+        # first, so each duplicate chain's survivor is its
+        # lowest-centroid-similarity member — the paper's measured
+        # keep rule (r5 review fixed the inverted descending sort)
         pdf = pdf.sort_values(
-            ["centroid_sim", id_col], ascending=[False, True]
+            ["centroid_sim", id_col], ascending=[True, True]
         ).reset_index(drop=True)
         n = len(pdf)
         X = np.stack(pdf["__nv"].to_numpy()).astype(np.float64)

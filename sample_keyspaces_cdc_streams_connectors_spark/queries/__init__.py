@@ -40,8 +40,10 @@ def register(name: str, oracle: str | None = None):
             # result has been consumed by the time the next one is
             # built — see llm.dedup.release_ngram_cache)
             from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import release_ngram_cache
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import release_semdedup_cache
 
             release_ngram_cache()
+            release_semdedup_cache()
             tune(spark)
             return fn(spark, sf_dir)
 

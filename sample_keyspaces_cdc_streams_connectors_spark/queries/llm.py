@@ -1283,10 +1283,11 @@ def _semdedup_oracle(
     persists), unit-normalizes centroids and vectors exactly as
     ``llm.semdedup`` does, assigns each vector to its nearest unit
     centroid (lowest cell on ties; ``centroid_sim = 1 - d²/2`` for
-    unit vectors), ranks cluster members closest-to-centroid-first
-    (id ascending on ties), and takes each member's max cosine to any
-    higher-ranked cluster-mate via a ranked self-join (−1.0, the
-    cosine floor, for cluster representatives).  Sims are emitted
+    unit vectors), ranks cluster members FARTHEST-from-centroid-first
+    (the paper's keep order; id ascending on ties), and takes each
+    member's max cosine to any earlier-ranked cluster-mate via a
+    ranked self-join (−1.0, the cosine floor, for cluster
+    representatives).  Sims are emitted
     through DECIMAL(18,8): the Spark side computes them with numpy
     float64 (blocked summation) and DuckDB sequentially — equal after
     rounding, as in the ``dedup_embedding`` gate."""
@@ -1326,7 +1327,7 @@ def _semdedup_oracle(
         """sranked AS (
       SELECT vec_id, x, cell, csim,
              row_number() OVER (PARTITION BY cell
-               ORDER BY csim DESC, vec_id) AS rn
+               ORDER BY csim ASC, vec_id) AS rn
       FROM sassign)"""
     )
     ctes.append(
@@ -1361,7 +1362,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster ranked pairwise-max pass — and the oracle replays
     training, assignment, ranking and the prior-max in SQL
     (:func:`_semdedup_oracle`).  One row per vector: cluster, sim to
-    centroid, max cosine to any closer-to-centroid cluster-mate, and
+    centroid, max cosine to any earlier-in-keep-order cluster-mate
+    (farthest-from-centroid first — the paper's keep rule), and
     the duplicate verdict at eps=0.95 (``_SEM_GATE_EPS``).
 
     The skew splitter is disabled here (``max_cluster_size`` sentinel)

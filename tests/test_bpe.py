@@ -174,3 +174,23 @@ def test_save_load_roundtrip(spark, corpus_df, tmp_path):
     # empty model round-trips too
     save_bpe_model(spark, BpeModel(merges=()), str(tmp_path / "bpe0"))
     assert load_bpe_model(spark, str(tmp_path / "bpe0")).merges == ()
+
+
+def test_unicode_whitespace_matches_training_tokenizer(spark):
+    """Encode-time word splitting is ASCII-\\s only, matching the JVM
+    tokenizer training counts with: U+00A0 stays INSIDE a word on
+    both sides (r5 review finding — python str.split() would split
+    it, so encode-time words would never match trained shapes)."""
+    model = train_bpe(
+        spark.createDataFrame([("a b a b plain",)], "text string"),
+        n_merges=10,
+    )
+    # the trained vocabulary counted "a b" as ONE word; the
+    # encoder must segment the identical single word (2 rows -> same
+    # pieces), not two words "a" and "b"
+    out = spark.createDataFrame(
+        [("a b",), ("plain",)], "text string"
+    ).select(bpe_segment(F.col("text"), model).alias("p")).collect()
+    joined = "".join(out[0]["p"])
+    assert joined == "a b</w>"  # one </w> => one word
+    assert "".join(out[1]["p"]) == "plain</w>"

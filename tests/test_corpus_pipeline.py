@@ -725,3 +725,20 @@ def test_streaming_semantic_index_matches_batch(spark, docs, tmp_path):
     standing_ids = {r["doc_id"] for r in standing.select("doc_id").collect()}
     assert not (streamed & standing_ids)
     assert len(streamed) > 0
+
+
+def test_semantic_dedup_passes_empty_input_through(spark):
+    """dedup=semantic on an input the earlier stages emptied returns
+    an empty frame like every other mode instead of crashing
+    kmeans_fit (r5 review finding)."""
+    conf = {
+        "keyspaces-cdc-streams": {
+            "corpus": {"dedup": "semantic", "min-quality": 1000000}
+        }
+    }
+    empty_out = build_corpus_pipeline(load_config(conf))(
+        spark.createDataFrame(
+            [(1, "some document text here")], "doc_id long, text string"
+        )
+    )
+    assert empty_out.count() == 0

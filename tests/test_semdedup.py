@@ -57,7 +57,8 @@ def _reference_semdedup(rows, centroids, eps):
         by_cell.setdefault(cell, []).append((vid, nx, sim))
     out = {}
     for cell, items in by_cell.items():
-        items.sort(key=lambda t: (-t[2], t[0]))
+        # keep order: farthest-from-centroid first (the paper's rule)
+        items.sort(key=lambda t: (t[2], t[0]))
         X = np.stack([t[1] for t in items])
         S = X @ X.T
         for j, (vid, _, sim) in enumerate(items):
