@@ -59,6 +59,7 @@ def main(argv: list[str] | None = None) -> int:
             "chunk",
             "index-vectors",
             "search-vectors",
+            "index-semantic",
             "shard",
             "train-bpe",
             "train-lm",
@@ -79,7 +80,10 @@ def main(argv: list[str] | None = None) -> int:
         "merge table on --source docs and save it to --out; "
         "train-lm: fit the Stupid-Backoff n-gram fluency LM on "
         "--source docs and save it to --out (point "
-        "corpus.lm-model-path at it)",
+        "corpus.lm-model-path at it); index-semantic: build a "
+        "standing SemDeDup index from --source embeddings into --out "
+        "(point corpus.semantic-index-path at it for cross-corpus / "
+        "streaming paraphrase suppression)",
     )
     p.add_argument(
         "--max-tokens",
@@ -181,6 +185,21 @@ def main(argv: list[str] | None = None) -> int:
             write_ivf_index(vectors, args.out, k=args.cells)
         print(
             f"{args.index_kind} index over {args.source} -> {args.out} "
+            f"({args.cells} cells)"
+        )
+        return 0
+
+    if args.mode == "index-semantic":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import write_semantic_index
+
+        if not args.out:
+            print("--out required for index-semantic mode", file=sys.stderr)
+            return 2
+        spark = get_spark("index-semantic")
+        vectors = spark.read.parquet(args.source)
+        write_semantic_index(vectors, args.out, k=args.cells)
+        print(
+            f"semantic index over {args.source} -> {args.out} "
             f"({args.cells} cells)"
         )
         return 0

@@ -392,3 +392,26 @@ def test_cli_train_lm(spark, sf_dir, tmp_path, capsys):
     assert "ngram lm saved" in capsys.readouterr().out
     lm = load_ngram_lm(spark, out)
     assert lm.total_tokens > 0 and len(lm.unigrams) > 0
+
+
+def test_cli_index_semantic(spark, sf_dir, tmp_path):
+    """index-semantic mode: the persisted standing index suppresses
+    re-presented copies of its own members through the probe."""
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        semantic_dedup_against_index,
+    )
+
+    src = f"{sf_dir}/embeddings.parquet"
+    out = str(tmp_path / "semidx")
+    rc = main(
+        [
+            "--source", src,
+            "--mode", "index-semantic",
+            "--cells", "4",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    emb = spark.read.parquet(src)
+    assert semantic_dedup_against_index(emb, out, eps=0.99).count() == 0
