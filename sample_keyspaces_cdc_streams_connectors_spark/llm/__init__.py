@@ -68,6 +68,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.components import (
     dedup_survivors,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+    append_to_semantic_index,
     semantic_dedup,
     semantic_dedup_against_index,
     semantic_dedup_annotate,
@@ -120,6 +121,7 @@ __all__ = [
     "brute_force_topk",
     "ivf_topk",
     "lsh_bucket_topk",
+    "append_to_semantic_index",
     "semantic_dedup",
     "semantic_dedup_against_index",
     "semantic_dedup_annotate",
