@@ -460,6 +460,20 @@ def main() -> None:
             .format("noop")
             .save(),
         )
+        # BM25 lexical retrieval (late r5): index built once, the
+        # timed path is the pruned posting scan + heap top-k
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk, write_text_index
+
+        write_text_index(raw_docs, f"{tmpdir}/bm25")
+        _aux(
+            "bm25_topk",
+            lambda: bm25_topk(
+                spark, f"{tmpdir}/bm25", "the quick brown data pipeline"
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
         from sample_keyspaces_cdc_streams_connectors_spark.llm.bpe import bpe_token_count, train_bpe
 
         bpe_model = train_bpe(raw_docs, n_merges=200)

@@ -74,6 +74,11 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
     semantic_dedup_annotate,
     write_semantic_index,
 )
+from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
+    bm25_score_table,
+    bm25_topk,
+    write_text_index,
+)
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -122,8 +127,11 @@ __all__ = [
     "ivf_topk",
     "lsh_bucket_topk",
     "append_to_semantic_index",
+    "bm25_score_table",
+    "bm25_topk",
     "semantic_dedup",
     "semantic_dedup_against_index",
     "semantic_dedup_annotate",
     "write_semantic_index",
+    "write_text_index",
 ]

@@ -1,0 +1,250 @@
+"""BM25 lexical retrieval over a persisted inverted index.
+
+The lexical complement to the dense ANN stack (``llm.similarity`` /
+``llm.ivf_index`` / ``llm.pq``): Okapi BM25 (Robertson & Zaragoza,
+FnTIR'09) top-k over term-hashed posting lists.  A curation pipeline
+uses it for targeted data selection ("find the documents about X"),
+eval-set leakage forensics beyond exact k-grams, and boosted
+retrieval-quality corpora — the operations a paraphrase-level dense
+index is too blunt for when the query is a handful of keywords.
+
+Reference tie-in: the reference ships text to a remote vector store
+and delegates all search to it (S3VectorTargetMapper.java:87-177); a
+native engine owns both search modalities.
+
+Index layout (``write_text_index``), built for 100 TB posture:
+
+- ``postings/`` — one row per (term, doc): ``(term int64 md5-hash,
+  tb partition bucket, doc id, tf, dl)``, written
+  ``partitionBy(tb)`` with ``tb = term % n_buckets``.  A query's
+  terms touch at most |query| buckets — directory-level partition
+  pruning, the same discipline as the IVF cell layout.  Document
+  LENGTH rides in the posting row, so scoring never joins a separate
+  doc-stats table.
+- ``terms/`` — ``(term, df)`` document frequencies (one row per
+  distinct term — vocabulary-sized, broadcast at query time).
+- ``_stats.json`` — corpus size N and average document length.
+
+Query path (``bm25_topk``): the query string tokenizes DRIVER-side
+(tiny), its term hashes become pushed-down partition+value filters on
+the postings scan, per-(term, doc) scores are one narrow projection
+over the surviving postings (idf and corpus stats fold in as
+literals; df joins from the broadcast vocabulary slice), and the
+per-doc sum feeds a ``TakeOrderedAndProject`` heap.  Nothing the
+query does not mention is ever read.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.functions.text import normalize_text, tokens
+from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
+
+__all__ = ["write_text_index", "bm25_topk", "bm25_score_table"]
+
+STATS_FILE = "_stats.json"
+POSTINGS_DIR = "postings"
+TERMS_DIR = "terms"
+
+
+def _hash60(word: str) -> int:
+    """Driver-side twin of :func:`md5_int` (pinned equivalent in
+    tests; same construction as llm.ngram_lm's scorer)."""
+    import hashlib
+
+    return int(hashlib.md5(word.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _py_words(text: str) -> list[str]:
+    """Driver-side twin of ``tokens(normalize_text(...))``: lower +
+    ASCII-\\s split (Java \\s, NOT python str.split()/unicode \\s —
+    the llm.ngram_lm / llm.bpe discipline), empties dropped."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    return [w for w in ws.split(text.lower()) if w]
+
+
+def write_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the inverted index for ``docs``.
+
+    One exploded map-side-combined aggregate produces the postings
+    ((term, doc) tf counts with the doc length attached); document
+    frequencies reduce the same frame by term.  The only shuffles are
+    those two aggregates — the text itself never moves past the
+    tokenize projection.
+    """
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _write_text
+
+    base = path.rstrip("/")
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        tokens(normalize_text(F.col(text_col))).alias("__t"),
+    ).select("doc", F.size("__t").alias("dl"), F.explode("__t").alias("__w"))
+    postings = (
+        toks.groupBy("doc", "dl", md5_int(F.col("__w")).alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "tb", F.pmod(F.col("term"), F.lit(int(n_buckets))).cast("int")
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(
+        f"{base}/{POSTINGS_DIR}"
+    )
+    # df + corpus stats from the WRITTEN postings (self-consistent
+    # even if docs is nondeterministic upstream)
+    written = docs.sparkSession.read.parquet(f"{base}/{POSTINGS_DIR}")
+    written.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).write.mode("overwrite").parquet(f"{base}/{TERMS_DIR}")
+    stats = (
+        written.select("doc", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        )
+        .first()
+    )
+    _write_text(
+        docs.sparkSession,
+        f"{base}/{STATS_FILE}",
+        json.dumps({"n_docs": int(stats["n"]), "avgdl": float(stats["avgdl"])}),
+    )
+
+
+def _load_stats(spark: SparkSession, path: str) -> dict:
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _read_text
+
+    return json.loads(_read_text(spark, f"{path.rstrip('/')}/{STATS_FILE}"))
+
+
+def bm25_score_table(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-document BM25 scores for ``query`` — every document that
+    shares at least one term with it, scored exactly.
+
+    Plan shape (pinned in tests/test_retrieval.py): the postings scan
+    carries BOTH a partition filter on the query's term buckets AND a
+    pushed value filter on the term hashes, so only the query's
+    posting lists are read; idf folds in via a tiny broadcast of the
+    matching vocabulary rows; the per-doc sum is one aggregate."""
+    q_terms = sorted({_hash60(w) for w in _py_words(query)})
+    if not q_terms:
+        raise ValueError("query has no tokens")
+    stats = _load_stats(spark, path)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    base = path.rstrip("/")
+    buckets = sorted({t % n_buckets for t in q_terms})
+    postings = (
+        spark.read.parquet(f"{base}/{POSTINGS_DIR}")
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(q_terms))
+    )
+    dfreq = (
+        spark.read.parquet(f"{base}/{TERMS_DIR}")
+        .filter(F.col("term").isin(q_terms))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    tf = F.col("tf").cast("double")
+    per_term = postings.join(F.broadcast(dfreq), "term").select(
+        "doc",
+        (
+            F.col("idf")
+            * tf
+            * (F.lit(k1) + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+                )
+            )
+        ).alias("__s"),
+    )
+    return per_term.groupBy("doc").agg(F.sum("__s").alias("score"))
+
+
+def bm25_topk(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Top-k documents for ``query`` by BM25, ties to the lower doc
+    id (total order).  Executes as per-partition heaps
+    (TakeOrderedAndProject) over the pruned posting scan."""
+    scored = bm25_score_table(
+        spark, path, query, k1=k1, b=b, n_buckets=n_buckets
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+
+
+def bm25_reference(
+    rows: list[tuple],
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """Sequential reference implementation over (id, text) rows —
+    test-only twin kept here so its tokenization provably shares the
+    engine's discipline (ASCII whitespace, lower-case, md5 term
+    identity)."""
+    # documents with no tokens are not indexed and do not count
+    # toward N/avgdl (they can never match a query) — same contract
+    # as write_text_index
+    doc_terms = {
+        i: [_hash60(w) for w in _py_words(t)]
+        for i, t in rows
+        if _py_words(t)
+    }
+    n = len(doc_terms)
+    avgdl = sum(len(ts) for ts in doc_terms.values()) / max(1, n)
+    q = sorted({_hash60(w) for w in _py_words(query)})
+    df: dict[int, int] = {}
+    for ts in doc_terms.values():
+        for t in set(ts):
+            if t in q:
+                df[t] = df.get(t, 0) + 1
+    out: dict = {}
+    for i, ts in doc_terms.items():
+        s = 0.0
+        for t in q:
+            tf = ts.count(t)
+            if not tf:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(ts) / avgdl)
+            )
+        if s > 0.0:
+            out[i] = s
+    return out
