@@ -60,6 +60,8 @@ def main(argv: list[str] | None = None) -> int:
             "index-vectors",
             "search-vectors",
             "index-semantic",
+            "index-text",
+            "search-text",
             "shard",
             "train-bpe",
             "train-lm",
@@ -83,7 +85,14 @@ def main(argv: list[str] | None = None) -> int:
         "corpus.lm-model-path at it); index-semantic: build a "
         "standing SemDeDup index from --source embeddings into --out "
         "(point corpus.semantic-index-path at it for cross-corpus / "
-        "streaming paraphrase suppression)",
+        "streaming paraphrase suppression); index-text: build a BM25 "
+        "inverted index from --source docs into --out; search-text: "
+        "BM25 top-k over an --source index for --query",
+    )
+    p.add_argument(
+        "--query",
+        default=None,
+        help="search-text mode: the query string",
     )
     p.add_argument(
         "--max-tokens",
@@ -202,6 +211,30 @@ def main(argv: list[str] | None = None) -> int:
             f"semantic index over {args.source} -> {args.out} "
             f"({args.cells} cells)"
         )
+        return 0
+
+    if args.mode == "index-text":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import write_text_index
+
+        if not args.out:
+            print("--out required for index-text mode", file=sys.stderr)
+            return 2
+        spark = get_spark("index-text")
+        write_text_index(spark.read.parquet(args.source), args.out)
+        print(f"text index over {args.source} -> {args.out}")
+        return 0
+
+    if args.mode == "search-text":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk
+
+        if not args.query:
+            print("--query required for search-text mode", file=sys.stderr)
+            return 2
+        spark = get_spark("search-text")
+        for row in bm25_topk(
+            spark, args.source, args.query, k=args.topk
+        ).collect():
+            print(f"{row['doc']}\t{row['score']:.6f}")
         return 0
 
     if args.mode == "search-vectors":

@@ -415,3 +415,32 @@ def test_cli_index_semantic(spark, sf_dir, tmp_path):
     assert rc == 0
     emb = spark.read.parquet(src)
     assert semantic_dedup_against_index(emb, out, eps=0.99).count() == 0
+
+
+def test_cli_index_and_search_text(spark, sf_dir, tmp_path, capsys):
+    """index-text + search-text end-to-end: top-k lines print
+    doc<TAB>score in descending-score order."""
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    out = str(tmp_path / "bm25idx")
+    rc = main(
+        [
+            "--source", f"{sf_dir}/documents.parquet",
+            "--mode", "index-text",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    rc = main(
+        [
+            "--source", out,
+            "--mode", "search-text",
+            "--query", "the data pipeline",
+            "--topk", "5",
+        ]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert 0 < len(lines) <= 5
+    scores = [float(l.split("\t")[1]) for l in lines]
+    assert scores == sorted(scores, reverse=True)
