@@ -36,6 +36,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import (
     kmeans_fit,
     kmeans_inertia,
     kmeans_seed,
+    kmeans_seed_parallel,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
     annotate_corpus,
@@ -117,6 +118,7 @@ __all__ = [
     "kmeans_fit",
     "kmeans_inertia",
     "kmeans_seed",
+    "kmeans_seed_parallel",
     "annotate_corpus",
     "build_corpus_pipeline",
     "corpus_stats",

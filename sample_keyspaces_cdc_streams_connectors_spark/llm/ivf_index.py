@@ -69,12 +69,15 @@ def write_ivf_index(
     tol: float | None = 1e-4,
     exact_means: bool = False,
     portable_hash: bool = False,
+    seed_mode: str = "farthest",
 ) -> list[list[float]]:
     """Fit the coarse quantizer, label every vector, and write the
     partitioned layout + codebook.  Returns the codebook.
-    ``exact_means`` / ``portable_hash`` / ``tol`` pass through to
-    :func:`kmeans_fit` (bit-reproducible training — the oracle-gated
-    configuration).
+    ``exact_means`` / ``portable_hash`` / ``tol`` / ``seed_mode`` pass
+    through to :func:`kmeans_fit` (bit-reproducible training — the
+    oracle-gated configuration; ``seed_mode="parallel"`` is the
+    production-k initializer whose job count is independent of the
+    cell count).
 
     Scale: the write shuffles once on the cell label (partitionBy);
     each cell's files hold only that cell's vectors, so probes prune
@@ -89,6 +92,7 @@ def write_ivf_index(
         tol=tol,
         exact_means=exact_means,
         portable_hash=portable_hash,
+        seed_mode=seed_mode,
     )
     labeled = kmeans_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"

@@ -25,6 +25,21 @@ Scale design:
   map-only scans against a broadcast seed set; no RNG anywhere.
   (Lowest-id init — the previous scheme — can seed all k centroids
   inside ONE cluster when ids correlate with content.)
+- Farthest-point is k-1 SEQUENTIAL driver-launched jobs — fine at the
+  oracle-gate k (4-8), a driver-bound wall at production k (IVF cells
+  and SemDeDup codebooks run k in the thousands; each job carries ~1 s
+  of fixed scheduling cost however cheap the scan).  For that regime
+  :func:`kmeans_seed_parallel` implements k-means|| oversampling
+  (Bahmani, Moseley, Vattani, Kumar, Vassilvitskii, VLDB'12): a
+  CONSTANT number of sampling passes (independent of k) collects
+  ~rounds·ell candidate points, one more pass weights them by how many
+  points they attract, and the weighted k-point reduction runs
+  driver-side on the candidate set in numpy.  Sampling is hash-derived
+  (per-point uniform = hash(point-hash, round) mapped to [0,1)), so
+  the whole procedure is deterministic — no RNG, same discipline as
+  the farthest-point seeder.  ``kmeans_fit(seed_mode="parallel")``
+  opts in; the default stays farthest-point because the oracle gates
+  replay it in plain SQL.
 - Iterations stop early when the relative inertia improvement falls
   below ``tol``; inertia is aggregated inside the same groupBy that
   computes the means, so convergence tracking costs no extra scan.
@@ -37,8 +52,18 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
@@ -137,6 +162,192 @@ def kmeans_seed(
     return seeds
 
 
+def _tiled_min_sqdist(
+    X: np.ndarray, C: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (min squared L2 distance, argmin index) against a
+    candidate matrix, tiled over (row_block × cand_block) so the
+    broadcast difference tensor stays bounded however large the batch,
+    candidate count, or dims grow (the same tiling discipline as
+    semdedup's assignment kernel).  Exact elementwise (x − c)² sums —
+    bit-identical to :func:`_dists_to_all`'s fold arithmetic, which
+    matters for tie stability.  Ties keep the lowest candidate index
+    (within-tile argmin + strict-< across tiles)."""
+    n = len(X)
+    dims = max(1, C.shape[1])
+    cand_block = max(1, (1 << 16) // dims)
+    row_block = max(1, (1 << 22) // (cand_block * dims))
+    best_d = np.full(n, np.inf)
+    best_j = np.zeros(n, dtype=np.int64)
+    for rs in range(0, n, row_block):
+        re_ = min(rs + row_block, n)
+        Xb = X[rs:re_]
+        for cs in range(0, len(C), cand_block):
+            blk = C[cs : cs + cand_block]
+            d2 = ((Xb[:, None, :] - blk[None, :, :]) ** 2).sum(axis=2)
+            jloc = np.argmin(d2, axis=1)
+            dloc = d2[np.arange(re_ - rs), jloc]
+            upd = dloc < best_d[rs:re_]
+            best_j[rs:re_][upd] = jloc[upd] + cs
+            best_d[rs:re_][upd] = dloc[upd]
+    return best_d, best_j
+
+
+def _min_dist_pass(base: DataFrame, cands: list[list[float]]) -> DataFrame:
+    """MAP-ONLY Arrow pass over a ``(__hid, __v)`` frame: append
+    ``__d`` (min squared distance to the broadcast candidate matrix)
+    and ``__c`` (argmin candidate index).  The candidates travel as a
+    broadcast ndarray, NOT a literal expression matrix — at the
+    k-means|| candidate counts (thousands) a literal matrix would blow
+    up Catalyst analysis the same way the pre-r4 when-chain did."""
+    sc = base.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(cands, dtype=np.float64))
+    schema = StructType(
+        [
+            StructField("__hid", LongType(), True),
+            StructField("__v", ArrayType(DoubleType(), True), True),
+            StructField("__d", DoubleType(), False),
+            StructField("__c", IntegerType(), False),
+        ]
+    )
+
+    def gen(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            best_d, best_j = _tiled_min_sqdist(X, C)
+            yield pd.DataFrame(
+                {
+                    "__hid": pdf["__hid"],
+                    "__v": pdf["__v"],
+                    "__d": best_d,
+                    "__c": best_j.astype("int32"),
+                }
+            )
+
+    return base.mapInPandas(gen, schema)
+
+
+def kmeans_seed_parallel(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 5,
+    oversample: int | None = None,
+    portable_hash: bool = False,
+) -> list[list[float]]:
+    """k-means|| oversampling seeding (Bahmani et al., VLDB'12) — the
+    production-k replacement for :func:`kmeans_seed`'s k-1 sequential
+    driver jobs.
+
+    Job structure (INDEPENDENT of k — the point of the algorithm):
+    one job picks the lowest-hash starting point, each of ``rounds``
+    sampling rounds runs exactly two jobs (a sum for the current
+    potential φ = Σ min-dist², then a filtered collect of the sampled
+    points), and one final job weights every candidate by the number
+    of points it attracts — ``2 + 2·rounds`` jobs total whether k is
+    4 or 40,000.  Each job is a map-only Arrow scan (broadcast
+    candidate ndarray) plus a scalar aggregate or an expected-ell-row
+    collect, so the driver never funnels data-sized results.
+
+    Sampling is deterministic: point x enters the candidate set in
+    round r iff ``u(x, r) < ell · d²(x) / φ`` where ``u`` is a
+    hash-derived uniform in [0,1) keyed on (point-hash, round) — the
+    paper's independent coin flips with the engine's no-RNG
+    discipline.  Points already in the candidate set have d² = 0 and
+    can never be re-sampled.  ``ell`` defaults to 2k (the paper's
+    recommended oversampling factor range).
+
+    The final reduction to k seeds runs driver-side on the candidate
+    set (expected ~1 + rounds·ell points): weighted greedy max-min —
+    the first seed is the heaviest candidate, each next seed maximizes
+    ``weight · min-dist² to the chosen set`` (the deterministic argmax
+    form of the paper's weighted k-means++ re-clustering step), ties
+    toward the lower candidate index.  Candidate order is itself
+    deterministic (insertion order: starting point, then each round's
+    picks sorted by point hash), so the whole seeding is reproducible
+    bit-for-bit.
+
+    If sampling collapses early (φ = 0: every point coincides with a
+    candidate) the chosen set pads by repeating the first seed —
+    mirroring :func:`kmeans_seed`'s behavior on short tables."""
+    if portable_hash:
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
+
+        hid = md5_int(F.col(id_col).cast("string"))
+    else:
+        hid = F.xxhash64(F.col(id_col))
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(hid.alias("__hid"), dvec.alias("__v")).persist()
+    try:
+        first = base.orderBy("__hid").limit(1).collect()
+        if not first:
+            raise ValueError("empty vector table")
+        ell = oversample if oversample is not None else max(2 * k, 8)
+        cands: list[list[float]] = [list(first[0]["__v"])]
+        for r in range(rounds):
+            scored = _min_dist_pass(base, cands)
+            phi = scored.agg(F.sum("__d").alias("s")).first()["s"]
+            if phi is None or phi <= 0.0:
+                break  # every point coincides with a candidate
+            if portable_hash:
+                # md5 of "hid:round" → 52-bit int → [0,1)
+                u = F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("__hid").cast("string"),
+                                F.lit(str(r)),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("double") / float(1 << 52)
+            else:
+                u = F.pmod(
+                    F.xxhash64(F.col("__hid"), F.lit(r)), F.lit(1 << 53)
+                ).cast("double") / float(1 << 53)
+            thresh = F.least(
+                F.lit(1.0),
+                F.lit(float(ell)) * F.col("__d") / F.lit(float(phi)),
+            )
+            picked = (
+                scored.where(u < thresh)
+                .select("__hid", "__v")
+                .orderBy("__hid")
+                .collect()
+            )
+            cands.extend(list(row["__v"]) for row in picked)
+        # weight pass: how many points each candidate attracts
+        Cd = np.asarray(cands, dtype=np.float64)
+        w = np.zeros(len(cands), dtype=np.float64)
+        for row in (
+            _min_dist_pass(base, cands).groupBy("__c").count().collect()
+        ):
+            w[row["__c"]] = float(row["count"])
+    finally:
+        base.unpersist(blocking=False)
+    # driver-side weighted greedy max-min over the candidate set
+    first_j = int(np.argmax(w))  # heaviest; argmax tie -> lowest index
+    chosen = [first_j]
+    dmin = ((Cd - Cd[first_j]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        score = w * dmin
+        j = int(np.argmax(score))
+        if score[j] <= 0.0:
+            j = first_j  # degenerate: fewer distinct candidates than k
+        chosen.append(j)
+        dmin = np.minimum(dmin, ((Cd - Cd[j]) ** 2).sum(axis=1))
+    return [[float(x) for x in Cd[j]] for j in chosen]
+
+
 def kmeans_fit(
     vectors: DataFrame,
     k: int = 16,
@@ -147,6 +358,9 @@ def kmeans_fit(
     history: list[float] | None = None,
     exact_means: bool = False,
     portable_hash: bool = False,
+    seed_mode: str = "farthest",
+    seed_rounds: int = 5,
+    seed_oversample: int | None = None,
 ) -> list[list[float]]:
     """Run Lloyd's iterations from farthest-point seeds; return the
     final codebook (k rows of dims doubles).  Empty cells keep their
@@ -169,7 +383,17 @@ def kmeans_fit(
     quantization inside the SUM is noise for a coarse quantizer.
     Combined with ``portable_hash=True`` this makes the whole
     training run replicable in plain SQL — the basis of the
-    ``ann_ivf_topk`` oracle gate."""
+    ``ann_ivf_topk`` oracle gate.
+
+    ``seed_mode`` selects the initializer: ``"farthest"`` (default —
+    k-1 sequential jobs, SQL-replayable, right for the gate-scale k)
+    or ``"parallel"`` (k-means|| oversampling, constant job count —
+    the production mode for IVF cell counts / SemDeDup codebooks where
+    k runs in the thousands; see :func:`kmeans_seed_parallel`).
+    ``seed_rounds`` / ``seed_oversample`` pass through to the parallel
+    seeder."""
+    if seed_mode not in ("farthest", "parallel"):
+        raise ValueError(f"unknown seed_mode: {seed_mode!r}")
     # kmeans_seed always returns k seeds (the greedy max-min pick
     # repeats points when the table runs short), so the row-count
     # check must happen HERE — otherwise a small table silently
@@ -184,9 +408,20 @@ def kmeans_fit(
     dims = len(
         vectors.select(F.col(vec_col)).first()[0]
     )
-    centroids = kmeans_seed(
-        vectors, k, id_col=id_col, vec_col=vec_col, portable_hash=portable_hash
-    )
+    if seed_mode == "parallel":
+        centroids = kmeans_seed_parallel(
+            vectors,
+            k,
+            id_col=id_col,
+            vec_col=vec_col,
+            rounds=seed_rounds,
+            oversample=seed_oversample,
+            portable_hash=portable_hash,
+        )
+    else:
+        centroids = kmeans_seed(
+            vectors, k, id_col=id_col, vec_col=vec_col, portable_hash=portable_hash
+        )
 
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     prev_inertia: float | None = None

@@ -194,6 +194,7 @@ def semantic_dedup_annotate(
     vec_col: str = "embedding",
     max_cluster_size: int = 8192,
     block_rows: int = 1024,
+    seed_mode: str = "farthest",
 ) -> DataFrame:
     """Per-document SemDeDup annotation.
 
@@ -211,7 +212,12 @@ def semantic_dedup_annotate(
     """
     if centroids is None:
         centroids = kmeans_fit(
-            vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+            vectors,
+            k=k,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed_mode=seed_mode,
         )
     unit_cents = [_unit(c) for c in centroids]
     release_semdedup_cache()
@@ -315,6 +321,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int = 8192,
+    seed_mode: str = "farthest",
 ) -> DataFrame:
     """Survivor rows of ``vectors`` after SemDeDup at threshold
     ``eps`` (original columns preserved; duplicates removed).
@@ -332,6 +339,7 @@ def semantic_dedup(
             id_col=id_col,
             vec_col=vec_col,
             max_cluster_size=max_cluster_size,
+            seed_mode=seed_mode,
         )
         .filter(F.col("max_prior_sim") <= F.lit(float(eps)))
         .select(id_col)
@@ -354,6 +362,7 @@ def write_semantic_index(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_mode: str = "farthest",
 ) -> list[list[float]]:
     """Persist a STANDING semantic-dedup index: the kept corpus's
     unit vectors, cell-partitioned under the k-means codebook (same
@@ -372,7 +381,12 @@ def write_semantic_index(
 
     if centroids is None:
         centroids = kmeans_fit(
-            vectors, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+            vectors,
+            k=k,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed_mode=seed_mode,
         )
     unit_cents = [_unit(c) for c in centroids]
     assigned = _assign_cells(

@@ -204,3 +204,133 @@ def test_fit_rejects_empty_table_cleanly(spark):
     )
     with _pytest.raises(ValueError, match="got 0"):
         kmeans_fit(empty, k=4)
+
+
+# --- k-means|| oversampling seeding (production-k initializer) -------------
+
+
+def _count_jobs(spark, group, fn):
+    """Run ``fn`` inside a job group and return how many Spark jobs it
+    launched — the pin that the parallel seeder's job count is
+    INDEPENDENT of k (farthest-point launches k-1).  ``group`` must be
+    unique per call (id()-derived names can be reused after GC and
+    silently merge two runs' counts)."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "job-count pin")
+    try:
+        out = fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_parallel_seed_job_count_independent_of_k(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_seed_parallel
+
+    df = _clustered(spark)
+    (s4, n4) = _count_jobs(
+        spark, "seed-pin-k4", lambda: kmeans_seed_parallel(df, k=4, rounds=3)
+    )
+    (s12, n12) = _count_jobs(
+        spark, "seed-pin-k12", lambda: kmeans_seed_parallel(df, k=12, rounds=3)
+    )
+    assert len(s4) == 4 and len(s12) == 12
+    # the pin: same data, same rounds -> same job count whatever k is
+    assert n4 == n12
+    # and nowhere near O(k): 3 rounds is a handful of jobs total
+    assert n12 <= 3 * 6 + 8
+
+
+def test_parallel_seed_deterministic_and_data_points(spark):
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_seed_parallel
+
+    df = _clustered(spark)
+    s1 = kmeans_seed_parallel(df, k=8, rounds=4)
+    s2 = kmeans_seed_parallel(df.repartition(7), k=8, rounds=4)
+    assert s1 == s2  # bit-identical, layout-independent
+    # every seed is an actual input vector (k-means|| picks points)
+    data = {tuple(round(float(x), 6) for x in r.embedding) for r in df.collect()}
+    for s in s1:
+        assert tuple(round(float(x), 6) for x in s) in data
+
+
+def test_parallel_seed_portable_hash_deterministic(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_seed_parallel
+
+    df = _clustered(spark)
+    s1 = kmeans_seed_parallel(df, k=6, rounds=3, portable_hash=True)
+    s2 = kmeans_seed_parallel(df, k=6, rounds=3, portable_hash=True)
+    assert s1 == s2 and len(s1) == 6
+
+
+def test_parallel_seeds_span_clusters(spark):
+    """Same spanning property the farthest-point test pins: 8 seeds in
+    8 distinct true clusters of the id-correlated fixture."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_seed_parallel
+
+    df = _clustered(spark)
+    seeds = kmeans_seed_parallel(df, k=8, rounds=4)
+    centers = {
+        r.true_cluster: np.array([c for c in r.centroid], dtype=float)
+        for r in df.groupBy("true_cluster")
+        .agg(
+            F.array(
+                *[F.avg(F.element_at("embedding", i + 1)) for i in range(16)]
+            ).alias("centroid")
+        )
+        .collect()
+    }
+    hit = {
+        min(centers, key=lambda c: np.linalg.norm(np.array(s) - centers[c]))
+        for s in seeds
+    }
+    assert len(hit) == 8
+
+
+def test_parallel_seed_recall_at_production_k(spark):
+    """The regime the seeder exists for: k=256 planted clusters.  A
+    seeding that misses clusters leaves inertia dominated by the
+    missed centers' spread (~1e4 per miss); recovering essentially all
+    of them lands near the planted noise floor.  Farthest-point at
+    this k would launch 255 sequential jobs — the parallel seeder's
+    job count stays constant (pinned above)."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import (
+        kmeans_fit,
+        kmeans_inertia,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((256, 8)) * 10.0
+    rows = []
+    for c in range(256):
+        for i in range(8):
+            v = centers[c] + rng.standard_normal(8) * 0.05
+            rows.append((c * 8 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(4)
+    cents = kmeans_fit(
+        df, k=256, n_iter=2, tol=None, seed_mode="parallel", seed_rounds=5
+    )
+    assert len(cents) == 256
+    inertia = kmeans_inertia(df, cents)
+    # noise floor ~ n*dims*sigma^2 = 2048*8*0.0025 = 41; one missed
+    # cluster adds ~8 * E|c_i - c_j|^2 ~ 1e4.  <= 500 proves at most
+    # a sliver of the 256 planted clusters went unseeded.
+    assert inertia <= 500.0
+
+
+def test_fit_rejects_unknown_seed_mode(spark):
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
+
+    df = _clustered(spark)
+    with _pytest.raises(ValueError, match="seed_mode"):
+        kmeans_fit(df, k=4, seed_mode="nope")
