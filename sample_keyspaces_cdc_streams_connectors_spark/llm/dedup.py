@@ -254,6 +254,25 @@ NGRAM_PREFIX_AUTO_BYTES = int(
 )
 
 
+class NgramCandidateBudgetError(ValueError):
+    """The posting-list candidate estimate Σ C(df, 2) exceeds the
+    caller's ``candidate_budget`` — the corpus is too duplicated for
+    direct n-gram candidate generation.  Run exact dedup first
+    (:func:`exact_duplicates` / the pipeline's automatic
+    exact-collapse in cluster mode), which removes the duplicated
+    mass that makes the estimate quadratic."""
+
+    def __init__(self, estimate: int, budget: int):
+        self.estimate = int(estimate)
+        self.budget = int(budget)
+        super().__init__(
+            f"ngram candidate estimate {self.estimate} exceeds budget "
+            f"{self.budget}: the corpus is heavily duplicated — run "
+            "exact dedup (llm.dedup.exact_duplicates) before n-gram "
+            "candidate generation, or raise candidate_budget"
+        )
+
+
 def _plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's optimized-plan size estimate (driver-side, no job);
     None when the JVM call is unavailable."""
@@ -272,9 +291,33 @@ def ngram_jaccard_pairs(
     max_shingle_freq: int = 100,
     prefix_filter: bool | None = None,
     auto_prefix_bytes: int | None = None,
+    candidate_budget: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via shingle inverted index
     (no MinHash approximation).
+
+    ``candidate_budget`` guards the one measured superlinearity of
+    this operator: candidate volume is Σ C(df, 2) over posting lists,
+    which grows QUADRATICALLY in the duplication factor of the corpus
+    (the sf1 stress run measured 27× candidates at 10× data on a
+    10-way-duplicated synthetic).  When set, the estimate is computed
+    from the posting lengths (one cheap aggregate over the already-
+    persisted index — pass A is shared) BEFORE any pair explodes, and
+    a :class:`NgramCandidateBudgetError` aborts the query if it would
+    exceed the budget — with the operational fix (run
+    :func:`exact_duplicates` first; the corpus pipeline's cluster mode
+    does this automatically) in the message.  ``observation`` (a
+    ``pyspark.sql.Observation``) additionally surfaces the same
+    estimate as an observed metric ``n_candidates`` on the executed
+    plan; when omitted the plan still carries a named
+    ``ngram_candidate_budget`` CollectMetrics node for listener-based
+    monitoring — either way the guard metric is free (it rides the
+    posting lists the plan aggregates anyway).  Caveat: when the
+    corpus yields ZERO candidates, adaptive execution's empty-relation
+    propagation can prune the CollectMetrics node out of the runtime
+    plan, leaving the Observation empty — read it only when the pair
+    count is nonzero (a zero-candidate run needs no budget guard).
 
     ``max_shingle_freq`` drops shingles appearing in more documents
     than the cap before the pair join — the standard stop-shingle
@@ -438,6 +481,26 @@ def ngram_jaccard_pairs(
             )
         )
 
+    # candidate-budget guard: Σ C(len, 2) over the pair-generating
+    # posting lists — the exact number of (pre-distinct) pairs the
+    # explode below would emit.  Free when only observed (it rides
+    # the lists the plan aggregates anyway); the eager budget check
+    # costs one extra aggregate over the persisted index.
+    def _cand_metric() -> Column:
+        sz = F.size("__ds").cast("bigint")
+        return F.sum((sz * (sz - 1) / 2).cast("bigint")).alias(
+            "n_candidates"
+        )
+
+    def _guarded(src: DataFrame) -> DataFrame:
+        if candidate_budget is not None:
+            est = src.agg(_cand_metric()).first()["n_candidates"] or 0
+            if est > candidate_budget:
+                raise NgramCandidateBudgetError(est, candidate_budget)
+        if observation is not None:
+            return src.observe(observation, _cand_metric())
+        return src.observe("ngram_candidate_budget", _cand_metric())
+
     # size-compatibility predicate (t*n_a <= n_b <= n_a/t) on FULL
     # set sizes — any pair with Jaccard >= t satisfies it, so it is
     # a pure prune, applied BEFORE the pair shuffle in both modes
@@ -478,7 +541,7 @@ def ngram_jaccard_pairs(
             ).alias("__ds")
         )
         pairs = (
-            postings.filter(F.size("__ds") >= 2)
+            _guarded(postings.filter(F.size("__ds") >= 2))
             .select(F.explode(_pairs_from_postings(F.col("__ds"))).alias("__p"))
             .filter(_size_ok(F.col("__p")))
             .select(
@@ -542,8 +605,10 @@ def ngram_jaccard_pairs(
         ).alias("__ds")
     )
     counted = (
-        postings.filter(
-            (F.size("__ds") >= 2) & (F.size("__ds") <= max_shingle_freq)
+        _guarded(
+            postings.filter(
+                (F.size("__ds") >= 2) & (F.size("__ds") <= max_shingle_freq)
+            )
         )
         .select(F.explode(_pairs_from_postings(F.col("__ds"))).alias("__p"))
         .filter(_size_ok(F.col("__p")))

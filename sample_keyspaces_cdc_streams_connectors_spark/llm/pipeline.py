@@ -398,20 +398,51 @@ def build_corpus_pipeline(
             docs_kv = out.select(
                 F.col(id_col).alias("doc_id"), F.col(text_col)
             )
+            # DEDUP-LADDER ENFORCEMENT: exact-collapse BEFORE candidate
+            # generation.  Candidate volume is Σ C(df, 2) over posting
+            # lists / band buckets — QUADRATIC in the corpus's
+            # duplication factor (the sf1 stress run measured 27×
+            # candidates at 10× data on a 10-way-duplicated corpus).
+            # Collapsing byte-identical texts to one representative
+            # first removes exactly that mass, and the result is
+            # IDENTICAL: exact duplicates are Jaccard-1 cliques (>=
+            # any threshold), so wiring each member to its group's
+            # representative by a star edge preserves every connected
+            # component the full pair set would produce — survivor
+            # selection (including ``prefer``) sees the same
+            # components.  Cost: ONE fingerprint window shuffle, the
+            # same price as dedup_mode="exact".
+            fpd = docs_kv.withColumn(
+                "__fp", doc_fingerprint(F.col(text_col))
+            ).withColumn(
+                "__rep",
+                F.min("doc_id").over(Window.partitionBy("__fp")),
+            )
+            reps = fpd.filter(F.col("doc_id") == F.col("__rep")).select(
+                "doc_id", text_col
+            )
+            star_edges = fpd.filter(
+                F.col("doc_id") != F.col("__rep")
+            ).select(
+                F.col("__rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
             if cluster_method == "minhash":
-                pairs = minhash_candidate_pairs(
-                    docs_kv,
+                rep_pairs = minhash_candidate_pairs(
+                    reps,
                     text_col=text_col,
                     k=shingle_k,
                     jaccard_threshold=jaccard_permille / 1000.0,
                 )
             else:
-                pairs = ngram_jaccard_pairs(
-                    docs_kv,
+                rep_pairs = ngram_jaccard_pairs(
+                    reps,
                     text_col=text_col,
                     k=shingle_k,
                     threshold=jaccard_permille / 1000.0,
                 )
+            pairs = rep_pairs.unionByName(star_edges)
             out = dedup_survivors(
                 out, pairs, id_col=id_col, prefer=cluster_prefer
             )

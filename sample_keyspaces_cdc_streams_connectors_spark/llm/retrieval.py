@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 from sample_keyspaces_cdc_streams_connectors_spark.functions.text import normalize_text, tokens
 from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
 
-__all__ = ["write_text_index", "bm25_topk", "bm25_score_table"]
+__all__ = [
+    "write_text_index",
+    "bm25_topk",
+    "bm25_topk_many",
+    "bm25_score_table",
+]
 
 STATS_FILE = "_stats.json"
 POSTINGS_DIR = "postings"

@@ -742,3 +742,80 @@ def test_semantic_dedup_passes_empty_input_through(spark):
         )
     )
     assert empty_out.count() == 0
+
+
+def test_cluster_dedup_exact_collapse_equivalence(spark):
+    """The r6 dedup-ladder pre-pass (exact-collapse before candidate
+    generation) must be OUTPUT-IDENTICAL to pairing the full corpus:
+    exact duplicates are Jaccard-1 cliques, so rep-star edges preserve
+    every connected component.  Fixture mixes exact copies, near dups
+    and a transitive chain."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.components import dedup_survivors
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        release_ngram_cache,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split()
+    rows = [
+        (1, base),
+        (2, " ".join(toks[:-1] + ["omega"])),   # near dup of 1
+        (3, " ".join(["omega"] + toks[1:])),    # near dup of 1 (chain)
+        (4, "completely different words entirely unrelated content here"),
+        (101, base),                             # exact copy of 1
+        (102, base),                             # exact copy of 1
+        (104, "completely different words entirely unrelated content here"),
+        (5, "a third island of text with its own vocabulary and phrasing"),
+    ]
+    docs8 = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = load_config(
+        {"keyspaces-cdc-streams": {"corpus": {"dedup": "cluster"}}}
+    )
+    got = {r.doc_id for r in build_corpus_pipeline(cfg)(docs8).collect()}
+    # ground truth: full-corpus pair generation (the pre-r6 shape)
+    full_pairs = ngram_jaccard_pairs(
+        docs8.select("doc_id", "text"), threshold=0.5
+    )
+    expect = {
+        r.doc_id
+        for r in dedup_survivors(docs8, full_pairs, id_col="doc_id")
+        .select("doc_id")
+        .collect()
+    }
+    release_ngram_cache()
+    assert got == expect == {1, 4, 5}
+
+
+def test_cluster_candidate_generation_sees_only_reps(spark, monkeypatch):
+    """The ladder-ordering pin: in cluster mode the pair generator
+    receives the exact-collapsed representatives, never the raw
+    duplicated corpus (6-way duplication would otherwise send 36x the
+    candidate volume through the pair shuffle)."""
+    import sample_keyspaces_cdc_streams_connectors_spark.llm.dedup as d
+
+    seen = {}
+    real = d.ngram_jaccard_pairs
+
+    def spy(docs, **kw):
+        seen["n_docs"] = docs.count()
+        return real(docs, **kw)
+
+    monkeypatch.setattr(d, "ngram_jaccard_pairs", spy)
+    texts = [
+        " ".join(f"grp{t}tok{i}" for i in range(12)) for t in range(4)
+    ]
+    rows = [
+        (t * 100 + c, texts[t]) for t in range(4) for c in range(6)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = load_config(
+        {"keyspaces-cdc-streams": {"corpus": {"dedup": "cluster"}}}
+    )
+    out = build_corpus_pipeline(cfg)(corpus)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert seen["n_docs"] == 4          # only the 4 representatives
+    assert kept == {0, 100, 200, 300}   # min id per exact group
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import release_ngram_cache
+
+    release_ngram_cache()

@@ -520,3 +520,92 @@ def test_simhash_omits_tokenless_docs(spark):
     )
     rows = simhash(docs).collect()
     assert [r["doc_id"] for r in rows] == [4]
+
+
+# --- ngram candidate-budget guard (dedup-ladder enforcement) ---------------
+
+
+def _dup_corpus(spark, n_unique=5, copies=6):
+    """n_unique distinct texts, each duplicated `copies` times under
+    distinct ids — the shape whose candidate volume grows with the
+    SQUARE of the duplication factor."""
+    texts = [
+        " ".join(f"tok{t}w{i}" for i in range(12)) for t in range(n_unique)
+    ]
+    rows = [
+        (t * 1000 + c, texts[t])
+        for t in range(n_unique)
+        for c in range(copies)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_candidate_budget_raises_on_duplicated_corpus(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+        NgramCandidateBudgetError,
+        ngram_jaccard_pairs,
+        release_ngram_cache,
+    )
+
+    docs = _dup_corpus(spark)
+    # 5 groups x C(6,2)=15 pairs per shared shingle -> far over 10
+    with pytest.raises(NgramCandidateBudgetError, match="exact dedup"):
+        ngram_jaccard_pairs(docs, candidate_budget=10)
+    release_ngram_cache()
+
+
+def test_ngram_candidate_budget_passes_under_budget(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        release_ngram_cache,
+    )
+
+    docs = _dup_corpus(spark)
+    pairs = ngram_jaccard_pairs(docs, candidate_budget=10**9)
+    # every within-group ordered pair is an exact (jaccard=1) dup
+    assert pairs.filter(F.col("jaccard") >= 0.999).count() == 5 * 15
+    release_ngram_cache()
+
+
+def test_ngram_candidate_observation_metric(spark):
+    """The guard metric rides the executed plan: the observed
+    Σ C(df,2) estimate upper-bounds the emitted pair count and drops
+    by ~the duplication factor squared after exact collapse."""
+    from pyspark.sql import Observation
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        release_ngram_cache,
+    )
+
+    # 4 unique texts, two of which share a tail (so the collapsed
+    # corpus still yields a NONZERO candidate count — a zero-candidate
+    # plan can lose its CollectMetrics node to AQE empty-relation
+    # propagation, the documented Observation caveat), each text
+    # duplicated 6 ways
+    shared = "omega psi chi phi upsilon"
+    texts = [
+        " ".join(f"tok{t}w{i}" for i in range(8))
+        + (f" {shared}" if t < 2 else "")
+        for t in range(4)
+    ]
+    rows = [(t * 1000 + c, texts[t]) for t in range(4) for c in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs_full = Observation("cand-full")
+    n_pairs = ngram_jaccard_pairs(
+        docs, threshold=0.1, observation=obs_full
+    ).count()
+    est_full = obs_full.get["n_candidates"]
+    assert est_full >= n_pairs > 0
+
+    uniq = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    obs_uniq = Observation("cand-uniq")
+    n_uniq_pairs = ngram_jaccard_pairs(
+        uniq.select("doc_id", "text"), threshold=0.1, observation=obs_uniq
+    ).count()
+    assert n_uniq_pairs > 0
+    est_uniq = obs_uniq.get["n_candidates"]
+    # 6-way duplication inflates per-shingle combinations ~C(12,2)/C(2,2)
+    assert est_uniq > 0
+    assert est_full >= 10 * est_uniq
+    release_ngram_cache()
