@@ -95,6 +95,13 @@ def main(argv: list[str] | None = None) -> int:
         help="search-text mode: the query string",
     )
     p.add_argument(
+        "--query-file",
+        default=None,
+        help="search-text mode: file with one query per line — bulk "
+        "scoring in ONE pass over the pruned postings "
+        "(llm.retrieval.bm25_topk_many) instead of a job per query",
+    )
+    p.add_argument(
         "--max-tokens",
         type=int,
         default=2048,
@@ -225,12 +232,33 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.mode == "search-text":
-        from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk, bm25_topk_many
 
-        if not args.query:
-            print("--query required for search-text mode", file=sys.stderr)
+        if not args.query and not args.query_file:
+            print(
+                "--query or --query-file required for search-text mode",
+                file=sys.stderr,
+            )
             return 2
         spark = get_spark("search-text")
+        if args.query_file:
+            with open(args.query_file, encoding="utf-8") as fh:
+                qs = [ln.strip() for ln in fh if ln.strip()]
+            if not qs:
+                print("query file is empty", file=sys.stderr)
+                return 2
+            queries = spark.createDataFrame(
+                list(enumerate(qs)), "query_id long, query string"
+            )
+            out = bm25_topk_many(
+                spark, args.source, queries, k=args.topk
+            ).orderBy("query_id", "rank")
+            for row in out.collect():
+                print(
+                    f"{row['query_id']}\t{row['doc']}\t"
+                    f"{row['score']:.6f}\t{row['rank']}"
+                )
+            return 0
         for row in bm25_topk(
             spark, args.source, args.query, k=args.topk
         ).collect():

@@ -78,6 +78,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
 from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
     bm25_score_table,
     bm25_topk,
+    bm25_topk_many,
     write_text_index,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
@@ -131,6 +132,7 @@ __all__ = [
     "append_to_semantic_index",
     "bm25_score_table",
     "bm25_topk",
+    "bm25_topk_many",
     "semantic_dedup",
     "semantic_dedup_against_index",
     "semantic_dedup_annotate",

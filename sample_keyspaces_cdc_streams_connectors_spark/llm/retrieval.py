@@ -213,6 +213,135 @@ def bm25_topk(
     return scored.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 
 
+def bm25_topk_many(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+    query_col: str = "query",
+    id_col: str = "query_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """BULK BM25: top-k documents for EVERY row of a query table, in
+    ONE pass over the pruned postings.
+
+    The single-query path (:func:`bm25_topk`) tokenizes driver-side
+    and launches a job per query — targeted data selection at scale
+    means thousands of queries, which must not mean thousands of
+    jobs.  Here the query terms become a COLUMN: tokenize/hash the
+    query table distributively (same ``tokens(normalize_text(...))``
+    + md5 term identity as the index build, so scores are identical
+    to the per-query path), join term→idf from the vocabulary table,
+    then join the postings ONCE on (tb, term) and top-k per query
+    with one grouped heap.
+
+    Scale shape:
+    - Partition pruning survives bulk mode: the DISTINCT term buckets
+      of the whole query table collect driver-side (bounded at
+      ``n_buckets`` values — 64 ints, not a data-sized funnel) and
+      push into the postings scan as a static partition filter, so a
+      query load that touches 9 of 64 buckets reads 9 directories.
+    - ``broadcast_queries=True`` (default) broadcasts the hashed
+      (query, term, idf) side into a map-side postings join — right
+      whenever queries × terms fits in a broadcast (tens of MB =
+      millions of query terms).  Set False for truly huge query
+      tables: the join becomes a regular shuffle on term, still one
+      pass over the postings.
+    - Per-query top-k is rank-over-window — one shuffle of the
+      (query, doc) score rows, heap-bounded per partition by the
+      window's running rank filter.
+
+    Returns ``(id_col, doc, score, rank)`` with rank 1..k per query,
+    ties to the lower doc id (the single-query total order).
+    Queries with no indexed terms yield no rows (same as the
+    single-query path scoring nothing)."""
+    from pyspark.sql import Window
+
+    stats = _load_stats(spark, path)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    base = path.rstrip("/")
+    qterms = (
+        queries.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(tokens(normalize_text(F.col(query_col))))
+            ).alias("__w"),
+        )
+        .select(F.col(id_col), md5_int(F.col("__w")).alias("term"))
+        .distinct()
+    )
+    # vocabulary join first: (query, term) pairs that exist in the
+    # index, each carrying its idf — the inner join drops unindexed
+    # terms exactly as the single-query path's isin() does
+    dfreq = spark.read.parquet(f"{base}/{TERMS_DIR}").withColumn(
+        "idf",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+    )
+    q_with_idf = (
+        (F.broadcast(qterms) if broadcast_queries else qterms)
+        .join(dfreq, "term")
+        .select(id_col, "term", "idf")
+    )
+    # bucket pruning: the distinct tb set is bounded at n_buckets
+    # values however many queries there are — a legitimate
+    # driver-side collect (the same directory-pruning discipline as
+    # the single-query path, just computed from data)
+    buckets = sorted(
+        r["tb"]
+        for r in q_with_idf.select(
+            F.pmod(F.col("term"), F.lit(int(n_buckets)))
+            .cast("int")
+            .alias("tb")
+        )
+        .distinct()
+        .collect()
+    )
+    if not buckets:
+        return spark.createDataFrame(
+            [],
+            f"{id_col} {queries.schema[id_col].dataType.simpleString()}, "
+            "doc long, score double, rank int",
+        )
+    postings = spark.read.parquet(f"{base}/{POSTINGS_DIR}").filter(
+        F.col("tb").isin(buckets)
+    )
+    q_side = (
+        F.broadcast(q_with_idf) if broadcast_queries else q_with_idf
+    )
+    tf = F.col("tf").cast("double")
+    per_term = postings.join(q_side, "term").select(
+        id_col,
+        "doc",
+        (
+            F.col("idf")
+            * tf
+            * (F.lit(k1) + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+                )
+            )
+        ).alias("__s"),
+    )
+    scored = per_term.groupBy(id_col, "doc").agg(F.sum("__s").alias("score"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "doc", "score", "rank")
+    )
+
+
 def bm25_reference(
     rows: list[tuple],
     query: str,

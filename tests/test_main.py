@@ -444,3 +444,60 @@ def test_cli_index_and_search_text(spark, sf_dir, tmp_path, capsys):
     assert 0 < len(lines) <= 5
     scores = [float(l.split("\t")[1]) for l in lines]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_search_text_query_file_bulk(spark, sf_dir, tmp_path, capsys):
+    """search-text --query-file: bulk scoring prints
+    query_id<TAB>doc<TAB>score<TAB>rank, grouped per query in rank
+    order, and agrees with the single-query mode."""
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    out = str(tmp_path / "bm25idx2")
+    rc = main(
+        [
+            "--source", f"{sf_dir}/documents.parquet",
+            "--mode", "index-text",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    qf = tmp_path / "queries.txt"
+    qf.write_text("the data pipeline\nquick brown\n\n")
+    rc = main(
+        [
+            "--source", out,
+            "--mode", "search-text",
+            "--query-file", str(qf),
+            "--topk", "3",
+        ]
+    )
+    assert rc == 0
+    lines = [
+        l.split("\t")
+        for l in capsys.readouterr().out.splitlines()
+        if l.count("\t") == 3
+    ]
+    assert lines
+    by_q: dict = {}
+    for qid, doc, score, rank in lines:
+        by_q.setdefault(int(qid), []).append((int(rank), int(doc), float(score)))
+    assert set(by_q) <= {0, 1} and 0 in by_q
+    for qid, rows in by_q.items():
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r[2] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # single-query mode agrees on query 0's top doc
+    rc = main(
+        [
+            "--source", out,
+            "--mode", "search-text",
+            "--query", "the data pipeline",
+            "--topk", "3",
+        ]
+    )
+    assert rc == 0
+    single = [
+        l for l in capsys.readouterr().out.splitlines() if l.count("\t") == 1
+    ]
+    assert int(single[0].split("\t")[0]) == by_q[0][0][1]

@@ -100,3 +100,98 @@ def test_empty_docs_not_indexed(spark, index_path, tmp_path):
 def test_empty_query_rejected(spark, index_path):
     with pytest.raises(ValueError):
         bm25_topk(spark, index_path, "   ")
+
+
+# --- bulk query scoring (bm25_topk_many) ------------------------------------
+
+
+def test_bulk_matches_per_query_loop(spark, sf_dir, index_path):
+    """bm25_topk_many must reproduce the per-query path exactly —
+    same docs, same order, same scores to 1e-12 — for a mixed batch
+    (multi-term, single-term, partially-unindexed, fully-unindexed)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk_many
+
+    qs = [
+        (0, QUERY),
+        (1, "data pipeline"),
+        (2, "quick zzzznotindexedzzzz brown"),
+        (3, "zzzznotindexedzzzz qqqqalsonotqqqq"),
+        (4, "the"),
+    ]
+    queries = spark.createDataFrame(qs, "query_id long, query string")
+    bulk = {}
+    for r in bm25_topk_many(spark, index_path, queries, k=7).collect():
+        bulk.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc"], r["score"])
+        )
+    for qid, qtext in qs:
+        want = [
+            (i + 1, r["doc"], r["score"])
+            for i, r in enumerate(
+                bm25_topk(spark, index_path, qtext, k=7).collect()
+            )
+        ]
+        got = sorted(bulk.get(qid, []))
+        assert [g[:2] for g in got] == [w[:2] for w in want], qid
+        for g, w in zip(got, want):
+            assert g[2] == pytest.approx(w[2], rel=1e-12), (qid, g[1])
+    assert 3 not in bulk  # fully-unindexed query scores nothing
+
+
+def test_bulk_plan_one_pruned_postings_pass(spark, index_path):
+    """The bulk plan's contract: exactly ONE scan of the postings
+    parquet, carrying a static partition filter on the query load's
+    term buckets; the query side broadcasts; per-query top-k is a
+    window rank, not a cartesian or a per-query job."""
+    import re
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk_many
+
+    queries = spark.createDataFrame(
+        [(0, QUERY), (1, "data pipeline quality")],
+        "query_id long, query string",
+    )
+    df = bm25_topk_many(spark, index_path, queries, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("postings") >= 1
+    # one postings scan only (the scan string names the directory)
+    n_scans = len(
+        re.findall(r"Scan parquet[^\n]*postings", plan)
+    )
+    assert n_scans == 1, plan[:2000]
+    m = re.search(r"PartitionFilters: \[([^\]]*tb[^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "bucket partition pruning survives bulk"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bulk_empty_and_unindexed_queries(spark, index_path):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk_many
+
+    queries = spark.createDataFrame(
+        [(0, "zzzznotindexedzzzz")], "query_id long, query string"
+    )
+    out = bm25_topk_many(spark, index_path, queries, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc", "score", "rank"]
+
+
+def test_bulk_shuffle_join_mode_equivalent(spark, index_path):
+    """broadcast_queries=False (the huge-query-table mode) must score
+    identically — same plan semantics, shuffle join instead."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk_many
+
+    queries = spark.createDataFrame(
+        [(0, QUERY), (1, "data pipeline")], "query_id long, query string"
+    )
+    a = sorted(
+        (r["query_id"], r["rank"], r["doc"], round(r["score"], 9))
+        for r in bm25_topk_many(spark, index_path, queries, k=6).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["doc"], round(r["score"], 9))
+        for r in bm25_topk_many(
+            spark, index_path, queries, k=6, broadcast_queries=False
+        ).collect()
+    )
+    assert a == b and a
