@@ -28,8 +28,18 @@ Construction is Spark-native and deterministic:
   per-row python hashing.
 
 Memory: 10⁸ keys at 1% FPR ≈ 120 MB — broadcastable.  Beyond that,
-build one filter per index prefix-bucket (the index is already
-256-bucketed) and probe the matching bucket's filter.
+:class:`BucketedBloomFilter` keeps one filter per index prefix-bucket
+(the index is already 256-bucketed): the build stays ONE shuffle
+(bucket joins the groupBy key), the probe routes each key to its
+bucket's bitset with pure numpy indexing (one extra int column), and
+the per-bucket layout is what lets the structure keep scaling — the
+bitsets save ``partitionBy(bucket)``, so a probe task needs only the
+buckets it actually sees, and appends union in per bucket (Bloom
+filters union by bitwise OR, :func:`bloom_union`) without touching
+the other 255.  At the 10¹¹-key standing-index regime the full
+filter set no longer fits one task; the save layout is
+deliberately the cogroup-ready shape (batch bucket ↔ filter bucket)
+for that step.
 
 No reference counterpart (the reference has no membership structure
 at all); Spark's own ``DataFrameStatFunctions.bloomFilter`` builds
@@ -48,11 +58,17 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "BloomFilter",
+    "BucketedBloomFilter",
     "optimal_params",
     "build_bloom",
+    "build_bloom_bucketed",
     "might_contain",
+    "might_contain_bucketed",
+    "bloom_union",
     "save_bloom",
     "load_bloom",
+    "save_bloom_bucketed",
+    "load_bloom_bucketed",
 ]
 
 
@@ -148,6 +164,142 @@ def might_contain(col: Column, bloom: BloomFilter) -> Column:
     udf = F.pandas_udf(probe, "boolean")
     h1, h2 = _hash_cols(col)
     return udf(h1, h2)
+
+
+@dataclass(frozen=True)
+class BucketedBloomFilter:
+    """One Bloom filter per index prefix-bucket, stacked as a 2D
+    bitset — the scale form of :class:`BloomFilter` for bucketed key
+    indexes (``llm.dedup_index`` keeps 256 ``bucket=XX`` directories).
+    ``n_bits``/``k`` are PER BUCKET; ``words`` is
+    ``(n_buckets, n_bits/64)`` packed int64."""
+
+    n_bits: int
+    k: int
+    words: np.ndarray
+
+    def __post_init__(self) -> None:
+        if self.n_bits < 64:
+            raise ValueError(f"n_bits must be >= 64, got {self.n_bits}")
+        if not 1 <= self.k <= 32:
+            raise ValueError(f"k must be in [1, 32], got {self.k}")
+        if self.words.ndim != 2 or self.words.shape[1] != self.n_bits // 64:
+            raise ValueError(
+                f"words must be (n_buckets, {self.n_bits // 64}), "
+                f"got {self.words.shape}"
+            )
+
+    @property
+    def n_buckets(self) -> int:
+        return int(self.words.shape[0])
+
+
+def build_bloom_bucketed(
+    df: DataFrame,
+    col: str,
+    bucket_idx: Column,
+    n_bits: int,
+    k: int,
+    n_buckets: int = 256,
+) -> BucketedBloomFilter:
+    """Distributed build of ALL per-bucket filters in ONE shuffle:
+    the bucket index simply joins the word-index groupBy key, so the
+    job count and the shuffle volume are identical to the flat build
+    — never a job per bucket.  ``bucket_idx`` must evaluate to an int
+    in ``[0, n_buckets)`` (e.g. the hex prefix the index partitions
+    by, ``conv(substring(fp, 1, 2), 16, 10)``)."""
+    probe = BucketedBloomFilter(
+        n_bits=n_bits,
+        k=k,
+        words=np.zeros((n_buckets, n_bits // 64), dtype=np.int64),
+    )
+    h1, h2 = _hash_cols(F.col(col))
+    h1m = h1 % n_bits
+    h2m = (h2 % n_bits) * 2 + 1
+    rows = (
+        df.select(
+            bucket_idx.cast("int").alias("_b"),
+            h1m.alias("_h1m"),
+            h2m.alias("_h2m"),
+        )
+        .withColumn("_i", F.explode(F.lit(list(range(k)))))
+        .select(
+            "_b",
+            ((F.col("_h1m") + F.col("_i") * F.col("_h2m")) % n_bits).alias(
+                "_pos"
+            ),
+        )
+        .select(
+            "_b",
+            F.expr("_pos div 64").alias("_w"),
+            F.expr("shiftleft(1L, cast(_pos % 64 as int))").alias("_m"),
+        )
+        .groupBy("_b", "_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+        .collect()
+    )
+    packed = probe.words  # zeros, correctly shaped
+    for r in rows:
+        b = r["_b"]
+        if not 0 <= b < n_buckets:
+            raise ValueError(
+                f"bucket_idx produced {b}, outside [0, {n_buckets})"
+            )
+        packed[b, r["_w"]] = r["_bits"]
+    return probe
+
+
+def might_contain_bucketed(
+    bucket_idx: Column, col: Column, bloom: BucketedBloomFilter
+) -> Column:
+    """Bucket-routed membership probe: each key tests against ITS
+    bucket's bitset only — same map-only Arrow shape as
+    :func:`might_contain`, one extra int column for the routing, the
+    2D bitset indexed ``words[bucket, word]`` in pure numpy."""
+    n_bits, k = bloom.n_bits, bloom.k
+    words2d = bloom.words.view(np.uint64)
+    n_buckets = bloom.n_buckets
+    import pandas as pd
+
+    def probe(bs, h1s, h2s):
+        b = bs.to_numpy(dtype=np.int64)
+        if len(b) and (b.min() < 0 or b.max() >= n_buckets):
+            raise ValueError(
+                f"bucket index outside [0, {n_buckets}): "
+                f"[{b.min()}, {b.max()}]"
+            )
+        h1m = h1s.to_numpy(dtype=np.int64) % n_bits
+        h2m = (h2s.to_numpy(dtype=np.int64) % n_bits) * 2 + 1
+        steps = np.arange(k, dtype=np.int64)[None, :]
+        pos = ((h1m[:, None] + steps * h2m[:, None]) % n_bits).astype(
+            np.uint64
+        )
+        hits = (
+            words2d[b[:, None], (pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return pd.Series(hits.all(axis=1))
+
+    udf = F.pandas_udf(probe, "boolean")
+    h1, h2 = _hash_cols(col)
+    return udf(bucket_idx.cast("int"), h1, h2)
+
+
+def bloom_union(a, b):
+    """Bitwise-OR union — for both flat and bucketed filters.  The
+    union of two filters built with the SAME parameters over key sets
+    A and B is bit-identical to one filter built over A ∪ B (each
+    key's positions depend only on the key and the parameters), which
+    is what makes per-bucket APPEND semantics exact: OR the appended
+    keys' filter in, never rebuild the other buckets."""
+    if type(a) is not type(b):
+        raise ValueError(f"cannot union {type(a).__name__} with {type(b).__name__}")
+    if (a.n_bits, a.k) != (b.n_bits, b.k) or a.words.shape != b.words.shape:
+        raise ValueError(
+            f"parameter mismatch: ({a.n_bits}, {a.k}, {a.words.shape}) "
+            f"vs ({b.n_bits}, {b.k}, {b.words.shape})"
+        )
+    return type(a)(n_bits=a.n_bits, k=a.k, words=a.words | b.words)
 
 
 def save_bloom(spark: SparkSession, bloom: BloomFilter, path: str) -> None:
