@@ -241,9 +241,10 @@ def build_bloom_bucketed(
     packed = probe.words  # zeros, correctly shaped
     for r in rows:
         b = r["_b"]
-        if not 0 <= b < n_buckets:
+        if b is None or not 0 <= b < n_buckets:
             raise ValueError(
-                f"bucket_idx produced {b}, outside [0, {n_buckets})"
+                f"bucket_idx produced {b!r}, outside [0, {n_buckets}) "
+                "(NULL means the bucket expression or key column was null)"
             )
         packed[b, r["_w"]] = r["_bits"]
     return probe
@@ -324,3 +325,43 @@ def load_bloom(spark: SparkSession, path: str) -> BloomFilter:
     return BloomFilter(
         n_bits=int(meta["n_bits"]), k=int(meta["k"]), words=packed
     )
+
+
+def save_bloom_bucketed(
+    spark: SparkSession, bloom: BucketedBloomFilter, path: str
+) -> None:
+    """Persist the per-bucket filter set as parquet of non-zero
+    (bucket, word_idx, bits) rows, ``partitionBy(bucket)`` — so a
+    future bucket-scoped reader (or a cogroup of batch bucket ↔
+    filter bucket) opens ONLY the bucket directories it needs, and a
+    per-bucket append can overwrite one ``bucket=XX`` directory via
+    dynamic partition overwrite without touching the other 255."""
+    bs, ws = np.nonzero(bloom.words)
+    rows = [
+        (int(b), int(w), int(bloom.words[b, w])) for b, w in zip(bs, ws)
+    ]
+    (
+        spark.createDataFrame(
+            rows or [(-1, -1, 0)], "bucket int, word_idx long, bits long"
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/words")
+    )
+    spark.createDataFrame(
+        [(bloom.n_bits, bloom.k, bloom.n_buckets)],
+        "n_bits long, k int, n_buckets int",
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_bloom_bucketed(spark: SparkSession, path: str) -> BucketedBloomFilter:
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_bits, k = int(meta["n_bits"]), int(meta["k"])
+    packed = np.zeros(
+        (int(meta["n_buckets"]), n_bits // 64), dtype=np.int64
+    )
+    for r in spark.read.parquet(f"{path}/words").collect():
+        if r["bucket"] >= 0:
+            packed[r["bucket"], r["word_idx"]] = r["bits"]
+    return BucketedBloomFilter(n_bits=n_bits, k=k, words=packed)

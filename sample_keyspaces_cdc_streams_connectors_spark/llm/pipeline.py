@@ -404,14 +404,20 @@ def build_corpus_pipeline(
             # duplication factor (the sf1 stress run measured 27×
             # candidates at 10× data on a 10-way-duplicated corpus).
             # Collapsing byte-identical texts to one representative
-            # first removes exactly that mass, and the result is
-            # IDENTICAL: exact duplicates are Jaccard-1 cliques (>=
-            # any threshold), so wiring each member to its group's
-            # representative by a star edge preserves every connected
-            # component the full pair set would produce — survivor
-            # selection (including ``prefer``) sees the same
-            # components.  Cost: ONE fingerprint window shuffle, the
-            # same price as dedup_mode="exact".
+            # first removes exactly that mass.  For any doc long
+            # enough to shingle, the result is identical: exact
+            # duplicates are Jaccard-1 cliques (>= any threshold), so
+            # wiring each member to its group's representative by a
+            # star edge preserves every connected component the full
+            # pair set would produce — survivor selection (including
+            # ``prefer``) sees the same components.  ONE deliberate
+            # improvement over pure candidate generation: exact
+            # duplicates SHORTER than shingle_k tokens produce no
+            # shingles, so the pre-ladder pipeline paired nothing and
+            # kept every copy — the star edge now collapses those
+            # too (fixture-pinned in tests/test_corpus_pipeline.py).
+            # Cost: ONE fingerprint window shuffle, the same price as
+            # dedup_mode="exact".
             fpd = docs_kv.withColumn(
                 "__fp", doc_fingerprint(F.col(text_col))
             ).withColumn(

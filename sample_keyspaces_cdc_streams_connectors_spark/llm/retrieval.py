@@ -257,9 +257,27 @@ def bm25_topk_many(
     Returns ``(id_col, doc, score, rank)`` with rank 1..k per query,
     ties to the lower doc id (the single-query total order).
     Queries with no indexed terms yield no rows (same as the
-    single-query path scoring nothing)."""
+    single-query path scoring nothing).
+
+    ``id_col`` must be UNIQUE: a duplicated id with different texts
+    would merge the two term sets into scores that correspond to no
+    actual query, so the table is checked up front (one cheap
+    aggregate over the query table — always tiny next to the
+    postings) and a duplicate raises ``ValueError``."""
     from pyspark.sql import Window
 
+    dup = (
+        queries.groupBy(id_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"bm25_topk_many requires unique {id_col!r} values; "
+            f"{dup[0][id_col]!r} appears {dup[0]['count']} times"
+        )
     stats = _load_stats(spark, path)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     base = path.rstrip("/")

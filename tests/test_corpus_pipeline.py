@@ -819,3 +819,28 @@ def test_cluster_candidate_generation_sees_only_reps(spark, monkeypatch):
     from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import release_ngram_cache
 
     release_ngram_cache()
+
+
+def test_cluster_dedup_collapses_short_exact_copies(spark):
+    """Docs shorter than shingle_k tokens yield no shingles, so the
+    pre-ladder pipeline could never pair them — exact copies of a
+    1-2 token doc both survived.  The r6 exact-collapse star edge is
+    an intentional improvement: byte-identical short docs now
+    collapse to one representative, while DISTINCT short docs are
+    untouched (no shingles -> no near-dup pairs)."""
+    rows = [
+        (1, "hi"),                       # 1 token < shingle_k=3
+        (2, "hi"),                       # exact copy: now collapses
+        (3, "hi there"),                 # 2 tokens, distinct: kept
+        (4, "one two three four five"),  # normal doc
+        (5, "one two three four five"),  # exact copy: collapses
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = load_config(
+        {"keyspaces-cdc-streams": {"corpus": {"dedup": "cluster"}}}
+    )
+    kept = {r.doc_id for r in build_corpus_pipeline(cfg)(docs).collect()}
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import release_ngram_cache
+
+    release_ngram_cache()
+    assert kept == {1, 3, 4}

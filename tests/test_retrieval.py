@@ -195,3 +195,17 @@ def test_bulk_shuffle_join_mode_equivalent(spark, index_path):
         ).collect()
     )
     assert a == b and a
+
+
+def test_bulk_duplicate_query_ids_rejected(spark, index_path):
+    """A duplicated query_id with different texts would merge two term
+    sets into scores matching no actual query — checked up front."""
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk_many
+
+    queries = spark.createDataFrame(
+        [(0, QUERY), (0, "data pipeline")], "query_id long, query string"
+    )
+    with _pytest.raises(ValueError, match="unique"):
+        bm25_topk_many(spark, index_path, queries, k=5)
