@@ -262,19 +262,31 @@ def main() -> None:
     corpus_docs_per_sec = int(n_docs / curate_best) if curate_best else None
 
     # streaming throughput: events/sec through the REAL state-store
-    # pipeline (readStream availableNow replay of the sliding-window
-    # aggregate, update mode, foreachBatch capture — the machinery
-    # behind the stream_window_counts gate).  Reported so a state-store
-    # perf regression is visible round-over-round (VERDICT r4 #6);
-    # min-elapsed over N passes, same minima methodology as the suite.
+    # pipelines (readStream availableNow replay, update mode,
+    # foreachBatch capture).  TWO distinct state shapes are replayed —
+    # the sliding-window aggregate (HDFSBackedStateStore keyed windows)
+    # and the session-window aggregate (merging session state) — so a
+    # regression in EITHER store path is visible round-over-round
+    # (VERDICT r4 #6 + r5 #7: one pipeline left session/join/dedup
+    # state invisible).  The headline streaming_events_per_sec is the
+    # MIN of the per-pipeline rates (conservative: the slowest state
+    # machinery bounds a mixed workload); the per-pipeline breakdown
+    # is reported alongside.  Min-elapsed over N passes each, same
+    # minima methodology as the suite.
     stream_passes = 3
-    stream_best = float("inf")
-    for _ in range(stream_passes):
-        t0 = time.time()
-        df = queries["stream_window_counts"](spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        stream_best = min(stream_best, time.time() - t0)
-    streaming_events_per_sec = int(n_events / stream_best)
+    streaming_pipelines: dict[str, int] = {}
+    for qname, label in (
+        ("stream_window_counts", "sliding_window"),
+        ("session_window_agg", "session_window"),
+    ):
+        best = float("inf")
+        for _ in range(stream_passes):
+            t0 = time.time()
+            df = queries[qname](spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        streaming_pipelines[label] = int(n_events / best)
+    streaming_events_per_sec = min(streaming_pipelines.values())
 
     # auxiliary operators (round-3 additions outside the oracle
     # registry): timed min-of-2 each, reported separately so they
@@ -503,6 +515,8 @@ def main() -> None:
         "cdc_rows_per_sec": cdc_rows_per_sec,
         "corpus_docs_per_sec": corpus_docs_per_sec,
         "streaming_events_per_sec": streaming_events_per_sec,
+        # min across the two replayed state-store pipelines; breakdown:
+        "streaming_pipelines": streaming_pipelines,
         # throughputs derive from the min-time over interleaved passes
         # (same minima methodology as the query suite), N recorded:
         "cdc_passes": 4,

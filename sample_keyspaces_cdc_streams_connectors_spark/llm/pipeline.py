@@ -850,6 +850,7 @@ def shard_corpus(
     text_col: str = "text",
     salt: str = "epoch0",
     n_buckets: int = 256,
+    persist: bool = False,
 ) -> DataFrame:
     """Epoch shuffle + token-balanced shard assignment — the final
     stage before training: order the corpus by a salted content hash
@@ -871,6 +872,13 @@ def shard_corpus(
     window.  Unlike :func:`pack_sequences` (independent hash shards,
     no global order) this yields the *contiguous-in-epoch-order*
     shards a sequential training loader consumes.
+
+    ``persist=True`` caches the 3-column (id, hash, n_tokens)
+    projection between the prefix-sum's two passes so the tokenize
+    runs ONCE — use when the lineage above ``docs`` is expensive;
+    release with
+    :func:`~sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum.release_order_stats_cache`
+    after materializing the result.
     """
     from sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum import with_order_stats
 
@@ -891,6 +899,7 @@ def shard_corpus(
         n_buckets=n_buckets,
         pos_col="epoch_pos",
         cum_col="_cum",
+        persist=persist,
     )
     if total_tokens <= 0:
         return scanned.drop("_h", "_cum").withColumn(

@@ -41,10 +41,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_order_stats"]
+__all__ = ["with_order_stats", "release_order_stats_cache"]
 
 #: buckets are carved from the first 4 hex chars = 16 bits of the hash
 _PREFIX_SPACE = 1 << 16
+
+# persist=True runs register their cached input here; callers release
+# it once the annotated result is materialized (the same scoped-release
+# discipline as llm.dedup's ngram cache — never unpersist under a lazy
+# consumer).
+_ORDER_STATS_CACHE: list[DataFrame] = []
+
+
+def release_order_stats_cache() -> None:
+    """Unpersist every input cached by ``with_order_stats(persist=True)``.
+    Call after the annotated DataFrame has been written/collected."""
+    while _ORDER_STATS_CACHE:
+        _ORDER_STATS_CACHE.pop().unpersist()
 
 
 def _bucket(hash_col: Column, n_buckets: int) -> Column:
@@ -60,6 +73,7 @@ def with_order_stats(
     n_buckets: int = 256,
     pos_col: str = "pos",
     cum_col: str = "cum",
+    persist: bool = False,
 ) -> tuple[DataFrame, int, int]:
     """Annotate ``df`` with its global 0-based position (``pos_col``)
     and exclusive running weight sum (``cum_col``) under the total
@@ -73,12 +87,22 @@ def with_order_stats(
 
     The input is computed twice (pass A aggregate + pass B window);
     both passes are pure functions of the input rows, so no caching
-    is required for correctness — persist upstream only if the lineage
-    is expensive.
+    is required for correctness.  When the lineage above ``df`` is
+    expensive (e.g. a tokenize feeding ``weight_col``),
+    ``persist=True`` caches the bucketed input MEMORY_AND_DISK so the
+    lineage runs once: pass A's collect materializes the cache and
+    pass B reads it.  The cache stays live (pass B's consumer is
+    lazy); call :func:`release_order_stats_cache` after the annotated
+    result is written/collected.
     """
     if not 1 <= n_buckets <= _PREFIX_SPACE:
         raise ValueError(f"n_buckets must be in [1, {_PREFIX_SPACE}]")
     bucketed = df.withColumn("_psb", _bucket(F.col(hash_col), n_buckets))
+    if persist:
+        from pyspark import StorageLevel
+
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+        _ORDER_STATS_CACHE.append(bucketed)
 
     # pass A: per-bucket count/weight totals -> driver-side offsets
     aggs = [F.count(F.lit(1)).alias("_n")]

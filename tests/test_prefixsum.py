@@ -137,3 +137,57 @@ def test_shard_corpus_validates(spark, sf_dir):
         shard_corpus(docs, n_shards=0)
     with pytest.raises(ValueError):
         with_order_stats(docs, "text", ["doc_id"], n_buckets=0)
+
+
+def test_persist_option_equal_and_caches_one_scan(spark):
+    """persist=True must (a) leave the result bit-identical, (b)
+    actually cache the bucketed input — pass B's plan reads
+    InMemoryTableScan instead of recomputing the lineage — and (c)
+    release via release_order_stats_cache."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum import (
+        release_order_stats_cache,
+    )
+
+    df = _mk(spark, n=150, parts=4)
+    plain, n1, w1 = with_order_stats(
+        df, hash_col="h", tiebreak_cols=["k"], weight_col="w", n_buckets=8
+    )
+    cached, n2, w2 = with_order_stats(
+        df,
+        hash_col="h",
+        tiebreak_cols=["k"],
+        weight_col="w",
+        n_buckets=8,
+        persist=True,
+    )
+    try:
+        assert (n1, w1) == (n2, w2)
+        a = {r["k"]: (r["pos"], r["cum"]) for r in plain.collect()}
+        b = {r["k"]: (r["pos"], r["cum"]) for r in cached.collect()}
+        assert a == b
+        plan = cached._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    finally:
+        release_order_stats_cache()
+    assert not spark.sparkContext._jsc.sc().getRDDStorageInfo()
+
+
+def test_shard_corpus_persist_passthrough(spark, sf_dir):
+    """shard_corpus(persist=True) is output-identical to the default
+    (the knob only changes WHERE the tokenize runs, never the shards)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum import (
+        release_order_stats_cache,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    base = {
+        (r["doc_id"], r["epoch_pos"], r["shard"])
+        for r in shard_corpus(docs, 8).collect()
+    }
+    got = {
+        (r["doc_id"], r["epoch_pos"], r["shard"])
+        for r in shard_corpus(docs, 8, persist=True).collect()
+    }
+    release_order_stats_cache()
+    assert got == base
