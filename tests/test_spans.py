@@ -267,3 +267,158 @@ def test_property_vs_sequential_reference(spark):
                 assert row.text == originals[d], (trial, d)  # raw bytes
             else:
                 assert row.text == exp["clean"], (trial, d)
+
+
+# --- r7: fixed-k vs the true suffix-array criterion (VERDICT r5 #8) ---------
+
+
+def _suffix_criterion_coverage(texts, k, min_docs, count_occurrences=False):
+    """Brute-force transcription of the SUFFIX-ARRAY EXACTSUBSTR
+    criterion (Lee et al. ACL'22): token i of doc d is covered iff
+    SOME substring of length >= k containing i occurs in >= min_docs
+    distinct documents (``count_occurrences=True`` switches to the
+    paper's occurrence count, where two copies inside ONE doc also
+    qualify).  O(docs * n^2) — test-sized corpora only."""
+    import re
+    from collections import defaultdict
+
+    def toks_of(text):
+        norm = re.sub(r"\s+", " ", text or "").strip().lower()
+        return [t for t in norm.split(" ") if t != ""]
+
+    docs = {d: toks_of(t) for d, t in texts}
+    # df per substring tuple of every length >= k
+    seen = defaultdict(set)      # substring -> doc set
+    occ = defaultdict(int)       # substring -> occurrence count
+    for d, toks in docs.items():
+        n = len(toks)
+        for length in range(k, n + 1):
+            for s in range(n - length + 1):
+                sub = tuple(toks[s : s + length])
+                seen[sub].add(d)
+                occ[sub] += 1
+    cover = {}
+    for d, toks in docs.items():
+        n = len(toks)
+        mask = [False] * n
+        for length in range(k, n + 1):
+            for s in range(n - length + 1):
+                sub = tuple(toks[s : s + length])
+                hot = (
+                    occ[sub] >= min_docs
+                    if count_occurrences
+                    else len(seen[sub]) >= min_docs
+                )
+                if hot:
+                    for j in range(s, s + length):
+                        mask[j] = True
+        cover[d] = mask
+    return cover
+
+
+def _fixed_k_coverage(spark, rows, k, min_docs):
+    out = {
+        r.doc_id: r
+        for r in remove_repeated_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            k=k,
+            min_docs=min_docs,
+        ).collect()
+    }
+    import re
+
+    cover = {}
+    for d, text in rows:
+        norm = re.sub(r"\s+", " ", text or "").strip().lower()
+        toks = [t for t in norm.split(" ") if t != ""]
+        kept = out[d].text.split(" ") if out[d].n_removed_tokens else toks
+        # reconstruct the mask from kept tokens greedily (kept is a
+        # subsequence of toks by construction)
+        mask = [True] * len(toks)
+        ki = 0
+        for i, t in enumerate(toks):
+            if ki < len(kept) and kept[ki] == t:
+                # greedy match is exact here because the scrub keeps
+                # tokens in order; verified by count below
+                mask[i] = False
+                ki += 1
+        assert sum(mask) == out[d].n_removed_tokens, d
+        cover[d] = mask
+    return cover
+
+
+def test_fixed_k_equals_suffix_criterion_on_cross_doc_runs(spark):
+    """The r5 verdict flagged runs of length k..2k-1 as a possible
+    fixed-k residual.  This pins the stronger fact: for CROSS-DOC
+    repeats the two constructions are coverage-IDENTICAL at every
+    planted run length k..2k+2 — any position inside a length->=k
+    repeated substring lies inside one of its k-sub-windows, and that
+    window is itself repeated, so the window union equals the
+    suffix-criterion union.  (The greedy mask reconstruction in
+    _fixed_k_coverage is validated against n_removed_tokens.)"""
+    import random
+
+    rng = random.Random(20260815)
+    vocab = [f"v{i}" for i in range(500)]  # large vocab: no chance repeats
+    k, min_docs = 5, 2
+    rows = []
+    d = 0
+    for run_len in range(k, 2 * k + 3):  # k .. 2k+2
+        run = " ".join(rng.choice(vocab) for _ in range(run_len))
+        for copy in range(2):
+            body = [rng.choice(vocab) for _ in range(rng.randint(6, 18))]
+            cut = rng.randint(0, len(body))
+            rows.append(
+                (d, " ".join(body[:cut]) + f" {run} " + " ".join(body[cut:]))
+            )
+            d += 1
+    # plus unique docs that must stay untouched
+    for _ in range(6):
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(15))))
+        d += 1
+
+    suffix = _suffix_criterion_coverage(rows, k, min_docs)
+    fixed = _fixed_k_coverage(spark, rows, k, min_docs)
+    assert suffix.keys() == fixed.keys()
+    for doc_id in suffix:
+        assert suffix[doc_id] == fixed[doc_id], doc_id
+
+
+def test_fixed_k_divergence_confined_to_known_classes(spark):
+    """The ONLY divergences from the suffix-array construction are the
+    two documented, intentional ones:
+
+    1. short docs (n < k): the engine's whole-doc window flags
+       repeated short docs as boilerplate; the suffix criterion
+       (length >= k only) cannot see them — the engine is STRICTLY
+       more aggressive, never less;
+    2. within-doc repeats: the engine counts DISTINCT DOCUMENTS
+       (boilerplate = cross-document by definition here), the paper
+       counts occurrences — a phrase repeated twice inside one
+       unique doc is flagged by the paper's criterion, not ours."""
+    k, min_docs = 5, 2
+    run = "alpha beta gamma delta epsilon zeta"  # 6 tokens > k
+    rows = [
+        (0, "tiny dup"),                      # short, repeated
+        (1, "tiny dup"),
+        (2, "unique little"),                 # short, unique
+        (3, f"start {run} middle {run} end"),  # within-doc repeat only
+        (4, "filler words that appear once in the corpus only here"),
+    ]
+    suffix_docs = _suffix_criterion_coverage(rows, k, min_docs)
+    suffix_occ = _suffix_criterion_coverage(
+        rows, k, min_docs, count_occurrences=True
+    )
+    fixed = _fixed_k_coverage(spark, rows, k, min_docs)
+
+    # class 1: short repeated docs — engine covers, suffix cannot
+    assert fixed[0] == [True, True] and suffix_docs[0] == [False, False]
+    assert fixed[1] == [True, True]
+    assert fixed[2] == [False, False]  # short but unique: untouched
+    # class 2: within-doc repeat — occurrence counting covers the two
+    # run copies, the engine's distinct-doc df leaves them
+    assert not any(fixed[3])
+    assert not any(suffix_docs[3])     # distinct-doc suffix agrees
+    assert sum(suffix_occ[3]) == 12    # both 6-token copies flagged
+    # everything else: all three constructions agree on no coverage
+    assert not any(fixed[4]) and not any(suffix_occ[4])
