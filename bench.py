@@ -63,10 +63,10 @@ HEADLINE = [
     "embed_dims",
     "multimodal_geom",       # + frame sampling (r5 consolidation)
     "udaf_grouped_sum",      # + HLL sketch arm (r5 consolidation)
-    "exists_semi_anti",
-    "scalar_subquery_avg",
+    "subquery_ops",          # exists/anti + scalar-avg arms (r7 merge)
     "agg_percentiles",
     "explode_wordcount",
+    "mixture_split",         # corpus mixture + train/val/test split (r7)
 ]
 
 #: prior-round query names → current consolidated names, so
@@ -102,6 +102,9 @@ RENAMES = {
     "join_inner": "join_basic",
     "join_left": "join_basic",
     "ann_pq_topk": "vector_topk",
+    # r7 (slot freed for the mixture_split gate)
+    "exists_semi_anti": "subquery_ops",
+    "scalar_subquery_avg": "subquery_ops",
 }
 
 

@@ -40,6 +40,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import (
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
     annotate_corpus,
+    assign_split,
     build_corpus_pipeline,
     corpus_stats,
     deterministic_sample,
@@ -121,6 +122,7 @@ __all__ = [
     "kmeans_seed",
     "kmeans_seed_parallel",
     "annotate_corpus",
+    "assign_split",
     "build_corpus_pipeline",
     "corpus_stats",
     "deterministic_sample",

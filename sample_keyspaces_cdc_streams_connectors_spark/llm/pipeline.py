@@ -808,6 +808,56 @@ def sample_corpus_mixture(
     return out
 
 
+def assign_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test (or any n-way) split: every row
+    gets exactly one label from ``fractions`` (e.g. ``{"train": .98,
+    "val": .01, "test": .01}``, must sum to 1 within resolution),
+    decided by the same (salt, id) content-hash ticket as
+    :func:`deterministic_sample` against CUMULATIVE thresholds — so
+    the assignment is reproducible across runs, partitionings and
+    engines, rows never migrate between splits when unrelated data
+    is added, and the id hash is INDEPENDENT of any mixture-sampling
+    salt (a sampled-then-split pipeline composes without correlation).
+
+    Scale: map-only (one md5 + a CASE ladder per row, no shuffle).
+    Labels are assigned in sorted-name order so the threshold ladder
+    itself is deterministic."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
+
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be >= 0, got {fractions}")
+    total = int(round(sum(fractions.values()) * _SAMPLE_MOD))
+    if total != _SAMPLE_MOD:
+        raise ValueError(
+            f"fractions must sum to 1 (at 1e-6 resolution), got "
+            f"{sum(fractions.values())}"
+        )
+    ticket = md5_int(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    ) % _SAMPLE_MOD
+    expr = None
+    acc = 0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        acc += int(round(fractions[name] * _SAMPLE_MOD))
+        branch = F.when(ticket < acc, F.lit(name))
+        expr = branch if expr is None else expr.when(ticket < acc, F.lit(name))
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(split_col, expr)
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int,

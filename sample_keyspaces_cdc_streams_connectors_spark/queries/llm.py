@@ -1782,3 +1782,74 @@ def shard_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_corpus(docs, n_shards=8).select(
         "doc_id", "n_tokens", "epoch_pos", "shard"
     )
+
+
+_MIX_FRACS = {"web": 0.5, "books": 0.8, "code": 0.25}
+_SPLIT_FRACS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
+@register(
+    "mixture_split",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code'
+             END AS source
+      FROM documents
+    ), sampled AS (
+      SELECT doc_id, source
+      FROM src
+      WHERE {_md5i("'mix:' || source || ':' || CAST(doc_id AS VARCHAR)")}
+              % 1000000
+            < CASE source WHEN 'web' THEN 500000
+                          WHEN 'books' THEN 800000
+                          ELSE 250000 END
+    )
+    SELECT doc_id, source,
+           CASE WHEN t < 10000 THEN 'test'
+                WHEN t < 990000 THEN 'train'
+                ELSE 'val' END AS split
+    FROM (SELECT doc_id, source,
+                 {_md5i("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS t
+          FROM sampled)
+    """,
+)
+def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix recipe gate (r7): weighted corpus mixture sampling
+    (``llm.pipeline.sample_corpus_mixture`` — per-source deterministic
+    md5-ticket sampling at web=0.5 / books=0.8 / code=0.25, the
+    documents table split into three pseudo-sources by ``doc_id % 3``)
+    composed with the n-way deterministic train/val/test split
+    (``llm.pipeline.assign_split`` at 98/1/1).
+
+    Both decisions are pure functions of (salt, id): the oracle
+    replays the exact md5 arithmetic, so every kept row, its source
+    tag and its split label must match bit-for-bit.  The two salts
+    ("mix:<source>" vs "split") are independent, so sampling then
+    splitting composes without correlation — the property a 100 TB
+    curation DAG relies on when either stage reruns alone.
+
+    Scale: both stages are map-only filters/projections (no shuffle,
+    no UDF — pure JVM md5 + CASE); the union is plan-level.  No
+    reference counterpart (the reference has no corpus tooling)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
+        assign_split,
+        sample_corpus_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    tagged = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("web"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("books"))
+        .otherwise(F.lit("code")),
+    )
+    sources = {
+        name: (tagged.filter(F.col("source") == name).drop("source"), frac)
+        for name, frac in _MIX_FRACS.items()
+    }
+    mixed = sample_corpus_mixture(sources, id_col="doc_id", salt="mix")
+    return assign_split(mixed, _SPLIT_FRACS, id_col="doc_id").select(
+        "doc_id", "source", "split"
+    )

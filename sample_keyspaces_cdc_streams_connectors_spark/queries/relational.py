@@ -25,7 +25,9 @@ ROLLUP's); ``window_moving_sum`` folded into :func:`window_rank`;
 dropped (same shape family as revenue_topk); ``agg_distinct`` folded
 into :func:`agg_percentiles`; ``agg_collect_list`` folded into
 the left arm of :func:`join_basic`; ``date_funcs`` folded into :func:`json_roundtrip`;
-``join_semi_anti`` + ``exists_subquery`` → :func:`exists_semi_anti`.
+``join_semi_anti`` + ``exists_subquery`` → ``exists_semi_anti``
+(which round 7 merged with ``scalar_subquery_avg`` into
+:func:`subquery_ops`, freeing a slot for the ``mixture_split`` gate).
 Round 5 (registry 59 > the 50-row driver window — VERDICT r4 #1):
 ``scan_csv_roundtrip`` + ``scan_avro_roundtrip`` →
 :func:`scan_format_roundtrip` (tagged union), ``rollup_time`` →
@@ -278,9 +280,10 @@ def join_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "exists_semi_anti",
+    "subquery_ops",
     oracle="""
-    SELECT o_orderpriority, 'late' AS cohort, COUNT(*) AS n_orders
+    SELECT 'exists' AS arm, o_orderpriority AS key, 'late' AS cohort,
+           COUNT(*) AS n, CAST(0 AS DOUBLE) AS amount
     FROM orders o
     WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
       AND EXISTS (SELECT 1 FROM lineitem l
@@ -288,41 +291,92 @@ def join_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND l.l_shipdate > o.o_orderdate)
     GROUP BY o_orderpriority
     UNION ALL
-    SELECT o_orderpriority, 'clean' AS cohort, COUNT(*) AS n_orders
+    SELECT 'exists' AS arm, o_orderpriority AS key, 'clean' AS cohort,
+           COUNT(*) AS n, CAST(0 AS DOUBLE) AS amount
     FROM orders o
     WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
       AND NOT EXISTS (SELECT 1 FROM lineitem l
                       WHERE l.l_orderkey = o.o_orderkey
                         AND l.l_shipdate > o.o_orderdate)
     GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'scalar_avg' AS arm, p.p_brand AS key, '' AS cohort,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS amount
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
     """,
 )
-def exists_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape, both polarities: correlated EXISTS / NOT EXISTS
-    decorrelated into left_semi / left_anti joins with a non-equi
-    residual (l_shipdate > o_orderdate).
+def subquery_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged-union subquery gate (r7 merge of ``exists_semi_anti`` +
+    ``scalar_subquery_avg`` — every retired column survives in the
+    union):
 
-    Scale: each semi/anti join shuffles both sides on l_orderkey once;
-    the semi form never duplicates orders rows however many lineitems
-    match, so the downstream agg input stays bounded by |orders|."""
+    - ``exists`` arm — TPC-H Q4 shape, both polarities: correlated
+      EXISTS / NOT EXISTS decorrelated into left_semi / left_anti
+      joins with a non-equi residual (l_shipdate > o_orderdate);
+    - ``scalar_avg`` arm — TPC-H Q17 shape: correlated scalar-AVG
+      subquery decorrelated into a per-part aggregate joined back.
+
+    Scale: the semi/anti joins shuffle both sides on l_orderkey once
+    and never duplicate orders rows; the scalar arm shuffles lineitem
+    on l_partkey once, co-partitioned for build and join-back, with
+    `part` broadcast.  Float parity: l_quantity is integer-valued so
+    AVG is exact in any summation order, and 0.5* is a power of two —
+    the < cutoff is bit-identical on both engines."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     cond = (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate)
-    semi = (
-        o.join(li, cond, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"))
-        .select("o_orderpriority", F.lit("late").alias("cohort"), "n_orders")
+
+    def _exists_arm(join_type: str, cohort: str) -> DataFrame:
+        return (
+            o.join(li, cond, join_type)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.lit("exists").alias("arm"),
+                F.col("o_orderpriority").alias("key"),
+                F.lit(cohort).alias("cohort"),
+                "n",
+                F.lit(0.0).alias("amount"),
+            )
+        )
+
+    li2 = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
     )
-    anti = (
-        o.join(li, cond, "left_anti")
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"))
-        .select("o_orderpriority", F.lit("clean").alias("cohort"), "n_orders")
+    qty_cap = li2.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cap")
     )
-    return semi.unionAll(anti)
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    scalar = (
+        li2.join(qty_cap, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            _dbl(F.sum(_dec("l_extendedprice"))).alias("amount"),
+        )
+        .select(
+            F.lit("scalar_avg").alias("arm"),
+            F.col("p_brand").alias("key"),
+            F.lit("").alias("cohort"),
+            "n",
+            "amount",
+        )
+    )
+    return (
+        _exists_arm("left_semi", "late")
+        .unionAll(_exists_arm("left_anti", "clean"))
+        .unionAll(scalar)
+    )
 
 
 # --- aggregations ----------------------------------------------------------
@@ -858,47 +912,7 @@ def revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- subqueries ------------------------------------------------------------
 
 
-@register(
-    "scalar_subquery_avg",
-    oracle="""
-    SELECT p.p_brand, COUNT(*) AS n_small,
-           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)))
-                AS DECIMAL(28,6)) AS DOUBLE) AS small_revenue
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
-                          FROM lineitem l2
-                          WHERE l2.l_partkey = l.l_partkey)
-    GROUP BY p.p_brand
-    """,
-)
-def scalar_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: correlated scalar-AVG subquery decorrelated
-    into a per-part aggregate joined back to the fact table.
-
-    Float parity: l_quantity is integer-valued, so AVG (double
-    sum/count) is exact in any summation order, and 0.5* is a power
-    of two — the < cutoff is bit-identical on both engines.
-
-    Scale: one shuffle of lineitem on l_partkey serves both the AVG
-    build and the join-back (co-partitioned); `part` is a broadcast
-    dimension, so the brand lookup adds no shuffle."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice"
-    )
-    qty_cap = li.groupBy("l_partkey").agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cap")
-    )
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    return (
-        li.join(qty_cap, "l_partkey")
-        .filter(F.col("l_quantity") < F.col("qty_cap"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand")
-        .agg(
-            F.count("*").alias("n_small"),
-            _dbl(F.sum(_dec("l_extendedprice"))).alias("small_revenue"),
-        )
-    )
+# (scalar_subquery_avg merged into subquery_ops above, r7)
 
 
 # --- ordered-statistics and array aggregates -------------------------------

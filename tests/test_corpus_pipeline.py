@@ -844,3 +844,80 @@ def test_cluster_dedup_collapses_short_exact_copies(spark):
 
     release_ngram_cache()
     assert kept == {1, 3, 4}
+
+
+def test_assign_split_total_exclusive_deterministic(spark, docs):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import assign_split
+
+    fr = {"train": 0.98, "val": 0.01, "test": 0.01}
+    out = assign_split(docs, fr)
+    n = docs.count()
+    # total: every row gets exactly one label
+    assert out.count() == n
+    labels = {r["split"] for r in out.select("split").distinct().collect()}
+    assert labels <= set(fr)
+    # deterministic + partition-invariant
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in assign_split(docs.repartition(7), fr).collect()
+    }
+    assert a == b
+    # a different salt re-deals the split
+    c = {(r.doc_id, r.split) for r in assign_split(docs, fr, salt="s2").collect()}
+    assert a != c
+    # split hash independent of the mixture hash: sampling then
+    # splitting keeps ~the same split shares as splitting alone
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import deterministic_sample
+
+    sampled = assign_split(deterministic_sample(docs, 0.5), fr)
+    whole = dict(a)
+    assert all(whole[r.doc_id] == r.split for r in sampled.collect())
+
+
+def test_assign_split_fraction_accuracy(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import assign_split
+
+    big = spark.range(20000).select(F.col("id").alias("doc_id"))
+    counts = {
+        r["split"]: r["count"]
+        for r in assign_split(big, {"train": 0.8, "val": 0.2})
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.2) < 0.02
+
+
+def test_assign_split_is_map_only(spark, docs):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import assign_split
+
+    plan = (
+        assign_split(docs, {"a": 0.5, "b": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_assign_split_validates(spark, docs):
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import assign_split
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        assign_split(docs, {})
+    with _pytest.raises(ValueError, match="sum to 1"):
+        assign_split(docs, {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError, match=">= 0"):
+        assign_split(docs, {"a": 1.5, "b": -0.5})
+    # single-label degenerate case: everything gets the label, no when()
+    assert (
+        assign_split(docs, {"all": 1.0})
+        .filter(F.col("split") != "all")
+        .count()
+        == 0
+    )

@@ -87,7 +87,7 @@ def test_cdc_shape_no_python_no_shuffle(plans):
 def test_no_cartesian_anywhere(plans):
     for q in (
         "join_basic",
-        "exists_semi_anti",
+        "subquery_ops",
         "asof_join_purchase",
         "range_join_shipments",
         "dedup_embedding",
@@ -179,15 +179,11 @@ def test_aggregates_partial_then_final(plans):
     assert plan.count("Exchange") == 1
 
 
-def test_exists_subquery_semi_join_no_duplication(plans):
-    plan = plans("exists_semi_anti")
+def test_subquery_ops_semi_join_no_duplication_and_broadcast(plans):
+    plan = plans("subquery_ops")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
-
-
-def test_scalar_subquery_broadcasts_dimension(plans):
-    plan = plans("scalar_subquery_avg")
     assert "BroadcastHashJoin" in plan  # part lookup never shuffles facts
 
 
