@@ -37,9 +37,8 @@ HEADLINE = [
     "asof_join_purchase",
     "range_join_shipments",
     "revenue_topk",
-    "agg_sum_by_key",
+    "agg_sums",              # q1 + salted arms (r7 merge)
     "agg_cube",              # + rollup_time arm (r5 consolidation)
-    "agg_salted_sum",
     "window_rank",           # + window_distribution cols (r5)
     "pivot_op_counts",
     "set_union_except",
@@ -67,6 +66,7 @@ HEADLINE = [
     "agg_percentiles",
     "explode_wordcount",
     "mixture_split",         # corpus mixture + train/val/test split (r7)
+    "bm25_rank",             # BM25 index build + pruned top-k (r7)
 ]
 
 #: prior-round query names → current consolidated names, so
@@ -102,9 +102,11 @@ RENAMES = {
     "join_inner": "join_basic",
     "join_left": "join_basic",
     "ann_pq_topk": "vector_topk",
-    # r7 (slot freed for the mixture_split gate)
+    # r7 (slots freed for the mixture_split + bm25_rank gates)
     "exists_semi_anti": "subquery_ops",
     "scalar_subquery_avg": "subquery_ops",
+    "agg_sum_by_key": "agg_sums",
+    "agg_salted_sum": "agg_sums",
 }
 
 

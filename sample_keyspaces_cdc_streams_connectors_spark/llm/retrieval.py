@@ -142,6 +142,7 @@ def bm25_score_table(
     k1: float = 1.2,
     b: float = 0.75,
     n_buckets: int = 64,
+    exact_sum: bool = False,
 ) -> DataFrame:
     """Per-document BM25 scores for ``query`` — every document that
     shares at least one term with it, scored exactly.
@@ -150,7 +151,16 @@ def bm25_score_table(
     carries BOTH a partition filter on the query's term buckets AND a
     pushed value filter on the term hashes, so only the query's
     posting lists are read; idf folds in via a tiny broadcast of the
-    matching vocabulary rows; the per-doc sum is one aggregate."""
+    matching vocabulary rows; the per-doc sum is one aggregate.
+
+    ``exact_sum=True`` routes the per-doc sum through
+    DECIMAL(28,12): the per-TERM scores are already bit-identical
+    double arithmetic on any engine, but a plain double SUM depends
+    on aggregation order — the decimal detour makes the total
+    order-independent so cross-engine replays (the ``bm25_rank``
+    oracle gate) hash-match.  Scores differ from the plain sum by
+    < 1e-12; retrieval order is unaffected at any realistic score
+    spread, so the default stays the cheaper native double sum."""
     q_terms = sorted({_hash60(w) for w in _py_words(query)})
     if not q_terms:
         raise ValueError("query has no tokens")
@@ -192,7 +202,12 @@ def bm25_score_table(
             )
         ).alias("__s"),
     )
-    return per_term.groupBy("doc").agg(F.sum("__s").alias("score"))
+    total = (
+        F.sum(F.col("__s").cast("decimal(28,12)")).cast("double")
+        if exact_sum
+        else F.sum("__s")
+    )
+    return per_term.groupBy("doc").agg(total.alias("score"))
 
 
 def bm25_topk(
@@ -203,12 +218,14 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     n_buckets: int = 64,
+    exact_sum: bool = False,
 ) -> DataFrame:
     """Top-k documents for ``query`` by BM25, ties to the lower doc
     id (total order).  Executes as per-partition heaps
     (TakeOrderedAndProject) over the pruned posting scan."""
     scored = bm25_score_table(
-        spark, path, query, k1=k1, b=b, n_buckets=n_buckets
+        spark, path, query, k1=k1, b=b, n_buckets=n_buckets,
+        exact_sum=exact_sum,
     )
     return scored.orderBy(F.desc("score"), F.asc("doc")).limit(k)
 

@@ -1853,3 +1853,101 @@ def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_split(mixed, _SPLIT_FRACS, id_col="doc_id").select(
         "doc_id", "source", "split"
     )
+
+
+# --- BM25 retrieval gate (r7) ------------------------------------------------
+
+_BM25_GATE_QUERY = "data stream window batch join zzznotindexed"
+_BM25_GATE_K = 15
+_BM25_GATE_PATHS: dict = {}
+
+
+def _bm25_gate_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf) the persisted inverted index the
+    gate probes — the PRODUCTION ``write_text_index`` layout."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import STATS_FILE, write_text_index
+
+    tag = hashlib.md5(
+        f"{sf_dir}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"engine_bm25_gate_{tag}")
+    key = (sf_dir, spark.sparkContext.applicationId)
+    if _BM25_GATE_PATHS.get(key) != path or not os.path.exists(
+        os.path.join(path, STATS_FILE)
+    ):
+        write_text_index(load_table(spark, sf_dir, "documents"), path)
+        _BM25_GATE_PATHS[key] = path
+    return path
+
+
+def _bm25_oracle(k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB replay of the FULL BM25 pipeline: tokenize → tf/dl →
+    corpus stats → df/idf → per-term scores (bit-identical double
+    arithmetic, every operation in the engine's association order) →
+    order-independent DECIMAL sum → top-k with the lower-doc tie rule."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import _hash60, _py_words
+
+    qhashes = sorted({_hash60(w) for w in _py_words(_BM25_GATE_QUERY)})
+    values = ", ".join(f"({h})" for h in qhashes)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(regexp_extract_all({NORM}, '\\S+')) AS w
+      FROM documents
+    ), tf AS (
+      SELECT doc, {_md5i('w')} AS term, COUNT(*) AS tf
+      FROM toks GROUP BY doc, term
+    ), dl AS (
+      SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
+    ), st AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), q(term) AS (
+      VALUES {values}
+    ), per AS (
+      SELECT tf.doc,
+             ln((CAST(st.n_docs AS DOUBLE) - dfreq.df + 0.5)
+                / (dfreq.df + 0.5) + 1.0)
+               * CAST(tf.tf AS DOUBLE) * ({k1} + 1.0)
+               / (CAST(tf.tf AS DOUBLE)
+                  + {k1} * ((1.0 - {b})
+                            + {b} * CAST(dl.dl AS DOUBLE) / st.avgdl))
+               AS s
+      FROM tf
+      JOIN q USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc)
+      CROSS JOIN st
+    )
+    SELECT doc, CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS score
+    FROM per GROUP BY doc
+    ORDER BY score DESC, doc
+    LIMIT {_BM25_GATE_K}
+    """
+
+
+@register("bm25_rank", oracle=_bm25_oracle())
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval, oracle-gated end to end (r7 — was
+    pytest-only): the PRODUCTION ``write_text_index`` →
+    ``bm25_topk`` pipeline over the documents table, with the query
+    containing one deliberately unindexed term (dropped by both
+    engines' vocabulary join).
+
+    The DuckDB twin replays tokenization, term hashing, tf/dl/df/
+    corpus-stats derivation, the per-term Okapi arithmetic in the
+    engine's exact association order, and the top-k tie rule; the
+    per-doc sum goes through DECIMAL(28,12) on BOTH sides
+    (``exact_sum=True``) so the only order-dependent float operation
+    is removed.  Scan pruning (partition + pushed term values) is
+    pinned in tests/test_retrieval.py; here the ANSWER is pinned."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk
+
+    path = _bm25_gate_index(spark, sf_dir)
+    return bm25_topk(
+        spark, path, _BM25_GATE_QUERY, k=_BM25_GATE_K, exact_sum=True
+    ).select(F.col("doc").cast("long").alias("doc"), "score")

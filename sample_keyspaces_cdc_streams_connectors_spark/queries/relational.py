@@ -383,9 +383,9 @@ def subquery_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_sum_by_key",
+    "agg_sums",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
+    SELECT 'q1' AS arm, l_returnflag AS k1, l_linestatus AS k2,
         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(28,6))
              AS DOUBLE) AS sum_qty,
         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
@@ -393,17 +393,36 @@ def subquery_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))
                  * (1 - CAST(l_discount AS DECIMAL(28,6)))) AS DECIMAL(28,6))
              AS DOUBLE) AS sum_disc_price,
-        COUNT(*) AS count_order
+        COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01'
     GROUP BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT 'salted' AS arm, CAST(l_suppkey AS VARCHAR) AS k1, '' AS k2,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(28,6))
+                AS DOUBLE) AS sum_qty,
+           CAST(0 AS DOUBLE) AS sum_base_price,
+           CAST(0 AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_suppkey
     """,
 )
-def agg_sum_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped grouped aggregation; Catalyst does partial
-    (map-side) aggregation before the shuffle automatically."""
+def agg_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged-union grouped-sum gate (r7 merge of ``agg_sum_by_key`` +
+    ``agg_salted_sum`` — every retired column survives):
+
+    - ``q1`` arm — TPC-H Q1-shaped grouped aggregation; Catalyst does
+      partial (map-side) aggregation before the shuffle automatically;
+    - ``salted`` arm — two-phase SALTED aggregation
+      (operators/skew.py): per-supplier quantity totals where phase 1
+      groups by (key, salt) to spread a hot key over 8 reducers and
+      phase 2 merges partials.  The oracle arm is the PLAIN group-by —
+      salting must never change results."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.skew import salted_agg
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    q1 = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -412,9 +431,40 @@ def agg_sum_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dbl(
                 F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
             ).alias("sum_disc_price"),
-            F.count("*").alias("count_order"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.lit("q1").alias("arm"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "n",
         )
     )
+    salted = (
+        salted_agg(
+            li,
+            keys=["l_suppkey"],
+            aggs={
+                "sum_qty": ("sum", _dec("l_quantity")),
+                "n": ("count", F.lit(1)),
+            },
+            n_salts=8,
+            salt_cols=["l_suppkey", "l_quantity"],
+        )
+        .select(
+            F.lit("salted").alias("arm"),
+            F.col("l_suppkey").cast("string").alias("k1"),
+            F.lit("").alias("k2"),
+            _dbl(F.col("sum_qty")).alias("sum_qty"),
+            F.lit(0.0).alias("sum_base_price"),
+            F.lit(0.0).alias("sum_disc_price"),
+            "n",
+        )
+    )
+    return q1.unionAll(salted)
 
 
 @register(
@@ -824,39 +874,7 @@ def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey").agg(F.count("*").alias("n_ship"))
 
 
-@register(
-    "agg_salted_sum",
-    oracle="""
-    SELECT l_suppkey,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DECIMAL(28,6))
-                AS DOUBLE) AS sum_qty,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY l_suppkey
-    """,
-)
-def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase SALTED aggregation (operators/skew.py): per-supplier
-    quantity totals where phase 1 groups by (key, salt) to spread a
-    hot key over 8 reducers and phase 2 merges partials.  The oracle
-    is the PLAIN group-by — salting must never change results."""
-    from sample_keyspaces_cdc_streams_connectors_spark.operators.skew import salted_agg
-
-    li = load_table(spark, sf_dir, "lineitem")
-    return salted_agg(
-        li,
-        keys=["l_suppkey"],
-        aggs={
-            "sum_qty": ("sum", _dec("l_quantity")),
-            "n": ("count", F.lit(1)),
-        },
-        n_salts=8,
-        salt_cols=["l_suppkey", "l_quantity"],
-    ).select(
-        "l_suppkey",
-        _dbl(F.col("sum_qty")).alias("sum_qty"),
-        "n",
-    )
+# (agg_salted_sum merged into agg_sums above, r7)
 
 
 # --- multi-join analytics (TPC-H Q3 shape) ----------------------------------

@@ -209,3 +209,15 @@ def test_bulk_duplicate_query_ids_rejected(spark, index_path):
     )
     with _pytest.raises(ValueError, match="unique"):
         bm25_topk_many(spark, index_path, queries, k=5)
+
+
+def test_exact_sum_mode_matches_plain_and_is_order_free(spark, index_path):
+    """exact_sum=True (the bm25_rank oracle-gate mode) must agree with
+    the plain double sum to 1e-9 and return the same ranking."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk
+
+    plain = bm25_topk(spark, index_path, QUERY, k=8).collect()
+    exact = bm25_topk(spark, index_path, QUERY, k=8, exact_sum=True).collect()
+    assert [r["doc"] for r in plain] == [r["doc"] for r in exact]
+    for a, b in zip(plain, exact):
+        assert abs(a["score"] - b["score"]) < 1e-9
