@@ -452,7 +452,13 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         spark = get_spark("corpus-pipeline")
         curated = run(spark.read.parquet(args.source))
-        curated.write.mode("overwrite").parquet(args.out)
+        writer = curated.write.mode("overwrite")
+        if "split" in curated.columns:
+            # corpus.split-permille labeled the rows: lay the output
+            # out split=train/val/test so the training loader's reads
+            # are directory-pruned per split
+            writer = writer.partitionBy("split")
+        writer.parquet(args.out)
         stats = corpus_stats(spark.read.parquet(args.out)).first()
         print(
             f"corpus curated: {args.source} -> {args.out} "

@@ -195,6 +195,13 @@ def build_corpus_pipeline(
       threshold/dims shared with ``dedup = semantic``
       (``semantic-eps-permille`` / ``semantic-dims``).  Stream-safe —
       also accepted by :func:`build_streaming_curation`
+    - ``split-permille`` (r7) — csv of ``<label>:<int per-mille>``
+      entries summing to 1000 (e.g. ``train:980,val:10,test:10``);
+      when set, the FINAL stage labels every surviving row with a
+      ``split`` column via :func:`assign_split` (deterministic
+      md5-ticket thresholds, salt ``split-salt``, default "split") —
+      map-only, stream-safe, labels identical between the batch and
+      streaming pipelines
 
     ``near`` keeps one doc per identical MinHash signature (a narrow,
     stream-safe approximation); ``cluster`` runs the full exact-Jaccard
@@ -264,6 +271,8 @@ def build_corpus_pipeline(
         )
 
     observe = cfg.get_bool(f"{_P}.observe", default=False)
+    split_fracs = _split_fractions(cfg)
+    split_salt = cfg.get(f"{_P}.split-salt", "split") or "split"
 
     def run(df: DataFrame) -> DataFrame:
         observations: dict[str, "Observation"] = {}
@@ -497,9 +506,54 @@ def build_corpus_pipeline(
                 ),
                 "group-cap",
             )
+        if split_fracs:
+            # final stage: the n-way train/val/test label (map-only,
+            # never row-changing, so no tap of its own)
+            out = assign_split(
+                out, split_fracs, id_col=id_col, salt=split_salt
+            )
         return tap(out, "output")
 
     return run
+
+
+def _split_fractions(cfg: EngineConfig) -> dict[str, float] | None:
+    """Parse ``corpus.split-permille`` ("train:980,val:10,test:10")
+    into :func:`assign_split` fractions; None when unset.  Validation
+    (labels non-empty, per-mille ints summing to 1000) raises
+    ``ConfigError`` at build time, not mid-job."""
+    raw = cfg.get_list(f"{_P}.split-permille", default=[]) or []
+    if not raw:
+        return None
+    from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
+
+    fracs: dict[str, float] = {}
+    for item in raw:
+        name, _, permille = item.partition(":")
+        name = name.strip()
+        try:
+            pm = int(permille.strip())
+        except ValueError:
+            raise ConfigError(
+                f"corpus.split-permille entry {item!r} must be "
+                "<label>:<int per-mille>"
+            ) from None
+        if not name or pm < 0:
+            raise ConfigError(
+                f"corpus.split-permille entry {item!r} must be "
+                "<label>:<int per-mille>"
+            )
+        if name in fracs:
+            raise ConfigError(
+                f"corpus.split-permille label {name!r} repeated"
+            )
+        fracs[name] = pm / 1000.0
+    total = sum(int(round(f * 1000)) for f in fracs.values())
+    if total != 1000:
+        raise ConfigError(
+            f"corpus.split-permille must sum to 1000, got {total}"
+        )
+    return fracs
 
 
 def _semantic_index_stage(
@@ -611,6 +665,8 @@ def build_streaming_curation(
         f"{_P}.semantic-eps-permille", default=950
     )
     semantic_dims = cfg.get_int(f"{_P}.semantic-dims", default=64)
+    split_fracs = _split_fractions(cfg)
+    split_salt = cfg.get(f"{_P}.split-salt", "split") or "split"
 
     def run(stream: DataFrame) -> DataFrame:
         out = stream
@@ -690,6 +746,12 @@ def build_streaming_curation(
                 dims=semantic_dims,
                 text_col=text_col,
                 id_col=id_col,
+            )
+        if split_fracs:
+            # per-row pure function of (salt, id) — stream-safe by
+            # construction, identical labels to the batch pipeline
+            out = assign_split(
+                out, split_fracs, id_col=id_col, salt=split_salt
             )
         return out
 

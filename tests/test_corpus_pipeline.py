@@ -921,3 +921,63 @@ def test_assign_split_validates(spark, docs):
         .count()
         == 0
     )
+
+
+def test_pipeline_split_stage_batch_and_streaming_agree(spark, docs, tmp_path):
+    """corpus.split-permille labels every surviving row; the batch and
+    streaming pipelines assign IDENTICAL labels (pure (salt, id)
+    function), and the ladder parses/validates through config."""
+    import uuid
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_streaming_curation
+
+    conf = {
+        "keyspaces-cdc-streams": {
+            "corpus": {"split-permille": "train:800,val:100,test:100"}
+        }
+    }
+    batch = build_corpus_pipeline(load_config(conf))(docs)
+    assert "split" in batch.columns
+    got = {r.doc_id: r.split for r in batch.select("doc_id", "split").collect()}
+    assert set(got.values()) <= {"train", "val", "test"}
+    assert len(got) == docs.count()
+
+    src = str(tmp_path / "split_src")
+    docs.select("doc_id", "text").repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"split_{uuid.uuid4().hex[:8]}"
+    q = (
+        build_streaming_curation(load_config(conf))(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    streamed = {
+        r.doc_id: r.split
+        for r in spark.table(name).select("doc_id", "split").collect()
+    }
+    spark.catalog.dropTempView(name)
+    assert {k: streamed[k] for k in got} == got
+
+
+def test_pipeline_split_config_validates(spark):
+    for bad in (
+        "train:900,val:10",          # sums to 910
+        "train:980,val:10,train:10",  # repeated label
+        "train:abc,val:10",           # non-int
+        ":990,val:10",                # empty label
+    ):
+        with pytest.raises(ConfigError):
+            build_corpus_pipeline(
+                load_config(
+                    {"keyspaces-cdc-streams": {"corpus": {"split-permille": bad}}}
+                )
+            )

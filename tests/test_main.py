@@ -501,3 +501,30 @@ def test_cli_search_text_query_file_bulk(spark, sf_dir, tmp_path, capsys):
         l for l in capsys.readouterr().out.splitlines() if l.count("\t") == 1
     ]
     assert int(single[0].split("\t")[0]) == by_q[0][0][1]
+
+
+def test_main_corpus_mode_split_partitioned_output(spark, sf_dir, tmp_path):
+    """corpus.split-permille through the CLI: curated output carries
+    the split column AND is laid out partitionBy(split) so a training
+    loader's per-split read is directory-pruned."""
+    import os
+
+    src = str(tmp_path / "docs_split_src")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).write.parquet(src)
+    conf = tmp_path / "corpus_split.conf"
+    conf.write_text(
+        "keyspaces-cdc-streams.corpus.split-permille = train:900,val:100\n"
+    )
+    out = str(tmp_path / "curated_split")
+    rc = main(
+        ["--mode", "corpus", "--config", str(conf), "--source", src, "--out", out]
+    )
+    assert rc == 0
+    dirs = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert dirs == {"split=train", "split=val"}
+    curated = spark.read.parquet(out)
+    assert curated.count() == spark.read.parquet(src).count()
+    n_train = curated.filter("split = 'train'").count()
+    assert abs(n_train / curated.count() - 0.9) < 0.1
