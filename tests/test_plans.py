@@ -207,3 +207,11 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     assert plan.count("Exchange") == 1
+
+
+def test_mixture_split_map_only(plans):
+    """The data-mix gate (r7) is three md5-ticket filters unioned plus
+    a CASE-ladder label — never a shuffle, never a Python boundary."""
+    plan = plans("mixture_split")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
