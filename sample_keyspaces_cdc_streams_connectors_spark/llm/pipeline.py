@@ -910,8 +910,11 @@ def assign_split(
     names = sorted(fractions)
     for name in names[:-1]:
         acc += int(round(fractions[name] * _SAMPLE_MOD))
-        branch = F.when(ticket < acc, F.lit(name))
-        expr = branch if expr is None else expr.when(ticket < acc, F.lit(name))
+        expr = (
+            F.when(ticket < acc, F.lit(name))
+            if expr is None
+            else expr.when(ticket < acc, F.lit(name))
+        )
     expr = (
         F.lit(names[-1])
         if expr is None

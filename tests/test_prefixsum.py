@@ -149,6 +149,9 @@ def test_persist_option_equal_and_caches_one_scan(spark):
     )
 
     df = _mk(spark, n=150, parts=4)
+    # other suites may hold their own live caches (ngram, models);
+    # assert the DELTA this call adds, never global emptiness
+    n_cached_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     plain, n1, w1 = with_order_stats(
         df, hash_col="h", tiebreak_cols=["k"], weight_col="w", n_buckets=8
     )
@@ -167,10 +170,16 @@ def test_persist_option_equal_and_caches_one_scan(spark):
         assert a == b
         plan = cached._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan
-        assert spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert (
+            len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+            == n_cached_before + 1
+        )
     finally:
         release_order_stats_cache()
-    assert not spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert (
+        len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        == n_cached_before
+    )
 
 
 def test_shard_corpus_persist_passthrough(spark, sf_dir):
