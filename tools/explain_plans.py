@@ -31,10 +31,17 @@ SHOWCASE: dict[str, list[str]] = {
         "map-side combine shrinks the fact side to one row per active "
         "customer, then customer joins the aggregate",
     ],
-    "agg_sum_by_key": [
-        "`HashAggregate(partial)` before the exchange — map-side combine "
-        "shrinks the shuffle to one row per (flag, status) per task",
+    "agg_sums": [
+        "q1 arm: `HashAggregate(partial)` before the exchange — map-side "
+        "combine shrinks the shuffle to one row per (flag, status) per task",
+        "salted arm: two-phase (key,salt)->key aggregate pair — a hot "
+        "supplier spreads over 8 reducers before the final merge",
         "decimal-exact sums, final DOUBLE projection only at the end",
+    ],
+    "mixture_split": [
+        "weighted mixture sampling + train/val/test labels: three "
+        "md5-ticket filters unioned plus one CASE ladder — ZERO "
+        "exchanges, zero Python (map-only at any corpus size)",
     ],
     "mv_apply": [
         "exactly ONE exchange; last-writer-wins is `partial_max_by` "
