@@ -159,8 +159,9 @@ def bm25_score_table(
     on aggregation order — the decimal detour makes the total
     order-independent so cross-engine replays (the ``bm25_rank``
     oracle gate) hash-match.  Scores differ from the plain sum by
-    < 1e-12; retrieval order is unaffected at any realistic score
-    spread, so the default stays the cheaper native double sum."""
+    at most |query terms|·5e-13 (per-term decimal rounding);
+    retrieval order is unaffected at any realistic score spread, so
+    the default stays the cheaper native double sum."""
     q_terms = sorted({_hash60(w) for w in _py_words(query)})
     if not q_terms:
         raise ValueError("query has no tokens")
@@ -241,6 +242,7 @@ def bm25_topk_many(
     query_col: str = "query",
     id_col: str = "query_id",
     broadcast_queries: bool = True,
+    exact_sum: bool = False,
 ) -> DataFrame:
     """BULK BM25: top-k documents for EVERY row of a query table, in
     ONE pass over the pruned postings.
@@ -280,7 +282,10 @@ def bm25_topk_many(
     would merge the two term sets into scores that correspond to no
     actual query, so the table is checked up front (one cheap
     aggregate over the query table — always tiny next to the
-    postings) and a duplicate raises ``ValueError``."""
+    postings) and a duplicate raises ``ValueError``.
+
+    ``exact_sum`` has the same cross-engine-determinism meaning as on
+    :func:`bm25_score_table` (per-doc sum through DECIMAL(28,12))."""
     from pyspark.sql import Window
 
     dup = (
@@ -368,7 +373,12 @@ def bm25_topk_many(
             )
         ).alias("__s"),
     )
-    scored = per_term.groupBy(id_col, "doc").agg(F.sum("__s").alias("score"))
+    bulk_total = (
+        F.sum(F.col("__s").cast("decimal(28,12)")).cast("double")
+        if exact_sum
+        else F.sum("__s")
+    )
+    scored = per_term.groupBy(id_col, "doc").agg(bulk_total.alias("score"))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("doc"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
