@@ -48,6 +48,11 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
     sample_corpus_mixture,
     shard_corpus,
 )
+from sample_keyspaces_cdc_streams_connectors_spark.llm.quant import (
+    dequantize_col,
+    quantize_embeddings,
+    quantized_topk,
+)
 from sample_keyspaces_cdc_streams_connectors_spark.llm.bpe import (
     BpeModel,
     bpe_segment,
@@ -129,6 +134,9 @@ __all__ = [
     "pack_sequences",
     "sample_corpus_mixture",
     "brute_force_topk",
+    "dequantize_col",
+    "quantize_embeddings",
+    "quantized_topk",
     "ivf_topk",
     "lsh_bucket_topk",
     "append_to_semantic_index",
