@@ -127,9 +127,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--index-kind",
         default="ivf",
-        choices=("ivf", "ivf-pq"),
-        help="index-vectors mode: plain IVF cells, or IVF-PQ "
-        "(cells + m-byte ADC codes)",
+        choices=("ivf", "ivf-pq", "int8"),
+        help="index-vectors mode: plain IVF cells, IVF-PQ "
+        "(cells + m-byte ADC codes), or int8 (symmetric per-vector "
+        "quantized codes, no training, search re-ranks exactly)",
     )
     p.add_argument(
         "--cells",
@@ -195,6 +196,22 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         spark = get_spark("index-vectors")
         vectors = spark.read.parquet(args.source)
+        if args.index_kind == "int8":
+            import json as _json
+
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _write_text
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.quant import quantize_embeddings
+
+            quantize_embeddings(vectors).select(
+                "vec_id", "q_scale", "q_code"
+            ).write.mode("overwrite").parquet(f"{args.out.rstrip('/')}/codes")
+            _write_text(
+                spark,
+                f"{args.out.rstrip('/')}/_quant.json",
+                _json.dumps({"kind": "int8"}),
+            )
+            print(f"int8 index over {args.source} -> {args.out}")
+            return 0
         if args.index_kind == "ivf-pq":
             write_ivf_pq_index(vectors, args.out, k=args.cells)
         else:
@@ -292,21 +309,33 @@ def main(argv: list[str] | None = None) -> int:
             print(f"query id {args.query_id} not found", file=sys.stderr)
             return 2
         qvec = [float(x) for x in row[0]]
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(
-            f"{args.source.rstrip('/')}/{PQ_MODEL_FILE}"
-        )
-        has_pq = jvm_path.getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        ).exists(jvm_path)
-        top = (
-            ivf_pq_topk(
+
+        def _exists(rel: str) -> bool:
+            jp = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{args.source.rstrip('/')}/{rel}"
+            )
+            return jp.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            ).exists(jp)
+
+        if _exists("_quant.json"):
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.quant import quantized_topk
+
+            codes = spark.read.parquet(f"{args.source.rstrip('/')}/codes")
+            top = quantized_topk(
+                codes,
+                qvec,
+                k=args.topk,
+                rerank_with=spark.read.parquet(args.target),
+            ).select("vec_id", F.col("score").alias("sim"))
+        elif _exists(PQ_MODEL_FILE):
+            top = ivf_pq_topk(
                 spark, args.source, qvec, topk=args.topk, n_probe=args.n_probe
             )
-            if has_pq
-            else ivf_index_topk(
+        else:
+            top = ivf_index_topk(
                 spark, args.source, qvec, topk=args.topk, n_probe=args.n_probe
             )
-        )
         for r in top.collect():
             print(f"{r['vec_id']}	{r['sim']:.6f}")
         return 0

@@ -528,3 +528,31 @@ def test_main_corpus_mode_split_partitioned_output(spark, sf_dir, tmp_path):
     assert curated.count() == spark.read.parquet(src).count()
     n_train = curated.filter("split = 'train'").count()
     assert abs(n_train / curated.count() - 0.9) < 0.1
+
+
+def test_cli_index_and_search_vectors_int8(spark, sf_dir, tmp_path, capsys):
+    """int8 index kind end-to-end: _quant.json auto-detects, the
+    re-ranked search equals the exact brute-force top-k."""
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import brute_force_topk
+
+    src = f"{sf_dir}/embeddings.parquet"
+    out = str(tmp_path / "int8idx")
+    rc = main(
+        ["--source", src, "--mode", "index-vectors",
+         "--index-kind", "int8", "--out", out]
+    )
+    assert rc == 0
+    rc = main(
+        ["--source", out, "--mode", "search-vectors",
+         "--target", src, "--query-id", "1", "--topk", "5"]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(lines) == 5
+    vecs = spark.read.parquet(src)
+    import pyspark.sql.functions as F
+
+    qvec = [float(x) for x in vecs.filter(F.col("vec_id") == 1).first()["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(vecs, qvec, k=5).collect()]
+    assert [int(l.split("\t")[0]) for l in lines] == exact
