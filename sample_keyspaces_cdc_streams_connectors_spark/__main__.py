@@ -267,8 +267,11 @@ def main(argv: list[str] | None = None) -> int:
             queries = spark.createDataFrame(
                 list(enumerate(qs)), "query_id long, query string"
             )
+            # ids come from enumerate() — unique by construction, so
+            # skip the eager uniqueness job
             out = bm25_topk_many(
-                spark, args.source, queries, k=args.topk
+                spark, args.source, queries, k=args.topk,
+                check_unique_ids=False,
             ).orderBy("query_id", "rank")
             for row in out.collect():
                 print(
@@ -482,10 +485,14 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("corpus-pipeline")
         curated = run(spark.read.parquet(args.source))
         writer = curated.write.mode("overwrite")
-        if "split" in curated.columns:
+        if cfg.get("keyspaces-cdc-streams.corpus.split-permille", None):
             # corpus.split-permille labeled the rows: lay the output
             # out split=train/val/test so the training loader's reads
-            # are directory-pruned per split
+            # are directory-pruned per split.  Gated on the CONFIG,
+            # not on a column named "split" — a source corpus that
+            # happens to carry its own high-cardinality "split"
+            # column must not silently explode into one directory
+            # per value
             writer = writer.partitionBy("split")
         writer.parquet(args.out)
         stats = corpus_stats(spark.read.parquet(args.out)).first()

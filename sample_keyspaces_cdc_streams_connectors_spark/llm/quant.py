@@ -24,8 +24,11 @@ Arrow pass scores the codes against the quantized query (numpy int32
 matmul — no Python-per-row), a ``TakeOrderedAndProject`` heap keeps
 k·rerank_factor candidates, and an optional exact re-rank joins the
 RAW vectors for the candidate set only (never the full table) before
-the final top-k — the shrink-then-rerank shape that keeps recall at
-1.0 for modest k while the full scan stays on the 1-byte codes.
+the final top-k — the shrink-then-rerank shape.  The re-ranked
+answer equals exact brute force whenever the true top-k sits inside
+the approx top-k·factor; int8 score error is ~1e-2, so that holds
+except under adversarially tight score ties (pinned empirically in
+tests, not a guarantee) while the full scan stays on 1-byte codes.
 
 No reference counterpart (the reference delegates all vector search
 to a remote service, S3VectorTargetMapper.java:87-177).
@@ -83,14 +86,19 @@ def quantize_embeddings(
         scales: list[float] = []
         codes: list[bytes] = []
         for v in vecs:
-            arr = np.asarray(v, dtype=np.float64)
-            m = float(np.max(np.abs(arr))) if arr.size else 0.0
-            if m == 0.0:
-                scales.append(0.0)
-                codes.append(np.zeros(arr.size, dtype=np.int8).tobytes())
-                continue
-            scale = m / _QMAX
-            q = np.clip(np.rint(arr / scale), -_QMAX, _QMAX).astype(np.int8)
+            if v is None:
+                # NULL embeddings fail loudly: a NaN scale + garbage
+                # code would otherwise poison every search batch the
+                # row lands in (reshape/ragged failures downstream)
+                raise ValueError(
+                    "quantize_embeddings: NULL embedding — filter or "
+                    "impute vectors before quantizing"
+                )
+            scale, q = _quantize_vec(np.asarray(v, dtype=np.float64))
+            if not np.isfinite(scale):
+                raise ValueError(
+                    "quantize_embeddings: non-finite embedding values"
+                )
             scales.append(scale)
             codes.append(q.tobytes())
         return pd.DataFrame({"scale": scales, "code": codes})
@@ -121,13 +129,21 @@ def dequantize_col(scale_col, code_col):
     return deq(scale, code)
 
 
-def _quantize_query(query_vec: Sequence[float]) -> tuple[float, np.ndarray]:
-    arr = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+def _quantize_vec(arr: np.ndarray) -> tuple[float, np.ndarray]:
+    """THE symmetric-int8 formula — single definition shared by the
+    table-side UDF and the query side, so the 'codes scored against
+    the quantized query' symmetry cannot drift."""
     m = float(np.max(np.abs(arr))) if arr.size else 0.0
     if m == 0.0:
         return 0.0, np.zeros(arr.size, dtype=np.int8)
     scale = m / _QMAX
     return scale, np.clip(np.rint(arr / scale), -_QMAX, _QMAX).astype(np.int8)
+
+
+def _quantize_query(query_vec: Sequence[float]) -> tuple[float, np.ndarray]:
+    return _quantize_vec(
+        np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    )
 
 
 def quantized_topk(
@@ -163,13 +179,26 @@ def quantized_topk(
     q_scale, q_code = _quantize_query(query_vec)
     q32 = q_code.astype(np.int32)
 
+    dims = int(q32.size)
+
     @F.pandas_udf("double")
     def approx(scales: pd.Series, codes: pd.Series) -> pd.Series:
         if not len(codes):
             return pd.Series([], dtype="float64")
-        mat = np.frombuffer(
-            b"".join(codes.tolist()), dtype=np.int8
-        ).reshape(len(codes), -1).astype(np.int32)
+        blob = b"".join(codes.tolist())
+        # explicit shape check: a ragged code batch or a query of the
+        # wrong width must fail with the cause, not an opaque reshape
+        # error (or — worse — a silently mis-aligned score matrix
+        # when the byte total happens to divide)
+        if len(blob) != len(codes) * dims:
+            lens = {len(c) for c in codes.tolist()}
+            raise ValueError(
+                f"quantized_topk: code widths {sorted(lens)} do not all "
+                f"match the query's {dims} dims"
+            )
+        mat = np.frombuffer(blob, dtype=np.int8).reshape(
+            len(codes), dims
+        ).astype(np.int32)
         dots = mat @ q32
         return pd.Series(
             dots.astype(np.float64)
@@ -192,6 +221,19 @@ def quantized_topk(
     )
 
     cands = top.select(id_col)
+    # the candidate set is k·factor rows — the coverage check below is
+    # one tiny broadcast anti-join job, and it turns a silent
+    # fewer-than-k / missing-true-best result (stale or filtered
+    # rerank_with) into a hard error
+    missing = (
+        cands.join(rerank_with.select(id_col), id_col, "left_anti").count()
+    )
+    if missing:
+        raise ValueError(
+            f"quantized_topk: {missing} candidate id(s) absent from "
+            f"rerank_with — the raw-vector frame must cover every id "
+            f"in the quantized table"
+        )
     exact = rerank_with.join(F.broadcast(cands), id_col).select(
         F.col(id_col),
         _cosine_to_query(

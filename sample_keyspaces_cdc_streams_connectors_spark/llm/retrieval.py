@@ -243,6 +243,7 @@ def bm25_topk_many(
     id_col: str = "query_id",
     broadcast_queries: bool = True,
     exact_sum: bool = False,
+    check_unique_ids: bool = True,
 ) -> DataFrame:
     """BULK BM25: top-k documents for EVERY row of a query table, in
     ONE pass over the pruned postings.
@@ -285,7 +286,10 @@ def bm25_topk_many(
     postings) and a duplicate raises ``ValueError``.
 
     ``exact_sum`` has the same cross-engine-determinism meaning as on
-    :func:`bm25_score_table` (per-doc sum through DECIMAL(28,12))."""
+    :func:`bm25_score_table` (per-doc sum through DECIMAL(28,12)).
+    ``check_unique_ids=False`` skips the eager uniqueness job for
+    callers whose ids are unique by construction (e.g. enumerate())
+    — the check re-evaluates a computed query frame once."""
     from pyspark.sql import Window
 
     dup = (
@@ -294,6 +298,8 @@ def bm25_topk_many(
         .filter(F.col("count") > 1)
         .limit(1)
         .collect()
+        if check_unique_ids
+        else []
     )
     if dup:
         raise ValueError(

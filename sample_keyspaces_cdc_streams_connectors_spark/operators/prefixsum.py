@@ -55,7 +55,13 @@ _ORDER_STATS_CACHE: list[DataFrame] = []
 
 def release_order_stats_cache() -> None:
     """Unpersist every input cached by ``with_order_stats(persist=True)``.
-    Call after the annotated DataFrame has been written/collected."""
+    Call after the annotated DataFrame has been written/collected.
+
+    GLOBAL release (the same contract as ``release_ngram_cache``): it
+    frees ALL registered caches, so with several persist=True
+    pipelines in flight in one session, release only after the LAST
+    consumer materializes — an early release silently sends the other
+    pipeline's pass B back through its full lineage."""
     while _ORDER_STATS_CACHE:
         _ORDER_STATS_CACHE.pop().unpersist()
 
@@ -102,16 +108,26 @@ def with_order_stats(
         from pyspark import StorageLevel
 
         bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
-        _ORDER_STATS_CACHE.append(bucketed)
 
     # pass A: per-bucket count/weight totals -> driver-side offsets
     aggs = [F.count(F.lit(1)).alias("_n")]
     if weight_col is not None:
         aggs.append(F.sum(F.col(weight_col).cast("long")).alias("_w"))
-    stats = {
-        r["_psb"]: (r["_n"], r["_w"] if weight_col is not None else 0)
-        for r in bucketed.groupBy("_psb").agg(*aggs).collect()
-    }
+    try:
+        stats = {
+            r["_psb"]: (r["_n"], r["_w"] if weight_col is not None else 0)
+            for r in bucketed.groupBy("_psb").agg(*aggs).collect()
+        }
+    except Exception:
+        # a failed pass A (bad weight column, poisoned lineage) must
+        # unpersist immediately — never leak the cache entry until an
+        # unrelated caller happens to release
+        if persist:
+            bucketed.unpersist()
+        raise
+    if persist:
+        # registered only after pass A materialized the cache
+        _ORDER_STATS_CACHE.append(bucketed)
     offsets, row_off, w_off = [], 0, 0
     for b in sorted(stats):
         n, w = stats[b]

@@ -123,3 +123,23 @@ def test_validation(spark, quantized):
         quantized_topk(quantized, [0.1, 0.2], k=0)
     with pytest.raises(ValueError, match="rerank_factor"):
         quantized_topk(quantized, [0.1], k=1, rerank_factor=0)
+
+
+def test_null_embedding_rejected(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL embedding"):
+        quantize_embeddings(df).collect()
+
+
+def test_query_dim_mismatch_fails_loudly(spark, quantized):
+    with pytest.raises(Exception, match="do not all match"):
+        quantized_topk(quantized, [0.1, 0.2, 0.3], k=3).collect()
+
+
+def test_rerank_frame_must_cover_candidates(spark, vectors, quantized):
+    qvec = [float(x) for x in vectors.first()["embedding"]]
+    partial = vectors.limit(3)
+    with pytest.raises(ValueError, match="absent from"):
+        quantized_topk(quantized, qvec, k=10, rerank_with=partial)

@@ -317,32 +317,35 @@ def _suffix_criterion_coverage(texts, k, min_docs, count_occurrences=False):
 
 
 def _fixed_k_coverage(spark, rows, k, min_docs):
-    out = {
-        r.doc_id: r
-        for r in remove_repeated_spans(
-            spark.createDataFrame(rows, "doc_id long, text string"),
-            k=k,
-            min_docs=min_docs,
-        ).collect()
-    }
+    """The engine's ACTUAL removal mask, read from the flagged
+    maximal spans themselves (flag_repeated_spans is exactly what
+    remove_repeated_spans scrubs with) — no text-based mask
+    reconstruction, which could misattribute positions when a removed
+    token equals a nearby kept one."""
     import re
 
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.spans import flag_repeated_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flagged = {
+        r["doc_id"]: r["__spans"]
+        for r in flag_repeated_spans(df, k=k, min_docs=min_docs).collect()
+    }
+    # cross-check: the scrub's removed-token counts agree with the
+    # interval mask (ties the mask to the user-facing operator)
+    removed = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in remove_repeated_spans(df, k=k, min_docs=min_docs).collect()
+    }
     cover = {}
     for d, text in rows:
         norm = re.sub(r"\s+", " ", text or "").strip().lower()
-        toks = [t for t in norm.split(" ") if t != ""]
-        kept = out[d].text.split(" ") if out[d].n_removed_tokens else toks
-        # reconstruct the mask from kept tokens greedily (kept is a
-        # subsequence of toks by construction)
-        mask = [True] * len(toks)
-        ki = 0
-        for i, t in enumerate(toks):
-            if ki < len(kept) and kept[ki] == t:
-                # greedy match is exact here because the scrub keeps
-                # tokens in order; verified by count below
-                mask[i] = False
-                ki += 1
-        assert sum(mask) == out[d].n_removed_tokens, d
+        n = len([t for t in norm.split(" ") if t != ""])
+        mask = [False] * n
+        for iv in flagged.get(d) or ():
+            for j in range(iv["s"], iv["e"]):
+                mask[j] = True
+        assert sum(mask) == removed[d], d
         cover[d] = mask
     return cover
 
