@@ -1,0 +1,181 @@
+"""URL normalization + host/domain curation functions.
+
+Web-scale corpus curation is keyed by URL long before it is keyed by
+text: dedup-by-canonical-URL removes the cheapest duplicate class
+(same page, different tracking params), per-registered-domain quotas
+stop one site dominating the mixture (feed :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline.cap_per_group`
+with :func:`registered_domain`), and host blocklists drop known-bad
+sources outright.  Everything here is pure JVM column expressions
+(regexp + string ops inside whole-stage codegen) — zero shuffle, zero
+Python, so the functions ride any scan at scan bandwidth.
+
+Normalization contract (:func:`normalize_url`) — deliberately the
+conservative, reversible-decision subset every public crawler agrees
+on (scheme/host casefold, default ports, fragments, tracking params,
+trailing slash); it does NOT resolve dot-segments or percent-decode,
+which change semantics on hostile inputs.
+
+``registered_domain`` is an eTLD+1 APPROXIMATION over a built-in list
+of common two-level public suffixes (co.uk, com.au, ...) — the full
+Public Suffix List is a dataset, not an algorithm, and is not bundled
+in this environment; the column to swap in a PSL-backed UDF is
+isolated here.  No reference counterpart (the reference has no web
+corpus tooling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_url",
+    "url_host",
+    "registered_domain",
+    "filter_blocked_hosts",
+]
+
+#: common two-level public suffixes for the eTLD+1 approximation —
+#: second-level labels that act as TLDs (registration happens one
+#: level below them)
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.kr", "co.za", "co.nz",
+)
+
+#: tracking query params stripped by normalize_url (crawler-standard)
+_TRACKING_PARAMS = r"utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host of a URL, without userinfo, port, or a
+    leading ``www.`` — NULL-safe (non-URL strings yield '')."""
+    u = url if isinstance(url, Column) else F.col(url)
+    host = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    )
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def registered_domain(url: Column | str) -> Column:
+    """eTLD+1 approximation: the last two host labels, or the last
+    THREE when the last two are a known two-level public suffix
+    (``a.b.co.uk`` → ``b.co.uk``, ``a.b.example.com`` →
+    ``example.com``).  Empty for IP hosts and non-URLs is NOT
+    attempted — IPs pass through whole (a per-IP quota is the right
+    behavior anyway)."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    two_level = last2.isin(*_TWO_LEVEL_SUFFIXES)
+    return (
+        F.when(host == "", F.lit(""))
+        .when(is_ip | (n <= 2), host)
+        .when(two_level & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL for URL-level dedup:
+
+    - scheme and host lowercased (path/query case preserved — it is
+      significant on most servers);
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - fragment dropped;
+    - tracking params dropped (``utm_*``, ``fbclid``, ``gclid``,
+      ``msclkid``, ``mc_eid``, ``igshid``), the query's ``?``/``&``
+      punctuation repaired, an emptied query dropped;
+    - ONE trailing slash trimmed from a non-root path.
+
+    Pure string surgery — no dot-segment resolution, no percent
+    decoding (semantics-changing on hostile inputs)."""
+    u = url if isinstance(url, Column) else F.col(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    authority = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    )
+    rest = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    # default ports
+    authority = F.when(
+        (scheme == "http"), F.regexp_replace(authority, r":80$", "")
+    ).otherwise(authority)
+    authority = F.when(
+        (scheme == "https"), F.regexp_replace(authority, r":443$", "")
+    ).otherwise(authority)
+    # tracking params: remove `key=value` pairs, then repair separators
+    rest = F.regexp_replace(
+        rest, r"(?:(?<=[?&]))(?:" + _TRACKING_PARAMS + r")=[^&#]*&?", ""
+    )
+    rest = F.regexp_replace(rest, r"[?&]+$", "")  # emptied query tail
+    rest = F.regexp_replace(rest, r"\?&", "?")  # leading orphan &
+    # one trailing slash off a non-root path (query-free tails only)
+    rest = F.regexp_replace(rest, r"^(/.+?)/$", "$1")
+    norm = F.concat(scheme, F.lit("://"), authority, rest)
+    return F.when(scheme == "", u).otherwise(norm)
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    url_col: str,
+    blocked_hosts: DataFrame | list[str],
+    host_col: str = "host",
+) -> DataFrame:
+    """Drop rows whose URL host is a blocked host OR any subdomain of
+    one (``ads.example.com`` is blocked by ``example.com``).
+
+    ``blocked_hosts`` is a DataFrame with ``host_col`` (scales to
+    millions of entries — the join side is hosts only, broadcast by
+    Catalyst while it fits, shuffled keys-only beyond) or a plain
+    list for small literal blocklists.  Matching is by suffix label:
+    the row's host chain (host, parent, grandparent, ... down to the
+    registered domain's level) left-anti joins the blocklist — an
+    explode of at most ~5 labels per row, never a regex-per-blocked
+    pattern."""
+    spark = df.sparkSession
+    if not isinstance(blocked_hosts, DataFrame):
+        blocked_hosts = spark.createDataFrame(
+            [(h,) for h in blocked_hosts], f"{host_col} string"
+        )
+    blocked = blocked_hosts.select(
+        F.lower(F.col(host_col)).alias("__blocked_host")
+    ).distinct()
+    host = url_host(F.col(url_col))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    # suffix chain: host, then each parent chain down to 2 labels
+    chain = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+            lambda i: F.concat_ws("."
+                , F.slice(parts, i + 1, n - i)),
+        ),
+        lambda s: s != "",
+    )
+    keyed = df.withColumn("__host_chain", chain)
+    exploded = keyed.withColumn(
+        "__probe", F.explode_outer("__host_chain")
+    )
+    hits = (
+        exploded.join(
+            blocked,
+            exploded["__probe"] == blocked["__blocked_host"],
+            "inner",
+        )
+        .select(*[keyed[c] for c in df.columns])
+        .distinct()
+    )
+    return keyed.join(hits, df.columns, "left_anti").drop("__host_chain")

@@ -128,8 +128,17 @@ def build_corpus_pipeline(
       reflect the scrubbed text; ``n_removed_tokens`` /
       ``n_flagged_spans`` ride along.  Batch-only (corpus-wide window
       frequencies)
-    - ``dedup``        none | exact | near | cluster | semantic
-      (default none)
+    - ``dedup``        none | exact | near | cluster | semantic | url
+      (default none; ``url`` keeps one doc per canonical URL —
+      :func:`~sample_keyspaces_cdc_streams_connectors_spark.functions.urls.normalize_url` over ``url-column`` — and runs
+      FIRST, before any text stage, because tracking-param variants
+      are the cheapest duplicate class to collapse)
+    - ``url-column``   column holding each doc's URL; required by
+      ``dedup = url`` and ``blocked-hosts-path``
+    - ``blocked-hosts-path``  parquet of blocked hosts (``host``
+      column); rows whose URL host is a blocked host or any
+      subdomain of one are dropped before everything else
+      (:func:`~sample_keyspaces_cdc_streams_connectors_spark.functions.urls.filter_blocked_hosts`).  Batch-only
     - ``shingle-k``    shingle width for near/cluster dedup (default 3)
     - ``jaccard-threshold``  pair threshold for cluster dedup /1000
       (int per-mille, default 500 = 0.5)
@@ -255,12 +264,24 @@ def build_corpus_pipeline(
     semantic_clusters = cfg.get_int(f"{_P}.semantic-clusters", default=16)
     semantic_dims = cfg.get_int(f"{_P}.semantic-dims", default=64)
     semantic_index_path = cfg.get(f"{_P}.semantic-index-path", None)
-    if dedup_mode not in ("none", "exact", "near", "cluster", "semantic"):
+    url_column = cfg.get(f"{_P}.url-column", None) or None
+    blocked_hosts_path = cfg.get(f"{_P}.blocked-hosts-path", None)
+    if dedup_mode not in ("none", "exact", "near", "cluster", "semantic", "url"):
         from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
 
         raise ConfigError(
-            "corpus.dedup must be none|exact|near|cluster|semantic, "
+            "corpus.dedup must be none|exact|near|cluster|semantic|url, "
             f"got {dedup_mode!r}"
+        )
+    if dedup_mode == "url" and not url_column:
+        from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
+
+        raise ConfigError("corpus.dedup = url requires corpus.url-column")
+    if blocked_hosts_path and not url_column:
+        from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
+
+        raise ConfigError(
+            "corpus.blocked-hosts-path requires corpus.url-column"
         )
     if cluster_method not in ("ngram", "minhash"):
         from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
@@ -291,6 +312,25 @@ def build_corpus_pipeline(
             return frame.observe(obs, F.count(F.lit(1)).alias("rows"))
 
         out = tap(df, "input")
+        if url_column and blocked_hosts_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.functions.urls import filter_blocked_hosts
+
+            blocked = out.sparkSession.read.parquet(blocked_hosts_path)
+            out = tap(
+                filter_blocked_hosts(out, url_column, blocked),
+                "blocked-hosts",
+            )
+        if dedup_mode == "url":
+            # URL-level dedup FIRST — it is the cheapest duplicate
+            # class (same page, tracking-param variants) and shrinks
+            # everything downstream; canonical form via normalize_url
+            from sample_keyspaces_cdc_streams_connectors_spark.functions.urls import normalize_url
+
+            out = out.withColumn("__key", normalize_url(F.col(url_column)))
+            out = tap(
+                keep_first_per(out, "__key", id_col).drop("__key"),
+                "url-dedup",
+            )
         if scrub:
             from sample_keyspaces_cdc_streams_connectors_spark.functions.pii import with_pii_scrubbed
 
