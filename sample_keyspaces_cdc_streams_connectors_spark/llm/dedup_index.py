@@ -97,21 +97,53 @@ def build_dedup_index(
     )
 
 
-def build_index_bloom(spark: SparkSession, path: str, mode: str = "exact", fpr: float = 0.01):
+def build_index_bloom(
+    spark: SparkSession,
+    path: str,
+    mode: str = "exact",
+    fpr: float = 0.01,
+    bucketed: bool = False,
+):
     """One-time Bloom summary of the standing index's keys, sized for
     ``fpr`` — pass to :func:`dedup_against_index` so per-batch probes
     touch the index only for might-be-present keys.
+
+    ``bucketed=True`` builds ONE filter per index prefix-bucket (the
+    256 ``bucket=XX`` directories the index is laid out in) as a
+    :class:`~sample_keyspaces_cdc_streams_connectors_spark.functions.bloom.BucketedBloomFilter`
+    — the scale form past ~10⁸ keys: the build is still ONE shuffle
+    (the bucket joins the groupBy key), probes route each key to its
+    bucket's bitset, appends OR into one bucket without touching the
+    other 255, and the set persists ``partitionBy(bucket)``
+    (``save_bloom_bucketed``) so a future cogroup-style probe opens
+    only the buckets it sees.
 
     STALENESS IS UNSAFE here (unlike a cache): a key appended to the
     index after the filter was built would probe ``false`` and its
     duplicates would be declared fresh.  Rebuild after appends — or
     keep the filter fresh incrementally by OR-ing the appended keys'
     bits in (Bloom filters union by bitwise OR)."""
-    from sample_keyspaces_cdc_streams_connectors_spark.functions.bloom import build_bloom, optimal_params
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.bloom import (
+        build_bloom,
+        build_bloom_bucketed,
+        optimal_params,
+    )
 
     sub, _ = _check_mode(mode)
     index = spark.read.parquet(f"{path}/{sub}")
     n = max(index.count(), 1)
+    if bucketed:
+        # per-bucket sizing: md5 prefixes are uniform, so every
+        # bucket holds ~n/256 keys
+        n_bits, k = optimal_params(max(1, (n + 255) // 256), fpr)
+        return build_bloom_bucketed(
+            index,
+            "fp",
+            F.conv(F.substring("fp", 1, 2), 16, 10).cast("int"),
+            n_bits,
+            k,
+            n_buckets=256,
+        )
     n_bits, k = optimal_params(n, fpr)
     return build_bloom(index, "fp", n_bits, k)
 
@@ -160,7 +192,11 @@ def dedup_against_index(
     )
     index = spark.read.parquet(f"{path}/{sub}")
     if bloom is not None:
-        from sample_keyspaces_cdc_streams_connectors_spark.functions.bloom import might_contain
+        from sample_keyspaces_cdc_streams_connectors_spark.functions.bloom import (
+            BucketedBloomFilter,
+            might_contain,
+            might_contain_bucketed,
+        )
 
         # one pass, inverted construction (r5 review finding — the
         # earlier fresh/suspect two-branch union consumed the probe
@@ -174,7 +210,16 @@ def dedup_against_index(
         # from the fresh-majority id set.  No false negatives ⇒ dup
         # ids are exactly the batch keys present in the index ⇒
         # survivors identical (equivalence stays pinned).
-        suspects = slim.filter(might_contain(F.col("fp"), bloom))
+        probe = (
+            might_contain_bucketed(
+                F.conv(F.col("bucket"), 16, 10).cast("int"),
+                F.col("fp"),
+                bloom,
+            )
+            if isinstance(bloom, BucketedBloomFilter)
+            else might_contain(F.col("fp"), bloom)
+        )
+        suspects = slim.filter(probe)
         dup_ids = suspects.join(
             index, ["bucket", "fp"], "left_semi"
         ).select(id_col)

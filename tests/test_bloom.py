@@ -290,3 +290,47 @@ def test_bucketed_validation():
     b = BucketedBloomFilter(n_bits=128, k=2, words=np.zeros((8, 2), dtype=np.int64))
     with pytest.raises(ValueError, match="parameter mismatch"):
         bloom_union(a, b)
+
+
+def test_dedup_index_bucketed_bloom_equivalence(spark, sf_dir, tmp_path):
+    """build_index_bloom(bucketed=True) routes the dedup-index probe
+    through per-bucket filters — survivors must equal the plain join
+    AND the flat-Bloom arm (no false negatives per bucket), and the
+    set round-trips through the partitionBy(bucket) persistence."""
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.bloom import (
+        load_bloom_bucketed,
+        save_bloom_bucketed,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
+        build_dedup_index,
+        build_index_bloom,
+        dedup_against_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "idx")
+    build_dedup_index(corpus, path, mode="exact")
+    flat = build_index_bloom(spark, path, mode="exact")
+    bucketed = build_index_bloom(spark, path, mode="exact", bucketed=True)
+
+    batch = docs.limit(200)
+    plain = {r["doc_id"] for r in dedup_against_index(batch, path).collect()}
+    via_flat = {
+        r["doc_id"]
+        for r in dedup_against_index(batch, path, bloom=flat).collect()
+    }
+    via_bucketed = {
+        r["doc_id"]
+        for r in dedup_against_index(batch, path, bloom=bucketed).collect()
+    }
+    assert via_bucketed == via_flat == plain
+
+    bb_path = str(tmp_path / "bb")
+    save_bloom_bucketed(spark, bucketed, bb_path)
+    loaded = load_bloom_bucketed(spark, bb_path)
+    via_loaded = {
+        r["doc_id"]
+        for r in dedup_against_index(batch, path, bloom=loaded).collect()
+    }
+    assert via_loaded == plain
