@@ -44,6 +44,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
     build_corpus_pipeline,
     corpus_stats,
     deterministic_sample,
+    mixture_weights_temperature,
     pack_sequences,
     sample_corpus_mixture,
     shard_corpus,
@@ -131,6 +132,7 @@ __all__ = [
     "build_corpus_pipeline",
     "corpus_stats",
     "deterministic_sample",
+    "mixture_weights_temperature",
     "pack_sequences",
     "sample_corpus_mixture",
     "brute_force_topk",

@@ -862,6 +862,54 @@ def cap_per_group(
 _SAMPLE_MOD = 1_000_000
 
 
+def mixture_weights_temperature(
+    counts: dict[str, int],
+    tau: float = 0.7,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Per-source sampling FRACTIONS for :func:`sample_corpus_mixture`
+    from raw per-source doc counts, via temperature-based mixing
+    (the multilingual-pretraining rule, e.g. mC4/XLM-R: sample source
+    ``s`` with probability ``p_s ∝ n_s^tau``).  ``tau < 1`` flattens
+    the mixture — low-resource sources are UPsampled relative to
+    their share, dominant sources capped; ``tau = 1`` is proportional
+    (keep everything at the same rate); ``tau = 0`` is uniform per
+    source.
+
+    ``target_total`` is the desired output doc count (default: keep
+    the fraction ceiling at the largest feasible total, i.e. scale
+    until the binding source reaches fraction 1.0 — without
+    replacement, a source cannot be sampled above itself).  Returned
+    fractions are each clamped to [0, 1]; pair with
+    ``sample_corpus_mixture({s: (df_s, frac_s)})``.
+
+    Driver-side arithmetic over the (tiny) per-source count table —
+    counts come from one groupBy the caller already ran."""
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    if any(n < 0 for n in counts.values()):
+        raise ValueError(f"counts must be >= 0, got {counts}")
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    live = {s: n for s, n in counts.items() if n > 0}
+    if not live:
+        return {s: 0.0 for s in counts}
+    weights = {s: float(n) ** tau for s, n in live.items()}
+    wsum = sum(weights.values())
+    probs = {s: w / wsum for s, w in weights.items()}
+    if target_total is None:
+        # largest total where every fraction stays <= 1: the binding
+        # source is the one with the smallest n_s / p_s ratio
+        target_total = min(live[s] / probs[s] for s in live)
+    fracs = {
+        s: min(1.0, max(0.0, target_total * probs[s] / live[s]))
+        for s in live
+    }
+    for s in counts:
+        fracs.setdefault(s, 0.0)
+    return fracs
+
+
 def deterministic_sample(
     df: DataFrame,
     fraction: float,

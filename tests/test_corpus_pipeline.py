@@ -981,3 +981,39 @@ def test_pipeline_split_config_validates(spark):
                     {"keyspaces-cdc-streams": {"corpus": {"split-permille": bad}}}
                 )
             )
+
+
+def test_mixture_weights_temperature():
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import mixture_weights_temperature
+
+    counts = {"big": 90_000, "small": 10_000}
+    # tau=1: proportional — every source sampled at the same rate, so
+    # the default target (binding source at 1.0) keeps everything
+    prop = mixture_weights_temperature(counts, tau=1.0)
+    assert prop == {"big": 1.0, "small": 1.0}
+    # tau<1 flattens: the small source's KEPT SHARE of the output
+    # exceeds its corpus share; fractions stay in [0,1]
+    flat = mixture_weights_temperature(counts, tau=0.5, target_total=20_000)
+    out_small = flat["small"] * 10_000
+    out_big = flat["big"] * 90_000
+    assert out_small / (out_small + out_big) > 0.1
+    assert 0.0 <= flat["big"] <= 1.0 and 0.0 <= flat["small"] <= 1.0
+    assert abs((out_small + out_big) - 20_000) < 1.0
+    # tau=0 is uniform per source
+    uni = mixture_weights_temperature(counts, tau=0.0, target_total=10_000)
+    assert abs(uni["big"] * 90_000 - 5_000) < 1.0
+    assert abs(uni["small"] * 10_000 - 5_000) < 1.0
+    # default target under tau<1: binding source hits exactly 1.0
+    d = mixture_weights_temperature(counts, tau=0.5)
+    assert max(d.values()) == 1.0
+    # zero-count sources get 0.0; validation errors raise
+    z = mixture_weights_temperature({"a": 100, "b": 0})
+    assert z["b"] == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_weights_temperature({})
+    with _pytest.raises(ValueError):
+        mixture_weights_temperature({"a": -1})
+    with _pytest.raises(ValueError):
+        mixture_weights_temperature({"a": 1}, tau=-0.1)
