@@ -45,6 +45,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
     corpus_stats,
     deterministic_sample,
     mixture_weights_temperature,
+    pack_chunks,
     pack_sequences,
     sample_corpus_mixture,
     shard_corpus,
@@ -133,6 +134,7 @@ __all__ = [
     "corpus_stats",
     "deterministic_sample",
     "mixture_weights_temperature",
+    "pack_chunks",
     "pack_sequences",
     "sample_corpus_mixture",
     "brute_force_topk",

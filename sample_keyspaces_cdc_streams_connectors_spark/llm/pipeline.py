@@ -1115,3 +1115,89 @@ def shard_corpus(
             F.lit(n_shards - 1),
         ).cast("int"),
     ).drop("_h", "_cum")
+
+
+def pack_chunks(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "epoch0",
+    n_buckets: int = 256,
+    persist: bool = False,
+) -> DataFrame:
+    """EXACT fixed-length sequence packing — the GPT-style
+    concat-and-chunk: the epoch-shuffled corpus is one token stream,
+    cut into consecutive windows of exactly ``seq_len`` tokens, and
+    each document contributes its token spans to whichever windows it
+    falls across (long docs SPLIT over window boundaries; short docs
+    share a window with their neighbors — zero padding except the
+    final partial window).
+
+    This is the complement to :func:`pack_sequences` (whole-document
+    greedy bins, no splitting, bounded overflow) — use that when
+    document integrity matters, this when the training loader wants
+    dense fixed-shape batches and boundary-crossing is handled by the
+    attention mask.
+
+    Output one row per (document, window) intersection:
+
+    - ``chunk``      the global window index (0-based);
+    - ``doc_start`` / ``doc_end``  the token span of THIS doc that
+      lands in the window (0-based, end exclusive — loader-ready);
+    - ``chunk_pos``  where the span begins inside the window;
+    - ``n_tokens``   the doc's total token count (rides along).
+
+    Deterministic on any partitioning: the epoch order and the token
+    prefix sums come from
+    :func:`~sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum.with_order_stats` under the salted
+    content hash — the same "shuffle" :func:`shard_corpus` uses, so
+    ``pack_chunks(salt=s)`` packs exactly the order ``shard_corpus``
+    shards.  Scale: two map-side-combined shuffles (the prefix sum),
+    then a map-only window-span explode — a doc of ``t`` tokens emits
+    ``ceil`` spans proportional to ``t/seq_len``, so output volume
+    equals corpus token volume / seq_len, never quadratic.  Docs with
+    zero tokens yield no rows."""
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum import with_order_stats
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    base = docs.select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        ).alias("_h"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    scanned, _n, _total = with_order_stats(
+        base,
+        hash_col="_h",
+        tiebreak_cols=[id_col],
+        weight_col="n_tokens",
+        n_buckets=n_buckets,
+        pos_col="_pos",
+        cum_col="_cum",
+        persist=persist,
+    )
+    first = F.expr(f"_cum div {seq_len}")
+    last = F.expr(f"(_cum + n_tokens - 1) div {seq_len}")
+    spans = scanned.withColumn(
+        "chunk", F.explode(F.sequence(first, last))
+    )
+    cstart = F.col("chunk") * seq_len  # window's global token start
+    return spans.select(
+        F.col(id_col),
+        "n_tokens",
+        F.col("chunk").cast("long"),
+        F.greatest(cstart - F.col("_cum"), F.lit(0))
+        .cast("long")
+        .alias("doc_start"),
+        F.least(
+            cstart + seq_len - F.col("_cum"), F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("doc_end"),
+        F.greatest(F.col("_cum") - cstart, F.lit(0))
+        .cast("long")
+        .alias("chunk_pos"),
+    )

@@ -200,3 +200,93 @@ def test_shard_corpus_persist_passthrough(spark, sf_dir):
     }
     release_order_stats_cache()
     assert got == base
+
+
+# --- pack_chunks: exact fixed-length packing over the prefix sum ------------
+
+
+def test_pack_chunks_invariants_and_reference(spark, sf_dir):
+    """Every window except the last holds EXACTLY seq_len tokens,
+    every doc's spans tile [0, n_tokens) without gap or overlap, and
+    the whole assignment matches a sequential single-process replay
+    of the same epoch order."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import pack_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    seq_len = 128
+    rows = pack_chunks(docs, seq_len).collect()
+    assert rows
+
+    # per-window token totals: exactly seq_len except the last window
+    per_chunk = {}
+    per_doc = {}
+    for r in rows:
+        span = r["doc_end"] - r["doc_start"]
+        assert span > 0
+        assert 0 <= r["chunk_pos"] < seq_len
+        per_chunk[r["chunk"]] = per_chunk.get(r["chunk"], 0) + span
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["doc_start"], r["doc_end"], r["chunk"], r["chunk_pos"])
+        )
+    last = max(per_chunk)
+    for c, total in per_chunk.items():
+        if c == last:
+            assert 0 < total <= seq_len
+        else:
+            assert total == seq_len, c
+
+    # per-doc spans tile [0, n_tokens) in consecutive windows
+    n_tok = {
+        r["doc_id"]: r["n_tokens"] for r in rows
+    }
+    for d, spans in per_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        assert spans[-1][1] == n_tok[d]
+        for (s1, e1, c1, _), (s2, e2, c2, _) in zip(spans, spans[1:]):
+            assert e1 == s2 and c2 == c1 + 1
+
+    # sequential reference over the same salted epoch order
+    import hashlib
+
+    base = []
+    for r in docs.select("doc_id", "text").collect():
+        toks = len((r["text"] or "").split())
+        if toks > 0:
+            h = hashlib.md5(f"epoch0:{r['doc_id']}".encode()).hexdigest()
+            base.append((h, r["doc_id"], toks))
+    base.sort()
+    expect = set()
+    cum = 0
+    for _h, d, t in base:
+        first, last_c = cum // seq_len, (cum + t - 1) // seq_len
+        for c in range(first, last_c + 1):
+            cs = c * seq_len
+            expect.add(
+                (
+                    d,
+                    c,
+                    max(cs - cum, 0),
+                    min(cs + seq_len - cum, t),
+                    max(cum - cs, 0),
+                )
+            )
+        cum += t
+    got = {
+        (r["doc_id"], r["chunk"], r["doc_start"], r["doc_end"], r["chunk_pos"])
+        for r in rows
+    }
+    assert got == expect
+
+
+def test_pack_chunks_partition_invariant_and_validates(spark, sf_dir):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import pack_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    a = {tuple(r) for r in pack_chunks(docs, 64).collect()}
+    b = {tuple(r) for r in pack_chunks(docs.repartition(7), 64).collect()}
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seq_len"):
+        pack_chunks(docs, 0)
