@@ -144,41 +144,7 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- dedup -----------------------------------------------------------------
 
 
-@register(
-    "dedup_exact",
-    # the corpus is the documents table UNIONed with case/whitespace
-    # perturbed copies of every 10th doc (id + 1000000) — the fixture
-    # has no byte-identical dupes, so without this the query proves
-    # itself on an empty result; the perturbation also exercises the
-    # normalization (copies differ as bytes, match normalized)
-    oracle=f"""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000, upper(text) || '  '
-      FROM documents WHERE doc_id % 10 = 0
-    )
-    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-           COUNT(*) AS n_docs,
-           MIN(doc_id) AS keep_doc_id
-    FROM corpus
-    GROUP BY fp
-    HAVING COUNT(*) > 1
-    """,
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on the normalized-text fingerprint;
-    one shuffle keyed by a 128-bit hash (no text movement at scale).
-    The gate corpus plants case/whitespace-perturbed duplicates so the
-    result is non-empty and the normalization is load-bearing: every
-    planted copy must collapse onto its original (keep_doc_id = the
-    original's lower id), byte-identity alone would find nothing."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
-    )
-    return exact_duplicates(docs.unionByName(perturbed))
+# (dedup_exact merged into dedup_exact_cluster below, r7)
 
 
 # shared oracle CTEs for shingle-based dedup ---------------------------------
@@ -271,13 +237,25 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_cluster",
-    # WITH RECURSIVE closes the pair graph transitively in DuckDB —
-    # the declarative twin of the engine's iterative label
-    # propagation / star contraction (which cannot be one SQL query
-    # on the Spark side; the OUTPUT is still exactly comparable)
+    "dedup_exact_cluster",
+    # r7 tagged union of the former dedup_exact + dedup_cluster gates
+    # (every retired column survives: exact's fp/n_docs/keep_doc_id
+    # in (fp, val, doc_id); cluster's doc_id/component_id in
+    # (doc_id, val)).  Exact arm: the corpus is documents UNIONed
+    # with case/whitespace-perturbed copies of every 10th doc — the
+    # fixture has no byte-identical dupes, so the perturbation makes
+    # the result non-empty AND load-bears the normalization.  Cluster
+    # arm: WITH RECURSIVE closes the pair graph transitively in
+    # DuckDB — the declarative twin of the engine's iterative label
+    # propagation / star contraction.
     oracle=f"""
     WITH RECURSIVE {_NGRAM_COMMON_CTES},
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, upper(text) || '  '
+      FROM documents WHERE doc_id % 10 = 0
+    ),
     pairs AS (
       SELECT doc_a, doc_b
       FROM common
@@ -295,29 +273,60 @@ def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
     )
-    SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
+    SELECT 'exact' AS arm,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS val
+    FROM corpus
+    GROUP BY fp
+    HAVING COUNT(*) > 1
+    UNION ALL
+    SELECT 'cluster' AS arm, '' AS fp,
+           u AS doc_id, LEAST(u, MIN(v)) AS val
     FROM reach GROUP BY u
     """,
 )
-def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-CLUSTER closure (llm/components.py): the exact-Jaccard
-    near-dup pairs close transitively into components, keyed by each
-    component's minimum doc id — the decision layer behind
-    ``corpus.dedup=cluster`` survivor selection.  The Spark side is
-    the iterative min-label/star algorithm (auto-routed by the hub
-    probe); the oracle reaches the same fixpoint via a recursive CTE
-    over the identical pair set, so the gate pins the CLOSURE, not
-    just the pair generation."""
+def dedup_exact_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged-union dedup-decision gate (r7 merge):
+
+    - ``exact`` arm — hash-groupBy on the normalized-text fingerprint
+      (one shuffle keyed by a 128-bit hash, no text movement) over a
+      corpus with planted case/whitespace-perturbed duplicates, so
+      every planted copy must collapse onto its original;
+    - ``cluster`` arm — duplicate-CLUSTER closure (llm/components.py):
+      exact-Jaccard near-dup pairs close transitively into
+      components keyed by the minimum doc id, the decision layer
+      behind ``corpus.dedup=cluster``.  The Spark side is the
+      iterative min-label/star algorithm (hub auto-routing); the
+      oracle reaches the same fixpoint via a recursive CTE over the
+      identical pair set — the gate pins the CLOSURE, not just the
+      pair generation."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.components import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    exact = exact_duplicates(docs.unionByName(perturbed)).select(
+        F.lit("exact").alias("arm"),
+        "fp",
+        F.col("keep_doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_docs").cast("bigint").alias("val"),
+    )
     pairs = ngram_jaccard_pairs(
-        docs, k=3, threshold=0.5, max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.5,
+        max_shingle_freq=NGRAM_MAX_SHINGLE_FREQ,
     )
-    return connected_components(pairs).select(
+    cluster = connected_components(pairs).select(
+        F.lit("cluster").alias("arm"),
+        F.lit("").alias("fp"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("component_id").cast("bigint").alias("component_id"),
+        F.col("component_id").cast("bigint").alias("val"),
     )
+    return exact.unionAll(cluster)
 
 
 @register(
@@ -1951,3 +1960,57 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         spark, path, _BM25_GATE_QUERY, k=_BM25_GATE_K, exact_sum=True
     ).select(F.col("doc").cast("long").alias("doc"), "score")
+
+
+_PACK_GATE_SEQ = 128
+
+
+@register(
+    "pack_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)
+               AS n_tokens,
+             md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), w AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum
+      FROM t WHERE n_tokens > 0
+    ), spans AS (
+      SELECT doc_id, n_tokens, cum,
+             unnest(generate_series(
+               cum // {_PACK_GATE_SEQ},
+               (cum + n_tokens - 1) // {_PACK_GATE_SEQ})) AS chunk
+      FROM w
+    )
+    SELECT doc_id, n_tokens, CAST(chunk AS BIGINT) AS chunk,
+           GREATEST(chunk * {_PACK_GATE_SEQ} - cum, 0) AS doc_start,
+           LEAST(chunk * {_PACK_GATE_SEQ} + {_PACK_GATE_SEQ} - cum,
+                 n_tokens) AS doc_end,
+           GREATEST(cum - chunk * {_PACK_GATE_SEQ}, 0) AS chunk_pos
+    FROM spans
+    """,
+)
+def pack_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT fixed-length sequence packing (llm/pipeline.pack_chunks
+    over operators/prefixsum.py) — the GPT-style concat-and-chunk:
+    the epoch-shuffled token stream cut into windows of exactly 128
+    tokens, long docs splitting across window boundaries with
+    loader-ready (doc_start, doc_end, chunk_pos) spans.
+
+    The DuckDB oracle replays the semantics as ONE global window
+    cumsum + generate_series span explode — the single-partition
+    spelling the Spark side must NOT use; the engine's two-pass
+    hash-prefix-bucketed prefix sum + map-only explode must land
+    bit-identical per (doc, window) row.  No reference counterpart;
+    this is the training-loader handoff the sharding gate's epoch
+    order feeds."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_chunks(docs, seq_len=_PACK_GATE_SEQ)
