@@ -137,45 +137,61 @@ def filter_blocked_hosts(
     """Drop rows whose URL host is a blocked host OR any subdomain of
     one (``ads.example.com`` is blocked by ``example.com``).
 
-    ``blocked_hosts`` is a DataFrame with ``host_col`` (scales to
-    millions of entries — the join side is hosts only, broadcast by
-    Catalyst while it fits, shuffled keys-only beyond) or a plain
-    list for small literal blocklists.  Matching is by suffix label:
-    the row's host chain (host, parent, grandparent, ... down to the
-    registered domain's level) left-anti joins the blocklist — an
-    explode of at most ~5 labels per row, never a regex-per-blocked
-    pattern."""
+    ``blocked_hosts`` is a DataFrame with ``host_col`` or a plain list
+    for small literal blocklists; entries get the SAME normalization
+    as :func:`url_host` applies to row hosts (lowercase, trim, leading
+    ``www.`` stripped — so a hosts-file entry ``www.bad.com`` blocks
+    ``bad.com`` and every subdomain, r8 fix).
+
+    Matching is one equi-anti-join per distinct blocklist LABEL DEPTH
+    (an entry with ``j`` labels matches exactly the row host's last-j
+    suffix): the blocklist's depth set comes from one tiny static-side
+    aggregate, then for each depth the row's suffix column anti-joins
+    the depth's entries.  Real blocklists have ~2-4 depths, so this is
+    a handful of broadcast hash anti-joins riding one stage — no
+    explode, no ``distinct``, and (unlike a full-row self-anti-join)
+    NULL-safe for every row column, type-safe for non-equatable
+    columns (maps/arrays), and STREAM-SAFE (each join is stream-static
+    left_anti on a computed key).  Rows whose URL parses to no host
+    (NULL / non-URL strings) never match and always survive."""
     spark = df.sparkSession
     if not isinstance(blocked_hosts, DataFrame):
         blocked_hosts = spark.createDataFrame(
             [(h,) for h in blocked_hosts], f"{host_col} string"
         )
-    blocked = blocked_hosts.select(
-        F.lower(F.col(host_col)).alias("__blocked_host")
-    ).distinct()
+    blocked = (
+        blocked_hosts.select(
+            F.regexp_replace(
+                F.lower(F.trim(F.col(host_col))), r"^www\.", ""
+            ).alias("__blocked_host")
+        )
+        .filter(F.col("__blocked_host") != "")
+        .distinct()
+        .withColumn(
+            "__depth", F.size(F.split("__blocked_host", r"\."))
+        )
+    )
+    # the blocklist is always a static (batch) frame — one tiny
+    # collect of its distinct label depths decides the join fan-out
+    depths = sorted(
+        r["__depth"] for r in blocked.select("__depth").distinct().collect()
+    )
+    if not depths:
+        return df
     host = url_host(F.col(url_col))
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    # suffix chain: host, then each parent chain down to 2 labels
-    chain = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
-            lambda i: F.concat_ws("."
-                , F.slice(parts, i + 1, n - i)),
-        ),
-        lambda s: s != "",
-    )
-    keyed = df.withColumn("__host_chain", chain)
-    exploded = keyed.withColumn(
-        "__probe", F.explode_outer("__host_chain")
-    )
-    hits = (
-        exploded.join(
-            blocked,
-            exploded["__probe"] == blocked["__blocked_host"],
-            "inner",
+    out = df
+    for j in depths:
+        # last-j-labels suffix of the row host; NULL when the host is
+        # shallower than j (or absent) — NULL never joins, row survives
+        suffix = F.when(
+            n >= j, F.concat_ws(".", F.slice(parts, -j, j))
         )
-        .select(*[keyed[c] for c in df.columns])
-        .distinct()
-    )
-    return keyed.join(hits, df.columns, "left_anti").drop("__host_chain")
+        bl_j = F.broadcast(
+            blocked.filter(F.col("__depth") == j).select("__blocked_host")
+        )
+        out = out.join(
+            bl_j, suffix == bl_j["__blocked_host"], "left_anti"
+        )
+    return out

@@ -323,10 +323,20 @@ def build_corpus_pipeline(
         if dedup_mode == "url":
             # URL-level dedup FIRST — it is the cheapest duplicate
             # class (same page, tracking-param variants) and shrinks
-            # everything downstream; canonical form via normalize_url
-            from sample_keyspaces_cdc_streams_connectors_spark.functions.urls import normalize_url
+            # everything downstream; canonical form via normalize_url.
+            # Rows WITHOUT a usable URL (NULL, or a string with no
+            # scheme://host) are exempt: their key coalesces to a
+            # per-doc sentinel (\x00 cannot occur in a normalized
+            # URL), otherwise every missing-URL doc would collapse to
+            # one survivor (r8 fix).
+            from sample_keyspaces_cdc_streams_connectors_spark.functions.urls import normalize_url, url_host
 
-            out = out.withColumn("__key", normalize_url(F.col(url_column)))
+            u = F.col(url_column)
+            key = F.when(
+                u.isNull() | (url_host(u) == ""),
+                F.concat(F.lit("\x00doc:"), F.col(id_col).cast("string")),
+            ).otherwise(normalize_url(u))
+            out = out.withColumn("__key", key)
             out = tap(
                 keep_first_per(out, "__key", id_col).drop("__key"),
                 "url-dedup",
@@ -653,8 +663,14 @@ def build_streaming_curation(
     join against the persisted semantic index
     (``llm.semdedup.semantic_dedup_against_index``).
 
+    ``blocked-hosts-path`` (r8) runs the SAME subdomain-aware host
+    blocklist as the batch pipeline: ``filter_blocked_hosts`` is a
+    handful of stream-static broadcast anti-joins on computed suffix
+    keys — stateless, watermark-free, batch≡stream pinned in
+    tests/test_urls.py.
+
     Batch-only keys raise ``ConfigError``: within-batch ``dedup``
-    modes (global aggregation state — use
+    modes including ``url`` (global aggregation state — use
     ``streaming.dedup.streaming_near_dedup`` with a watermark for the
     streaming analog), ``remove-repeated-spans`` (corpus-wide window
     frequencies), and ``observe`` (batch Observation semantics).
@@ -700,6 +716,12 @@ def build_streaming_curation(
         cfg.get(f"{_P}.dedup-index-mode", "exact") or "exact"
     ).lower()
     shingle_k = cfg.get_int(f"{_P}.shingle-k", default=3)
+    url_column = cfg.get(f"{_P}.url-column", None) or None
+    blocked_hosts_path = cfg.get(f"{_P}.blocked-hosts-path", None)
+    if blocked_hosts_path and not url_column:
+        raise ConfigError(
+            "corpus.blocked-hosts-path requires corpus.url-column"
+        )
     semantic_index_path = cfg.get(f"{_P}.semantic-index-path", None)
     semantic_eps_permille = cfg.get_int(
         f"{_P}.semantic-eps-permille", default=950
@@ -710,6 +732,11 @@ def build_streaming_curation(
 
     def run(stream: DataFrame) -> DataFrame:
         out = stream
+        if url_column and blocked_hosts_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.functions.urls import filter_blocked_hosts
+
+            blocked = out.sparkSession.read.parquet(blocked_hosts_path)
+            out = filter_blocked_hosts(out, url_column, blocked)
         if scrub:
             from sample_keyspaces_cdc_streams_connectors_spark.functions.pii import with_pii_scrubbed
 

@@ -220,21 +220,28 @@ def quantized_topk(
         _query_norm,
     )
 
-    cands = top.select(id_col)
-    # the candidate set is k·factor rows — the coverage check below is
-    # one tiny broadcast anti-join job, and it turns a silent
-    # fewer-than-k / missing-true-best result (stale or filtered
-    # rerank_with) into a hard error
-    missing = (
-        cands.join(rerank_with.select(id_col), id_col, "left_anti").count()
+    # collect the candidate ids ONCE — they are k·factor rows, so the
+    # collect is tiny, and it means the dominant full-table quantized
+    # scoring stage runs exactly one job (r8 fix: the previous lazy
+    # anti-join coverage check re-executed the whole scan a second
+    # time because `top` was not cached)
+    cand_ids = [r[0] for r in top.select(id_col).collect()]
+    # coverage check: a silent fewer-than-k / missing-true-best result
+    # (stale or filtered rerank_with) becomes a hard error; the probe
+    # is one pushed-down IN-filter count over rerank_with
+    present = (
+        rerank_with.filter(F.col(id_col).isin(cand_ids))
+        .select(id_col)
+        .distinct()
+        .count()
     )
-    if missing:
+    if present != len(cand_ids):
         raise ValueError(
-            f"quantized_topk: {missing} candidate id(s) absent from "
-            f"rerank_with — the raw-vector frame must cover every id "
-            f"in the quantized table"
+            f"quantized_topk: {len(cand_ids) - present} candidate "
+            f"id(s) absent from rerank_with — the raw-vector frame "
+            f"must cover every id in the quantized table"
         )
-    exact = rerank_with.join(F.broadcast(cands), id_col).select(
+    exact = rerank_with.filter(F.col(id_col).isin(cand_ids)).select(
         F.col(id_col),
         _cosine_to_query(
             F.col(vec_col), _query_lit(query_vec), _query_norm(query_vec)

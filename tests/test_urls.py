@@ -125,6 +125,69 @@ def test_filter_blocked_hosts_dataframe_blocklist(spark):
     assert out == {2}
 
 
+def test_filter_blocked_hosts_null_columns_still_filtered(spark):
+    """r8 ADVICE fix: the old full-row anti-join used null-unsafe
+    equality, so a blocked row with ANY NULL column leaked through.
+    Blocking must depend only on the URL."""
+    rows = [
+        (1, "https://bad.com/x", None),            # blocked, NULL text
+        (2, "https://sub.bad.com/y", None),        # blocked subdomain, NULL
+        (3, "https://ok.com/z", None),             # clean, NULL text
+        (4, None, "no url at all"),                # NULL url survives
+    ]
+    df = spark.createDataFrame(rows, "id long, u string, text string")
+    out = {r["id"] for r in filter_blocked_hosts(df, "u", ["bad.com"]).collect()}
+    assert out == {3, 4}
+
+
+def test_filter_blocked_hosts_non_equatable_columns(spark):
+    """Map-typed columns broke the old full-row join outright; the
+    suffix-key joins never touch them."""
+    df = spark.createDataFrame(
+        [(1, "https://bad.com/x", {"k": "v"}), (2, "https://ok.com/y", {})],
+        "id long, u string, meta map<string,string>",
+    )
+    out = {r["id"] for r in filter_blocked_hosts(df, "u", ["bad.com"]).collect()}
+    assert out == {2}
+
+
+def test_filter_blocked_hosts_www_blocklist_entry(spark):
+    """r8 ADVICE fix: hosts-file blocklists commonly carry a leading
+    ``www.`` — the entry must get the same normalization as row hosts."""
+    rows = [
+        (1, "https://www.bad.com/x"),
+        (2, "https://bad.com/y"),
+        (3, "https://tracker.bad.com/z"),
+        (4, "https://good.com/w"),
+    ]
+    df = spark.createDataFrame(rows, "id long, u string")
+    out = {
+        r["id"]
+        for r in filter_blocked_hosts(df, "u", ["WWW.bad.com "]).collect()
+    }
+    assert out == {4}
+
+
+def test_filter_blocked_hosts_plan_broadcast_anti(spark):
+    """Per-depth suffix matching = broadcast hash anti-joins; never a
+    nested-loop or cartesian plan."""
+    df = spark.createDataFrame([(1, "https://a.com/x")], "id long, u string")
+    plan = (
+        filter_blocked_hosts(df, "u", ["bad.com", "deep.sub.bad.org"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_blocked_hosts_empty_blocklist_is_identity(spark):
+    df = spark.createDataFrame([(1, "https://a.com/x")], "id long, u string")
+    assert filter_blocked_hosts(df, "u", []).count() == 1
+
+
 def test_column_functions_zero_shuffle_zero_python(spark):
     df = spark.createDataFrame([("https://a.example.com/x?utm_source=1",)], "u string")
     plan = (
@@ -188,6 +251,106 @@ def test_pipeline_url_keys_validated(spark):
         )
     with pytest.raises(ConfigError, match="requires corpus.url-column"):
         build_corpus_pipeline(
+            load_config(
+                {
+                    "keyspaces-cdc-streams": {
+                        "corpus": {"blocked-hosts-path": "/x"}
+                    }
+                }
+            )
+        )
+
+
+def test_pipeline_url_dedup_exempts_missing_urls(spark):
+    """r8 ADVICE fix: docs with NULL or non-URL ``url`` values must
+    NOT collapse to one survivor — they are exempt from URL dedup."""
+    from sample_keyspaces_cdc_streams_connectors_spark.config import load_config
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_corpus_pipeline
+
+    rows = [
+        (1, None, "null url one"),
+        (2, None, "null url two"),
+        (3, "N/A", "sentinel one"),
+        (4, "N/A", "sentinel two"),
+        (5, "https://example.com/a?utm_source=x", "real dup a"),
+        (6, "https://example.com/a", "real dup b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"dedup": "url", "url-column": "url"}
+            }
+        }
+    )
+    kept = {r.doc_id for r in build_corpus_pipeline(cfg)(docs).collect()}
+    assert kept == {1, 2, 3, 4, 5}
+
+
+def test_streaming_blocklist_matches_batch(spark, tmp_path):
+    """r8: blocked-hosts filtering is stream-safe (stream-static
+    broadcast anti-joins) — micro-batch replay equals the batch
+    pipeline on the same rows."""
+    import uuid
+
+    from sample_keyspaces_cdc_streams_connectors_spark.config import load_config
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
+        build_corpus_pipeline,
+        build_streaming_curation,
+    )
+
+    rows = [
+        (1, "https://spam.bad.org/p", "spam text here and there"),
+        (2, "https://good.org/q", "the clean text of a doc on the site"),
+        (3, None, "the doc with no url is kept for it is clean"),
+        (4, "https://bad.org/r", "more spam on the apex host"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    blocked_path = str(tmp_path / "blocked")
+    spark.createDataFrame([("bad.org",)], "host string").write.parquet(
+        blocked_path
+    )
+    conf = {
+        "keyspaces-cdc-streams": {
+            "corpus": {
+                "url-column": "url",
+                "blocked-hosts-path": blocked_path,
+            }
+        }
+    }
+    src = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"blk_{uuid.uuid4().hex[:8]}"
+    q = (
+        build_streaming_curation(load_config(conf))(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    streamed = {
+        r["doc_id"] for r in spark.table(name).select("doc_id").collect()
+    }
+    spark.catalog.dropTempView(name)
+    batch = build_corpus_pipeline(load_config(conf))(spark.read.parquet(src))
+    assert streamed == {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert streamed == {2, 3}
+
+
+def test_streaming_blocklist_requires_url_column(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError, load_config
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_streaming_curation
+
+    with pytest.raises(ConfigError, match="requires corpus.url-column"):
+        build_streaming_curation(
             load_config(
                 {
                     "keyspaces-cdc-streams": {
