@@ -132,12 +132,21 @@ def dequantize_col(scale_col, code_col):
 def _quantize_vec(arr: np.ndarray) -> tuple[float, np.ndarray]:
     """THE symmetric-int8 formula — single definition shared by the
     table-side UDF and the query side, so the 'codes scored against
-    the quantized query' symmetry cannot drift."""
+    the quantized query' symmetry cannot drift.
+
+    Rounding is HALF-AWAY-FROM-ZERO (not numpy's banker's rint, r8):
+    it is the rule ANSI SQL ``ROUND`` uses, so the DuckDB oracle of
+    the ``vector_topk`` int8 arm replays the quantization
+    bit-for-bit.  The two rules differ only on exact .5 steps — a
+    measure-zero set for real embeddings — but the gate must hold on
+    ANY input."""
     m = float(np.max(np.abs(arr))) if arr.size else 0.0
     if m == 0.0:
         return 0.0, np.zeros(arr.size, dtype=np.int8)
     scale = m / _QMAX
-    return scale, np.clip(np.rint(arr / scale), -_QMAX, _QMAX).astype(np.int8)
+    x = arr / scale
+    half_away = np.sign(x) * np.floor(np.abs(x) + 0.5)
+    return scale, np.clip(half_away, -_QMAX, _QMAX).astype(np.int8)
 
 
 def _quantize_query(query_vec: Sequence[float]) -> tuple[float, np.ndarray]:

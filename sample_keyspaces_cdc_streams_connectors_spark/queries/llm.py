@@ -904,9 +904,48 @@ def _lsh_oracle(n_planes: int = 4) -> str:
             WHERE vec_id <> 1) a, q
       ORDER BY sim DESC, a.vec_id
       LIMIT 10
+    ),
+    i8q AS (
+      SELECT CASE WHEN qm = 0 THEN 0.0 ELSE qm / 127 END AS qscale,
+             CASE WHEN qm = 0
+                  THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(emb, x -> CAST(LEAST(GREATEST(
+                    round(CAST(x AS DOUBLE) / (qm / 127)), -127), 127)
+                    AS BIGINT))
+             END AS qcode
+      FROM (SELECT emb,
+                   list_max(list_transform(emb,
+                     x -> abs(CAST(x AS DOUBLE)))) AS qm
+            FROM q)
+    ),
+    i8t AS (
+      SELECT vec_id,
+             CASE WHEN m = 0 THEN 0.0 ELSE m / 127 END AS scale,
+             CASE WHEN m = 0
+                  THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(emb, x -> CAST(LEAST(GREATEST(
+                    round(CAST(x AS DOUBLE) / (m / 127)), -127), 127)
+                    AS BIGINT))
+             END AS code
+      FROM (SELECT vec_id, embedding AS emb,
+                   list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) AS m
+            FROM embeddings WHERE vec_id <> 1)
+    ),
+    i8s AS (
+      SELECT t.vec_id,
+             (CAST(list_sum(list_transform(list_zip(t.code, i.qcode),
+                s -> s[1] * s[2])) AS DOUBLE) * t.scale) * i.qscale AS score
+      FROM i8t t, i8q i
+    ),
+    int8arm AS (
+      SELECT 'int8' AS method, vec_id,
+             CAST(CAST(score AS DECIMAL(18,8)) AS DOUBLE) AS sim,
+             CAST(NULL AS INTEGER) AS bucket
+      FROM i8s ORDER BY score DESC, vec_id LIMIT 10
     )
     SELECT * FROM brute UNION ALL SELECT * FROM lsh
-    UNION ALL SELECT * FROM pq
+    UNION ALL SELECT * FROM pq UNION ALL SELECT * FROM int8arm
     """
 
 
@@ -943,7 +982,15 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to brute force by construction — and is noise at
     production scale, where k*refine governs and the floor costs
     nothing.  The approximate-recall behavior under a tight candidate
-    budget is pinned separately in tests/test_pq.py."""
+    budget is pinned separately in tests/test_pq.py.
+
+    Arm ``int8`` (r8 — llm/quant.py promoted from pytest-only):
+    symmetric per-vector int8 quantization + quantized top-k on the
+    APPROX scores — the training-free 4x-narrower point of the
+    compression ladder.  The oracle replays the full quantization
+    arithmetic (max|v|/127 scale, half-away-from-zero rounding,
+    ±127 clip), the exact integer dot, and the
+    ``(dot · scale) · qscale`` float association bit-for-bit."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import pq_topk_rerank, train_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -977,7 +1024,15 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
         F.lit(None).cast("int").alias("bucket"),
     )
-    return brute.unionAll(lsh).unionAll(pq)
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.quant import quantize_embeddings, quantized_topk
+
+    int8 = quantized_topk(quantize_embeddings(others), qvec, k=10).select(
+        F.lit("int8").alias("method"),
+        "vec_id",
+        F.col("score").cast("decimal(18,8)").cast("double").alias("sim"),
+        F.lit(None).cast("int").alias("bucket"),
+    )
+    return brute.unionAll(lsh).unionAll(pq).unionAll(int8)
 
 
 @register(
@@ -1797,6 +1852,8 @@ _MIX_FRACS = {"web": 0.5, "books": 0.8, "code": 0.25}
 _SPLIT_FRACS = {"train": 0.98, "val": 0.01, "test": 0.01}
 
 
+_MIX_TAU = 0.7
+
 @register(
     "mixture_split",
     oracle=f"""
@@ -1806,6 +1863,25 @@ _SPLIT_FRACS = {"train": 0.98, "val": 0.01, "test": 0.01}
                WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code'
              END AS source
       FROM documents
+    ), cnt AS (
+      SELECT source, COUNT(*) AS n FROM src GROUP BY source
+    ), w AS (
+      SELECT source, n, pow(CAST(n AS DOUBLE), {_MIX_TAU}) AS wt FROM cnt
+    ), ws AS (
+      -- the engine sums weights in SORTED source order (books, code,
+      -- web); spell the same float association explicitly
+      SELECT ((SELECT wt FROM w WHERE source = 'books')
+            + (SELECT wt FROM w WHERE source = 'code'))
+            + (SELECT wt FROM w WHERE source = 'web') AS wsum
+    ), pr AS (
+      SELECT source, n, wt / ws.wsum AS p FROM w, ws
+    ), tt AS (
+      SELECT MIN(CAST(n AS DOUBLE) / p) AS t FROM pr
+    ), fr AS (
+      SELECT source,
+             LEAST(1.0, GREATEST(0.0, tt.t * p / CAST(n AS DOUBLE)))
+               AS frac
+      FROM pr, tt
     ), sampled AS (
       SELECT doc_id, source
       FROM src
@@ -1818,10 +1894,12 @@ _SPLIT_FRACS = {"train": 0.98, "val": 0.01, "test": 0.01}
     SELECT doc_id, source,
            CASE WHEN t < 10000 THEN 'test'
                 WHEN t < 990000 THEN 'train'
-                ELSE 'val' END AS split
+                ELSE 'val' END AS split,
+           CAST(CAST(fr.frac AS DECIMAL(18,9)) AS DOUBLE) AS mix_frac
     FROM (SELECT doc_id, source,
                  {_md5i("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS t
           FROM sampled)
+    JOIN fr USING (source)
     """,
 )
 def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1839,11 +1917,21 @@ def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting composes without correlation — the property a 100 TB
     curation DAG relies on when either stage reruns alone.
 
+    r8 folds in ``mixture_weights_temperature`` (the n_s^τ mixing
+    rule at τ=0.7): the per-source temperature fraction — computed
+    by the PRODUCTION driver-side function from the pre-sampling
+    source counts — rides along as ``mix_frac``, and the oracle
+    re-derives the identical double arithmetic (pow, the engine's
+    sorted-order weight sum, min-feasible-total, clamp) in SQL.
+
     Scale: both stages are map-only filters/projections (no shuffle,
-    no UDF — pure JVM md5 + CASE); the union is plan-level.  No
+    no UDF — pure JVM md5 + CASE; the temperature fractions come from
+    one tiny 3-row count collect at plan-build time and enter the
+    plan as a CASE of literals); the union is plan-level.  No
     reference counterpart (the reference has no corpus tooling)."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
         assign_split,
+        mixture_weights_temperature,
         sample_corpus_mixture,
     )
 
@@ -1854,13 +1942,30 @@ def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, F.lit("books"))
         .otherwise(F.lit("code")),
     )
+    raw_counts = {
+        r["source"]: r["n"]
+        for r in tagged.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    fracs = mixture_weights_temperature(
+        {s: raw_counts[s] for s in sorted(raw_counts)}, tau=_MIX_TAU
+    )
+    frac_col = None
+    for name in sorted(fracs):
+        frac_col = (
+            F.when(F.col("source") == name, F.lit(fracs[name]))
+            if frac_col is None
+            else frac_col.when(F.col("source") == name, F.lit(fracs[name]))
+        )
     sources = {
         name: (tagged.filter(F.col("source") == name).drop("source"), frac)
         for name, frac in _MIX_FRACS.items()
     }
     mixed = sample_corpus_mixture(sources, id_col="doc_id", salt="mix")
     return assign_split(mixed, _SPLIT_FRACS, id_col="doc_id").select(
-        "doc_id", "source", "split"
+        "doc_id",
+        "source",
+        "split",
+        frac_col.cast("decimal(18,9)").cast("double").alias("mix_frac"),
     )
 
 

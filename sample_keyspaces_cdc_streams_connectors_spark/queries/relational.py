@@ -655,9 +655,72 @@ def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- scalar functions ------------------------------------------------------
 
 
+#: the scalar_funcs URL arm's synthetic messy-URL generator, written
+#: once as SQL (valid in BOTH engines' dialects) so the two sides
+#: cannot drift: per-part tracking params, default ports, casefolded
+#: scheme/host, fragments, trailing slashes, a blocked ad host, and a
+#: non-URL string
+_URL_GEN_SQL = """CASE CAST(p_partkey % 5 AS INT)
+      WHEN 0 THEN 'HTTPS://WWW.Shop.COM:443/Item/' || CAST(p_partkey AS STRING)
+                  || '/?utm_source=x&id=' || CAST(p_partkey AS STRING)
+                  || '&fbclid=f#frag'
+      WHEN 1 THEN 'http://news.bbc.co.uk:80/story/'
+                  || CAST(p_partkey AS STRING) || '/'
+      WHEN 2 THEN 'https://ads.tracker.net/banner?id='
+                  || CAST(p_partkey AS STRING)
+      WHEN 3 THEN 'item description ' || CAST(p_partkey AS STRING)
+      ELSE 'https://Sub.Shop.COM.AU/p/' || CAST(p_partkey AS STRING)
+           || '?gclid=1&q=x'
+    END"""
+
+_URL_SUFFIXES_SQL = (
+    "'co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',"
+    "'co.jp','ne.jp','or.jp','ac.jp','com.br','com.cn','com.mx',"
+    "'com.tr','com.ar','co.in','co.kr','co.za','co.nz'"
+)
+
+
 @register(
     "scalar_funcs",
-    oracle="""
+    oracle=f"""
+    WITH urls AS (
+      SELECT *, {_URL_GEN_SQL} AS u FROM part
+    ), parsed AS (
+      SELECT *,
+        lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+          AS scheme,
+        lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))
+          AS auth0,
+        regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1)
+          AS rest0,
+        regexp_replace(lower(regexp_extract(u,
+          '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+          '^www\\.', '') AS hst
+      FROM urls
+    ), normed AS (
+      SELECT *,
+        CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+             ELSE auth0 END AS auth,
+        CASE WHEN strpos(rest0, '?') > 0
+             THEN substr(rest0, 1, strpos(rest0, '?') - 1)
+             ELSE rest0 END AS pth,
+        CASE WHEN strpos(rest0, '?') > 0
+             THEN list_filter(
+                    string_split(substr(rest0, strpos(rest0, '?') + 1), '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                      '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid)='))
+             ELSE [] END AS params
+      FROM parsed
+    ), built AS (
+      SELECT *,
+        regexp_replace(
+          pth || CASE WHEN len(params) = 0 THEN ''
+                      ELSE '?' || array_to_string(params, '&') END,
+          '^(/.+)/$', '\\1') AS final_rest,
+        string_split(hst, '.') AS parts
+      FROM normed
+    )
     SELECT p_partkey,
            upper(p_brand) AS brand_up,
            substr(p_name, 1, 8) AS name_prefix,
@@ -667,15 +730,51 @@ def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
            CAST(CAST(round(CAST(p_retailprice AS DECIMAL(18,4)) * 1.1, 2)
                 AS DECIMAL(18,2)) AS DOUBLE) AS price_taxed,
-           CASE WHEN p_size % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
-    FROM part
+           CASE WHEN p_size % 2 = 0 THEN 'even' ELSE 'odd' END AS parity,
+           CASE WHEN scheme = '' THEN u
+                ELSE scheme || '://' || auth || final_rest END AS url_norm,
+           hst AS url_host,
+           CASE WHEN hst = '' THEN ''
+                WHEN regexp_matches(hst, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')
+                     OR len(parts) <= 2 THEN hst
+                WHEN (parts[-2] || '.' || parts[-1])
+                       IN ({_URL_SUFFIXES_SQL})
+                     AND len(parts) >= 3
+                THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                ELSE parts[-2] || '.' || parts[-1] END AS url_domain
+    FROM built
+    WHERE NOT coalesce(len(parts) >= 2
+               AND (parts[-2] || '.' || parts[-1]) = 'tracker.net', false)
     """,
 )
 def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/math scalar function parity (reference #4/#5/#7/#14
-    analogs) — all JVM built-ins, zero Python in the data path."""
-    p = load_table(spark, sf_dir, "part")
-    return p.select(
+    analogs) — all JVM built-ins, zero Python in the data path.
+
+    r8 folds in the URL-curation surface (functions/urls.py, promoted
+    from pytest-only): a synthetic messy URL per part (tracking
+    params, default ports, casefolded authority, fragments, trailing
+    slashes, a blocked ad host, a non-URL string — the SAME SQL CASE
+    generator evaluated by both engines) flows through the PRODUCTION
+    ``normalize_url`` / ``url_host`` / ``registered_domain`` columns
+    and the subdomain-aware ``filter_blocked_hosts`` drop
+    (blocklist = tracker.net, so every ads.tracker.net row must
+    vanish).  The oracle re-derives normalization by an INDEPENDENT
+    construction (path/query split + param-list filter, not the
+    engine's regex surgery) — agreement pins semantics, not the
+    implementation."""
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.urls import (
+        filter_blocked_hosts,
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "u", F.expr(_URL_GEN_SQL)
+    )
+    kept = filter_blocked_hosts(p, "u", ["tracker.net"])
+    return kept.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_up"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
@@ -688,6 +787,9 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_taxed"),
         F.when(F.col("p_size") % 2 == 0, "even").otherwise("odd").alias("parity"),
+        F.coalesce(normalize_url(F.col("u")), F.col("u")).alias("url_norm"),
+        url_host(F.col("u")).alias("url_host"),
+        registered_domain(F.col("u")).alias("url_domain"),
     )
 
 
