@@ -258,6 +258,92 @@ def load_pq_model_json(path: str, spark: SparkSession | None = None):
     )
 
 
+def write_ivf_int8_index(
+    vectors: DataFrame,
+    path: str,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_mode: str = "farthest",
+) -> list[list[float]]:
+    """IVF-int8 layout (r8): cells partition the FILES, symmetric
+    int8 codes narrow the SCAN — the lossless-er middle rung of the
+    compression ladder between float IVF (4 bytes/dim) and IVF-PQ
+    (~m/d bytes/dim).  Each row stores its raw vector AND its
+    ``(q_scale, q_code)`` quantization in the same cell-partitioned
+    parquet; columnar storage makes the co-location free: the
+    quantized scoring pass projects only ``(id, q_scale, q_code)``
+    (column pruning, 1 byte/dim + 8) over only the probed cells
+    (partition pruning), and raw vectors are fetched just for the
+    re-ranked candidate ids — the same double-pruning shape as
+    :func:`write_ivf_pq_index`, with NO second training pass (int8
+    needs no codebooks).
+
+    Returns the coarse codebook (persisted alongside, object-store
+    safe)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.quant import quantize_embeddings
+
+    centroids = kmeans_fit(
+        vectors,
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed_mode=seed_mode,
+    )
+    labeled = kmeans_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"
+    )
+    coded = quantize_embeddings(labeled, vec_col=vec_col)
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _write_text(
+        vectors.sparkSession, _codebook_path(path), json.dumps(centroids)
+    )
+    return centroids
+
+
+def ivf_int8_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: Sequence[float],
+    topk: int = 10,
+    n_probe: int = 2,
+    rerank: bool = True,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Double-pruned int8 search over a :func:`write_ivf_int8_index`
+    layout: partition pruning picks the probed cells, the quantized
+    scoring pass scans only ``(id, q_scale, q_code)`` of those cells
+    — 4× narrower than the float scan (both prunings pinned in
+    tests/test_ivf_index.py) — and with ``rerank=True`` the exact
+    cosine re-ranks the ``topk*rerank_factor`` int8 candidates
+    against their raw vectors (a pushed-down id IN-filter over the
+    probed cells only, never the whole table).  With the re-rank on,
+    the answer equals float IVF at the same ``n_probe`` whenever the
+    true in-probe top-k sits inside the int8 top-``k*factor`` —
+    int8's ~1e-2 score error makes that hold except under
+    adversarial ties (recall-parity pinned on the fixture)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.quant import quantized_topk
+
+    cells = _probe_cells(query_vec, load_codebook(path, spark), n_probe)
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    quantized = scan.select(id_col, "q_scale", "q_code")
+    if not rerank:
+        return quantized_topk(quantized, query_vec, k=topk, id_col=id_col)
+    return quantized_topk(
+        quantized,
+        query_vec,
+        k=topk,
+        id_col=id_col,
+        rerank_with=scan.select(id_col, vec_col),
+        vec_col=vec_col,
+        rerank_factor=rerank_factor,
+    )
+
+
 def ivf_pq_topk(
     spark: SparkSession,
     path: str,

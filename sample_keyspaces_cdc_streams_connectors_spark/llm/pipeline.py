@@ -203,7 +203,9 @@ def build_corpus_pipeline(
       semantic index (``llm.semdedup.write_semantic_index``);
       threshold/dims shared with ``dedup = semantic``
       (``semantic-eps-permille`` / ``semantic-dims``).  Stream-safe —
-      also accepted by :func:`build_streaming_curation`
+      also accepted by :func:`build_streaming_curation`.  An index
+      written with ``int8=True`` (r8) is auto-detected from the
+      member schema: same key, ~4× narrower probe scans
     - ``split-permille`` (r7) — csv of ``<label>:<int per-mille>``
       entries summing to 1000 (e.g. ``train:980,val:10,test:10``);
       when set, the FINAL stage labels every surviving row with a

@@ -354,6 +354,28 @@ def semantic_dedup(
 MEMBERS_DIR = "members"
 
 
+def _int8_member_cols(nv: F.Column) -> tuple[F.Column, F.Column]:
+    """Pure-JVM symmetric int8 quantization of a unit vector column:
+    ``(scale, code array<tinyint>)`` with scale = max|v|/127 and
+    half-away-from-zero rounding (Spark ROUND = HALF_UP = away from
+    zero on both signs).  Array-of-tinyint (not binary) so the PROBE
+    dot stays a whole-stage-codegen ``zip_with`` — no Python, no
+    byte-unpacking UDF."""
+    m = F.array_max(F.transform(nv, lambda x: F.abs(x)))
+    scale = F.when(m > 0.0, m / F.lit(127.0)).otherwise(F.lit(0.0))
+    code = F.when(
+        m > 0.0,
+        F.transform(
+            nv,
+            lambda x: F.greatest(
+                F.least(F.round(x / (m / F.lit(127.0)), 0), F.lit(127.0)),
+                F.lit(-127.0),
+            ).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(nv, lambda x: F.lit(0).cast("tinyint")))
+    return scale, code
+
+
 def write_semantic_index(
     vectors: DataFrame,
     path: str,
@@ -363,6 +385,7 @@ def write_semantic_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_mode: str = "farthest",
+    int8: bool = False,
 ) -> list[list[float]]:
     """Persist a STANDING semantic-dedup index: the kept corpus's
     unit vectors, cell-partitioned under the k-means codebook (same
@@ -374,7 +397,15 @@ def write_semantic_index(
     streaming analog of :func:`semantic_dedup`, completing the
     dedup-ladder × streaming matrix (exact and lexical-near streaming
     suppression live in ``llm.dedup_index``; this is the
-    paraphrase-level counterpart).  Returns the codebook."""
+    paraphrase-level counterpart).  Returns the codebook.
+
+    ``int8=True`` (r8) stores members as ``(scale, code)`` symmetric
+    int8 quantizations instead of float unit vectors — ~4× narrower
+    probe scans at a ≤ ~1e-2 cosine error (the probe's suppression
+    threshold becomes approximate by that margin; fine for a dedup
+    gate, wrong for an exact-scoring consumer).  The probe
+    auto-detects the layout from the member schema — same config
+    key, same call sites."""
     import json
 
     from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _codebook_path, _write_text
@@ -392,9 +423,15 @@ def write_semantic_index(
     assigned = _assign_cells(
         vectors, unit_cents, id_col=id_col, vec_col=vec_col
     )
+    if int8:
+        scale, code = _int8_member_cols(F.col("__nv"))
+        members = assigned.select(
+            id_col, scale.alias("q_scale"), code.alias("q_code"), "cell"
+        )
+    else:
+        members = assigned.select(id_col, F.col("__nv").alias("nv"), "cell")
     (
-        assigned.select(id_col, F.col("__nv").alias("nv"), "cell")
-        .write.mode("overwrite")
+        members.write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path.rstrip('/')}/{MEMBERS_DIR}")
     )
@@ -427,8 +464,13 @@ def semantic_dedup_against_index(
     - survivors rejoin the full batch rows by id, so payload columns
       never enter the vector comparison.
 
-    False positives cannot exist (the dot is exact); a batch row
-    identical to an index member scores cos = 1 and is suppressed.
+    False positives cannot exist against a FLOAT index (the dot is
+    exact); a batch row identical to an index member scores cos = 1
+    and is suppressed.  Against an ``int8=True`` index (auto-detected
+    from the member schema, r8) the member side is dequantized inside
+    the join residual — ``scale · Σ nv_i·code_i``, still a pure-JVM
+    ``zip_with`` over a ~4× narrower scan — and the threshold is
+    approximate by the quantization's ≤ ~1e-2 cosine error.
     Within-batch duplicates are NOT compared here — compose with
     :func:`semantic_dedup` per micro-batch (or accept first-writer
     semantics after the survivors are appended to the index)."""
@@ -438,14 +480,29 @@ def semantic_dedup_against_index(
     centroids = load_codebook(path, spark)
     unit_cents = [_unit(c) for c in centroids]
     assigned = _assign_cells(batch, unit_cents, id_col=id_col, vec_col=vec_col)
-    members = spark.read.parquet(f"{path.rstrip('/')}/{MEMBERS_DIR}").select(
-        F.col("cell").alias("__mcell"), F.col("nv").alias("__mnv")
-    )
-    dot = F.aggregate(
-        F.zip_with("__nv", "__mnv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    members_raw = spark.read.parquet(f"{path.rstrip('/')}/{MEMBERS_DIR}")
+    if "q_code" in members_raw.columns:
+        members = members_raw.select(
+            F.col("cell").alias("__mcell"),
+            F.col("q_scale").alias("__mscale"),
+            F.col("q_code").alias("__mcode"),
+        )
+        dot = F.col("__mscale") * F.aggregate(
+            F.zip_with(
+                "__nv", "__mcode", lambda a, b: a * b.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    else:
+        members = members_raw.select(
+            F.col("cell").alias("__mcell"), F.col("nv").alias("__mnv")
+        )
+        dot = F.aggregate(
+            F.zip_with("__nv", "__mnv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
     fresh = assigned.join(
         members,
         (F.col("cell") == F.col("__mcell")) & (dot > F.lit(float(eps))),
@@ -482,14 +539,24 @@ def append_to_semantic_index(
     before the append, and the next batch builds fresh plans."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import load_codebook
 
-    centroids = load_codebook(path, vectors.sparkSession)
+    spark = vectors.sparkSession
+    centroids = load_codebook(path, spark)
     unit_cents = [_unit(c) for c in centroids]
     assigned = _assign_cells(
         vectors, unit_cents, id_col=id_col, vec_col=vec_col
     )
+    # match the standing layout (float nv vs int8 scale/code, r8) —
+    # a mixed-schema cell directory would break every later probe
+    existing = spark.read.parquet(f"{path.rstrip('/')}/{MEMBERS_DIR}")
+    if "q_code" in existing.columns:
+        scale, code = _int8_member_cols(F.col("__nv"))
+        members = assigned.select(
+            id_col, scale.alias("q_scale"), code.alias("q_code"), "cell"
+        )
+    else:
+        members = assigned.select(id_col, F.col("__nv").alias("nv"), "cell")
     (
-        assigned.select(id_col, F.col("__nv").alias("nv"), "cell")
-        .write.mode("append")
+        members.write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path.rstrip('/')}/{MEMBERS_DIR}")
     )

@@ -665,11 +665,15 @@ def test_pipeline_group_cap_stage(spark, sf_dir):
     assert "max-docs-per-group" in str(e.value)
 
 
-def test_streaming_semantic_index_matches_batch(spark, docs, tmp_path):
+@pytest.mark.parametrize("int8", [False, True])
+def test_streaming_semantic_index_matches_batch(spark, docs, tmp_path, int8):
     """The late-r5 paraphrase-level suppression stage
     (``semantic-index-path``) is stream-safe: micro-batch replay
     produces EXACTLY the batch pipeline's rows, and docs identical to
-    standing-index members are suppressed (hash-embed cos = 1)."""
+    standing-index members are suppressed (hash-embed cos = 1, and
+    int8 approx-cos ≈ 1 well above eps).  Parametrized over the r8
+    int8 member layout — the probe auto-detects it, so the SAME
+    config key covers both."""
     import uuid
 
     from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
@@ -686,6 +690,7 @@ def test_streaming_semantic_index_matches_batch(spark, docs, tmp_path):
         idx,
         k=4,
         n_iter=2,
+        int8=int8,
     )
     conf = {
         "keyspaces-cdc-streams": {

@@ -194,3 +194,77 @@ def test_ivf_pq_recall_vs_exact(spark, sf_dir, ivfpq_path):
         ).collect()
     }
     assert len(probed & {v for v, _ in exact}) >= 7
+
+
+# --- IVF-int8 (r8): cell pruning + 4x narrower quantized scan ---------------
+
+
+@pytest.fixture(scope="module")
+def ivf_int8_path(spark, sf_dir, tmp_path_factory):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import write_ivf_int8_index
+
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("ivfint8") / "index")
+    write_ivf_int8_index(vectors, path, k=8, n_iter=3)
+    return path
+
+
+def test_ivf_int8_layout(spark, ivf_int8_path):
+    assert len(glob.glob(f"{ivf_int8_path}/cell=*")) == 8
+    row = spark.read.parquet(ivf_int8_path).select("q_scale", "q_code").first()
+    assert len(bytes(row["q_code"])) == 64  # one byte per dim
+    assert row["q_scale"] > 0
+
+
+def test_ivf_int8_scan_prunes_both_ways(spark, ivf_int8_path):
+    """The quantized scoring pass must prune PARTITIONS (probed cells
+    only) and COLUMNS (scale+code, never the raw vectors)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import ivf_int8_topk
+
+    q = ivf_int8_topk(spark, ivf_int8_path, [0.1] * 64, n_probe=2, rerank=False)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters: [cell" in scan_line and " IN (" in scan_line
+    assert "embedding" not in scan_line.split("ReadSchema")[1]
+
+
+def test_ivf_int8_rerank_matches_float_ivf(spark, sf_dir, ivf_int8_path, index_path):
+    """Recall parity with float IVF at the SAME n_probe: the re-ranked
+    int8 probe returns the identical ids and (exact-cosine) scores —
+    the 4x narrower scan costs nothing on the fixture."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import ivf_int8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    for n_probe in (2, 8):
+        flt = [
+            (r.vec_id, round(r.sim, 8))
+            for r in ivf_index_topk(
+                spark, ivf_int8_path, qvec, topk=10, n_probe=n_probe
+            ).collect()
+        ]
+        i8 = [
+            (r.vec_id, round(r.score, 8))
+            for r in ivf_int8_topk(
+                spark, ivf_int8_path, qvec, topk=10, n_probe=n_probe
+            ).collect()
+        ]
+        assert i8 == flt, n_probe
+
+
+def test_ivf_int8_approx_only_overlaps(spark, sf_dir, ivf_int8_path):
+    """Without re-rank the int8 scores are ~1e-2 off exact cosine —
+    the approx top-10 of a full probe must still overlap the exact
+    in-probe answer substantially."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import ivf_int8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    exact = {r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in ivf_int8_topk(
+            spark, ivf_int8_path, qvec, topk=10, n_probe=8, rerank=False
+        ).collect()
+    }
+    assert len(approx & exact) >= 7

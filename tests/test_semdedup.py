@@ -340,3 +340,171 @@ def test_semantic_index_append_ingest_loop(spark, tmp_path):
         "vec_id long, embedding array<double>",
     )
     assert semantic_dedup_against_index(replay, path, eps=0.999).count() == 0
+
+
+# --- int8 standing-index layout (r8) ----------------------------------------
+
+
+def _int8_reference_probe(probe_rows, index_rows, centroids, eps):
+    """Sequential reference for the int8 member layout: same cell
+    assignment, member side quantized (scale = max|nv|/127,
+    half-away-from-zero rounding, ±127 clip), dot = scale·(nxp@code)."""
+    cents = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c))
+        cents.append(np.array(c) / n if n > 0 else np.array(c) * 0.0)
+
+    def assign(vec):
+        x = np.array(vec, dtype=np.float64)
+        nrm = np.linalg.norm(x)
+        nx = x / nrm if nrm > 0 else x * 0.0
+        d2 = [float(np.sum((nx - c) ** 2)) for c in cents]
+        return int(np.argmin(d2)), nx
+
+    def quant(nx):
+        m = float(np.max(np.abs(nx))) if nx.size else 0.0
+        if m == 0.0:
+            return 0.0, np.zeros(nx.size)
+        scale = m / 127.0
+        x = nx / scale
+        return scale, np.clip(np.sign(x) * np.floor(np.abs(x) + 0.5), -127, 127)
+
+    members: dict[int, list] = {}
+    for _vid, vec in index_rows:
+        cell, nx = assign(vec)
+        members.setdefault(cell, []).append(quant(nx))
+    fresh = set()
+    for vid, vec in probe_rows:
+        cell, nx = assign(vec)
+        hits = [
+            (s, c) for s, c in members.get(cell, [])
+            if s * float(nx @ c) > eps
+        ]
+        if not hits:
+            fresh.add(vid)
+    return fresh
+
+
+def test_semantic_index_int8_probe_matches_reference(spark, tmp_path):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        semantic_dedup_against_index,
+        write_semantic_index,
+    )
+
+    df = _fixture_vectors(spark, n_groups=8, dup_sizes=(3, 2, 4, 2))
+    standing = df.filter(F.col("vec_id") % 2 == 0)
+    probe = df.filter(F.col("vec_id") % 2 == 1)
+    cents = kmeans_fit(standing, k=3, n_iter=3)
+    path = str(tmp_path / "semidx8")
+    write_semantic_index(standing, path, centroids=cents, int8=True)
+
+    out = semantic_dedup_against_index(probe, path, eps=0.95)
+    got = {r["vec_id"] for r in out.select("vec_id").collect()}
+    ref = _int8_reference_probe(
+        [(r["vec_id"], r["embedding"]) for r in probe.collect()],
+        [(r["vec_id"], r["embedding"]) for r in standing.collect()],
+        cents,
+        0.95,
+    )
+    assert got == ref
+    assert 0 < len(got) < probe.count()
+
+
+def test_semantic_index_int8_matches_float_decisions(spark, tmp_path):
+    """Away from the eps boundary (planted dups at cos>0.999 vs
+    separated singletons, eps=0.95 ± the ~1e-2 int8 error) the int8
+    probe makes the SAME keep/drop decisions as the float probe."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        semantic_dedup_against_index,
+        write_semantic_index,
+    )
+
+    df = _fixture_vectors(spark, n_groups=8, dup_sizes=(3, 2, 4, 2))
+    standing = df.filter(F.col("vec_id") % 2 == 0)
+    probe = df.filter(F.col("vec_id") % 2 == 1)
+    cents = kmeans_fit(standing, k=3, n_iter=3)
+    pf = str(tmp_path / "fl")
+    p8 = str(tmp_path / "i8")
+    write_semantic_index(standing, pf, centroids=cents)
+    write_semantic_index(standing, p8, centroids=cents, int8=True)
+    got_f = {
+        r["vec_id"]
+        for r in semantic_dedup_against_index(probe, pf, eps=0.95).collect()
+    }
+    got_8 = {
+        r["vec_id"]
+        for r in semantic_dedup_against_index(probe, p8, eps=0.95).collect()
+    }
+    assert got_f == got_8
+
+
+def test_semantic_index_int8_self_probe_suppresses(spark, tmp_path):
+    """Identical rows score approx-cos ≈ 1 (error ≤ ~1e-2), so a
+    self-probe at eps=0.98 suppresses every member."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        semantic_dedup_against_index,
+        write_semantic_index,
+    )
+
+    df = _fixture_vectors(spark)
+    path = str(tmp_path / "semidx8_self")
+    write_semantic_index(df, path, k=3, n_iter=2, int8=True)
+    assert semantic_dedup_against_index(df, path, eps=0.98).count() == 0
+
+
+def test_semantic_index_int8_probe_narrow_scan(spark, tmp_path):
+    """The int8 member scan reads (cell, q_scale, q_code) — never a
+    float vector column — and the join stays cell-keyed anti."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        semantic_dedup_against_index,
+        write_semantic_index,
+    )
+
+    df = _fixture_vectors(spark)
+    path = str(tmp_path / "semidx8_plan")
+    write_semantic_index(df, path, k=3, n_iter=2, int8=True)
+    out = semantic_dedup_against_index(df, path, eps=0.95)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    member_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "q_code" in l
+    ]
+    assert member_scans and all("nv" not in s.split("ReadSchema")[1] for s in member_scans)
+
+
+def test_semantic_index_int8_append_matches_layout(spark, tmp_path):
+    """append_to_semantic_index must write the STANDING layout — int8
+    members for an int8 index — so later probes keep working."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        append_to_semantic_index,
+        semantic_dedup_against_index,
+        write_semantic_index,
+    )
+
+    df = _fixture_vectors(spark, n_groups=8, dup_sizes=(3, 2, 4, 2))
+    seed_rows = df.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "semidx8_loop")
+    write_semantic_index(seed_rows, path, k=3, n_iter=2, int8=True)
+    batch1 = df.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 9))
+    surv1 = semantic_dedup_against_index(batch1, path, eps=0.95)
+    rows = surv1.select("vec_id", "embedding").collect()
+    assert rows
+    append_to_semantic_index(
+        spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in rows],
+            "vec_id long, embedding array<double>",
+        ),
+        path,
+    )
+    members = spark.read.parquet(f"{path}/members")
+    assert "q_code" in members.columns and "nv" not in members.columns
+    replay = spark.createDataFrame(
+        [(r["vec_id"] + 10_000, r["embedding"]) for r in rows],
+        "vec_id long, embedding array<double>",
+    )
+    assert semantic_dedup_against_index(replay, path, eps=0.98).count() == 0
