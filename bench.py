@@ -176,6 +176,34 @@ def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
 
+    # corpus-curation throughput, EARLY position (r8 — VERDICT r7 #4:
+    # the r7 8,304→6,831 docs/s drift was unattributed; splitting the
+    # 5 passes across two time positions — 2 here before the headline
+    # suite, 3 at the historical in-suite position — separates
+    # code-level regression (both positions move together) from
+    # in-suite interference/host burst (positions diverge))
+    from sample_keyspaces_cdc_streams_connectors_spark.config import load_config
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_corpus_pipeline
+
+    curate = build_corpus_pipeline(
+        load_config(
+            {
+                "keyspaces-cdc-streams": {
+                    "corpus": {"scrub-pii": "true", "dedup": "exact"}
+                }
+            }
+        )
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    n_docs = docs.count()
+    corpus_early_best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        curate(docs).write.mode("overwrite").format("noop").save()
+        corpus_early_best = min(corpus_early_best, time.time() - t0)
+
     # min of 4 INTERLEAVED passes per query: the first executions of a
     # query shape pay whole-stage-codegen JIT compilation, and host
     # contention is bursty on minute scales (a 0.4s-steady-state query
@@ -245,30 +273,18 @@ def main() -> None:
         cdc_best = min(cdc_best, time.time() - t0)
     cdc_rows_per_sec = int(n_events / cdc_best) if cdc_best > 0 else None
 
-    # corpus-curation throughput: docs/sec through the full
-    # annotate -> PII-scrub -> language gate -> exact-dedup stack
-    # (the training-data-pipeline headline path; min of 3 passes)
-    from sample_keyspaces_cdc_streams_connectors_spark.config import load_config
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_corpus_pipeline
-
-    curate = build_corpus_pipeline(
-        load_config(
-            {
-                "keyspaces-cdc-streams": {
-                    "corpus": {"scrub-pii": "true", "dedup": "exact"}
-                }
-            }
-        )
-    )
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(
-        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    )
-    n_docs = docs.count()
-    curate_best = float("inf")
+    # corpus-curation throughput, in-suite position: docs/sec through
+    # the full annotate -> PII-scrub -> language gate -> exact-dedup
+    # stack (the training-data-pipeline headline path).  3 passes
+    # here + the 2 early passes above = min-of-5; the headline rate
+    # takes the min across BOTH positions, the per-position bests go
+    # to BENCH_DETAIL for drift attribution (r8).
+    corpus_late_best = float("inf")
     for _ in range(3):
         t0 = time.time()
         curate(docs).write.mode("overwrite").format("noop").save()
-        curate_best = min(curate_best, time.time() - t0)
+        corpus_late_best = min(corpus_late_best, time.time() - t0)
+    curate_best = min(corpus_early_best, corpus_late_best)
     corpus_docs_per_sec = int(n_docs / curate_best) if curate_best else None
 
     # streaming throughput: events/sec through the REAL state-store
@@ -285,17 +301,45 @@ def main() -> None:
     # minima methodology as the suite.
     stream_passes = 3
     streaming_pipelines: dict[str, int] = {}
-    for qname, label in (
-        ("stream_window_counts", "sliding_window"),
-        ("session_window_agg", "session_window"),
-    ):
-        best = float("inf")
-        for _ in range(stream_passes):
-            t0 = time.time()
-            df = queries[qname](spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        streaming_pipelines[label] = int(n_events / best)
+    best = float("inf")
+    for _ in range(stream_passes):
+        t0 = time.time()
+        df = queries["stream_window_counts"](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.time() - t0)
+    streaming_pipelines["sliding_window"] = int(n_events / best)
+
+    # session-window replay, restructured for MEASUREMENT (r8 —
+    # VERDICT r7 #3): the 3-chunk gate shape spends most of its time
+    # in per-trigger fixed cost (fixture write + 4 micro-batch
+    # spin-ups for ~60k events), so its rate measured the harness,
+    # not the state machinery.  Bench drives the SAME replay with 2
+    # fat chunks (cross-batch session merging still exercised; append
+    # output is chunk-shape invariant) AND measures the trigger FLOOR
+    # — an identical 2-chunk+sentinel replay over ~1% of the events,
+    # i.e. the same number of triggers with negligible state work.
+    # session_window = raw end-to-end rate; session_window_state =
+    # events / (full − floor), the harness-cost-corrected state rate.
+    from sample_keyspaces_cdc_streams_connectors_spark.queries.streaming import run_session_replay
+
+    ev_cols = _load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    sess_best = float("inf")
+    for _ in range(stream_passes):
+        t0 = time.time()
+        run_session_replay(spark, ev_cols, n_chunks=2)
+        sess_best = min(sess_best, time.time() - t0)
+    ev_floor = ev_cols.filter(F.col("event_id") % 100 == 0)
+    floor_best = float("inf")
+    for _ in range(stream_passes):
+        t0 = time.time()
+        run_session_replay(spark, ev_floor, n_chunks=2)
+        floor_best = min(floor_best, time.time() - t0)
+    streaming_pipelines["session_window"] = int(n_events / sess_best)
+    session_state_rate = int(
+        n_events / max(sess_best - floor_best, 1e-6)
+    )
     streaming_events_per_sec = min(streaming_pipelines.values())
 
     # auxiliary operators (round-3 additions outside the oracle
@@ -496,6 +540,86 @@ def main() -> None:
             .format("noop")
             .save(),
         )
+        # bulk BM25 (r6/r7 — the scale story: a query TABLE scored in
+        # one pass; only the single-query path was timed before r8)
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk_many
+
+        qtable = spark.createDataFrame(
+            [
+                (i, f"data stream window batch join q{i}")
+                for i in range(64)
+            ],
+            "query_id long, query string",
+        )
+        _aux(
+            "bm25_topk_many_64q",
+            lambda: bm25_topk_many(spark, f"{tmpdir}/bm25", qtable, k=10)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        # int8 quantized search (r7 op, r8 aux): production narrow
+        # layout persisted once; timed paths are the 1-byte/dim scan
+        # top-k, approx-only and with exact re-rank
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.quant import quantize_embeddings, quantized_topk
+
+        quantize_embeddings(emb).drop("embedding").write.parquet(
+            f"{tmpdir}/qtab"
+        )
+        qtab = spark.read.parquet(f"{tmpdir}/qtab")
+        bench_qvec = [float(x) for x in emb.first()["embedding"]]
+        _aux(
+            "quantized_topk_approx",
+            lambda: quantized_topk(qtab, bench_qvec, k=10)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        _aux(
+            "quantized_topk_rerank",
+            lambda: quantized_topk(
+                qtab, bench_qvec, k=10, rerank_with=emb, rerank_factor=4
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        # URL curation stage (r7 op, r8 aux): normalize + host +
+        # eTLD+1 + subdomain-aware blocklist over synthetic messy URLs
+        # — pure JVM columns + broadcast suffix anti-joins
+        from sample_keyspaces_cdc_streams_connectors_spark.functions.urls import (
+            filter_blocked_hosts,
+            normalize_url,
+            registered_domain,
+            url_host,
+        )
+
+        url_docs = raw_docs.withColumn(
+            "u",
+            AF.concat(
+                AF.lit("https://sub"),
+                (AF.col("doc_id") % 1000).cast("string"),
+                AF.lit(".example"),
+                (AF.col("doc_id") % 97).cast("string"),
+                AF.lit(".com/p/"),
+                AF.col("doc_id").cast("string"),
+                AF.lit("?utm_source=x&id=1"),
+            ),
+        )
+        url_blocklist = [f"example{i}.com" for i in range(0, 97, 7)]
+        _aux(
+            "url_curation",
+            lambda: filter_blocked_hosts(url_docs, "u", url_blocklist)
+            .select(
+                "doc_id",
+                normalize_url(AF.col("u")).alias("nu"),
+                url_host(AF.col("u")).alias("h"),
+                registered_domain(AF.col("u")).alias("d"),
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
         from sample_keyspaces_cdc_streams_connectors_spark.llm.bpe import bpe_token_count, train_bpe
 
         bpe_model = train_bpe(raw_docs, n_merges=200)
@@ -527,15 +651,28 @@ def main() -> None:
         "streaming_events_per_sec": streaming_events_per_sec,
         # min across the two replayed state-store pipelines; breakdown:
         "streaming_pipelines": streaming_pipelines,
+        # harness-cost-corrected session rate: events / (full replay −
+        # trigger floor); the floor is the same 2-chunk replay over
+        # ~1% of events (r8 — see BENCH_DETAIL for the split)
+        "session_state_events_per_sec": session_state_rate,
         # throughputs derive from the min-time over interleaved passes
         # (same minima methodology as the query suite), N recorded:
         "cdc_passes": 4,
-        "corpus_passes": 3,
+        "corpus_passes": 5,
         "streaming_passes": stream_passes,
     }
     detail = {
         "aux_ops_sec": aux,
         "aux_passes": 2,
+        # corpus drift attribution (r8): per-position bests of the 5
+        # corpus passes — together they separate code regressions
+        # (both move) from position/host effects (they diverge)
+        "corpus_early_best_sec": round(corpus_early_best, 3),
+        "corpus_late_best_sec": round(corpus_late_best, 3),
+        # session harness-cost split (r8): full 2-chunk replay vs the
+        # ~1%-events trigger floor at the same batch structure
+        "session_full_sec": round(sess_best, 3),
+        "session_trigger_floor_sec": round(floor_best, 3),
     }
     prev = _prev_bench()
     if prev is not None:

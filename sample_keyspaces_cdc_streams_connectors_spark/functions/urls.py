@@ -155,27 +155,47 @@ def filter_blocked_hosts(
     left_anti on a computed key).  Rows whose URL parses to no host
     (NULL / non-URL strings) never match and always survive."""
     spark = df.sparkSession
-    if not isinstance(blocked_hosts, DataFrame):
-        blocked_hosts = spark.createDataFrame(
-            [(h,) for h in blocked_hosts], f"{host_col} string"
+    if isinstance(blocked_hosts, DataFrame):
+        blocked = (
+            blocked_hosts.select(
+                F.regexp_replace(
+                    F.lower(F.trim(F.col(host_col))), r"^www\.", ""
+                ).alias("__blocked_host")
+            )
+            .filter(F.col("__blocked_host") != "")
+            .distinct()
+            .withColumn(
+                "__depth", F.size(F.split("__blocked_host", r"\."))
+            )
         )
-    blocked = (
-        blocked_hosts.select(
-            F.regexp_replace(
-                F.lower(F.trim(F.col(host_col))), r"^www\.", ""
-            ).alias("__blocked_host")
+        # the blocklist is always a static (batch) frame — one tiny
+        # collect of its distinct label depths decides the join fan-out
+        depths = sorted(
+            r["__depth"]
+            for r in blocked.select("__depth").distinct().collect()
         )
-        .filter(F.col("__blocked_host") != "")
-        .distinct()
-        .withColumn(
-            "__depth", F.size(F.split("__blocked_host", r"\."))
-        )
-    )
-    # the blocklist is always a static (batch) frame — one tiny
-    # collect of its distinct label depths decides the join fan-out
-    depths = sorted(
-        r["__depth"] for r in blocked.select("__depth").distinct().collect()
-    )
+        by_depth = {
+            j: blocked.filter(F.col("__depth") == j).select("__blocked_host")
+            for j in depths
+        }
+    else:
+        # literal blocklist: normalize + bucket by depth driver-side
+        # (zero Spark jobs at build time)
+        norm = {
+            h.strip().lower().removeprefix("www.")
+            for h in blocked_hosts
+            if h and h.strip().lower().removeprefix("www.")
+        }
+        buckets: dict[int, list[str]] = {}
+        for h in norm:
+            buckets.setdefault(len(h.split(".")), []).append(h)
+        depths = sorted(buckets)
+        by_depth = {
+            j: spark.createDataFrame(
+                [(h,) for h in sorted(hs)], "__blocked_host string"
+            )
+            for j, hs in buckets.items()
+        }
     if not depths:
         return df
     host = url_host(F.col(url_col))
@@ -188,9 +208,7 @@ def filter_blocked_hosts(
         suffix = F.when(
             n >= j, F.concat_ws(".", F.slice(parts, -j, j))
         )
-        bl_j = F.broadcast(
-            blocked.filter(F.col("__depth") == j).select("__blocked_host")
-        )
+        bl_j = F.broadcast(by_depth[j])
         out = out.join(
             bl_j, suffix == bl_j["__blocked_host"], "left_anti"
         )

@@ -1040,12 +1040,34 @@ def assign_split(
     return df.withColumn(split_col, expr)
 
 
+def _token_weight(text_col: str, counter) -> "F.Column":
+    """Resolve the packing/sharding stack's token counter (r8 —
+    VERDICT r7 #6: packing by whitespace tokens misestimates sequence
+    budgets by the tokenizer's fertility ratio at deploy):
+
+    - ``None``   → the default whitespace :func:`token_count` over
+      ``text_col`` (bit-identical to the pre-r8 behavior — pinned);
+    - a Column   → used as the per-doc count directly (e.g. a
+      precomputed ``n_bpe`` column);
+    - a callable → ``counter(F.col(text_col))`` (e.g.
+      ``lambda c: bpe_token_count(c, model)`` for trained-BPE
+      budgets, ``llm.bpe``)."""
+    from pyspark.sql import Column
+
+    if counter is None:
+        return token_count(F.col(text_col))
+    if isinstance(counter, Column):
+        return counter
+    return counter(F.col(text_col))
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_shards: int = 64,
+    counter=None,
 ) -> DataFrame:
     """Greedy-equivalent sequence packing: assign each document to a
     training sequence so no sequence exceeds ``max_tokens`` (plus at
@@ -1057,14 +1079,16 @@ def pack_sequences(
 
     Output adds: ``pack_shard``, ``n_tokens`` (packing weight),
     ``message_idx``/``message_id`` from the batcher — the sequence id
-    is (pack_shard, message_idx)."""
+    is (pack_shard, message_idx).  ``counter`` swaps the packing
+    weight (see :func:`_token_weight` — whitespace default, column,
+    or callable such as trained-BPE counts)."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
     from sample_keyspaces_cdc_streams_connectors_spark.operators.batching import assign_messages
 
     with_shard = docs.withColumn(
         "pack_shard",
         (md5_int(F.col(id_col).cast("string")) % n_shards).cast("int"),
-    ).withColumn("n_tokens", token_count(F.col(text_col)))
+    ).withColumn("n_tokens", _token_weight(text_col, counter))
     return assign_messages(
         with_shard,
         shard_col="pack_shard",
@@ -1083,6 +1107,7 @@ def shard_corpus(
     salt: str = "epoch0",
     n_buckets: int = 256,
     persist: bool = False,
+    counter=None,
 ) -> DataFrame:
     """Epoch shuffle + token-balanced shard assignment — the final
     stage before training: order the corpus by a salted content hash
@@ -1111,6 +1136,11 @@ def shard_corpus(
     release with
     :func:`~sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum.release_order_stats_cache`
     after materializing the result.
+
+    ``counter`` swaps the balancing weight (see :func:`_token_weight`
+    — whitespace default, column, or callable such as trained-BPE
+    counts; the loader's budget should be counted in the tokens it
+    actually trains on).
     """
     from sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum import with_order_stats
 
@@ -1121,7 +1151,7 @@ def shard_corpus(
         F.md5(
             F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
         ).alias("_h"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        _token_weight(text_col, counter).cast("long").alias("n_tokens"),
     )
     scanned, _n_rows, total_tokens = with_order_stats(
         base,
@@ -1154,6 +1184,7 @@ def pack_chunks(
     salt: str = "epoch0",
     n_buckets: int = 256,
     persist: bool = False,
+    counter=None,
 ) -> DataFrame:
     """EXACT fixed-length sequence packing — the GPT-style
     concat-and-chunk: the epoch-shuffled corpus is one token stream,
@@ -1186,7 +1217,10 @@ def pack_chunks(
     then a map-only window-span explode — a doc of ``t`` tokens emits
     ``ceil`` spans proportional to ``t/seq_len``, so output volume
     equals corpus token volume / seq_len, never quadratic.  Docs with
-    zero tokens yield no rows."""
+    zero tokens yield no rows.  ``counter`` swaps the span weight
+    (see :func:`_token_weight` — whitespace default, column, or
+    callable such as trained-BPE counts; a fixed-shape loader budget
+    only holds when spans are counted in the model's own tokens)."""
     from sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum import with_order_stats
 
     if seq_len < 1:
@@ -1196,7 +1230,7 @@ def pack_chunks(
         F.md5(
             F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
         ).alias("_h"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        _token_weight(text_col, counter).cast("long").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     scanned, _n, _total = with_order_stats(
         base,

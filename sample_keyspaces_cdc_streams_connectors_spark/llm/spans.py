@@ -130,6 +130,7 @@ def flag_repeated_spans(
     k: int = 10,
     min_docs: int = 2,
     id_col: str = "doc_id",
+    count_mode: str = "docs",
 ) -> DataFrame:
     """Per-doc flagged spans: ``(id_col, __n_tokens, __starts
     array<int> sorted 0-based, __spans array<struct<s,e>>)`` — only
@@ -139,7 +140,24 @@ def flag_repeated_spans(
     exclusive — Lee et al.'s unit of removal; see
     :func:`merged_spans_col`).  Documents shorter than ``k`` tokens
     form one window covering the whole doc (the engine's shingle
-    rule, so short boilerplate still counts)."""
+    rule, so short boilerplate still counts).
+
+    ``count_mode`` (r8 — closes the last fixed-k divergence class
+    from the r7 quantification, tests/test_spans.py):
+
+    - ``"docs"`` (default) — a window is hot when it appears in
+      ``min_docs`` DISTINCT documents: boilerplate as cross-document
+      repetition, the engine's historical rule;
+    - ``"occurrences"`` — hot when its TOTAL occurrence count reaches
+      ``min_docs``, Lee et al.'s actual EXACTSUBSTR criterion: a
+      phrase repeated within one document counts too.  Same plan
+      shape (the frequency pass becomes a plain count — CHEAPER than
+      the distinct), pinned coverage-identical to the brute-force
+      suffix-criterion reference on planted corpora."""
+    if count_mode not in ("docs", "occurrences"):
+        raise ValueError(
+            f"count_mode must be docs|occurrences, got {count_mode!r}"
+        )
     toked = docs.select(
         F.col(id_col),
         tokens(normalize_text(F.col(text_col))).alias("__toks"),
@@ -157,9 +175,14 @@ def flag_repeated_spans(
             F.transform(shingles_from_tokens(F.col("__toks"), k), md5_int)
         ).alias("__pos", "__gram"),
     )
+    freq = (
+        F.countDistinct(id_col)
+        if count_mode == "docs"
+        else F.count(F.lit(1))
+    )
     hot = (
         grams.groupBy("__gram")
-        .agg(F.countDistinct(id_col).alias("__df"))
+        .agg(freq.alias("__df"))
         .filter(F.col("__df") >= min_docs)
         .select("__gram")
     )
@@ -183,6 +206,7 @@ def remove_repeated_spans(
     k: int = 10,
     min_docs: int = 2,
     id_col: str = "doc_id",
+    count_mode: str = "docs",
 ) -> DataFrame:
     """Scrub every flagged span from every document.
 
@@ -197,9 +221,16 @@ def remove_repeated_spans(
     window starts: per-doc work is O(tokens + maximal spans), and the
     removed-token count is just Σ (e - s) over disjoint intervals —
     no mask-distinct accounting needed (the mask remains only to
-    rebuild the kept text)."""
+    rebuild the kept text).  ``count_mode`` passes through to
+    :func:`flag_repeated_spans` (r8 — ``"occurrences"`` is Lee et
+    al.'s exact criterion; ``"docs"`` the cross-document default)."""
     flagged = flag_repeated_spans(
-        docs, text_col=text_col, k=k, min_docs=min_docs, id_col=id_col
+        docs,
+        text_col=text_col,
+        k=k,
+        min_docs=min_docs,
+        id_col=id_col,
+        count_mode=count_mode,
     )
 
     out_schema = StructType(

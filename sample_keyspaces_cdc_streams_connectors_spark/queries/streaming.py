@@ -282,6 +282,30 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + gap; the replay's chunking is a test-harness artifact
     — a production stream is already time-ordered per source
     partition and uses the identical plan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    rows = run_session_replay(spark, ev, n_chunks=3)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_start timestamp, "
+        "session_end timestamp, n_events long",
+    )
+
+
+def run_session_replay(
+    spark: SparkSession, ev: DataFrame, n_chunks: int = 3
+) -> list:
+    """The session-window state-store replay, factored out of the
+    gate (r8) so bench.py can drive it with a DIFFERENT chunk shape:
+    ``n_chunks`` time-ordered file chunks + the watermark sentinel +
+    the no-data flush batch — append-mode output is chunk-shape
+    INVARIANT (the final merged sessions), so the gate (3 chunks,
+    maximal cross-batch merging) and the bench (2 chunks, trigger
+    cost amortized over fatter batches) replay the identical query
+    and return identical rows.  ``ev`` must carry
+    ``(user_id, ts, event_id)``.  Returns collected Rows with the
+    sentinel's session filtered out."""
     import datetime
     import os
     import shutil
@@ -289,26 +313,26 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as time_mod
     import uuid
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id"
-    )
     base = tempfile.mkdtemp(prefix="session_replay_src_")
     name = f"sess_replay_{uuid.uuid4().hex[:8]}"
     try:
         lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-        span = (hi - lo) / 3
-        bounds = [lo + span, lo + 2 * span]
+        span = (hi - lo) / n_chunks
+        bounds = [lo + (i + 1) * span for i in range(n_chunks - 1)]
         sentinel = spark.createDataFrame(
             [(-1, hi + datetime.timedelta(hours=2), -1)],
             "user_id long, ts timestamp, event_id long",
         )
-        chunks = [
-            ev.filter(F.col("ts") < bounds[0]),
-            ev.filter(
-                (F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])
-            ),
-            ev.filter(F.col("ts") >= bounds[1]).unionByName(sentinel),
-        ]
+        chunks = []
+        prev = None
+        for b in bounds:
+            cond = F.col("ts") < b
+            if prev is not None:
+                cond = cond & (F.col("ts") >= prev)
+            chunks.append(ev.filter(cond))
+            prev = b
+        last = ev.filter(F.col("ts") >= prev) if prev is not None else ev
+        chunks.append(last.unionByName(sentinel))
         seen: set[str] = set()
         for i, chunk in enumerate(chunks):
             chunk.coalesce(1).write.mode("append").parquet(base)
@@ -354,11 +378,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
         spark.catalog.dropTempView(name)
-    return spark.createDataFrame(
-        rows,
-        "user_id long, session_start timestamp, "
-        "session_end timestamp, n_events long",
-    )
+    return rows
 
 
 @register(

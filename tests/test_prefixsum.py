@@ -290,3 +290,101 @@ def test_pack_chunks_partition_invariant_and_validates(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="seq_len"):
         pack_chunks(docs, 0)
+
+
+# --- pluggable token counter (r8) -------------------------------------------
+
+
+def test_counter_none_is_bit_identical_to_default(spark, sf_dir):
+    """counter=None must reproduce the pre-r8 whitespace-count output
+    bit-for-bit, and an explicit token_count column/callable must
+    equal it too (the parity contract for the default)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import token_count
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import pack_chunks, shard_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = shard_corpus(docs, n_shards=8).orderBy("doc_id").collect()
+    as_callable = (
+        shard_corpus(docs, n_shards=8, counter=lambda c: token_count(c))
+        .orderBy("doc_id")
+        .collect()
+    )
+    as_column = (
+        shard_corpus(
+            docs, n_shards=8, counter=token_count(F.col("text"))
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert base == as_callable == as_column
+
+    pc = pack_chunks(docs, seq_len=128).orderBy("doc_id", "chunk").collect()
+    pc2 = (
+        pack_chunks(
+            docs, seq_len=128, counter=lambda c: token_count(c)
+        )
+        .orderBy("doc_id", "chunk")
+        .collect()
+    )
+    assert pc == pc2
+
+
+def test_bpe_counted_packing_properties(spark, sf_dir):
+    """Packing by trained-BPE counts keeps every packing invariant
+    (totality, window math in BPE units) and actually differs from
+    whitespace counting (fertility > 1 on this corpus)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.bpe import bpe_token_count, train_bpe
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import (
+        pack_chunks,
+        pack_sequences,
+        shard_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    model = train_bpe(docs, n_merges=50)
+    counter = lambda c: bpe_token_count(c, model)
+
+    bpe_totals = {
+        r["doc_id"]: r["n_tokens"]
+        for r in shard_corpus(docs, n_shards=4, counter=counter)
+        .select("doc_id", "n_tokens")
+        .collect()
+    }
+    ws_totals = {
+        r["doc_id"]: r["n_tokens"]
+        for r in shard_corpus(docs, n_shards=4)
+        .select("doc_id", "n_tokens")
+        .collect()
+    }
+    assert set(bpe_totals) == set(ws_totals)  # totality either way
+    assert bpe_totals != ws_totals  # the counter genuinely changed weights
+
+    # pack_chunks in BPE units: spans tile each doc exactly and no
+    # span exceeds the window
+    rows = pack_chunks(docs, seq_len=64, counter=counter).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for did, spans in per_doc.items():
+        spans.sort(key=lambda r: r["doc_start"])
+        assert spans[0]["doc_start"] == 0
+        assert spans[-1]["doc_end"] == bpe_totals[did]
+        for a, b in zip(spans, spans[1:]):
+            assert a["doc_end"] == b["doc_start"]
+        for s in spans:
+            assert 0 < s["doc_end"] - s["doc_start"] <= 64
+
+    # pack_sequences bound contract holds in BPE units
+    packed = pack_sequences(docs, max_tokens=256, counter=counter)
+    sums = (
+        packed.groupBy("pack_shard", "message_idx")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.max("n_tokens").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert sums
+    for r in sums:
+        assert r["n"] == 1 or r["tot"] <= 256 + r["mx"]

@@ -316,7 +316,7 @@ def _suffix_criterion_coverage(texts, k, min_docs, count_occurrences=False):
     return cover
 
 
-def _fixed_k_coverage(spark, rows, k, min_docs):
+def _fixed_k_coverage(spark, rows, k, min_docs, count_mode="docs"):
     """The engine's ACTUAL removal mask, read from the flagged
     maximal spans themselves (flag_repeated_spans is exactly what
     remove_repeated_spans scrubs with) — no text-based mask
@@ -329,13 +329,17 @@ def _fixed_k_coverage(spark, rows, k, min_docs):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     flagged = {
         r["doc_id"]: r["__spans"]
-        for r in flag_repeated_spans(df, k=k, min_docs=min_docs).collect()
+        for r in flag_repeated_spans(
+            df, k=k, min_docs=min_docs, count_mode=count_mode
+        ).collect()
     }
     # cross-check: the scrub's removed-token counts agree with the
     # interval mask (ties the mask to the user-facing operator)
     removed = {
         r["doc_id"]: r["n_removed_tokens"]
-        for r in remove_repeated_spans(df, k=k, min_docs=min_docs).collect()
+        for r in remove_repeated_spans(
+            df, k=k, min_docs=min_docs, count_mode=count_mode
+        ).collect()
     }
     cover = {}
     for d, text in rows:
@@ -425,3 +429,64 @@ def test_fixed_k_divergence_confined_to_known_classes(spark):
     assert sum(suffix_occ[3]) == 12    # both 6-token copies flagged
     # everything else: all three constructions agree on no coverage
     assert not any(fixed[4]) and not any(suffix_occ[4])
+
+
+def test_occurrence_mode_closes_last_divergence_class(spark):
+    """r8: ``count_mode="occurrences"`` IS Lee et al.'s EXACTSUBSTR
+    criterion — on a planted corpus with BOTH cross-doc and
+    within-doc repeated runs (all docs >= k tokens, so the short-doc
+    rule is inert) the engine's coverage equals the brute-force
+    occurrence-counting suffix-criterion reference at every position:
+    divergence zero."""
+    import random
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i}" for i in range(500)]
+    k, min_count = 5, 2
+    rows = []
+    d = 0
+    # cross-doc runs of every length k..2k+2
+    for run_len in range(k, 2 * k + 3):
+        run = " ".join(rng.choice(vocab) for _ in range(run_len))
+        for _copy in range(2):
+            body = [rng.choice(vocab) for _ in range(rng.randint(6, 18))]
+            cut = rng.randint(0, len(body))
+            rows.append(
+                (d, " ".join(body[:cut]) + f" {run} " + " ".join(body[cut:]))
+            )
+            d += 1
+    # within-doc repeats (the class the docs-mode engine leaves):
+    # one run repeated twice inside a single otherwise-unique doc
+    for run_len in (k, k + 2, 2 * k + 1):
+        run = " ".join(rng.choice(vocab) for _ in range(run_len))
+        mid = " ".join(rng.choice(vocab) for _ in range(7))
+        rows.append((d, f"{run} {mid} {run}"))
+        d += 1
+    # unique docs stay untouched
+    for _ in range(5):
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(15))))
+        d += 1
+
+    suffix_occ = _suffix_criterion_coverage(
+        rows, k, min_count, count_occurrences=True
+    )
+    fixed_occ = _fixed_k_coverage(
+        spark, rows, k, min_count, count_mode="occurrences"
+    )
+    assert suffix_occ.keys() == fixed_occ.keys()
+    for doc_id in suffix_occ:
+        assert suffix_occ[doc_id] == fixed_occ[doc_id], doc_id
+    # and the within-doc docs actually HAVE coverage (the divergence
+    # class is exercised, not vacuously equal)
+    within_ids = range(d - 8, d - 5)
+    assert all(any(fixed_occ[i]) for i in within_ids)
+
+
+def test_count_mode_validated(spark):
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.spans import flag_repeated_spans
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="count_mode"):
+        flag_repeated_spans(df, count_mode="bogus")
