@@ -124,7 +124,9 @@ def build_corpus_pipeline(
     - ``remove-repeated-spans``  true|false — drop every ``span-k``-token
       window occurring in >= ``span-min-docs`` distinct docs (exact
       substring boilerplate, Lee et al. ACL'22 EXACTSUBSTR recipe;
-      ``llm.spans``).  Runs BEFORE annotation so quality/token counts
+      ``llm.spans``).  ``span-count-mode`` = ``docs`` (default,
+      distinct-document frequency) | ``occurrences`` (total
+      occurrence counting — the paper's exact criterion; r8).  Runs BEFORE annotation so quality/token counts
       reflect the scrubbed text; ``n_removed_tokens`` /
       ``n_flagged_spans`` ride along.  Batch-only (corpus-wide window
       frequencies)
@@ -226,6 +228,16 @@ def build_corpus_pipeline(
     spans = cfg.get_bool(f"{_P}.remove-repeated-spans", default=False)
     span_k = cfg.get_int(f"{_P}.span-k", default=10)
     span_min_docs = cfg.get_int(f"{_P}.span-min-docs", default=2)
+    span_count_mode = (
+        cfg.get(f"{_P}.span-count-mode", "docs") or "docs"
+    ).lower()
+    if span_count_mode not in ("docs", "occurrences"):
+        from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
+
+        raise ConfigError(
+            "corpus.span-count-mode must be docs|occurrences, "
+            f"got {span_count_mode!r}"
+        )
     dedup_mode = (cfg.get(f"{_P}.dedup", "none") or "none").lower()
     shingle_k = cfg.get_int(f"{_P}.shingle-k", default=3)
     jaccard_permille = cfg.get_int(f"{_P}.jaccard-threshold", default=500)
@@ -355,6 +367,7 @@ def build_corpus_pipeline(
                 text_col=text_col,
                 k=span_k,
                 min_docs=span_min_docs,
+                count_mode=span_count_mode,
                 id_col=id_col,
             )
         out = annotate_corpus(out, text_col)

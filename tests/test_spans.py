@@ -490,3 +490,46 @@ def test_count_mode_validated(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="count_mode"):
         flag_repeated_spans(df, count_mode="bogus")
+
+
+def test_pipeline_span_count_mode_key(spark):
+    """corpus.span-count-mode wires through build_corpus_pipeline and
+    validates; occurrences mode scrubs a within-doc repeat that docs
+    mode leaves."""
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError, load_config
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_corpus_pipeline
+
+    run = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, f"start {run} middle {run} end"), (2, "some unique words here")],
+        "doc_id long, text string",
+    )
+
+    def conf(mode):
+        return load_config(
+            {
+                "keyspaces-cdc-streams": {
+                    "corpus": {
+                        "remove-repeated-spans": "true",
+                        "span-k": "5",
+                        "span-min-docs": "2",
+                        "span-count-mode": mode,
+                    }
+                }
+            }
+        )
+
+    removed_docs = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in build_corpus_pipeline(conf("docs"))(docs).collect()
+    }
+    removed_occ = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in build_corpus_pipeline(conf("occurrences"))(docs).collect()
+    }
+    assert removed_docs[1] == 0 and removed_occ[1] == 12
+    assert removed_docs[2] == removed_occ[2] == 0
+    with _pytest.raises(ConfigError, match="span-count-mode"):
+        build_corpus_pipeline(conf("bogus"))
