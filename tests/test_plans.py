@@ -215,3 +215,17 @@ def test_mixture_split_map_only(plans):
     plan = plans("mixture_split")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scalar_funcs_url_arm_broadcast_anti(plans):
+    """The r8 URL arm: blocklist filtering is per-depth broadcast hash
+    anti-joins; the URL normalization columns stay pure codegen — no
+    nested loop, no Python, no shuffle of the part table."""
+    plan = plans("scalar_funcs")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # only broadcast exchanges (the per-depth blocklist sides) —
+    # the scanned fact table never shuffles
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")

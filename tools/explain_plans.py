@@ -42,6 +42,15 @@ SHOWCASE: dict[str, list[str]] = {
         "weighted mixture sampling + train/val/test labels: three "
         "md5-ticket filters unioned plus one CASE ladder — ZERO "
         "exchanges, zero Python (map-only at any corpus size)",
+        "temperature mix_frac (r8): per-source n_s^tau fractions enter "
+        "the plan as CASE literals (the 3-row count collect runs at "
+        "plan build, never inside the row path)",
+    ],
+    "scalar_funcs": [
+        "URL arm (r8): normalize/host/eTLD+1 are pure codegen "
+        "regex/string columns riding the same projection; the host "
+        "blocklist is per-depth `BroadcastHashJoin LeftAnti` probes — "
+        "no explode, no nested-loop, no shuffle of the fact side",
     ],
     "mv_apply": [
         "exactly ONE exchange; last-writer-wins is `partial_max_by` "
@@ -79,14 +88,17 @@ SHOWCASE: dict[str, list[str]] = {
         "(partial+final) — one shuffle for the whole signature matrix",
     ],
     "vector_topk": [
-        "three arms (brute baseline + LSH, merged r5; + PQ, late r5): "
-        "bucket filter applied at scan time against a driver-computed "
-        "constant (no join, no second job); `TakeOrderedAndProject` "
-        "top-k heaps in every arm",
+        "four arms (brute baseline + LSH, merged r5; + PQ, late r5; "
+        "+ int8, r8): bucket filter applied at scan time against a "
+        "driver-computed constant (no join, no second job); "
+        "`TakeOrderedAndProject` top-k heaps in every arm",
         "PQ arm: ADC over m-byte codes is one Arrow pass "
         "(`ArrowEvalPython`), candidates select via "
         "`TakeOrderedAndProject` heaps, and the exact re-rank joins "
         "raw vectors for candidate ids only",
+        "int8 arm: quantize + integer-dot scoring are two Arrow "
+        "passes over narrow columns; scoring reads (id, scale, code) "
+        "only",
     ],
     "lm_fluency": [
         "scoring is ONE map-only Arrow pass (`ArrowEvalPython`) — the "
