@@ -182,10 +182,19 @@ def append_to_ivf_index(
     cell.  Periodic re-fit + rewrite (``write_ivf_index``) is the
     compaction story, same as any LSM-ish layout.
     """
-    centroids = load_codebook(path, vectors.sparkSession)
+    spark = vectors.sparkSession
+    centroids = load_codebook(path, spark)
     labeled = kmeans_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"
     )
+    # match the standing layout (r8): an int8 index stores
+    # (q_scale, q_code) alongside the raw vectors — appending raw-only
+    # rows would give later probes a mixed-schema cell directory
+    existing_cols = spark.read.parquet(path).columns
+    if "q_code" in existing_cols:
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.quant import quantize_embeddings
+
+        labeled = quantize_embeddings(labeled, vec_col=vec_col)
     labeled.write.mode("append").partitionBy("cell").parquet(path)
 
 

@@ -50,6 +50,7 @@ __all__ = [
     "bm25_topk",
     "bm25_topk_many",
     "bm25_score_table",
+    "rrf_fuse",
 ]
 
 STATS_FILE = "_stats.json"
@@ -433,3 +434,72 @@ def bm25_reference(
         if s > 0.0:
             out[i] = s
     return out
+
+
+def rrf_fuse(
+    rankings: list,
+    k_rrf: int = 60,
+    id_col: str = "doc",
+    score_col: str = "score",
+    query_col: str | None = None,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09)
+    of N retrieval rankings — the standard HYBRID-search combiner:
+    ``rrf(d) = Σ_r 1/(k_rrf + rank_r(d))`` over every ranking that
+    returned ``d``.  Ranking-source-agnostic: fuse BM25 with a dense
+    vector top-k (the lexical+semantic hybrid — pinned in
+    tests/test_retrieval.py), or any number of per-field rankings.
+
+    ``rankings`` are frames of ``(id_col, score_col)`` — by contract
+    already top-k lists (bounded, so the rank windows never see
+    corpus-sized partitions).  Ranks are 1-based by ``(score desc,
+    id asc)``.  With ``query_col`` the inputs are per-query bulk
+    rankings (e.g. :func:`bm25_topk_many` output) and fusion
+    partitions by query.
+
+    Determinism: each reciprocal term goes through DECIMAL(28,12)
+    before the sum (12 decimals ≪ double precision at the 1/(k+r)
+    magnitudes, and the exact decimal sum is shuffle-order-proof for
+    ANY number of rankings), emitted back as DOUBLE — the engine's
+    standard exact-sum discipline.  Returns ``([query_col,] id_col,
+    rrf_score, n_rankings)``, top-``topk`` per query when given."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k_rrf < 1:
+        raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
+    keys = ([query_col] if query_col else []) + [id_col]
+    w = Window.partitionBy(*([query_col] if query_col else [])).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    parts = [
+        r.select(*keys, F.row_number().over(w).alias("__rank"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(*keys).agg(
+        F.sum(
+            (F.lit(1.0) / (F.lit(k_rrf) + F.col("__rank"))).cast(
+                "decimal(28,12)"
+            )
+        )
+        .cast("double")
+        .alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_rankings"),
+    )
+    if topk is None:
+        return fused
+    if query_col:
+        wq = Window.partitionBy(query_col).orderBy(
+            F.desc("rrf_score"), F.asc(id_col)
+        )
+        return (
+            fused.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= topk)
+            .drop("__rn")
+        )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(topk)

@@ -1972,7 +1972,9 @@ def mixture_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- BM25 retrieval gate (r7) ------------------------------------------------
 
 _BM25_GATE_QUERY = "data stream window batch join zzznotindexed"
+_BM25_GATE_QUERY_B = "sort merge hash key table dup"
 _BM25_GATE_K = 15
+_RRF_K = 60
 _BM25_GATE_PATHS: dict = {}
 
 
@@ -2002,11 +2004,34 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB replay of the FULL BM25 pipeline: tokenize → tf/dl →
     corpus stats → df/idf → per-term scores (bit-identical double
     arithmetic, every operation in the engine's association order) →
-    order-independent DECIMAL sum → top-k with the lower-doc tie rule."""
+    order-independent DECIMAL sum → top-k with the lower-doc tie rule.
+    r8 adds the ``rrf`` arm: reciprocal-rank fusion of the two gate
+    queries' rankings, each term through DECIMAL(28,12) like the
+    engine's ``rrf_fuse``."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import _hash60, _py_words
 
-    qhashes = sorted({_hash60(w) for w in _py_words(_BM25_GATE_QUERY)})
-    values = ", ".join(f"({h})" for h in qhashes)
+    def vals(query: str) -> str:
+        return ", ".join(
+            f"({h})" for h in sorted({_hash60(w) for w in _py_words(query)})
+        )
+
+    def per(qcte: str) -> str:
+        return f"""
+      SELECT tf.doc,
+             ln((CAST(st.n_docs AS DOUBLE) - dfreq.df + 0.5)
+                / (dfreq.df + 0.5) + 1.0)
+               * CAST(tf.tf AS DOUBLE) * ({k1} + 1.0)
+               / (CAST(tf.tf AS DOUBLE)
+                  + {k1} * ((1.0 - {b})
+                            + {b} * CAST(dl.dl AS DOUBLE) / st.avgdl))
+               AS s
+      FROM tf
+      JOIN {qcte} USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc)
+      CROSS JOIN st
+    """
+
     return f"""
     WITH toks AS (
       SELECT doc_id AS doc, unnest(regexp_extract_all({NORM}, '\\S+')) AS w
@@ -2020,27 +2045,39 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75) -> str:
       SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
     ), dfreq AS (
       SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-    ), q(term) AS (
-      VALUES {values}
-    ), per AS (
-      SELECT tf.doc,
-             ln((CAST(st.n_docs AS DOUBLE) - dfreq.df + 0.5)
-                / (dfreq.df + 0.5) + 1.0)
-               * CAST(tf.tf AS DOUBLE) * ({k1} + 1.0)
-               / (CAST(tf.tf AS DOUBLE)
-                  + {k1} * ((1.0 - {b})
-                            + {b} * CAST(dl.dl AS DOUBLE) / st.avgdl))
-               AS s
-      FROM tf
-      JOIN q USING (term)
-      JOIN dfreq USING (term)
-      JOIN dl USING (doc)
-      CROSS JOIN st
+    ), qa(term) AS (
+      VALUES {vals(_BM25_GATE_QUERY)}
+    ), qb(term) AS (
+      VALUES {vals(_BM25_GATE_QUERY_B)}
+    ), pera AS ({per('qa')}),
+    perb AS ({per('qb')}),
+    ra AS (
+      SELECT doc, CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS score
+      FROM pera GROUP BY doc
+      ORDER BY score DESC, doc
+      LIMIT {_BM25_GATE_K}
+    ), rb AS (
+      SELECT doc, CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS score
+      FROM perb GROUP BY doc
+      ORDER BY score DESC, doc
+      LIMIT {_BM25_GATE_K}
+    ), ranked AS (
+      SELECT doc, ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rnk
+      FROM ra
+      UNION ALL
+      SELECT doc, ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rnk
+      FROM rb
+    ), fused AS (
+      SELECT doc,
+             CAST(SUM(CAST(1.0 / ({_RRF_K} + rnk) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS score
+      FROM ranked GROUP BY doc
+      ORDER BY score DESC, doc
+      LIMIT {_BM25_GATE_K}
     )
-    SELECT doc, CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS score
-    FROM per GROUP BY doc
-    ORDER BY score DESC, doc
-    LIMIT {_BM25_GATE_K}
+    SELECT 'bm25' AS method, doc, score FROM ra
+    UNION ALL
+    SELECT 'rrf' AS method, doc, score FROM fused
     """
 
 
@@ -2058,13 +2095,33 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum goes through DECIMAL(28,12) on BOTH sides
     (``exact_sum=True``) so the only order-dependent float operation
     is removed.  Scan pruning (partition + pushed term values) is
-    pinned in tests/test_retrieval.py; here the ANSWER is pinned."""
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk
+    pinned in tests/test_retrieval.py; here the ANSWER is pinned.
+
+    Arm ``rrf`` (r8): reciprocal-rank fusion
+    (``llm.retrieval.rrf_fuse``, Cormack et al. SIGIR'09 — the
+    hybrid-search combiner) of this query's ranking with a second
+    gate query's, both oracle-replayable; each 1/(k+rank) term goes
+    through DECIMAL(28,12) so the fused score is
+    aggregation-order-proof.  The fusion operator is
+    ranking-source-agnostic — the production lexical+VECTOR hybrid
+    (BM25 ⊕ embedding cosine top-k) is pinned in
+    tests/test_retrieval.py, where the dense side's hash embedder
+    lives outside SQL's reach."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk, rrf_fuse
 
     path = _bm25_gate_index(spark, sf_dir)
-    return bm25_topk(
+    ra = bm25_topk(
         spark, path, _BM25_GATE_QUERY, k=_BM25_GATE_K, exact_sum=True
     ).select(F.col("doc").cast("long").alias("doc"), "score")
+    rb = bm25_topk(
+        spark, path, _BM25_GATE_QUERY_B, k=_BM25_GATE_K, exact_sum=True
+    ).select(F.col("doc").cast("long").alias("doc"), "score")
+    fused = rrf_fuse(
+        [ra, rb], k_rrf=_RRF_K, topk=_BM25_GATE_K
+    ).select("doc", F.col("rrf_score").alias("score"))
+    return ra.select(F.lit("bm25").alias("method"), "doc", "score").unionAll(
+        fused.select(F.lit("rrf").alias("method"), "doc", "score")
+    )
 
 
 _PACK_GATE_SEQ = 128

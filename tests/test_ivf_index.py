@@ -268,3 +268,31 @@ def test_ivf_int8_approx_only_overlaps(spark, sf_dir, ivf_int8_path):
         ).collect()
     }
     assert len(approx & exact) >= 7
+
+
+def test_ivf_int8_append_matches_layout(spark, sf_dir, ivf_int8_path, tmp_path):
+    """append_to_ivf_index must quantize appended rows for an int8
+    layout — later probes see a uniform (embedding, q_scale, q_code)
+    schema and find the appended vectors."""
+    import shutil
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import append_to_ivf_index, ivf_int8_topk
+
+    path = str(tmp_path / "ivf8_append")
+    shutil.copytree(ivf_int8_path, path)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe_row = emb.orderBy("vec_id").first()
+    fresh = spark.createDataFrame(
+        [(999_999, list(probe_row["embedding"]))],
+        "vec_id long, embedding array<float>",
+    )
+    append_to_ivf_index(fresh, path)
+    tab = spark.read.parquet(path)
+    assert "q_code" in tab.columns
+    assert tab.filter(F.col("vec_id") == 999_999).select(
+        "q_scale", "q_code"
+    ).first()["q_code"] is not None
+    # the appended row is its own exact nearest neighbor
+    qvec = [float(x) for x in probe_row["embedding"]]
+    top = ivf_int8_topk(spark, path, qvec, topk=1, n_probe=8).collect()
+    assert top and top[0]["vec_id"] in (999_999, probe_row["vec_id"])

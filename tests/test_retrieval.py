@@ -221,3 +221,115 @@ def test_exact_sum_mode_matches_plain_and_is_order_free(spark, index_path):
     assert [r["doc"] for r in plain] == [r["doc"] for r in exact]
     for a, b in zip(plain, exact):
         assert abs(a["score"] - b["score"]) < 1e-9
+
+
+# --- reciprocal-rank fusion (r8) --------------------------------------------
+
+
+def _py_rrf(rankings, k_rrf=60):
+    """Sequential RRF reference: rank by (score desc, id asc), each
+    reciprocal rounded to 12 decimals like the engine's DECIMAL
+    detour."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    acc: dict = {}
+    cnt: dict = {}
+    for ranking in rankings:
+        ordered = sorted(ranking, key=lambda t: (-t[1], t[0]))
+        for rank, (doc, _s) in enumerate(ordered, start=1):
+            term = Decimal(1.0 / (k_rrf + rank)).quantize(
+                Decimal("1e-12"), rounding=ROUND_HALF_UP
+            )
+            acc[doc] = acc.get(doc, Decimal(0)) + term
+            cnt[doc] = cnt.get(doc, 0) + 1
+    return {d: (float(v), cnt[d]) for d, v in acc.items()}
+
+
+def test_rrf_matches_sequential_reference(spark, sf_dir, index_path):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import rrf_fuse
+
+    ra = bm25_topk(spark, index_path, QUERY, k=12)
+    # second query SHARES terms with the first so the fused set
+    # actually exercises the seen-in-both path
+    rb = bm25_topk(spark, index_path, f"sort merge {QUERY}", k=12)
+    got = {
+        r["doc"]: (r["rrf_score"], r["n_rankings"])
+        for r in rrf_fuse([ra, rb]).collect()
+    }
+    ref = _py_rrf(
+        [
+            [(r["doc"], r["score"]) for r in ra.collect()],
+            [(r["doc"], r["score"]) for r in rb.collect()],
+        ]
+    )
+    assert got.keys() == ref.keys()
+    for d in ref:
+        assert abs(got[d][0] - ref[d][0]) < 1e-12, d
+        assert got[d][1] == ref[d][1], d
+    # docs in both rankings outrank equal-rank singletons
+    assert any(n == 2 for _s, n in got.values())
+
+
+def test_rrf_hybrid_lexical_vector(spark, sf_dir, index_path):
+    """The production hybrid: BM25 ranking fused with a dense
+    embedding-cosine top-k over the same documents — a doc ranked in
+    BOTH modalities must beat a doc seen only once at the same
+    ranks."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import rrf_fuse
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import brute_force_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = bm25_topk(spark, index_path, QUERY, k=10)
+    embedded = docs.select(
+        F.col("doc_id").alias("doc"), hash_embed(F.col("text"), 64).alias("emb")
+    )
+    probe_text = docs.orderBy("doc_id").first()["text"]
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import _hash_vec
+
+    qvec = [float(x) for x in _hash_vec(probe_text, 64)]
+    dense = brute_force_topk(
+        embedded, qvec, k=10, id_col="doc", vec_col="emb"
+    ).select("doc", F.col("sim").alias("score"))
+    fused = rrf_fuse([lex, dense], topk=10)
+    rows = fused.collect()
+    assert 0 < len(rows) <= 10
+    # the probe doc is its own dense rank-1; it must appear in the fusion
+    assert any(r["doc"] == 0 for r in rows) or any(
+        r["n_rankings"] == 2 for r in rows
+    )
+
+
+def test_rrf_per_query_bulk(spark, index_path):
+    """query_col mode fuses per query id (bulk rankings in, bulk
+    fusion out)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk_many, rrf_fuse
+
+    queries = spark.createDataFrame(
+        [(1, QUERY), (2, "sort merge hash key")],
+        "query_id long, query string",
+    )
+    bulk = bm25_topk_many(spark, index_path, queries, k=8)
+    fused = rrf_fuse(
+        [bulk, bulk], query_col="query_id", topk=5
+    ).collect()
+    per_q: dict = {}
+    for r in fused:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {1, 2}
+    for q, rows in per_q.items():
+        assert len(rows) <= 5
+        # identical rankings fused with themselves: every doc seen twice
+        assert all(r["n_rankings"] == 2 for r in rows)
+
+
+def test_rrf_validates(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
+    df = spark.createDataFrame([(1, 0.5)], "doc long, score double")
+    with pytest.raises(ValueError, match="k_rrf"):
+        rrf_fuse([df], k_rrf=0)
