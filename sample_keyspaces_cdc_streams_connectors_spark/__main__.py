@@ -62,6 +62,7 @@ def main(argv: list[str] | None = None) -> int:
             "index-semantic",
             "index-text",
             "search-text",
+            "search-hybrid",
             "shard",
             "train-bpe",
             "train-lm",
@@ -87,7 +88,10 @@ def main(argv: list[str] | None = None) -> int:
         "(point corpus.semantic-index-path at it for cross-corpus / "
         "streaming paraphrase suppression); index-text: build a BM25 "
         "inverted index from --source docs into --out; search-text: "
-        "BM25 top-k over an --source index for --query",
+        "BM25 top-k over an --source index for --query; "
+        "search-hybrid: reciprocal-rank fusion of BM25 over the "
+        "--source text index with the --vector-index top-k for the "
+        "--query-id row of --target (ids must share the doc space)",
     )
     p.add_argument(
         "--query",
@@ -127,10 +131,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--index-kind",
         default="ivf",
-        choices=("ivf", "ivf-pq", "int8"),
+        choices=("ivf", "ivf-pq", "ivf-int8", "int8"),
         help="index-vectors mode: plain IVF cells, IVF-PQ "
-        "(cells + m-byte ADC codes), or int8 (symmetric per-vector "
-        "quantized codes, no training, search re-ranks exactly)",
+        "(cells + m-byte ADC codes), ivf-int8 (cells + 1-byte/dim "
+        "symmetric codes — cell pruning AND a 4x narrower scan, "
+        "exact re-rank; r8), or int8 (flat symmetric codes, no "
+        "training, search re-ranks exactly)",
+    )
+    p.add_argument(
+        "--vector-index",
+        default=None,
+        help="search-hybrid mode: vector index dir to fuse with the "
+        "--source text index (ids must share the doc id space)",
     )
     p.add_argument(
         "--cells",
@@ -214,6 +226,10 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.index_kind == "ivf-pq":
             write_ivf_pq_index(vectors, args.out, k=args.cells)
+        elif args.index_kind == "ivf-int8":
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import write_ivf_int8_index
+
+            write_ivf_int8_index(vectors, args.out, k=args.cells)
         else:
             write_ivf_index(vectors, args.out, k=args.cells)
         print(
@@ -335,12 +351,98 @@ def main(argv: list[str] | None = None) -> int:
             top = ivf_pq_topk(
                 spark, args.source, qvec, topk=args.topk, n_probe=args.n_probe
             )
+        elif "q_code" in spark.read.parquet(args.source).columns:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import ivf_int8_topk
+
+            top = ivf_int8_topk(
+                spark, args.source, qvec, topk=args.topk, n_probe=args.n_probe
+            ).select("vec_id", F.col("score").alias("sim"))
         else:
             top = ivf_index_topk(
                 spark, args.source, qvec, topk=args.topk, n_probe=args.n_probe
             )
         for r in top.collect():
             print(f"{r['vec_id']}	{r['sim']:.6f}")
+        return 0
+
+    if args.mode == "search-hybrid":
+        # lexical + dense hybrid retrieval: BM25 over the --source
+        # text index fused with the vector index's top-k by
+        # reciprocal-rank fusion (llm.retrieval.rrf_fuse) — the two
+        # indexes must share a doc id space (index the embeddings
+        # keyed by doc_id)
+        from pyspark.sql import functions as F
+
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+            PQ_MODEL_FILE as _PQF,
+        )
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+            ivf_index_topk,
+            ivf_int8_topk,
+            ivf_pq_topk,
+        )
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk, rrf_fuse
+
+        if not (
+            args.query
+            and args.vector_index
+            and args.target
+            and args.query_id is not None
+        ):
+            print(
+                "--query, --vector-index, --target and --query-id "
+                "required for search-hybrid mode",
+                file=sys.stderr,
+            )
+            return 2
+        spark = get_spark("search-hybrid")
+        row = (
+            spark.read.parquet(args.target)
+            .filter(F.col("vec_id") == args.query_id)
+            .select("embedding")
+            .first()
+        )
+        if row is None:
+            print(f"query id {args.query_id} not found", file=sys.stderr)
+            return 2
+        qvec = [float(x) for x in row[0]]
+        lex = bm25_topk(spark, args.source, args.query, k=args.topk)
+
+        def _vexists(rel: str) -> bool:
+            jp = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{args.vector_index.rstrip('/')}/{rel}"
+            )
+            return jp.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            ).exists(jp)
+
+        if _vexists(_PQF):
+            dense = ivf_pq_topk(
+                spark, args.vector_index, qvec,
+                topk=args.topk, n_probe=args.n_probe,
+            )
+        elif "q_code" in spark.read.parquet(args.vector_index).columns:
+            dense = ivf_int8_topk(
+                spark, args.vector_index, qvec,
+                topk=args.topk, n_probe=args.n_probe,
+            ).select("vec_id", F.col("score").alias("sim"))
+        else:
+            dense = ivf_index_topk(
+                spark, args.vector_index, qvec,
+                topk=args.topk, n_probe=args.n_probe,
+            )
+        fused = rrf_fuse(
+            [
+                lex.select(F.col("doc").cast("long").alias("doc"), "score"),
+                dense.select(
+                    F.col("vec_id").cast("long").alias("doc"),
+                    F.col("sim").alias("score"),
+                ),
+            ],
+            topk=args.topk,
+        )
+        for r in fused.collect():
+            print(f"{r['doc']}\t{r['rrf_score']:.12f}\t{r['n_rankings']}")
         return 0
 
     if args.mode == "chunk":

@@ -556,3 +556,89 @@ def test_cli_index_and_search_vectors_int8(spark, sf_dir, tmp_path, capsys):
     qvec = [float(x) for x in vecs.filter(F.col("vec_id") == 1).first()["embedding"]]
     exact = [r["vec_id"] for r in brute_force_topk(vecs, qvec, k=5).collect()]
     assert [int(l.split("\t")[0]) for l in lines] == exact
+
+
+def test_cli_ivf_int8_index_and_search(spark, sf_dir, tmp_path, capsys):
+    """r8: --index-kind ivf-int8 builds the cell-partitioned int8
+    layout and search-vectors auto-detects it (q_code columns) — the
+    query row is its own nearest neighbor through the quantized
+    double-pruned path."""
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    out = str(tmp_path / "ivf8")
+    rc = main(
+        [
+            "--source", src, "--mode", "index-vectors",
+            "--index-kind", "ivf-int8", "--cells", "4", "--out", out,
+        ]
+    )
+    assert rc == 0
+    rc = main(
+        [
+            "--source", out, "--mode", "search-vectors",
+            "--target", src, "--query-id", "1",
+            "--topk", "5", "--n-probe", "4",
+        ]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(lines) == 5
+    top_id, top_sim = lines[0].split("\t")
+    assert top_id == "1" and float(top_sim) > 0.999
+
+
+def test_cli_search_hybrid(spark, sf_dir, tmp_path, capsys):
+    """r8 search-hybrid: BM25 over the text index fused with the
+    vector index's top-k by RRF; ids share the doc space (embeddings
+    built from the documents themselves)."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb_src = str(tmp_path / "docemb")
+    docs.select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embed(F.col("text"), 64).alias("embedding"),
+    ).write.parquet(emb_src)
+    text_idx = str(tmp_path / "textidx")
+    vec_idx = str(tmp_path / "vecidx")
+    assert main(
+        ["--source", f"{sf_dir}/documents.parquet",
+         "--mode", "index-text", "--out", text_idx]
+    ) == 0
+    assert main(
+        ["--source", emb_src, "--mode", "index-vectors",
+         "--index-kind", "ivf-int8", "--cells", "4", "--out", vec_idx]
+    ) == 0
+    capsys.readouterr()
+    rc = main(
+        [
+            "--source", text_idx, "--mode", "search-hybrid",
+            "--query", "data stream window batch",
+            "--vector-index", vec_idx,
+            "--target", emb_src, "--query-id", "3",
+            "--topk", "8", "--n-probe", "4",
+        ]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert 0 < len(lines) <= 8
+    for l in lines:
+        doc, score, n = l.split("\t")
+        assert float(score) > 0 and int(n) in (1, 2)
+    # fused scores print in descending order
+    scores = [float(l.split("\t")[1]) for l in lines]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_search_hybrid_validates(spark, sf_dir, capsys):
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    rc = main(
+        ["--source", "/nonexistent", "--mode", "search-hybrid"]
+    )
+    assert rc == 2
+    assert "required for search-hybrid" in capsys.readouterr().err
