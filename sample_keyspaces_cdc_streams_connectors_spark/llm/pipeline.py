@@ -194,6 +194,12 @@ def build_corpus_pipeline(
       lowest ids win): the per-domain quota that stops one
       over-crawled site dominating the mixture
       (:func:`cap_per_group`, skew-safe two-phase).  Batch-only
+    - ``max-docs-per-domain``  int (default 0 = off, r8) — the same
+      quota keyed by the REGISTERED DOMAIN of ``url-column``
+      (:func:`~sample_keyspaces_cdc_streams_connectors_spark.functions.urls.registered_domain` computed on the
+      fly — no precomputed domain column needed); docs without a
+      usable URL are exempt (per-doc sentinel domains).  Requires
+      ``url-column``; batch-only
     - ``dedup-index-path`` / ``dedup-index-mode`` (exact|minhash,
       default exact) — suppress docs already present in a persisted
       cross-corpus fingerprint index (``llm.dedup_index``) BEFORE
@@ -260,6 +266,7 @@ def build_corpus_pipeline(
     )
     max_per_group = cfg.get_int(f"{_P}.max-docs-per-group", default=0)
     group_column = cfg.get(f"{_P}.group-column", "source") or "source"
+    max_per_domain = cfg.get_int(f"{_P}.max-docs-per-domain", default=0)
     cap_order = cfg.get(f"{_P}.cap-order-column", None) or None
     dedup_index_path = cfg.get(f"{_P}.dedup-index-path", None)
     dedup_index_mode = (
@@ -296,6 +303,12 @@ def build_corpus_pipeline(
 
         raise ConfigError(
             "corpus.blocked-hosts-path requires corpus.url-column"
+        )
+    if max_per_domain > 0 and not url_column:
+        from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
+
+        raise ConfigError(
+            "corpus.max-docs-per-domain requires corpus.url-column"
         )
     if cluster_method not in ("ngram", "minhash"):
         from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError
@@ -571,6 +584,36 @@ def build_corpus_pipeline(
                 ),
                 "group-cap",
             )
+        if max_per_domain > 0:
+            # per-registered-domain quota straight from the URL (r8):
+            # the anti-over-crawl primitive — one site cannot dominate
+            # the mixture however many subdomains/pages it has.  Docs
+            # WITHOUT a usable URL get a per-doc sentinel domain (the
+            # same exemption rule as dedup=url) so they are never
+            # capped as one giant '' group.
+            from sample_keyspaces_cdc_streams_connectors_spark.functions.urls import registered_domain
+
+            u = F.col(url_column)
+            dom = registered_domain(u)
+            out = out.withColumn(
+                "__domain",
+                F.when(
+                    u.isNull() | (dom == ""),
+                    F.concat(
+                        F.lit("\x00doc:"), F.col(id_col).cast("string")
+                    ),
+                ).otherwise(dom),
+            )
+            out = tap(
+                cap_per_group(
+                    out,
+                    "__domain",
+                    max_per_domain,
+                    order_col=cap_order,
+                    id_col=id_col,
+                ).drop("__domain"),
+                "domain-cap",
+            )
         if split_fracs:
             # final stage: the n-way train/val/test label (map-only,
             # never row-changing, so no tap of its own)
@@ -699,6 +742,10 @@ def build_streaming_curation(
         ),
         "max-docs-per-group": cfg.get_int(
             f"{_P}.max-docs-per-group", default=0
+        )
+        > 0,
+        "max-docs-per-domain": cfg.get_int(
+            f"{_P}.max-docs-per-domain", default=0
         )
         > 0,
         "observe": cfg.get_bool(f"{_P}.observe", default=False),

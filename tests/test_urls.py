@@ -375,3 +375,63 @@ def test_streaming_curation_rejects_url_dedup(spark):
                 }
             )
         )
+
+
+def test_pipeline_domain_quota(spark):
+    """r8 corpus.max-docs-per-domain: cap per registered domain
+    straight from the URL column; missing-URL docs exempt."""
+    from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError, load_config
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_corpus_pipeline
+
+    rows = [
+        (1, "https://a.shop.com/1", "t1"),
+        (2, "https://b.shop.com/2", "t2"),
+        (3, "https://shop.com/3", "t3"),          # 3 docs, one domain
+        (4, "https://other.org/x", "t4"),
+        (5, None, "no url one"),
+        (6, None, "no url two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {
+                    "url-column": "url",
+                    "max-docs-per-domain": "2",
+                }
+            }
+        }
+    )
+    kept = {r.doc_id for r in build_corpus_pipeline(cfg)(docs).collect()}
+    # shop.com capped at 2 (lowest ids win), other.org under quota,
+    # NULL-url docs both exempt
+    assert kept == {1, 2, 4, 5, 6}
+    with pytest.raises(ConfigError, match="requires corpus.url-column"):
+        build_corpus_pipeline(
+            load_config(
+                {
+                    "keyspaces-cdc-streams": {
+                        "corpus": {"max-docs-per-domain": "2"}
+                    }
+                }
+            )
+        )
+
+
+def test_streaming_rejects_domain_quota(spark):
+    from sample_keyspaces_cdc_streams_connectors_spark.config import ConfigError, load_config
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_streaming_curation
+
+    with pytest.raises(ConfigError, match="not stream-safe"):
+        build_streaming_curation(
+            load_config(
+                {
+                    "keyspaces-cdc-streams": {
+                        "corpus": {
+                            "url-column": "url",
+                            "max-docs-per-domain": "2",
+                        }
+                    }
+                }
+            )
+        )
