@@ -1128,35 +1128,123 @@ def pack_sequences(
     text_col: str = "text",
     n_shards: int = 64,
     counter=None,
+    strategy: str = "greedy",
 ) -> DataFrame:
-    """Greedy-equivalent sequence packing: assign each document to a
-    training sequence so no sequence exceeds ``max_tokens`` (plus at
-    most its largest member — the same bound contract as the message
-    batcher it reuses).  Documents are distributed over ``n_shards``
-    deterministic shards and packed independently within each — the
-    standard parallel-packing compromise (a single global ordering
-    would serialize through one partition at scale).
+    """Sequence packing: assign each document to a training sequence.
+    Documents are distributed over ``n_shards`` deterministic shards
+    and packed independently within each — the standard
+    parallel-packing compromise (a single global ordering would
+    serialize through one partition at scale).
 
-    Output adds: ``pack_shard``, ``n_tokens`` (packing weight),
-    ``message_idx``/``message_id`` from the batcher — the sequence id
-    is (pack_shard, message_idx).  ``counter`` swaps the packing
+    ``strategy``:
+
+    - ``"greedy"`` (default) — id-ordered run-length cut via the
+      message batcher: streaming-friendly (one window pass, no sort
+      by size), bound contract ``max_tokens`` PLUS at most the
+      largest member (a doc that straddles a boundary overflows its
+      bin).  Output adds ``message_id`` (firstSeq-lastSeq).
+    - ``"ffd"`` (r8) — first-fit-decreasing bin packing per shard
+      (the classic 11/9·OPT+6/9 approximation): docs sort by
+      (tokens desc, id), each drops into the FIRST bin it fits, so
+      the ``max_tokens`` budget is STRICT — only a single doc larger
+      than the budget gets (its own) oversized bin, flagged
+      ``oversize = true``.  Tighter bins = less padding waste per
+      training sequence; costs a per-shard Arrow pass
+      (``applyInPandas`` over the bounded shard groups) instead of a
+      pure-JVM window.  Deterministic on any partitioning (sort key
+      is total within a shard).
+
+    Output adds: ``pack_shard``, ``n_tokens`` (packing weight) and
+    ``message_idx`` — the sequence id is (pack_shard, message_idx) —
+    plus the strategy's extras above.  ``counter`` swaps the packing
     weight (see :func:`_token_weight` — whitespace default, column,
     or callable such as trained-BPE counts)."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
-    from sample_keyspaces_cdc_streams_connectors_spark.operators.batching import assign_messages
 
+    if strategy not in ("greedy", "ffd"):
+        raise ValueError(f"strategy must be greedy|ffd, got {strategy!r}")
     with_shard = docs.withColumn(
         "pack_shard",
         (md5_int(F.col(id_col).cast("string")) % n_shards).cast("int"),
     ).withColumn("n_tokens", _token_weight(text_col, counter))
-    return assign_messages(
-        with_shard,
-        shard_col="pack_shard",
-        seq_col=id_col,
-        size_col=F.col("n_tokens").cast("bigint"),
-        max_message_size=max_tokens,
-        max_records=-1,
+    if strategy == "greedy":
+        from sample_keyspaces_cdc_streams_connectors_spark.operators.batching import assign_messages
+
+        return assign_messages(
+            with_shard,
+            shard_col="pack_shard",
+            seq_col=id_col,
+            size_col=F.col("n_tokens").cast("bigint"),
+            max_message_size=max_tokens,
+            max_records=-1,
+        )
+    return _pack_ffd(with_shard, max_tokens, id_col=id_col)
+
+
+def _pack_ffd(
+    with_shard: DataFrame, max_tokens: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """First-fit-decreasing within each ``pack_shard`` group: one
+    Arrow ``applyInPandas`` pass emitting ``(id, message_idx,
+    oversize)`` joined back to the input by id — the text never
+    enters the packing group, so the grouped pass shuffles only
+    ``(shard, id, n_tokens)``."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    id_field = with_shard.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("message_idx", LongType(), False),
+            StructField("oversize", BooleanType(), False),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        )
+        bins: list[int] = []  # remaining capacity per bin
+        assign: list[int] = []
+        oversize: list[bool] = []
+        for w in pdf["n_tokens"].tolist():
+            w = int(w)
+            if w > max_tokens:
+                # an indivisible doc over budget gets its own
+                # (closed) bin — flagged, never shared
+                bins.append(-1)
+                assign.append(len(bins) - 1)
+                oversize.append(True)
+                continue
+            for j, cap in enumerate(bins):
+                if cap >= w:
+                    bins[j] = cap - w
+                    assign.append(j)
+                    break
+            else:
+                bins.append(max_tokens - w)
+                assign.append(len(bins) - 1)
+            oversize.append(False)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "message_idx": assign,
+                "oversize": oversize,
+            }
+        )
+
+    packed = (
+        with_shard.select("pack_shard", id_col, "n_tokens")
+        .groupBy("pack_shard")
+        .applyInPandas(pack, out_schema)
+    )
+    return with_shard.join(packed, id_col, "inner")
 
 
 def shard_corpus(
