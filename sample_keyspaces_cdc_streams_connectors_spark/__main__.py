@@ -66,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
             "shard",
             "train-bpe",
             "train-lm",
+            "train-langid",
         ),
         help="cdc: stream envelopes to a sink; corpus: batch-curate "
         "documents; profile: one-pass per-column table statistics; "
@@ -83,7 +84,10 @@ def main(argv: list[str] | None = None) -> int:
         "merge table on --source docs and save it to --out; "
         "train-lm: fit the Stupid-Backoff n-gram fluency LM on "
         "--source docs and save it to --out (point "
-        "corpus.lm-model-path at it); index-semantic: build a "
+        "corpus.lm-model-path at it); train-langid: fit the "
+        "multiclass char-n-gram language classifier on --source "
+        "labeled docs (text + label columns) and save it to --out "
+        "(point corpus.langid-model-path at it); index-semantic: build a "
         "standing SemDeDup index from --source embeddings into --out "
         "(point corpus.semantic-index-path at it for cross-corpus / "
         "streaming paraphrase suppression); index-text: build a BM25 "
@@ -543,6 +547,22 @@ def main(argv: list[str] | None = None) -> int:
             f"ngram lm saved to {args.out} ({len(lm.unigrams)} unigrams, "
             f"{len(lm.bigrams)} bigrams, {lm.total_tokens} tokens); "
             f"use it via corpus.lm-model-path"
+        )
+        return 0
+
+    if args.mode == "train-langid":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.langid import save_langid_model, train_langid
+
+        if not args.out:
+            print("--out required for train-langid mode", file=sys.stderr)
+            return 2
+        spark = get_spark("langid-train")
+        model = train_langid(spark.read.parquet(args.source))
+        save_langid_model(spark, model, args.out)
+        print(
+            f"langid model saved to {args.out} "
+            f"({len(model.labels)} classes: {','.join(model.labels)}); "
+            f"use it via corpus.langid-model-path"
         )
         return 0
 

@@ -117,6 +117,11 @@ def build_corpus_pipeline(
     like every engine key):
 
     - ``languages``    csv of lang ids to keep (empty = keep all)
+    - ``langid-model-path``  persisted trained language-ID model
+      (``llm.langid``, r8): replaces the heuristic ``lang`` column
+      with multiclass softmax predictions (+``lang_conf``) BEFORE the
+      language filter — map-only Arrow scoring, stream-safe (also
+      accepted by :func:`build_streaming_curation`)
     - ``min-quality``  int per-mille threshold (default 0 = keep all)
     - ``scrub-pii``    true|false — redact emails/phones/IPs/SSNs/cards
       BEFORE annotation (quality is scored on the scrubbed text, and
@@ -253,6 +258,7 @@ def build_corpus_pipeline(
     cluster_prefer = cfg.get(f"{_P}.cluster-prefer", None) or None
     repetition = cfg.get_bool(f"{_P}.repetition-filter", default=False)
     repetition_overrides = _repetition_overrides(cfg) if repetition else {}
+    langid_model_path = cfg.get(f"{_P}.langid-model-path", None)
     quality_model_path = cfg.get(f"{_P}.quality-model-path", None)
     quality_model_min = cfg.get_int(
         f"{_P}.quality-model-min-permille", default=500
@@ -384,6 +390,16 @@ def build_corpus_pipeline(
                 id_col=id_col,
             )
         out = annotate_corpus(out, text_col)
+        if langid_model_path:
+            # trained multiclass language-ID (r8): overwrite the
+            # heuristic ``lang`` with model predictions (+``lang_conf``)
+            # BEFORE the language filter — map-only Arrow scoring
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.langid import load_langid_model, score_langid
+
+            lm_model = load_langid_model(
+                out.sparkSession, langid_model_path
+            )
+            out = score_langid(out, lm_model, text_col=text_col)
         if languages:
             out = tap(out.filter(F.col("lang").isin(languages)), "language")
         if min_quality > 0:
@@ -762,6 +778,7 @@ def build_streaming_curation(
     scrub = (cfg.get(f"{_P}.scrub-pii", "false") or "false").lower() == "true"
     repetition = cfg.get_bool(f"{_P}.repetition-filter", default=False)
     repetition_overrides = _repetition_overrides(cfg) if repetition else {}
+    langid_model_path = cfg.get(f"{_P}.langid-model-path", None)
     quality_model_path = cfg.get(f"{_P}.quality-model-path", None)
     quality_model_min = cfg.get_int(
         f"{_P}.quality-model-min-permille", default=500
@@ -804,6 +821,14 @@ def build_streaming_curation(
 
             out = with_pii_scrubbed(out, text_col=text_col)
         out = annotate_corpus(out, text_col)
+        if langid_model_path:
+            # stream-safe: the trained language-ID scorer is a
+            # stateless map-only Arrow pass (r8) — identical lang
+            # labels to the batch pipeline
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.langid import load_langid_model, score_langid
+
+            lid = load_langid_model(out.sparkSession, langid_model_path)
+            out = score_langid(out, lid, text_col=text_col)
         if languages:
             out = out.filter(F.col("lang").isin(languages))
         if min_quality > 0:
