@@ -87,7 +87,19 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
     bm25_score_table,
     bm25_topk,
     bm25_topk_many,
+    rrf_fuse,
     write_text_index,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.langid import (
+    LangIdModel,
+    load_langid_model,
+    save_langid_model,
+    score_langid,
+    train_langid,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+    ivf_int8_topk,
+    write_ivf_int8_index,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
@@ -96,6 +108,14 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
 )
 
 __all__ = [
+    "LangIdModel",
+    "ivf_int8_topk",
+    "load_langid_model",
+    "rrf_fuse",
+    "save_langid_model",
+    "score_langid",
+    "train_langid",
+    "write_ivf_int8_index",
     "BpeModel",
     "bpe_segment",
     "bpe_token_count",
