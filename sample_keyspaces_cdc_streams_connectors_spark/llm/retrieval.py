@@ -47,6 +47,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
 
 __all__ = [
     "write_text_index",
+    "append_to_text_index",
     "bm25_topk",
     "bm25_topk_many",
     "bm25_score_table",
@@ -76,6 +77,25 @@ def _py_words(text: str) -> list[str]:
     return [w for w in ws.split(text.lower()) if w]
 
 
+def _build_postings(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """The shared posting derivation: one exploded map-side-combined
+    aggregate → ((term, doc) tf with the doc length attached) plus
+    the term-hash partition bucket."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        tokens(normalize_text(F.col(text_col))).alias("__t"),
+    ).select("doc", F.size("__t").alias("dl"), F.explode("__t").alias("__w"))
+    return (
+        toks.groupBy("doc", "dl", md5_int(F.col("__w")).alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "tb", F.pmod(F.col("term"), F.lit(int(n_buckets))).cast("int")
+        )
+    )
+
+
 def write_text_index(
     docs: DataFrame,
     path: str,
@@ -89,22 +109,14 @@ def write_text_index(
     ((term, doc) tf counts with the doc length attached); document
     frequencies reduce the same frame by term.  The only shuffles are
     those two aggregates — the text itself never moves past the
-    tokenize projection.
+    tokenize projection.  ``n_buckets`` persists into the stats file
+    (r8) so every probe and :func:`append_to_text_index` derive the
+    layout's bucket count from the index itself.
     """
     from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _write_text
 
     base = path.rstrip("/")
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        tokens(normalize_text(F.col(text_col))).alias("__t"),
-    ).select("doc", F.size("__t").alias("dl"), F.explode("__t").alias("__w"))
-    postings = (
-        toks.groupBy("doc", "dl", md5_int(F.col("__w")).alias("term"))
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "tb", F.pmod(F.col("term"), F.lit(int(n_buckets))).cast("int")
-        )
-    )
+    postings = _build_postings(docs, text_col, id_col, n_buckets)
     postings.write.mode("overwrite").partitionBy("tb").parquet(
         f"{base}/{POSTINGS_DIR}"
     )
@@ -126,8 +138,84 @@ def write_text_index(
     _write_text(
         docs.sparkSession,
         f"{base}/{STATS_FILE}",
-        json.dumps({"n_docs": int(stats["n"]), "avgdl": float(stats["avgdl"])}),
+        json.dumps(
+            {
+                "n_docs": int(stats["n"]),
+                "avgdl": float(stats["avgdl"]),
+                "n_buckets": int(n_buckets),
+            }
+        ),
     )
+
+
+def append_to_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally add documents to an existing text index — the
+    streaming-ingest counterpart the vector (``append_to_ivf_index``)
+    and semantic (``append_to_semantic_index``) standing indexes
+    already have; r8 completes the triple.
+
+    New postings append into their term-bucket directories (untouched
+    buckets gain no files); the vocabulary dir gains the NEW docs'
+    (term, df) delta rows — probes aggregate df per term over the
+    segments (a ≤|query-terms| groupBy, free), so the index never
+    needs a read-modify-write of the full vocabulary; the stats file
+    updates by the exact streaming-mean rule
+    ``avgdl' = (n·avgdl + Σ new dl) / (n + n_new)``.  The bucket
+    count comes from the persisted stats (layout-locked).
+
+    Caveats, same contract as the other appends: doc ids must be NEW
+    (a re-appended doc double-counts its terms — dedup at ingest,
+    e.g. ``llm.dedup_index``, is the upstream guard), and a query
+    built before the append keeps its pre-append file listing.
+    Periodic ``write_text_index`` re-build is the compaction story
+    (it also collapses the vocabulary segments)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _write_text
+
+    spark = docs.sparkSession
+    base = path.rstrip("/")
+    stats = _load_stats(spark, path)
+    n_buckets = int(stats.get("n_buckets", 64))
+    postings = _build_postings(docs, text_col, id_col, n_buckets).persist()
+    try:
+        new_stats = (
+            postings.select("doc", "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("dl").cast("double")).alias("sum_dl"),
+            )
+            .first()
+        )
+        n_new = int(new_stats["n"])
+        if n_new == 0:
+            return
+        postings.write.mode("append").partitionBy("tb").parquet(
+            f"{base}/{POSTINGS_DIR}"
+        )
+        postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        ).write.mode("append").parquet(f"{base}/{TERMS_DIR}")
+        n_old, avgdl_old = int(stats["n_docs"]), float(stats["avgdl"])
+        n_total = n_old + n_new
+        avgdl = (n_old * avgdl_old + float(new_stats["sum_dl"])) / n_total
+        _write_text(
+            spark,
+            f"{base}/{STATS_FILE}",
+            json.dumps(
+                {
+                    "n_docs": n_total,
+                    "avgdl": avgdl,
+                    "n_buckets": n_buckets,
+                }
+            ),
+        )
+    finally:
+        postings.unpersist()
 
 
 def _load_stats(spark: SparkSession, path: str) -> dict:
@@ -168,6 +256,10 @@ def bm25_score_table(
         raise ValueError("query has no tokens")
     stats = _load_stats(spark, path)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    # layout-locked bucket count (r8): an index written with a
+    # different n_buckets than the caller's default must still prune
+    # correctly, so the persisted value wins when present
+    n_buckets = int(stats.get("n_buckets", n_buckets))
     base = path.rstrip("/")
     buckets = sorted({t % n_buckets for t in q_terms})
     postings = (
@@ -178,6 +270,11 @@ def bm25_score_table(
     dfreq = (
         spark.read.parquet(f"{base}/{TERMS_DIR}")
         .filter(F.col("term").isin(q_terms))
+        # segment-safe df (r8): after append_to_text_index the
+        # vocabulary holds delta rows per term — sum them (≤ |query
+        # terms| groups, free)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
         .withColumn(
             "idf",
             F.log(
@@ -309,6 +406,7 @@ def bm25_topk_many(
         )
     stats = _load_stats(spark, path)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    n_buckets = int(stats.get("n_buckets", n_buckets))
     base = path.rstrip("/")
     qterms = (
         queries.select(
@@ -322,14 +420,29 @@ def bm25_topk_many(
     )
     # vocabulary join first: (query, term) pairs that exist in the
     # index, each carrying its idf — the inner join drops unindexed
-    # terms exactly as the single-query path's isin() does
-    dfreq = spark.read.parquet(f"{base}/{TERMS_DIR}").withColumn(
-        "idf",
-        F.log(
-            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-            + F.lit(1.0)
-        ),
+    # terms exactly as the single-query path's isin() does.
+    # Segment-safe df (r8): restrict the vocabulary to the query
+    # terms FIRST (semi-join against the bounded query-term set),
+    # then sum the per-segment delta rows — the aggregate only ever
+    # sees query-term groups, never the full vocabulary
+    qt_distinct = qterms.select("term").distinct()
+    dfreq = (
+        spark.read.parquet(f"{base}/{TERMS_DIR}")
+        .join(
+            F.broadcast(qt_distinct) if broadcast_queries else qt_distinct,
+            "term",
+            "left_semi",
+        )
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
     )
     q_with_idf = (
         (F.broadcast(qterms) if broadcast_queries else qterms)
@@ -471,7 +584,12 @@ def rrf_fuse(
     if k_rrf < 1:
         raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
     keys = ([query_col] if query_col else []) + [id_col]
-    w = Window.partitionBy(*([query_col] if query_col else [])).orderBy(
+    # single-query mode ranks over a CONSTANT partition key: the
+    # window is one partition either way (inputs are top-k lists by
+    # contract, k·n_rankings rows), but the explicit key documents
+    # the bound and silences Spark's no-partition WindowExec warning
+    part = [query_col] if query_col else [F.lit(0)]
+    w = Window.partitionBy(*part).orderBy(
         F.desc(score_col), F.asc(id_col)
     )
     parts = [
@@ -502,4 +620,5 @@ def rrf_fuse(
             .filter(F.col("__rn") <= topk)
             .drop("__rn")
         )
+    # single-query top-k executes as TakeOrderedAndProject heaps
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(topk)

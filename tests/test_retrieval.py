@@ -333,3 +333,99 @@ def test_rrf_validates(spark):
     df = spark.createDataFrame([(1, 0.5)], "doc long, score double")
     with pytest.raises(ValueError, match="k_rrf"):
         rrf_fuse([df], k_rrf=0)
+
+
+# --- incremental text-index append (r8) --------------------------------------
+
+
+def test_append_matches_from_scratch(spark, sf_dir, tmp_path):
+    """Index A, append B: single-query and bulk scores equal a
+    from-scratch index over A∪B (same docs, same ranking; scores to
+    1e-9 — the streaming-mean avgdl differs from the batch AVG by
+    float association only)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
+        append_to_text_index,
+        bm25_topk,
+        bm25_topk_many,
+        write_text_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_text_index(a, inc)
+    append_to_text_index(b, inc)
+    write_text_index(docs, full)
+
+    q = QUERY
+    got = bm25_topk(spark, inc, q, k=15, exact_sum=True).collect()
+    want = bm25_topk(spark, full, q, k=15, exact_sum=True).collect()
+    assert [r["doc"] for r in got] == [r["doc"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["score"] - w["score"]) < 1e-9
+
+    queries = spark.createDataFrame(
+        [(1, q), (2, "sort merge hash key")], "query_id long, query string"
+    )
+    bulk_inc = {
+        (r["query_id"], r["rank"]): (r["doc"], r["score"])
+        for r in bm25_topk_many(spark, inc, queries, k=8).collect()
+    }
+    bulk_full = {
+        (r["query_id"], r["rank"]): (r["doc"], r["score"])
+        for r in bm25_topk_many(spark, full, queries, k=8).collect()
+    }
+    assert bulk_inc.keys() == bulk_full.keys()
+    for key in bulk_full:
+        assert bulk_inc[key][0] == bulk_full[key][0]
+        assert abs(bulk_inc[key][1] - bulk_full[key][1]) < 1e-9
+
+
+def test_append_is_append_only_and_restatted(spark, sf_dir, tmp_path):
+    import os
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
+        _load_stats,
+        append_to_text_index,
+        write_text_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.filter(F.col("doc_id") < 100)
+    b = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    path = str(tmp_path / "appendonly")
+    write_text_index(a, path)
+    before = set()
+    for root, _d, files in os.walk(f"{path}/postings"):
+        before |= {os.path.join(root, f) for f in files if f.endswith(".parquet")}
+    s0 = _load_stats(spark, path)
+    append_to_text_index(b, path)
+    after = set()
+    for root, _d, files in os.walk(f"{path}/postings"):
+        after |= {os.path.join(root, f) for f in files if f.endswith(".parquet")}
+    assert before <= after  # no original posting file replaced
+    s1 = _load_stats(spark, path)
+    assert s1["n_docs"] == s0["n_docs"] + b.count()
+    assert s1["n_buckets"] == s0["n_buckets"]
+    # empty append is a no-op
+    append_to_text_index(docs.filter(F.lit(False)), path)
+    assert _load_stats(spark, path) == s1
+
+
+def test_probe_uses_persisted_bucket_count(spark, sf_dir, tmp_path):
+    """An index written with a non-default n_buckets must prune
+    correctly from probes that never pass it (the stats file is the
+    layout authority, r8)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk, write_text_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p16 = str(tmp_path / "nb16")
+    write_text_index(docs, p16, n_buckets=16)
+    # default-arg probe (n_buckets=64) must still return the right answer
+    got = [r["doc"] for r in bm25_topk(spark, p16, QUERY, k=10).collect()]
+    p64 = str(tmp_path / "nb64")
+    write_text_index(docs, p64)
+    want = [r["doc"] for r in bm25_topk(spark, p64, QUERY, k=10).collect()]
+    assert got == want
