@@ -149,6 +149,13 @@ def main(argv: list[str] | None = None) -> int:
         "--source text index (ids must share the doc id space)",
     )
     p.add_argument(
+        "--append",
+        action="store_true",
+        help="index-text mode: append --source docs into the EXISTING "
+        "index at --out (incremental ingest; doc ids must be new) "
+        "instead of rebuilding",
+    )
+    p.add_argument(
         "--cells",
         type=int,
         default=16,
@@ -258,14 +265,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.mode == "index-text":
-        from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import write_text_index
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
+            append_to_text_index,
+            write_text_index,
+        )
 
         if not args.out:
             print("--out required for index-text mode", file=sys.stderr)
             return 2
         spark = get_spark("index-text")
-        write_text_index(spark.read.parquet(args.source), args.out)
-        print(f"text index over {args.source} -> {args.out}")
+        if args.append:
+            append_to_text_index(spark.read.parquet(args.source), args.out)
+            print(f"text index {args.out} appended from {args.source}")
+        else:
+            write_text_index(spark.read.parquet(args.source), args.out)
+            print(f"text index over {args.source} -> {args.out}")
         return 0
 
     if args.mode == "search-text":

@@ -642,3 +642,31 @@ def test_cli_search_hybrid_validates(spark, sf_dir, capsys):
     )
     assert rc == 2
     assert "required for search-hybrid" in capsys.readouterr().err
+
+
+def test_cli_index_text_append(spark, sf_dir, tmp_path, capsys):
+    """r8: index-text --append extends a standing index; search finds
+    docs from both segments."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a_src = str(tmp_path / "a")
+    b_src = str(tmp_path / "b")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(a_src)
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(b_src)
+    idx = str(tmp_path / "tidx")
+    assert main(["--source", a_src, "--mode", "index-text", "--out", idx]) == 0
+    assert main(
+        ["--source", b_src, "--mode", "index-text", "--out", idx, "--append"]
+    ) == 0
+    capsys.readouterr()
+    rc = main(
+        ["--source", idx, "--mode", "search-text",
+         "--query", "data stream window batch", "--topk", "20"]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    ids = {int(l.split("\t")[0]) for l in lines}
+    assert any(i % 2 == 0 for i in ids) and any(i % 2 == 1 for i in ids)
