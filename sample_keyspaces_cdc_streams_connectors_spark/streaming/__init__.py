@@ -1,4 +1,5 @@
 from sample_keyspaces_cdc_streams_connectors_spark.streaming.dedup import streaming_near_dedup
+from sample_keyspaces_cdc_streams_connectors_spark.streaming.ingest import curation_ingest_sink
 from sample_keyspaces_cdc_streams_connectors_spark.streaming.pipeline import CdcPipeline, PipelineConfig
 from sample_keyspaces_cdc_streams_connectors_spark.streaming.retry import (
     backoff_delay,
@@ -31,6 +32,7 @@ __all__ = [
     "QueueMessage",
     "QueueTransport",
     "console_sink",
+    "curation_ingest_sink",
     "local_dir_transport",
     "memory_rows_sink",
     "object_store_sink",
