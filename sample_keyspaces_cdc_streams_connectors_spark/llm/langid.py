@@ -91,14 +91,24 @@ class LangIdModel:
 
 
 def char_ngram_features(
-    col: Column, n_buckets: int, n_max: int = 3
+    col: Column, n_buckets: int, n_max: int = 3, max_chars: int = 4096
 ) -> Column:
     """Character 1..``n_max``-gram feature-bucket ids of the
     NORMALIZED text (array<int>, one id per n-gram OCCURRENCE) —
     pure-JVM: ``sequence`` positions × ``substring`` slices × the
     engine's md5 bucket hash.  Empty/NULL text yields an empty
-    array."""
+    array.
+
+    The normalized text is truncated to ``max_chars`` before the gram
+    expansion: the expansion materializes ~``n_max``× the character
+    count in JVM array entries plus the same again in the Arrow batch,
+    so an uncapped multi-megabyte web document would balloon a single
+    row to tens of MB of executor memory.  A few KB is ample signal
+    for language ID (fastText-style trainers cap input the same way);
+    pass ``max_chars=0`` to disable the cap."""
     t = normalize_text(col)
+    if max_chars > 0:
+        t = F.substring(t, 1, max_chars)
     n_chars = F.length(t)
     grams = None
     for n in range(1, n_max + 1):
@@ -221,10 +231,17 @@ def train_langid(
             if idx_expr is None
             else idx_expr.when(F.col(label_col) == t, F.lit(i))
         )
-    feats = labeled.select(
-        idx_expr.cast("int").alias("__y"),
-        char_ngram_features(F.col(text_col), n_buckets).alias("__f"),
-    ).persist()
+    # NULL-label rows carry no supervision signal; the class list
+    # above already skipped them, so drop them here too — otherwise
+    # __y is NULL and the residual kernel's int cast crashes mid-train
+    feats = (
+        labeled.filter(F.col(label_col).isNotNull())
+        .select(
+            idx_expr.cast("int").alias("__y"),
+            char_ngram_features(F.col(text_col), n_buckets).alias("__f"),
+        )
+        .persist()
+    )
     try:
         n = feats.count()
         if n == 0:

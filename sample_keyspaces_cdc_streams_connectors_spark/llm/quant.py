@@ -234,7 +234,10 @@ def quantized_topk(
     # scoring stage runs exactly one job (r8 fix: the previous lazy
     # anti-join coverage check re-executed the whole scan a second
     # time because `top` was not cached)
-    cand_ids = [r[0] for r in top.select(id_col).collect()]
+    # dedupe: a quantized table with duplicate ids (the documented
+    # re-append hazard) would otherwise inflate len(cand_ids) past the
+    # distinct count below and trip a spurious coverage error
+    cand_ids = sorted({r[0] for r in top.select(id_col).collect()})
     # coverage check: a silent fewer-than-k / missing-true-best result
     # (stale or filtered rerank_with) becomes a hard error; the probe
     # is one pushed-down IN-filter count over rerank_with

@@ -179,7 +179,16 @@ def append_to_text_index(
     spark = docs.sparkSession
     base = path.rstrip("/")
     stats = _load_stats(spark, path)
-    n_buckets = int(stats.get("n_buckets", 64))
+    if "n_buckets" not in stats:
+        # A pre-r8 stats file doesn't record its bucket count; guessing
+        # one would append postings into tb partitions that probes using
+        # the real count never scan — silently dropping the new docs.
+        raise ValueError(
+            f"text index at {path} has no n_buckets in its stats file "
+            "(built before incremental appends existed); rebuild it with "
+            "write_text_index before appending"
+        )
+    n_buckets = int(stats["n_buckets"])
     postings = _build_postings(docs, text_col, id_col, n_buckets).persist()
     try:
         new_stats = (
@@ -556,6 +565,7 @@ def rrf_fuse(
     score_col: str = "score",
     query_col: str | None = None,
     topk: int | None = None,
+    max_input_rows: int | None = 100_000,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09)
     of N retrieval rankings — the standard HYBRID-search combiner:
@@ -576,7 +586,10 @@ def rrf_fuse(
     magnitudes, and the exact decimal sum is shuffle-order-proof for
     ANY number of rankings), emitted back as DOUBLE — the engine's
     standard exact-sum discipline.  Returns ``([query_col,] id_col,
-    rrf_score, n_rankings)``, top-``topk`` per query when given."""
+    rrf_score, n_rankings)``, top-``topk`` per query when given.
+    ``max_input_rows`` enforces the bounded-input contract at
+    execution time (fail fast if any input ranking exceeds it per
+    query; ``None`` disables)."""
     from pyspark.sql import Window
 
     if not rankings:
@@ -584,22 +597,47 @@ def rrf_fuse(
     if k_rrf < 1:
         raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
     keys = ([query_col] if query_col else []) + [id_col]
-    # single-query mode ranks over a CONSTANT partition key: the
-    # window is one partition either way (inputs are top-k lists by
-    # contract, k·n_rankings rows), but the explicit key documents
-    # the bound and silences Spark's no-partition WindowExec warning
-    part = [query_col] if query_col else [F.lit(0)]
-    w = Window.partitionBy(*part).orderBy(
-        F.desc(score_col), F.asc(id_col)
-    )
+    # tag each ranking with its source index and rank ONCE over the
+    # union, partitioned by ([query,] __src) — a real (non-foldable)
+    # partition key, so WindowExec never degenerates to the
+    # single-partition no-key form it warns about (F.lit(0) used to be
+    # constant-folded away); one shuffle of k·n_rankings bounded rows
+    # instead of one window per input
     parts = [
-        r.select(*keys, F.row_number().over(w).alias("__rank"))
-        for r in rankings
+        r.select(
+            *keys,
+            F.col(score_col).alias("__s"),
+            F.lit(i).alias("__src"),
+        )
+        for i, r in enumerate(rankings)
     ]
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    fused = u.groupBy(*keys).agg(
+    w = Window.partitionBy(
+        *(([query_col] if query_col else []) + ["__src"])
+    ).orderBy(F.desc("__s"), F.asc(id_col))
+    ranked = u.select(*keys, F.row_number().over(w).alias("__rank"))
+    if max_input_rows is not None:
+        # bounded-input contract made executable: inputs are top-k
+        # lists, so a rank past the bound means someone fused a
+        # corpus-sized frame — fail the job instead of silently
+        # shuffling it (coalesce keeps the assert un-prunable; it
+        # passes every row when the bound holds)
+        ranked = ranked.filter(
+            F.coalesce(
+                F.assert_true(
+                    F.col("__rank") <= F.lit(int(max_input_rows)),
+                    F.lit(
+                        "rrf_fuse: an input ranking exceeds "
+                        f"max_input_rows={int(max_input_rows)} rows per "
+                        "query — inputs must be bounded top-k lists"
+                    ),
+                ),
+                F.lit(True),
+            )
+        )
+    fused = ranked.groupBy(*keys).agg(
         F.sum(
             (F.lit(1.0) / (F.lit(k_rrf) + F.col("__rank"))).cast(
                 "decimal(28,12)"

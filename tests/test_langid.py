@@ -193,3 +193,43 @@ def test_cli_train_langid(spark, corpus, tmp_path, capsys):
     assert "3 classes" in capsys.readouterr().out
     loaded = load_langid_model(spark, out)
     assert loaded.labels == sorted(_ALPHABETS)
+
+
+def test_null_labels_dropped_in_training(spark):
+    """NULL-label rows must not reach the residual kernel (r9: they
+    made __y NULL and crashed the int cast mid-iteration)."""
+    rows = [(i, "aaa bbb aaa", "a") for i in range(8)]
+    rows += [(100 + i, "zzz yyy zzz", "z") for i in range(8)]
+    rows += [(200, "unlabeled text here", None), (201, "more text", None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    m = train_langid(df, n_buckets=256, n_iters=8)
+    assert m.labels == ["a", "z"]
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in score_langid(
+            spark.createDataFrame(
+                [(1, "aaa aaa"), (2, "zzz zzz")], "doc_id long, text string"
+            ),
+            m,
+        ).collect()
+    }
+    assert got == {1: "a", 2: "z"}
+
+
+def test_char_ngram_features_max_chars_cap(spark):
+    """Gram expansion is bounded by max_chars (r9: uncapped
+    multi-megabyte docs ballooned Arrow batches); prediction on a
+    capped prefix still sees full signal for normal docs."""
+    df = spark.createDataFrame([("abcdef",)], "t string")
+    capped = df.select(
+        char_ngram_features(F.col("t"), 64, max_chars=3).alias("f")
+    ).collect()[0]["f"]
+    full = df.select(
+        char_ngram_features(F.col("t"), 64, max_chars=0).alias("f")
+    ).collect()[0]["f"]
+    # 3 chars -> 3 + 2 + 1 = 6 grams; 6 chars -> 6 + 5 + 4 = 15
+    assert len(capped) == 6 and len(full) == 15
+    prefix = df.select(
+        char_ngram_features(F.substring(F.col("t"), 1, 3), 64).alias("f")
+    ).collect()[0]["f"]
+    assert capped == prefix

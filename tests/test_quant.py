@@ -143,3 +143,17 @@ def test_rerank_frame_must_cover_candidates(spark, vectors, quantized):
     partial = vectors.limit(3)
     with pytest.raises(ValueError, match="absent from"):
         quantized_topk(quantized, qvec, k=10, rerank_with=partial)
+
+
+def test_rerank_coverage_tolerates_duplicate_ids(spark, vectors, quantized):
+    """A quantized table with duplicate ids (the documented re-append
+    hazard) must not trip a spurious coverage error when every id IS
+    covered by rerank_with (r9: the check compared a distinct count
+    against a with-duplicates candidate list)."""
+    q = [r["embedding"] for r in vectors.limit(1).collect()][0]
+    dup = quantized.unionByName(quantized.limit(5))
+    got = quantized_topk(
+        dup, q, k=5, rerank_with=vectors, rerank_factor=2
+    ).collect()
+    assert len(got) == 5
+    assert len({r["vec_id"] for r in got}) == 5

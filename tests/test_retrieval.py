@@ -429,3 +429,63 @@ def test_probe_uses_persisted_bucket_count(spark, sf_dir, tmp_path):
     write_text_index(docs, p64)
     want = [r["doc"] for r in bm25_topk(spark, p64, QUERY, k=10).collect()]
     assert got == want
+
+
+def test_append_requires_bucket_count_in_stats(spark, sf_dir, tmp_path):
+    """A pre-r8 stats file (no n_buckets) must hard-fail the append:
+    guessing a bucket count would write postings into tb partitions
+    probes never scan, silently dropping the appended docs (r9)."""
+    import json
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _read_text, _write_text
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
+        STATS_FILE,
+        append_to_text_index,
+        write_text_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "legacy")
+    write_text_index(docs.filter(F.col("doc_id") < 50), path)
+    stats = json.loads(_read_text(spark, f"{path}/{STATS_FILE}"))
+    del stats["n_buckets"]
+    _write_text(spark, f"{path}/{STATS_FILE}", json.dumps(stats))
+    with pytest.raises(ValueError, match="n_buckets"):
+        append_to_text_index(docs.filter(F.col("doc_id") >= 50), path)
+
+
+def test_rrf_bounded_input_contract_enforced(spark):
+    """max_input_rows is an executable contract: fusing a ranking
+    longer than the bound fails the job instead of silently windowing
+    a corpus-sized frame (r9)."""
+    from py4j.protocol import Py4JJavaError
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import rrf_fuse
+
+    big = spark.range(100).select(
+        F.col("id").alias("doc"), (F.col("id") * 1.0).alias("score")
+    )
+    ok = rrf_fuse([big], max_input_rows=100).collect()
+    assert len(ok) == 100
+    with pytest.raises(Exception) as exc:
+        rrf_fuse([big], max_input_rows=50).collect()
+    assert "max_input_rows" in str(exc.value)
+
+
+def test_rrf_no_unpartitioned_window(spark):
+    """Single-query fusion must rank over a real (__src) partition
+    key — no single-partition no-key WindowExec (r9: F.lit(0) was
+    constant-folded away, leaving the warned-about empty spec)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import rrf_fuse
+
+    a = spark.range(10).select(
+        F.col("id").alias("doc"), (F.col("id") * 1.0).alias("score")
+    )
+    b = spark.range(10).select(
+        F.col("id").alias("doc"), (10.0 - F.col("id")).alias("score")
+    )
+    plan = rrf_fuse([a, b], topk=5)._jdf.queryExecution().executedPlan().toString()
+    # every Window node must carry a partition spec mentioning __src
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__src" in line or "rrf_score" in line, line
