@@ -61,6 +61,8 @@ def main(argv: list[str] | None = None) -> int:
             "search-vectors",
             "index-semantic",
             "index-text",
+            "compact-text-index",
+            "rebalance-ivf-index",
             "search-text",
             "search-hybrid",
             "shard",
@@ -95,7 +97,14 @@ def main(argv: list[str] | None = None) -> int:
         "BM25 top-k over an --source index for --query; "
         "search-hybrid: reciprocal-rank fusion of BM25 over the "
         "--source text index with the --vector-index top-k for the "
-        "--query-id row of --target (ids must share the doc space)",
+        "--query-id row of --target (ids must share the doc space); "
+        "compact-text-index: merge append-fragmented posting buckets "
+        "and collapse vocabulary delta segments of the text index at "
+        "--source, in place, probes bit-identical; "
+        "rebalance-ivf-index: refit the coarse quantizer of the IVF "
+        "index at --source on its own vectors and rewrite the cell "
+        "layout (use after appends drift the codebook; --cells "
+        "changes the cell count, default keeps it)",
     )
     p.add_argument(
         "--query",
@@ -158,8 +167,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--cells",
         type=int,
-        default=16,
-        help="index-vectors mode: coarse-quantizer cell count",
+        default=None,
+        help="index-vectors mode: coarse-quantizer cell count "
+        "(default 16); rebalance-ivf-index mode: new cell count "
+        "(default: keep the current codebook's)",
     )
     p.add_argument(
         "--n-probe",
@@ -219,6 +230,7 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         spark = get_spark("index-vectors")
         vectors = spark.read.parquet(args.source)
+        cells = args.cells or 16
         if args.index_kind == "int8":
             import json as _json
 
@@ -236,16 +248,16 @@ def main(argv: list[str] | None = None) -> int:
             print(f"int8 index over {args.source} -> {args.out}")
             return 0
         if args.index_kind == "ivf-pq":
-            write_ivf_pq_index(vectors, args.out, k=args.cells)
+            write_ivf_pq_index(vectors, args.out, k=cells)
         elif args.index_kind == "ivf-int8":
             from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import write_ivf_int8_index
 
-            write_ivf_int8_index(vectors, args.out, k=args.cells)
+            write_ivf_int8_index(vectors, args.out, k=cells)
         else:
-            write_ivf_index(vectors, args.out, k=args.cells)
+            write_ivf_index(vectors, args.out, k=cells)
         print(
             f"{args.index_kind} index over {args.source} -> {args.out} "
-            f"({args.cells} cells)"
+            f"({cells} cells)"
         )
         return 0
 
@@ -257,10 +269,11 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         spark = get_spark("index-semantic")
         vectors = spark.read.parquet(args.source)
-        write_semantic_index(vectors, args.out, k=args.cells)
+        cells = args.cells or 16
+        write_semantic_index(vectors, args.out, k=cells)
         print(
             f"semantic index over {args.source} -> {args.out} "
-            f"({args.cells} cells)"
+            f"({cells} cells)"
         )
         return 0
 
@@ -280,6 +293,24 @@ def main(argv: list[str] | None = None) -> int:
         else:
             write_text_index(spark.read.parquet(args.source), args.out)
             print(f"text index over {args.source} -> {args.out}")
+        return 0
+
+    if args.mode == "compact-text-index":
+        import json as _json
+
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_text_index
+
+        spark = get_spark("compact-text-index")
+        report = compact_text_index(spark, args.source)
+        print(_json.dumps({"index": args.source, **report}))
+        return 0
+
+    if args.mode == "rebalance-ivf-index":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import rebalance_ivf_index
+
+        spark = get_spark("rebalance-ivf-index")
+        cb = rebalance_ivf_index(spark, args.source, k=args.cells)
+        print(f"rebalanced IVF index {args.source} ({len(cb)} cells)")
         return 0
 
     if args.mode == "search-text":

@@ -84,11 +84,16 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
     write_semantic_index,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
+    append_to_text_index,
     bm25_score_table,
     bm25_topk,
     bm25_topk_many,
     rrf_fuse,
     write_text_index,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import (
+    compact_text_index,
+    rebalance_ivf_index,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.langid import (
     LangIdModel,
@@ -109,6 +114,9 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
 
 __all__ = [
     "LangIdModel",
+    "append_to_text_index",
+    "compact_text_index",
+    "rebalance_ivf_index",
     "ivf_int8_topk",
     "load_langid_model",
     "rrf_fuse",

@@ -1,0 +1,300 @@
+"""Standing-index maintenance: compaction and rebalancing (r9).
+
+The engine's standing indexes all grow by append
+(:func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval.append_to_text_index`,
+:func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index.append_to_ivf_index`, the
+semantic-index append).  Appends are O(new data) by design, but they
+fragment the layout — every text append adds one posting file per
+touched term bucket plus a vocabulary delta segment; every vector
+append adds one file per touched cell — and IVF appends assign into
+FIXED cells, so the codebook goes stale and cell sizes skew as the
+corpus drifts, eroding the n_probe/recall contract.  Until r9 the
+only remedy was a from-scratch rebuild from the ORIGINAL corpus.
+This module is the in-place maintenance pair every LSM-ish layout
+ships:
+
+- :func:`compact_text_index` — merge fragmented posting buckets and
+  collapse the vocabulary delta segments.  Pure file-level
+  reorganization: no re-tokenization, identical posting rows, stats
+  file untouched, so probes return BIT-IDENTICAL scores (pinned in
+  tests/test_maintenance.py).  Only buckets above a file-count
+  threshold are rewritten — the untouched-file contract holds for
+  every other bucket, so compaction cost is proportional to the
+  fragmented fraction, not the index size.
+- :func:`rebalance_ivf_index` — refit the coarse quantizer on the
+  INDEXED vectors and rewrite the cell layout, preserving every
+  per-row payload column (raw vectors, int8 ``q_scale``/``q_code``,
+  PQ ``pq_code``).  In reproducible-training mode the result is
+  bit-identical to a from-scratch ``write_ivf_index`` over the same
+  rows (pinned) — without needing the original source table — and the
+  rewrite defragments cell files as a side effect.
+
+Swap discipline: new files land in a ``.tmp`` sibling first (every
+read of the old layout happens before any delete), then directory
+renames move them into place.  Rename is atomic per directory on
+HDFS and local filesystems; on rename-by-copy object stores (s3a)
+point maintenance output at a fresh index root instead and repoint
+readers.
+
+Reference tie-in: the reference delegates index upkeep to the S3
+Vectors service (S3VectorTargetMapper.java:87-177); a native engine
+owns its layouts, so it must own their maintenance too.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["compact_text_index", "rebalance_ivf_index"]
+
+
+# --- tiny Hadoop-FS helpers (same URI-portability discipline as
+# ivf_index._write_text: maintenance must work wherever the data is) ---
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _list_children(spark: SparkSession, path: str) -> list[tuple[str, bool]]:
+    """(name, is_dir) for each direct child; [] if path is absent."""
+    fs, jvm = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return []
+    return [
+        (st.getPath().getName(), st.isDirectory())
+        for st in fs.listStatus(p)
+    ]
+
+
+def _data_files(spark: SparkSession, path: str) -> list[str]:
+    return [
+        name
+        for name, is_dir in _list_children(spark, path)
+        if not is_dir and not name.startswith(("_", "."))
+    ]
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    fs, jvm = _fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+
+
+def _rename(spark: SparkSession, src: str, dst: str) -> None:
+    fs, jvm = _fs(spark, src)
+    if not fs.rename(
+        jvm.org.apache.hadoop.fs.Path(src), jvm.org.apache.hadoop.fs.Path(dst)
+    ):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def compact_text_index(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 1,
+    files_per_bucket: int = 1,
+) -> dict:
+    """Compact a :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval.write_text_index`
+    layout in place after appends, WITHOUT a rebuild.
+
+    Two independent repairs:
+
+    1. **Posting buckets**: every ``tb=`` directory holding more than
+       ``max_files_per_bucket`` data files is rewritten as
+       ``files_per_bucket`` file(s) (ONE pruned scan of just those
+       buckets — ``tb IN (...)`` is a partition filter, so untouched
+       buckets are never read, let alone rewritten).  The rows are
+       byte-for-byte the same postings; only file boundaries change.
+    2. **Vocabulary segments**: if ``terms/`` holds more than one
+       segment file (each append adds one), the per-term ``df`` deltas
+       collapse into single rows via the exact aggregation probes
+       already apply at query time (``groupBy(term).sum(df)``).
+
+    The stats file is NOT touched — corpus size, avgdl and the
+    layout-locked bucket count are compaction-invariant — so
+    post-compaction probes return bit-identical scores (pinned).
+
+    Scale: cost is O(fragmented buckets + vocabulary), never O(index).
+    A steady-state ingest loop alternates cheap appends with periodic
+    compaction exactly like an LSM store; rebuild is only needed to
+    change ``n_buckets`` itself.
+
+    Returns a report dict (buckets seen/compacted, vocab segments
+    collapsed) for observability.
+    """
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import POSTINGS_DIR, TERMS_DIR
+
+    if max_files_per_bucket < 1:
+        raise ValueError(
+            f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
+        )
+    if files_per_bucket < 1:
+        raise ValueError(
+            f"files_per_bucket must be >= 1, got {files_per_bucket}"
+        )
+    base = path.rstrip("/")
+    post_root = f"{base}/{POSTINGS_DIR}"
+    buckets = [
+        name
+        for name, is_dir in _list_children(spark, post_root)
+        if is_dir and name.startswith("tb=")
+    ]
+    frag = sorted(
+        name
+        for name in buckets
+        if len(_data_files(spark, f"{post_root}/{name}"))
+        > max_files_per_bucket
+    )
+    if frag:
+        tbs = [int(name.split("=", 1)[1]) for name in frag]
+        sub = spark.read.parquet(post_root).filter(F.col("tb").isin(tbs))
+        if files_per_bucket == 1:
+            # one task per fragmented bucket -> one file per bucket
+            sub = sub.repartition(len(tbs), "tb")
+        else:
+            sub = (
+                sub.withColumn(
+                    "__salt",
+                    F.pmod(F.xxhash64("doc"), F.lit(files_per_bucket)),
+                )
+                .repartition(len(tbs) * files_per_bucket, "tb", "__salt")
+                .drop("__salt")
+            )
+        tmp = f"{post_root}.__compact_tmp"
+        # column order matches write_text_index's inner-file schema
+        sub.select("doc", "dl", "term", "tf", "tb").write.mode(
+            "overwrite"
+        ).partitionBy("tb").parquet(tmp)
+        # the write above materialized everything; now swap ONLY the
+        # fragmented bucket directories
+        for name in frag:
+            _delete(spark, f"{post_root}/{name}")
+            _rename(spark, f"{tmp}/{name}", f"{post_root}/{name}")
+        _delete(spark, tmp)
+    terms_root = f"{base}/{TERMS_DIR}"
+    n_seg = len(_data_files(spark, terms_root))
+    if n_seg > 1:
+        terms = (
+            spark.read.parquet(terms_root)
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        tmp = f"{terms_root}.__compact_tmp"
+        terms.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _delete(spark, terms_root)
+        _rename(spark, tmp, terms_root)
+    return {
+        "buckets_total": len(buckets),
+        "buckets_compacted": len(frag),
+        "vocab_segments_before": n_seg,
+        "vocab_segments_after": 1 if n_seg > 1 else n_seg,
+    }
+
+
+def rebalance_ivf_index(
+    spark: SparkSession,
+    path: str,
+    k: int | None = None,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float | None = 1e-4,
+    exact_means: bool = False,
+    portable_hash: bool = False,
+    seed_mode: str = "farthest",
+    files_per_cell: int = 1,
+) -> list[list[float]]:
+    """Recluster an IVF layout in place after appends.
+
+    :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index.append_to_ivf_index`
+    assigns new vectors to the EXISTING codebook (the standard IVF
+    practice), so under corpus drift the centroids go stale and cell
+    sizes skew — a hot cell means every probe that touches it scans
+    far more than n_probe/k of the data, and a mis-centered codebook
+    costs recall at fixed n_probe.  Rebalancing refits the coarse
+    quantizer on the indexed vectors themselves (no source table
+    needed), reassigns every row, and rewrites the cell directories —
+    ``files_per_cell`` file(s) per cell, so accumulated append
+    fragments collapse in the same pass.
+
+    Every non-``cell`` column is preserved verbatim: a float layout
+    keeps ``(id, vec)``; an int8 layout keeps its ``q_scale/q_code``
+    codes (per-row quantization is cell-independent, so the codes stay
+    valid); an IVF-PQ layout keeps ``pq_code`` and its untouched
+    ``_pq_model.json`` (PQ codebooks encode vectors, not cells).
+
+    Training knobs pass through to ``kmeans_fit``; with
+    ``exact_means=True, tol=None`` the refit is bit-reproducible, so
+    the rebalanced index is IDENTICAL (codebook bits, cell assignment,
+    probe ranking and scores) to a from-scratch ``write_ivf_index``
+    over the same rows — pinned in tests/test_maintenance.py.  ``k``
+    defaults to the current codebook's size; pass a larger ``k`` when
+    the corpus has outgrown its cell count (the n_probe/k scan
+    fraction is the contract to protect).
+
+    Scale: one training pass (k-means job structure unchanged), one
+    assignment scan, one cell-keyed shuffle for the partitioned
+    rewrite — the same cost profile as the original build, which is
+    the honest floor for a full recluster.  Run it when append volume
+    since the last (re)build crosses a fraction of the index, like any
+    LSM major compaction.  Returns the new codebook.
+    """
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+        _codebook_path,
+        _write_text,
+        load_codebook,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import _argmin_cell, kmeans_fit
+
+    if files_per_cell < 1:
+        raise ValueError(f"files_per_cell must be >= 1, got {files_per_cell}")
+    base = path.rstrip("/")
+    if k is None:
+        k = len(load_codebook(base, spark))
+    rows = spark.read.parquet(base)
+    payload = rows.select(*[c for c in rows.columns if c != "cell"])
+    centroids = kmeans_fit(
+        payload.select(id_col, vec_col),
+        k=k,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        tol=tol,
+        exact_means=exact_means,
+        portable_hash=portable_hash,
+        seed_mode=seed_mode,
+    )
+    # same assignment expression as kmeans_assign, but PRESERVING every
+    # payload column (q_scale/q_code, pq_code, metadata) — kmeans_assign
+    # projects down to (id, vec, cell)
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    labeled = payload.withColumn("cell", _argmin_cell(dvec, centroids))
+    if files_per_cell == 1:
+        labeled = labeled.repartition(k, "cell")
+    else:
+        labeled = (
+            labeled.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(id_col), F.lit(files_per_cell)),
+            )
+            .repartition(k * files_per_cell, "cell", "__salt")
+            .drop("__salt")
+        )
+    tmp = f"{base}.__rebalance_tmp"
+    labeled.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    # the write above read every old row; swap the cell directories
+    for name, is_dir in _list_children(spark, base):
+        if is_dir and name.startswith("cell="):
+            _delete(spark, f"{base}/{name}")
+    for name, is_dir in _list_children(spark, tmp):
+        if is_dir and name.startswith("cell="):
+            _rename(spark, f"{tmp}/{name}", f"{base}/{name}")
+    _delete(spark, tmp)
+    _write_text(spark, _codebook_path(base), json.dumps(centroids))
+    return centroids

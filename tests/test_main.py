@@ -670,3 +670,68 @@ def test_cli_index_text_append(spark, sf_dir, tmp_path, capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
     ids = {int(l.split("\t")[0]) for l in lines}
     assert any(i % 2 == 0 for i in ids) and any(i % 2 == 1 for i in ids)
+
+
+def test_cli_compact_text_index(spark, sf_dir, tmp_path, capsys):
+    """r9: compact-text-index merges append fragments in place;
+    search results are unchanged."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a_src = str(tmp_path / "a")
+    b_src = str(tmp_path / "b")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(a_src)
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(b_src)
+    idx = str(tmp_path / "tidx")
+    assert main(["--source", a_src, "--mode", "index-text", "--out", idx]) == 0
+    assert main(
+        ["--source", b_src, "--mode", "index-text", "--out", idx, "--append"]
+    ) == 0
+
+    def search():
+        capsys.readouterr()
+        assert main(
+            ["--source", idx, "--mode", "search-text",
+             "--query", "data stream window batch", "--topk", "10"]
+        ) == 0
+        return [
+            l for l in capsys.readouterr().out.splitlines() if "\t" in l
+        ]
+
+    before = search()
+    capsys.readouterr()
+    assert main(["--source", idx, "--mode", "compact-text-index"]) == 0
+    report = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert report["buckets_compacted"] > 0
+    assert search() == before
+
+
+def test_cli_rebalance_ivf_index(spark, sf_dir, tmp_path, capsys):
+    """r9: rebalance-ivf-index refits a drifted index in place;
+    search still returns the query row as its own nearest."""
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    out = str(tmp_path / "ivf")
+    assert main(
+        ["--source", src, "--mode", "index-vectors",
+         "--index-kind", "ivf", "--cells", "4", "--out", out]
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        ["--source", out, "--mode", "rebalance-ivf-index", "--cells", "6"]
+    ) == 0
+    assert "6 cells" in capsys.readouterr().out
+    assert main(
+        ["--source", out, "--mode", "search-vectors", "--target", src,
+         "--query-id", "1", "--topk", "5", "--n-probe", "6"]
+    ) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    top_id, top_sim = lines[0].split("\t")
+    assert top_id == "1" and float(top_sim) > 0.999

@@ -1,0 +1,275 @@
+"""Standing-index maintenance (llm/maintenance.py): compaction and
+rebalancing pinned EQUIVALENT to from-scratch rebuilds, plus the
+untouched-file and payload-preservation contracts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+    append_to_ivf_index,
+    ivf_index_topk,
+    ivf_int8_topk,
+    load_codebook,
+    write_ivf_index,
+    write_ivf_int8_index,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import (
+    compact_text_index,
+    rebalance_ivf_index,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
+    _load_stats,
+    append_to_text_index,
+    bm25_topk,
+    bm25_topk_many,
+    write_text_index,
+)
+
+QUERY = "the quick brown data pipeline"
+
+
+def _posting_files(path: str) -> dict[str, list[str]]:
+    """bucket dir name -> its parquet file names (local-FS walk)."""
+    out: dict[str, list[str]] = {}
+    root = f"{path}/postings"
+    for name in os.listdir(root):
+        if name.startswith("tb=") and os.path.isdir(f"{root}/{name}"):
+            out[name] = sorted(
+                f
+                for f in os.listdir(f"{root}/{name}")
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+@pytest.fixture(scope="module")
+def fragmented_index(spark, sf_dir, tmp_path_factory):
+    """Index over ⅓ of documents + two appends covering the rest —
+    fragmented buckets and three vocabulary segments."""
+    path = str(tmp_path_factory.mktemp("compact") / "idx")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    write_text_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+    append_to_text_index(docs.filter(F.col("doc_id") % 3 == 1), path)
+    append_to_text_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+    return path
+
+
+def test_compact_scores_bit_identical(spark, sf_dir, fragmented_index, tmp_path):
+    """Compaction is file-level only: single-query and bulk probes
+    return BIT-identical (doc, score) lists before and after, and the
+    post-compaction ranking equals a from-scratch rebuild's."""
+    before = [
+        (r["doc"], r["score"])
+        for r in bm25_topk(spark, fragmented_index, QUERY, k=20).collect()
+    ]
+    report = compact_text_index(spark, fragmented_index)
+    after = [
+        (r["doc"], r["score"])
+        for r in bm25_topk(spark, fragmented_index, QUERY, k=20).collect()
+    ]
+    assert after == before  # bit-identical: same rows, same stats
+    assert report["buckets_compacted"] > 0
+    assert report["vocab_segments_before"] == 3
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    full = str(tmp_path / "full")
+    write_text_index(docs, full)
+    want = [r["doc"] for r in bm25_topk(spark, full, QUERY, k=20).collect()]
+    assert [d for d, _ in after] == want
+
+    queries = spark.createDataFrame(
+        [(1, QUERY), (2, "sort merge hash key")],
+        "query_id long, query string",
+    )
+    got_bulk = {
+        (r["query_id"], r["rank"]): r["doc"]
+        for r in bm25_topk_many(
+            spark, fragmented_index, queries, k=8
+        ).collect()
+    }
+    want_bulk = {
+        (r["query_id"], r["rank"]): r["doc"]
+        for r in bm25_topk_many(spark, full, queries, k=8).collect()
+    }
+    assert got_bulk == want_bulk
+
+
+def test_compact_merges_files_and_respects_untouched(spark, fragmented_index):
+    """Fragmented buckets collapse to one file; buckets already at the
+    threshold keep their EXACT file set (untouched-file contract);
+    vocabulary collapses to one segment; stats unchanged."""
+    stats0 = _load_stats(spark, fragmented_index)
+    files0 = _posting_files(fragmented_index)
+    # first compaction may have run in the other test (module fixture
+    # shared) — force a fresh fragmented state check instead via a
+    # second compaction: it must be a NO-OP on every already-single
+    # bucket
+    compact_text_index(spark, fragmented_index)
+    files1 = _posting_files(fragmented_index)
+    assert files1.keys() == files0.keys()
+    for name, fl in files1.items():
+        assert len(fl) == 1, f"{name} not compacted: {fl}"
+    # idempotent second run: untouched-file contract = file NAMES
+    # survive (no rewrite of single-file buckets), vocab stays single
+    report = compact_text_index(spark, fragmented_index)
+    assert report["buckets_compacted"] == 0
+    assert report["vocab_segments_before"] == 1
+    assert _posting_files(fragmented_index) == files1
+    assert _load_stats(spark, fragmented_index) == stats0
+
+
+def test_compact_files_per_bucket_fanout(spark, sf_dir, tmp_path):
+    """files_per_bucket>1 splits each fragmented bucket into bounded
+    files (the 100 TB knob: one file per bucket would be a giant)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "fan")
+    write_text_index(docs.filter(F.col("doc_id") < 200), path, n_buckets=8)
+    append_to_text_index(docs.filter(F.col("doc_id") >= 200), path)
+    before = [
+        (r["doc"], r["score"])
+        for r in bm25_topk(spark, path, QUERY, k=10).collect()
+    ]
+    compact_text_index(spark, path, files_per_bucket=2)
+    files = _posting_files(path)
+    assert all(1 <= len(fl) <= 2 for fl in files.values())
+    assert any(len(fl) == 2 for fl in files.values())
+    after = [
+        (r["doc"], r["score"])
+        for r in bm25_topk(spark, path, QUERY, k=10).collect()
+    ]
+    assert after == before
+
+
+def test_compact_validates(spark, fragmented_index):
+    with pytest.raises(ValueError, match="max_files_per_bucket"):
+        compact_text_index(spark, fragmented_index, max_files_per_bucket=0)
+    with pytest.raises(ValueError, match="files_per_bucket"):
+        compact_text_index(spark, fragmented_index, files_per_bucket=0)
+
+
+# --- IVF rebalance -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(450)
+    )
+
+
+def test_rebalance_equals_from_scratch_rebuild(spark, vectors, tmp_path):
+    """Reproducible-training mode: after two appends, rebalance's
+    codebook, per-cell membership, and probe (docs AND scores) are
+    IDENTICAL to a from-scratch write_ivf_index over the same rows."""
+    grown = str(tmp_path / "grown")
+    a = vectors.filter(F.col("vec_id") % 3 == 0)
+    b = vectors.filter(F.col("vec_id") % 3 == 1)
+    c = vectors.filter(F.col("vec_id") % 3 == 2)
+    write_ivf_index(a, grown, k=6, exact_means=True, tol=None)
+    append_to_ivf_index(b, grown)
+    append_to_ivf_index(c, grown)
+
+    fresh = str(tmp_path / "fresh")
+    write_ivf_index(vectors, fresh, k=6, exact_means=True, tol=None)
+    got_cb = rebalance_ivf_index(
+        spark, grown, exact_means=True, tol=None
+    )
+    want_cb = load_codebook(fresh, spark)
+    assert got_cb == want_cb  # bit-identical centroids
+
+    cells_got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(grown).select("vec_id", "cell").collect()
+    }
+    cells_want = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(fresh).select("vec_id", "cell").collect()
+    }
+    assert cells_got == cells_want
+
+    q = [r["embedding"] for r in vectors.limit(1).collect()][0]
+    got = [
+        (r["vec_id"], r["sim"])
+        for r in ivf_index_topk(spark, grown, q, topk=10, n_probe=2).collect()
+    ]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in ivf_index_topk(spark, fresh, q, topk=10, n_probe=2).collect()
+    ]
+    assert got == want
+
+
+def test_rebalance_preserves_int8_payload(spark, vectors, tmp_path):
+    """An int8 layout keeps its q_scale/q_code through rebalance
+    (codes are cell-independent); all-cell probes return the same
+    results before/after (nothing lost or duplicated), and cell files
+    defragment."""
+    path = str(tmp_path / "i8")
+    a = vectors.filter(F.col("vec_id") % 2 == 0)
+    b = vectors.filter(F.col("vec_id") % 2 == 1)
+    write_ivf_int8_index(a, path, k=5)
+    append_to_ivf_index(b, path)
+    q = [r["embedding"] for r in vectors.limit(1).collect()][0]
+    # n_probe = k probes every cell -> result independent of clustering
+    before = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in ivf_int8_topk(spark, path, q, topk=10, n_probe=5).collect()
+    ]
+    rebalance_ivf_index(spark, path, k=5)
+    rows = spark.read.parquet(path)
+    assert {"vec_id", "embedding", "q_scale", "q_code", "cell"} <= set(
+        rows.columns
+    )
+    assert rows.count() == vectors.count()
+    after = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in ivf_int8_topk(spark, path, q, topk=10, n_probe=5).collect()
+    ]
+    assert after == before
+    # defrag: one file per cell directory
+    for name in os.listdir(path):
+        if name.startswith("cell="):
+            files = [
+                f
+                for f in os.listdir(f"{path}/{name}")
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (name, files)
+    assert len(load_codebook(path, spark)) == 5
+
+
+def test_rebalance_can_grow_k(spark, vectors, tmp_path):
+    """Passing a larger k re-cells the index (the corpus-outgrew-its-
+    cell-count path); probe answers at full n_probe stay exact."""
+    path = str(tmp_path / "grow")
+    write_ivf_index(vectors.filter(F.col("vec_id") % 2 == 0), path, k=3)
+    append_to_ivf_index(vectors.filter(F.col("vec_id") % 2 == 1), path)
+    q = [r["embedding"] for r in vectors.limit(1).collect()][0]
+    before = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ivf_index_topk(spark, path, q, topk=8, n_probe=3).collect()
+    ]
+    cb = rebalance_ivf_index(spark, path, k=9)
+    assert len(cb) == 9
+    cells = sorted(
+        r["cell"]
+        for r in spark.read.parquet(path).select("cell").distinct().collect()
+    )
+    assert len(cells) >= 4  # genuinely re-celled
+    after = [
+        (r["vec_id"], round(r["sim"], 9))
+        for r in ivf_index_topk(spark, path, q, topk=8, n_probe=9).collect()
+    ]
+    assert after == before
