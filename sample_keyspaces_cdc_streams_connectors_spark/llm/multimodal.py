@@ -9,15 +9,19 @@ worker per core, no driver involvement.  Batch size is bounded via
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` so decoded frames
 fit executor memory.
 
-The actual codecs (Pillow / ffmpeg / torchaudio) are NOT available in
-this container, so ``decode_image`` is STUBBED: the real entry point
-raises ``NotImplementedError`` unless the deterministic fake decoder
-is selected.  The Spark-side plumbing — schema, UDF signature, Arrow
-batching, partition behavior — is real and tested.
+Decode depth (r9): container HEADER geometry — format, width, height
+for PNG (IHDR), GIF (logical screen descriptor) and JPEG (SOF scan)
+— is parsed NATIVELY from the binary payload with stdlib-only code
+(:func:`parse_image_header`); only PIXEL decoding (Pillow / ffmpeg /
+torchaudio, not available in this container) remains stubbed behind
+``NotImplementedError`` / the deterministic fake.  The Spark-side
+plumbing — schema, UDF signature, Arrow batching, partition behavior
+— is real and tested.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -73,14 +77,184 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return (64 + n % 512, 64 + (n // 7) % 512)
 
 
+#: SOF markers that carry frame geometry (every C0–CF except C4=DHT,
+#: C8=JPG-extension, CC=DAC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None]:
+    """REAL container-header decode, stdlib-only: ``(format, width,
+    height)`` from the first bytes of a PNG / GIF / JPEG payload, or
+    ``(None, None, None)`` when the payload is not a recognized
+    container (or is truncated before its geometry).
+
+    - PNG: 8-byte signature, then the mandatory first IHDR chunk —
+      width/height are big-endian uint32 at offsets 16/20.
+    - GIF: ``GIF87a``/``GIF89a``, then the logical screen descriptor —
+      width/height are little-endian uint16 at offsets 6/8.
+    - JPEG: SOI then a marker-segment walk (each segment carries a
+      big-endian length, standalone RSTn/TEM markers carry none) to
+      the first SOF frame header, which stores height then width as
+      big-endian uint16.
+
+    Header parsing needs only the payload's first ~kilobyte, never a
+    pixel decode — at 100 TB this is the difference between a metadata
+    projection and a decompress of the whole corpus."""
+    b = payload or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 24 and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return ("png", int(w), int(h))
+        return ("png", None, None)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return ("gif", int(w), int(h))
+        return ("gif", None, None)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone marker: TEM / RSTn / SOI / EOI
+                continue
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if marker in _JPEG_SOF:
+                if i + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return ("jpeg", int(w), int(h))
+                break
+            i += 2 + seg_len
+        return ("jpeg", None, None)
+    return (None, None, None)
+
+
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
-    """Real decoder entry point — stubbed in this environment."""
+    """Image geometry: REAL header decode for recognized containers
+    (PNG/GIF/JPEG — :func:`parse_image_header`); for anything else the
+    deterministic fake stands in when ``fake=True``.  Only PIXEL
+    decoding is stubbed now (r9)."""
+    fmt, w, h = parse_image_header(payload)
+    if fmt is not None and w is not None and h is not None:
+        return (w, h)
     if fake:
         return _fake_decode(payload)
     raise NotImplementedError(
-        "image codecs not available in this container; pass fake=True "
-        "or plug a real decoder into extract_features"
+        "pixel decoding is not available in this container; header "
+        "geometry is parsed natively for PNG/GIF/JPEG — pass fake=True "
+        "for a deterministic stand-in on other payloads"
     )
+
+
+CONTAINER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+HEADER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def _container_bytes(mid: int) -> bytes:
+    """A REAL (header-valid) container for media id ``mid`` —
+    format rotates png/gif/jpeg by ``mid % 3``, geometry is
+    ``(1 + mid % 512, 1 + 7·mid % 512)`` so an oracle can re-derive
+    it arithmetically.  Pixel data is absent/garbage: only the
+    header is contractual, which is exactly what
+    :func:`parse_image_header` reads."""
+    w = 1 + mid % 512
+    h = 1 + (mid * 7) % 512
+    kind = mid % 3
+    if kind == 0:  # PNG: signature + IHDR chunk (CRC bytes arbitrary)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + bytes([8, 2, 0, 0, 0])
+            + b"\x00\x00\x00\x00"
+        )
+    if kind == 1:  # GIF89a: logical screen descriptor
+        return b"GIF89a" + struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+    # JPEG: SOI + APP0(JFIF) + SOF0 (height precedes width)
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x02\x01"
+        + struct.pack(">HH", 72, 72)
+        + b"\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def synthesize_containers(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-container media table: one header-valid
+    png/gif/jpeg payload per document (``_container_bytes``).  Built
+    in ``mapInPandas`` so the binary construction runs executor-side
+    over Arrow batches — the same plumbing real ingested media uses."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids = pdf["media_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "payload": [_container_bytes(int(m)) for m in mids],
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("media_id")).mapInPandas(
+        run, CONTAINER_SCHEMA
+    )
+
+
+def image_header_features(media: DataFrame) -> DataFrame:
+    """(media_id, format, width, height) via the REAL stdlib header
+    decoders — the metadata-extraction pass a 100 TB media corpus
+    runs instead of pixel decoding.  Unrecognized/truncated payloads
+    yield NULLs rather than failing the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts: list = []
+            ws: list = []
+            hs: list = []
+            for p in pdf["payload"]:
+                fmt, w, h = parse_image_header(p)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "format": pd.Series(fmts, dtype=object),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, HEADER_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(

@@ -1684,11 +1684,21 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
              md5(substring(text, k*64+1, 64)) AS frame_digest
       FROM documents, (SELECT unnest([0, 1, 2, 3]) AS k)
       WHERE length(text) > k*64
+    ),
+    hdr AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                  ELSE 'jpeg' END AS fmt,
+             CAST(1 + doc_id % 512 AS INTEGER) AS hdr_width,
+             CAST(1 + (doc_id * 7) % 512 AS INTEGER) AS hdr_height
+      FROM documents
     )
     SELECT g.media_id, g.n_bytes, g.digest, g.width, g.height,
-           g.out_width, g.out_height,
+           g.out_width, g.out_height, h.fmt, h.hdr_width, h.hdr_height,
            f.frame_idx, f.frame_bytes, f.frame_digest
-    FROM geom g LEFT JOIN frames f ON f.media_id = g.media_id
+    FROM geom g
+    JOIN hdr h ON h.media_id = g.media_id
+    LEFT JOIN frames f ON f.media_id = g.media_id
     """,
 )
 def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1707,10 +1717,25 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
       each with exact size + md5; the oracle re-derives every frame
       by slicing the same reel in SQL.
 
-    Decode is stubbed deterministically; the Spark plumbing — schema,
-    Arrow batches, binary payloads, three mapInPandas stages joined on
-    media_id — is real."""
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import resize_images, sample_frames
+    Pixel decode is stubbed deterministically; the Spark plumbing —
+    schema, Arrow batches, binary payloads, mapInPandas stages joined
+    on media_id — is real.
+
+    Arm ``hdr`` (r9, the fmt/hdr_width/hdr_height columns): REAL
+    container-header decoding.  ``synthesize_containers`` builds one
+    header-valid PNG / GIF / JPEG payload per document executor-side
+    (format rotates by doc_id, geometry is doc_id arithmetic), and
+    ``image_header_features`` parses format + dimensions back OUT of
+    the raw bytes with the stdlib IHDR / logical-screen-descriptor /
+    SOF-scan decoders (llm/multimodal.py) — the oracle re-derives the
+    planted geometry arithmetically, so any header-walk bug breaks
+    the hash.  Only pixel decoding remains faked anywhere."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        image_header_features,
+        resize_images,
+        sample_frames,
+        synthesize_containers,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs)
@@ -1720,10 +1745,20 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized = resize_images(media, max_side=224, fake=True).select(
         "media_id", "out_width", "out_height"
     )
+    hdr = image_header_features(synthesize_containers(docs)).select(
+        "media_id",
+        F.col("format").alias("fmt"),
+        F.col("width").alias("hdr_width"),
+        F.col("height").alias("hdr_height"),
+    )
     frames = sample_frames(
         media, frame_chars=64, max_frames=4, fake=True
     ).select("media_id", "frame_idx", "frame_bytes", "frame_digest")
-    return feats.join(resized, "media_id").join(frames, "media_id", "left")
+    return (
+        feats.join(resized, "media_id")
+        .join(hdr, "media_id")
+        .join(frames, "media_id", "left")
+    )
 
 
 @register(
@@ -2074,10 +2109,33 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75) -> str:
       FROM ranked GROUP BY doc
       ORDER BY score DESC, doc
       LIMIT {_BM25_GATE_K}
+    ), rd AS (
+      SELECT a.vec_id AS doc,
+             CAST(CAST({_DUCK_COS} AS DECIMAL(18,8)) AS DOUBLE) AS score
+      FROM (SELECT vec_id, embedding AS emb FROM embeddings
+            WHERE vec_id <> 1) a,
+           (SELECT embedding AS emb FROM embeddings WHERE vec_id = 1) q
+      ORDER BY score DESC, doc
+      LIMIT {_BM25_GATE_K}
+    ), ranked_h AS (
+      SELECT doc, ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rnk
+      FROM ra
+      UNION ALL
+      SELECT doc, ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rnk
+      FROM rd
+    ), hybrid AS (
+      SELECT doc,
+             CAST(SUM(CAST(1.0 / ({_RRF_K} + rnk) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS score
+      FROM ranked_h GROUP BY doc
+      ORDER BY score DESC, doc
+      LIMIT {_BM25_GATE_K}
     )
     SELECT 'bm25' AS method, doc, score FROM ra
     UNION ALL
     SELECT 'rrf' AS method, doc, score FROM fused
+    UNION ALL
+    SELECT 'hybrid' AS method, doc, score FROM hybrid
     """
 
 
@@ -2102,12 +2160,18 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid-search combiner) of this query's ranking with a second
     gate query's, both oracle-replayable; each 1/(k+rank) term goes
     through DECIMAL(28,12) so the fused score is
-    aggregation-order-proof.  The fusion operator is
-    ranking-source-agnostic — the production lexical+VECTOR hybrid
-    (BM25 ⊕ embedding cosine top-k) is pinned in
-    tests/test_retrieval.py, where the dense side's hash embedder
-    lives outside SQL's reach."""
+    aggregation-order-proof.
+
+    Arm ``hybrid`` (r9): the PRODUCTION lexical⊕dense fusion — the
+    CLI ``search-hybrid`` shape — oracle-gated: BM25 ranking ``ra``
+    fused with the exact-cosine dense top-k over the embeddings table
+    (query = the vec_id=1 row, the same sequential-double cosine the
+    ``vector_topk`` brute arm already replays in DuckDB).  The dense
+    scores pass through DECIMAL(18,8) on BOTH sides before ranking so
+    the rank derivation (score desc, id asc) is engine-identical;
+    fusion then depends only on ranks, summed exactly."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk, rrf_fuse
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import brute_force_topk
 
     path = _bm25_gate_index(spark, sf_dir)
     ra = bm25_topk(
@@ -2119,8 +2183,28 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = rrf_fuse(
         [ra, rb], k_rrf=_RRF_K, topk=_BM25_GATE_K
     ).select("doc", F.col("rrf_score").alias("score"))
-    return ra.select(F.lit("bm25").alias("method"), "doc", "score").unionAll(
-        fused.select(F.lit("rrf").alias("method"), "doc", "score")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 1)
+        .select("embedding")
+        .first()[0]
+    ]
+    dense = brute_force_topk(
+        emb.filter(F.col("vec_id") != 1), qvec, k=_BM25_GATE_K
+    ).select(
+        F.col("vec_id").cast("long").alias("doc"),
+        F.col("sim").cast("decimal(18,8)").cast("double").alias("score"),
+    )
+    hybrid = rrf_fuse(
+        [ra, dense], k_rrf=_RRF_K, topk=_BM25_GATE_K
+    ).select("doc", F.col("rrf_score").alias("score"))
+    return (
+        ra.select(F.lit("bm25").alias("method"), "doc", "score")
+        .unionAll(fused.select(F.lit("rrf").alias("method"), "doc", "score"))
+        .unionAll(
+            hybrid.select(F.lit("hybrid").alias("method"), "doc", "score")
+        )
     )
 
 

@@ -609,3 +609,67 @@ def test_ngram_candidate_observation_metric(spark):
     assert est_uniq > 0
     assert est_full >= 10 * est_uniq
     release_ngram_cache()
+
+
+# --- real container-header decode (r9) ---------------------------------------
+
+
+def test_parse_image_header_known_bytes():
+    """Golden-byte containers: hand-assembled PNG/GIF/JPEG headers
+    decode to their planted geometry; truncation and junk give NULLs
+    instead of raising."""
+    import struct
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import parse_image_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + bytes([8, 2, 0, 0, 0]) + b"\0\0\0\0"
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200) + bytes([0xF7, 0, 0])
+    assert parse_image_header(gif) == ("gif", 320, 200)
+    # JPEG: APP0 + a COM segment to exercise the marker walk, then SOF2
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x01" + struct.pack(">HH", 72, 72) + b"\0\0"
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    sof2 = b"\xff\xc2" + struct.pack(">H", 17) + bytes([8]) + struct.pack(">HH", 1080, 1920) + bytes(10)
+    assert parse_image_header(b"\xff\xd8" + app0 + com + sof2) == (
+        "jpeg", 1920, 1080,
+    )
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n" + b"\0" * 4) == ("png", None, None)
+    assert parse_image_header(b"GIF89a\x01") == ("gif", None, None)
+    assert parse_image_header(b"\xff\xd8" + app0) == ("jpeg", None, None)
+    assert parse_image_header(b"not an image") == (None, None, None)
+    assert parse_image_header(None) == (None, None, None)
+
+
+def test_decode_image_prefers_real_header():
+    """decode_image reads real container geometry even in fake mode;
+    non-containers fall back to the fake (or raise without it, with
+    the r9 pixel-only message)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import _container_bytes, decode_image
+
+    png = _container_bytes(3 * 100)  # kind 0 -> png, w=1+300, h=1+2100%512
+    assert decode_image(png, fake=True) == (1 + 300 % 512, 1 + 2100 % 512)
+    assert decode_image(png, fake=False) == (1 + 300 % 512, 1 + 2100 % 512)
+    with pytest.raises(NotImplementedError, match="pixel"):
+        decode_image(b"plain text payload", fake=False)
+
+
+def test_image_header_features_roundtrip(spark):
+    """synthesize_containers -> image_header_features round-trips the
+    planted (format, width, height) for every doc, through real Arrow
+    batches."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        image_header_features,
+        synthesize_containers,
+    )
+
+    docs = _docs(spark)
+    got = {
+        r.media_id: (r.format, r.width, r.height)
+        for r in image_header_features(synthesize_containers(docs)).collect()
+    }
+    for mid in got:
+        fmt = ("png", "gif", "jpeg")[mid % 3]
+        assert got[mid] == (fmt, 1 + mid % 512, 1 + (mid * 7) % 512)
