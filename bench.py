@@ -204,6 +204,42 @@ def main() -> None:
         curate(docs).write.mode("overwrite").format("noop").save()
         corpus_early_best = min(corpus_early_best, time.time() - t0)
 
+    # CDC pipeline throughput, EARLY position (r9 — VERDICT r8 #2: the
+    # driver-recorded 255k→180k swing was unattributed; the CDC stack
+    # gets the same positional split the corpus pipeline got in r8 —
+    # 2 passes here before the headline suite, 2 at the historical
+    # post-suite position; diverging positions = harness/host effect,
+    # co-moving positions = code regression)
+    from sample_keyspaces_cdc_streams_connectors_spark.envelope import synthesize_cdc
+    from sample_keyspaces_cdc_streams_connectors_spark.operators import classify_operation
+    from sample_keyspaces_cdc_streams_connectors_spark.operators.projection import (
+        project_fields,
+        shape_output,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table as _load_table
+
+    def _cdc_pass() -> float:
+        t0 = time.time()
+        (
+            shape_output(
+                project_fields(
+                    classify_operation(
+                        synthesize_cdc(_load_table(spark, SF_DIR, "events"))
+                    ),
+                    ["user_id", "value"],
+                ),
+                record_format="default",
+                include_metadata=True,
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.time() - t0
+
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    cdc_early_best = min(_cdc_pass() for _ in range(2))
+
     # min of 4 INTERLEAVED passes per query: the first executions of a
     # query shape pay whole-stage-codegen JIT compilation, and host
     # contention is bursty on minute scales (a 0.4s-steady-state query
@@ -232,9 +268,9 @@ def main() -> None:
     timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
-    # CDC pipeline throughput: events/sec through the envelope →
-    # classify → project → default-shape → enrich stack (the
-    # reference's whole per-record path; its SQS sink documents
+    # CDC pipeline throughput, in-suite position: events/sec through
+    # the envelope → classify → project → default-shape → enrich stack
+    # (the reference's whole per-record path; its SQS sink documents
     # ~300 msg/s per queue — sqs-connector/README.md:225).  Timed as a
     # DEDICATED pipeline rather than off a registry query: the r5
     # registry consolidation folded the full-flatten image_shape arm
@@ -242,25 +278,37 @@ def main() -> None:
     # query-derived rate round-over-round (r4 compared 167k from the
     # leaner r4 query to ~135k from the fatter r5 one).  This stack is
     # the r4-equivalent shape and stays stable across registry
-    # reshuffles.
-    from sample_keyspaces_cdc_streams_connectors_spark.envelope import synthesize_cdc
-    from sample_keyspaces_cdc_streams_connectors_spark.operators import classify_operation
-    from sample_keyspaces_cdc_streams_connectors_spark.operators.projection import (
-        project_fields,
-        shape_output,
-    )
-    from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table as _load_table
+    # reshuffles.  2 passes here + 2 early = min-of-4 overall; the
+    # per-position bests go to BENCH_DETAIL for drift attribution (r9).
+    cdc_late_best = min(_cdc_pass() for _ in range(2))
+    cdc_best = min(cdc_early_best, cdc_late_best)
+    cdc_rows_per_sec = int(n_events / cdc_best) if cdc_best > 0 else None
 
-    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
-    cdc_best = float("inf")
-    for _ in range(4):
+    # CDC MARGINAL rate (r9 root cause of the r8 255k→180k swing,
+    # SCALE.md): at sf0.1 the 1× run is ~0.5s of which ~80% is fixed
+    # job cost (floor experiment: a 1%-events run takes 0.42s of the
+    # 0.52s full), so the raw rate is jitter in a fixed-cost-dominated
+    # subsecond wall.  The marginal rate divides the EXTRA events of
+    # an 8×-fattened run (disjoint id offsets, same plan) by the EXTRA
+    # time — per-event cost with the fixed cost differenced out, and
+    # the subtraction is stable because the fat run's state is ~7× the
+    # floor.  cdc_rows_per_sec stays for cross-round comparability.
+    ev_base = _load_table(spark, SF_DIR, "events")
+    ev_cdc_fat = ev_base
+    for i in range(1, 8):
+        off = i * 1_000_000_000
+        ev_cdc_fat = ev_cdc_fat.unionByName(
+            ev_base.withColumn(
+                "event_id", F.col("event_id") + off
+            ).withColumn("user_id", F.col("user_id") + off)
+        )
+
+    def _cdc_fat_pass() -> float:
         t0 = time.time()
         (
             shape_output(
                 project_fields(
-                    classify_operation(
-                        synthesize_cdc(_load_table(spark, SF_DIR, "events"))
-                    ),
+                    classify_operation(synthesize_cdc(ev_cdc_fat)),
                     ["user_id", "value"],
                 ),
                 record_format="default",
@@ -270,8 +318,14 @@ def main() -> None:
             .format("noop")
             .save()
         )
-        cdc_best = min(cdc_best, time.time() - t0)
-    cdc_rows_per_sec = int(n_events / cdc_best) if cdc_best > 0 else None
+        return time.time() - t0
+
+    cdc_fat8_best = min(_cdc_fat_pass() for _ in range(3))
+    cdc_marginal = (
+        int(7 * n_events / max(cdc_fat8_best - cdc_best, 1e-6))
+        if cdc_fat8_best > cdc_best
+        else None
+    )
 
     # corpus-curation throughput, in-suite position: docs/sec through
     # the full annotate -> PII-scrub -> language gate -> exact-dedup
@@ -320,15 +374,34 @@ def main() -> None:
     # i.e. the same number of triggers with negligible state work.
     # session_window = raw end-to-end rate; session_window_state =
     # events / (full − floor), the harness-cost-corrected state rate.
+    # r9 (VERDICT r8 #6): at sf0.1 the trigger floor was 78% of the
+    # full replay, so the corrected rate was a small difference of
+    # large numbers (driver 44k vs builder 70k/54k).  The replay is
+    # FATTENED ×8 by unioning the events under disjoint user-id
+    # offsets — same trigger count and chunk structure, 8× the
+    # sessions and state rows per trigger — pushing state work to a
+    # majority of wall time so the subtraction is stable (±15%
+    # pinned across consecutive local runs, SCALE.md).
     from sample_keyspaces_cdc_streams_connectors_spark.queries.streaming import run_session_replay
 
+    session_fatten = 8
     ev_cols = _load_table(spark, SF_DIR, "events").select(
         "user_id", "ts", "event_id"
     )
+    ev_fat = ev_cols
+    for i in range(1, session_fatten):
+        off = i * 1_000_000_000
+        ev_fat = ev_fat.unionByName(
+            ev_cols.select(
+                (F.col("user_id") + off).alias("user_id"),
+                "ts",
+                (F.col("event_id") + off).alias("event_id"),
+            )
+        )
     sess_best = float("inf")
     for _ in range(stream_passes):
         t0 = time.time()
-        run_session_replay(spark, ev_cols, n_chunks=2)
+        run_session_replay(spark, ev_fat, n_chunks=2)
         sess_best = min(sess_best, time.time() - t0)
     ev_floor = ev_cols.filter(F.col("event_id") % 100 == 0)
     floor_best = float("inf")
@@ -336,9 +409,10 @@ def main() -> None:
         t0 = time.time()
         run_session_replay(spark, ev_floor, n_chunks=2)
         floor_best = min(floor_best, time.time() - t0)
-    streaming_pipelines["session_window"] = int(n_events / sess_best)
+    n_sess_events = n_events * session_fatten
+    streaming_pipelines["session_window"] = int(n_sess_events / sess_best)
     session_state_rate = int(
-        n_events / max(sess_best - floor_best, 1e-6)
+        n_sess_events / max(sess_best - floor_best, 1e-6)
     )
     streaming_events_per_sec = min(streaming_pipelines.values())
 
@@ -632,6 +706,37 @@ def main() -> None:
             .format("noop")
             .save(),
         )
+        # BPE-counted packing (r9 — VERDICT r8 #8: counter
+        # pluggability landed in r8 but no bench packed by a TRAINED
+        # counter).  Same pack_chunks shape as the headline gate but
+        # weighted in the model's own tokens; the fertility ratio
+        # (BPE tokens per whitespace token) is what re-scales every
+        # whitespace-budgeted knob at deploy.
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import pack_chunks as _pack_chunks
+        from sample_keyspaces_cdc_streams_connectors_spark.functions.text import token_count as _ws_count
+
+        _aux(
+            "pack_chunks_bpe",
+            lambda: _pack_chunks(
+                raw_docs,
+                512,
+                counter=lambda c: bpe_token_count(c, bpe_model),
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        tok_sums = raw_docs.select(
+            AF.sum(
+                bpe_token_count(AF.col("text"), bpe_model).cast("long")
+            ).alias("bpe"),
+            AF.sum(_ws_count(AF.col("text")).cast("long")).alias("ws"),
+        ).first()
+        bpe_fertility = (
+            round(tok_sums["bpe"] / tok_sums["ws"], 4)
+            if tok_sums["ws"]
+            else None
+        )
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
@@ -647,6 +752,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cdc_rows_per_sec": cdc_rows_per_sec,
+        # fixed-cost-differenced per-event rate (r9; see SCALE.md) —
+        # the regression-watchable CDC number
+        "cdc_marginal_rows_per_sec": cdc_marginal,
         "corpus_docs_per_sec": corpus_docs_per_sec,
         "streaming_events_per_sec": streaming_events_per_sec,
         # min across the two replayed state-store pipelines; breakdown:
@@ -669,10 +777,20 @@ def main() -> None:
         # (both move) from position/host effects (they diverge)
         "corpus_early_best_sec": round(corpus_early_best, 3),
         "corpus_late_best_sec": round(corpus_late_best, 3),
-        # session harness-cost split (r8): full 2-chunk replay vs the
-        # ~1%-events trigger floor at the same batch structure
+        # CDC drift attribution (r9): same positional split for the
+        # CDC stack — pre-suite vs post-suite bests
+        "cdc_early_best_sec": round(cdc_early_best, 3),
+        "cdc_late_best_sec": round(cdc_late_best, 3),
+        "cdc_fat8_best_sec": round(cdc_fat8_best, 3),
+        # session harness-cost split (r8; r9 fattens the replay ×4 so
+        # state work dominates the subtraction): full 2-chunk replay
+        # vs the ~1%-events trigger floor at the same batch structure
         "session_full_sec": round(sess_best, 3),
         "session_trigger_floor_sec": round(floor_best, 3),
+        "session_fatten": session_fatten,
+        # BPE fertility at this corpus (r9): trained-BPE tokens per
+        # whitespace token — the budget rescale factor for packing
+        "bpe_fertility_ratio": bpe_fertility,
     }
     prev = _prev_bench()
     if prev is not None:

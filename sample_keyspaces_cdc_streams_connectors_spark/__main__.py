@@ -63,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
             "index-text",
             "compact-text-index",
             "rebalance-ivf-index",
+            "rebalance-semantic-index",
             "search-text",
             "search-hybrid",
             "shard",
@@ -104,7 +105,10 @@ def main(argv: list[str] | None = None) -> int:
         "rebalance-ivf-index: refit the coarse quantizer of the IVF "
         "index at --source on its own vectors and rewrite the cell "
         "layout (use after appends drift the codebook; --cells "
-        "changes the cell count, default keeps it)",
+        "changes the cell count, default keeps it); "
+        "rebalance-semantic-index: the same recluster for a standing "
+        "SemDeDup index at --source (trains on its own float or "
+        "dequantized-int8 unit members)",
     )
     p.add_argument(
         "--query",
@@ -311,6 +315,16 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("rebalance-ivf-index")
         cb = rebalance_ivf_index(spark, args.source, k=args.cells)
         print(f"rebalanced IVF index {args.source} ({len(cb)} cells)")
+        return 0
+
+    if args.mode == "rebalance-semantic-index":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import rebalance_semantic_index
+
+        spark = get_spark("rebalance-semantic-index")
+        cb = rebalance_semantic_index(spark, args.source, k=args.cells)
+        print(
+            f"rebalanced semantic index {args.source} ({len(cb)} cells)"
+        )
         return 0
 
     if args.mode == "search-text":

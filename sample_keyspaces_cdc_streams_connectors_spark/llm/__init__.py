@@ -94,6 +94,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
 from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import (
     compact_text_index,
     rebalance_ivf_index,
+    rebalance_semantic_index,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.langid import (
     LangIdModel,
@@ -117,6 +118,7 @@ __all__ = [
     "append_to_text_index",
     "compact_text_index",
     "rebalance_ivf_index",
+    "rebalance_semantic_index",
     "ivf_int8_topk",
     "load_langid_model",
     "rrf_fuse",

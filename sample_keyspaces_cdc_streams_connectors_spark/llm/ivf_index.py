@@ -26,6 +26,31 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_assi
 CODEBOOK_FILE = "_codebook.json"
 
 
+def _cell_layout(labeled, k: int, files_per_cell: int = 1):
+    """One narrow shuffle keyed by the cell before partitionBy —
+    without it every writing task emits a file into every cell it
+    holds (shuffle_partitions × k files per write/append; the r9
+    maintenance stress measured naive appends degrading probes on
+    listing/footer cost alone).  files_per_cell=1 puts each cell
+    wholly in one task; >1 salts by a hash of the whole row's id-free
+    columns at the caller's choosing — callers here salt by id."""
+    from pyspark.sql import functions as _F
+
+    if files_per_cell == 1:
+        return labeled.repartition(k, "cell")
+    return (
+        labeled.withColumn(
+            "__salt",
+            _F.pmod(
+                _F.xxhash64(_F.col(labeled.columns[0])),
+                _F.lit(files_per_cell),
+            ),
+        )
+        .repartition(k * files_per_cell, "cell", "__salt")
+        .drop("__salt")
+    )
+
+
 def _codebook_path(path: str) -> str:
     return f"{path.rstrip('/')}/{CODEBOOK_FILE}"
 
@@ -97,7 +122,9 @@ def write_ivf_index(
     labeled = kmeans_assign(
         vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"
     )
-    labeled.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _cell_layout(labeled, k).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     _write_text(
         vectors.sparkSession, _codebook_path(path), json.dumps(centroids)
     )
@@ -179,8 +206,12 @@ def append_to_ivf_index(
     and appended into their cell directories: untouched cells gain no
     files, probes keep pruning at the directory level, and readers
     see either the old or the extended listing — never a partial
-    cell.  Periodic re-fit + rewrite (``write_ivf_index``) is the
-    compaction story, same as any LSM-ish layout.
+    cell.  When append volume drifts the codebook stale or skews the
+    cells, :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance.rebalance_ivf_index`
+    (r9) refits the quantizer on the indexed vectors and rewrites the
+    cell layout in place (no source table needed) — pinned equivalent
+    to a from-scratch ``write_ivf_index``, and it defragments the
+    appended cell files in the same pass.
     """
     spark = vectors.sparkSession
     centroids = load_codebook(path, spark)
@@ -195,7 +226,11 @@ def append_to_ivf_index(
         from sample_keyspaces_cdc_streams_connectors_spark.llm.quant import quantize_embeddings
 
         labeled = quantize_embeddings(labeled, vec_col=vec_col)
-    labeled.write.mode("append").partitionBy("cell").parquet(path)
+    # one file per touched cell per append (r9) — naive appends add
+    # shuffle_partitions files per cell and probes drown in listings
+    _cell_layout(labeled, len(centroids)).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 PQ_MODEL_FILE = "_pq_model.json"
@@ -236,7 +271,9 @@ def write_ivf_pq_index(
         vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"
     )
     coded = encode_pq(labeled, model, vec_col=vec_col)
-    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _cell_layout(coded, k).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     spark = vectors.sparkSession
     _write_text(spark, _codebook_path(path), json.dumps(centroids))
     _write_text(
@@ -305,7 +342,9 @@ def write_ivf_int8_index(
         vectors, centroids, id_col=id_col, vec_col=vec_col, cell_col="cell"
     )
     coded = quantize_embeddings(labeled, vec_col=vec_col)
-    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _cell_layout(coded, k).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
     _write_text(
         vectors.sparkSession, _codebook_path(path), json.dumps(centroids)
     )

@@ -28,6 +28,10 @@ ships:
   bit-identical to a from-scratch ``write_ivf_index`` over the same
   rows (pinned) — without needing the original source table — and the
   rewrite defragments cell files as a side effect.
+- :func:`rebalance_semantic_index` — the same recluster for the
+  standing SemDeDup gate, training on the index's own (float or
+  dequantized-int8) unit members and re-assigning through the
+  probe's assignment kernel.
 
 Swap discipline: new files land in a ``.tmp`` sibling first (every
 read of the old layout happens before any delete), then directory
@@ -48,7 +52,11 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["compact_text_index", "rebalance_ivf_index"]
+__all__ = [
+    "compact_text_index",
+    "rebalance_ivf_index",
+    "rebalance_semantic_index",
+]
 
 
 # --- tiny Hadoop-FS helpers (same URI-portability discipline as
@@ -99,6 +107,7 @@ def compact_text_index(
     path: str,
     max_files_per_bucket: int = 1,
     files_per_bucket: int = 1,
+    vocab_files: int = 1,
 ) -> dict:
     """Compact a :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval.write_text_index`
     layout in place after appends, WITHOUT a rebuild.
@@ -179,21 +188,25 @@ def compact_text_index(
         _delete(spark, tmp)
     terms_root = f"{base}/{TERMS_DIR}"
     n_seg = len(_data_files(spark, terms_root))
-    if n_seg > 1:
+    if n_seg > vocab_files:
+        # vocab_files bounds the collapsed segment count: one file is
+        # right until the hashed vocabulary itself is GBs (a 100 TB
+        # corpus), then raise it — probes aggregate across segments
+        # either way
         terms = (
             spark.read.parquet(terms_root)
             .groupBy("term")
             .agg(F.sum("df").cast("long").alias("df"))
         )
         tmp = f"{terms_root}.__compact_tmp"
-        terms.coalesce(1).write.mode("overwrite").parquet(tmp)
+        terms.repartition(vocab_files).write.mode("overwrite").parquet(tmp)
         _delete(spark, terms_root)
         _rename(spark, tmp, terms_root)
     return {
         "buckets_total": len(buckets),
         "buckets_compacted": len(frag),
         "vocab_segments_before": n_seg,
-        "vocab_segments_after": 1 if n_seg > 1 else n_seg,
+        "vocab_segments_after": min(n_seg, vocab_files),
     }
 
 
@@ -259,17 +272,26 @@ def rebalance_ivf_index(
         k = len(load_codebook(base, spark))
     rows = spark.read.parquet(base)
     payload = rows.select(*[c for c in rows.columns if c != "cell"])
-    centroids = kmeans_fit(
-        payload.select(id_col, vec_col),
-        k=k,
-        n_iter=n_iter,
-        id_col=id_col,
-        vec_col=vec_col,
-        tol=tol,
-        exact_means=exact_means,
-        portable_hash=portable_hash,
-        seed_mode=seed_mode,
-    )
+    # k-means makes ~(k−1 seeding + n_iter Lloyd) passes over the
+    # training projection; cache the narrow (id, vec) frame so those
+    # passes don't re-list and re-decode the (possibly append-
+    # fragmented) index files every time — the r9 stress measured the
+    # uncached refit costing 2.6× a fresh build for this reason alone
+    train = payload.select(id_col, vec_col).persist()
+    try:
+        centroids = kmeans_fit(
+            train,
+            k=k,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+            tol=tol,
+            exact_means=exact_means,
+            portable_hash=portable_hash,
+            seed_mode=seed_mode,
+        )
+    finally:
+        train.unpersist()
     # same assignment expression as kmeans_assign, but PRESERVING every
     # payload column (q_scale/q_code, pq_code, metadata) — kmeans_assign
     # projects down to (id, vec, cell)
@@ -298,3 +320,102 @@ def rebalance_ivf_index(
     _delete(spark, tmp)
     _write_text(spark, _codebook_path(base), json.dumps(centroids))
     return centroids
+
+
+def rebalance_semantic_index(
+    spark: SparkSession,
+    path: str,
+    k: int | None = None,
+    n_iter: int = 5,
+    seed_mode: str = "farthest",
+    tol: float | None = 1e-4,
+    files_per_cell: int = 1,
+) -> list[list[float]]:
+    """Recluster a standing SemDeDup index
+    (:func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup.write_semantic_index`)
+    after appends — the third leg of the maintenance triple (text
+    compaction, IVF rebalance, and now the semantic dedup gate).
+
+    The members table stores unit vectors (float ``nv`` or int8
+    ``q_scale``/``q_code``), so the refit trains on the INDEX itself:
+    float members train exactly; int8 members train on their
+    dequantized vectors (≤ ~1e-2 error — noise for a coarse
+    quantizer) and keep their codes verbatim (the quantization
+    encodes the unit vector, not the cell).  New cells come from the
+    SAME unit-centroid argmin the probe applies
+    (``semdedup._assign_cells``), preserving the invariant that
+    matters: a batch vector equal to a member assigns to the member's
+    cell, so the cos=1 suppression pair is always compared.  Note
+    reclustering legitimately CHANGES which near-pairs share a cell —
+    that is SemDeDup's scoping approximation moving with the
+    codebook, the reason to rebalance after drift in the first place.
+
+    Same swap discipline as the other maintenance ops; cell files
+    defragment to ``files_per_cell``.  Returns the new codebook
+    (UNIT-normalized centroids persisted, matching the write path's
+    probe contract)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+        _codebook_path,
+        _write_text,
+        load_codebook,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import MEMBERS_DIR, _assign_cells, _unit
+
+    if files_per_cell < 1:
+        raise ValueError(f"files_per_cell must be >= 1, got {files_per_cell}")
+    base = path.rstrip("/")
+    members_root = f"{base}/{MEMBERS_DIR}"
+    rows = spark.read.parquet(members_root)
+    id_col = rows.columns[0]
+    if k is None:
+        k = len(load_codebook(base, spark))
+    if "q_code" in rows.columns:
+        vec = F.transform(
+            "q_code", lambda c: c.cast("double") * F.col("q_scale")
+        )
+    else:
+        vec = F.col("nv")
+    train = rows.select(F.col(id_col), vec.alias("__v")).persist()
+    try:
+        centroids = kmeans_fit(
+            train,
+            k=k,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col="__v",
+            tol=tol,
+            seed_mode=seed_mode,
+        )
+    finally:
+        train.unpersist()
+    unit_cents = [_unit(c) for c in centroids]
+    # re-assign THROUGH the probe's own assignment kernel, then carry
+    # every member column (codes/nv) verbatim under the new cell
+    assigned = _assign_cells(
+        rows.select(F.col(id_col), vec.alias("__v")),
+        unit_cents,
+        id_col=id_col,
+        vec_col="__v",
+    ).select(id_col, "cell")
+    payload = rows.drop("cell")
+    relabeled = payload.join(assigned, id_col, "inner")
+    cols = [c for c in rows.columns if c != "cell"] + ["cell"]
+    relabeled = relabeled.select(*cols)
+    if files_per_cell == 1:
+        relabeled = relabeled.repartition(k, "cell")
+    else:
+        relabeled = (
+            relabeled.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64(id_col), F.lit(files_per_cell)),
+            )
+            .repartition(k * files_per_cell, "cell", "__salt")
+            .drop("__salt")
+        )
+    tmp = f"{members_root}.__rebalance_tmp"
+    relabeled.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    _delete(spark, members_root)
+    _rename(spark, tmp, members_root)
+    _write_text(spark, _codebook_path(base), json.dumps(unit_cents))
+    return unit_cents

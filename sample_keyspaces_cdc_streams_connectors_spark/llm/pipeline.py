@@ -1183,7 +1183,16 @@ def pack_sequences(
     ``message_idx`` — the sequence id is (pack_shard, message_idx) —
     plus the strategy's extras above.  ``counter`` swaps the packing
     weight (see :func:`_token_weight` — whitespace default, column,
-    or callable such as trained-BPE counts)."""
+    or callable such as trained-BPE counts).
+
+    Shard-size guideline (r9, quantified in SCALE.md): per-shard
+    packing underfills bins near shard boundaries relative to one
+    global FFD, and the gap is governed by BINS PER SHARD — keep
+    ``n_docs / n_shards`` ≥ ~50 bins' worth of documents and the fill
+    gap stays ≈1-2%; over-sharding a small corpus (a few bins per
+    shard) costs tens of percent.  At production scale shards carry
+    millions of documents, so the default 64 is safe; shrink
+    ``n_shards`` for small corpora rather than the budget."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import md5_int
 
     if strategy not in ("greedy", "ffd"):

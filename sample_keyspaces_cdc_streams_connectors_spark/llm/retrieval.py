@@ -96,27 +96,55 @@ def _build_postings(
     )
 
 
+def _bucket_layout(
+    postings: DataFrame, n_buckets: int, files_per_bucket: int
+) -> DataFrame:
+    """One shuffle keyed by the partition column before partitionBy —
+    WITHOUT this, every writing task emits a file into every bucket it
+    happens to hold (shuffle_partitions × n_buckets files per write;
+    r9 stress measured 20 appends degrading the probe 0.7→4.7 s on
+    listing/footer cost alone).  files_per_bucket=1 puts each bucket
+    wholly in one task; >1 salts by doc for bounded file sizes at
+    100 TB."""
+    if files_per_bucket == 1:
+        return postings.repartition(n_buckets, "tb")
+    return (
+        postings.withColumn(
+            "__salt", F.pmod(F.xxhash64("doc"), F.lit(files_per_bucket))
+        )
+        .repartition(n_buckets * files_per_bucket, "tb", "__salt")
+        .drop("__salt")
+    )
+
+
 def write_text_index(
     docs: DataFrame,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
+    files_per_bucket: int = 1,
 ) -> None:
     """Persist the inverted index for ``docs``.
 
     One exploded map-side-combined aggregate produces the postings
     ((term, doc) tf counts with the doc length attached); document
-    frequencies reduce the same frame by term.  The only shuffles are
-    those two aggregates — the text itself never moves past the
-    tokenize projection.  ``n_buckets`` persists into the stats file
-    (r8) so every probe and :func:`append_to_text_index` derive the
-    layout's bucket count from the index itself.
+    frequencies reduce the same frame by term; a final narrow shuffle
+    keyed by the term bucket lays out ``files_per_bucket`` file(s)
+    per bucket directory (r9 — see :func:`_bucket_layout`).  The text
+    itself never moves past the tokenize projection.  ``n_buckets``
+    persists into the stats file (r8) so every probe and
+    :func:`append_to_text_index` derive the layout's bucket count
+    from the index itself.
     """
     from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _write_text
 
     base = path.rstrip("/")
-    postings = _build_postings(docs, text_col, id_col, n_buckets)
+    postings = _bucket_layout(
+        _build_postings(docs, text_col, id_col, n_buckets),
+        n_buckets,
+        files_per_bucket,
+    )
     postings.write.mode("overwrite").partitionBy("tb").parquet(
         f"{base}/{POSTINGS_DIR}"
     )
@@ -172,8 +200,11 @@ def append_to_text_index(
     (a re-appended doc double-counts its terms — dedup at ingest,
     e.g. ``llm.dedup_index``, is the upstream guard), and a query
     built before the append keeps its pre-append file listing.
-    Periodic ``write_text_index`` re-build is the compaction story
-    (it also collapses the vocabulary segments)."""
+    Periodic :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance.compact_text_index`
+    (r9) merges the accumulated posting fragments and collapses the
+    vocabulary segments in place — O(fragmented buckets), probes
+    bit-identical; a full ``write_text_index`` re-build is only
+    needed to change ``n_buckets``."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _write_text
 
     spark = docs.sparkSession
@@ -189,7 +220,13 @@ def append_to_text_index(
             "write_text_index before appending"
         )
     n_buckets = int(stats["n_buckets"])
-    postings = _build_postings(docs, text_col, id_col, n_buckets).persist()
+    # the bucket-keyed layout shuffle matters MORE on the append path:
+    # without it every append adds shuffle_partitions files per touched
+    # bucket, and after N appends probes and compaction drown in file
+    # listings (r9 stress: 20 naive appends took the probe 0.7→4.7 s)
+    postings = _bucket_layout(
+        _build_postings(docs, text_col, id_col, n_buckets), n_buckets, 1
+    ).persist()
     try:
         new_stats = (
             postings.select("doc", "dl")
@@ -206,9 +243,11 @@ def append_to_text_index(
         postings.write.mode("append").partitionBy("tb").parquet(
             f"{base}/{POSTINGS_DIR}"
         )
+        # one vocabulary delta segment per append (not one per shuffle
+        # task) — segment count growth is what compaction collapses
         postings.groupBy("term").agg(
             F.count(F.lit(1)).alias("df")
-        ).write.mode("append").parquet(f"{base}/{TERMS_DIR}")
+        ).coalesce(1).write.mode("append").parquet(f"{base}/{TERMS_DIR}")
         n_old, avgdl_old = int(stats["n_docs"]), float(stats["avgdl"])
         n_total = n_old + n_new
         avgdl = (n_old * avgdl_old + float(new_stats["sum_dl"])) / n_total

@@ -30,10 +30,13 @@ state.  Delivery is Structured Streaming's at-least-once for
 foreachBatch: a retried batch re-appends (the standard caveat —
 exactly-once needs an idempotent target or a transactional table
 format; the reference's sinks carry the same per-batch retry
-semantics, KeyspacesRecordProcessor.java:41-60).  Periodic from-
-scratch rebuilds (``build_dedup_index`` / ``write_semantic_index`` /
-``write_text_index``) are the compaction story, as documented on
-each index.
+semantics, KeyspacesRecordProcessor.java:41-60).  Fragmentation from
+sustained appends is repaired in place by the r9 maintenance pair —
+``llm.maintenance.compact_text_index`` (posting buckets + vocabulary
+segments, probes bit-identical) and
+``llm.maintenance.rebalance_ivf_index`` (recluster + defragment, no
+source table needed); ``build_dedup_index`` / ``write_semantic_index``
+rebuilds remain the story for the dedup and semantic indexes.
 """
 
 from __future__ import annotations

@@ -735,3 +735,24 @@ def test_cli_rebalance_ivf_index(spark, sf_dir, tmp_path, capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
     top_id, top_sim = lines[0].split("\t")
     assert top_id == "1" and float(top_sim) > 0.999
+
+
+def test_cli_rebalance_semantic_index(spark, sf_dir, tmp_path, capsys):
+    """r9: rebalance-semantic-index reclusters a standing SemDeDup
+    index in place; member payload survives."""
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    out = str(tmp_path / "sem")
+    assert main(
+        ["--source", src, "--mode", "index-semantic", "--cells", "4",
+         "--out", out]
+    ) == 0
+    n0 = spark.read.parquet(f"{out}/members").count()
+    capsys.readouterr()
+    assert main(
+        ["--source", out, "--mode", "rebalance-semantic-index",
+         "--cells", "6"]
+    ) == 0
+    assert "6 cells" in capsys.readouterr().out
+    assert spark.read.parquet(f"{out}/members").count() == n0

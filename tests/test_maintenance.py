@@ -273,3 +273,86 @@ def test_rebalance_can_grow_k(spark, vectors, tmp_path):
         for r in ivf_index_topk(spark, path, q, topk=8, n_probe=9).collect()
     ]
     assert after == before
+
+
+# --- semantic-index rebalance ------------------------------------------------
+
+
+def _suppressed_ids(spark, batch, path, eps):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import semantic_dedup_against_index
+
+    fresh = {
+        r["vec_id"]
+        for r in semantic_dedup_against_index(batch, path, eps=eps)
+        .select("vec_id")
+        .collect()
+    }
+    return {r["vec_id"] for r in batch.select("vec_id").collect()} - fresh
+
+
+@pytest.mark.parametrize("int8", [False, True])
+def test_rebalance_semantic_index(spark, vectors, tmp_path, int8):
+    """After appends + rebalance: payload preserved (float nv / int8
+    codes verbatim), cells re-derived through the probe's own
+    assignment kernel (exact-copy probes of members are ALWAYS
+    suppressed — the cos=1 pair shares a cell by construction), files
+    defragmented, codebook grown on request."""
+    import os
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import load_codebook
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import rebalance_semantic_index
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        append_to_semantic_index,
+        write_semantic_index,
+    )
+
+    path = str(tmp_path / ("sem8" if int8 else "semf"))
+    a = vectors.filter(F.col("vec_id") % 2 == 0)
+    b = vectors.filter(F.col("vec_id") % 2 == 1)
+    write_semantic_index(a, path, k=4, int8=int8)
+    append_to_semantic_index(b, path)
+    members_before = spark.read.parquet(f"{path}/members")
+    cols_before = set(members_before.columns)
+    if int8:
+        payload_before = {
+            r["vec_id"]: (r["q_scale"], tuple(r["q_code"]))
+            for r in members_before.collect()
+        }
+    else:
+        payload_before = {
+            r["vec_id"]: tuple(r["nv"]) for r in members_before.collect()
+        }
+
+    cb = rebalance_semantic_index(spark, path, k=6)
+    assert len(cb) == 6
+    assert len(load_codebook(path, spark)) == 6
+    members = spark.read.parquet(f"{path}/members")
+    assert set(members.columns) == cols_before
+    if int8:
+        payload_after = {
+            r["vec_id"]: (r["q_scale"], tuple(r["q_code"]))
+            for r in members.collect()
+        }
+    else:
+        payload_after = {
+            r["vec_id"]: tuple(r["nv"]) for r in members.collect()
+        }
+    assert payload_after == payload_before  # codes/nv verbatim
+    # exact copies of 20 members must all be suppressed post-rebalance
+    # (an exact copy lands in its member's cell by construction; the
+    # int8 index's dequantized dot is 1 ± ~1e-2, so its eps is looser
+    # — the documented approximate-threshold contract)
+    probe = vectors.filter(F.col("vec_id") % 7 == 0).limit(20)
+    eps = 0.95 if int8 else 0.999
+    assert _suppressed_ids(spark, probe, path, eps) == {
+        r["vec_id"] for r in probe.select("vec_id").collect()
+    }
+    # defrag: one file per cell
+    for name in os.listdir(f"{path}/members"):
+        if name.startswith("cell="):
+            files = [
+                f
+                for f in os.listdir(f"{path}/members/{name}")
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (name, files)
