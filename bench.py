@@ -671,6 +671,35 @@ def main() -> None:
             .format("noop")
             .save(),
         )
+        # bulk dense retrieval (r9): 64 query vectors answered in ONE
+        # pass — the dense mirror of bm25_topk_many_64q; brute over
+        # the raw table, and the union-cell-pruned bulk IVF probe
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+            ivf_index_topk_many,
+            write_ivf_index,
+        )
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import brute_force_topk_many
+
+        vq = emb.limit(64).select(
+            AF.col("vec_id").alias("query_id"), "embedding"
+        )
+        _aux(
+            "vector_topk_many_64q",
+            lambda: brute_force_topk_many(emb, vq, k=10)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        write_ivf_index(emb, f"{tmpdir}/bulkivf", k=16)
+        _aux(
+            "ivf_topk_many_64q",
+            lambda: ivf_index_topk_many(
+                spark, f"{tmpdir}/bulkivf", vq, topk=10, n_probe=2
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
         _aux(
             "quantized_topk_rerank",
             lambda: quantized_topk(

@@ -104,11 +104,13 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.langid import (
     train_langid,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+    ivf_index_topk_many,
     ivf_int8_topk,
     write_ivf_int8_index,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
+    brute_force_topk_many,
     ivf_topk,
     lsh_bucket_topk,
 )
@@ -168,6 +170,8 @@ __all__ = [
     "pack_sequences",
     "sample_corpus_mixture",
     "brute_force_topk",
+    "brute_force_topk_many",
+    "ivf_index_topk_many",
     "dequantize_col",
     "quantize_embeddings",
     "quantized_topk",

@@ -424,3 +424,130 @@ def ivf_pq_topk(
     return brute_force_topk(
         candidates, query_vec, k=topk, id_col=id_col, vec_col=vec_col
     )
+
+
+def ivf_index_topk_many(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    topk: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """BULK IVF search: every row of a query TABLE answered in ONE
+    pruned pass over the index — the indexed mirror of
+    :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.similarity.brute_force_topk_many`
+    (and the dense mirror of ``bm25_topk_many``'s bucket-pruned bulk
+    scan).
+
+    Scale shape:
+
+    - each query's probe cells come driver-side from the codebook (no
+      Spark job), and the scan is pruned ONCE to the UNION of all
+      probed cells — a query load that probes 5 of 1024 cells reads 5
+      directories, and overlapping query workloads share the read;
+    - the Arrow kernel scores each batch row only for the queries
+      that probe its cell (per-cell query masks over the same one
+      batch × queries matmul), emitting ≤ topk·n_q rows per batch;
+    - one rank-over-window finalizes per query.
+
+    Answers equal per-query :func:`ivf_index_topk` at the same
+    ``n_probe`` (pinned).  Returns ``(query_id_col, id_col, sim,
+    rank)`` — rrf_fuse/bm25-compatible."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    centroids = load_codebook(path, spark)
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries table is empty")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qnorm[qnorm == 0.0] = 1.0
+    qunit = qmat / qnorm[:, None]
+    probe_sets = [
+        frozenset(_probe_cells([float(x) for x in qmat[j]], centroids, n_probe))
+        for j in range(len(qrows))
+    ]
+    union_cells = sorted(set().union(*probe_sets))
+    # cell -> boolean query mask, shipped in the closure (k × n_q bits)
+    cell_mask = {
+        c: np.asarray([c in ps for ps in probe_sets], dtype=bool)
+        for c in union_cells
+    }
+
+    scan = spark.read.parquet(path).filter(
+        F.col("cell").isin(union_cells)
+    )
+    id_field = scan.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType(), False),
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("sim", DoubleType(), True),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_q = qunit.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            v = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
+            )
+            norms = np.sqrt((v * v).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            sims = (v / norms[:, None]) @ qunit.T
+            mask = np.stack(
+                [cell_mask[int(c)] for c in cells]
+            )  # (b × n_q) — row scored only for queries probing its cell
+            sims = np.where(mask, sims, -np.inf)
+            order = np.argsort(ids, kind="stable")
+            sims_o = sims[order]
+            ids_o = ids[order]
+            kk = min(topk, len(ids))
+            out_q: list = []
+            out_i: list = []
+            out_s: list = []
+            for j in range(n_q):
+                col = sims_o[:, j]
+                top = np.argsort(-col, kind="stable")[:kk]
+                top = top[np.isfinite(col[top])]
+                out_q.extend([qids[j]] * len(top))
+                out_i.extend(ids_o[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {
+                    query_id_col: pd.Series(out_q, dtype="int64"),
+                    id_col: out_i,
+                    "sim": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    candidates = scan.select(id_col, vec_col, "cell").mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id_col, id_col, "sim", "rank")
+    )

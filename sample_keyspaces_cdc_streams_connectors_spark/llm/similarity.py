@@ -230,3 +230,136 @@ def lsh_bucket_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def brute_force_topk_many(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    check_unique_ids: bool = True,
+) -> DataFrame:
+    """BULK exact cosine top-k: every row of a query TABLE answered in
+    ONE pass over the vector table — the dense mirror of
+    ``llm.retrieval.bm25_topk_many`` (a batch-retrieval workload means
+    thousands of query vectors, which must not mean thousands of
+    jobs).
+
+    Scale shape:
+
+    - the query table collects driver-side into one (n_q × dims)
+      unit-normalized ndarray (bounded by contract — queries are a
+      work list, not a corpus) and rides into an Arrow kernel as a
+      broadcast closure;
+    - ONE ``mapInPandas`` pass scores each Arrow batch against ALL
+      queries as a single (batch × dims) @ (dims × n_q) matmul and
+      emits only each query's per-batch top-k (argpartition heaps) —
+      ≤ k·n_q rows per batch leave the kernel, never |vectors|·n_q;
+    - the global answer is one rank-over-window over those bounded
+      candidates (tiny: batches · k · n_q rows).
+
+    Scores are cosine in double precision; within-batch ties break to
+    the lower id, and the final window repeats the (sim desc, id asc)
+    total order, matching :func:`brute_force_topk`'s ranking (pinned
+    equivalent in tests).  Returns ``(query_id_col, id_col, sim,
+    rank)`` with rank 1..k per query — the bulk-BM25 output shape, so
+    the two feed :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval.rrf_fuse`
+    per-query hybrid fusion directly.  ``query_id_col`` must be
+    unique (checked like the BM25 twin; disable with
+    ``check_unique_ids=False``)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if check_unique_ids:
+        dup = (
+            queries.groupBy(query_id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"brute_force_topk_many requires unique "
+                f"{query_id_col!r} values; {dup[0][query_id_col]!r} "
+                f"appears {dup[0]['count']} times"
+            )
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries table is empty")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    qnorm[qnorm == 0.0] = 1.0
+    qunit = qmat / qnorm[:, None]
+
+    id_field = vectors.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType(), False),
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("sim", DoubleType(), True),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_q = qunit.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
+            )
+            norms = np.sqrt((v * v).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            sims = (v / norms[:, None]) @ qunit.T  # (b × n_q)
+            kk = min(k, len(ids))
+            # per-query within-batch top-k, ties to the lower id:
+            # lexsort on (id asc) then stable argsort on -sim keeps
+            # the lower id first among equal sims
+            order = np.argsort(ids, kind="stable")
+            sims_o = sims[order]
+            ids_o = ids[order]
+            out_q: list = []
+            out_i: list = []
+            out_s: list = []
+            for j in range(n_q):
+                col = sims_o[:, j]
+                top = np.argsort(-col, kind="stable")[:kk]
+                out_q.extend([qids[j]] * len(top))
+                out_i.extend(ids_o[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {
+                    query_id_col: pd.Series(out_q, dtype="int64"),
+                    id_col: out_i,
+                    "sim": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    candidates = vectors.select(id_col, vec_col).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )

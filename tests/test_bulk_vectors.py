@@ -1,0 +1,172 @@
+"""Bulk dense retrieval (r9): brute_force_topk_many /
+ivf_index_topk_many — one pass for a query TABLE, pinned equivalent
+to the per-query paths, plus the bulk lexical⊕dense hybrid."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+    ivf_index_topk,
+    ivf_index_topk_many,
+    write_ivf_index,
+)
+from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
+    brute_force_topk,
+    brute_force_topk_many,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(400)
+        .persist()
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark, vectors):
+    return (
+        vectors.filter(F.col("vec_id") % 37 == 1)
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding"),
+        )
+        .persist()
+    )
+
+
+def test_bulk_brute_matches_per_query_loop(spark, vectors, queries):
+    """Rank-for-rank id agreement with the sequential brute_force_topk
+    loop; sims agree to 1e-9 (numpy matmul vs JVM fold association)."""
+    bulk = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in brute_force_topk_many(vectors, queries, k=7).collect()
+    }
+    for q in queries.collect():
+        want = brute_force_topk(
+            vectors, [float(x) for x in q["embedding"]], k=7
+        ).collect()
+        for rank, w in enumerate(want, start=1):
+            got_id, got_sim = bulk[(q["query_id"], rank)]
+            assert got_id == w["vec_id"]
+            assert abs(got_sim - w["sim"]) < 1e-9
+    assert len(bulk) == queries.count() * 7
+
+
+def test_bulk_brute_single_scan_plan(spark, vectors, queries):
+    """ONE pass over the vector table: exactly one ArrowEval /
+    mapInPandas node, no join of the vector side, window only over
+    the bounded candidates."""
+    plan = (
+        brute_force_topk_many(vectors, queries, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1
+    assert "Join" not in plan
+
+
+def test_bulk_brute_validates(spark, vectors, queries):
+    dup = queries.unionByName(queries.limit(1))
+    with pytest.raises(ValueError, match="unique"):
+        brute_force_topk_many(vectors, dup, k=3)
+    with pytest.raises(ValueError, match="empty"):
+        brute_force_topk_many(vectors, queries.filter(F.lit(False)), k=3)
+    with pytest.raises(ValueError, match="k must"):
+        brute_force_topk_many(vectors, queries, k=0)
+
+
+@pytest.fixture(scope="module")
+def ivf_path(spark, vectors, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("bulkivf") / "idx")
+    write_ivf_index(vectors, path, k=6)
+    return path
+
+
+def test_bulk_ivf_matches_per_query(spark, vectors, queries, ivf_path):
+    """Bulk IVF answers equal per-query ivf_index_topk at the same
+    n_probe, for every query and rank."""
+    bulk = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in ivf_index_topk_many(
+            spark, ivf_path, queries, topk=6, n_probe=2
+        ).collect()
+    }
+    for q in queries.collect():
+        want = ivf_index_topk(
+            spark,
+            ivf_path,
+            [float(x) for x in q["embedding"]],
+            topk=6,
+            n_probe=2,
+        ).collect()
+        for rank, w in enumerate(want, start=1):
+            got_id, got_sim = bulk[(q["query_id"], rank)]
+            assert got_id == w["vec_id"]
+            assert abs(got_sim - w["sim"]) < 1e-9
+
+
+def test_bulk_ivf_prunes_to_union_of_probed_cells(
+    spark, queries, ivf_path
+):
+    """The single scan carries a PartitionFilters cell predicate —
+    the union of every query's probe set, not the whole index."""
+    df = ivf_index_topk_many(spark, ivf_path, queries, topk=5, n_probe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_bulk_hybrid_fusion(spark, sf_dir, vectors, queries, tmp_path):
+    """The production BULK hybrid: bm25_topk_many ⊕
+    brute_force_topk_many through rrf_fuse(query_col=...) — per-query
+    fused rankings with exact decimal reciprocal sums."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
+        bm25_topk_many,
+        rrf_fuse,
+        write_text_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "tidx")
+    write_text_index(docs, idx)
+    qtab = spark.createDataFrame(
+        [(1, "data stream window batch"), (2, "sort merge hash key")],
+        "query_id long, query string",
+    )
+    lex = bm25_topk_many(spark, idx, qtab, k=8).select(
+        "query_id", "doc", "score"
+    )
+    dense_q = vectors.limit(2).select(
+        F.when(F.col("vec_id") == vectors.first()["vec_id"], 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("query_id"),
+        "embedding",
+    )
+    den = brute_force_topk_many(
+        vectors, dense_q, k=8
+    ).select(
+        "query_id",
+        F.col("vec_id").cast("long").alias("doc"),
+        F.col("sim").alias("score"),
+    )
+    fused = rrf_fuse(
+        [lex, den], query_col="query_id", topk=8
+    ).collect()
+    by_q: dict = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {1, 2}
+    for rows in by_q.values():
+        assert 1 <= len(rows) <= 8
+        assert all(r["n_rankings"] in (1, 2) for r in rows)
+        scores = [r["rrf_score"] for r in rows]
+        assert all(s > 0 for s in scores)
