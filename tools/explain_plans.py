@@ -100,6 +100,27 @@ SHOWCASE: dict[str, list[str]] = {
         "passes over narrow columns; scoring reads (id, scale, code) "
         "only",
     ],
+    "bm25_rank": [
+        "the postings scan carries BOTH a partition filter (`tb IN` "
+        "the query's term buckets — directory pruning) and pushed "
+        "term-value filters; idf joins from a tiny broadcast of the "
+        "matching vocabulary rows",
+        "rrf + hybrid arms (r8/r9): the rank window partitions by a "
+        "real per-ranking `__src` key over bounded top-k inputs "
+        "(never the no-key WindowExec form), reciprocal terms sum "
+        "through DECIMAL(28,12)",
+        "hybrid arm's dense side (r9): one embeddings scan into "
+        "`TakeOrderedAndProject` heaps — no shuffle of the vector "
+        "table before the top-k",
+    ],
+    "multimodal_geom": [
+        "every media stage is an Arrow `MapInPandas` pass (feature "
+        "extract, resize geometry, frame sampling rows-out>rows-in, "
+        "and the r9 hdr arm: synthesize real PNG/GIF/JPEG containers "
+        "executor-side, parse format+dims back out of the raw bytes)",
+        "stages rejoin on media_id; binary payloads never shuffle "
+        "except as Arrow batches inside their own stage",
+    ],
     "lm_fluency": [
         "scoring is ONE map-only Arrow pass (`ArrowEvalPython`) — the "
         "bounded gram tables broadcast by closure; no exchange "
