@@ -241,12 +241,22 @@ def brute_force_topk_many(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     check_unique_ids: bool = True,
+    exact_cos: bool = False,
 ) -> DataFrame:
     """BULK exact cosine top-k: every row of a query TABLE answered in
     ONE pass over the vector table — the dense mirror of
     ``llm.retrieval.bm25_topk_many`` (a batch-retrieval workload means
     thousands of query vectors, which must not mean thousands of
     jobs).
+
+    ``exact_cos=True`` switches the kernel to DIMENSION-sequential
+    accumulation (the ``functions.vectors.dot_pandas`` discipline):
+    dot and norms fold left-to-right over elements in double
+    precision, so every sim is BIT-identical to the single-query JVM
+    path and to an identically-written SQL oracle — the cross-engine
+    gate mode.  The default matmul kernel is faster (one BLAS call
+    per batch) and agrees to ~1e-15; rankings match except under
+    adversarial sub-ulp ties.
 
     Scale shape:
 
@@ -303,9 +313,16 @@ def brute_force_topk_many(
         raise ValueError("queries table is empty")
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
-    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
-    qnorm[qnorm == 0.0] = 1.0
-    qunit = qmat / qnorm[:, None]
+    if exact_cos:
+        # the single-query path's own norm derivation, per query
+        qnorm = np.asarray(
+            [_query_norm(list(r[1])) for r in qrows], dtype=np.float64
+        )
+        qunit = qmat  # raw vectors; normalization happens in the fold
+    else:
+        qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+        qnorm[qnorm == 0.0] = 1.0
+        qunit = qmat / qnorm[:, None]
 
     id_field = vectors.schema[id_col]
     out_schema = StructType(
@@ -325,9 +342,26 @@ def brute_force_topk_many(
             v = np.asarray(
                 [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
             )
-            norms = np.sqrt((v * v).sum(axis=1))
-            norms[norms == 0.0] = 1.0
-            sims = (v / norms[:, None]) @ qunit.T  # (b × n_q)
+            if exact_cos:
+                # dimension-sequential left fold: each (row, query)
+                # scalar chain adds v_t·q_t in element order, and the
+                # row norm folds v_t² the same way — the identical
+                # IEEE op sequence as functions.vectors.dot / l2_norm
+                # and a list_sum SQL oracle, so sims are bit-equal
+                d = v.shape[1]
+                dotm = np.zeros((len(ids), qunit.shape[0]))
+                nsq = np.zeros(len(ids))
+                for t in range(d):
+                    vt = v[:, t]
+                    nsq = nsq + vt * vt
+                    dotm = dotm + vt[:, None] * qunit[None, :, t]
+                denom = np.sqrt(nsq)[:, None] * qnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(denom > 0, dotm / denom, 0.0)
+            else:
+                norms = np.sqrt((v * v).sum(axis=1))
+                norms[norms == 0.0] = 1.0
+                sims = (v / norms[:, None]) @ qunit.T  # (b × n_q)
             kk = min(k, len(ids))
             # per-query within-batch top-k, ties to the lower id:
             # lexsort on (id asc) then stable argsort on -sim keeps

@@ -943,9 +943,21 @@ def _lsh_oracle(n_planes: int = 4) -> str:
              CAST(CAST(score AS DECIMAL(18,8)) AS DOUBLE) AS sim,
              CAST(NULL AS INTEGER) AS bucket
       FROM i8s ORDER BY score DESC, vec_id LIMIT 10
+    ),
+    bulkarm AS (
+      SELECT 'bulk' || CAST(q.qid AS VARCHAR) AS method, a.vec_id,
+             CAST(CAST({_DUCK_COS} AS DECIMAL(18,8)) AS DOUBLE) AS sim,
+             CAST(NULL AS INTEGER) AS bucket
+      FROM (SELECT vec_id, embedding AS emb FROM embeddings
+            WHERE vec_id NOT IN (1, 2)) a,
+           (SELECT vec_id AS qid, embedding AS emb FROM embeddings
+            WHERE vec_id IN (1, 2)) q
+      QUALIFY ROW_NUMBER()
+              OVER (PARTITION BY q.qid ORDER BY sim DESC, a.vec_id) <= 10
     )
     SELECT * FROM brute UNION ALL SELECT * FROM lsh
     UNION ALL SELECT * FROM pq UNION ALL SELECT * FROM int8arm
+    UNION ALL SELECT * FROM bulkarm
     """
 
 
@@ -990,7 +1002,14 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression ladder.  The oracle replays the full quantization
     arithmetic (max|v|/127 scale, half-away-from-zero rounding,
     ±127 clip), the exact integer dot, and the
-    ``(dot · scale) · qscale`` float association bit-for-bit."""
+    ``(dot · scale) · qscale`` float association bit-for-bit.
+
+    Arms ``bulk1``/``bulk2`` (r9): BULK retrieval — a query TABLE
+    (vec_id 1 and 2) answered in ONE Arrow kernel pass by
+    ``brute_force_topk_many(exact_cos=True)``: dimension-sequential
+    folds make every sim bit-identical to the single-query JVM
+    cosine, so DuckDB replays both per-query top-10s with one
+    QUALIFY window over the same arithmetic."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import pq_topk_rerank, train_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1032,7 +1051,30 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("decimal(18,8)").cast("double").alias("sim"),
         F.lit(None).cast("int").alias("bucket"),
     )
-    return brute.unionAll(lsh).unionAll(pq).unionAll(int8)
+    # bulk arm (r9): the query-TABLE path — brute_force_topk_many in
+    # exact_cos mode (dimension-sequential Arrow folds, bit-identical
+    # to the JVM single-query cosine and the SQL replay) answers
+    # queries vec_id∈{1,2} in ONE kernel pass; DuckDB re-derives both
+    # per-query top-10s with a QUALIFY window
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import brute_force_topk_many
+
+    qtab = emb.filter(F.col("vec_id").isin([1, 2])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    others2 = emb.filter(~F.col("vec_id").isin([1, 2]))
+    bulk = brute_force_topk_many(
+        others2, qtab, k=10, exact_cos=True, check_unique_ids=False
+    ).select(
+        F.concat(
+            F.lit("bulk"), F.col("query_id").cast("string")
+        ).alias("method"),
+        "vec_id",
+        F.col("sim").cast("decimal(18,8)").cast("double").alias("sim"),
+        F.lit(None).cast("int").alias("bucket"),
+    )
+    return (
+        brute.unionAll(lsh).unionAll(pq).unionAll(int8).unionAll(bulk)
+    )
 
 
 @register(

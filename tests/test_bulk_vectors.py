@@ -170,3 +170,21 @@ def test_bulk_hybrid_fusion(spark, sf_dir, vectors, queries, tmp_path):
         assert all(r["n_rankings"] in (1, 2) for r in rows)
         scores = [r["rrf_score"] for r in rows]
         assert all(s > 0 for s in scores)
+
+
+def test_exact_cos_mode_bit_identical_to_jvm(spark, vectors, queries):
+    """exact_cos=True: dimension-sequential folds — sims EQUAL (==,
+    not approx) the single-query JVM path's, the cross-engine gate
+    contract behind vector_topk's bulk arms."""
+    bulk = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in brute_force_topk_many(
+            vectors, queries, k=6, exact_cos=True
+        ).collect()
+    }
+    for q in queries.collect():
+        want = brute_force_topk(
+            vectors, [float(x) for x in q["embedding"]], k=6
+        ).collect()
+        for rank, w in enumerate(want, start=1):
+            assert bulk[(q["query_id"], rank)] == (w["vec_id"], w["sim"])

@@ -99,6 +99,10 @@ SHOWCASE: dict[str, list[str]] = {
         "int8 arm: quantize + integer-dot scoring are two Arrow "
         "passes over narrow columns; scoring reads (id, scale, code) "
         "only",
+        "bulk arms (r9): a query TABLE answered in ONE MapInPandas "
+        "pass (per-batch top-k heaps leave the kernel) + one rank "
+        "window over the bounded candidates — no join, no per-query "
+        "jobs",
     ],
     "bm25_rank": [
         "the postings scan carries BOTH a partition filter (`tb IN` "
