@@ -195,6 +195,14 @@ def main(argv: list[str] | None = None) -> int:
         help="search-vectors mode: vec_id of the query row in --target",
     )
     p.add_argument(
+        "--query-ids",
+        default=None,
+        help="search-vectors mode: comma-separated vec_ids — BULK "
+        "search, every query answered in ONE pruned pass over the "
+        "index (llm.ivf_index.ivf_index_topk_many; plain-IVF "
+        "layouts)",
+    )
+    p.add_argument(
         "--n-shards",
         type=int,
         default=64,
@@ -371,15 +379,43 @@ def main(argv: list[str] | None = None) -> int:
             ivf_pq_topk,
         )
 
-        if not args.target or args.query_id is None:
+        if not args.target or (
+            args.query_id is None and not args.query_ids
+        ):
             print(
-                "--target (embeddings parquet) and --query-id required "
-                "for search-vectors mode",
+                "--target (embeddings parquet) and --query-id (or "
+                "--query-ids) required for search-vectors mode",
                 file=sys.stderr,
             )
             return 2
         spark = get_spark("search-vectors")
         from pyspark.sql import functions as F
+
+        if args.query_ids:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import ivf_index_topk_many
+
+            qids = [int(x) for x in args.query_ids.split(",") if x.strip()]
+            queries = (
+                spark.read.parquet(args.target)
+                .filter(F.col("vec_id").isin(qids))
+                .select(F.col("vec_id").alias("query_id"), "embedding")
+            )
+            if queries.count() != len(set(qids)):
+                print("some --query-ids not found", file=sys.stderr)
+                return 2
+            rows = ivf_index_topk_many(
+                spark,
+                args.source,
+                queries,
+                topk=args.topk,
+                n_probe=args.n_probe,
+            ).collect()
+            for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+                print(
+                    f"{r['query_id']}\t{r['vec_id']}\t{r['sim']:.6f}"
+                    f"\t{r['rank']}"
+                )
+            return 0
 
         row = (
             spark.read.parquet(args.target)

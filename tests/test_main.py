@@ -756,3 +756,31 @@ def test_cli_rebalance_semantic_index(spark, sf_dir, tmp_path, capsys):
     ) == 0
     assert "6 cells" in capsys.readouterr().out
     assert spark.read.parquet(f"{out}/members").count() == n0
+
+
+def test_cli_search_vectors_bulk(spark, sf_dir, tmp_path, capsys):
+    """r9: search-vectors --query-ids answers every query in ONE
+    pruned pass; each query's own row ranks first."""
+    from sample_keyspaces_cdc_streams_connectors_spark.__main__ import main
+
+    src = f"{sf_dir}/embeddings.parquet"
+    out = str(tmp_path / "ivf")
+    assert main(
+        ["--source", src, "--mode", "index-vectors",
+         "--index-kind", "ivf", "--cells", "4", "--out", out]
+    ) == 0
+    capsys.readouterr()
+    rc = main(
+        ["--source", out, "--mode", "search-vectors", "--target", src,
+         "--query-ids", "1,2,3", "--topk", "5", "--n-probe", "4"]
+    )
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(lines) == 15
+    firsts = {
+        int(l.split("\t")[0]): l.split("\t")
+        for l in lines
+        if l.split("\t")[3] == "1"
+    }
+    for qid, parts in firsts.items():
+        assert int(parts[1]) == qid and float(parts[2]) > 0.999
