@@ -106,6 +106,7 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.langid import (
 from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
     ivf_index_topk_many,
     ivf_int8_topk,
+    ivf_int8_topk_many,
     write_ivf_int8_index,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
@@ -172,6 +173,7 @@ __all__ = [
     "brute_force_topk",
     "brute_force_topk_many",
     "ivf_index_topk_many",
+    "ivf_int8_topk_many",
     "dequantize_col",
     "quantize_embeddings",
     "quantized_topk",

@@ -551,3 +551,213 @@ def ivf_index_topk_many(
         .filter(F.col("rank") <= topk)
         .select(query_id_col, id_col, "sim", "rank")
     )
+
+
+def ivf_int8_topk_many(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    topk: int = 10,
+    n_probe: int = 2,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """BULK double-pruned int8 search over a
+    :func:`write_ivf_int8_index` layout — the compression-ladder
+    completion of :func:`ivf_index_topk_many`.
+
+    Phase 1 (quantized candidates): the scan prunes ONCE to the union
+    of every query's probe cells AND projects only
+    ``(id, q_scale, q_code, cell)`` — partition pruning times the 4×
+    narrower read, same as the single-query path.  The Arrow kernel
+    scores each batch against ALL quantized queries as one exact
+    int64 integer matmul, masks rows to the queries probing their
+    cell, and emits per-batch ``topk·rerank_factor`` heaps; a rank
+    window bounds the global candidate set per query.
+
+    Phase 2 (exact re-rank): the candidate (query, id) pairs collect
+    driver-side (≤ topk·factor·n_q rows — bounded), their RAW vectors
+    scan once with a pushed-down id IN-filter over the probed cells
+    only, and one Arrow pass re-scores each candidate row against
+    exactly the queries that shortlisted it via the
+    dimension-sequential cosine (bit-identical to the single-query
+    re-rank).  Final rank window keeps ``topk`` per query.
+
+    Answers equal per-query :func:`ivf_int8_topk` at the same
+    ``n_probe``/``rerank_factor`` (pinned).  Returns
+    ``(query_id_col, id_col, sim, rank)``."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.quant import _quantize_vec
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
+        _query_norm,
+        _seq_cosine_block,
+    )
+
+    centroids = load_codebook(path, spark)
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries table is empty")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorms = np.asarray(
+        [_query_norm(list(r[1])) for r in qrows], dtype=np.float64
+    )
+    qscales = np.zeros(len(qrows))
+    qcodes = np.zeros((len(qrows), qmat.shape[1]), dtype=np.int64)
+    for j in range(len(qrows)):
+        s, c = _quantize_vec(qmat[j])
+        qscales[j] = s
+        qcodes[j] = c.astype(np.int64)
+    probe_sets = [
+        frozenset(
+            _probe_cells([float(x) for x in qmat[j]], centroids, n_probe)
+        )
+        for j in range(len(qrows))
+    ]
+    union_cells = sorted(set().union(*probe_sets))
+    cell_mask = {
+        c: np.asarray([c in ps for ps in probe_sets], dtype=bool)
+        for c in union_cells
+    }
+
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(union_cells))
+    id_field = scan.schema[id_col]
+    cand_schema = StructType(
+        [
+            StructField(query_id_col, LongType(), False),
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("approx", DoubleType(), True),
+        ]
+    )
+    n_cand = topk * rerank_factor
+
+    def approx_score(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        n_q = qcodes.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            scales = pdf["q_scale"].to_numpy(dtype=np.float64)
+            # q_code is BinaryType: 1 byte/dim two's-complement int8
+            codes = np.asarray(
+                [
+                    np.frombuffer(c, dtype=np.int8).astype(np.int64)
+                    for c in pdf["q_code"]
+                ]
+            )
+            dots = codes @ qcodes.T  # exact in int64
+            sims = (
+                dots.astype(np.float64) * scales[:, None]
+            ) * qscales[None, :]
+            mask = np.stack([cell_mask[int(c)] for c in cells])
+            sims = np.where(mask, sims, -np.inf)
+            order = np.argsort(ids, kind="stable")
+            sims_o = sims[order]
+            ids_o = ids[order]
+            kk = min(n_cand, len(ids))
+            out_q: list = []
+            out_i: list = []
+            out_s: list = []
+            for j in range(n_q):
+                col = sims_o[:, j]
+                top = np.argsort(-col, kind="stable")[:kk]
+                top = top[np.isfinite(col[top])]
+                out_q.extend([qids[j]] * len(top))
+                out_i.extend(ids_o[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {
+                    query_id_col: pd.Series(out_q, dtype="int64"),
+                    id_col: out_i,
+                    "approx": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    w_cand = Window.partitionBy(query_id_col).orderBy(
+        F.desc("approx"), F.asc(id_col)
+    )
+    cand = (
+        scan.select(id_col, "q_scale", "q_code", "cell")
+        .mapInPandas(approx_score, cand_schema)
+        .withColumn("__rn", F.row_number().over(w_cand))
+        .filter(F.col("__rn") <= n_cand)
+        .select(query_id_col, id_col)
+        .collect()
+    )
+    want: dict = {}
+    for r in cand:
+        want.setdefault(r[id_col], set()).add(int(r[query_id_col]))
+    qpos = {int(q): j for j, q in enumerate(qids)}
+    want_mask = {
+        vid: np.asarray(
+            [j in {qpos[q] for q in qs} for j in range(len(qids))],
+            dtype=bool,
+        )
+        for vid, qs in want.items()
+    }
+    cand_ids = sorted(want)
+
+    rerank_schema = StructType(
+        [
+            StructField(query_id_col, LongType(), False),
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("sim", DoubleType(), True),
+        ]
+    )
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
+            )
+            sims = _seq_cosine_block(v, qmat, qnorms)
+            out_q: list = []
+            out_i: list = []
+            out_s: list = []
+            for i, vid in enumerate(ids):
+                m = want_mask[vid]
+                for j in np.nonzero(m)[0]:
+                    out_q.append(qids[j])
+                    out_i.append(vid)
+                    out_s.append(sims[i, j])
+            yield pd.DataFrame(
+                {
+                    query_id_col: pd.Series(out_q, dtype="int64"),
+                    id_col: out_i,
+                    "sim": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+    raw = (
+        scan.select(id_col, vec_col)
+        .filter(F.col(id_col).isin(cand_ids))
+        .mapInPandas(rerank, rerank_schema)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    return (
+        raw.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(query_id_col, id_col, "sim", "rank")
+    )

@@ -232,6 +232,29 @@ def lsh_bucket_topk(
     )
 
 
+def _seq_cosine_block(v, qmat, qnorms):
+    """(rows × queries) cosine matrix via DIMENSION-sequential left
+    folds: each (row, query) scalar chain adds ``v_t·q_t`` in element
+    order and the row norm folds ``v_t²`` the same way — the identical
+    IEEE op sequence as :func:`functions.vectors.dot` / ``l2_norm``
+    and a ``list_sum`` SQL oracle, so every sim is bit-equal to the
+    JVM single-query path (zero-denominator guard included).
+    ``qmat`` holds RAW query vectors; ``qnorms`` their driver-side
+    ``_query_norm`` values."""
+    import numpy as np
+
+    d = v.shape[1]
+    dotm = np.zeros((v.shape[0], qmat.shape[0]))
+    nsq = np.zeros(v.shape[0])
+    for t in range(d):
+        vt = v[:, t]
+        nsq = nsq + vt * vt
+        dotm = dotm + vt[:, None] * qmat[None, :, t]
+    denom = np.sqrt(nsq)[:, None] * qnorms[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom > 0, dotm / denom, 0.0)
+
+
 def brute_force_topk_many(
     vectors: DataFrame,
     queries: DataFrame,
@@ -343,21 +366,7 @@ def brute_force_topk_many(
                 [np.asarray(e, dtype=np.float64) for e in pdf[vec_col]]
             )
             if exact_cos:
-                # dimension-sequential left fold: each (row, query)
-                # scalar chain adds v_t·q_t in element order, and the
-                # row norm folds v_t² the same way — the identical
-                # IEEE op sequence as functions.vectors.dot / l2_norm
-                # and a list_sum SQL oracle, so sims are bit-equal
-                d = v.shape[1]
-                dotm = np.zeros((len(ids), qunit.shape[0]))
-                nsq = np.zeros(len(ids))
-                for t in range(d):
-                    vt = v[:, t]
-                    nsq = nsq + vt * vt
-                    dotm = dotm + vt[:, None] * qunit[None, :, t]
-                denom = np.sqrt(nsq)[:, None] * qnorm[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = np.where(denom > 0, dotm / denom, 0.0)
+                sims = _seq_cosine_block(v, qunit, qnorm)
             else:
                 norms = np.sqrt((v * v).sum(axis=1))
                 norms[norms == 0.0] = 1.0

@@ -188,3 +188,36 @@ def test_exact_cos_mode_bit_identical_to_jvm(spark, vectors, queries):
         ).collect()
         for rank, w in enumerate(want, start=1):
             assert bulk[(q["query_id"], rank)] == (w["vec_id"], w["sim"])
+
+
+def test_bulk_int8_matches_per_query(spark, vectors, queries, tmp_path):
+    """Bulk int8 (quantized candidates + exact re-rank) equals
+    per-query ivf_int8_topk at the same knobs — ids rank-for-rank,
+    sims bit-equal (both re-rank through the sequential cosine)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+        ivf_int8_topk,
+        ivf_int8_topk_many,
+        write_ivf_int8_index,
+    )
+
+    path = str(tmp_path / "i8idx")
+    write_ivf_int8_index(vectors, path, k=5)
+    bulk = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["sim"])
+        for r in ivf_int8_topk_many(
+            spark, path, queries, topk=6, n_probe=2, rerank_factor=4
+        ).collect()
+    }
+    for q in queries.collect():
+        want = ivf_int8_topk(
+            spark,
+            path,
+            [float(x) for x in q["embedding"]],
+            topk=6,
+            n_probe=2,
+            rerank_factor=4,
+        ).collect()
+        for rank, w in enumerate(want, start=1):
+            got_id, got_sim = bulk[(q["query_id"], rank)]
+            assert got_id == w["vec_id"], (q["query_id"], rank)
+            assert abs(got_sim - w["score"]) < 1e-12
