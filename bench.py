@@ -700,6 +700,21 @@ def main() -> None:
             .format("noop")
             .save(),
         )
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+            ivf_int8_topk_many,
+            write_ivf_int8_index,
+        )
+
+        write_ivf_int8_index(emb, f"{tmpdir}/bulki8", k=16)
+        _aux(
+            "ivf_int8_topk_many_64q",
+            lambda: ivf_int8_topk_many(
+                spark, f"{tmpdir}/bulki8", vq, topk=10, n_probe=2
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
         _aux(
             "quantized_topk_rerank",
             lambda: quantized_topk(
