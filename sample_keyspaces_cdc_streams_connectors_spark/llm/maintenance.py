@@ -38,7 +38,11 @@ read of the old layout happens before any delete), then directory
 renames move them into place.  Rename is atomic per directory on
 HDFS and local filesystems; on rename-by-copy object stores (s3a)
 point maintenance output at a fresh index root instead and repoint
-readers.
+readers.  A probe that lists a directory BETWEEN its delete and
+rename sees it briefly absent — run maintenance at a quiet point of
+the ingest loop (the streaming ``foreachBatch`` loop is sequential,
+so batch boundaries are natural maintenance windows; the same
+standard caveat as the appends' query-built-before-append rule).
 
 Reference tie-in: the reference delegates index upkeep to the S3
 Vectors service (S3VectorTargetMapper.java:87-177); a native engine

@@ -33,10 +33,13 @@ format; the reference's sinks carry the same per-batch retry
 semantics, KeyspacesRecordProcessor.java:41-60).  Fragmentation from
 sustained appends is repaired in place by the r9 maintenance pair —
 ``llm.maintenance.compact_text_index`` (posting buckets + vocabulary
-segments, probes bit-identical) and
-``llm.maintenance.rebalance_ivf_index`` (recluster + defragment, no
-source table needed); ``build_dedup_index`` / ``write_semantic_index``
-rebuilds remain the story for the dedup and semantic indexes.
+segments, probes bit-identical; set
+``corpus.text-index-compact-every = N`` to run it IN the loop every N
+batches — the sequential batch boundary is the maintenance swap's
+quiet window) and ``llm.maintenance.rebalance_ivf_index`` /
+``rebalance_semantic_index`` (recluster + defragment, no source table
+needed); ``build_dedup_index`` rebuilds remain the story for the
+fingerprint index.
 """
 
 from __future__ import annotations
@@ -84,9 +87,30 @@ def curation_ingest_sink(
     semantic_index_path = cfg.get(f"{_P}.semantic-index-path", None)
     semantic_dims = cfg.get_int(f"{_P}.semantic-dims", default=64)
     text_index_path = cfg.get(f"{_P}.text-index-path", None)
+    # r9: periodic in-loop compaction — every append adds one posting
+    # file per touched bucket + a vocabulary segment, and foreachBatch
+    # batches are SEQUENTIAL, so the batch boundary is exactly the
+    # quiet window the maintenance swap discipline asks for
+    compact_every = cfg.get_int(
+        f"{_P}.text-index-compact-every", default=0
+    )
+    if compact_every < 0:
+        raise ValueError(
+            f"{_P}.text-index-compact-every must be >= 0, "
+            f"got {compact_every}"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        survivors = curate(batch_df).persist()
+        # localCheckpoint (eager), NOT persist: appending to a standing
+        # index refreshes that path's cache entries (Spark invalidates
+        # caches on write-to-read-path), which would UNCACHE a merely
+        # persisted survivors frame; its recompute would then re-list
+        # the just-appended index and suppress every row as a duplicate
+        # of itself — the later standing-index appends would silently
+        # append NOTHING (r9 bug fix, pinned in tests/test_ingest.py).
+        # Checkpointing drops the lineage, so the survivor rows cannot
+        # be recomputed against a moved index.
+        survivors = curate(batch_df).localCheckpoint()
         try:
             if survivors.limit(1).count() == 0:
                 return
@@ -123,6 +147,14 @@ def curation_ingest_sink(
                     text_col=text_col,
                     id_col=id_col,
                 )
+                if compact_every > 0 and batch_id > 0 and (
+                    batch_id % compact_every == 0
+                ):
+                    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_text_index
+
+                    compact_text_index(
+                        batch_df.sparkSession, text_index_path
+                    )
         finally:
             survivors.unpersist()
 
