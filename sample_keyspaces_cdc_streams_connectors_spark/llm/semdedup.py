@@ -386,6 +386,7 @@ def write_semantic_index(
     vec_col: str = "embedding",
     seed_mode: str = "farthest",
     int8: bool = False,
+    files_per_cell: int = 1,
 ) -> list[list[float]]:
     """Persist a STANDING semantic-dedup index: the kept corpus's
     unit vectors, cell-partitioned under the k-means codebook (same
@@ -405,10 +406,22 @@ def write_semantic_index(
     threshold becomes approximate by that margin; fine for a dedup
     gate, wrong for an exact-scoring consumer).  The probe
     auto-detects the layout from the member schema — same config
-    key, same call sites."""
+    key, same call sites.
+
+    Layout (r10): members route through the same cell-keyed layout
+    shuffle as the IVF index (``ivf_index._cell_layout``) before
+    ``partitionBy`` — ``_assign_cells`` is map-only, so a direct
+    write would emit up to ``shuffle_partitions`` files per touched
+    cell (the exact probe-degrading fragmentation the r9 stress
+    measured for text postings, 0.71→4.74 s).  ``files_per_cell``
+    bounds files per cell per write; salting uses the id column."""
     import json
 
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _codebook_path, _write_text
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+        _cell_layout,
+        _codebook_path,
+        _write_text,
+    )
 
     if centroids is None:
         centroids = kmeans_fit(
@@ -431,7 +444,8 @@ def write_semantic_index(
     else:
         members = assigned.select(id_col, F.col("__nv").alias("nv"), "cell")
     (
-        members.write.mode("overwrite")
+        _cell_layout(members, len(unit_cents), files_per_cell)
+        .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path.rstrip('/')}/{MEMBERS_DIR}")
     )
@@ -516,6 +530,7 @@ def append_to_semantic_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    files_per_cell: int = 1,
 ) -> None:
     """Incrementally add vectors to an existing semantic index — the
     streaming-ingest loop's second half (probe with
@@ -536,8 +551,14 @@ def append_to_semantic_index(
     canonicalizes two scans of the same path as one relation and may
     reuse the stale broadcast.  The streaming-ingest loop naturally
     avoids this: each micro-batch's survivors are materialized (sunk)
-    before the append, and the next batch builds fresh plans."""
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import load_codebook
+    before the append, and the next batch builds fresh plans.
+
+    Layout (r10): like the full write, appends route through the
+    cell-keyed ``_cell_layout`` shuffle so each append adds at most
+    ``files_per_cell`` files per TOUCHED cell — not
+    ``shuffle_partitions`` files per cell, the fragmentation mode
+    that degrades standing-index probes under sustained ingest."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _cell_layout, load_codebook
 
     spark = vectors.sparkSession
     centroids = load_codebook(path, spark)
@@ -556,7 +577,8 @@ def append_to_semantic_index(
     else:
         members = assigned.select(id_col, F.col("__nv").alias("nv"), "cell")
     (
-        members.write.mode("append")
+        _cell_layout(members, len(unit_cents), files_per_cell)
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(f"{path.rstrip('/')}/{MEMBERS_DIR}")
     )
