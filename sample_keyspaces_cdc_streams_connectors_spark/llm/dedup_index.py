@@ -32,6 +32,11 @@ Scale design:
   so daily ingestion is: dedup batch → append survivors → write
   survivors to the corpus.  Re-running the same batch then drops
   everything (idempotent ingest, pinned by test).
+- Sustained appends fragment bucket directories (one file per bucket
+  per batch); ``llm.maintenance.compact_dedup_index`` (r10) merges
+  them in place — probe survivors identical, untouched buckets never
+  read — and the ingest loop runs it every
+  ``corpus.dedup-index-compact-every`` batches.
 """
 
 from __future__ import annotations
@@ -186,6 +191,11 @@ def dedup_against_index(
     rather than multiplying through the join."""
     sub, _ = _check_mode(mode)
     spark = batch.sparkSession
+    # refuse to probe mid-maintenance-swap (r10): a bucket renamed
+    # aside but not yet replaced would declare its keys fresh
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import check_no_pending_swap
+
+    check_no_pending_swap(f"{path.rstrip('/')}/{sub}", spark)
     keyed = _with_key(batch, mode, text_col, shingle_k)
     slim = keyed.select(
         id_col, F.substring("fp", 1, 2).alias("bucket"), "fp"

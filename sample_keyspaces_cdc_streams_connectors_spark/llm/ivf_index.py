@@ -25,6 +25,49 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_assi
 
 CODEBOOK_FILE = "_codebook.json"
 
+#: written by llm.maintenance immediately BEFORE a destructive layout
+#: swap and removed only after the swap (data + codebook/stats)
+#: completes — its presence on load means a maintenance op crashed
+#: mid-swap and the layout may be inconsistent (r10, review finding:
+#: an interrupted rebalance could otherwise probe a new cell layout
+#: with the stale codebook and return wrong results undetected).
+MAINTENANCE_MARKER = "_maintenance_inprogress.json"
+
+
+def _marker_path(path: str) -> str:
+    return f"{path.rstrip('/')}/{MAINTENANCE_MARKER}"
+
+
+def check_no_pending_swap(
+    path: str, spark: SparkSession | None = None
+) -> None:
+    """Raise if a maintenance swap marker is present at ``path`` —
+    called by every loader that interprets the layout (codebook,
+    BM25 stats, dedup-index probes)."""
+    spark = spark or SparkSession.getActiveSession()
+    marker = _marker_path(path)
+    if spark is None:
+        import os
+
+        present = os.path.exists(marker)
+    else:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(marker)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        present = fs.exists(hpath)
+    if present:
+        raise RuntimeError(
+            f"index at {path!r} has an unfinished maintenance swap "
+            f"({MAINTENANCE_MARKER} present): a compact/rebalance was "
+            "interrupted mid-swap and the layout may be inconsistent. "
+            "Recover manually: '*.__old' sibling directories hold the "
+            "pre-swap data (rename them back to roll the swap back); "
+            "the '*__compact_tmp'/'*__rebalance_tmp' directory holds "
+            "the complete replacement layout (move its directories in "
+            "and install the codebook recorded inside the marker file "
+            "to roll forward).  Delete the marker once consistent."
+        )
+
 
 def _cell_layout(labeled, k: int, files_per_cell: int = 1):
     """One narrow shuffle keyed by the cell before partitionBy —
@@ -135,8 +178,11 @@ def load_codebook(
     path: str, spark: SparkSession | None = None
 ) -> list[list[float]]:
     """Read the codebook through the same Hadoop FileSystem as the
-    vectors (falls back to the active session when none is passed)."""
+    vectors (falls back to the active session when none is passed).
+    Refuses to load mid-maintenance-swap (r10) — a stale codebook
+    over a half-swapped cell layout would probe wrong silently."""
     spark = spark or SparkSession.getActiveSession()
+    check_no_pending_swap(path, spark)
     if spark is None:  # no JVM — local filesystem only
         with open(_codebook_path(path), encoding="utf-8") as fh:
             return json.load(fh)
@@ -436,6 +482,7 @@ def ivf_index_topk_many(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    max_queries: int | None = 65_536,
 ) -> DataFrame:
     """BULK IVF search: every row of a query TABLE answered in ONE
     pruned pass over the index — the indexed mirror of
@@ -456,7 +503,10 @@ def ivf_index_topk_many(
 
     Answers equal per-query :func:`ivf_index_topk` at the same
     ``n_probe`` (pinned).  Returns ``(query_id_col, id_col, sim,
-    rank)`` — rrf_fuse/bm25-compatible."""
+    rank)`` — rrf_fuse/bm25-compatible.  ``max_queries`` (r10) makes
+    the bounded-work-list contract executable — the driver-side
+    collect fails fast past the bound instead of pulling a corpus
+    (``None`` disables)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -469,10 +519,15 @@ def ivf_index_topk_many(
         StructType,
     )
 
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import _collect_bounded_queries
+
     centroids = load_codebook(path, spark)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
-        raise ValueError("queries table is empty")
+    qrows = _collect_bounded_queries(
+        queries,
+        [query_id_col, query_vec_col],
+        max_queries,
+        "ivf_index_topk_many",
+    )
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     qnorm = np.sqrt((qmat * qmat).sum(axis=1))
@@ -564,6 +619,7 @@ def ivf_int8_topk_many(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    max_queries: int | None = 65_536,
 ) -> DataFrame:
     """BULK double-pruned int8 search over a
     :func:`write_ivf_int8_index` layout — the compression-ladder
@@ -588,7 +644,9 @@ def ivf_int8_topk_many(
 
     Answers equal per-query :func:`ivf_int8_topk` at the same
     ``n_probe``/``rerank_factor`` (pinned).  Returns
-    ``(query_id_col, id_col, sim, rank)``."""
+    ``(query_id_col, id_col, sim, rank)``.  ``max_queries`` (r10):
+    executable work-list bound on the driver-side query collect
+    (``None`` disables)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -603,14 +661,18 @@ def ivf_int8_topk_many(
 
     from sample_keyspaces_cdc_streams_connectors_spark.llm.quant import _quantize_vec
     from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
+        _collect_bounded_queries,
         _query_norm,
         _seq_cosine_block,
     )
 
     centroids = load_codebook(path, spark)
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
-        raise ValueError("queries table is empty")
+    qrows = _collect_bounded_queries(
+        queries,
+        [query_id_col, query_vec_col],
+        max_queries,
+        "ivf_int8_topk_many",
+    )
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     qnorms = np.asarray(

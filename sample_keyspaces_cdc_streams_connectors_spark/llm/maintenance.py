@@ -33,16 +33,27 @@ ships:
   dequantized-int8) unit members and re-assigning through the
   probe's assignment kernel.
 
-Swap discipline: new files land in a ``.tmp`` sibling first (every
-read of the old layout happens before any delete), then directory
-renames move them into place.  Rename is atomic per directory on
-HDFS and local filesystems; on rename-by-copy object stores (s3a)
-point maintenance output at a fresh index root instead and repoint
-readers.  A probe that lists a directory BETWEEN its delete and
-rename sees it briefly absent — run maintenance at a quiet point of
-the ingest loop (the streaming ``foreachBatch`` loop is sequential,
-so batch boundaries are natural maintenance windows; the same
-standard caveat as the appends' query-built-before-append rule).
+Swap discipline (hardened r10, review finding): new files land in a
+``.tmp`` sibling first (every read of the old layout happens before
+any destructive step).  Then, under a ``_maintenance_inprogress.json``
+marker at the index root, each replaced directory is renamed ASIDE to
+``<name>.__old``, the replacement renamed in, and the aside copy
+deleted LAST — so no swap window ever holds the only copy of a
+directory, and a crash at ANY point leaves either the old or the new
+data on disk plus the marker.  Loaders (``load_codebook``, the BM25
+stats loader, the dedup-index probe) refuse to read while the marker
+is present, so an interrupted swap is detected instead of silently
+probing a half-swapped layout (e.g. a new cell layout under the stale
+codebook).  The marker records the replacement codebook where one
+exists, making roll-forward possible by hand.  Rename is atomic per
+directory on HDFS and local filesystems; on rename-by-copy object
+stores (s3a) point maintenance output at a fresh index root instead
+and repoint readers.  A probe that lists a directory BETWEEN its
+aside-rename and its replacement rename sees it briefly absent — run
+maintenance at a quiet point of the ingest loop (the streaming
+``foreachBatch`` loop is sequential, so batch boundaries are natural
+maintenance windows; the same standard caveat as the appends'
+query-built-before-append rule).
 
 Reference tie-in: the reference delegates index upkeep to the S3
 Vectors service (S3VectorTargetMapper.java:87-177); a native engine
@@ -57,6 +68,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "compact_dedup_index",
     "compact_text_index",
     "rebalance_ivf_index",
     "rebalance_semantic_index",
@@ -104,6 +116,38 @@ def _rename(spark: SparkSession, src: str, dst: str) -> None:
         jvm.org.apache.hadoop.fs.Path(src), jvm.org.apache.hadoop.fs.Path(dst)
     ):
         raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def _swap_dir(spark: SparkSession, replacement: str, live: str) -> None:
+    """Failure-safe directory swap (r10, review finding): rename the
+    live directory ASIDE, move the replacement in, delete the aside
+    copy LAST — a crash at any point leaves at least one complete
+    copy on disk (aside-only ⇒ roll back by renaming it back;
+    swapped ⇒ the leftover aside is garbage, cleared on the next
+    swap).  The old delete-then-rename spelling had a window where
+    the only copy was the not-yet-renamed replacement."""
+    fs, jvm = _fs(spark, live)
+    aside = f"{live}.__old"
+    _delete(spark, aside)  # stale garbage from an earlier crash
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(live)):
+        _rename(spark, live, aside)
+    _rename(spark, replacement, live)
+    _delete(spark, aside)
+
+
+def _write_marker(spark: SparkSession, index_root: str, payload: dict) -> None:
+    """Arm the in-progress marker BEFORE any destructive step — every
+    loader checks it (``ivf_index.check_no_pending_swap``), so an
+    interrupted swap fails loudly instead of probing wrong."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _marker_path, _write_text
+
+    _write_text(spark, _marker_path(index_root), json.dumps(payload))
+
+
+def _clear_marker(spark: SparkSession, index_root: str) -> None:
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _marker_path
+
+    _delete(spark, _marker_path(index_root))
 
 
 def compact_text_index(
@@ -185,11 +229,15 @@ def compact_text_index(
             "overwrite"
         ).partitionBy("tb").parquet(tmp)
         # the write above materialized everything; now swap ONLY the
-        # fragmented bucket directories
+        # fragmented bucket directories, under the in-progress marker
+        # (probes refuse to run until it clears)
+        _write_marker(
+            spark, base, {"op": "compact_text_index", "buckets": frag}
+        )
         for name in frag:
-            _delete(spark, f"{post_root}/{name}")
-            _rename(spark, f"{tmp}/{name}", f"{post_root}/{name}")
+            _swap_dir(spark, f"{tmp}/{name}", f"{post_root}/{name}")
         _delete(spark, tmp)
+        _clear_marker(spark, base)
     terms_root = f"{base}/{TERMS_DIR}"
     n_seg = len(_data_files(spark, terms_root))
     if n_seg > vocab_files:
@@ -204,13 +252,125 @@ def compact_text_index(
         )
         tmp = f"{terms_root}.__compact_tmp"
         terms.repartition(vocab_files).write.mode("overwrite").parquet(tmp)
-        _delete(spark, terms_root)
-        _rename(spark, tmp, terms_root)
+        _write_marker(spark, base, {"op": "compact_text_index_vocab"})
+        _swap_dir(spark, tmp, terms_root)
+        _clear_marker(spark, base)
     return {
         "buckets_total": len(buckets),
         "buckets_compacted": len(frag),
         "vocab_segments_before": n_seg,
         "vocab_segments_after": min(n_seg, vocab_files),
+    }
+
+
+def compact_dedup_index(
+    spark: SparkSession,
+    path: str,
+    mode: str = "exact",
+    max_files_per_bucket: int = 1,
+    files_per_bucket: int = 1,
+) -> dict:
+    """Compact a :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index.build_dedup_index`
+    layout after appends — the maintenance story for the FOURTH
+    standing index (r10; the ingest loop's default dedup gate).
+    ``append_to_dedup_index`` adds one file per touched bucket per
+    batch, so after 10k micro-batches every ``bucket=XX`` directory
+    holds 10k small files and probe cost is dominated by listing +
+    parquet footers — the exact failure mode the r9 stress measured
+    for text postings (0.71→4.74 s).
+
+    Same recipe as :func:`compact_text_index`: every bucket directory
+    holding more than ``max_files_per_bucket`` data files is rewritten
+    as ``files_per_bucket`` file(s) via ONE partition-pruned scan of
+    just those buckets (``bucket IN (...)`` prunes at the directory
+    level — untouched buckets are never read, let alone rewritten).
+    The key SET is preserved exactly; duplicate ``fp`` rows (possible
+    under at-least-once batch retries, which re-append) collapse to
+    one — probes are anti-joins, so survivors are identical either
+    way (pinned).  Cost is O(fragmented buckets), never O(index).
+
+    Bloom sidecars need NO rebuild after compaction: filters were
+    built from the key set, which is unchanged (Bloom bits union by
+    OR, so duplicate insertions were already idempotent).  They DO
+    still go stale on *appends* — that contract is unchanged.
+
+    Returns a report dict for observability.
+    """
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import _check_mode
+
+    if max_files_per_bucket < 1:
+        raise ValueError(
+            f"max_files_per_bucket must be >= 1, got {max_files_per_bucket}"
+        )
+    if files_per_bucket < 1:
+        raise ValueError(
+            f"files_per_bucket must be >= 1, got {files_per_bucket}"
+        )
+    sub, _ = _check_mode(mode)
+    root = f"{path.rstrip('/')}/{sub}"
+    buckets = [
+        name
+        for name, is_dir in _list_children(spark, root)
+        if is_dir and name.startswith("bucket=")
+    ]
+    frag = sorted(
+        name
+        for name in buckets
+        if len(_data_files(spark, f"{root}/{name}")) > max_files_per_bucket
+    )
+    if frag:
+        raw = [name.split("=", 1)[1] for name in frag]
+        scan = spark.read.parquet(root)
+        # md5-prefix bucket values are hex strings; an all-digit tiny
+        # index can make Spark's partition-type inference read them as
+        # ints — match the inferred type so ``isin`` stays a partition
+        # filter (a cast on the partition column would defeat pruning)
+        if dict(scan.dtypes)["bucket"] == "string":
+            vals: list = raw
+        else:
+            vals = [int(v) for v in raw]
+        sub_df = (
+            scan.filter(F.col("bucket").isin(vals))
+            .select("bucket", "fp")
+            .distinct()
+        )
+        if files_per_bucket == 1:
+            sub_df = sub_df.repartition(len(frag), "bucket")
+        else:
+            sub_df = (
+                sub_df.withColumn(
+                    "__salt",
+                    F.pmod(F.xxhash64("fp"), F.lit(files_per_bucket)),
+                )
+                .repartition(len(frag) * files_per_bucket, "bucket", "__salt")
+                .drop("__salt")
+            )
+        tmp = f"{root}.__compact_tmp"
+        # inner-file schema matches build_dedup_index: fp only
+        sub_df.select("fp", "bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(tmp)
+        _write_marker(
+            spark, root, {"op": "compact_dedup_index", "buckets": frag}
+        )
+        written = {
+            name
+            for name, is_dir in _list_children(spark, tmp)
+            if is_dir and name.startswith("bucket=")
+        }
+        for name in frag:
+            # partition-value formatting can differ from the directory
+            # name when inference typed the bucket as int (bucket=07 is
+            # rewritten as bucket=7) — swap by VALUE, not by name
+            src = name if name in written else (
+                f"bucket={int(name.split('=', 1)[1])}"
+            )
+            _swap_dir(spark, f"{tmp}/{src}", f"{root}/{name}")
+        _delete(spark, tmp)
+        _clear_marker(spark, root)
+    return {
+        "buckets_total": len(buckets),
+        "buckets_compacted": len(frag),
     }
 
 
@@ -315,14 +475,31 @@ def rebalance_ivf_index(
     tmp = f"{base}.__rebalance_tmp"
     labeled.write.mode("overwrite").partitionBy("cell").parquet(tmp)
     # the write above read every old row; swap the cell directories
-    for name, is_dir in _list_children(spark, base):
-        if is_dir and name.startswith("cell="):
-            _delete(spark, f"{base}/{name}")
-    for name, is_dir in _list_children(spark, tmp):
-        if is_dir and name.startswith("cell="):
-            _rename(spark, f"{tmp}/{name}", f"{base}/{name}")
+    # under the marker (which records the NEW codebook — roll-forward
+    # information for an interrupted swap), aside-rename discipline:
+    # old cells are deleted only after their replacement is in place,
+    # and old cells with no replacement (k shrank / cell emptied) are
+    # deleted last of all
+    _write_marker(
+        spark, base, {"op": "rebalance_ivf_index", "codebook": centroids}
+    )
+    new_cells = {
+        name
+        for name, is_dir in _list_children(spark, tmp)
+        if is_dir and name.startswith("cell=")
+    }
+    old_cells = {
+        name
+        for name, is_dir in _list_children(spark, base)
+        if is_dir and name.startswith("cell=")
+    }
+    for name in sorted(new_cells):
+        _swap_dir(spark, f"{tmp}/{name}", f"{base}/{name}")
+    for name in sorted(old_cells - new_cells):
+        _delete(spark, f"{base}/{name}")
     _delete(spark, tmp)
     _write_text(spark, _codebook_path(base), json.dumps(centroids))
+    _clear_marker(spark, base)
     return centroids
 
 
@@ -394,18 +571,22 @@ def rebalance_semantic_index(
     finally:
         train.unpersist()
     unit_cents = [_unit(c) for c in centroids]
-    # re-assign THROUGH the probe's own assignment kernel, then carry
-    # every member column (codes/nv) verbatim under the new cell
+    # re-assign THROUGH the probe's own assignment kernel; member
+    # payload columns (codes/nv) ride the Arrow pass verbatim via
+    # carry_cols rather than re-joining on the id — an id join would
+    # cross-multiply duplicate member ids (the documented re-append
+    # hazard) and silently grow the index (r10 review finding); the
+    # carry-through preserves row count by construction
+    carry = tuple(c for c in rows.columns if c not in (id_col, "cell"))
     assigned = _assign_cells(
-        rows.select(F.col(id_col), vec.alias("__v")),
+        rows.select(F.col(id_col), vec.alias("__v"), *carry),
         unit_cents,
         id_col=id_col,
         vec_col="__v",
-    ).select(id_col, "cell")
-    payload = rows.drop("cell")
-    relabeled = payload.join(assigned, id_col, "inner")
+        carry_cols=carry,
+    )
     cols = [c for c in rows.columns if c != "cell"] + ["cell"]
-    relabeled = relabeled.select(*cols)
+    relabeled = assigned.select(*cols)
     if files_per_cell == 1:
         relabeled = relabeled.repartition(k, "cell")
     else:
@@ -419,7 +600,12 @@ def rebalance_semantic_index(
         )
     tmp = f"{members_root}.__rebalance_tmp"
     relabeled.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    _delete(spark, members_root)
-    _rename(spark, tmp, members_root)
+    _write_marker(
+        spark,
+        base,
+        {"op": "rebalance_semantic_index", "codebook": unit_cents},
+    )
+    _swap_dir(spark, tmp, members_root)
     _write_text(spark, _codebook_path(base), json.dumps(unit_cents))
+    _clear_marker(spark, base)
     return unit_cents

@@ -267,8 +267,15 @@ def append_to_text_index(
 
 
 def _load_stats(spark: SparkSession, path: str) -> dict:
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _read_text
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+        _read_text,
+        check_no_pending_swap,
+    )
 
+    # refuse to probe mid-maintenance-swap (r10): a bucket whose old
+    # directory was renamed aside but whose replacement is not yet in
+    # place would silently return no postings for its terms
+    check_no_pending_swap(path, spark)
     return json.loads(_read_text(spark, f"{path.rstrip('/')}/{STATS_FILE}"))
 
 
@@ -390,6 +397,7 @@ def bm25_topk_many(
     broadcast_queries: bool = True,
     exact_sum: bool = False,
     check_unique_ids: bool = True,
+    max_queries: int | None = 65_536,
 ) -> DataFrame:
     """BULK BM25: top-k documents for EVERY row of a query table, in
     ONE pass over the pruned postings.
@@ -435,9 +443,30 @@ def bm25_topk_many(
     :func:`bm25_score_table` (per-doc sum through DECIMAL(28,12)).
     ``check_unique_ids=False`` skips the eager uniqueness job for
     callers whose ids are unique by construction (e.g. enumerate())
-    — the check re-evaluates a computed query frame once."""
+    — the check re-evaluates a computed query frame once.
+
+    ``max_queries`` (r10) makes the bounded-query-table contract
+    executable: unlike the dense bulk kernels the query table never
+    collects driver-side here, but ``broadcast_queries=True`` ships
+    queries × terms as a broadcast, so a corpus passed as the query
+    table would OOM the broadcast instead of failing fast.  The check
+    is one ``limit(max+1)`` count; ``None`` disables (with
+    ``broadcast_queries=False`` the plan is shuffle-safe at any query
+    count)."""
     from pyspark.sql import Window
 
+    if max_queries is not None:
+        if max_queries < 1:
+            raise ValueError(
+                f"max_queries must be >= 1 or None, got {max_queries}"
+            )
+        if queries.limit(int(max_queries) + 1).count() > max_queries:
+            raise ValueError(
+                f"bm25_topk_many: query table exceeds max_queries="
+                f"{int(max_queries)} rows — split it, raise "
+                "max_queries explicitly, or pass max_queries=None "
+                "with broadcast_queries=False for a shuffle-safe plan"
+            )
     dup = (
         queries.groupBy(id_col)
         .count()
@@ -626,9 +655,18 @@ def rrf_fuse(
     ANY number of rankings), emitted back as DOUBLE — the engine's
     standard exact-sum discipline.  Returns ``([query_col,] id_col,
     rrf_score, n_rankings)``, top-``topk`` per query when given.
+
     ``max_input_rows`` enforces the bounded-input contract at
-    execution time (fail fast if any input ranking exceeds it per
-    query; ``None`` disables)."""
+    EXECUTION time: if any input ranking exceeds it per query, the
+    triggering ACTION on the returned frame fails with a
+    ``SparkException`` whose message names this function and the
+    bound (not a driver-side ``ValueError`` — the check is lazy by
+    design, because an eager pre-count would re-evaluate every input
+    ranking, i.e. re-run the upstream retrievals, before fusing
+    them).  r9 note: the 100k default was a behavior change — calls
+    that fused larger rankings and previously succeeded now fail at
+    that bound; pass ``None`` to restore the unchecked behavior, or
+    a larger bound if your rankings are legitimately bigger."""
     from pyspark.sql import Window
 
     if not rankings:

@@ -103,6 +103,7 @@ def _assign_cells(
     unit_cents: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """MAP-ONLY cluster assignment: one Arrow pass computes the unit
     vector, the cell AND the centroid similarity (for unit vectors
@@ -116,7 +117,11 @@ def _assign_cells(
     bounded however large the batch, k, or dims grow.  Ties keep the
     lowest centroid index (within-tile argmin + strict-< across
     tiles).  Stream-safe: stateless, works on readStream frames.
-    Returns ``(id_col, __nv, cell, centroid_sim)``."""
+    Returns ``(id_col, __nv, cell, centroid_sim, *carry_cols)`` —
+    ``carry_cols`` (r10) ride through the Arrow pass verbatim, so a
+    caller that must keep payload columns under the new cell (the
+    maintenance relabel) needs no id re-join, which would
+    cross-multiply duplicate member ids."""
     sc = vectors.sparkSession.sparkContext
     bc_cents = sc.broadcast(np.asarray(unit_cents, dtype=np.float64))
     id_field = vectors.schema[id_col]
@@ -127,6 +132,7 @@ def _assign_cells(
             StructField("cell", IntegerType(), False),
             StructField("centroid_sim", DoubleType(), False),
         ]
+        + [vectors.schema[c] for c in carry_cols]
     )
 
     def assign_batches(batches):
@@ -171,16 +177,17 @@ def _assign_cells(
                     best_j[rs:re_][upd] = jloc[upd] + cs
                     best_d[rs:re_][upd] = dloc[upd]
             sim = np.where(nz, 1.0 - best_d / 2.0, 0.0)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "__nv": list(NX),
-                    "cell": best_j.astype("int32"),
-                    "centroid_sim": sim,
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "__nv": list(NX),
+                "cell": best_j.astype("int32"),
+                "centroid_sim": sim,
+            }
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return vectors.select(id_col, vec_col).mapInPandas(
+    return vectors.select(id_col, vec_col, *carry_cols).mapInPandas(
         assign_batches, assign_schema
     )
 

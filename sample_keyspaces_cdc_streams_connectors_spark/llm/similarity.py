@@ -255,6 +255,46 @@ def _seq_cosine_block(v, qmat, qnorms):
         return np.where(denom > 0, dotm / denom, 0.0)
 
 
+#: default executable bound on bulk query-table size (r10 — the
+#: bulk kernels collect the query table driver-side under a "queries
+#: are a work list, not a corpus" contract; until r10 that contract
+#: was documentation only, so passing a corpus as the query table
+#: OOMed the driver instead of failing fast, unlike rrf_fuse's
+#: executable max_input_rows precedent)
+DEFAULT_MAX_QUERIES = 65_536
+
+
+def _collect_bounded_queries(
+    queries: "DataFrame",
+    cols: list[str],
+    max_queries: int | None,
+    fn_name: str,
+) -> list:
+    """Collect the bulk query work list, failing fast (one
+    ``limit(max+1)`` collect — never a full corpus pull) when it
+    exceeds ``max_queries``.  ``None`` disables the bound."""
+    sel = queries.select(*cols)
+    if max_queries is None:
+        rows = sel.collect()
+    else:
+        if max_queries < 1:
+            raise ValueError(
+                f"max_queries must be >= 1 or None, got {max_queries}"
+            )
+        rows = sel.limit(int(max_queries) + 1).collect()
+        if len(rows) > max_queries:
+            raise ValueError(
+                f"{fn_name}: query table exceeds max_queries="
+                f"{int(max_queries)} rows — bulk kernels collect "
+                "queries driver-side (a work list, not a corpus); "
+                "split the query table or raise max_queries "
+                "explicitly (None disables the bound)"
+            )
+    if not rows:
+        raise ValueError("queries table is empty")
+    return rows
+
+
 def brute_force_topk_many(
     vectors: DataFrame,
     queries: DataFrame,
@@ -265,6 +305,7 @@ def brute_force_topk_many(
     query_vec_col: str = "embedding",
     check_unique_ids: bool = True,
     exact_cos: bool = False,
+    max_queries: int | None = DEFAULT_MAX_QUERIES,
 ) -> DataFrame:
     """BULK exact cosine top-k: every row of a query TABLE answered in
     ONE pass over the vector table — the dense mirror of
@@ -302,7 +343,10 @@ def brute_force_topk_many(
     the two feed :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval.rrf_fuse`
     per-query hybrid fusion directly.  ``query_id_col`` must be
     unique (checked like the BM25 twin; disable with
-    ``check_unique_ids=False``)."""
+    ``check_unique_ids=False``).  ``max_queries`` (r10) makes the
+    bounded-work-list contract executable: the collect stops at
+    ``max_queries + 1`` rows and raises instead of pulling a
+    corpus-sized frame onto the driver (``None`` disables)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -331,9 +375,12 @@ def brute_force_topk_many(
                 f"{query_id_col!r} values; {dup[0][query_id_col]!r} "
                 f"appears {dup[0]['count']} times"
             )
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if not qrows:
-        raise ValueError("queries table is empty")
+    qrows = _collect_bounded_queries(
+        queries,
+        [query_id_col, query_vec_col],
+        max_queries,
+        "brute_force_topk_many",
+    )
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     if exact_cos:

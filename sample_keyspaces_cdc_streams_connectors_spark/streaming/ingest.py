@@ -36,10 +36,29 @@ sustained appends is repaired in place by the r9 maintenance pair —
 segments, probes bit-identical; set
 ``corpus.text-index-compact-every = N`` to run it IN the loop every N
 batches — the sequential batch boundary is the maintenance swap's
-quiet window) and ``llm.maintenance.rebalance_ivf_index`` /
-``rebalance_semantic_index`` (recluster + defragment, no source table
-needed); ``build_dedup_index`` rebuilds remain the story for the
-fingerprint index.
+quiet window), ``llm.maintenance.compact_dedup_index`` (r10 — the
+same in-loop treatment for the fingerprint index, the loop's default
+dedup gate: ``corpus.dedup-index-compact-every = N``), and
+``llm.maintenance.rebalance_ivf_index`` / ``rebalance_semantic_index``
+(recluster + defragment, no source table needed).
+
+Survivor materialization (``corpus.ingest-checkpoint``, r10):
+
+- ``local`` (default) — ``localCheckpoint``: fastest, but the
+  checkpoint blocks live on executors, so on a real cluster an
+  executor loss makes the survivors frame unrecoverable mid-batch
+  (lineage is dropped by design); Structured Streaming then retries
+  the whole batch.  Block reclamation relies on the ContextCleaner
+  garbage-collecting the checkpointed RDD — there is no manual
+  unpersist for checkpoint blocks.
+- ``reliable`` — ``checkpoint()`` against the directory configured
+  via ``corpus.ingest-checkpoint-dir`` (or a checkpoint dir already
+  set on the SparkContext): survivors are written to fault-tolerant
+  storage, so executor loss mid-batch does not force a batch retry —
+  at the cost of one extra write+read of the survivor rows per
+  batch.  Checkpoint files are cleaned by the ContextCleaner only
+  when ``spark.cleaner.referenceTracking.cleanCheckpoints`` is true;
+  otherwise they accumulate under the checkpoint dir.
 """
 
 from __future__ import annotations
@@ -99,9 +118,30 @@ def curation_ingest_sink(
             f"{_P}.text-index-compact-every must be >= 0, "
             f"got {compact_every}"
         )
+    # r10: the fingerprint index (the loop's default dedup gate) gets
+    # the same in-loop compaction — appends add one file per touched
+    # bucket per batch, and probe cost is listing-dominated once
+    # buckets hold thousands of files
+    dedup_compact_every = cfg.get_int(
+        f"{_P}.dedup-index-compact-every", default=0
+    )
+    if dedup_compact_every < 0:
+        raise ValueError(
+            f"{_P}.dedup-index-compact-every must be >= 0, "
+            f"got {dedup_compact_every}"
+        )
+    ckpt_mode = (
+        cfg.get(f"{_P}.ingest-checkpoint", "local") or "local"
+    ).lower()
+    if ckpt_mode not in ("local", "reliable"):
+        raise ValueError(
+            f"{_P}.ingest-checkpoint must be 'local' or 'reliable', "
+            f"got {ckpt_mode!r}"
+        )
+    ckpt_dir = cfg.get(f"{_P}.ingest-checkpoint-dir", None)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        # localCheckpoint (eager), NOT persist: appending to a standing
+        # checkpoint (eager), NOT persist: appending to a standing
         # index refreshes that path's cache entries (Spark invalidates
         # caches on write-to-read-path), which would UNCACHE a merely
         # persisted survivors frame; its recompute would then re-list
@@ -109,53 +149,74 @@ def curation_ingest_sink(
         # of itself — the later standing-index appends would silently
         # append NOTHING (r9 bug fix, pinned in tests/test_ingest.py).
         # Checkpointing drops the lineage, so the survivor rows cannot
-        # be recomputed against a moved index.
-        survivors = curate(batch_df).localCheckpoint()
-        try:
-            if survivors.limit(1).count() == 0:
-                return
-            survivors.write.mode("append").parquet(out_path)
-            if dedup_index_path:
-                from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import append_to_dedup_index
+        # be recomputed against a moved index.  Mode tradeoff + block
+        # reclamation (ContextCleaner, no manual unpersist for
+        # checkpoint blocks): module docstring.
+        if ckpt_mode == "reliable":
+            sc = batch_df.sparkSession.sparkContext
+            if ckpt_dir:
+                sc.setCheckpointDir(ckpt_dir)
+            elif sc.getCheckpointDir() is None:
+                raise ValueError(
+                    f"{_P}.ingest-checkpoint = reliable needs "
+                    f"{_P}.ingest-checkpoint-dir (or a SparkContext "
+                    "checkpoint dir set before the stream starts)"
+                )
+            survivors = curate(batch_df).checkpoint()
+        else:
+            survivors = curate(batch_df).localCheckpoint()
+        if survivors.limit(1).count() == 0:
+            return
+        survivors.write.mode("append").parquet(out_path)
+        if dedup_index_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import append_to_dedup_index
 
-                append_to_dedup_index(
-                    survivors,
+            append_to_dedup_index(
+                survivors,
+                dedup_index_path,
+                mode=dedup_index_mode,
+                text_col=text_col,
+                shingle_k=shingle_k,
+            )
+            if dedup_compact_every > 0 and batch_id > 0 and (
+                batch_id % dedup_compact_every == 0
+            ):
+                from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_dedup_index
+
+                compact_dedup_index(
+                    batch_df.sparkSession,
                     dedup_index_path,
                     mode=dedup_index_mode,
-                    text_col=text_col,
-                    shingle_k=shingle_k,
                 )
-            if semantic_index_path:
-                from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
-                from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import append_to_semantic_index
+        if semantic_index_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import append_to_semantic_index
 
-                append_to_semantic_index(
-                    survivors.select(
-                        F.col(id_col).alias("vec_id"),
-                        hash_embed(
-                            F.col(text_col), dims=semantic_dims
-                        ).alias("embedding"),
-                    ),
-                    semantic_index_path,
+            append_to_semantic_index(
+                survivors.select(
+                    F.col(id_col).alias("vec_id"),
+                    hash_embed(
+                        F.col(text_col), dims=semantic_dims
+                    ).alias("embedding"),
+                ),
+                semantic_index_path,
+            )
+        if text_index_path:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import append_to_text_index
+
+            append_to_text_index(
+                survivors,
+                text_index_path,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            if compact_every > 0 and batch_id > 0 and (
+                batch_id % compact_every == 0
+            ):
+                from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_text_index
+
+                compact_text_index(
+                    batch_df.sparkSession, text_index_path
                 )
-            if text_index_path:
-                from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import append_to_text_index
-
-                append_to_text_index(
-                    survivors,
-                    text_index_path,
-                    text_col=text_col,
-                    id_col=id_col,
-                )
-                if compact_every > 0 and batch_id > 0 and (
-                    batch_id % compact_every == 0
-                ):
-                    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_text_index
-
-                    compact_text_index(
-                        batch_df.sparkSession, text_index_path
-                    )
-        finally:
-            survivors.unpersist()
 
     return handle

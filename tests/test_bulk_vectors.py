@@ -221,3 +221,49 @@ def test_bulk_int8_matches_per_query(spark, vectors, queries, tmp_path):
             got_id, got_sim = bulk[(q["query_id"], rank)]
             assert got_id == w["vec_id"], (q["query_id"], rank)
             assert abs(got_sim - w["score"]) < 1e-12
+
+
+def test_bulk_max_queries_guard_fails_fast(spark, vectors, queries, ivf_path, tmp_path):
+    """r10: the "queries are a work list, not a corpus" contract is
+    executable — every bulk kernel fails fast (ValueError, one
+    limit(max+1) probe, never a full collect) when the query table
+    exceeds max_queries, on all four bulk entry points."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import (
+        ivf_int8_topk_many,
+        write_ivf_int8_index,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk_many, write_text_index
+
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk_many(vectors, queries, k=3, max_queries=3)
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_index_topk_many(
+            spark, ivf_path, queries, topk=3, max_queries=3
+        )
+    i8 = str(tmp_path / "i8g")
+    write_ivf_int8_index(vectors.limit(60), i8, k=3)
+    with pytest.raises(ValueError, match="max_queries"):
+        ivf_int8_topk_many(spark, i8, queries, topk=3, max_queries=3)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc about topic {i} data") for i in range(30)],
+        "doc_id long, text string",
+    )
+    tidx = str(tmp_path / "tguard")
+    write_text_index(docs, tidx, n_buckets=4)
+    qtab = spark.createDataFrame(
+        [(i, "data topic") for i in range(5)], "query_id long, query string"
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        bm25_topk_many(spark, tidx, qtab, k=3, max_queries=3)
+
+    # at the bound (not past it) everything still runs
+    assert (
+        brute_force_topk_many(
+            vectors, queries.limit(3), k=3, max_queries=3, check_unique_ids=False
+        ).count()
+        == 9
+    )
+    assert bm25_topk_many(spark, tidx, qtab.limit(3), k=3, max_queries=3).count() > 0
+    with pytest.raises(ValueError, match="max_queries must be"):
+        brute_force_topk_many(vectors, queries, k=3, max_queries=0)

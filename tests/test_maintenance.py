@@ -157,6 +157,208 @@ def test_compact_validates(spark, fragmented_index):
         compact_text_index(spark, fragmented_index, files_per_bucket=0)
 
 
+# --- fingerprint dedup-index compaction (r10) --------------------------------
+
+
+def _bucket_files(root: str) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for name in os.listdir(root):
+        if name.startswith("bucket=") and os.path.isdir(f"{root}/{name}"):
+            out[name] = sorted(
+                f
+                for f in os.listdir(f"{root}/{name}")
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_compact_dedup_index_survivors_identical(spark, sf_dir, tmp_path):
+    """Probe-survivor equivalence: compaction changes file boundaries
+    (and collapses duplicate keys), never the key SET; fragmented
+    buckets merge to one file; already-single buckets keep their
+    exact files (untouched-bucket contract); idempotent second run."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
+        append_to_dedup_index,
+        build_dedup_index,
+        dedup_against_index,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_dedup_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "didx")
+    build_dedup_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+    append_to_dedup_index(docs.filter(F.col("doc_id") % 3 == 1), path)
+    # a RE-append of the same slice plants duplicate fp rows — the
+    # at-least-once batch-retry shape compaction must tolerate
+    append_to_dedup_index(docs.filter(F.col("doc_id") % 3 == 1), path)
+    append_to_dedup_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+
+    probe = docs.limit(400)
+    before = {
+        r["doc_id"]
+        for r in dedup_against_index(probe, path).select("doc_id").collect()
+    }
+    files0 = _bucket_files(f"{path}/exact")
+    assert any(len(fl) > 1 for fl in files0.values())  # fragmented
+    report = compact_dedup_index(spark, path)
+    assert report["buckets_compacted"] > 0
+    files1 = _bucket_files(f"{path}/exact")
+    assert files1.keys() == files0.keys()
+    for name, fl in files1.items():
+        if len(files0[name]) <= 1:
+            assert fl == files0[name], f"untouched bucket rewritten: {name}"
+        else:
+            assert len(fl) == 1, (name, fl)
+    after = {
+        r["doc_id"]
+        for r in dedup_against_index(probe, path).select("doc_id").collect()
+    }
+    assert after == before
+    # duplicate keys collapsed: every (bucket, fp) is unique now
+    idx = spark.read.parquet(f"{path}/exact")
+    assert idx.count() == idx.distinct().count()
+    # idempotent second run: a no-op that rewrites nothing
+    report2 = compact_dedup_index(spark, path)
+    assert report2["buckets_compacted"] == 0
+    assert _bucket_files(f"{path}/exact") == files1
+
+
+def test_compact_dedup_index_keeps_bloom_valid(spark, sf_dir, tmp_path):
+    """Bloom sidecars are built from the key set, which compaction
+    preserves — a filter built BEFORE compaction yields identical
+    survivors after (no rebuild needed)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
+        append_to_dedup_index,
+        build_dedup_index,
+        build_index_bloom,
+        dedup_against_index,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_dedup_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "didxb")
+    build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    append_to_dedup_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    bloom = build_index_bloom(spark, path)
+    probe = docs.limit(300)
+    before = {
+        r["doc_id"]
+        for r in dedup_against_index(probe, path, bloom=bloom)
+        .select("doc_id")
+        .collect()
+    }
+    compact_dedup_index(spark, path)
+    after = {
+        r["doc_id"]
+        for r in dedup_against_index(probe, path, bloom=bloom)
+        .select("doc_id")
+        .collect()
+    }
+    assert after == before
+
+
+def test_compact_dedup_index_files_per_bucket_and_validation(
+    spark, sf_dir, tmp_path
+):
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
+        append_to_dedup_index,
+        build_dedup_index,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_dedup_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "didxf")
+    build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    append_to_dedup_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    compact_dedup_index(spark, path, files_per_bucket=2)
+    files = _bucket_files(f"{path}/exact")
+    assert all(1 <= len(fl) <= 2 for fl in files.values())
+    with pytest.raises(ValueError, match="max_files_per_bucket"):
+        compact_dedup_index(spark, path, max_files_per_bucket=0)
+    with pytest.raises(ValueError, match="files_per_bucket"):
+        compact_dedup_index(spark, path, files_per_bucket=0)
+
+
+# --- interrupted-swap detection (r10, review finding) -------------------------
+
+
+def test_pending_swap_marker_blocks_every_loader(spark, sf_dir, tmp_path):
+    """A maintenance op that crashes mid-swap leaves the marker on
+    disk; every loader that interprets the layout must then refuse —
+    silent wrong answers (stale codebook over a new cell layout, a
+    bucket renamed aside but not replaced) are the failure mode."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import MAINTENANCE_MARKER
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(100)
+    )
+
+    tidx = str(tmp_path / "tidx")
+    write_text_index(docs.limit(200), tidx)
+    with open(f"{tidx}/{MAINTENANCE_MARKER}", "w") as fh:
+        fh.write('{"op": "compact_text_index"}')
+    with pytest.raises(RuntimeError, match="unfinished maintenance swap"):
+        bm25_topk(spark, tidx, QUERY, k=5).collect()
+    os.remove(f"{tidx}/{MAINTENANCE_MARKER}")
+    assert bm25_topk(spark, tidx, QUERY, k=5).count() > 0
+
+    vidx = str(tmp_path / "vidx")
+    write_ivf_index(vecs, vidx, k=3)
+    with open(f"{vidx}/{MAINTENANCE_MARKER}", "w") as fh:
+        fh.write('{"op": "rebalance_ivf_index"}')
+    with pytest.raises(RuntimeError, match="unfinished maintenance swap"):
+        load_codebook(vidx, spark)
+    os.remove(f"{vidx}/{MAINTENANCE_MARKER}")
+    assert len(load_codebook(vidx, spark)) == 3
+
+    didx = str(tmp_path / "didx")
+    build_dedup_index(docs.limit(200), didx)
+    with open(f"{didx}/exact/{MAINTENANCE_MARKER}", "w") as fh:
+        fh.write('{"op": "compact_dedup_index"}')
+    with pytest.raises(RuntimeError, match="unfinished maintenance swap"):
+        dedup_against_index(docs.limit(10), didx).collect()
+    os.remove(f"{didx}/exact/{MAINTENANCE_MARKER}")
+    assert dedup_against_index(docs.limit(10), didx).count() == 0
+
+
+def test_maintenance_clears_marker_and_old_dirs(spark, sf_dir, tmp_path):
+    """Completed maintenance leaves neither the marker nor any
+    '.__old' aside directory behind (the aside-rename swap's garbage
+    is deleted last), and stale aside garbage from a previous crash
+    is cleared by the next run."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import MAINTENANCE_MARKER
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "tidx")
+    write_text_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    append_to_text_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    # plant stale aside garbage as a crashed swap would leave it
+    victim = next(iter(_posting_files(path)))
+    os.makedirs(f"{path}/postings/{victim}.__old", exist_ok=True)
+    compact_text_index(spark, path)
+    names = set(os.listdir(f"{path}/postings"))
+    assert not any(n.endswith(".__old") for n in names)
+    assert MAINTENANCE_MARKER not in set(os.listdir(path))
+    assert not any("tmp" in n for n in names)
+
+
 # --- IVF rebalance -----------------------------------------------------------
 
 
@@ -356,3 +558,26 @@ def test_rebalance_semantic_index(spark, vectors, tmp_path, int8):
                 if f.endswith(".parquet")
             ]
             assert len(files) == 1, (name, files)
+
+
+def test_rebalance_semantic_index_preserves_duplicate_ids(
+    spark, vectors, tmp_path
+):
+    """The documented re-append hazard: duplicate member ids must ride
+    through rebalance row-for-row — the old id self-join relabel
+    cross-multiplied them (n² rows per duplicated id), silently
+    growing the index (r10 review finding)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import rebalance_semantic_index
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import (
+        append_to_semantic_index,
+        write_semantic_index,
+    )
+
+    path = str(tmp_path / "semdup")
+    sub = vectors.limit(60)
+    write_semantic_index(sub, path, k=3)
+    # re-append the SAME rows: every id now appears twice
+    append_to_semantic_index(sub, path)
+    assert spark.read.parquet(f"{path}/members").count() == 120
+    rebalance_semantic_index(spark, path, k=3)
+    assert spark.read.parquet(f"{path}/members").count() == 120
