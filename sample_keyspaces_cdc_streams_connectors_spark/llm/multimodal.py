@@ -9,11 +9,14 @@ worker per core, no driver involvement.  Batch size is bounded via
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` so decoded frames
 fit executor memory.
 
-Decode depth (r9): container HEADER geometry — format, width, height
+Decode depth (r10): container HEADER geometry — format, width, height
 for PNG (IHDR), GIF (logical screen descriptor) and JPEG (SOF scan)
 — is parsed NATIVELY from the binary payload with stdlib-only code
-(:func:`parse_image_header`); only PIXEL decoding (Pillow / ffmpeg /
-torchaudio, not available in this container) remains stubbed behind
+(:func:`parse_image_header`), and PNG PIXEL decoding is now real too
+(:func:`decode_png_pixels` — zlib-inflated IDAT + the five scanline
+filters, the published format, nothing but stdlib zlib + numpy).
+Only GIF/JPEG pixel decoding (LZW / DCT entropy coding — Pillow,
+not available in this container) remains stubbed behind
 ``NotImplementedError`` / the deterministic fake.  The Spark-side
 plumbing — schema, UDF signature, Arrow batching, partition behavior
 — is real and tested.
@@ -136,17 +139,305 @@ def parse_image_header(
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Image geometry: REAL header decode for recognized containers
     (PNG/GIF/JPEG — :func:`parse_image_header`); for anything else the
-    deterministic fake stands in when ``fake=True``.  Only PIXEL
-    decoding is stubbed now (r9)."""
+    deterministic fake stands in when ``fake=True``.  For PIXELS, PNG
+    decodes for real too (:func:`decode_png_pixels`, r10); GIF/JPEG
+    pixel data remains the stub boundary."""
     fmt, w, h = parse_image_header(payload)
     if fmt is not None and w is not None and h is not None:
         return (w, h)
     if fake:
         return _fake_decode(payload)
     raise NotImplementedError(
-        "pixel decoding is not available in this container; header "
-        "geometry is parsed natively for PNG/GIF/JPEG — pass fake=True "
-        "for a deterministic stand-in on other payloads"
+        "unrecognized image container (PNG/GIF/JPEG headers parse "
+        "natively, and PNG pixels decode via decode_png_pixels) — "
+        "pass fake=True for a deterministic stand-in on other payloads"
+    )
+
+
+# --- real PNG pixel codec (r10, stdlib-only) --------------------------------
+#
+# The PNG format is public (RFC 2083 / W3C PNG spec): scanlines are
+# byte-filtered with one of five per-row filters, concatenated, and
+# DEFLATE-compressed into IDAT chunks.  Decoding therefore needs only
+# zlib + the filter inverses — no imaging library.  Supported layout:
+# bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+# 6 (RGBA), no interlace; palette (3) and sub-byte depths raise (they
+# are a table lookup / bit-unpack away, not an entropy coder — added
+# when a consumer needs them).
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG filter 4), exactly as published."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray8(pixels, filter_rotation: bool = True) -> bytes:
+    """Minimal REAL PNG encoder for 8-bit grayscale (CRCs valid, any
+    decoder reads it): used by the test/oracle synthesis path so the
+    decoder below is exercised against independently-constructed
+    files.  ``filter_rotation=True`` filters row ``y`` with type
+    ``y % 5`` — every one of the five scanline filters appears, so a
+    decoder that fumbles any single filter inverse produces wrong
+    pixels (the oracle gate re-derives the planted pattern
+    arithmetically and would catch it)."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError(f"expected (h, w) gray8 array, got shape {px.shape}")
+    h, w = px.shape
+    raw = bytearray()
+    prior = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        row = px[y].astype(np.int64)
+        ft = (y % 5) if filter_rotation else 0
+        if ft == 0:
+            enc = row
+        elif ft == 1:  # Sub
+            left = np.concatenate(([0], row[:-1]))
+            enc = row - left
+        elif ft == 2:  # Up
+            enc = row - prior
+        elif ft == 3:  # Average
+            left = np.concatenate(([0], row[:-1]))
+            enc = row - (left + prior) // 2
+        else:  # Paeth
+            enc = np.empty(w, dtype=np.int64)
+            for x in range(w):
+                a = int(row[x - 1]) if x > 0 else 0
+                b = int(prior[x])
+                c = int(prior[x - 1]) if x > 0 else 0
+                enc[x] = row[x] - _paeth(a, b, c)
+        raw.append(ft)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes | None):
+    """REAL stdlib PNG pixel decode: returns an ``(h, w, channels)``
+    uint8 numpy array.  Walks the chunk stream, zlib-inflates the
+    concatenated IDAT data, and inverts the five scanline filters
+    row-sequentially (Sub/Average/Paeth carry an in-row left
+    dependency, so those rows decode byte-sequentially; None/Up rows
+    are vectorized).  Raises ``ValueError`` on malformed data and
+    ``NotImplementedError`` for the unsupported layouts documented
+    above — never a wrong-pixel silent result.
+
+    Scale note: this is the per-item kernel inside ``mapInPandas``
+    (:func:`image_pixel_stats`) — decode happens executor-side over
+    Arrow batches; at 100 TB the driver never touches a payload.  A
+    production deployment would swap in a C decoder (Pillow-SIMD) via
+    the same ``fake``-free call sites; the contract (filters, layout,
+    output array) is identical because the format is."""
+    import zlib
+
+    import numpy as np
+
+    b = payload or b""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    i = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + clen  # len + tag + body + crc
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG layout unsupported by the stdlib decoder: bit_depth="
+            f"{bit_depth}, color_type={color_type} (supported: depth 8, "
+            f"color types {sorted(_PNG_CHANNELS)})"
+        )
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} != expected {h * (stride + 1)}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).copy()
+        pos += 1 + stride
+        if ft == 0:
+            pass
+        elif ft == 2:  # Up — vectorized
+            row += prior  # uint8 wraps mod 256, the format's arithmetic
+        elif ft == 1:  # Sub — per-channel prefix sum mod 256
+            lanes = row.reshape(-1, ch).astype(np.uint64)
+            row = (
+                (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
+            )
+        elif ft == 3:  # Average — sequential left dependency
+            r = row.astype(np.int64)
+            p = prior.astype(np.int64)
+            for x in range(stride):
+                left = int(r[x - ch]) if x >= ch else 0
+                r[x] = (r[x] + (left + int(p[x])) // 2) % 256
+            row = r.astype(np.uint8)
+        elif ft == 4:  # Paeth — sequential left dependency
+            r = row.astype(np.int64)
+            p = prior.astype(np.int64)
+            for x in range(stride):
+                a = int(r[x - ch]) if x >= ch else 0
+                c = int(p[x - ch]) if x >= ch else 0
+                r[x] = (r[x] + _paeth(a, int(p[x]), c)) % 256
+            row = r.astype(np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = row
+        prior = row
+    return out.reshape(h, w, ch)
+
+
+def decode_image_pixels(payload: bytes | None):
+    """Pixel decode dispatch: PNG decodes for REAL
+    (:func:`decode_png_pixels`); GIF/JPEG pixel data needs the LZW /
+    DCT entropy coders (Pillow — not in this container), so they
+    remain the documented stub boundary."""
+    fmt, _w, _h = parse_image_header(payload)
+    if fmt == "png":
+        return decode_png_pixels(payload)
+    raise NotImplementedError(
+        f"pixel decoding for format {fmt!r} is not available in this "
+        "container (PNG decodes natively; GIF/JPEG need an entropy-"
+        "coder library)"
+    )
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("px_n", LongType(), True),
+        StructField("px_sum", LongType(), True),
+        StructField("px_min", IntegerType(), True),
+        StructField("px_max", IntegerType(), True),
+    ]
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """(media_id, px_n, px_sum, px_min, px_max) over REAL decoded PNG
+    pixels — the per-image statistics pass (brightness screens,
+    constant-image drops) a training-data pipeline runs after decode.
+    Non-PNG / undecodable payloads yield NULL stats rather than
+    failing the batch (same contract as the header pass)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, sums, mins, maxs = [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    px = decode_png_pixels(p)
+                except (ValueError, NotImplementedError):
+                    ns.append(None)
+                    sums.append(None)
+                    mins.append(None)
+                    maxs.append(None)
+                    continue
+                ns.append(int(px.size))
+                sums.append(int(px.sum(dtype=np.int64)))
+                mins.append(int(px.min()))
+                maxs.append(int(px.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "px_n": pd.array(ns, dtype="Int64"),
+                    "px_sum": pd.array(sums, dtype="Int64"),
+                    "px_min": pd.array(mins, dtype="Int32"),
+                    "px_max": pd.array(maxs, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+def _pattern_png_bytes(mid: int, mod_side: int = 16) -> bytes:
+    """A real gray8 PNG whose pixels follow the planted pattern
+    ``px(x, y) = (mid + 3x + 7y) % 256`` at geometry
+    ``w = 1 + mid % mod_side, h = 1 + 7·mid % mod_side`` — small
+    enough that an oracle re-derives every statistic arithmetically,
+    with all five scanline filters rotating through the rows."""
+    import numpy as np
+
+    w = 1 + mid % mod_side
+    h = 1 + (mid * 7) % mod_side
+    y, x = np.mgrid[0:h, 0:w]
+    return encode_png_gray8((mid + 3 * x + 7 * y) % 256)
+
+
+def synthesize_png_pattern_media(
+    docs: DataFrame, id_col: str = "doc_id", mod_side: int = 16
+) -> DataFrame:
+    """Deterministic REAL-PNG media table for the pixel-stats gate:
+    one pattern PNG per document (``_pattern_png_bytes``), built
+    executor-side in ``mapInPandas`` like real ingested media."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids = pdf["media_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "payload": [
+                        _pattern_png_bytes(int(m), mod_side) for m in mids
+                    ],
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("media_id")).mapInPandas(
+        run, CONTAINER_SCHEMA
     )
 
 

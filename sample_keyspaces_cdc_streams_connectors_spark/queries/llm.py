@@ -1734,12 +1734,29 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(1 + doc_id % 512 AS INTEGER) AS hdr_width,
              CAST(1 + (doc_id * 7) % 512 AS INTEGER) AS hdr_height
       FROM documents
+    ),
+    pxgrid AS (SELECT x FROM range(16) t(x)),
+    px AS (
+      SELECT d.doc_id AS media_id,
+             COUNT(*) AS px_n,
+             CAST(SUM((d.doc_id + 3*gx.x + 7*gy.x) % 256) AS BIGINT)
+               AS px_sum,
+             CAST(MIN((d.doc_id + 3*gx.x + 7*gy.x) % 256) AS INTEGER)
+               AS px_min,
+             CAST(MAX((d.doc_id + 3*gx.x + 7*gy.x) % 256) AS INTEGER)
+               AS px_max
+      FROM documents d
+      JOIN pxgrid gx ON gx.x < 1 + d.doc_id % 16
+      JOIN pxgrid gy ON gy.x < 1 + (d.doc_id * 7) % 16
+      GROUP BY d.doc_id
     )
     SELECT g.media_id, g.n_bytes, g.digest, g.width, g.height,
            g.out_width, g.out_height, h.fmt, h.hdr_width, h.hdr_height,
+           p.px_n, p.px_sum, p.px_min, p.px_max,
            f.frame_idx, f.frame_bytes, f.frame_digest
     FROM geom g
     JOIN hdr h ON h.media_id = g.media_id
+    JOIN px p ON p.media_id = g.media_id
     LEFT JOIN frames f ON f.media_id = g.media_id
     """,
 )
@@ -1771,12 +1788,26 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw bytes with the stdlib IHDR / logical-screen-descriptor /
     SOF-scan decoders (llm/multimodal.py) — the oracle re-derives the
     planted geometry arithmetically, so any header-walk bug breaks
-    the hash.  Only pixel decoding remains faked anywhere."""
+    the hash.
+
+    Arm ``px`` (r10, the px_n/px_sum/px_min/px_max columns): REAL
+    PNG PIXEL decoding.  ``synthesize_png_pattern_media`` builds one
+    genuine gray8 PNG per document executor-side — pixels follow
+    ``(doc_id + 3x + 7y) % 256`` at doc_id-derived geometry, rows
+    rotating through ALL FIVE scanline filters — and
+    ``image_pixel_stats`` zlib-inflates the IDAT stream, inverts the
+    filters (``decode_png_pixels``, stdlib-only) and aggregates
+    count/sum/min/max per image; the oracle re-derives every
+    statistic arithmetically from the planted pattern, so a wrong
+    inverse for any single filter breaks the hash.  The fake
+    boundary is now GIF/JPEG pixel decode only (entropy coders)."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
         image_header_features,
+        image_pixel_stats,
         resize_images,
         sample_frames,
         synthesize_containers,
+        synthesize_png_pattern_media,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1793,12 +1824,16 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("width").alias("hdr_width"),
         F.col("height").alias("hdr_height"),
     )
+    px = image_pixel_stats(
+        synthesize_png_pattern_media(docs, mod_side=16)
+    ).select("media_id", "px_n", "px_sum", "px_min", "px_max")
     frames = sample_frames(
         media, frame_chars=64, max_frames=4, fake=True
     ).select("media_id", "frame_idx", "frame_bytes", "frame_digest")
     return (
         feats.join(resized, "media_id")
         .join(hdr, "media_id")
+        .join(px, "media_id")
         .join(frames, "media_id", "left")
     )
 

@@ -673,3 +673,141 @@ def test_image_header_features_roundtrip(spark):
     for mid in got:
         fmt = ("png", "gif", "jpeg")[mid % 3]
         assert got[mid] == (fmt, 1 + mid % 512, 1 + (mid * 7) % 512)
+
+
+# --- real PNG pixel codec (r10) ---------------------------------------------
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode→decode round-trip at several geometries; the encoder
+    rotates through all five scanline filters, so every inverse is
+    exercised (a wrong Sub/Up/Average/Paeth inverse breaks pixels)."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_png_pixels,
+        encode_png_gray8,
+        parse_image_header,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (5, 5), (6, 3), (17, 29), (64, 64)]:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        b = encode_png_gray8(px)
+        assert parse_image_header(b) == ("png", w, h)
+        out = decode_png_pixels(b)
+        assert out.shape == (h, w, 1)
+        assert (out[:, :, 0] == px).all()
+
+
+def test_png_decode_rgb_and_rgba():
+    """Multi-channel decode: hand-built RGB (filter Sub exercises the
+    per-CHANNEL left offset — bpp=3, not 1) and RGBA with Up/Paeth."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        _paeth,
+        _png_chunk,
+        decode_png_pixels,
+    )
+
+    def build(px, color_type, filters):
+        h, w, ch = px.shape
+        raw = bytearray()
+        prior = np.zeros(w * ch, dtype=np.int64)
+        for y in range(h):
+            row = px[y].reshape(-1).astype(np.int64)
+            ft = filters[y % len(filters)]
+            raw.append(ft)
+            if ft == 0:
+                enc = row
+            elif ft == 1:
+                left = np.concatenate((np.zeros(ch, dtype=np.int64), row[:-ch]))
+                enc = row - left
+            elif ft == 2:
+                enc = row - prior
+            else:  # 4
+                enc = np.empty(w * ch, dtype=np.int64)
+                for x in range(w * ch):
+                    a = int(row[x - ch]) if x >= ch else 0
+                    c = int(prior[x - ch]) if x >= ch else 0
+                    enc[x] = row[x] - _paeth(a, int(prior[x]), c)
+            raw.extend((enc % 256).astype(np.uint8).tobytes())
+            prior = row
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    got = decode_png_pixels(build(rgb, 2, [0, 1, 2, 4]))
+    assert got.shape == (9, 7, 3) and (got == rgb).all()
+    rgba = rng.integers(0, 256, size=(4, 11, 4), dtype=np.uint8)
+    got = decode_png_pixels(build(rgba, 6, [2, 4]))
+    assert got.shape == (4, 11, 4) and (got == rgba).all()
+
+
+def test_png_decode_rejects_unsupported_and_malformed():
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_image_pixels,
+        decode_png_pixels,
+        encode_png_gray8,
+    )
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png_pixels(b"GIF89a\x00\x00")
+    # bit depth 16 → explicit NotImplementedError, never wrong pixels
+    import numpy as np
+
+    b = bytearray(encode_png_gray8(np.zeros((2, 2), dtype=np.uint8)))
+    b[24] = 16  # IHDR bit-depth byte
+    with _pytest.raises(NotImplementedError, match="bit_depth=16"):
+        decode_png_pixels(bytes(b))
+    # GIF/JPEG pixel dispatch stays the stub boundary
+    with _pytest.raises(NotImplementedError, match="gif"):
+        decode_image_pixels(b"GIF89a" + b"\x08\x00\x06\x00" + b"\x00" * 4)
+
+
+def test_image_pixel_stats_planted_pattern(spark):
+    """The Spark-side pixel-stats pass over executor-built pattern
+    PNGs equals the arithmetic pattern; non-PNG payloads yield NULLs
+    without failing the batch."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        image_pixel_stats,
+        synthesize_png_pattern_media,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    media = synthesize_png_pattern_media(docs, mod_side=16)
+    got = {
+        r["media_id"]: (r["px_n"], r["px_sum"], r["px_min"], r["px_max"])
+        for r in image_pixel_stats(media).collect()
+    }
+    for mid in range(40):
+        w, h = 1 + mid % 16, 1 + (mid * 7) % 16
+        y, x = np.mgrid[0:h, 0:w]
+        v = (mid + 3 * x + 7 * y) % 256
+        assert got[mid] == (
+            v.size,
+            int(v.sum()),
+            int(v.min()),
+            int(v.max()),
+        ), mid
+
+    junk = spark.createDataFrame(
+        [(999, bytearray(b"not an image"))], "media_id long, payload binary"
+    )
+    row = image_pixel_stats(junk).collect()[0]
+    assert row["px_n"] is None and row["px_sum"] is None
