@@ -240,6 +240,44 @@ def main() -> None:
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     cdc_early_best = min(_cdc_pass() for _ in range(2))
 
+    # session-window replay, EARLY position (r10 — VERDICT r9 #8: the
+    # driver's corrected state rate landed above the builder's band;
+    # the full−floor subtraction is host-sensitive, so BOTH replay
+    # measurements now run at both time positions, like CDC/corpus —
+    # per-position full/floor pairs let the rate be derived within
+    # one position instead of mixing windows)
+    from sample_keyspaces_cdc_streams_connectors_spark.queries.streaming import run_session_replay
+
+    session_fatten = 8
+    ev_cols = _load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    ev_fat = ev_cols
+    for i in range(1, session_fatten):
+        off = i * 1_000_000_000
+        ev_fat = ev_fat.unionByName(
+            ev_cols.select(
+                (F.col("user_id") + off).alias("user_id"),
+                "ts",
+                (F.col("event_id") + off).alias("event_id"),
+            )
+        )
+    ev_floor = ev_cols.filter(F.col("event_id") % 100 == 0)
+
+    def _session_pair(n_passes: int) -> tuple[float, float]:
+        full = floor = float("inf")
+        for _ in range(n_passes):
+            t0 = time.time()
+            run_session_replay(spark, ev_fat, n_chunks=2)
+            full = min(full, time.time() - t0)
+        for _ in range(n_passes):
+            t0 = time.time()
+            run_session_replay(spark, ev_floor, n_chunks=2)
+            floor = min(floor, time.time() - t0)
+        return full, floor
+
+    sess_full_early, sess_floor_early = _session_pair(2)
+
     # min of 4 INTERLEAVED passes per query: the first executions of a
     # query shape pay whole-stage-codegen JIT compilation, and host
     # contention is bursty on minute scales (a 0.4s-steady-state query
@@ -252,13 +290,31 @@ def main() -> None:
     # trials would put all of a query's samples inside the same
     # burst.  Queries still > 2s after the passes get one extra
     # back-to-back trial.
-    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    # r10 (VERDICT r9 #4): per-query PER-PASS times are kept so the
+    # round-over-round delta can be attributed per query — the four
+    # interleaved passes are four separate time windows, so a host
+    # burst inflates SOME passes of SOME queries (early/late bests
+    # diverge) while a code regression moves every pass together
+    # (both positional bests shift) — the same positional-split
+    # treatment the CDC and corpus throughputs already have.
+    pass_times: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(4):
         for name in HEADLINE:
             t0 = time.time()
             df = queries[name](spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
-            timings[name] = min(timings[name], time.time() - t0)
+            pass_times[name].append(time.time() - t0)
+    timings = {name: min(ts) for name, ts in pass_times.items()}
+    headline_early = {
+        name: round(min(ts[:2]), 3) for name, ts in pass_times.items()
+    }
+    headline_late = {
+        name: round(min(ts[2:]), 3) for name, ts in pass_times.items()
+    }
+    headline_pass_totals = [
+        round(sum(pass_times[name][p] for name in HEADLINE), 3)
+        for p in range(4)
+    ]
     for name, best in timings.items():
         if best > 2.0:
             t0 = time.time()
@@ -380,40 +436,22 @@ def main() -> None:
     # FATTENED ×8 by unioning the events under disjoint user-id
     # offsets — same trigger count and chunk structure, 8× the
     # sessions and state rows per trigger — pushing state work to a
-    # majority of wall time so the subtraction is stable (±15%
-    # pinned across consecutive local runs, SCALE.md).
-    from sample_keyspaces_cdc_streams_connectors_spark.queries.streaming import run_session_replay
-
-    session_fatten = 8
-    ev_cols = _load_table(spark, SF_DIR, "events").select(
-        "user_id", "ts", "event_id"
-    )
-    ev_fat = ev_cols
-    for i in range(1, session_fatten):
-        off = i * 1_000_000_000
-        ev_fat = ev_fat.unionByName(
-            ev_cols.select(
-                (F.col("user_id") + off).alias("user_id"),
-                "ts",
-                (F.col("event_id") + off).alias("event_id"),
-            )
-        )
-    sess_best = float("inf")
-    for _ in range(stream_passes):
-        t0 = time.time()
-        run_session_replay(spark, ev_fat, n_chunks=2)
-        sess_best = min(sess_best, time.time() - t0)
-    ev_floor = ev_cols.filter(F.col("event_id") % 100 == 0)
-    floor_best = float("inf")
-    for _ in range(stream_passes):
-        t0 = time.time()
-        run_session_replay(spark, ev_floor, n_chunks=2)
-        floor_best = min(floor_best, time.time() - t0)
+    # majority of wall time so the subtraction is stable.  r10
+    # (VERDICT r9 #8): LATE-position pair here; the corrected rate is
+    # derived WITHIN each position (early pair above, late pair here)
+    # and the headline takes the conservative minimum — full and
+    # floor from different time windows never mix.
+    sess_full_late, sess_floor_late = _session_pair(2)
+    sess_best = min(sess_full_early, sess_full_late)
     n_sess_events = n_events * session_fatten
     streaming_pipelines["session_window"] = int(n_sess_events / sess_best)
-    session_state_rate = int(
-        n_sess_events / max(sess_best - floor_best, 1e-6)
+    session_rate_early = int(
+        n_sess_events / max(sess_full_early - sess_floor_early, 1e-6)
     )
+    session_rate_late = int(
+        n_sess_events / max(sess_full_late - sess_floor_late, 1e-6)
+    )
+    session_state_rate = min(session_rate_early, session_rate_late)
     streaming_events_per_sec = min(streaming_pipelines.values())
 
     # auxiliary operators (round-3 additions outside the oracle
