@@ -14,6 +14,7 @@ top-k, embedding UDF.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import re
@@ -116,42 +117,191 @@ RENAMES = {
 
 
 def _prev_bench() -> tuple[int, dict] | None:
-    """Latest BENCH_r{N}.json next to this file, for round deltas."""
+    """Latest USABLE BENCH_r{N}.json next to this file, for round
+    deltas.  Artifacts with no recoverable per-query timings (e.g.
+    the r10 record, where bench crashed before emission: rc:1,
+    parsed:null, tail = a traceback) are skipped, falling back to the
+    newest round that actually measured — otherwise one broken round
+    would erase the delta chain for the next round too."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best = None
+    rounds: list[tuple[int, str]] = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if not m:
+        if m:
+            rounds.append((int(m.group(1)), path))
+    for n, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
             continue
-        n = int(m.group(1))
-        if best is None or n > best[0]:
-            try:
-                with open(path) as f:
-                    doc = json.load(f)
-            except (OSError, json.JSONDecodeError):
+        # the driver wraps bench stdout under "parsed"
+        if isinstance(doc.get("parsed"), dict):
+            doc = doc["parsed"]
+        elif "queries" not in doc and isinstance(doc.get("tail"), str):
+            # round-3 artifact: the one-line JSON outran the
+            # driver's tail window (parsed:null) — recover the
+            # per-query times from the truncated tail text
+            # only the region BEFORE delta_vs_prev_sec holds raw
+            # timings (the delta section reuses the same keys)
+            tail = doc["tail"].split('"delta_vs_prev_sec"')[0]
+            q = {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(
+                    r'"([a-z0-9_]+)":\s*([0-9.]+)', tail
+                )
+                if m.group(1) in HEADLINE
+            }
+            doc = {"queries": q, "value": None}
+        if doc.get("queries"):
+            return (n, doc)
+    return None
+
+
+@dataclasses.dataclass
+class BenchResults:
+    """Every measurement the emission step consumes, in one typed
+    object.  The r10 bench crashed at REPORT time (a NameError on a
+    variable renamed by that round's refactor) after the entire
+    ~25-minute suite had executed, losing all results; assembling the
+    reports through :func:`assemble_reports` — a pure function over
+    this dataclass, unit-tested without Spark in
+    tests/test_bench_emission.py — makes that failure mode a red test
+    instead of a lost round."""
+
+    timings: dict  # headline per-query best seconds (rounded)
+    sf: float | None
+    cdc_rows_per_sec: int | None
+    cdc_marginal_rows_per_sec: int | None
+    corpus_docs_per_sec: int | None
+    streaming_events_per_sec: int
+    streaming_pipelines: dict
+    session_state_events_per_sec: int
+    stream_passes: int
+    aux_ops_sec: dict
+    # positional (pre-suite vs post-suite) bests for drift attribution
+    corpus_early_best: float
+    corpus_late_best: float
+    cdc_early_best: float
+    cdc_late_best: float
+    cdc_fat8_best: float
+    # session replay full/floor pairs, derived WITHIN each position
+    sess_full_early: float
+    sess_floor_early: float
+    sess_full_late: float
+    sess_floor_late: float
+    session_fatten: int
+    bpe_fertility_ratio: float | None
+    # per-query positional bests over the 4 interleaved suite passes
+    # (passes 0-1 = early, 2-3 = late) + per-pass suite totals
+    headline_early: dict
+    headline_late: dict
+    headline_pass_totals: list
+    prev: tuple | None = None  # (round N, parsed doc) from _prev_bench
+
+
+def assemble_reports(r: BenchResults) -> tuple[dict, dict]:
+    """Build the (headline ``out``, bulky ``detail``) report dicts.
+
+    Pure: no I/O, no Spark — callable from a unit test with synthetic
+    numbers.  The LAST stdout line is ``out`` (compact, the driver
+    parses the tail of stdout and round 3 proved a single fat line
+    outruns its window); ``detail`` goes to BENCH_DETAIL.json and an
+    earlier stdout line."""
+    total = round(sum(r.timings.values()), 3)
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": r.timings,
+        "sf": r.sf,
+        "cdc_rows_per_sec": r.cdc_rows_per_sec,
+        # fixed-cost-differenced per-event rate (r9; see SCALE.md) —
+        # the regression-watchable CDC number
+        "cdc_marginal_rows_per_sec": r.cdc_marginal_rows_per_sec,
+        "corpus_docs_per_sec": r.corpus_docs_per_sec,
+        "streaming_events_per_sec": r.streaming_events_per_sec,
+        # min across the two replayed state-store pipelines; breakdown:
+        "streaming_pipelines": r.streaming_pipelines,
+        # harness-cost-corrected session rate: events / (full replay −
+        # trigger floor), per-position, conservative min (r8/r10)
+        "session_state_events_per_sec": r.session_state_events_per_sec,
+        # throughputs derive from the min-time over interleaved passes
+        # (same minima methodology as the query suite), N recorded:
+        "cdc_passes": 4,
+        "corpus_passes": 5,
+        "streaming_passes": r.stream_passes,
+    }
+    detail = {
+        "aux_ops_sec": r.aux_ops_sec,
+        "aux_passes": 2,
+        # corpus drift attribution (r8): per-position bests of the 5
+        # corpus passes — together they separate code regressions
+        # (both move) from position/host effects (they diverge)
+        "corpus_early_best_sec": round(r.corpus_early_best, 3),
+        "corpus_late_best_sec": round(r.corpus_late_best, 3),
+        # CDC drift attribution (r9): same positional split for the
+        # CDC stack — pre-suite vs post-suite bests
+        "cdc_early_best_sec": round(r.cdc_early_best, 3),
+        "cdc_late_best_sec": round(r.cdc_late_best, 3),
+        "cdc_fat8_best_sec": round(r.cdc_fat8_best, 3),
+        # session harness-cost split (r8; r9 fattens the replay ×8 so
+        # state work dominates the subtraction; r10 runs the full/floor
+        # pair at BOTH positions): full 2-chunk replay vs the
+        # ~1%-events trigger floor, per position + the cross-position
+        # minima kept for round-over-round comparability
+        "session_full_early_sec": round(r.sess_full_early, 3),
+        "session_floor_early_sec": round(r.sess_floor_early, 3),
+        "session_full_late_sec": round(r.sess_full_late, 3),
+        "session_floor_late_sec": round(r.sess_floor_late, 3),
+        "session_full_sec": round(
+            min(r.sess_full_early, r.sess_full_late), 3
+        ),
+        "session_trigger_floor_sec": round(
+            min(r.sess_floor_early, r.sess_floor_late), 3
+        ),
+        "session_fatten": r.session_fatten,
+        # per-QUERY positional bests (r11 — VERDICT r9 #4 / r10 #3):
+        # passes 0-1 vs 2-3 of the interleaved suite; a host burst
+        # inflates one position of some queries (positions diverge), a
+        # code regression moves both positions together
+        "headline_early_best_sec": r.headline_early,
+        "headline_late_best_sec": r.headline_late,
+        "headline_pass_totals_sec": r.headline_pass_totals,
+        # BPE fertility at this corpus (r9): trained-BPE tokens per
+        # whitespace token — the budget rescale factor for packing
+        "bpe_fertility_ratio": r.bpe_fertility_ratio,
+    }
+    if r.prev is not None:
+        n, prev_doc = r.prev
+        # map prior names through the consolidation renames, SUMMING
+        # when several prior queries merged into one (the merged query
+        # does all their work, so the fair baseline is the sum)
+        prev_q: dict = {}
+        for k, v in (prev_doc.get("queries") or {}).items():
+            if not isinstance(v, (int, float)):
                 continue
-            # the driver wraps bench stdout under "parsed"
-            if isinstance(doc.get("parsed"), dict):
-                doc = doc["parsed"]
-            elif "queries" not in doc and isinstance(doc.get("tail"), str):
-                # round-3 artifact: the one-line JSON outran the
-                # driver's tail window (parsed:null) — recover the
-                # per-query times from the truncated tail text
-                # only the region BEFORE delta_vs_prev_sec holds raw
-                # timings (the delta section reuses the same keys)
-                tail = doc["tail"].split('"delta_vs_prev_sec"')[0]
-                q = {
-                    m.group(1): float(m.group(2))
-                    for m in re.finditer(
-                        r'"([a-z0-9_]+)":\s*([0-9.]+)', tail
-                    )
-                    if m.group(1) in HEADLINE
-                }
-                doc = {"queries": q, "value": None}
-            best = (n, doc)
-    return best
+            tgt = RENAMES.get(k, k)
+            prev_q[tgt] = round(prev_q.get(tgt, 0.0) + v, 3)
+        deltas = {
+            name: round(t - prev_q[name], 3)
+            for name, t in r.timings.items()
+            if name in prev_q
+        }
+        detail["prev_round"] = n
+        detail["prev_total_sec"] = prev_doc.get("value")
+        detail["prev_queries_sec"] = prev_q
+        detail["delta_vs_prev_sec"] = deltas
+        # every shared query must carry a delta (VERDICT r4 nit #1):
+        # record coverage explicitly so a gap is visible, not silent
+        detail["delta_coverage"] = {
+            "shared": len(deltas),
+            "current_total": len(r.timings),
+            "current_only": sorted(set(r.timings) - set(prev_q)),
+        }
+    return out, detail
 
 
 def main() -> None:
@@ -323,7 +473,6 @@ def main() -> None:
             timings[name] = min(best, time.time() - t0)
     timings = {name: round(t, 3) for name, t in timings.items()}
 
-    total = round(sum(timings.values()), 3)
     # CDC pipeline throughput, in-suite position: events/sec through
     # the envelope → classify → project → default-shape → enrich stack
     # (the reference's whole per-record path; its SQS sink documents
@@ -841,90 +990,88 @@ def main() -> None:
             if tok_sums["ws"]
             else None
         )
+        # streaming curation-ingest loop, end-to-end (r11 — VERDICT
+        # r9 #6 / r10 #4): 4 micro-batches through the foreachBatch
+        # sink with ALL THREE standing indexes configured and both
+        # in-loop compactions firing (every=2 → batches 2 and 4), so
+        # the probe → sink → append → compact path is
+        # regression-watchable as one number.  Single timed pass:
+        # appends are not repeatable (ids must be new; the second
+        # compaction would be a no-op).
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
+        from sample_keyspaces_cdc_streams_connectors_spark.streaming.ingest import curation_ingest_sink
+
+        ing_slices = [
+            raw_docs.filter(AF.col("doc_id") % 5 == i) for i in range(5)
+        ]
+        build_dedup_index(ing_slices[0], f"{tmpdir}/ing_didx", mode="exact")
+        write_text_index(ing_slices[0], f"{tmpdir}/ing_tidx")
+        write_semantic_index(
+            ing_slices[0].select(
+                AF.col("doc_id").alias("vec_id"),
+                hash_embed(AF.col("text"), dims=32).alias("embedding"),
+            ),
+            f"{tmpdir}/ing_sidx",
+            k=8,
+        )
+        ing_cfg = load_config(
+            {
+                "keyspaces-cdc-streams": {
+                    "corpus": {
+                        "dedup-index-path": f"{tmpdir}/ing_didx",
+                        "dedup-index-compact-every": "2",
+                        "text-index-path": f"{tmpdir}/ing_tidx",
+                        "text-index-compact-every": "2",
+                        "semantic-index-path": f"{tmpdir}/ing_sidx",
+                        "semantic-dims": "32",
+                    }
+                }
+            }
+        )
+        ing_handle = curation_ingest_sink(ing_cfg, f"{tmpdir}/ing_out")
+        t0 = time.time()
+        for i in range(1, 5):
+            ing_handle(ing_slices[i], i)
+        aux["ingest_loop_4batch"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
-    # --- emission: the driver parses the TAIL of stdout, and round 3
-    # proved a single fat line outruns its window (BENCH_r03 recorded
-    # parsed:null).  So: the LAST line is the compact headline JSON
-    # (always parseable), and everything bulky (aux timings, deltas)
-    # goes to BENCH_DETAIL.json on disk + an EARLIER stdout line.
-    out = {
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "cdc_rows_per_sec": cdc_rows_per_sec,
-        # fixed-cost-differenced per-event rate (r9; see SCALE.md) —
-        # the regression-watchable CDC number
-        "cdc_marginal_rows_per_sec": cdc_marginal,
-        "corpus_docs_per_sec": corpus_docs_per_sec,
-        "streaming_events_per_sec": streaming_events_per_sec,
-        # min across the two replayed state-store pipelines; breakdown:
-        "streaming_pipelines": streaming_pipelines,
-        # harness-cost-corrected session rate: events / (full replay −
-        # trigger floor); the floor is the same 2-chunk replay over
-        # ~1% of events (r8 — see BENCH_DETAIL for the split)
-        "session_state_events_per_sec": session_state_rate,
-        # throughputs derive from the min-time over interleaved passes
-        # (same minima methodology as the query suite), N recorded:
-        "cdc_passes": 4,
-        "corpus_passes": 5,
-        "streaming_passes": stream_passes,
-    }
-    detail = {
-        "aux_ops_sec": aux,
-        "aux_passes": 2,
-        # corpus drift attribution (r8): per-position bests of the 5
-        # corpus passes — together they separate code regressions
-        # (both move) from position/host effects (they diverge)
-        "corpus_early_best_sec": round(corpus_early_best, 3),
-        "corpus_late_best_sec": round(corpus_late_best, 3),
-        # CDC drift attribution (r9): same positional split for the
-        # CDC stack — pre-suite vs post-suite bests
-        "cdc_early_best_sec": round(cdc_early_best, 3),
-        "cdc_late_best_sec": round(cdc_late_best, 3),
-        "cdc_fat8_best_sec": round(cdc_fat8_best, 3),
-        # session harness-cost split (r8; r9 fattens the replay ×4 so
-        # state work dominates the subtraction): full 2-chunk replay
-        # vs the ~1%-events trigger floor at the same batch structure
-        "session_full_sec": round(sess_best, 3),
-        "session_trigger_floor_sec": round(floor_best, 3),
-        "session_fatten": session_fatten,
-        # BPE fertility at this corpus (r9): trained-BPE tokens per
-        # whitespace token — the budget rescale factor for packing
-        "bpe_fertility_ratio": bpe_fertility,
-    }
-    prev = _prev_bench()
-    if prev is not None:
-        n, prev_doc = prev
-        # map prior names through the consolidation renames, SUMMING
-        # when several prior queries merged into one (the merged query
-        # does all their work, so the fair baseline is the sum)
-        prev_q: dict[str, float] = {}
-        for k, v in (prev_doc.get("queries") or {}).items():
-            if not isinstance(v, (int, float)):
-                continue
-            tgt = RENAMES.get(k, k)
-            prev_q[tgt] = round(prev_q.get(tgt, 0.0) + v, 3)
-        deltas = {
-            name: round(t - prev_q[name], 3)
-            for name, t in timings.items()
-            if name in prev_q
-        }
-        shared = len(deltas)
-        detail["prev_round"] = n
-        detail["prev_total_sec"] = prev_doc.get("value")
-        detail["prev_queries_sec"] = prev_q
-        detail["delta_vs_prev_sec"] = deltas
-        # every shared query must carry a delta (VERDICT r4 nit #1):
-        # record coverage explicitly so a gap is visible, not silent
-        detail["delta_coverage"] = {
-            "shared": shared,
-            "current_total": len(timings),
-            "current_only": sorted(set(timings) - set(prev_q)),
-        }
+    # --- emission: everything measured goes through the typed results
+    # object + the PURE assembler (unit-tested without Spark — the r10
+    # crash happened here, at report time, after the full suite ran).
+    results = BenchResults(
+        timings=timings,
+        sf=sf,
+        cdc_rows_per_sec=cdc_rows_per_sec,
+        cdc_marginal_rows_per_sec=cdc_marginal,
+        corpus_docs_per_sec=corpus_docs_per_sec,
+        streaming_events_per_sec=streaming_events_per_sec,
+        streaming_pipelines=streaming_pipelines,
+        session_state_events_per_sec=session_state_rate,
+        stream_passes=stream_passes,
+        aux_ops_sec=aux,
+        corpus_early_best=corpus_early_best,
+        corpus_late_best=corpus_late_best,
+        cdc_early_best=cdc_early_best,
+        cdc_late_best=cdc_late_best,
+        cdc_fat8_best=cdc_fat8_best,
+        sess_full_early=sess_full_early,
+        sess_floor_early=sess_floor_early,
+        sess_full_late=sess_full_late,
+        sess_floor_late=sess_floor_late,
+        session_fatten=session_fatten,
+        bpe_fertility_ratio=bpe_fertility,
+        headline_early=headline_early,
+        headline_late=headline_late,
+        headline_pass_totals=headline_pass_totals,
+        prev=_prev_bench(),
+    )
+    out, detail = assemble_reports(results)
+    # the driver parses the TAIL of stdout, and round 3 proved a
+    # single fat line outruns its window (BENCH_r03: parsed:null).
+    # So: the LAST line is the compact headline JSON (always
+    # parseable); everything bulky (aux timings, deltas, positional
+    # splits) goes to BENCH_DETAIL.json on disk + an EARLIER line.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump({**out, **detail}, fh, indent=1)

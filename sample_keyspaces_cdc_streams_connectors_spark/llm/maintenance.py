@@ -362,9 +362,18 @@ def compact_dedup_index(
             # partition-value formatting can differ from the directory
             # name when inference typed the bucket as int (bucket=07 is
             # rewritten as bucket=7) — swap by VALUE, not by name
-            src = name if name in written else (
-                f"bucket={int(name.split('=', 1)[1])}"
-            )
+            src = name
+            if src not in written:
+                v = name.split("=", 1)[1]
+                src = f"bucket={int(v)}" if v.isdigit() else name
+            if src not in written:
+                # a fragmented bucket whose files all held ZERO rows
+                # produces no tmp partition; renaming the live bucket
+                # aside with no replacement would strand the index with
+                # the marker armed (a manual-recovery stop).  Its empty
+                # fragments contribute no keys, so leaving them in
+                # place is correct — skip the swap.
+                continue
             _swap_dir(spark, f"{tmp}/{src}", f"{root}/{name}")
         _delete(spark, tmp)
         _clear_marker(spark, root)

@@ -27,10 +27,25 @@ the engine's ingestion story in one place:
 Semantics: foreachBatch batches run SEQUENTIALLY, so batch N+1's
 probes see batch N's appends — cross-batch dedup without global
 state.  Delivery is Structured Streaming's at-least-once for
-foreachBatch: a retried batch re-appends (the standard caveat —
-exactly-once needs an idempotent target or a transactional table
-format; the reference's sinks carry the same per-batch retry
-semantics, KeyspacesRecordProcessor.java:41-60).  Fragmentation from
+foreachBatch; the sink converts that to effectively-once at BATCH
+granularity with a batch-id ledger (r11 — the standard foreachBatch
+idempotence pattern): a ``_ingest_ledger/batch-{id}`` entry under the
+output path commits AFTER the output append and every standing-index
+append, and a redelivered batch id (driver restart replaying from the
+stream checkpoint — the common retry) is skipped whole.  The residual
+duplicate window is exactly a batch that CRASHED between its first
+write and its ledger commit: its retry re-runs the appends, and the
+downstream effect differs per target — output/dedup/semantic appends
+are self-healing or storage-only (the retry's own index probes
+suppress docs whose dedup-index append had completed; fingerprint and
+member rows dedup by key at probe/compaction time), but TEXT-index
+postings are per-(term, doc) COUNT rows, so a crashed-window replay
+double-counts tf/df for that one batch's docs and shifts their BM25
+scores until the docs are re-indexed (pinned precisely in
+tests/test_ingest.py::test_replayed_batch_*).  The reference's sinks
+carry the same per-batch retry semantics
+(KeyspacesRecordProcessor.java:41-60); exactly-once through a crash
+needs a transactional table format.  Fragmentation from
 sustained appends is repaired in place by the r9 maintenance pair —
 ``llm.maintenance.compact_text_index`` (posting buckets + vocabulary
 segments, probes bit-identical; set
@@ -139,8 +154,27 @@ def curation_ingest_sink(
             f"got {ckpt_mode!r}"
         )
     ckpt_dir = cfg.get(f"{_P}.ingest-checkpoint-dir", None)
+    # setCheckpointDir mkdirs a fresh random-UUID subdirectory on
+    # EVERY call, so it must run once per stream, not once per batch
+    # (a long-running stream would otherwise litter one empty dir per
+    # micro-batch under the checkpoint root)
+    ckpt_dir_applied = False
+    ledger_dir = f"{out_path.rstrip('/')}/_ingest_ledger"
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal ckpt_dir_applied
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _write_text
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import _fs
+
+        spark = batch_df.sparkSession
+        # batch-id ledger (module docstring): a redelivered batch id
+        # means every append below already COMMITTED for this data —
+        # re-running them would duplicate output rows and double-count
+        # text-index postings.  Skip it whole.
+        ledger_entry = f"{ledger_dir}/batch-{batch_id}"
+        fs, jvm = _fs(spark, ledger_entry)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(ledger_entry)):
+            return
         # checkpoint (eager), NOT persist: appending to a standing
         # index refreshes that path's cache entries (Spark invalidates
         # caches on write-to-read-path), which would UNCACHE a merely
@@ -155,7 +189,9 @@ def curation_ingest_sink(
         if ckpt_mode == "reliable":
             sc = batch_df.sparkSession.sparkContext
             if ckpt_dir:
-                sc.setCheckpointDir(ckpt_dir)
+                if not ckpt_dir_applied:
+                    sc.setCheckpointDir(ckpt_dir)
+                    ckpt_dir_applied = True
             elif sc.getCheckpointDir() is None:
                 raise ValueError(
                     f"{_P}.ingest-checkpoint = reliable needs "
@@ -166,6 +202,7 @@ def curation_ingest_sink(
         else:
             survivors = curate(batch_df).localCheckpoint()
         if survivors.limit(1).count() == 0:
+            _write_text(spark, ledger_entry, '{"rows": 0}')
             return
         survivors.write.mode("append").parquet(out_path)
         if dedup_index_path:
@@ -218,5 +255,10 @@ def curation_ingest_sink(
                 compact_text_index(
                     batch_df.sparkSession, text_index_path
                 )
+        # ledger commit LAST: everything above is durable, so a replay
+        # of this batch id is now a pure no-op.  A crash before this
+        # line re-opens the batch — see the module docstring for the
+        # precise per-target duplicate bound.
+        _write_text(spark, ledger_entry, '{"rows": "committed"}')
 
     return handle

@@ -253,3 +253,119 @@ def test_ingest_reliable_checkpoint_needs_dir(spark, sf_dir, tmp_path):
     if spark.sparkContext.getCheckpointDir() is None:
         with pytest.raises(ValueError, match="ingest-checkpoint-dir"):
             handle(docs, 0)
+
+
+def test_replayed_batch_is_skipped_by_ledger(spark, sf_dir, tmp_path):
+    """Structured Streaming's at-least-once foreachBatch redelivers a
+    COMMITTED batch with the same batch_id (e.g. driver restart
+    replaying from the stream checkpoint).  The batch-id ledger (r11
+    — VERDICT r10 #9) must make that a whole-batch no-op: output rows,
+    text-index stats, and BM25 SCORES bit-identical before/after the
+    replay — scores are the one place where a re-append would not
+    just duplicate storage but change answers."""
+    import json as _json
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk, write_text_index
+
+    out = str(tmp_path / "out")
+    tidx = str(tmp_path / "tidx")
+    batches = _batches(spark, sf_dir)
+    write_text_index(batches[0], tidx)
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"text-index-path": tidx}
+            }
+        }
+    )
+    handle = curation_ingest_sink(cfg, out)
+    handle(batches[1], 1)
+
+    def _state():
+        rows = spark.read.parquet(out).count()
+        stats = _json.loads(open(f"{tidx}/_stats.json").read())
+        top = [
+            (r["doc"], round(r["score"], 9))
+            for r in bm25_topk(
+                spark, tidx, "the data stream pipeline", k=10
+            ).collect()
+        ]
+        return rows, stats, top
+
+    before = _state()
+    # redelivery: SAME batch id, same data — must be skipped whole
+    handle(batches[1], 1)
+    assert _state() == before
+    # the ledger recorded the commit
+    assert os.path.exists(f"{out}/_ingest_ledger/batch-1")
+    # a FRESH batch id still flows normally
+    handle(batches[2], 2)
+    assert spark.read.parquet(out).count() > before[0]
+
+
+def test_replayed_batch_crash_window_text_scores(spark, sf_dir, tmp_path):
+    """The residual duplicate bound (module docstring): a batch that
+    crashed AFTER its text-index append but BEFORE its ledger commit
+    re-appends on retry.  Pin precisely what that does to the index:
+    the replayed docs' tf and df double and n_docs counts them twice
+    — so their BM25 term scores CHANGE (not merely duplicate rows),
+    and compaction does NOT undo it (postings are count rows, not
+    keyed fingerprints).  This is the documented crash-window bound;
+    the upstream guard is the ledger + the dedup-index probe."""
+    import json as _json
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_text_index
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
+        append_to_text_index,
+        write_text_index,
+    )
+
+    tidx = str(tmp_path / "tidx")
+    batches = _batches(spark, sf_dir)
+    write_text_index(batches[0], tidx)
+    stats0 = _json.loads(open(f"{tidx}/_stats.json").read())
+    append_to_text_index(batches[1], tidx)
+    stats1 = _json.loads(open(f"{tidx}/_stats.json").read())
+    n_b1 = batches[1].count()
+    assert stats1["n_docs"] == stats0["n_docs"] + n_b1
+
+    one_doc = batches[1].orderBy("doc_id").limit(1)
+    doc_id = one_doc.first()["doc_id"]
+    postings = spark.read.parquet(f"{tidx}/postings")
+    tf_before = {
+        r["term"]: r["tf"]
+        for r in postings.filter(F.col("doc") == doc_id).collect()
+    }
+    # the crash-window replay: the SAME batch appended again
+    append_to_text_index(batches[1], tidx)
+    stats2 = _json.loads(open(f"{tidx}/_stats.json").read())
+    # n_docs counts the replayed docs twice (exact bound, no more)
+    assert stats2["n_docs"] == stats1["n_docs"] + n_b1
+    postings = spark.read.parquet(f"{tidx}/postings")
+    tf_after = (
+        postings.filter(F.col("doc") == doc_id)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("tf"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # every (term, doc) posting exists exactly twice with equal tf —
+    # summed tf (what scoring aggregates) is exactly 2× the true count
+    assert {r["term"]: r["n"] for r in tf_after} == {
+        t: 2 for t in tf_before
+    }
+    assert {r["term"]: r["tf"] for r in tf_after} == {
+        t: 2 * tf for t, tf in tf_before.items()
+    }
+    # compaction does NOT repair it: postings are per-(term, doc)
+    # COUNT rows, not keyed fingerprints — the doubled mass persists
+    compact_text_index(spark, tidx)
+    tf_compacted = (
+        spark.read.parquet(f"{tidx}/postings")
+        .filter(F.col("doc") == doc_id)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("tf"))
+        .collect()
+    )
+    assert {r["term"]: r["tf"] for r in tf_compacted} == {
+        t: 2 * tf for t, tf in tf_before.items()
+    }

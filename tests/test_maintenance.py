@@ -581,3 +581,50 @@ def test_rebalance_semantic_index_preserves_duplicate_ids(
     assert spark.read.parquet(f"{path}/members").count() == 120
     rebalance_semantic_index(spark, path, k=3)
     assert spark.read.parquet(f"{path}/members").count() == 120
+
+
+def test_compact_dedup_index_skips_zero_row_bucket(spark, sf_dir, tmp_path):
+    """A fragmented bucket whose files all hold ZERO rows produces no
+    partition directory in the compaction's tmp output; the swap must
+    SKIP it (its empty fragments contribute no keys) rather than
+    rename the live bucket aside with no replacement — which would
+    strand the index with the maintenance marker armed (r11, ADVICE
+    r10).  Other fragmented buckets still compact normally."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
+        append_to_dedup_index,
+        build_dedup_index,
+        dedup_against_index,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_dedup_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "didx")
+    build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    append_to_dedup_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    # plant a fragmented bucket made ONLY of zero-row files (an empty
+    # batch's append shape): 2 empty part files under a fresh bucket
+    empty = spark.createDataFrame([], "fp string").repartition(1)
+    for _ in range(2):
+        empty.write.mode("append").parquet(f"{path}/exact/bucket=zz")
+    probe = docs.limit(300)
+    before = {
+        r["doc_id"]
+        for r in dedup_against_index(probe, path).select("doc_id").collect()
+    }
+    report = compact_dedup_index(spark, path)
+    assert report["buckets_compacted"] > 0
+    # no armed marker, no stranded bucket: probes run and match
+    after = {
+        r["doc_id"]
+        for r in dedup_against_index(probe, path).select("doc_id").collect()
+    }
+    assert after == before
+    # the zero-row bucket is still present (skipped, not stranded)
+    import os as _os
+
+    assert _os.path.isdir(f"{path}/exact/bucket=zz")
+    assert not _os.path.exists(
+        f"{path}/exact/_maintenance_inprogress.json"
+    )
