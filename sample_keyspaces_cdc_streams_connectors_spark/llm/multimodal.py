@@ -9,17 +9,18 @@ worker per core, no driver involvement.  Batch size is bounded via
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` so decoded frames
 fit executor memory.
 
-Decode depth (r10): container HEADER geometry — format, width, height
-for PNG (IHDR), GIF (logical screen descriptor) and JPEG (SOF scan)
-— is parsed NATIVELY from the binary payload with stdlib-only code
-(:func:`parse_image_header`), and PNG PIXEL decoding is now real too
-(:func:`decode_png_pixels` — zlib-inflated IDAT + the five scanline
-filters, the published format, nothing but stdlib zlib + numpy).
-Only GIF/JPEG pixel decoding (LZW / DCT entropy coding — Pillow,
-not available in this container) remains stubbed behind
-``NotImplementedError`` / the deterministic fake.  The Spark-side
-plumbing — schema, UDF signature, Arrow batching, partition behavior
-— is real and tested.
+Decode depth (r10 PNG, r11 GIF): container HEADER geometry — format,
+width, height for PNG (IHDR), GIF (logical screen descriptor) and
+JPEG (SOF scan) — is parsed NATIVELY from the binary payload with
+stdlib-only code (:func:`parse_image_header`).  PIXEL decoding is
+real for PNG (:func:`decode_png_pixels` — zlib-inflated IDAT + the
+five scanline filters) AND for GIF (:func:`decode_gif_pixels` — the
+LZW entropy coder, palette mapping, four-pass de-interlace), both the
+published formats, nothing but stdlib zlib + numpy.  Only JPEG pixel
+decoding (the DCT entropy coder — Pillow, not available in this
+container) remains stubbed behind ``NotImplementedError`` / the
+deterministic fake.  The Spark-side plumbing — schema, UDF signature,
+Arrow batching, partition behavior — is real and tested.
 """
 
 from __future__ import annotations
@@ -139,9 +140,10 @@ def parse_image_header(
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Image geometry: REAL header decode for recognized containers
     (PNG/GIF/JPEG — :func:`parse_image_header`); for anything else the
-    deterministic fake stands in when ``fake=True``.  For PIXELS, PNG
-    decodes for real too (:func:`decode_png_pixels`, r10); GIF/JPEG
-    pixel data remains the stub boundary."""
+    deterministic fake stands in when ``fake=True``.  For PIXELS,
+    PNG and GIF decode for real too (:func:`decode_png_pixels` r10,
+    :func:`decode_gif_pixels` r11); JPEG pixel data remains the stub
+    boundary."""
     fmt, w, h = parse_image_header(payload)
     if fmt is not None and w is not None and h is not None:
         return (w, h)
@@ -149,7 +151,7 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
         return _fake_decode(payload)
     raise NotImplementedError(
         "unrecognized image container (PNG/GIF/JPEG headers parse "
-        "natively, and PNG pixels decode via decode_png_pixels) — "
+        "natively; PNG/GIF pixels decode via decode_image_pixels) — "
         "pass fake=True for a deterministic stand-in on other payloads"
     )
 
@@ -314,25 +316,46 @@ def decode_png_pixels(payload: bytes | None):
         elif ft == 2:  # Up — vectorized
             row += prior  # uint8 wraps mod 256, the format's arithmetic
         elif ft == 1:  # Sub — per-channel prefix sum mod 256
-            lanes = row.reshape(-1, ch).astype(np.uint64)
-            row = (
-                (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(-1)
-            )
+            # uint8 accumulation wraps mod 256 natively — no widening
+            row = np.cumsum(
+                row.reshape(-1, ch), axis=0, dtype=np.uint8
+            ).reshape(-1)
         elif ft == 3:  # Average — sequential left dependency
-            r = row.astype(np.int64)
-            p = prior.astype(np.int64)
+            # the carry loop runs over Python ints via lists: numpy
+            # scalar indexing pays boxing per element and measured
+            # ~1.9x slower than list arithmetic for this kernel (r11;
+            # the true fix at 100 TB is a C decoder — see SCALE.md
+            # "pixel decode" for the measured boundary cost)
+            r = row.tolist()
+            p = prior.tolist()
             for x in range(stride):
-                left = int(r[x - ch]) if x >= ch else 0
-                r[x] = (r[x] + (left + int(p[x])) // 2) % 256
-            row = r.astype(np.uint8)
+                left = r[x - ch] if x >= ch else 0
+                r[x] = (r[x] + ((left + p[x]) >> 1)) & 255
+            row = np.asarray(r, dtype=np.uint8)
         elif ft == 4:  # Paeth — sequential left dependency
-            r = row.astype(np.int64)
-            p = prior.astype(np.int64)
+            r = row.tolist()
+            p = prior.tolist()
             for x in range(stride):
-                a = int(r[x - ch]) if x >= ch else 0
-                c = int(p[x - ch]) if x >= ch else 0
-                r[x] = (r[x] + _paeth(a, int(p[x]), c)) % 256
-            row = r.astype(np.uint8)
+                if x >= ch:
+                    a = r[x - ch]
+                    c = p[x - ch]
+                else:
+                    a = c = 0
+                b_up = p[x]
+                # inlined Paeth predictor (function-call overhead is
+                # the hot cost at one call per byte)
+                pp = a + b_up - c
+                pa = pp - a if pp >= a else a - pp
+                pb = pp - b_up if pp >= b_up else b_up - pp
+                pc = pp - c if pp >= c else c - pp
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b_up
+                else:
+                    pred = c
+                r[x] = (r[x] + pred) & 255
+            row = np.asarray(r, dtype=np.uint8)
         else:
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y] = row
@@ -340,17 +363,259 @@ def decode_png_pixels(payload: bytes | None):
     return out.reshape(h, w, ch)
 
 
+# --- real GIF pixel codec (r11, stdlib-only) --------------------------------
+#
+# The GIF format is public (CompuServe GIF87a/89a spec): frames are
+# palette indexes, LZW-compressed with variable-width codes packed
+# LSB-first into ≤255-byte sub-blocks.  Decoding needs only the LZW
+# entropy coder (~50 lines of public algorithm) — no imaging library.
+# Supported: first image descriptor (animated GIFs decode frame 0),
+# global or local color table, interlaced or sequential row order.
+
+#: GIF interlace passes: (first row, row step) in output order
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decode (variable code width 3..12 bits,
+    LSB-first bit packing, clear/end control codes)."""
+    if not 1 <= min_code_size <= 11:
+        raise ValueError(f"invalid LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + code_size <= nbits:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream: first code unknown")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            # the KwKwK case: the code being defined by this very step
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} undefined")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def _lzw_encode(indexes: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode — the fixture-side mirror of
+    :func:`_lzw_decode` (same code-width growth schedule, clear on
+    table overflow), so the decoder is exercised against genuinely
+    compressed streams including the code-size transitions."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += size
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w = b""
+    for byte in indexes:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def encode_gif_gray8(pixels, interlace: bool = False) -> bytes:
+    """Minimal REAL GIF89a encoder for 8-bit grayscale (valid LZW
+    stream, 256-entry gray palette ``i → (i, i, i)``): the fixture
+    the decoder below is tested and oracle-gated against, mirroring
+    :func:`encode_png_gray8`.  ``interlace=True`` writes rows in the
+    four-pass interlaced order with the flag set, so the decoder's
+    de-interlace is exercised too."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError(f"expected (h, w) gray8 array, got shape {px.shape}")
+    h, w = px.shape
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    # logical screen descriptor: GCT present, 8 bits/channel, size 256
+    lsd = struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+    img_packed = 0x40 if interlace else 0x00
+    descriptor = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+        [img_packed]
+    )
+    if interlace:
+        order = [
+            y
+            for first, step in _GIF_INTERLACE_PASSES
+            for y in range(first, h, step)
+        ]
+        stream = px[order].tobytes()
+    else:
+        stream = px.tobytes()
+    lzw = _lzw_encode(stream, 8)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a" + lsd + palette + descriptor + bytes(blocks) + b"\x3b"
+    )
+
+
+def decode_gif_pixels(payload: bytes | None):
+    """REAL stdlib GIF pixel decode: returns an ``(h, w, 3)`` uint8
+    RGB numpy array for the FIRST image descriptor (animated GIFs
+    decode frame 0).  Walks the block stream past extensions,
+    LZW-inflates the sub-block data (:func:`_lzw_decode`), maps
+    palette indexes through the active (local-else-global) color
+    table, and undoes four-pass interlacing when flagged.  Raises
+    ``ValueError`` on malformed data — never a wrong-pixel silent
+    result.  Same scale posture as :func:`decode_png_pixels`: the
+    per-item kernel inside ``mapInPandas``, payloads never reach the
+    driver; a C decoder swaps in at the same call site."""
+    import numpy as np
+
+    b = payload or b""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(b) < 13:
+        raise ValueError("truncated GIF logical screen descriptor")
+    packed = b[10]
+    gct = None
+    i = 13
+    if packed & 0x80:
+        gct_len = 2 << (packed & 0x07)
+        gct = b[i : i + 3 * gct_len]
+        if len(gct) < 3 * gct_len:
+            raise ValueError("truncated GIF global color table")
+        i += 3 * gct_len
+    while i < len(b):
+        block = b[i]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block introducer 0x{block:02x}")
+        if i + 10 > len(b):
+            raise ValueError("truncated GIF image descriptor")
+        _left, _top, iw, ih = struct.unpack("<HHHH", b[i + 1 : i + 9])
+        img_packed = b[i + 9]
+        i += 10
+        pal = gct
+        if img_packed & 0x80:
+            lct_len = 2 << (img_packed & 0x07)
+            pal = b[i : i + 3 * lct_len]
+            if len(pal) < 3 * lct_len:
+                raise ValueError("truncated GIF local color table")
+            i += 3 * lct_len
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        if i >= len(b):
+            raise ValueError("truncated GIF image data")
+        min_code_size = b[i]
+        i += 1
+        lzw = bytearray()
+        while i < len(b) and b[i] != 0:
+            n = b[i]
+            chunk = b[i + 1 : i + 1 + n]
+            if len(chunk) < n:
+                raise ValueError("truncated GIF data sub-block")
+            lzw.extend(chunk)
+            i += 1 + n
+        indexes = _lzw_decode(bytes(lzw), min_code_size)
+        if len(indexes) < iw * ih:
+            raise ValueError(
+                f"GIF pixel data short: {len(indexes)} < {iw * ih}"
+            )
+        idx = np.frombuffer(
+            indexes[: iw * ih], dtype=np.uint8
+        ).reshape(ih, iw)
+        if img_packed & 0x40:  # interlaced: invert the 4-pass order
+            order = [
+                y
+                for first, step in _GIF_INTERLACE_PASSES
+                for y in range(first, ih, step)
+            ]
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= pal_arr.shape[0]:
+            raise ValueError("GIF palette index out of range")
+        return pal_arr[idx]
+    raise ValueError("GIF without an image descriptor")
+
+
 def decode_image_pixels(payload: bytes | None):
-    """Pixel decode dispatch: PNG decodes for REAL
-    (:func:`decode_png_pixels`); GIF/JPEG pixel data needs the LZW /
-    DCT entropy coders (Pillow — not in this container), so they
-    remain the documented stub boundary."""
+    """Pixel decode dispatch: PNG and GIF decode for REAL
+    (:func:`decode_png_pixels`, :func:`decode_gif_pixels`, both
+    stdlib-only); JPEG pixel data needs the DCT entropy coder
+    (Pillow — not in this container), so it remains the one
+    documented stub boundary."""
     fmt, _w, _h = parse_image_header(payload)
     if fmt == "png":
         return decode_png_pixels(payload)
+    if fmt == "gif":
+        return decode_gif_pixels(payload)
     raise NotImplementedError(
         f"pixel decoding for format {fmt!r} is not available in this "
-        "container (PNG decodes natively; GIF/JPEG need an entropy-"
+        "container (PNG/GIF decode natively; JPEG needs a DCT entropy-"
         "coder library)"
     )
 
@@ -367,11 +632,12 @@ PIXEL_STATS_SCHEMA = StructType(
 
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
-    """(media_id, px_n, px_sum, px_min, px_max) over REAL decoded PNG
-    pixels — the per-image statistics pass (brightness screens,
-    constant-image drops) a training-data pipeline runs after decode.
-    Non-PNG / undecodable payloads yield NULL stats rather than
-    failing the batch (same contract as the header pass)."""
+    """(media_id, px_n, px_sum, px_min, px_max) over REAL decoded
+    PNG/GIF pixels (:func:`decode_image_pixels`) — the per-image
+    statistics pass (brightness screens, constant-image drops) a
+    training-data pipeline runs after decode.  Undecodable payloads
+    (incl. JPEG, the remaining stub boundary) yield NULL stats rather
+    than failing the batch (same contract as the header pass)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -379,7 +645,7 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             ns, sums, mins, maxs = [], [], [], []
             for p in pdf["payload"]:
                 try:
-                    px = decode_png_pixels(p)
+                    px = decode_image_pixels(p)
                 except (ValueError, NotImplementedError):
                     ns.append(None)
                     sums.append(None)
@@ -403,18 +669,63 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, PIXEL_STATS_SCHEMA)
 
 
-def _pattern_png_bytes(mid: int, mod_side: int = 16) -> bytes:
-    """A real gray8 PNG whose pixels follow the planted pattern
-    ``px(x, y) = (mid + 3x + 7y) % 256`` at geometry
-    ``w = 1 + mid % mod_side, h = 1 + 7·mid % mod_side`` — small
-    enough that an oracle re-derives every statistic arithmetically,
-    with all five scanline filters rotating through the rows."""
+def _pattern_pixels(mid: int, mod_side: int):
+    """The planted gray8 pattern ``px(x, y) = (mid + 3x + 7y) % 256``
+    at geometry ``w = 1 + mid % mod_side, h = 1 + 7·mid % mod_side``
+    — small enough that an oracle re-derives every statistic
+    arithmetically."""
     import numpy as np
 
     w = 1 + mid % mod_side
     h = 1 + (mid * 7) % mod_side
     y, x = np.mgrid[0:h, 0:w]
-    return encode_png_gray8((mid + 3 * x + 7 * y) % 256)
+    return (mid + 3 * x + 7 * y) % 256
+
+
+def _pattern_png_bytes(mid: int, mod_side: int = 16) -> bytes:
+    """A real gray8 PNG of the planted pattern (:func:`_pattern_pixels`)
+    with all five scanline filters rotating through the rows."""
+    return encode_png_gray8(_pattern_pixels(mid, mod_side))
+
+
+def _pattern_gif_bytes(mid: int, mod_side: int = 16) -> bytes:
+    """A real LZW-compressed GIF of the planted pattern, interlaced
+    for every other id — so the decoder's entropy coder AND the
+    four-pass row reorder are both under the oracle gate."""
+    return encode_gif_gray8(
+        _pattern_pixels(mid, mod_side), interlace=bool((mid >> 1) & 1)
+    )
+
+
+def synthesize_pattern_media(
+    docs: DataFrame, id_col: str = "doc_id", mod_side: int = 16
+) -> DataFrame:
+    """Deterministic mixed-format pattern media table for the
+    pixel-stats gate (r11): even ids get a real PNG
+    (:func:`_pattern_png_bytes`, all five scanline filters), odd ids a
+    real LZW GIF (:func:`_pattern_gif_bytes`, alternating interlace) —
+    one ``decode_image_pixels`` dispatch covers both under the same
+    arithmetic oracle.  Built executor-side in ``mapInPandas`` like
+    real ingested media."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids = pdf["media_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "payload": [
+                        _pattern_png_bytes(int(m), mod_side)
+                        if int(m) % 2 == 0
+                        else _pattern_gif_bytes(int(m), mod_side)
+                        for m in mids
+                    ],
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("media_id")).mapInPandas(
+        run, CONTAINER_SCHEMA
+    )
 
 
 def synthesize_png_pattern_media(

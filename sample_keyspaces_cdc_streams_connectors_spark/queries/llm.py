@@ -1737,10 +1737,14 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pxgrid AS (SELECT x FROM range(16) t(x)),
     px AS (
+      -- odd ids decode from a GIF: palette-mapped RGB triples the
+      -- pixel count and sum (gray i -> (i,i,i)); min/max unchanged
       SELECT d.doc_id AS media_id,
-             COUNT(*) AS px_n,
-             CAST(SUM((d.doc_id + 3*gx.x + 7*gy.x) % 256) AS BIGINT)
-               AS px_sum,
+             COUNT(*) * (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)
+               AS px_n,
+             CAST(SUM((d.doc_id + 3*gx.x + 7*gy.x) % 256)
+                  * (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)
+                  AS BIGINT) AS px_sum,
              CAST(MIN((d.doc_id + 3*gx.x + 7*gy.x) % 256) AS INTEGER)
                AS px_min,
              CAST(MAX((d.doc_id + 3*gx.x + 7*gy.x) % 256) AS INTEGER)
@@ -1790,24 +1794,27 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted geometry arithmetically, so any header-walk bug breaks
     the hash.
 
-    Arm ``px`` (r10, the px_n/px_sum/px_min/px_max columns): REAL
-    PNG PIXEL decoding.  ``synthesize_png_pattern_media`` builds one
-    genuine gray8 PNG per document executor-side — pixels follow
-    ``(doc_id + 3x + 7y) % 256`` at doc_id-derived geometry, rows
-    rotating through ALL FIVE scanline filters — and
-    ``image_pixel_stats`` zlib-inflates the IDAT stream, inverts the
-    filters (``decode_png_pixels``, stdlib-only) and aggregates
-    count/sum/min/max per image; the oracle re-derives every
-    statistic arithmetically from the planted pattern, so a wrong
-    inverse for any single filter breaks the hash.  The fake
-    boundary is now GIF/JPEG pixel decode only (entropy coders)."""
+    Arm ``px`` (r10 PNG, r11 adds GIF — the px_n/px_sum/px_min/px_max
+    columns): REAL PIXEL decoding.  ``synthesize_pattern_media``
+    builds one genuine image per document executor-side — pixels
+    follow ``(doc_id + 3x + 7y) % 256`` at doc_id-derived geometry;
+    even ids get a gray8 PNG with rows rotating through ALL FIVE
+    scanline filters, odd ids a real LZW-compressed GIF (alternating
+    four-pass interlace) — and ``image_pixel_stats`` decodes
+    (``decode_image_pixels``: zlib inflate + filter inverses for PNG,
+    LZW + palette map + de-interlace for GIF, stdlib-only) and
+    aggregates count/sum/min/max per image; the oracle re-derives
+    every statistic arithmetically from the planted pattern (GIF rows
+    carry the ×3 RGB palette expansion), so a wrong filter inverse,
+    LZW step, or row reorder breaks the hash.  The fake boundary is
+    now JPEG pixel decode only (DCT entropy coder)."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
         image_header_features,
         image_pixel_stats,
         resize_images,
         sample_frames,
         synthesize_containers,
-        synthesize_png_pattern_media,
+        synthesize_pattern_media,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1825,7 +1832,7 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("hdr_height"),
     )
     px = image_pixel_stats(
-        synthesize_png_pattern_media(docs, mod_side=16)
+        synthesize_pattern_media(docs, mod_side=16)
     ).select("media_id", "px_n", "px_sum", "px_min", "px_max")
     frames = sample_frames(
         media, frame_chars=64, max_frames=4, fake=True

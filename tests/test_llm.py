@@ -772,9 +772,18 @@ def test_png_decode_rejects_unsupported_and_malformed():
     b[24] = 16  # IHDR bit-depth byte
     with _pytest.raises(NotImplementedError, match="bit_depth=16"):
         decode_png_pixels(bytes(b))
-    # GIF/JPEG pixel dispatch stays the stub boundary
-    with _pytest.raises(NotImplementedError, match="gif"):
-        decode_image_pixels(b"GIF89a" + b"\x08\x00\x06\x00" + b"\x00" * 4)
+    # JPEG pixel dispatch stays the stub boundary (GIF decodes for
+    # real as of r11)
+    app0 = (
+        b"\xff\xe0" + b"\x00\x10" + b"JFIF\x00\x01\x02\x01"
+        + b"\x00\x48\x00\x48\x00\x00"
+    )
+    sof0 = (
+        b"\xff\xc0" + b"\x00\x11" + b"\x08" + b"\x00\x06\x00\x08"
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    with _pytest.raises(NotImplementedError, match="jpeg"):
+        decode_image_pixels(b"\xff\xd8" + app0 + sof0)
 
 
 def test_image_pixel_stats_planted_pattern(spark):
@@ -811,3 +820,109 @@ def test_image_pixel_stats_planted_pattern(spark):
     )
     row = image_pixel_stats(junk).collect()[0]
     assert row["px_n"] is None and row["px_sum"] is None
+
+
+# --- real GIF pixel codec (r11) ---------------------------------------------
+
+
+def test_gif_codec_roundtrip():
+    """encode→decode round-trip at several geometries, sequential and
+    interlaced: the LZW coder (variable code widths, LSB-first
+    packing), the 255-byte sub-block framing, the palette map, and
+    the four-pass de-interlace are all exercised."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_gif_pixels,
+        encode_gif_gray8,
+        parse_image_header,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 5), (6, 3), (17, 29), (64, 200)]:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        for interlace in (False, True):
+            b = encode_gif_gray8(px, interlace=interlace)
+            assert parse_image_header(b) == ("gif", w, h)
+            out = decode_gif_pixels(b)
+            assert out.shape == (h, w, 3)
+            # gray palette: every channel equals the planted value
+            assert (out == px[:, :, None]).all(), (h, w, interlace)
+
+
+def test_gif_lzw_code_growth_and_table_reset():
+    """Streams that push the LZW table through every code-width
+    transition and past the 4096-entry reset still round-trip — the
+    places a decoder/encoder disagreement silently corrupts pixels."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_gif_pixels,
+        encode_gif_gray8,
+    )
+
+    # highly repetitive: deep dictionary chains, early width growth
+    px = np.tile(np.arange(256, dtype=np.uint8), (80, 4))[:, :900]
+    assert (decode_gif_pixels(encode_gif_gray8(px))[:, :, 0] == px).all()
+    # constant image: maximal KwKwK (code == len(table)) incidence
+    px = np.full((100, 300), 77, dtype=np.uint8)
+    assert (decode_gif_pixels(encode_gif_gray8(px))[:, :, 1] == px).all()
+    # large low-entropy image: crosses the 4096-entry clear/reset
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 4, size=(300, 400), dtype=np.uint8) * 60
+    assert (decode_gif_pixels(encode_gif_gray8(px))[:, :, 2] == px).all()
+
+
+def test_gif_decode_rejects_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_gif_pixels,
+        encode_gif_gray8,
+    )
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_pixels(b"\x89PNG\r\n\x1a\n")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_gif_pixels(b"GIF89a\x02\x00\x02\x00")
+    # header-only payload (no image descriptor): explicit error
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(b"GIF89a" + b"\x08\x00\x06\x00" + b"\x00" * 4)
+    # truncated pixel data: length check, never silent wrong pixels
+    b = bytearray(encode_gif_gray8(np.zeros((4, 4), dtype=np.uint8)))
+    # chop the data sub-blocks but keep the trailer byte
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(bytes(b[:-8]) + b"\x00\x3b")
+
+
+def test_image_pixel_stats_mixed_formats(spark):
+    """The r11 px gate shape: synthesize_pattern_media rotates
+    PNG/GIF by id, and image_pixel_stats decodes BOTH through one
+    dispatch — GIF rows carry the ×3 RGB palette expansion."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        image_pixel_stats,
+        synthesize_pattern_media,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    got = {
+        r["media_id"]: (r["px_n"], r["px_sum"], r["px_min"], r["px_max"])
+        for r in image_pixel_stats(
+            synthesize_pattern_media(docs, mod_side=16)
+        ).collect()
+    }
+    for mid in range(40):
+        w, h = 1 + mid % 16, 1 + (mid * 7) % 16
+        y, x = np.mgrid[0:h, 0:w]
+        v = (mid + 3 * x + 7 * y) % 256
+        k = 3 if mid % 2 else 1  # GIF decodes to RGB triples
+        assert got[mid] == (
+            k * v.size,
+            k * int(v.sum()),
+            int(v.min()),
+            int(v.max()),
+        ), mid
