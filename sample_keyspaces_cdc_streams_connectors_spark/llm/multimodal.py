@@ -162,12 +162,14 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
 # byte-filtered with one of five per-row filters, concatenated, and
 # DEFLATE-compressed into IDAT chunks.  Decoding therefore needs only
 # zlib + the filter inverses — no imaging library.  Supported layout:
-# bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-# 6 (RGBA), no interlace; palette (3) and sub-byte depths raise (they
-# are a table lookup / bit-unpack away, not an entropy coder — added
-# when a consumer needs them).
+# bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette → PLTE RGB
+# expansion, r11), 4 (gray+alpha), 6 (RGBA), no interlace; sub-byte
+# depths and Adam7 raise (a bit-unpack / row-reorder away, not an
+# entropy coder — added when a consumer needs them).
 
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: color type -> stored channels per pixel (palette type 3 stores one
+#: index byte per pixel; the PLTE lookup expands it to RGB on output)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -270,6 +272,7 @@ def decode_png_pixels(payload: bytes | None):
     w = h = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = None
     while i + 8 <= len(b):
         (clen,) = struct.unpack(">I", b[i : i + 4])
         tag = b[i + 4 : i + 8]
@@ -280,6 +283,10 @@ def decode_png_pixels(payload: bytes | None):
             w, h, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
+        elif tag == b"PLTE":
+            if clen % 3 or clen == 0:
+                raise ValueError(f"PLTE length {clen} not a multiple of 3")
+            plte = body
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -293,6 +300,8 @@ def decode_png_pixels(payload: bytes | None):
             f"{bit_depth}, color_type={color_type} (supported: depth 8, "
             f"color types {sorted(_PNG_CHANNELS)})"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
     if interlace:
         raise NotImplementedError("Adam7-interlaced PNG not supported")
     ch = _PNG_CHANNELS[color_type]
@@ -360,7 +369,15 @@ def decode_png_pixels(payload: bytes | None):
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y] = row
         prior = row
-    return out.reshape(h, w, ch)
+    out = out.reshape(h, w, ch)
+    if color_type == 3:
+        # palette expansion: index byte -> PLTE RGB triple
+        pal_arr = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= pal_arr.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return pal_arr[idx]
+    return out
 
 
 # --- real GIF pixel codec (r11, stdlib-only) --------------------------------

@@ -926,3 +926,65 @@ def test_image_pixel_stats_mixed_formats(spark):
             int(v.min()),
             int(v.max()),
         ), mid
+
+
+def test_png_palette_decode():
+    """Color-type-3 PNGs decode through the PLTE lookup (r11): indexes
+    unfilter like gray bytes, then expand to the palette's RGB."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import _png_chunk, decode_png_pixels
+
+    rng = np.random.default_rng(13)
+    h, w, n_pal = 9, 7, 40
+    pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_pal, size=(h, w), dtype=np.uint8)
+    # rows alternate None and Up filters over the index bytes
+    raw = bytearray()
+    prior = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        row = idx[y]
+        if y % 2 == 0:
+            raw.append(0)
+            raw.extend(row.tobytes())
+        else:
+            raw.append(2)
+            raw.extend(((row.astype(np.int64) - prior) % 256).astype(
+                np.uint8
+            ).tobytes())
+        prior = row
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png_pixels(png)
+    assert out.shape == (h, w, 3)
+    assert (out == pal[idx]).all()
+    # a palette PNG without PLTE is malformed, never silent pixels
+    no_plte = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png_pixels(no_plte)
+    # out-of-range index -> explicit error
+    bad_pal = pal[: int(idx.max())]  # one entry short
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bad_pal.tobytes())
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png_pixels(bad)

@@ -229,3 +229,67 @@ def test_scalar_funcs_url_arm_broadcast_anti(plans):
     # only broadcast exchanges (the per-depth blocklist sides) —
     # the scanned fact table never shuffles
     assert plan.count("Exchange") == plan.count("BroadcastExchange")
+
+
+def test_semantic_index_write_single_exchange(spark, sf_dir):
+    """The r10 standing-index write layout (write_semantic_index /
+    append_to_semantic_index): codebook assignment is a map-only
+    Arrow pass and the cell-keyed `_cell_layout` shuffle is the ONE
+    exchange in the pre-write plan — hashpartitioning on `cell`, so
+    each write emits files_per_cell files per cell instead of
+    shuffle_partitions x k (the r9 fragmentation failure mode)."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import semdedup as sd
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _cell_layout
+    from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sd.kmeans_fit(emb, k=8, n_iter=2)
+    unit = [sd._unit(c) for c in cents]
+    members = sd._assign_cells(emb, unit).select(
+        "vec_id", F.col("__nv").alias("nv"), "cell"
+    )
+    plan = (
+        _cell_layout(members, len(unit), 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(cell" in plan
+    assert "MapInPandas" in plan  # assignment stays Arrow map-only
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_compact_dedup_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """compact_dedup_index's rewrite scan shape: `bucket IN (...)`
+    must land as a PartitionFilter (directory pruning — untouched
+    buckets never read), with the replay-duplicate collapse as a
+    partial+final HashAggregate pair and a final bucket-keyed layout
+    exchange."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import build_dedup_index
+    from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "didx")
+    build_dedup_index(docs, path)
+    scan = spark.read.parquet(f"{path}/exact")
+    some = [
+        r["bucket"]
+        for r in scan.select("bucket").distinct().limit(4).collect()
+    ]
+    df = (
+        scan.filter(F.col("bucket").isin(some))
+        .select("bucket", "fp")
+        .distinct()
+        .repartition(len(some), "bucket")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan.replace("\n", " ") or (
+        "PartitionFilters" in plan and "bucket" in plan
+    )
+    assert plan.count("HashAggregate") == 2  # partial + final distinct
+    assert "hashpartitioning(bucket" in plan

@@ -122,6 +122,11 @@ SHOWCASE: dict[str, list[str]] = {
         "extract, resize geometry, frame sampling rows-out>rows-in, "
         "and the r9 hdr arm: synthesize real PNG/GIF/JPEG containers "
         "executor-side, parse format+dims back out of the raw bytes)",
+        "px arm (r10 PNG, r11 GIF): REAL pixel decode — synthesize "
+        "genuine PNG/GIF files and zlib-inflate/LZW-decode them back "
+        "to per-image stats — is TWO MapInPandas stages back-to-back "
+        "in the same task (no exchange between synthesis and decode; "
+        "payload bytes never leave the executor that built them)",
         "stages rejoin on media_id; binary payloads never shuffle "
         "except as Arrow batches inside their own stage",
     ],
@@ -171,6 +176,29 @@ SHOWCASE: dict[str, list[str]] = {
         "shuffles to meet the eval set; the only exchange carries "
         "collision rows",
     ],
+    "semantic_index_write": [
+        "(library operator — the r10 standing-index write path, "
+        "llm/semdedup.py write_semantic_index/append_to_semantic_index) "
+        "cell assignment against the broadcast codebook is a MAP-ONLY "
+        "Arrow pass; the cell-keyed layout shuffle "
+        "(`ivf_index._cell_layout`) is the plan's ONLY exchange — "
+        "`hashpartitioning(cell, k)` — bounding output to "
+        "files_per_cell files per cell per write instead of "
+        "shuffle_partitions × k (the r9 fragmentation stress); pinned "
+        "in tests/test_plans.py",
+    ],
+    "compact_dedup_index": [
+        "(library operator — the r10 maintenance scan, "
+        "llm/maintenance.py compact_dedup_index) the rewrite reads "
+        "ONLY the fragmented buckets: `bucket IN (...)` lands as a "
+        "`PartitionFilters` entry (directory-level pruning — "
+        "untouched buckets are never listed, read, or rewritten), the "
+        "distinct collapses replayed duplicate keys in a "
+        "partial+final `HashAggregate` pair, and the final "
+        "`hashpartitioning(bucket)` exchange lays out one file per "
+        "bucket for the tmp-then-rename swap — cost O(fragmented "
+        "fraction), never O(index)",
+    ],
 }
 
 
@@ -184,6 +212,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("explain")
     queries = entrymod.queries()
+    cleanup_dirs: list[str] = []
 
     out = io.StringIO()
     out.write(
@@ -201,6 +230,60 @@ def main() -> None:
                 "doc_id", "text"
             )
             df = contamination_flags(docs, docs.limit(20))
+        elif name == "semantic_index_write":
+            # the pre-write frame of write_semantic_index (r10 layout):
+            # reconstructed from the same helpers the write path uses
+            # (semdedup.py:386-461) so the shown plan IS the write plan
+            # minus the terminal FileFormatWriter node
+            from pyspark.sql import functions as F
+
+            from sample_keyspaces_cdc_streams_connectors_spark.llm import semdedup as _sd
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _cell_layout
+            from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            cents = _sd.kmeans_fit(emb, k=8, n_iter=2)
+            unit = [_sd._unit(c) for c in cents]
+            assigned = _sd._assign_cells(emb, unit)
+            members = assigned.select(
+                "vec_id", F.col("__nv").alias("nv"), "cell"
+            )
+            df = _cell_layout(members, len(unit), 1)
+        elif name == "compact_dedup_index":
+            # the pruned rewrite scan of compact_dedup_index
+            # (maintenance.py:266-377), reproduced over a freshly
+            # fragmented throwaway index so PartitionFilters shows the
+            # real directory pruning
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
+                append_to_dedup_index,
+                build_dedup_index,
+            )
+            from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            tmp = tempfile.mkdtemp(prefix="plans_didx_")
+            cleanup_dirs.append(tmp)
+            build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0), tmp)
+            append_to_dedup_index(
+                docs.filter(F.col("doc_id") % 2 == 1), tmp
+            )
+            scan = spark.read.parquet(f"{tmp}/exact")
+            frag_vals = [
+                r["bucket"]
+                for r in scan.select("bucket").distinct().limit(8).collect()
+            ]
+            df = (
+                scan.filter(F.col("bucket").isin(frag_vals))
+                .select("bucket", "fp")
+                .distinct()
+                .repartition(len(frag_vals), "bucket")
+            )
         elif name == "stream_window_counts":
             # show the batch-equivalent aggregate, not a replay
             from pyspark.sql import functions as F
@@ -226,6 +309,10 @@ def main() -> None:
     with open(os.path.join(here, "PLANS.md"), "w", encoding="utf-8") as fh:
         fh.write(out.getvalue())
     print(f"wrote PLANS.md ({len(out.getvalue().splitlines())} lines)")
+    import shutil
+
+    for d in cleanup_dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -6,7 +6,13 @@ Text index: base build over the 10x corpus, then N small appends
 (fragmenting the posting buckets and vocabulary), timing `bm25_topk`
 fresh / fragmented / compacted.  IVF index: base build + N appends,
 timing `ivf_index_topk` fresh / appended / rebalanced, and recording
-cell-size skew (max cell / mean cell) before vs after.
+cell-size skew (max cell / mean cell) before vs after.  Dedup
+(fingerprint) index (r11 — VERDICT r10 #5): base build + N appends
+including one replayed batch (duplicate fp rows, the at-least-once
+retry shape), timing `dedup_against_index` fresh / fragmented /
+compacted, checking survivor-set equality throughout and that a Bloom
+sidecar built BEFORE compaction still yields identical survivors
+after (the key set is unchanged, so no rebuild is required).
 
 Usage: python tools/maintenance_stress.py [sf_dir] [n_appends]
 Results go to SCALE.md.
@@ -118,6 +124,85 @@ def main() -> None:
             f"text probe: fresh={lat_fresh:.3f}s fragmented={lat_frag:.3f}s "
             f"compacted={lat_comp:.3f}s compact_time={t_compact:.2f}s "
             f"report={report} ranking_matches_fresh={same}"
+        )
+
+        # ---- dedup (fingerprint) index (r11) -----------------------------
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
+            append_to_dedup_index,
+            build_dedup_index,
+            build_index_bloom,
+            dedup_against_index,
+        )
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_dedup_index
+
+        d_fresh = f"{base}/dedup_fresh"
+        d_grown = f"{base}/dedup_grown"
+        t0 = time.time()
+        build_dedup_index(docs, d_fresh)
+        print(f"dedup fresh build: {time.time()-t0:.2f}s")
+        build_dedup_index(docs.filter(F.col("doc_id") % 2 == 0), d_grown)
+        d_odd = docs.filter(F.col("doc_id") % 2 == 1)
+        t0 = time.time()
+        for i in range(n_appends):
+            append_to_dedup_index(
+                d_odd.filter(F.col("doc_id") % (2 * n_appends) == 2 * i + 1),
+                d_grown,
+            )
+        # one REPLAYED batch: duplicate fp rows land in the index (the
+        # at-least-once retry shape compaction must collapse)
+        append_to_dedup_index(
+            d_odd.filter(F.col("doc_id") % (2 * n_appends) == 1), d_grown
+        )
+        print(f"dedup {n_appends}+1 appends: {time.time()-t0:.2f}s")
+        # probe = the whole corpus PLUS a planted novel slice (the
+        # ingest-gate shape): exactly the novel docs must survive, in
+        # every state — a compaction that drops keys creates extra
+        # survivors, one that invents keys suppresses novel docs
+        novel = (
+            docs.filter(F.col("doc_id") % 7 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000_000))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" novel")))
+        )
+        n_novel = novel.count()
+        probe_docs = docs.unionByName(novel)
+        print(f"dedup probe corpus: {n_docs} indexed + {n_novel} novel")
+
+        def _dedup_probe(path: str, bloom=None) -> int:
+            return dedup_against_index(
+                probe_docs, path, bloom=bloom
+            ).count()
+
+        def _files_per_bucket(path: str) -> tuple[int, float]:
+            import glob as _glob
+
+            counts = [
+                len(_glob.glob(f"{b}/*.parquet"))
+                for b in _glob.glob(f"{path}/exact/bucket=*")
+            ]
+            return max(counts), sum(counts) / len(counts)
+
+        lat_dfresh = _best(lambda: _dedup_probe(d_fresh))
+        surv_frag = _dedup_probe(d_grown)
+        lat_dfrag = _best(lambda: _dedup_probe(d_grown))
+        fmax0, favg0 = _files_per_bucket(d_grown)
+        # Bloom sidecar built BEFORE compaction
+        bloom = build_index_bloom(spark, d_grown)
+        t0 = time.time()
+        d_report = compact_dedup_index(spark, d_grown)
+        t_dcomp = time.time() - t0
+        surv_comp = _dedup_probe(d_grown)
+        lat_dcomp = _best(lambda: _dedup_probe(d_grown))
+        surv_bloom = _dedup_probe(d_grown, bloom=bloom)
+        fmax1, favg1 = _files_per_bucket(d_grown)
+        idx = spark.read.parquet(f"{d_grown}/exact")
+        dup_free = idx.count() == idx.distinct().count()
+        print(
+            f"dedup probe: fresh={lat_dfresh:.3f}s "
+            f"fragmented={lat_dfrag:.3f}s compacted={lat_dcomp:.3f}s "
+            f"compact_time={t_dcomp:.2f}s report={d_report} "
+            f"files/bucket max {fmax0}->{fmax1} avg {favg0:.1f}->{favg1:.1f} "
+            f"survivors frag={surv_frag} comp={surv_comp} "
+            f"bloom_pre_compact={surv_bloom} dup_rows_collapsed={dup_free}"
         )
 
         # ---- IVF index --------------------------------------------------
