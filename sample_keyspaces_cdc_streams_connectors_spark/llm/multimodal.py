@@ -161,11 +161,11 @@ def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
 # The PNG format is public (RFC 2083 / W3C PNG spec): scanlines are
 # byte-filtered with one of five per-row filters, concatenated, and
 # DEFLATE-compressed into IDAT chunks.  Decoding therefore needs only
-# zlib + the filter inverses — no imaging library.  Supported layout:
-# bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette → PLTE RGB
-# expansion, r11), 4 (gray+alpha), 6 (RGBA), no interlace; sub-byte
-# depths and Adam7 raise (a bit-unpack / row-reorder away, not an
-# entropy coder — added when a consumer needs them).
+# zlib + the filter inverses — no imaging library.  Supported: EVERY
+# spec-valid layout (r11): color types 0 (gray), 2 (RGB), 3 (palette
+# → PLTE RGB expansion), 4 (gray+alpha), 6 (RGBA) at their permitted
+# bit depths (1/2/4 bit-unpack MSB-first and gray rescales to 8-bit;
+# 16 keeps the big-endian high byte), sequential or Adam7 interlaced.
 
 #: color type -> stored channels per pixel (palette type 3 stores one
 #: index byte per pixel; the PLTE lookup expands it to RGB on output)
@@ -194,22 +194,11 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png_gray8(pixels, filter_rotation: bool = True) -> bytes:
-    """Minimal REAL PNG encoder for 8-bit grayscale (CRCs valid, any
-    decoder reads it): used by the test/oracle synthesis path so the
-    decoder below is exercised against independently-constructed
-    files.  ``filter_rotation=True`` filters row ``y`` with type
-    ``y % 5`` — every one of the five scanline filters appears, so a
-    decoder that fumbles any single filter inverse produces wrong
-    pixels (the oracle gate re-derives the planted pattern
-    arithmetically and would catch it)."""
-    import zlib
-
+def _png_filter_rows(px, filter_rotation: bool) -> bytearray:
+    """Forward-filter a 2-D gray8 array into PNG scanline bytes,
+    rotating through all five filters when asked."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim != 2:
-        raise ValueError(f"expected (h, w) gray8 array, got shape {px.shape}")
     h, w = px.shape
     raw = bytearray()
     prior = np.zeros(w, dtype=np.int64)
@@ -236,7 +225,39 @@ def encode_png_gray8(pixels, filter_rotation: bool = True) -> bytes:
         raw.append(ft)
         raw.extend((enc % 256).astype(np.uint8).tobytes())
         prior = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return raw
+
+
+def encode_png_gray8(
+    pixels, filter_rotation: bool = True, interlace: bool = False
+) -> bytes:
+    """Minimal REAL PNG encoder for 8-bit grayscale (CRCs valid, any
+    decoder reads it): used by the test/oracle synthesis path so the
+    decoder below is exercised against independently-constructed
+    files.  ``filter_rotation=True`` filters row ``y`` with type
+    ``y % 5`` — every one of the five scanline filters appears, so a
+    decoder that fumbles any single filter inverse produces wrong
+    pixels (the oracle gate re-derives the planted pattern
+    arithmetically and would catch it).  ``interlace=True`` (r11)
+    writes the seven Adam7 passes, each independently filtered, so
+    the decoder's pass-scatter is exercised too."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError(f"expected (h, w) gray8 array, got shape {px.shape}")
+    h, w = px.shape
+    if interlace:
+        raw = bytearray()
+        for x0, y0, xs, ys in _ADAM7_PASSES:
+            sub = px[y0::ys, x0::xs]
+            if sub.size:
+                raw.extend(_png_filter_rows(sub, filter_rotation))
+    else:
+        raw = _png_filter_rows(px, filter_rotation)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlace else 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -245,76 +266,74 @@ def encode_png_gray8(pixels, filter_rotation: bool = True) -> bytes:
     )
 
 
-def decode_png_pixels(payload: bytes | None):
-    """REAL stdlib PNG pixel decode: returns an ``(h, w, channels)``
-    uint8 numpy array.  Walks the chunk stream, zlib-inflates the
-    concatenated IDAT data, and inverts the five scanline filters
-    row-sequentially (Sub/Average/Paeth carry an in-row left
-    dependency, so those rows decode byte-sequentially; None/Up rows
-    are vectorized).  Raises ``ValueError`` on malformed data and
-    ``NotImplementedError`` for the unsupported layouts documented
-    above — never a wrong-pixel silent result.
+#: Adam7 interlace passes: (x_start, y_start, x_step, y_step), the
+#: published seven-pass grid (PNG spec §8.2)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Scale note: this is the per-item kernel inside ``mapInPandas``
-    (:func:`image_pixel_stats`) — decode happens executor-side over
-    Arrow batches; at 100 TB the driver never touches a payload.  A
-    production deployment would swap in a C decoder (Pillow-SIMD) via
-    the same ``fake``-free call sites; the contract (filters, layout,
-    output array) is identical because the format is."""
-    import zlib
 
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+#: color type -> the bit depths the PNG spec permits for it
+_PNG_VALID_DEPTHS = {
+    0: {1, 2, 4, 8, 16},
+    2: {8, 16},
+    3: {1, 2, 4, 8},
+    4: {8, 16},
+    6: {8, 16},
+}
+
+
+def _png_row_bytes(width_px: int, ch: int, depth: int) -> int:
+    """Bytes per scanline (excluding the filter byte) — sub-byte
+    depths pack bits MSB-first, padded to a byte boundary per row."""
+    return (width_px * ch * depth + 7) // 8
+
+
+def _png_extract(rows, width_px: int, ch: int, depth: int):
+    """Unfiltered scanline BYTES -> ``(n, width_px, ch)`` uint8
+    samples: depth 8 is a reshape, depth 16 keeps the big-endian high
+    byte (the standard 16→8 downscale), sub-byte depths bit-unpack
+    MSB-first (PNG spec §7.2)."""
     import numpy as np
 
-    b = payload or b""
-    if b[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    i = 8
-    w = h = None
-    bit_depth = color_type = interlace = None
-    idat = bytearray()
-    plte = None
-    while i + 8 <= len(b):
-        (clen,) = struct.unpack(">I", b[i : i + 4])
-        tag = b[i + 4 : i + 8]
-        body = b[i + 8 : i + 8 + clen]
-        if len(body) < clen:
-            raise ValueError("truncated PNG chunk")
-        if tag == b"IHDR":
-            w, h, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", body)
-            )
-        elif tag == b"PLTE":
-            if clen % 3 or clen == 0:
-                raise ValueError(f"PLTE length {clen} not a multiple of 3")
-            plte = body
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-        i += 12 + clen  # len + tag + body + crc
-    if w is None:
-        raise ValueError("PNG without IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG layout unsupported by the stdlib decoder: bit_depth="
-            f"{bit_depth}, color_type={color_type} (supported: depth 8, "
-            f"color types {sorted(_PNG_CHANNELS)})"
-        )
-    if color_type == 3 and plte is None:
-        raise ValueError("palette PNG without a PLTE chunk")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"PNG pixel data length {len(raw)} != expected {h * (stride + 1)}"
-        )
-    out = np.empty((h, stride), dtype=np.uint8)
+    n = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(n, width_px, ch)
+    if depth == 16:
+        return rows.reshape(n, width_px, ch, 2)[:, :, :, 0]
+    bits = np.unpackbits(rows, axis=1)[:, : width_px * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(n, width_px, depth) * weights).sum(
+        axis=2, dtype=np.uint16
+    )
+    return vals.astype(np.uint8).reshape(n, width_px, 1)
+
+
+def _png_unfilter(raw: bytes, pos: int, n_rows: int, row_bytes: int, bpp: int):
+    """Invert the five PNG scanline filters over ``n_rows`` scanlines
+    of ``row_bytes`` bytes starting at ``raw[pos]``; ``bpp`` is the
+    filter byte-offset (``max(1, channels·depth/8)`` — filters always
+    operate on BYTES, spec §9).  Returns the ``(n_rows, row_bytes)``
+    uint8 array and the new offset.  One call decodes a sequential
+    image; Adam7 calls it once per pass (each pass is independently
+    filtered, PNG spec §8.2)."""
+    import numpy as np
+
+    stride = row_bytes
+    ch = bpp
+    out = np.empty((n_rows, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.uint8)
-    pos = 0
-    for y in range(h):
+    for y in range(n_rows):
         ft = raw[pos]
         row = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=pos + 1
@@ -324,11 +343,18 @@ def decode_png_pixels(payload: bytes | None):
             pass
         elif ft == 2:  # Up — vectorized
             row += prior  # uint8 wraps mod 256, the format's arithmetic
-        elif ft == 1:  # Sub — per-channel prefix sum mod 256
+        elif ft == 1:  # Sub — per-lane prefix sum mod 256
             # uint8 accumulation wraps mod 256 natively — no widening
-            row = np.cumsum(
-                row.reshape(-1, ch), axis=0, dtype=np.uint8
-            ).reshape(-1)
+            if stride % ch:
+                # ragged tail (possible only for malformed streams)
+                r = row.tolist()
+                for x in range(ch, stride):
+                    r[x] = (r[x] + r[x - ch]) & 255
+                row = np.asarray(r, dtype=np.uint8)
+            else:
+                row = np.cumsum(
+                    row.reshape(-1, ch), axis=0, dtype=np.uint8
+                ).reshape(-1)
         elif ft == 3:  # Average — sequential left dependency
             # the carry loop runs over Python ints via lists: numpy
             # scalar indexing pays boxing per element and measured
@@ -369,14 +395,118 @@ def decode_png_pixels(payload: bytes | None):
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y] = row
         prior = row
-    out = out.reshape(h, w, ch)
+    return out, pos
+
+
+def decode_png_pixels(payload: bytes | None):
+    """REAL stdlib PNG pixel decode: returns an ``(h, w, channels)``
+    uint8 numpy array.  Walks the chunk stream, zlib-inflates the
+    concatenated IDAT data, and inverts the five scanline filters
+    row-sequentially (Sub/Average/Paeth carry an in-row left
+    dependency, so those rows decode byte-sequentially; None/Up rows
+    are vectorized).  Every spec-valid (color type, bit depth,
+    interlace) combination decodes (r11); malformed data — including
+    off-spec combinations — raises ``ValueError``, never a
+    wrong-pixel silent result.
+
+    Scale note: this is the per-item kernel inside ``mapInPandas``
+    (:func:`image_pixel_stats`) — decode happens executor-side over
+    Arrow batches; at 100 TB the driver never touches a payload.  A
+    production deployment would swap in a C decoder (Pillow-SIMD) via
+    the same ``fake``-free call sites; the contract (filters, layout,
+    output array) is identical because the format is."""
+    import zlib
+
+    import numpy as np
+
+    b = payload or b""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    i = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    plte = None
+    while i + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif tag == b"PLTE":
+            if clen % 3 or clen == 0:
+                raise ValueError(f"PLTE length {clen} not a multiple of 3")
+            plte = body
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + clen  # len + tag + body + crc
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if (
+        color_type not in _PNG_CHANNELS
+        or bit_depth not in _PNG_VALID_DEPTHS.get(color_type, ())
+    ):
+        raise ValueError(
+            f"invalid PNG layout: bit_depth={bit_depth}, "
+            f"color_type={color_type} (spec combinations only)"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
+    ch = _PNG_CHANNELS[color_type]
+    bpp = max(1, ch * bit_depth // 8)  # filter byte-offset (spec §9)
+    raw = zlib.decompress(bytes(idat))
+    if interlace:
+        # Adam7 (r11): seven sub-images, each independently filtered,
+        # scattered back on the published (x0, y0, xs, ys) grid
+        geom = [
+            (x0, y0, xs, ys, _ceil_div(w - x0, xs), _ceil_div(h - y0, ys))
+            for x0, y0, xs, ys in _ADAM7_PASSES
+        ]
+        expected = sum(
+            ph * (_png_row_bytes(pw, ch, bit_depth) + 1)
+            for *_xy, pw, ph in geom
+            if pw > 0 and ph > 0
+        )
+        if len(raw) != expected:
+            raise ValueError(
+                f"PNG pixel data length {len(raw)} != expected {expected}"
+            )
+        img = np.empty((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, xs, ys, pw, ph in geom:
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, pos = _png_unfilter(
+                raw, pos, ph, _png_row_bytes(pw, ch, bit_depth), bpp
+            )
+            img[y0::ys, x0::xs] = _png_extract(sub, pw, ch, bit_depth)
+        out = img
+    else:
+        row_bytes = _png_row_bytes(w, ch, bit_depth)
+        if len(raw) != h * (row_bytes + 1):
+            raise ValueError(
+                f"PNG pixel data length {len(raw)} != "
+                f"expected {h * (row_bytes + 1)}"
+            )
+        rows, _ = _png_unfilter(raw, 0, h, row_bytes, bpp)
+        out = _png_extract(rows, w, ch, bit_depth)
     if color_type == 3:
-        # palette expansion: index byte -> PLTE RGB triple
+        # palette expansion: index -> PLTE RGB triple
         pal_arr = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = out[:, :, 0]
         if int(idx.max(initial=0)) >= pal_arr.shape[0]:
             raise ValueError("PNG palette index out of range")
         return pal_arr[idx]
+    if color_type == 0 and bit_depth < 8:
+        # gray sub-byte samples rescale to full 8-bit range (255/1,
+        # 255/3, 255/15 are exact integer factors)
+        out = out * np.uint8(255 // ((1 << bit_depth) - 1))
     return out
 
 
@@ -701,8 +831,12 @@ def _pattern_pixels(mid: int, mod_side: int):
 
 def _pattern_png_bytes(mid: int, mod_side: int = 16) -> bytes:
     """A real gray8 PNG of the planted pattern (:func:`_pattern_pixels`)
-    with all five scanline filters rotating through the rows."""
-    return encode_png_gray8(_pattern_pixels(mid, mod_side))
+    with all five scanline filters rotating through the rows,
+    Adam7-interlaced for every other id (r11) — filters, interlace
+    scatter, and chunk walk all under the oracle gate."""
+    return encode_png_gray8(
+        _pattern_pixels(mid, mod_side), interlace=bool((mid >> 1) & 1)
+    )
 
 
 def _pattern_gif_bytes(mid: int, mod_side: int = 16) -> bytes:

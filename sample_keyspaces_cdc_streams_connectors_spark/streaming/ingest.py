@@ -29,10 +29,17 @@ probes see batch N's appends — cross-batch dedup without global
 state.  Delivery is Structured Streaming's at-least-once for
 foreachBatch; the sink converts that to effectively-once at BATCH
 granularity with a batch-id ledger (r11 — the standard foreachBatch
-idempotence pattern): a ``_ingest_ledger/batch-{id}`` entry under the
-output path commits AFTER the output append and every standing-index
-append, and a redelivered batch id (driver restart replaying from the
-stream checkpoint — the common retry) is skipped whole.  The residual
+idempotence pattern): a ``_ingest_ledger/{ledger-id}-batch-{id}``
+entry under the output path commits AFTER the output append and every
+standing-index append, and a redelivered batch id (driver restart
+replaying from the stream checkpoint — the common retry) is skipped
+whole.  Batch ids are only meaningful WITHIN one streaming query's
+checkpoint lineage: restarts from the same checkpoint continue the
+sequence (dedup is correct), but a NEW stream pointed at the SAME
+output path restarts ids at 0 and would collide with the old ledger —
+set ``corpus.ingest-ledger-id`` to a fresh value per logical stream
+(default ``default``), or ``corpus.ingest-ledger = off`` to disable
+and fall back to plain at-least-once.  The residual
 duplicate window is exactly a batch that CRASHED between its first
 write and its ledger commit: its retry re-runs the appends, and the
 downstream effect differs per target — output/dedup/semantic appends
@@ -159,6 +166,15 @@ def curation_ingest_sink(
     # (a long-running stream would otherwise litter one empty dir per
     # micro-batch under the checkpoint root)
     ckpt_dir_applied = False
+    ledger_mode = (cfg.get(f"{_P}.ingest-ledger", "on") or "on").lower()
+    if ledger_mode not in ("on", "off"):
+        raise ValueError(
+            f"{_P}.ingest-ledger must be 'on' or 'off', got {ledger_mode!r}"
+        )
+    # batch ids are scoped to ONE streaming query's checkpoint lineage
+    # (module docstring): a new logical stream over the same out_path
+    # needs its own ledger id or the old entries shadow its batches
+    ledger_id = cfg.get(f"{_P}.ingest-ledger-id", "default") or "default"
     ledger_dir = f"{out_path.rstrip('/')}/_ingest_ledger"
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -171,10 +187,11 @@ def curation_ingest_sink(
         # means every append below already COMMITTED for this data —
         # re-running them would duplicate output rows and double-count
         # text-index postings.  Skip it whole.
-        ledger_entry = f"{ledger_dir}/batch-{batch_id}"
-        fs, jvm = _fs(spark, ledger_entry)
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(ledger_entry)):
-            return
+        ledger_entry = f"{ledger_dir}/{ledger_id}-batch-{batch_id}"
+        if ledger_mode == "on":
+            fs, jvm = _fs(spark, ledger_entry)
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(ledger_entry)):
+                return
         # checkpoint (eager), NOT persist: appending to a standing
         # index refreshes that path's cache entries (Spark invalidates
         # caches on write-to-read-path), which would UNCACHE a merely
@@ -202,7 +219,8 @@ def curation_ingest_sink(
         else:
             survivors = curate(batch_df).localCheckpoint()
         if survivors.limit(1).count() == 0:
-            _write_text(spark, ledger_entry, '{"rows": 0}')
+            if ledger_mode == "on":
+                _write_text(spark, ledger_entry, '{"rows": 0}')
             return
         survivors.write.mode("append").parquet(out_path)
         if dedup_index_path:
@@ -259,6 +277,7 @@ def curation_ingest_sink(
         # of this batch id is now a pure no-op.  A crash before this
         # line re-opens the batch — see the module docstring for the
         # precise per-target duplicate bound.
-        _write_text(spark, ledger_entry, '{"rows": "committed"}')
+        if ledger_mode == "on":
+            _write_text(spark, ledger_entry, '{"rows": "committed"}')
 
     return handle

@@ -296,11 +296,28 @@ def test_replayed_batch_is_skipped_by_ledger(spark, sf_dir, tmp_path):
     # redelivery: SAME batch id, same data — must be skipped whole
     handle(batches[1], 1)
     assert _state() == before
-    # the ledger recorded the commit
-    assert os.path.exists(f"{out}/_ingest_ledger/batch-1")
+    # the ledger recorded the commit under the (default) ledger id
+    assert os.path.exists(f"{out}/_ingest_ledger/default-batch-1")
     # a FRESH batch id still flows normally
     handle(batches[2], 2)
-    assert spark.read.parquet(out).count() > before[0]
+    after2 = spark.read.parquet(out).count()
+    assert after2 > before[0]
+    # a NEW logical stream over the same out_path scopes its own
+    # ledger id, so its restarted batch ids are NOT shadowed
+    cfg2 = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {
+                    "text-index-path": tidx,
+                    "ingest-ledger-id": "stream2",
+                }
+            }
+        }
+    )
+    handle2 = curation_ingest_sink(cfg2, out)
+    handle2(batches[3], 1)  # id 1 again — different ledger id
+    assert spark.read.parquet(out).count() > after2
+    assert os.path.exists(f"{out}/_ingest_ledger/stream2-batch-1")
 
 
 def test_replayed_batch_crash_window_text_scores(spark, sf_dir, tmp_path):
@@ -369,3 +386,35 @@ def test_replayed_batch_crash_window_text_scores(spark, sf_dir, tmp_path):
     assert {r["term"]: r["tf"] for r in tf_compacted} == {
         t: 2 * tf for t, tf in tf_before.items()
     }
+
+
+def test_ingest_ledger_off_mode(spark, sf_dir, tmp_path):
+    """corpus.ingest-ledger = off falls back to plain at-least-once:
+    a redelivered batch re-appends (the pre-r11 behavior), and no
+    ledger entries are written."""
+    out = str(tmp_path / "out")
+    batches = _batches(spark, sf_dir)
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"ingest-ledger": "off"}
+            }
+        }
+    )
+    handle = curation_ingest_sink(cfg, out)
+    handle(batches[1], 1)
+    n1 = spark.read.parquet(out).count()
+    handle(batches[1], 1)  # replay is NOT suppressed in off mode
+    assert spark.read.parquet(out).count() == 2 * n1
+    assert not os.path.exists(f"{out}/_ingest_ledger")
+    with pytest.raises(ValueError, match="ingest-ledger"):
+        curation_ingest_sink(
+            load_config(
+                {
+                    "keyspaces-cdc-streams": {
+                        "corpus": {"ingest-ledger": "maybe"}
+                    }
+                }
+            ),
+            out,
+        )

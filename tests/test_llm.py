@@ -765,12 +765,19 @@ def test_png_decode_rejects_unsupported_and_malformed():
 
     with _pytest.raises(ValueError, match="not a PNG"):
         decode_png_pixels(b"GIF89a\x00\x00")
-    # bit depth 16 → explicit NotImplementedError, never wrong pixels
+    # depth byte rewritten to 16 without widening the pixel data →
+    # the decoder treats it as gray16 and the LENGTH check fires
+    # (r11: depth 16 itself is now supported) — never silent pixels
     import numpy as np
 
     b = bytearray(encode_png_gray8(np.zeros((2, 2), dtype=np.uint8)))
     b[24] = 16  # IHDR bit-depth byte
-    with _pytest.raises(NotImplementedError, match="bit_depth=16"):
+    with _pytest.raises(ValueError, match="length"):
+        decode_png_pixels(bytes(b))
+    # an off-spec (depth, color type) combination is malformed
+    b[24] = 16
+    b[25] = 3  # palette PNGs cap at depth 8
+    with _pytest.raises(ValueError, match="invalid PNG layout"):
         decode_png_pixels(bytes(b))
     # JPEG pixel dispatch stays the stub boundary (GIF decodes for
     # real as of r11)
@@ -988,3 +995,167 @@ def test_png_palette_decode():
     )
     with _pytest.raises(ValueError, match="palette index"):
         decode_png_pixels(bad)
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7-interlaced PNGs decode (r11): seven independently
+    filtered passes scatter back on the published grid — including
+    degenerate geometries where most passes are empty."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_png_pixels,
+        encode_png_gray8,
+        parse_image_header,
+    )
+
+    rng = np.random.default_rng(9)
+    for h, w in [(1, 1), (2, 2), (7, 7), (8, 8), (9, 10), (33, 47)]:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        b = encode_png_gray8(px, interlace=True)
+        assert parse_image_header(b) == ("png", w, h)
+        out = decode_png_pixels(b)
+        assert out.shape == (h, w, 1)
+        assert (out[:, :, 0] == px).all(), (h, w)
+    # truncated interlaced stream: explicit length error
+    import pytest as _pytest
+
+    px = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    b = encode_png_gray8(px, interlace=True)
+    # rebuild with a truncated IDAT (drop the last pass's bytes)
+    import struct as _struct
+    import zlib as _zlib
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import _png_chunk
+
+    ihdr = _struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 1)
+    short = _zlib.decompress(_extract_idat(b))[:-40]
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(short))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="length"):
+        decode_png_pixels(bad)
+
+
+def _extract_idat(png: bytes) -> bytes:
+    """Concatenate IDAT chunk bodies from a PNG byte string."""
+    import struct as _struct
+
+    i, out = 8, bytearray()
+    while i + 8 <= len(png):
+        (clen,) = _struct.unpack(">I", png[i : i + 4])
+        tag = png[i + 4 : i + 8]
+        if tag == b"IDAT":
+            out.extend(png[i + 8 : i + 8 + clen])
+        if tag == b"IEND":
+            break
+        i += 12 + clen
+    return bytes(out)
+
+
+def test_png_depth_matrix():
+    """Every spec-valid (bit depth, color type) combination decodes
+    (r11): sub-byte grays rescale to 8-bit, sub-byte palette indexes
+    look up PLTE, 16-bit keeps the big-endian high byte."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import _png_chunk, decode_png_pixels
+
+    rng = np.random.default_rng(21)
+
+    def build(samples, depth, color_type, pal=None):
+        h, w = samples.shape[:2]
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        flat = samples.reshape(h, w * ch)
+        raw = bytearray()
+        prior = None
+        for y in range(h):
+            if depth == 8:
+                rb = flat[y].astype(np.uint8).tobytes()
+            elif depth == 16:
+                rb = flat[y].astype(">u2").tobytes()
+            else:
+                bits = np.unpackbits(
+                    flat[y].astype(np.uint8)[:, None], axis=1
+                )[:, 8 - depth :]
+                rb = np.packbits(bits.reshape(-1)).tobytes()
+            arr = np.frombuffer(rb, dtype=np.uint8).astype(np.int64)
+            ft = (0, 2)[y % 2]  # rotate None/Up over the raw bytes
+            enc = arr if ft == 0 else arr - (
+                prior if prior is not None else np.zeros_like(arr)
+            )
+            raw.append(ft)
+            raw.extend((enc % 256).astype(np.uint8).tobytes())
+            prior = arr
+        ihdr = _struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        if pal is not None:
+            png += _png_chunk(b"PLTE", pal.tobytes())
+        return (
+            png
+            + _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for d in (1, 2, 4):  # sub-byte gray
+        maxv = (1 << d) - 1
+        px = rng.integers(0, maxv + 1, size=(9, 13), dtype=np.uint8)
+        out = decode_png_pixels(build(px, d, 0))
+        assert out.shape == (9, 13, 1)
+        assert (out[:, :, 0] == px * (255 // maxv)).all(), d
+    for d in (1, 2, 4):  # sub-byte palette
+        n_pal = 1 << d
+        pal = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+        idx = rng.integers(0, n_pal, size=(7, 11), dtype=np.uint8)
+        out = decode_png_pixels(build(idx, d, 3, pal=pal))
+        assert (out == pal[idx]).all(), d
+    px16 = rng.integers(0, 65536, size=(6, 5), dtype=np.uint16)
+    assert (
+        decode_png_pixels(build(px16, 16, 0))[:, :, 0] == (px16 >> 8)
+    ).all()
+    rgb16 = rng.integers(0, 65536, size=(4, 3, 3), dtype=np.uint16)
+    assert (decode_png_pixels(build(rgb16, 16, 2)) == (rgb16 >> 8)).all()
+    ga16 = rng.integers(0, 65536, size=(5, 4, 2), dtype=np.uint16)
+    assert (decode_png_pixels(build(ga16, 16, 4)) == (ga16 >> 8)).all()
+    with _pytest.raises(ValueError, match="invalid PNG layout"):
+        decode_png_pixels(build(px16, 16, 3, pal=pal))
+
+
+def test_gif_small_palette_decode():
+    """GIFs with small color tables use small LZW minimum code sizes
+    (here 2 bits, 4-entry palette) — the code-width ramp starts at 3
+    bits and must stay in lockstep with the encoder."""
+    import struct as _struct
+
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import _lzw_encode, decode_gif_pixels
+
+    rng = np.random.default_rng(17)
+    h, w = 23, 31
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8
+    )
+    idx = rng.integers(0, 4, size=(h, w), dtype=np.uint8)
+    lsd = _struct.pack("<HH", w, h) + bytes([0x81, 0, 0])  # GCT, size 4
+    descriptor = b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    lzw = _lzw_encode(idx.tobytes(), 2)
+    blocks = bytearray([2])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    gif = (
+        b"GIF89a" + lsd + pal.tobytes() + descriptor + bytes(blocks) + b"\x3b"
+    )
+    out = decode_gif_pixels(gif)
+    assert out.shape == (h, w, 3)
+    assert (out == pal[idx]).all()
