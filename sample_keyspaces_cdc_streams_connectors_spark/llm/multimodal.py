@@ -9,18 +9,20 @@ worker per core, no driver involvement.  Batch size is bounded via
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` so decoded frames
 fit executor memory.
 
-Decode depth (r10 PNG, r11 GIF): container HEADER geometry — format,
-width, height for PNG (IHDR), GIF (logical screen descriptor) and
-JPEG (SOF scan) — is parsed NATIVELY from the binary payload with
+Decode depth (r10 PNG, r11 GIF + JPEG): container HEADER geometry —
+format, width, height for PNG (IHDR), GIF (logical screen descriptor)
+and JPEG (SOF scan) — is parsed NATIVELY from the binary payload with
 stdlib-only code (:func:`parse_image_header`).  PIXEL decoding is
-real for PNG (:func:`decode_png_pixels` — zlib-inflated IDAT + the
-five scanline filters) AND for GIF (:func:`decode_gif_pixels` — the
-LZW entropy coder, palette mapping, four-pass de-interlace), both the
-published formats, nothing but stdlib zlib + numpy.  Only JPEG pixel
-decoding (the DCT entropy coder — Pillow, not available in this
-container) remains stubbed behind ``NotImplementedError`` / the
-deterministic fake.  The Spark-side plumbing — schema, UDF signature,
-Arrow batching, partition behavior — is real and tested.
+real for ALL THREE formats: PNG (:func:`decode_png_pixels` —
+zlib-inflated IDAT + the five scanline filters, every spec-valid
+depth/color-type/interlace layout), GIF (:func:`decode_gif_pixels` —
+the LZW entropy coder, palette mapping, four-pass de-interlace), and
+baseline JPEG (:func:`decode_jpeg_pixels` — Huffman entropy decode,
+dequantize, 8×8 IDCT, chroma upsampling, YCbCr→RGB); all published
+formats, nothing but stdlib zlib + numpy.  Progressive JPEG (SOF2)
+and non-image containers remain the ``NotImplementedError`` / fake
+boundary.  The Spark-side plumbing — schema, UDF signature, Arrow
+batching, partition behavior — is real and tested.
 """
 
 from __future__ import annotations
@@ -749,21 +751,666 @@ def decode_gif_pixels(payload: bytes | None):
     raise ValueError("GIF without an image descriptor")
 
 
+# --- real JPEG pixel codec (r11, stdlib-only) --------------------------------
+#
+# Baseline sequential DCT JPEG (ITU T.81): 8×8 blocks level-shift,
+# forward-DCT, quantize, zigzag, and Huffman-code (DC differences by
+# magnitude category; AC by run/size pairs) with 0xFF byte stuffing.
+# Decoding needs the Huffman entropy coder + an 8×8 IDCT — both
+# published algorithms, implementable with numpy alone.  Supported:
+# SOF0 (baseline), 8-bit precision, grayscale or YCbCr with 4:4:4 /
+# 4:2:2 / 4:2:0 sampling, restart intervals.  Progressive (SOF2) and
+# arithmetic coding raise.  The test/oracle encoder writes grayscale
+# with the spec's Annex K example Huffman tables; an all-ones quant
+# table on CONSTANT 8×8 blocks round-trips pixels EXACTLY (only the
+# DC coefficient is nonzero and it quantizes losslessly), which is
+# what lets DuckDB re-derive planted JPEG pixel statistics
+# arithmetically in the oracle gate.
+
+#: zigzag scan order: index i of the scan -> (row*8 + col) position
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: ITU T.81 Annex K.3 example Huffman tables (published constants):
+#: (bits[1..16] counts, symbol values) for luminance DC and AC
+_JPEG_DC_LUM_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_LUM_VALS = tuple(range(12))
+_JPEG_AC_LUM_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_LUM_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _dct_matrix():
+    """The orthogonal 8×8 DCT-II basis M (M @ f @ M.T = JPEG forward
+    coefficients; M.T @ F @ M inverts)."""
+    import numpy as np
+
+    u, x = np.mgrid[0:8, 0:8]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _huff_canonical(bits, vals):
+    """(bits[1..16], values) -> {(length, code): symbol} (T.81 C.2)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_map(bits, vals):
+    """(bits, values) -> {symbol: (code, length)} for the encoder."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _huff_canonical(bits, vals).items()
+    }
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF00 byte stuffing (T.81
+    F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _huff_fast(table):
+    """{(length, code): sym} -> (lut256, long_dict): an 8-bit-prefix
+    lookup table resolving every code of ≤8 bits in ONE peek (the
+    standard JPEG decoder optimization — per-bit dictionary walks are
+    the bottleneck on dense scans), plus the >8-bit residue."""
+    lut = [None] * 256
+    longd = {}
+    for (length, code), sym in table.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for i in range(1 << (8 - length)):
+                lut[base + i] = (sym, length)
+        else:
+            longd[(length, code)] = sym
+    return lut, longd
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment; undoes
+    0xFF00 stuffing and stops at any real marker (restart handling is
+    the caller's job via ``resync``)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        d = self.d
+        if self.pos >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # a real marker inside the scan — treat missing bits
+                # as an error surface, not silent pixels
+                raise ValueError(
+                    f"unexpected JPEG marker 0xFF{nxt:02x} mid-scan"
+                    if nxt is not None
+                    else "JPEG entropy data truncated at 0xFF"
+                )
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | byte
+        self._n += 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self._n < n:
+            self._fill()
+        self._n -= n
+        return (self._acc >> self._n) & ((1 << n) - 1)
+
+    def read_symbol(self, fast) -> int:
+        lut, longd = fast
+        if self._n < 8:
+            try:
+                while self._n < 8:
+                    self._fill()
+            except ValueError:
+                return self._read_symbol_slow(lut, longd)
+        idx = (self._acc >> (self._n - 8)) & 0xFF
+        hit = lut[idx]
+        if hit is not None:
+            self._n -= hit[1]
+            return hit[0]
+        code = idx
+        length = 8
+        self._n -= 8
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = longd.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def _read_symbol_slow(self, lut, longd) -> int:
+        """Tail path: fewer than 8 bits remain before a marker — walk
+        bit-by-bit so only genuinely-consumed bits can fail."""
+        code = 0
+        length = 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            if length <= 8:
+                hit = lut[code << (8 - length)]
+                if hit is not None and hit[1] == length:
+                    return hit[0]
+            else:
+                sym = longd.get((length, code))
+                if sym is not None:
+                    return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def resync(self, expected_rst: int) -> None:
+        """Consume an RSTn marker at a restart boundary."""
+        self._acc = 0
+        self._n = 0
+        d = self.d
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and (
+            d[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos] != 0xFF
+            or d[self.pos + 1] != 0xD0 + expected_rst
+        ):
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits to a signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_encode_block(wr, block, qtable, dc_map, ac_map, prev_dc, m, zz):
+    """Forward-DCT, quantize, and Huffman-code one 8×8 block; returns
+    the new DC predictor."""
+    import numpy as np
+
+    f = m @ (block.astype(np.float64) - 128.0) @ m.T
+    q = np.round(f.reshape(64)[zz] / qtable).astype(np.int64)
+    diff = int(q[0]) - prev_dc
+    s = abs(diff).bit_length()
+    code, length = dc_map[s]
+    wr.write(code, length)
+    if s:
+        wr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(q[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zcode, zlen = ac_map[0xF0]  # ZRL
+            wr.write(zcode, zlen)
+            run -= 16
+        s = abs(v).bit_length()
+        code, length = ac_map[(run << 4) | s]
+        wr.write(code, length)
+        wr.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        ecode, elen = ac_map[0x00]  # EOB
+        wr.write(ecode, elen)
+    return int(q[0])
+
+
+def _encode_jpeg(planes, samplings, quant, restart_interval=0) -> bytes:
+    """Shared baseline encoder core: ``planes`` are full-resolution
+    float64 component planes (level-unshifted, 0..255), ``samplings``
+    the (h, v) factor per component (chroma planes are box-averaged
+    down).  All components share quant table 0 / Huffman tables 0
+    (legal and simplest; the Annex K example tables)."""
+    import numpy as np
+
+    fh, fw = planes[0].shape
+    if not 1 <= quant <= 255:
+        raise ValueError(f"quant must be in [1, 255], got {quant}")
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    if fh % (8 * vmax) or fw % (8 * hmax):
+        raise ValueError(
+            f"encoder needs dims divisible by the MCU size "
+            f"({8 * hmax}x{8 * vmax}), got {fw}x{fh}"
+        )
+    sub_planes = []
+    for p, (hs, vs) in zip(planes, samplings):
+        fy, fx = vmax // vs, hmax // hs
+        if fy > 1 or fx > 1:
+            p = p.reshape(fh // fy, fy, fw // fx, fx).mean(axis=(1, 3))
+        sub_planes.append(p)
+    m = _dct_matrix()
+    qtable = np.full(64, quant, dtype=np.int64)
+    dc_map = _huff_encode_map(_JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS)
+    ac_map = _huff_encode_map(_JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS)
+    zz = np.array(_JPEG_ZIGZAG)
+    mcux = fw // (8 * hmax)
+    mcuy = fh // (8 * vmax)
+    out = bytearray()
+    wr = _JpegBitWriter()
+    prev_dc = [0] * len(planes)
+    rst_n = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                wr.flush()
+                out += wr.out
+                out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                wr = _JpegBitWriter()
+                prev_dc = [0] * len(planes)
+            for ci, (p, (hs, vs)) in enumerate(
+                zip(sub_planes, samplings)
+            ):
+                for v in range(vs):
+                    for hblk in range(hs):
+                        y0 = (my * vs + v) * 8
+                        x0 = (mx * hs + hblk) * 8
+                        prev_dc[ci] = _jpeg_encode_block(
+                            wr,
+                            p[y0 : y0 + 8, x0 : x0 + 8],
+                            qtable,
+                            dc_map,
+                            ac_map,
+                            prev_dc[ci],
+                            m,
+                            zz,
+                        )
+            mcu_count += 1
+    wr.flush()
+    out += wr.out
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(q) for q in qtable))
+    comp_spec = b"".join(
+        bytes([ci + 1, (hs << 4) | vs, 0])
+        for ci, (hs, vs) in enumerate(samplings)
+    )
+    sof0 = seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", fh, fw)
+        + bytes([len(planes)])
+        + comp_spec,
+    )
+
+    def dht(cls: int, tid: int, bits, vals) -> bytes:
+        return seg(
+            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if (
+        restart_interval
+    ) else b""
+    sos = seg(
+        0xDA,
+        bytes([len(planes)])
+        + b"".join(bytes([ci + 1, 0x00]) for ci in range(len(planes)))
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8"
+        + dqt
+        + sof0
+        + dht(0, 0, _JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS)
+        + dht(1, 0, _JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS)
+        + dri
+        + sos
+        + bytes(out)
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_gray8(pixels, quant: int = 1, restart_interval: int = 0):
+    """Minimal REAL baseline JPEG encoder for 8-bit grayscale
+    (Annex K example Huffman tables, flat quantization ``quant``):
+    the fixture the decoder below is tested and oracle-gated against,
+    mirroring :func:`encode_png_gray8` / :func:`encode_gif_gray8`.
+    Dimensions must be multiples of 8 (the planted-pattern media
+    always are; general-size support is an encoder padding concern,
+    not a decoder one).  With ``quant=1`` and CONSTANT 8×8 blocks the
+    pixel round-trip is EXACT.  ``restart_interval`` emits DRI/RSTn
+    markers every N MCUs (exercises the decoder's resync path)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError(f"expected (h, w) gray8 array, got shape {px.shape}")
+    return _encode_jpeg(
+        [px.astype(np.float64)], [(1, 1)], quant, restart_interval
+    )
+
+
+def encode_jpeg_rgb(
+    pixels, quant: int = 1, sampling: str = "444", restart_interval: int = 0
+):
+    """Baseline color JPEG fixture encoder: RGB → JFIF YCbCr, chroma
+    box-subsampled for ``sampling`` '422'/'420' (the real-world
+    shapes), shared flat quant table.  Exercises the decoder's
+    multi-component MCU walk, chroma upsampling, and color
+    conversion."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) rgb array, got {px.shape}")
+    r = px[:, :, 0].astype(np.float64)
+    g = px[:, :, 1].astype(np.float64)
+    b = px[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    samplings = {
+        "444": [(1, 1), (1, 1), (1, 1)],
+        "422": [(2, 1), (1, 1), (1, 1)],
+        "420": [(2, 2), (1, 1), (1, 1)],
+    }.get(sampling)
+    if samplings is None:
+        raise ValueError(f"sampling must be 444/422/420, got {sampling!r}")
+    return _encode_jpeg([y, cb, cr], samplings, quant, restart_interval)
+
+
+def decode_jpeg_pixels(payload: bytes | None):
+    """REAL stdlib baseline-JPEG pixel decode: returns ``(h, w, 1)``
+    uint8 for grayscale or ``(h, w, 3)`` RGB for YCbCr.  Walks the
+    marker stream (DQT/SOF0/DHT/DRI/SOS), Huffman-decodes the entropy
+    segment (DC magnitude categories + AC run/size, T.81 F.2),
+    dequantizes, inverse-zigzags, applies the 8×8 IDCT per block, and
+    for color upsamples chroma (4:4:4 / 4:2:2 / 4:2:0) and converts
+    YCbCr→RGB (JFIF).  Raises ``ValueError`` on malformed data and
+    ``NotImplementedError`` for progressive (SOF2) / arithmetic
+    coding / 12-bit precision — never a wrong-pixel silent result.
+    Same scale posture as the PNG/GIF decoders: the per-item kernel
+    inside ``mapInPandas``; a C decoder swaps in at the same call
+    site (SCALE.md records the interpreted-Python boundary cost)."""
+    import numpy as np
+
+    b = payload or b""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    qtables: dict[int, "np.ndarray"] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at byte {i}")
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+        body = b[i + 4 : i + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                prec = body[j] >> 4
+                tid = body[j] & 0x0F
+                n = 64 * (2 if prec else 1)
+                raw_q = body[j + 1 : j + 1 + n]
+                if len(raw_q) < n:
+                    raise ValueError("truncated DQT")
+                vals = (
+                    np.frombuffer(raw_q, dtype=">u2")
+                    if prec
+                    else np.frombuffer(raw_q, dtype=np.uint8)
+                ).astype(np.int64)
+                qtables[tid] = vals
+                j += 1 + n
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j < len(body):
+                cls = body[j] >> 4
+                tid = body[j] & 0x0F
+                bits = body[j + 1 : j + 17]
+                n = sum(bits)
+                vals = body[j + 17 : j + 17 + n]
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT")
+                htables[(cls, tid)] = _huff_canonical(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG precision {prec} unsupported (8-bit only)"
+                )
+            fh, fw = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF 0x{marker:02x} unsupported (baseline "
+                "sequential SOF0/SOF1 only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                tsel = body[2 + 2 * c]
+                scan_tabs[cid] = (tsel >> 4, tsel & 0x0F)
+            return _jpeg_decode_scan(
+                b,
+                i + 2 + seg_len,
+                frame,
+                qtables,
+                htables,
+                scan_tabs,
+                restart_interval,
+            )
+        i += 2 + seg_len
+    raise ValueError("JPEG without an SOS scan")
+
+
+def _jpeg_decode_scan(
+    b, pos, frame, qtables, htables, scan_tabs, restart_interval
+):
+    import numpy as np
+
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("JPEG with zero dimension")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = _ceil_div(fw, 8 * hmax)
+    mcuy = _ceil_div(fh, 8 * vmax)
+    m = _dct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    reader = _JpegBitReader(b, pos)
+    fast_tabs = {}
+    comp_blocks: list[list] = []  # per component: flat zigzag coeff rows
+    for cid, hs, vs, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"JPEG component quant table {tq} missing")
+        dc_key, ac_key = scan_tabs[cid]
+        if (0, dc_key) not in htables or (1, ac_key) not in htables:
+            raise ValueError("JPEG Huffman table missing")
+        if (0, dc_key) not in fast_tabs:
+            fast_tabs[(0, dc_key)] = _huff_fast(htables[(0, dc_key)])
+        if (1, ac_key) not in fast_tabs:
+            fast_tabs[(1, ac_key)] = _huff_fast(htables[(1, ac_key)])
+        comp_blocks.append([])
+    prev_dc = [0] * len(comps)
+    rst_n = 0
+    mcu_count = 0
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                reader.resync(rst_n)
+                rst_n = (rst_n + 1) % 8
+                prev_dc = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dc_tab = fast_tabs[(0, scan_tabs[cid][0])]
+                ac_tab = fast_tabs[(1, scan_tabs[cid][1])]
+                for _blk in range(vs * hs):
+                    coef = [0] * 64
+                    s = reader.read_symbol(dc_tab)
+                    diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+                    prev_dc[ci] += diff
+                    coef[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.read_symbol(ac_tab)
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        coef[k] = _jpeg_extend(reader.read_bits(size), size)
+                        k += 1
+                    comp_blocks[ci].append(coef)
+            mcu_count += 1
+    # batched dequantize + inverse-zigzag + IDCT per component: one
+    # numpy pass over (n_blocks, 8, 8) instead of two 8×8 matmuls per
+    # block from Python
+    out_planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        coefs = np.asarray(comp_blocks[ci], dtype=np.float64)  # (n, 64)
+        n_blocks = coefs.shape[0]
+        deq = coefs * qtables[tq]
+        blocks = np.zeros((n_blocks, 64), dtype=np.float64)
+        blocks[:, zz] = deq
+        spatial = m.T @ blocks.reshape(n_blocks, 8, 8) @ m
+        # blocks were appended in (my, mx, v, h) MCU-walk order —
+        # one transpose/reshape reassembles the whole plane
+        plane = (
+            spatial.reshape(mcuy, mcux, vs, hs, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * vs * 8, mcux * hs * 8)
+        )
+        p = plane + 128.0
+        # upsample to full resolution, then crop to the frame size
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        return (
+            np.clip(np.round(out_planes[0]), 0, 255)
+            .astype(np.uint8)
+            .reshape(fh, fw, 1)
+        )
+    if len(out_planes) != 3:
+        raise NotImplementedError(
+            f"JPEG with {len(out_planes)} components unsupported"
+        )
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image_pixels(payload: bytes | None):
-    """Pixel decode dispatch: PNG and GIF decode for REAL
-    (:func:`decode_png_pixels`, :func:`decode_gif_pixels`, both
-    stdlib-only); JPEG pixel data needs the DCT entropy coder
-    (Pillow — not in this container), so it remains the one
-    documented stub boundary."""
+    """Pixel decode dispatch: PNG, GIF, and baseline JPEG all decode
+    for REAL (:func:`decode_png_pixels`, :func:`decode_gif_pixels`,
+    :func:`decode_jpeg_pixels` — stdlib + numpy only, r11).
+    Unrecognized containers raise ``NotImplementedError`` (the
+    documented boundary); malformed payloads of a recognized format
+    raise ``ValueError``."""
     fmt, _w, _h = parse_image_header(payload)
     if fmt == "png":
         return decode_png_pixels(payload)
     if fmt == "gif":
         return decode_gif_pixels(payload)
+    if fmt == "jpeg":
+        return decode_jpeg_pixels(payload)
     raise NotImplementedError(
-        f"pixel decoding for format {fmt!r} is not available in this "
-        "container (PNG/GIF decode natively; JPEG needs a DCT entropy-"
-        "coder library)"
+        f"pixel decoding for format {fmt!r} is not available "
+        "(PNG/GIF/baseline-JPEG decode natively)"
     )
 
 
@@ -780,11 +1427,11 @@ PIXEL_STATS_SCHEMA = StructType(
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """(media_id, px_n, px_sum, px_min, px_max) over REAL decoded
-    PNG/GIF pixels (:func:`decode_image_pixels`) — the per-image
+    PNG/GIF/JPEG pixels (:func:`decode_image_pixels`) — the per-image
     statistics pass (brightness screens, constant-image drops) a
     training-data pipeline runs after decode.  Undecodable payloads
-    (incl. JPEG, the remaining stub boundary) yield NULL stats rather
-    than failing the batch (same contract as the header pass)."""
+    yield NULL stats rather than failing the batch (same contract as
+    the header pass)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -848,16 +1495,45 @@ def _pattern_gif_bytes(mid: int, mod_side: int = 16) -> bytes:
     )
 
 
+def _pattern_jpeg_bytes(mid: int, mod_blocks: int = 8) -> bytes:
+    """A real baseline JPEG of the planted BLOCK pattern: 8×8 blocks
+    each constant ``(mid + 3·bx + 7·by) % 256`` at geometry
+    ``(1 + mid % mod_blocks) × (1 + 7·mid % mod_blocks)`` blocks —
+    with a flat quant table the DCT of a constant block is a lone
+    losslessly-quantized DC coefficient, so the pixel round-trip is
+    EXACT and an oracle re-derives every statistic arithmetically.
+    Every other JPEG id adds restart markers, putting the decoder's
+    RST resync under the gate too."""
+    import numpy as np
+
+    vals = _pattern_pixels(mid, mod_blocks)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    return encode_jpeg_gray8(
+        px, quant=1, restart_interval=2 if (mid >> 1) & 1 else 0
+    )
+
+
 def synthesize_pattern_media(
     docs: DataFrame, id_col: str = "doc_id", mod_side: int = 16
 ) -> DataFrame:
     """Deterministic mixed-format pattern media table for the
-    pixel-stats gate (r11): even ids get a real PNG
-    (:func:`_pattern_png_bytes`, all five scanline filters), odd ids a
-    real LZW GIF (:func:`_pattern_gif_bytes`, alternating interlace) —
-    one ``decode_image_pixels`` dispatch covers both under the same
+    pixel-stats gate (r11): ids rotate by ``doc_id % 3`` through a
+    real PNG (:func:`_pattern_png_bytes`, all five scanline filters,
+    alternating Adam7 interlace), a real LZW GIF
+    (:func:`_pattern_gif_bytes`, alternating four-pass interlace),
+    and a real baseline JPEG (:func:`_pattern_jpeg_bytes`,
+    constant-block exact, alternating restart markers) — one
+    ``decode_image_pixels`` dispatch covers all three under the same
     arithmetic oracle.  Built executor-side in ``mapInPandas`` like
     real ingested media."""
+
+    def _payload(m: int) -> bytes:
+        k = m % 3
+        if k == 0:
+            return _pattern_png_bytes(m, mod_side)
+        if k == 1:
+            return _pattern_gif_bytes(m, mod_side)
+        return _pattern_jpeg_bytes(m, mod_blocks=8)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -865,12 +1541,7 @@ def synthesize_pattern_media(
             yield pd.DataFrame(
                 {
                     "media_id": mids,
-                    "payload": [
-                        _pattern_png_bytes(int(m), mod_side)
-                        if int(m) % 2 == 0
-                        else _pattern_gif_bytes(int(m), mod_side)
-                        for m in mids
-                    ],
+                    "payload": [_payload(int(m)) for m in mids],
                 }
             )
 

@@ -1736,14 +1736,15 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     pxgrid AS (SELECT x FROM range(16) t(x)),
-    px AS (
-      -- odd ids decode from a GIF: palette-mapped RGB triples the
-      -- pixel count and sum (gray i -> (i,i,i)); min/max unchanged
+    -- formats rotate by doc_id % 3: 0 = PNG (gray), 1 = GIF (palette
+    -- RGB triples count and sum), 2 = JPEG (constant 8x8 BLOCKS of
+    -- the pattern at block-grid geometry mod 8 -> 64 px per value)
+    pxa AS (
       SELECT d.doc_id AS media_id,
-             COUNT(*) * (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)
+             COUNT(*) * (CASE WHEN d.doc_id % 3 = 1 THEN 3 ELSE 1 END)
                AS px_n,
              CAST(SUM((d.doc_id + 3*gx.x + 7*gy.x) % 256)
-                  * (CASE WHEN d.doc_id % 2 = 1 THEN 3 ELSE 1 END)
+                  * (CASE WHEN d.doc_id % 3 = 1 THEN 3 ELSE 1 END)
                   AS BIGINT) AS px_sum,
              CAST(MIN((d.doc_id + 3*gx.x + 7*gy.x) % 256) AS INTEGER)
                AS px_min,
@@ -1752,8 +1753,25 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d
       JOIN pxgrid gx ON gx.x < 1 + d.doc_id % 16
       JOIN pxgrid gy ON gy.x < 1 + (d.doc_id * 7) % 16
+      WHERE d.doc_id % 3 < 2
       GROUP BY d.doc_id
-    )
+    ),
+    pxj AS (
+      SELECT d.doc_id AS media_id,
+             64 * COUNT(*) AS px_n,
+             CAST(64 * SUM((d.doc_id + 3*gx.x + 7*gy.x) % 256) AS BIGINT)
+               AS px_sum,
+             CAST(MIN((d.doc_id + 3*gx.x + 7*gy.x) % 256) AS INTEGER)
+               AS px_min,
+             CAST(MAX((d.doc_id + 3*gx.x + 7*gy.x) % 256) AS INTEGER)
+               AS px_max
+      FROM documents d
+      JOIN pxgrid gx ON gx.x < 1 + d.doc_id % 8
+      JOIN pxgrid gy ON gy.x < 1 + (d.doc_id * 7) % 8
+      WHERE d.doc_id % 3 = 2
+      GROUP BY d.doc_id
+    ),
+    px AS (SELECT * FROM pxa UNION ALL SELECT * FROM pxj)
     SELECT g.media_id, g.n_bytes, g.digest, g.width, g.height,
            g.out_width, g.out_height, h.fmt, h.hdr_width, h.hdr_height,
            p.px_n, p.px_sum, p.px_min, p.px_max,
@@ -1794,20 +1812,22 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted geometry arithmetically, so any header-walk bug breaks
     the hash.
 
-    Arm ``px`` (r10 PNG, r11 adds GIF — the px_n/px_sum/px_min/px_max
-    columns): REAL PIXEL decoding.  ``synthesize_pattern_media``
-    builds one genuine image per document executor-side — pixels
-    follow ``(doc_id + 3x + 7y) % 256`` at doc_id-derived geometry;
-    even ids get a gray8 PNG with rows rotating through ALL FIVE
-    scanline filters, odd ids a real LZW-compressed GIF (alternating
-    four-pass interlace) — and ``image_pixel_stats`` decodes
-    (``decode_image_pixels``: zlib inflate + filter inverses for PNG,
-    LZW + palette map + de-interlace for GIF, stdlib-only) and
-    aggregates count/sum/min/max per image; the oracle re-derives
-    every statistic arithmetically from the planted pattern (GIF rows
-    carry the ×3 RGB palette expansion), so a wrong filter inverse,
-    LZW step, or row reorder breaks the hash.  The fake boundary is
-    now JPEG pixel decode only (DCT entropy coder)."""
+    Arm ``px`` (r10 PNG, r11 adds GIF and baseline JPEG — the
+    px_n/px_sum/px_min/px_max columns): REAL PIXEL decoding for ALL
+    THREE container formats.  ``synthesize_pattern_media`` builds one
+    genuine image per document executor-side, rotating by
+    ``doc_id % 3``: PNG (all five scanline filters, alternating Adam7
+    interlace), LZW GIF (alternating four-pass interlace), and
+    baseline JPEG (constant 8×8 blocks of the pattern — a flat quant
+    table makes the DCT round-trip EXACT — alternating restart
+    markers).  ``image_pixel_stats`` decodes via
+    ``decode_image_pixels`` (zlib+filter inverses / LZW+palette /
+    Huffman+IDCT, stdlib+numpy only) and aggregates count/sum/min/max
+    per image; the oracle re-derives every statistic arithmetically
+    (GIF rows carry the ×3 RGB palette expansion; JPEG rows aggregate
+    the block grid ×64), so a wrong filter inverse, LZW step, row
+    reorder, Huffman table, or IDCT breaks the hash.  No image-format
+    stub remains."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
         image_header_features,
         image_pixel_stats,

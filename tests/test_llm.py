@@ -905,8 +905,9 @@ def test_gif_decode_rejects_malformed():
 
 def test_image_pixel_stats_mixed_formats(spark):
     """The r11 px gate shape: synthesize_pattern_media rotates
-    PNG/GIF by id, and image_pixel_stats decodes BOTH through one
-    dispatch — GIF rows carry the ×3 RGB palette expansion."""
+    PNG/GIF/JPEG by id % 3, and image_pixel_stats decodes all three
+    through one dispatch — GIF rows carry the ×3 RGB palette
+    expansion; JPEG rows aggregate the constant-block grid ×64."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -915,24 +916,36 @@ def test_image_pixel_stats_mixed_formats(spark):
         synthesize_pattern_media,
     )
 
-    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    docs = spark.range(0, 42).select(F.col("id").alias("doc_id"))
     got = {
         r["media_id"]: (r["px_n"], r["px_sum"], r["px_min"], r["px_max"])
         for r in image_pixel_stats(
             synthesize_pattern_media(docs, mod_side=16)
         ).collect()
     }
-    for mid in range(40):
-        w, h = 1 + mid % 16, 1 + (mid * 7) % 16
-        y, x = np.mgrid[0:h, 0:w]
-        v = (mid + 3 * x + 7 * y) % 256
-        k = 3 if mid % 2 else 1  # GIF decodes to RGB triples
-        assert got[mid] == (
-            k * v.size,
-            k * int(v.sum()),
-            int(v.min()),
-            int(v.max()),
-        ), mid
+    for mid in range(42):
+        if mid % 3 == 2:  # JPEG: constant 8x8 blocks, grid mod 8
+            w, h = 1 + mid % 8, 1 + (mid * 7) % 8
+            y, x = np.mgrid[0:h, 0:w]
+            v = (mid + 3 * x + 7 * y) % 256
+            expect = (
+                64 * v.size,
+                64 * int(v.sum()),
+                int(v.min()),
+                int(v.max()),
+            )
+        else:  # PNG (gray) / GIF (RGB triples), pixel grid mod 16
+            w, h = 1 + mid % 16, 1 + (mid * 7) % 16
+            y, x = np.mgrid[0:h, 0:w]
+            v = (mid + 3 * x + 7 * y) % 256
+            k = 3 if mid % 3 == 1 else 1
+            expect = (
+                k * v.size,
+                k * int(v.sum()),
+                int(v.min()),
+                int(v.max()),
+            )
+        assert got[mid] == expect, mid
 
 
 def test_png_palette_decode():
@@ -1159,3 +1172,98 @@ def test_gif_small_palette_decode():
     out = decode_gif_pixels(gif)
     assert out.shape == (h, w, 3)
     assert (out == pal[idx]).all()
+
+
+# --- real JPEG pixel codec (r11) ---------------------------------------------
+
+
+def test_jpeg_constant_block_exact():
+    """Baseline JPEG with a flat quant table round-trips constant 8×8
+    blocks EXACTLY (only the DC coefficient is nonzero and quantizes
+    losslessly) — the property the oracle arm builds on; with and
+    without restart markers."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray8,
+        parse_image_header,
+    )
+
+    rng = np.random.default_rng(31)
+    for hb, wb in [(1, 1), (2, 3), (5, 4), (8, 8)]:
+        vals = rng.integers(0, 256, size=(hb, wb), dtype=np.uint8)
+        px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        for ri in (0, 1, 3):
+            b = encode_jpeg_gray8(px, quant=1, restart_interval=ri)
+            assert parse_image_header(b) == ("jpeg", wb * 8, hb * 8)
+            out = decode_jpeg_pixels(b)
+            assert out.shape == (hb * 8, wb * 8, 1)
+            assert (out[:, :, 0] == px).all(), (hb, wb, ri)
+
+
+def test_jpeg_random_gray_bounded_error():
+    """Arbitrary gray content at quant=1: the only loss is DCT
+    coefficient rounding, so decoded pixels stay within a couple of
+    levels of the source."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import decode_jpeg_pixels, encode_jpeg_gray8
+
+    rng = np.random.default_rng(32)
+    px = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg_gray8(px, quant=1))
+    err = np.abs(out[:, :, 0].astype(int) - px.astype(int)).max()
+    assert err <= 4, err
+
+
+def test_jpeg_color_sampling_paths():
+    """Color decode: 4:4:4 within a few levels on smooth content;
+    4:2:0/4:2:2 exact-ish on constant color (chroma subsampling loses
+    nothing there); restart markers compose with color."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import decode_jpeg_pixels, encode_jpeg_rgb
+
+    y, x = np.mgrid[0:32, 0:48]
+    smooth = np.stack(
+        [(x * 3) % 256, (y * 5) % 256, ((x + y) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg_rgb(smooth, quant=1))
+    assert out.shape == (32, 48, 3)
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 4
+    flat = np.tile(np.array([90, 160, 40], dtype=np.uint8), (32, 32, 1))
+    for sampling in ("420", "422"):
+        for ri in (0, 2):
+            out = decode_jpeg_pixels(
+                encode_jpeg_rgb(
+                    flat, quant=1, sampling=sampling, restart_interval=ri
+                )
+            )
+            assert (
+                np.abs(out.astype(int) - flat.astype(int)).max() <= 2
+            ), (sampling, ri)
+
+
+def test_jpeg_decode_rejects_malformed_and_progressive():
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import decode_jpeg_pixels, encode_jpeg_gray8
+
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_pixels(b"\x89PNG\r\n\x1a\n")
+    b = bytearray(
+        encode_jpeg_gray8(np.zeros((8, 8), dtype=np.uint8))
+    )
+    # rewrite SOF0 -> SOF2 (progressive): explicit NotImplementedError
+    sof = b.find(b"\xff\xc0")
+    b[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_pixels(bytes(b))
+    # truncated entropy segment: explicit error, never silent pixels
+    good = encode_jpeg_gray8(
+        np.arange(64, dtype=np.uint8).reshape(8, 8).repeat(2, 0).repeat(2, 1)
+    )
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(good[:-6])

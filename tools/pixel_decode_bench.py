@@ -89,6 +89,59 @@ def main() -> None:
         )
         tag = "gif_interlaced " if inter else "gif_sequential"
         print(f"{tag}:   {mb / best:8.1f} MB/s  ({best * 1e3:.0f} ms)")
+    # baseline JPEG (r11): three symbol-density regimes for the
+    # Python Huffman loop — random@q=1 (pathological: nearly every AC
+    # coded at max category), a natural-ish gradient at q=8 (EOB-heavy,
+    # the realistic shape), and constant blocks (DC-only, best case)
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (  # noqa: E402
+        decode_jpeg_pixels,
+        encode_jpeg_gray8,
+    )
+
+    jside = min(side - side % 8, 256)
+    jmb = jside * jside / 1e6
+
+    def _jpeg_line(tag: str, img, quant: int, exact: bool) -> None:
+        payload = encode_jpeg_gray8(img, quant=quant)
+        best = float("inf")
+        out = None
+        for _ in range(reps):
+            t0 = time.time()
+            out = decode_jpeg_pixels(payload)
+            best = min(best, time.time() - t0)
+        if exact:
+            assert (out[:, :, 0] == img).all()
+        else:
+            assert (
+                np.abs(out[:, :, 0].astype(int) - img.astype(int)).max()
+                <= 8 * quant
+            )
+        print(f"{tag}:   {jmb / best:8.2f} MB/s  ({best * 1e3:.0f} ms)")
+
+    _jpeg_line(
+        "jpeg_random_q1",
+        rng.integers(0, 256, size=(jside, jside), dtype=np.uint8),
+        1,
+        exact=False,
+    )
+    gy, gx = np.mgrid[0:jside, 0:jside]
+    _jpeg_line(
+        "jpeg_gradnt_q8",
+        ((gx + gy) * 2 % 256).astype(np.uint8),
+        8,
+        exact=False,
+    )
+    nb = jside // 8
+    const = np.repeat(
+        np.repeat(
+            (np.arange(nb * nb) % 256).astype(np.uint8).reshape(nb, nb),
+            8,
+            axis=0,
+        ),
+        8,
+        axis=1,
+    )
+    _jpeg_line("jpeg_const_blk", const, 1, exact=True)
 
 
 def _timed(fn, payload, px, gif: bool = False) -> float:
