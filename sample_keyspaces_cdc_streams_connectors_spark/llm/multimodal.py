@@ -1440,7 +1440,10 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             for p in pdf["payload"]:
                 try:
                     px = decode_image_pixels(p)
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
+                    # struct.error: a truncated fixed-width header
+                    # field inside an otherwise-recognized container —
+                    # same NULL-stats contract as any malformed payload
                     ns.append(None)
                     sums.append(None)
                     mins.append(None)

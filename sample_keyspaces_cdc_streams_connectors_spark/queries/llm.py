@@ -1798,9 +1798,12 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
       each with exact size + md5; the oracle re-derives every frame
       by slicing the same reel in SQL.
 
-    Pixel decode is stubbed deterministically; the Spark plumbing —
-    schema, Arrow batches, binary payloads, mapInPandas stages joined
-    on media_id — is real.
+    The feats/resized/frames arms run over synthetic text-byte media
+    with the deterministic fake decoder (those payloads are not real
+    containers — the fake is the documented boundary for unrecognized
+    media); the hdr and px arms below decode REAL container bytes.
+    The Spark plumbing — schema, Arrow batches, binary payloads,
+    mapInPandas stages joined on media_id — is real everywhere.
 
     Arm ``hdr`` (r9, the fmt/hdr_width/hdr_height columns): REAL
     container-header decoding.  ``synthesize_containers`` builds one

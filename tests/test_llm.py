@@ -1267,3 +1267,20 @@ def test_jpeg_decode_rejects_malformed_and_progressive():
     )
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(good[:-6])
+
+
+def test_image_pixel_stats_truncated_header_yields_null(spark):
+    """A payload that passes format sniffing but truncates inside a
+    fixed-width header field (struct.error territory) must yield NULL
+    stats, not fail the batch."""
+    rows = [
+        (1, bytearray(b"\xff\xd8\xff\xc0\x00")),  # JPEG, torn SOF
+        (2, bytearray(b"GIF89a\x05\x00")),  # GIF, torn screen desc
+        (3, bytearray(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR\x00")),
+    ]
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import image_pixel_stats
+
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = image_pixel_stats(df).collect()
+    assert len(got) == 3
+    assert all(r["px_n"] is None for r in got)
