@@ -1829,3 +1829,240 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+# --- real WAV audio codec (r11, stdlib-only) ---------------------------------
+#
+# Audio gets the same treatment as images: the container is public
+# (RIFF/WAVE, Microsoft multimedia file format), PCM samples need no
+# entropy coder at all, so header parse AND sample decode are real.
+# Compressed audio (MP3/FLAC/OGG — psychoacoustic / rice coders) is
+# recognized by magic for format metadata and remains the documented
+# decode boundary, exactly like progressive JPEG on the image side.
+
+AUDIO_HEADER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("bits_per_sample", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+    ]
+)
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("au_rate", IntegerType(), True),
+        StructField("au_channels", IntegerType(), True),
+        StructField("au_n", LongType(), True),  # total samples, all chans
+        StructField("au_sum_sq", LongType(), True),  # exact Σ v², int64
+        StructField("au_peak", IntegerType(), True),  # max |v|
+    ]
+)
+
+
+def parse_audio_header(payload: bytes | None):
+    """``(format, n_channels, sample_rate, bits_per_sample,
+    n_frames)`` from the first bytes of a WAV / FLAC / MP3 / OGG
+    payload — the audio mirror of :func:`parse_image_header`.  WAV
+    parses its RIFF fmt/data chunks fully (all five fields); the
+    compressed formats are recognized by magic with NULL numeric
+    fields (their parameters live behind the entropy-coded stream).
+    Unrecognized payloads return all NULLs."""
+    b = payload or b""
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        n_channels = sample_rate = bits = None
+        n_frames = None
+        i = 12
+        block_align = None
+        while i + 8 <= len(b):
+            tag = b[i : i + 4]
+            (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+            body = b[i + 8 : i + 8 + clen]
+            if tag == b"fmt " and len(body) >= 16:
+                _fmt, n_channels, sample_rate = struct.unpack(
+                    "<HHI", body[:8]
+                )
+                block_align, bits = struct.unpack("<HH", body[12:16])
+            elif tag == b"data":
+                if block_align:
+                    n_frames = clen // block_align
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        return ("wav", n_channels, sample_rate, bits, n_frames)
+    if b[:4] == b"fLaC":
+        return ("flac", None, None, None, None)
+    if b[:4] == b"OggS":
+        return ("ogg", None, None, None, None)
+    if b[:3] == b"ID3" or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+    ):
+        return ("mp3", None, None, None, None)
+    return (None, None, None, None, None)
+
+
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """Minimal REAL WAV encoder for interleaved 16-bit PCM (canonical
+    RIFF layout, readable by any audio tool): the fixture the decoder
+    below is tested and oracle-gated against, mirroring the image
+    encoders.  ``samples`` is ``(n_frames, n_channels)`` int16."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.ndim != 2:
+        raise ValueError(f"expected (n, channels) int16, got {s.shape}")
+    n, ch = s.shape
+    data = s.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    riff_body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_wav_samples(payload: bytes | None):
+    """REAL stdlib WAV sample decode: returns ``(n_frames,
+    n_channels)`` int16 numpy array for 16-bit PCM (8-bit unsigned
+    PCM widens to int16 by centering at 0 and scaling ×256 — the
+    standard convention).  Raises ``ValueError`` on malformed data
+    and ``NotImplementedError`` for non-PCM codecs (float, ADPCM,
+    μ-law) — never wrong samples silently.  Same scale posture as the
+    image decoders: a ``mapInPandas`` per-item kernel; payloads never
+    reach the driver."""
+    import numpy as np
+
+    b = payload or b""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt_body = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            fmt_body = body
+        elif tag == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if fmt_body is None or len(fmt_body) < 16:
+        raise ValueError("WAV without a fmt chunk")
+    if data is None:
+        raise ValueError("WAV without a data chunk")
+    audio_fmt, ch, _rate = struct.unpack("<HHI", fmt_body[:8])
+    bits = struct.unpack("<H", fmt_body[14:16])[0]
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"WAV audio format {audio_fmt} unsupported (PCM only)"
+        )
+    if ch < 1:
+        raise ValueError("WAV with zero channels")
+    if bits == 16:
+        arr = np.frombuffer(data[: len(data) // (2 * ch) * 2 * ch], "<i2")
+    elif bits == 8:
+        raw = np.frombuffer(data[: len(data) // ch * ch], np.uint8)
+        arr = (raw.astype(np.int16) - 128) * 256
+    else:
+        raise NotImplementedError(
+            f"WAV bit depth {bits} unsupported (8/16-bit PCM only)"
+        )
+    return arr.reshape(-1, ch)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """(media_id, au_rate, au_channels, au_n, au_sum_sq, au_peak)
+    over REAL decoded WAV samples — the per-clip statistics pass
+    (silence screens, clipping detection, loudness gates) a
+    training-data pipeline runs on an audio corpus.  ``au_sum_sq`` is
+    the exact int64 energy (RMS² = au_sum_sq / au_n, left to the
+    consumer so the column stays integer-exact for the oracle);
+    undecodable payloads yield NULL stats rather than failing the
+    batch — the same contract as :func:`image_pixel_stats`."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, chans, ns, sumsqs, peaks = [], [], [], [], []
+            for p in pdf["payload"]:
+                try:
+                    fmt, ch, rate, _bits, _nf = parse_audio_header(p)
+                    if fmt != "wav":
+                        raise ValueError("not wav")
+                    s = decode_wav_samples(p).astype(np.int64)
+                except (ValueError, NotImplementedError, struct.error):
+                    rates.append(None)
+                    chans.append(None)
+                    ns.append(None)
+                    sumsqs.append(None)
+                    peaks.append(None)
+                    continue
+                rates.append(rate)
+                chans.append(s.shape[1])
+                ns.append(int(s.size))
+                sumsqs.append(int((s * s).sum()))
+                peaks.append(int(np.abs(s).max(initial=0)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "au_rate": pd.array(rates, dtype="Int32"),
+                    "au_channels": pd.array(chans, dtype="Int32"),
+                    "au_n": pd.array(ns, dtype="Int64"),
+                    "au_sum_sq": pd.array(sumsqs, dtype="Int64"),
+                    "au_peak": pd.array(peaks, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+def _pattern_wav_bytes(mid: int) -> bytes:
+    """A real PCM WAV of a planted integer pattern: frame ``i`` of
+    channel ``c`` holds ``((mid·31 + i·17) % 65536) − 32768``
+    (channel-independent, so stereo clips scale the stats by exactly
+    the channel count) at ``64 + mid % 256`` frames,
+    ``8000 + 1000·(mid % 8)`` Hz, ``1 + mid % 2`` channels — every
+    statistic re-derivable arithmetically by an oracle."""
+    import numpy as np
+
+    n = 64 + mid % 256
+    ch = 1 + mid % 2
+    i = np.arange(n, dtype=np.int64)
+    v = ((mid * 31 + i * 17) % 65536) - 32768
+    samples = np.repeat(v[:, None], ch, axis=1).astype(np.int16)
+    return encode_wav_pcm16(samples, 8000 + 1000 * (mid % 8))
+
+
+def synthesize_pattern_audio(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-WAV media table for the audio-stats gate
+    (r11): one planted-pattern PCM clip per document
+    (:func:`_pattern_wav_bytes`), built executor-side in
+    ``mapInPandas`` like real ingested audio."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids = pdf["media_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "payload": [_pattern_wav_bytes(int(m)) for m in mids],
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("media_id")).mapInPandas(
+        run, CONTAINER_SCHEMA
+    )

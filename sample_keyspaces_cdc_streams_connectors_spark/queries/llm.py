@@ -1771,14 +1771,34 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE d.doc_id % 3 = 2
       GROUP BY d.doc_id
     ),
-    px AS (SELECT * FROM pxa UNION ALL SELECT * FROM pxj)
+    px AS (SELECT * FROM pxa UNION ALL SELECT * FROM pxj),
+    -- audio arm (r11): planted PCM WAV per doc — frame i holds
+    -- ((id*31 + i*17) % 65536) - 32768, channel-independent, so
+    -- stereo clips scale n and energy by exactly the channel count
+    augrid AS (SELECT i FROM range(320) t(i)),
+    au AS (
+      SELECT d.doc_id AS media_id,
+             CAST(8000 + 1000 * (d.doc_id % 8) AS INTEGER) AS au_rate,
+             CAST(1 + d.doc_id % 2 AS INTEGER) AS au_channels,
+             (64 + d.doc_id % 256) * (1 + d.doc_id % 2) AS au_n,
+             CAST(SUM(((d.doc_id*31 + g.i*17) % 65536 - 32768)
+                      * ((d.doc_id*31 + g.i*17) % 65536 - 32768))
+                  * (1 + d.doc_id % 2) AS BIGINT) AS au_sum_sq,
+             CAST(MAX(ABS((d.doc_id*31 + g.i*17) % 65536 - 32768))
+                  AS INTEGER) AS au_peak
+      FROM documents d
+      JOIN augrid g ON g.i < 64 + d.doc_id % 256
+      GROUP BY d.doc_id
+    )
     SELECT g.media_id, g.n_bytes, g.digest, g.width, g.height,
            g.out_width, g.out_height, h.fmt, h.hdr_width, h.hdr_height,
            p.px_n, p.px_sum, p.px_min, p.px_max,
+           a.au_rate, a.au_channels, a.au_n, a.au_sum_sq, a.au_peak,
            f.frame_idx, f.frame_bytes, f.frame_digest
     FROM geom g
     JOIN hdr h ON h.media_id = g.media_id
     JOIN px p ON p.media_id = g.media_id
+    JOIN au a ON a.media_id = g.media_id
     LEFT JOIN frames f ON f.media_id = g.media_id
     """,
 )
@@ -1830,13 +1850,25 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (GIF rows carry the ×3 RGB palette expansion; JPEG rows aggregate
     the block grid ×64), so a wrong filter inverse, LZW step, row
     reorder, Huffman table, or IDCT breaks the hash.  No image-format
-    stub remains."""
+    stub remains.
+
+    Arm ``au`` (r11, the au_rate/au_channels/au_n/au_sum_sq/au_peak
+    columns): REAL AUDIO decoding.  ``synthesize_pattern_audio``
+    builds one genuine PCM WAV per document executor-side (planted
+    integer waveform at doc_id-derived rate/length/channel-count) and
+    ``audio_stats`` walks the RIFF chunks, decodes the interleaved
+    samples (``decode_wav_samples``) and aggregates exact int64
+    count/energy/peak; the oracle replays the waveform arithmetic —
+    stereo clips scale count and energy by exactly the channel count,
+    so a channel-interleave bug breaks the hash."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        audio_stats,
         image_header_features,
         image_pixel_stats,
         resize_images,
         sample_frames,
         synthesize_containers,
+        synthesize_pattern_audio,
         synthesize_pattern_media,
     )
 
@@ -1857,6 +1889,9 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = image_pixel_stats(
         synthesize_pattern_media(docs, mod_side=16)
     ).select("media_id", "px_n", "px_sum", "px_min", "px_max")
+    au = audio_stats(synthesize_pattern_audio(docs)).select(
+        "media_id", "au_rate", "au_channels", "au_n", "au_sum_sq", "au_peak"
+    )
     frames = sample_frames(
         media, frame_chars=64, max_frames=4, fake=True
     ).select("media_id", "frame_idx", "frame_bytes", "frame_digest")
@@ -1864,6 +1899,7 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.join(resized, "media_id")
         .join(hdr, "media_id")
         .join(px, "media_id")
+        .join(au, "media_id")
         .join(frames, "media_id", "left")
     )
 

@@ -1284,3 +1284,95 @@ def test_image_pixel_stats_truncated_header_yields_null(spark):
     got = image_pixel_stats(df).collect()
     assert len(got) == 3
     assert all(r["px_n"] is None for r in got)
+
+
+# --- real WAV audio codec (r11) ----------------------------------------------
+
+
+def test_wav_codec_roundtrip():
+    """encode→decode round-trip for PCM16 WAV at several geometries,
+    mono and stereo; header parse recovers all five fields."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+        parse_audio_header,
+    )
+
+    rng = np.random.default_rng(3)
+    for n, ch, rate in [(1, 1, 8000), (100, 2, 44100), (999, 1, 16000)]:
+        s = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+        b = encode_wav_pcm16(s, rate)
+        assert parse_audio_header(b) == ("wav", ch, rate, 16, n)
+        out = decode_wav_samples(b)
+        assert out.shape == (n, ch)
+        assert (out == s).all()
+
+
+def test_audio_header_magics_and_rejects():
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+        parse_audio_header,
+    )
+
+    assert parse_audio_header(b"fLaC\x00")[0] == "flac"
+    assert parse_audio_header(b"OggS\x00")[0] == "ogg"
+    assert parse_audio_header(b"ID3\x04")[0] == "mp3"
+    assert parse_audio_header(b"\xff\xfb\x90")[0] == "mp3"
+    assert parse_audio_header(b"not audio") == (
+        None, None, None, None, None
+    )
+    with _pytest.raises(ValueError, match="not a WAV"):
+        decode_wav_samples(b"fLaC\x00\x00\x00")
+    # non-PCM codec id -> explicit NotImplementedError
+    b = bytearray(
+        encode_wav_pcm16(np.zeros((4, 1), dtype=np.int16), 8000)
+    )
+    b[20] = 3  # fmt code 3 = IEEE float
+    with _pytest.raises(NotImplementedError, match="format 3"):
+        decode_wav_samples(bytes(b))
+
+
+def test_audio_stats_planted_pattern(spark):
+    """The r11 au gate shape: synthesize_pattern_audio → audio_stats
+    equals the waveform arithmetic, with stereo scaling count and
+    energy by the channel count; junk payloads yield NULLs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        audio_stats,
+        synthesize_pattern_audio,
+    )
+
+    docs = spark.range(0, 24).select(F.col("id").alias("doc_id"))
+    got = {
+        r["media_id"]: (
+            r["au_rate"], r["au_channels"], r["au_n"],
+            r["au_sum_sq"], r["au_peak"],
+        )
+        for r in audio_stats(synthesize_pattern_audio(docs)).collect()
+    }
+    for mid in range(24):
+        n = 64 + mid % 256
+        ch = 1 + mid % 2
+        i = np.arange(n, dtype=np.int64)
+        v = ((mid * 31 + i * 17) % 65536) - 32768
+        assert got[mid] == (
+            8000 + 1000 * (mid % 8),
+            ch,
+            n * ch,
+            ch * int((v * v).sum()),
+            int(np.abs(v).max()),
+        ), mid
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"RIFFxxxxWAVE\x00"))],
+        "media_id long, payload binary",
+    )
+    row = audio_stats(junk).collect()[0]
+    assert row["au_n"] is None and row["au_sum_sq"] is None
