@@ -9,20 +9,25 @@ worker per core, no driver involvement.  Batch size is bounded via
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` so decoded frames
 fit executor memory.
 
-Decode depth (r10 PNG, r11 GIF + JPEG): container HEADER geometry —
-format, width, height for PNG (IHDR), GIF (logical screen descriptor)
-and JPEG (SOF scan) — is parsed NATIVELY from the binary payload with
-stdlib-only code (:func:`parse_image_header`).  PIXEL decoding is
-real for ALL THREE formats: PNG (:func:`decode_png_pixels` —
-zlib-inflated IDAT + the five scanline filters, every spec-valid
-depth/color-type/interlace layout), GIF (:func:`decode_gif_pixels` —
-the LZW entropy coder, palette mapping, four-pass de-interlace), and
-baseline JPEG (:func:`decode_jpeg_pixels` — Huffman entropy decode,
-dequantize, 8×8 IDCT, chroma upsampling, YCbCr→RGB); all published
-formats, nothing but stdlib zlib + numpy.  Progressive JPEG (SOF2)
-and non-image containers remain the ``NotImplementedError`` / fake
-boundary.  The Spark-side plumbing — schema, UDF signature, Arrow
-batching, partition behavior — is real and tested.
+Decode depth (r10 PNG; r11 GIF, JPEG, WAV, MP4): container HEADER
+geometry — format, width, height for PNG (IHDR), GIF (logical screen
+descriptor) and JPEG (SOF scan) — is parsed NATIVELY from the binary
+payload with stdlib-only code (:func:`parse_image_header`).  PIXEL
+decoding is real for ALL THREE image formats: PNG
+(:func:`decode_png_pixels` — zlib-inflated IDAT + the five scanline
+filters, every spec-valid depth/color-type/interlace layout), GIF
+(:func:`decode_gif_pixels` — the LZW entropy coder, palette mapping,
+four-pass de-interlace), and baseline JPEG
+(:func:`decode_jpeg_pixels` — table-driven Huffman entropy decode,
+dequantize, batched 8×8 IDCT, chroma upsampling, YCbCr→RGB).  AUDIO
+decodes real PCM samples (:func:`decode_wav_samples`, RIFF/WAVE) with
+FLAC/OGG/MP3 recognized by magic; VIDEO parses real ISO-BMFF (MP4)
+container metadata (:func:`parse_video_header` — brand, duration,
+track geometry).  All published formats, nothing but stdlib + numpy.
+Progressive JPEG, compressed-audio codecs, and video FRAME decode
+remain the ``NotImplementedError`` / fake boundary.  The Spark-side
+plumbing — schema, UDF signature, Arrow batching, partition behavior
+— is real and tested.
 """
 
 from __future__ import annotations
@@ -859,132 +864,21 @@ class _JpegBitWriter:
 
 
 def _huff_fast(table):
-    """{(length, code): sym} -> (lut256, long_dict): an 8-bit-prefix
-    lookup table resolving every code of ≤8 bits in ONE peek (the
-    standard JPEG decoder optimization — per-bit dictionary walks are
-    the bottleneck on dense scans), plus the >8-bit residue."""
-    lut = [None] * 256
-    longd = {}
+    """{(length, code): sym} -> a 16-bit-prefix lookup list resolving
+    EVERY JPEG Huffman code (≤16 bits by construction) in one peek —
+    the standard table-driven decoder: per-bit dictionary walks are
+    the bottleneck on dense scans, and Annex K's large-magnitude AC
+    symbols are all 16-bit codes, so an 8-bit table misses exactly
+    the codes dense data hits most.  Entries are ``(sym, length)`` or
+    None (invalid prefix).  64 Ki entries × 2 tables ≈ 1 MB — built
+    once per scan."""
+    lut = [None] * 65536
     for (length, code), sym in table.items():
-        if length <= 8:
-            base = code << (8 - length)
-            for i in range(1 << (8 - length)):
-                lut[base + i] = (sym, length)
-        else:
-            longd[(length, code)] = sym
-    return lut, longd
-
-
-class _JpegBitReader:
-    """MSB-first bit reader over the entropy-coded segment; undoes
-    0xFF00 stuffing and stops at any real marker (restart handling is
-    the caller's job via ``resync``)."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.d = data
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
-
-    def _fill(self) -> None:
-        d = self.d
-        if self.pos >= len(d):
-            raise ValueError("JPEG entropy data truncated")
-        byte = d[self.pos]
-        if byte == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
-            if nxt == 0x00:
-                self.pos += 2
-            else:
-                # a real marker inside the scan — treat missing bits
-                # as an error surface, not silent pixels
-                raise ValueError(
-                    f"unexpected JPEG marker 0xFF{nxt:02x} mid-scan"
-                    if nxt is not None
-                    else "JPEG entropy data truncated at 0xFF"
-                )
-        else:
-            self.pos += 1
-        self._acc = (self._acc << 8) | byte
-        self._n += 8
-
-    def read_bit(self) -> int:
-        if self._n == 0:
-            self._fill()
-        self._n -= 1
-        return (self._acc >> self._n) & 1
-
-    def read_bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        while self._n < n:
-            self._fill()
-        self._n -= n
-        return (self._acc >> self._n) & ((1 << n) - 1)
-
-    def read_symbol(self, fast) -> int:
-        lut, longd = fast
-        if self._n < 8:
-            try:
-                while self._n < 8:
-                    self._fill()
-            except ValueError:
-                return self._read_symbol_slow(lut, longd)
-        idx = (self._acc >> (self._n - 8)) & 0xFF
-        hit = lut[idx]
-        if hit is not None:
-            self._n -= hit[1]
-            return hit[0]
-        code = idx
-        length = 8
-        self._n -= 8
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = longd.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
-
-    def _read_symbol_slow(self, lut, longd) -> int:
-        """Tail path: fewer than 8 bits remain before a marker — walk
-        bit-by-bit so only genuinely-consumed bits can fail."""
-        code = 0
-        length = 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            if length <= 8:
-                hit = lut[code << (8 - length)]
-                if hit is not None and hit[1] == length:
-                    return hit[0]
-            else:
-                sym = longd.get((length, code))
-                if sym is not None:
-                    return sym
-        raise ValueError("invalid JPEG Huffman code")
-
-    def resync(self, expected_rst: int) -> None:
-        """Consume an RSTn marker at a restart boundary."""
-        self._acc = 0
-        self._n = 0
-        d = self.d
-        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and (
-            d[self.pos + 1] == 0xFF
-        ):
-            self.pos += 1
-        if (
-            self.pos + 1 >= len(d)
-            or d[self.pos] != 0xFF
-            or d[self.pos + 1] != 0xD0 + expected_rst
-        ):
-            raise ValueError("missing JPEG restart marker")
-        self.pos += 2
-
-
-def _jpeg_extend(v: int, s: int) -> int:
-    """T.81 F.2.2.1 EXTEND: map s received bits to a signed value."""
-    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        base = code << (16 - length)
+        entry = (sym, length)
+        for i in range(1 << (16 - length)):
+            lut[base + i] = entry
+    return lut
 
 
 def _jpeg_encode_block(wr, block, qtable, dc_map, ac_map, prev_dc, m, zz):
@@ -1288,6 +1182,30 @@ def decode_jpeg_pixels(payload: bytes | None):
     raise ValueError("JPEG without an SOS scan")
 
 
+def _jpeg_entropy_segments(b: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded scan into its restart segments and
+    undo 0xFF00 byte stuffing — all with C-speed primitives (regex
+    scan for the terminating marker, ``re.split`` on RSTn,
+    ``bytes.replace`` for unstuffing), so the hot decode loop below
+    never inspects stuffing or markers byte-by-byte from Python.
+    Validates the RSTn cycle (D0..D7 in order)."""
+    import re
+
+    m = re.search(rb"\xff(?=[^\x00\xd0-\xd7])", b[pos:])
+    end = pos + m.start() if m else len(b)
+    raw = b[pos:end]
+    parts = re.split(rb"\xff([\xd0-\xd7])", raw)
+    segments = []
+    expected = 0xD0
+    for idx in range(0, len(parts), 2):
+        segments.append(parts[idx].replace(b"\xff\x00", b"\xff"))
+        if idx + 1 < len(parts):
+            if parts[idx + 1][0] != expected:
+                raise ValueError("JPEG restart markers out of order")
+            expected = 0xD0 + ((expected - 0xD0 + 1) % 8)
+    return segments
+
+
 def _jpeg_decode_scan(
     b, pos, frame, qtables, htables, scan_tabs, restart_interval
 ):
@@ -1302,10 +1220,10 @@ def _jpeg_decode_scan(
     mcuy = _ceil_div(fh, 8 * vmax)
     m = _dct_matrix()
     zz = np.array(_JPEG_ZIGZAG)
-    reader = _JpegBitReader(b, pos)
     fast_tabs = {}
     comp_blocks: list[list] = []  # per component: flat zigzag coeff rows
-    for cid, hs, vs, tq in comps:
+    mcu_layout: list[tuple] = []  # (ci, dc_lut, ac_lut, out_list) per block
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
         if tq not in qtables:
             raise ValueError(f"JPEG component quant table {tq} missing")
         dc_key, ac_key = scan_tabs[cid]
@@ -1316,44 +1234,105 @@ def _jpeg_decode_scan(
         if (1, ac_key) not in fast_tabs:
             fast_tabs[(1, ac_key)] = _huff_fast(htables[(1, ac_key)])
         comp_blocks.append([])
-    prev_dc = [0] * len(comps)
-    rst_n = 0
-    mcu_count = 0
-    for _my in range(mcuy):
-        for _mx in range(mcux):
-            if (
-                restart_interval
-                and mcu_count
-                and mcu_count % restart_interval == 0
-            ):
-                reader.resync(rst_n)
-                rst_n = (rst_n + 1) % 8
-                prev_dc = [0] * len(comps)
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                dc_tab = fast_tabs[(0, scan_tabs[cid][0])]
-                ac_tab = fast_tabs[(1, scan_tabs[cid][1])]
-                for _blk in range(vs * hs):
+        mcu_layout.extend(
+            [
+                (
+                    ci,
+                    fast_tabs[(0, dc_key)],
+                    fast_tabs[(1, ac_key)],
+                    comp_blocks[ci],
+                )
+            ]
+            * (vs * hs)
+        )
+    total_mcus = mcux * mcuy
+    segments = _jpeg_entropy_segments(b, pos)
+    if restart_interval:
+        if len(segments) != _ceil_div(total_mcus, restart_interval):
+            raise ValueError("JPEG restart segmentation mismatch")
+    elif len(segments) != 1:
+        raise ValueError("unexpected JPEG restart markers (no DRI)")
+    n_comps = len(comps)
+    mcu_i = 0
+    try:
+        for seg in segments:
+            n_in_seg = min(
+                restart_interval or total_mcus, total_mcus - mcu_i
+            )
+            # inlined bit reader over the unstuffed segment: local-var
+            # acc/nbits/bytepos with zero-padded peeks; bits consumed past
+            # the segment's real length mean truncation (checked once at
+            # segment end — decode can never SILENTLY use pad bits, it
+            # either over-consumes or hits an invalid-prefix LUT slot)
+            data = seg + b"\x00\x00\x00"
+            hard_bits = 8 * len(seg)
+            acc = 0
+            nb = 0
+            bp = 0
+            prev_dc = [0] * n_comps
+            for _mcu in range(n_in_seg):
+                for ci, dc_lut, ac_lut, out_list in mcu_layout:
                     coef = [0] * 64
-                    s = reader.read_symbol(dc_tab)
-                    diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
-                    prev_dc[ci] += diff
+                    # --- DC symbol + magnitude bits
+                    while nb < 16:
+                        acc = ((acc & ((1 << nb) - 1)) << 8) | data[bp]
+                        bp += 1
+                        nb += 8
+                    hit = dc_lut[(acc >> (nb - 16)) & 0xFFFF]
+                    if hit is None:
+                        raise ValueError("invalid JPEG Huffman code")
+                    s = hit[0]
+                    nb -= hit[1]
+                    if s:
+                        while nb < s:
+                            acc = ((acc & ((1 << nb) - 1)) << 8) | data[bp]
+                            bp += 1
+                            nb += 8
+                        nb -= s
+                        v = (acc >> nb) & ((1 << s) - 1)
+                        diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                        prev_dc[ci] += diff
                     coef[0] = prev_dc[ci]
+                    # --- AC run/size symbols
                     k = 1
                     while k < 64:
-                        rs = reader.read_symbol(ac_tab)
-                        run, size = rs >> 4, rs & 0x0F
+                        while nb < 16:
+                            acc = ((acc & ((1 << nb) - 1)) << 8) | data[bp]
+                            bp += 1
+                            nb += 8
+                        hit = ac_lut[(acc >> (nb - 16)) & 0xFFFF]
+                        if hit is None:
+                            raise ValueError("invalid JPEG Huffman code")
+                        rs = hit[0]
+                        nb -= hit[1]
+                        size = rs & 0x0F
                         if size == 0:
-                            if run == 15:  # ZRL
+                            if rs == 0xF0:  # ZRL
                                 k += 16
                                 continue
                             break  # EOB
-                        k += run
+                        k += rs >> 4
                         if k > 63:
                             raise ValueError("JPEG AC index overflow")
-                        coef[k] = _jpeg_extend(reader.read_bits(size), size)
+                        while nb < size:
+                            acc = ((acc & ((1 << nb) - 1)) << 8) | data[bp]
+                            bp += 1
+                            nb += 8
+                        nb -= size
+                        v = (acc >> nb) & ((1 << size) - 1)
+                        coef[k] = (
+                            v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                        )
                         k += 1
-                    comp_blocks[ci].append(coef)
-            mcu_count += 1
+                    out_list.append(coef)
+            if bp * 8 - nb > hard_bits:
+                raise ValueError("JPEG entropy data truncated")
+            mcu_i += n_in_seg
+    except IndexError:
+        # the inlined reader indexes past the zero pad only
+        # when the entropy stream was cut mid-scan — surface
+        # it as the same truncation error the end-check uses
+        raise ValueError("JPEG entropy data truncated") from None
     # batched dequantize + inverse-zigzag + IDCT per component: one
     # numpy pass over (n_blocks, 8, 8) instead of two 8×8 matmuls per
     # block from Python
@@ -2066,3 +2045,185 @@ def synthesize_pattern_audio(
     return docs.select(F.col(id_col).alias("media_id")).mapInPandas(
         run, CONTAINER_SCHEMA
     )
+
+
+# --- real MP4 container metadata (r11, stdlib-only) --------------------------
+#
+# Video completes the media triple the same way: the ISO base media
+# file format (MP4/MOV, ISO/IEC 14496-12) is a public box structure,
+# so container METADATA — brand, duration, track geometry — parses
+# natively; frame decode (H.264/AV1 entropy coding) remains the
+# documented ``fake=True`` boundary, like progressive JPEG and
+# compressed audio.
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("brand", StringType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_tracks", IntegerType(), True),
+    ]
+)
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) walking one box level."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize
+            if i + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+            body = i + 16
+        elif size == 0:  # box extends to end of file
+            size = end - i
+        if size < 8 or i + size > end:
+            raise ValueError(f"invalid MP4 box size {size}")
+        yield tag, body, i + size
+        i += size
+
+
+def parse_video_header(payload: bytes | None):
+    """``(format, brand, duration_ms, width, height, n_tracks)`` from
+    an ISO-BMFF (MP4/MOV) payload — the video mirror of
+    :func:`parse_image_header` / :func:`parse_audio_header`.  Walks
+    ftyp (major brand), moov/mvhd (timescale + duration → exact
+    integer milliseconds, floor), and every trak/tkhd (16.16
+    fixed-point presentation geometry; the reported width/height are
+    the maxima across tracks — audio tracks carry zeros).  Non-BMFF
+    payloads return all NULLs; a recognized container with malformed
+    boxes raises ``ValueError``."""
+    b = payload or b""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return (None, None, None, None, None, None)
+    brand = b[8:12].decode("ascii", "replace")
+    duration_ms = None
+    width = height = None
+    n_tracks = 0
+    for tag, body, box_end in _mp4_boxes(b, 0, len(b)):
+        if tag != b"moov":
+            continue
+        for t2, b2, e2 in _mp4_boxes(b, body, box_end):
+            if t2 == b"mvhd":
+                version = b[b2]
+                if version == 1:
+                    timescale, duration = struct.unpack(
+                        ">IQ", b[b2 + 20 : b2 + 32]
+                    )
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", b[b2 + 12 : b2 + 20]
+                    )
+                if timescale:
+                    duration_ms = duration * 1000 // timescale
+            elif t2 == b"trak":
+                n_tracks += 1
+                for t3, b3, _e3 in _mp4_boxes(b, b2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    version = b[b3]
+                    off = b3 + (96 if version == 1 else 84)
+                    tw, th = struct.unpack(">II", b[off - 8 : off])
+                    w = tw >> 16  # 16.16 fixed point
+                    h = th >> 16
+                    if w and h:
+                        width = max(width or 0, w)
+                        height = max(height or 0, h)
+    return ("mp4", brand, duration_ms, width, height, n_tracks or None)
+
+
+def encode_mp4_header(
+    duration_ms: int,
+    width: int,
+    height: int,
+    n_tracks: int = 1,
+    brand: str = "isom",
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal REAL ISO-BMFF header (ftyp + moov/mvhd + trak/tkhd per
+    track, no media data): the fixture :func:`parse_video_header` is
+    tested against, mirroring the image/audio encoders.  Any BMFF
+    tool reads the structure; there is deliberately no mdat — frame
+    DATA is out of scope, metadata is not."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    ftyp = box(b"ftyp", brand.encode("ascii") + struct.pack(">I", 0))
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", n_tracks + 1),  # next track id
+    )
+    traks = b""
+    for ti in range(n_tracks):
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">I", 7)  # version 0 + enabled flags
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", ti + 1)  # track id
+            + struct.pack(">I", 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(
+                ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+            )
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        traks += box(b"trak", tkhd)
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """(media_id, format, brand, duration_ms, width, height,
+    n_tracks) via the REAL stdlib ISO-BMFF walker — the
+    metadata-extraction pass a video corpus runs instead of frame
+    decoding (codec work stays behind ``sample_frames``'s documented
+    fake).  Non-BMFF / malformed payloads yield NULLs rather than
+    failing the batch — the image/audio header contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k.name: [] for k in VIDEO_META_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    fmt, brand, dur, w, h, nt = parse_video_header(p)
+                except (ValueError, struct.error):
+                    fmt = brand = dur = w = h = nt = None
+                cols["media_id"].append(int(mid))
+                cols["format"].append(fmt)
+                cols["brand"].append(brand)
+                cols["duration_ms"].append(dur)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["n_tracks"].append(nt)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(cols["media_id"], dtype="int64"),
+                    "format": cols["format"],
+                    "brand": cols["brand"],
+                    "duration_ms": pd.array(
+                        cols["duration_ms"], dtype="Int64"
+                    ),
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "n_tracks": pd.array(cols["n_tracks"], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, VIDEO_META_SCHEMA)

@@ -779,8 +779,8 @@ def test_png_decode_rejects_unsupported_and_malformed():
     b[25] = 3  # palette PNGs cap at depth 8
     with _pytest.raises(ValueError, match="invalid PNG layout"):
         decode_png_pixels(bytes(b))
-    # JPEG pixel dispatch stays the stub boundary (GIF decodes for
-    # real as of r11)
+    # JPEG decodes for real too (late r11): a header-only payload
+    # with no SOS scan is MALFORMED, not a stub hit
     app0 = (
         b"\xff\xe0" + b"\x00\x10" + b"JFIF\x00\x01\x02\x01"
         + b"\x00\x48\x00\x48\x00\x00"
@@ -789,8 +789,11 @@ def test_png_decode_rejects_unsupported_and_malformed():
         b"\xff\xc0" + b"\x00\x11" + b"\x08" + b"\x00\x06\x00\x08"
         + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
     )
-    with _pytest.raises(NotImplementedError, match="jpeg"):
+    with _pytest.raises(ValueError, match="SOS"):
         decode_image_pixels(b"\xff\xd8" + app0 + sof0)
+    # the remaining dispatch boundary: unrecognized containers
+    with _pytest.raises(NotImplementedError, match="None"):
+        decode_image_pixels(b"not an image at all")
 
 
 def test_image_pixel_stats_planted_pattern(spark):
@@ -1376,3 +1379,51 @@ def test_audio_stats_planted_pattern(spark):
     )
     row = audio_stats(junk).collect()[0]
     assert row["au_n"] is None and row["au_sum_sq"] is None
+
+
+# --- real MP4 container metadata (r11) ----------------------------------------
+
+
+def test_mp4_header_roundtrip_and_spark_pass(spark):
+    """encode_mp4_header → parse_video_header recovers brand,
+    duration (exact integer ms), max track geometry, and track count;
+    the Spark video_metadata pass applies the same walk over Arrow
+    batches with NULLs for non-BMFF payloads."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        encode_mp4_header,
+        parse_video_header,
+        video_metadata,
+    )
+
+    for dur, w, h, nt in [(1000, 640, 480, 1), (123456, 1920, 1080, 3)]:
+        b = encode_mp4_header(dur, w, h, n_tracks=nt)
+        assert parse_video_header(b) == ("mp4", "isom", dur, w, h, nt)
+    assert parse_video_header(b"not a video")[0] is None
+
+    import pandas as pd  # noqa: F401
+
+    rows = [
+        (7, bytearray(encode_mp4_header(2500, 320, 240, n_tracks=2))),
+        (8, bytearray(b"GIF89a\x08\x00\x06\x00\x00\x00\x00")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in video_metadata(df).collect()}
+    assert got[7]["format"] == "mp4"
+    assert got[7]["duration_ms"] == 2500
+    assert (got[7]["width"], got[7]["height"]) == (320, 240)
+    assert got[7]["n_tracks"] == 2
+    assert got[8]["format"] is None and got[8]["duration_ms"] is None
+
+
+def test_mp4_malformed_box_rejected():
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import encode_mp4_header, parse_video_header
+
+    b = bytearray(encode_mp4_header(1000, 64, 64))
+    moov_off = bytes(b).find(b"moov") - 4
+    b[moov_off : moov_off + 4] = (3).to_bytes(4, "big")  # size < 8
+    with _pytest.raises(ValueError, match="invalid MP4 box size"):
+        parse_video_header(bytes(b))
