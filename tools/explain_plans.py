@@ -122,10 +122,11 @@ SHOWCASE: dict[str, list[str]] = {
         "extract, resize geometry, frame sampling rows-out>rows-in, "
         "and the r9 hdr arm: synthesize real PNG/GIF/JPEG containers "
         "executor-side, parse format+dims back out of the raw bytes)",
-        "px arm (r10 PNG, r11 GIF): REAL pixel decode — synthesize "
-        "genuine PNG/GIF files and zlib-inflate/LZW-decode them back "
-        "to per-image stats — is TWO MapInPandas stages back-to-back "
-        "in the same task (no exchange between synthesis and decode; "
+        "px arm (r10 PNG; r11 GIF + baseline JPEG) and au arm (r11 "
+        "WAV): REAL pixel/sample decode — synthesize genuine "
+        "PNG/GIF/JPEG/WAV files and decode them back to per-item "
+        "stats — each is TWO MapInPandas stages back-to-back in the "
+        "same task (no exchange between synthesis and decode; "
         "payload bytes never leave the executor that built them)",
         "stages rejoin on media_id; binary payloads never shuffle "
         "except as Arrow batches inside their own stage",
