@@ -863,6 +863,15 @@ class _JpegBitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
 
 
+#: memo for _huff_fast: building a 64 Ki-entry LUT costs ~130k Python
+#: iterations, which DOMINATES decoding small images (the px oracle
+#: arm decodes thousands of ≤64×64 files per batch, almost all using
+#: the same Annex K tables) — measured 11.6 s vs 0.5 s on the bench
+#: gate before memoization.  Keyed by the table content; executor-
+#: local, deterministic, bounded.
+_HUFF_FAST_CACHE: dict = {}
+
+
 def _huff_fast(table):
     """{(length, code): sym} -> a 16-bit-prefix lookup list resolving
     EVERY JPEG Huffman code (≤16 bits by construction) in one peek —
@@ -870,49 +879,54 @@ def _huff_fast(table):
     the bottleneck on dense scans, and Annex K's large-magnitude AC
     symbols are all 16-bit codes, so an 8-bit table misses exactly
     the codes dense data hits most.  Entries are ``(sym, length)`` or
-    None (invalid prefix).  64 Ki entries × 2 tables ≈ 1 MB — built
-    once per scan."""
+    None (invalid prefix).  Memoized on table content (one build per
+    DISTINCT Huffman table per worker, not per image)."""
+    key = tuple(sorted(table.items()))
+    lut = _HUFF_FAST_CACHE.get(key)
+    if lut is not None:
+        return lut
     lut = [None] * 65536
     for (length, code), sym in table.items():
         base = code << (16 - length)
         entry = (sym, length)
         for i in range(1 << (16 - length)):
             lut[base + i] = entry
+    if len(_HUFF_FAST_CACHE) >= 32:
+        _HUFF_FAST_CACHE.clear()
+    _HUFF_FAST_CACHE[key] = lut
     return lut
 
 
-def _jpeg_encode_block(wr, block, qtable, dc_map, ac_map, prev_dc, m, zz):
-    """Forward-DCT, quantize, and Huffman-code one 8×8 block; returns
-    the new DC predictor."""
-    import numpy as np
-
-    f = m @ (block.astype(np.float64) - 128.0) @ m.T
-    q = np.round(f.reshape(64)[zz] / qtable).astype(np.int64)
-    diff = int(q[0]) - prev_dc
+def _jpeg_encode_block(wr, q, dc_map, ac_map, prev_dc):
+    """Huffman-code one block's pre-quantized zigzag coefficients
+    (``q``: 64 ints); returns the new DC predictor.  Iterates only
+    the NONZERO AC positions, so sparse blocks (EOB-heavy real
+    content, DC-only pattern media) cost a handful of ops."""
+    dc = int(q[0])
+    diff = dc - prev_dc
     s = abs(diff).bit_length()
     code, length = dc_map[s]
     wr.write(code, length)
     if s:
         wr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-    run = 0
-    for k in range(1, 64):
-        v = int(q[k])
-        if v == 0:
-            run += 1
-            continue
+    last = 0  # index of the last coded AC coefficient
+    for k in q[1:].nonzero()[0]:
+        k = int(k) + 1
+        run = k - last - 1
         while run > 15:
             zcode, zlen = ac_map[0xF0]  # ZRL
             wr.write(zcode, zlen)
             run -= 16
+        v = int(q[k])
         s = abs(v).bit_length()
         code, length = ac_map[(run << 4) | s]
         wr.write(code, length)
         wr.write(v if v > 0 else v + (1 << s) - 1, s)
-        run = 0
-    if run:
+        last = k
+    if last < 63:
         ecode, elen = ac_map[0x00]  # EOB
         wr.write(ecode, elen)
-    return int(q[0])
+    return dc
 
 
 def _encode_jpeg(planes, samplings, quant, restart_interval=0) -> bytes:
@@ -946,13 +960,28 @@ def _encode_jpeg(planes, samplings, quant, restart_interval=0) -> bytes:
     zz = np.array(_JPEG_ZIGZAG)
     mcux = fw // (8 * hmax)
     mcuy = fh // (8 * vmax)
+    # batched forward DCT + quantize per component — ONE numpy pass
+    # over (n_blocks, 8, 8) in MCU-walk (my, mx, v, h) order (the
+    # mirror of the decoder's batched IDCT; per-block matmuls from
+    # Python dominated encode time for small images)
+    comp_q: list = []
+    for p, (hs, vs) in zip(sub_planes, samplings):
+        blocks = (
+            (p - 128.0)
+            .reshape(mcuy, vs, 8, mcux, hs, 8)
+            .transpose(0, 3, 1, 4, 2, 5)
+            .reshape(-1, 8, 8)
+        )
+        coefs = (m @ blocks @ m.T).reshape(-1, 64)[:, zz]
+        comp_q.append(np.round(coefs / qtable).astype(np.int64))
     out = bytearray()
     wr = _JpegBitWriter()
     prev_dc = [0] * len(planes)
     rst_n = 0
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    comp_next = [0] * len(planes)  # per-component block cursor
+    for _my in range(mcuy):
+        for _mx in range(mcux):
             if (
                 restart_interval
                 and mcu_count
@@ -964,23 +993,16 @@ def _encode_jpeg(planes, samplings, quant, restart_interval=0) -> bytes:
                 rst_n = (rst_n + 1) % 8
                 wr = _JpegBitWriter()
                 prev_dc = [0] * len(planes)
-            for ci, (p, (hs, vs)) in enumerate(
-                zip(sub_planes, samplings)
-            ):
-                for v in range(vs):
-                    for hblk in range(hs):
-                        y0 = (my * vs + v) * 8
-                        x0 = (mx * hs + hblk) * 8
-                        prev_dc[ci] = _jpeg_encode_block(
-                            wr,
-                            p[y0 : y0 + 8, x0 : x0 + 8],
-                            qtable,
-                            dc_map,
-                            ac_map,
-                            prev_dc[ci],
-                            m,
-                            zz,
-                        )
+            for ci, (hs, vs) in enumerate(samplings):
+                for _blk in range(vs * hs):
+                    prev_dc[ci] = _jpeg_encode_block(
+                        wr,
+                        comp_q[ci][comp_next[ci]],
+                        dc_map,
+                        ac_map,
+                        prev_dc[ci],
+                    )
+                    comp_next[ci] += 1
             mcu_count += 1
     wr.flush()
     out += wr.out
@@ -1527,9 +1549,15 @@ def synthesize_pattern_media(
                 }
             )
 
-    return docs.select(F.col(id_col).alias("media_id")).mapInPandas(
-        run, CONTAINER_SCHEMA
-    )
+    # spread the codec work across the cluster BEFORE synthesis: the
+    # input is bare ids (a narrow, near-free exchange), but a
+    # single-file source would otherwise pin every encode+decode onto
+    # one task (r11: the px gate ran 1-core-bound at sf0.1)
+    ids = docs.select(F.col(id_col).alias("media_id"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < par:
+        ids = ids.repartition(par)
+    return ids.mapInPandas(run, CONTAINER_SCHEMA)
 
 
 def synthesize_png_pattern_media(
@@ -2042,9 +2070,13 @@ def synthesize_pattern_audio(
                 }
             )
 
-    return docs.select(F.col(id_col).alias("media_id")).mapInPandas(
-        run, CONTAINER_SCHEMA
-    )
+    # same pre-synthesis spread as synthesize_pattern_media: ids are
+    # a near-free exchange, codec work parallelizes
+    ids = docs.select(F.col(id_col).alias("media_id"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < par:
+        ids = ids.repartition(par)
+    return ids.mapInPandas(run, CONTAINER_SCHEMA)
 
 
 # --- real MP4 container metadata (r11, stdlib-only) --------------------------
