@@ -1427,3 +1427,87 @@ def test_mp4_malformed_box_rejected():
     b[moov_off : moov_off + 4] = (3).to_bytes(4, "big")  # size < 8
     with _pytest.raises(ValueError, match="invalid MP4 box size"):
         parse_video_header(bytes(b))
+
+
+# --- real pixel resize (r11) ---------------------------------------------------
+
+
+def test_resize_pixels_nn_exact_algebra():
+    """Nearest-neighbor resample is pure integer algebra:
+    out(x, y) = in((x·w)//ow, (y·h)//oh) with the bounded-box
+    floor-scaling rule — pinned against a direct re-derivation."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import resize_pixels_nn
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, size=(300, 500, 3), dtype=np.uint8)
+    out = resize_pixels_nn(px, 224)
+    ow, oh = (500 * 224) // 500, (300 * 224) // 500
+    assert out.shape == (oh, ow, 3)
+    for x, y in [(0, 0), (ow - 1, oh - 1), (ow // 2, oh // 3)]:
+        assert (
+            out[y, x] == px[(y * 300) // oh, (x * 500) // ow]
+        ).all(), (x, y)
+    # never upsamples
+    small = rng.integers(0, 256, size=(10, 20, 1), dtype=np.uint8)
+    assert resize_pixels_nn(small, 224) is small
+
+
+def test_resize_image_pixels_end_to_end(spark):
+    """decode → NN resample → PNG re-encode over Arrow batches, for
+    all three input codecs: the resized payload decodes back to the
+    exact integer-algebra pixels of the planted pattern."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        _pattern_pixels,
+        decode_png_pixels,
+        resize_image_pixels,
+        synthesize_pattern_media,
+    )
+
+    docs = spark.range(0, 18).select(F.col("id").alias("doc_id"))
+    # mod_side 40 makes most images larger than max_side=16 below
+    media = synthesize_pattern_media(docs, mod_side=40)
+    got = {
+        r["media_id"]: r
+        for r in resize_image_pixels(media, max_side=16).collect()
+    }
+    for mid in range(18):
+        if mid % 3 == 2:  # JPEG pattern: constant 8x8 blocks mod 8
+            w8, h8 = 1 + mid % 8, 1 + (mid * 7) % 8
+            by, bx = np.mgrid[0:h8, 0:w8]
+            base = np.repeat(
+                np.repeat((mid + 3 * bx + 7 * by) % 256, 8, axis=0),
+                8,
+                axis=1,
+            )
+        else:
+            base = _pattern_pixels(mid, 40)
+        h, w = base.shape
+        m = max(h, w)
+        if m <= 16:
+            ow, oh = w, h
+        else:
+            ow, oh = (w * 16) // m, (h * 16) // m
+        row = got[mid]
+        assert (row["out_width"], row["out_height"]) == (ow, oh), mid
+        out = decode_png_pixels(bytes(row["payload"]))
+        xs = (np.arange(ow) * w) // ow
+        ys = (np.arange(oh) * h) // oh
+        expect = base[ys][:, xs]
+        # GIF decodes to RGB triples of the gray pattern; PNG/JPEG gray
+        if mid % 3 == 1:
+            assert out.shape == (oh, ow, 3)
+            assert (out == expect[:, :, None]).all(), mid
+        else:
+            assert out.shape == (oh, ow, 1)
+            assert (out[:, :, 0] == expect).all(), mid
+    # undecodable payload -> NULL row, batch survives
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"not an image"))], "media_id long, payload binary"
+    )
+    row = resize_image_pixels(junk).collect()[0]
+    assert row["payload"] is None and row["out_width"] is None
