@@ -2366,3 +2366,67 @@ def resize_image_pixels(media: DataFrame, max_side: int = 224) -> DataFrame:
             )
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+RESAMPLED_AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),  # re-encoded WAV
+        StructField("out_rate", IntegerType(), True),
+        StructField("out_frames", LongType(), True),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+    """REAL sample-rate conversion over decoded PCM (r11 — the audio
+    mirror of :func:`resize_image_pixels`): decode
+    (:func:`decode_wav_samples`), nearest-neighbor resample on the
+    time axis — ``out[i] = in[(i·n_in)//n_out]`` with
+    ``n_out = n_in·target//source`` (floor), pure integer index
+    algebra, exactly reproducible — and re-encode as PCM16 WAV at
+    ``target_rate``.  A clip already at ``target_rate`` passes
+    through byte-identical modulo container canonicalization.
+    Undecodable/non-WAV payloads yield NULL rows rather than failing
+    the batch.  (Nearest-neighbor is the exactness-preserving choice
+    for dedup/fingerprint pipelines; a quality resampler — polyphase
+    FIR — swaps in at the same call site.)"""
+    import numpy as np
+
+    if target_rate < 1:
+        raise ValueError(f"target_rate must be >= 1, got {target_rate}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, rates, frames = [], [], []
+            for p in pdf["payload"]:
+                try:
+                    fmt, _ch, rate, _bits, _nf = parse_audio_header(p)
+                    if fmt != "wav" or not rate:
+                        raise ValueError("not a decodable WAV")
+                    s = decode_wav_samples(p)
+                except (ValueError, NotImplementedError, struct.error):
+                    payloads.append(None)
+                    rates.append(None)
+                    frames.append(None)
+                    continue
+                n_in = s.shape[0]
+                if rate == target_rate or n_in == 0:
+                    out = s
+                else:
+                    n_out = max(1, (n_in * target_rate) // rate)
+                    idx = (np.arange(n_out) * n_in) // n_out
+                    out = s[idx]
+                payloads.append(encode_wav_pcm16(out, target_rate))
+                rates.append(target_rate)
+                frames.append(int(out.shape[0]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "out_rate": pd.array(rates, dtype="Int32"),
+                    "out_frames": pd.array(frames, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(run, RESAMPLED_AUDIO_SCHEMA)

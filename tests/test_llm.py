@@ -1511,3 +1511,55 @@ def test_resize_image_pixels_end_to_end(spark):
     )
     row = resize_image_pixels(junk).collect()[0]
     assert row["payload"] is None and row["out_width"] is None
+
+
+def test_resample_audio_exact_algebra(spark):
+    """Audio NN resample: out[i] = in[(i*n_in)//n_out] at
+    n_out = n_in*target//source — pinned against the planted waveform
+    algebra through decode → resample → re-encode → decode."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_wav_samples,
+        parse_audio_header,
+        resample_audio,
+        synthesize_pattern_audio,
+    )
+
+    docs = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+    got = {
+        r["media_id"]: r
+        for r in resample_audio(
+            synthesize_pattern_audio(docs), target_rate=4000
+        ).collect()
+    }
+    for mid in range(16):
+        n_in = 64 + mid % 256
+        ch = 1 + mid % 2
+        rate = 8000 + 1000 * (mid % 8)
+        i = np.arange(n_in, dtype=np.int64)
+        v = ((mid * 31 + i * 17) % 65536) - 32768
+        if rate == 4000:
+            expect = v
+        else:
+            n_out = max(1, (n_in * 4000) // rate)
+            idx = (np.arange(n_out) * n_in) // n_out
+            expect = v[idx]
+        row = got[mid]
+        assert row["out_rate"] == 4000
+        assert row["out_frames"] == len(expect), mid
+        out_b = bytes(row["payload"])
+        assert parse_audio_header(out_b) == (
+            "wav", ch, 4000, 16, len(expect),
+        )
+        out = decode_wav_samples(out_b).astype(np.int64)
+        assert (out[:, 0] == expect).all(), mid
+        if ch == 2:
+            assert (out[:, 1] == expect).all(), mid
+    # junk -> NULL row
+    junk = spark.createDataFrame(
+        [(5, bytearray(b"OggS\x00\x00"))], "media_id long, payload binary"
+    )
+    row = resample_audio(junk, 4000).collect()[0]
+    assert row["payload"] is None and row["out_frames"] is None
