@@ -350,6 +350,16 @@ def compact_dedup_index(
         sub_df.select("fp", "bucket").write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(tmp)
+        # the bucket values that actually HOLD rows (bounded: ≤ |frag|
+        # values, collected from the already-pruned frame) — this is
+        # what distinguishes "safe to skip: zero-row fragments" from
+        # "tmp output is missing a non-empty bucket" (torn write /
+        # unanticipated partition-value rendering), which must FAIL
+        # loudly BEFORE any live directory is renamed aside
+        present = {
+            str(r["bucket"])
+            for r in sub_df.select("bucket").distinct().collect()
+        }
         _write_marker(
             spark, root, {"op": "compact_dedup_index", "buckets": frag}
         )
@@ -358,28 +368,36 @@ def compact_dedup_index(
             for name, is_dir in _list_children(spark, tmp)
             if is_dir and name.startswith("bucket=")
         }
+        skipped = 0
         for name in frag:
             # partition-value formatting can differ from the directory
             # name when inference typed the bucket as int (bucket=07 is
             # rewritten as bucket=7) — swap by VALUE, not by name
-            src = name
-            if src not in written:
-                v = name.split("=", 1)[1]
-                src = f"bucket={int(v)}" if v.isdigit() else name
-            if src not in written:
-                # a fragmented bucket whose files all held ZERO rows
-                # produces no tmp partition; renaming the live bucket
-                # aside with no replacement would strand the index with
-                # the marker armed (a manual-recovery stop).  Its empty
-                # fragments contribute no keys, so leaving them in
-                # place is correct — skip the swap.
+            raw_v = name.split("=", 1)[1]
+            canon = str(int(raw_v)) if raw_v.isdigit() else raw_v
+            if raw_v not in present and canon not in present:
+                # every fragment of this bucket held zero rows: there
+                # is nothing to write, and renaming the live bucket
+                # aside with no replacement would strand the index
+                # with the marker armed.  Leave the (empty) fragments.
+                skipped += 1
                 continue
+            src = name if name in written else f"bucket={canon}"
+            if src not in written:
+                raise OSError(
+                    f"compact_dedup_index: bucket {name} has rows but "
+                    f"no tmp partition was written (torn write?) — "
+                    "aborting before touching the live index"
+                )
             _swap_dir(spark, f"{tmp}/{src}", f"{root}/{name}")
         _delete(spark, tmp)
         _clear_marker(spark, root)
+    else:
+        skipped = 0
     return {
         "buckets_total": len(buckets),
-        "buckets_compacted": len(frag),
+        "buckets_compacted": len(frag) - skipped,
+        "buckets_skipped_empty": skipped,
     }
 
 

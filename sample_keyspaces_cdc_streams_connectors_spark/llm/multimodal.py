@@ -147,19 +147,18 @@ def parse_image_header(
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Image geometry: REAL header decode for recognized containers
     (PNG/GIF/JPEG — :func:`parse_image_header`); for anything else the
-    deterministic fake stands in when ``fake=True``.  For PIXELS,
-    PNG and GIF decode for real too (:func:`decode_png_pixels` r10,
-    :func:`decode_gif_pixels` r11); JPEG pixel data remains the stub
-    boundary."""
+    deterministic fake stands in when ``fake=True``.  PIXELS decode
+    for real for all three formats too (:func:`decode_image_pixels`,
+    r10/r11); the stub boundary is unrecognized containers only."""
     fmt, w, h = parse_image_header(payload)
     if fmt is not None and w is not None and h is not None:
         return (w, h)
     if fake:
         return _fake_decode(payload)
     raise NotImplementedError(
-        "unrecognized image container (PNG/GIF/JPEG headers parse "
-        "natively; PNG/GIF pixels decode via decode_image_pixels) — "
-        "pass fake=True for a deterministic stand-in on other payloads"
+        "unrecognized image container (PNG/GIF/JPEG headers AND "
+        "pixels decode natively via decode_image_pixels) — pass "
+        "fake=True for a deterministic stand-in on other payloads"
     )
 
 
@@ -467,7 +466,13 @@ def decode_png_pixels(payload: bytes | None):
         raise ValueError("palette PNG without a PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
     bpp = max(1, ch * bit_depth // 8)  # filter byte-offset (spec §9)
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # zlib.error is not a ValueError subclass — translate so the
+        # malformed-payload contract (and the NULL-stats batch
+        # contract built on it) holds for bit-rotted IDAT data too
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from None
     if interlace:
         # Adam7 (r11): seven sub-images, each independently filtered,
         # scattered back on the published (x0, y0, xs, ys) grid
@@ -892,7 +897,11 @@ def _huff_fast(table):
         for i in range(1 << (16 - length)):
             lut[base + i] = entry
     if len(_HUFF_FAST_CACHE) >= 32:
-        _HUFF_FAST_CACHE.clear()
+        # evict ONE entry (insertion-order FIFO) — clearing everything
+        # would discard the hot shared tables (e.g. Annex K) that the
+        # memo exists to protect when a corpus cycles >32 per-file
+        # optimized tables through a worker
+        _HUFF_FAST_CACHE.pop(next(iter(_HUFF_FAST_CACHE)))
     _HUFF_FAST_CACHE[key] = lut
     return lut
 
@@ -1162,6 +1171,8 @@ def decode_jpeg_pixels(payload: bytes | None):
                 htables[(cls, tid)] = _huff_canonical(bits, vals)
                 j += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(
@@ -1169,10 +1180,17 @@ def decode_jpeg_pixels(payload: bytes | None):
                 )
             fh, fw = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF component specs")
             comps = []
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs < 1 or vs < 1:
+                    raise ValueError(
+                        f"invalid JPEG sampling factors {hs}x{vs}"
+                    )
+                comps.append((cid, hs, vs, tq))
             frame = (fh, fw, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -1181,16 +1199,34 @@ def decode_jpeg_pixels(payload: bytes | None):
                 "sequential SOF0/SOF1 only)"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if len(body) < 1:
+                raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS component specs")
+            if ns != len(frame[2]):
+                # legal per T.81 (non-interleaved multi-scan baseline)
+                # but a different decode structure — explicit boundary,
+                # never a KeyError out of the scan walk
+                raise NotImplementedError(
+                    f"JPEG non-interleaved scan ({ns} of "
+                    f"{len(frame[2])} components) unsupported"
+                )
             scan_tabs = {}
             for c in range(ns):
                 cid = body[1 + 2 * c]
                 tsel = body[2 + 2 * c]
                 scan_tabs[cid] = (tsel >> 4, tsel & 0x0F)
+            if set(scan_tabs) != {cid for cid, *_rest in frame[2]}:
+                raise ValueError(
+                    "JPEG SOS component ids do not match the SOF frame"
+                )
             return _jpeg_decode_scan(
                 b,
                 i + 2 + seg_len,
@@ -2143,8 +2179,12 @@ def parse_video_header(payload: bytes | None):
             continue
         for t2, b2, e2 in _mp4_boxes(b, body, box_end):
             if t2 == b"mvhd":
+                if e2 - b2 < 20:
+                    raise ValueError("truncated MP4 mvhd box")
                 version = b[b2]
                 if version == 1:
+                    if e2 - b2 < 32:
+                        raise ValueError("truncated MP4 mvhd v1 box")
                     timescale, duration = struct.unpack(
                         ">IQ", b[b2 + 20 : b2 + 32]
                     )
@@ -2156,11 +2196,15 @@ def parse_video_header(payload: bytes | None):
                     duration_ms = duration * 1000 // timescale
             elif t2 == b"trak":
                 n_tracks += 1
-                for t3, b3, _e3 in _mp4_boxes(b, b2, e2):
+                for t3, b3, e3 in _mp4_boxes(b, b2, e2):
                     if t3 != b"tkhd":
                         continue
+                    if e3 - b3 < 1:
+                        raise ValueError("truncated MP4 tkhd box")
                     version = b[b3]
                     off = b3 + (96 if version == 1 else 84)
+                    if off > e3:
+                        raise ValueError("truncated MP4 tkhd box")
                     tw, th = struct.unpack(">II", b[off - 8 : off])
                     w = tw >> 16  # 16.16 fixed point
                     h = th >> 16

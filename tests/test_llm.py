@@ -1563,3 +1563,64 @@ def test_resample_audio_exact_algebra(spark):
     )
     row = resample_audio(junk, 4000).collect()[0]
     assert row["payload"] is None and row["out_frames"] is None
+
+
+def test_decoder_exception_contract_crafted_payloads(spark):
+    """Every recognized-but-malformed payload class the r11 review
+    surfaced must land in the NULL-stats contract, not crash the
+    Arrow batch: bit-rotted PNG IDAT (zlib.error), SOS/SOF component
+    mismatch (was KeyError), empty SOF body (was IndexError), zero
+    sampling factors (was ZeroDivisionError), and a body-less mvhd
+    box (was IndexError in the video pass)."""
+    import numpy as np
+    import struct as _struct
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        encode_jpeg_gray8,
+        encode_mp4_header,
+        encode_png_gray8,
+        image_pixel_stats,
+        video_metadata,
+    )
+
+    # PNG with one corrupted IDAT byte
+    png = bytearray(encode_png_gray8(np.arange(64, dtype=np.uint8).reshape(8, 8)))
+    idat_at = bytes(png).find(b"IDAT") + 10
+    png[idat_at] ^= 0xFF
+    # JPEG whose SOS names a component id the SOF never declared
+    jp = bytearray(encode_jpeg_gray8(np.zeros((8, 8), dtype=np.uint8)))
+    sos_at = bytes(jp).find(b"\xff\xda")
+    jp[sos_at + 5] = 9  # component id 1 -> 9
+    # JPEG with an empty SOF body
+    jp_sof = b"\xff\xd8" + b"\xff\xc0\x00\x02" + b"\xff\xd9"
+    # JPEG with zero sampling factors
+    jp_samp = bytearray(encode_jpeg_gray8(np.zeros((8, 8), dtype=np.uint8)))
+    sof_at = bytes(jp_samp).find(b"\xff\xc0")
+    jp_samp[sof_at + 11] = 0x00  # component sampling byte
+    rows = [
+        (1, png),
+        (2, jp),
+        (3, bytearray(jp_sof)),
+        (4, jp_samp),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in image_pixel_stats(df).collect()}
+    assert len(got) == 4
+    for mid in (1, 2, 3, 4):
+        assert got[mid]["px_n"] is None, mid
+
+    # MP4 with a body-less mvhd box inside moov
+    def box(tag, body):
+        return _struct.pack(">I", len(body) + 8) + tag + body
+
+    bad_mp4 = (
+        box(b"ftyp", b"isom" + _struct.pack(">I", 0))
+        + box(b"moov", box(b"mvhd", b""))
+    )
+    vdf = spark.createDataFrame(
+        [(9, bytearray(bad_mp4)), (10, bytearray(encode_mp4_header(500, 64, 48)))],
+        "media_id long, payload binary",
+    )
+    vgot = {r["media_id"]: r for r in video_metadata(vdf).collect()}
+    assert vgot[9]["duration_ms"] is None and vgot[9]["format"] is None
+    assert vgot[10]["duration_ms"] == 500  # good payloads still flow

@@ -615,6 +615,9 @@ def test_compact_dedup_index_skips_zero_row_bucket(spark, sf_dir, tmp_path):
     }
     report = compact_dedup_index(spark, path)
     assert report["buckets_compacted"] > 0
+    # the zero-row bucket is counted as SKIPPED, not compacted (r11:
+    # the skip must not overstate the work done)
+    assert report["buckets_skipped_empty"] == 1
     # no armed marker, no stranded bucket: probes run and match
     after = {
         r["doc_id"]
