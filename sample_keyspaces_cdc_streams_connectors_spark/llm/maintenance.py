@@ -377,9 +377,13 @@ def compact_dedup_index(
             canon = str(int(raw_v)) if raw_v.isdigit() else raw_v
             if raw_v not in present and canon not in present:
                 # every fragment of this bucket held zero rows: there
-                # is nothing to write, and renaming the live bucket
-                # aside with no replacement would strand the index
-                # with the marker armed.  Leave the (empty) fragments.
+                # is nothing to write.  Delete the bucket directory —
+                # a zero-row bucket reads identically whether its dir
+                # holds N empty fragments, one, or none, so the delete
+                # is crash-safe under the armed marker, and it stops
+                # the bucket from re-qualifying as fragmented on every
+                # subsequent compaction run
+                _delete(spark, f"{root}/{name}")
                 skipped += 1
                 continue
             src = name if name in written else f"bucket={canon}"

@@ -889,6 +889,10 @@ def _huff_fast(table):
     key = tuple(sorted(table.items()))
     lut = _HUFF_FAST_CACHE.get(key)
     if lut is not None:
+        # LRU touch: re-insert at the end so hot shared tables (e.g.
+        # Annex K, built first and hit constantly) survive eviction
+        # when a corpus cycles >32 per-file optimized tables through
+        _HUFF_FAST_CACHE[key] = _HUFF_FAST_CACHE.pop(key)
         return lut
     lut = [None] * 65536
     for (length, code), sym in table.items():
@@ -897,10 +901,8 @@ def _huff_fast(table):
         for i in range(1 << (16 - length)):
             lut[base + i] = entry
     if len(_HUFF_FAST_CACHE) >= 32:
-        # evict ONE entry (insertion-order FIFO) — clearing everything
-        # would discard the hot shared tables (e.g. Annex K) that the
-        # memo exists to protect when a corpus cycles >32 per-file
-        # optimized tables through a worker
+        # evict ONE entry — the least-recently-used (hits re-insert at
+        # the end above), so hot shared tables are the last to go
         _HUFF_FAST_CACHE.pop(next(iter(_HUFF_FAST_CACHE)))
     _HUFF_FAST_CACHE[key] = lut
     return lut
@@ -1134,6 +1136,13 @@ def decode_jpeg_pixels(payload: bytes | None):
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"JPEG marker sync lost at byte {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # the marker code — skip them so the code (and the segment
+        # length after it) is read from the right offset
+        while i + 2 < len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > len(b):
+            break
         marker = b[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
@@ -1431,13 +1440,100 @@ def _jpeg_decode_scan(
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def decode_image_pixels(payload: bytes | None):
+# --- pluggable fast-decoder seam (r12) ---------------------------------------
+#
+# The interpreted stdlib codecs measure 1–9 MB/s per core (SCALE.md
+# decode tables); C decoders do 100+ MB/s.  At 100 TB of media that is
+# a ~50× compute multiplier, so the decode call sites accept an
+# injected fast decoder with the stdlib codecs as the always-there
+# deterministic fallback.  A decoder is ``payload -> ndarray | None``:
+# return the decoded array, or ``None`` / raise ``NotImplementedError``
+# to decline (fall through to stdlib).  ``ValueError`` still means
+# "malformed payload" and propagates — a fast decoder must not turn a
+# corrupt file into silent pixels.
+#
+# Cluster posture: the pipeline stages below take ``decoder`` as a
+# NAME (or a top-level callable) and resolve it INSIDE the
+# ``mapInPandas`` closure, so what ships to the executor is a string —
+# the C library is imported where the decode runs, never pickled from
+# the driver.  The oracle gate arms pass no decoder and stay pinned to
+# the stdlib path for determinism.
+
+def pil_image_decoder(payload: bytes):
+    """PIL/Pillow-backed fast image decoder (libjpeg/zlib under the
+    hood, 100+ MB/s) matching the seam contract: grayscale modes
+    return ``(h, w, 1)`` uint8, everything else converts to RGB
+    ``(h, w, 3)`` — the same shapes the stdlib codecs emit.  Raises
+    ``ImportError`` where Pillow is not installed (the resolver turns
+    an unknown/unimportable name into a hard error up front rather
+    than a silent slow path)."""
+    import io
+
+    import numpy as np
+    from PIL import Image  # noqa: deliberate runtime import
+
+    try:
+        with Image.open(io.BytesIO(payload or b"")) as im:
+            if im.mode in ("L", "1", "I;16", "I", "F"):
+                g = np.asarray(im.convert("L"), dtype=np.uint8)
+                return g[:, :, None]
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Image.UnidentifiedImageError as exc:
+        raise ValueError(f"undecodable image payload: {exc}") from exc
+
+
+def pil_audio_decoder(payload: bytes):  # pragma: no cover - name parity
+    """There is no PIL for audio; kept as an explicit unsupported name
+    so ``resolve_audio_decoder('pil')`` fails loudly, not silently."""
+    raise ImportError("'pil' is an image decoder name, not audio")
+
+
+#: named fast decoders resolvable on the executor.  Extend by
+#: registering a module-level callable (it must be importable where
+#: the tasks run); ``None``/"stdlib" always means the interpreted
+#: reference codecs.
+_IMAGE_DECODERS = {"pil": pil_image_decoder}
+_AUDIO_DECODERS: dict = {}
+
+
+def resolve_image_decoder(spec):
+    """``None``/"stdlib" -> None (stdlib path); a registered name ->
+    its callable; a callable -> itself.  Unknown names raise KeyError
+    immediately — never a silent fallback that masks a perf
+    misconfiguration at 100 TB."""
+    if spec is None or spec == "stdlib":
+        return None
+    if callable(spec):
+        return spec
+    return _IMAGE_DECODERS[spec]
+
+
+def resolve_audio_decoder(spec):
+    if spec is None or spec == "stdlib":
+        return None
+    if callable(spec):
+        return spec
+    return _AUDIO_DECODERS[spec]
+
+
+def decode_image_pixels(payload: bytes | None, decoder=None):
     """Pixel decode dispatch: PNG, GIF, and baseline JPEG all decode
     for REAL (:func:`decode_png_pixels`, :func:`decode_gif_pixels`,
     :func:`decode_jpeg_pixels` — stdlib + numpy only, r11).
+    ``decoder`` (r12) is the fast-path seam: a name or callable per
+    :func:`resolve_image_decoder`; when it declines (returns ``None``
+    or raises ``NotImplementedError``) the stdlib codecs take over.
     Unrecognized containers raise ``NotImplementedError`` (the
     documented boundary); malformed payloads of a recognized format
-    raise ``ValueError``."""
+    raise ``ValueError`` (from either path)."""
+    fast = resolve_image_decoder(decoder)
+    if fast is not None:
+        try:
+            px = fast(payload)
+        except NotImplementedError:
+            px = None
+        if px is not None:
+            return px
     fmt, _w, _h = parse_image_header(payload)
     if fmt == "png":
         return decode_png_pixels(payload)
@@ -1462,21 +1558,26 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
-def image_pixel_stats(media: DataFrame) -> DataFrame:
+def image_pixel_stats(media: DataFrame, decoder=None) -> DataFrame:
     """(media_id, px_n, px_sum, px_min, px_max) over REAL decoded
     PNG/GIF/JPEG pixels (:func:`decode_image_pixels`) — the per-image
     statistics pass (brightness screens, constant-image drops) a
     training-data pipeline runs after decode.  Undecodable payloads
     yield NULL stats rather than failing the batch (same contract as
-    the header pass)."""
+    the header pass).  ``decoder`` names/injects a fast decoder
+    (:func:`resolve_image_decoder`), resolved INSIDE the task so a
+    name like ``"pil"`` imports its C library on the executor; the
+    default ``None`` pins the stdlib path (what the oracle gate
+    runs)."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fast = resolve_image_decoder(decoder)
         for pdf in batches:
             ns, sums, mins, maxs = [], [], [], []
             for p in pdf["payload"]:
                 try:
-                    px = decode_image_pixels(p)
+                    px = decode_image_pixels(p, decoder=fast)
                 except (ValueError, NotImplementedError, struct.error):
                     # struct.error: a truncated fixed-width header
                     # field inside an otherwise-recognized container —
@@ -1931,7 +2032,10 @@ def parse_audio_header(payload: bytes | None):
                 block_align, bits = struct.unpack("<HH", body[12:16])
             elif tag == b"data":
                 if block_align:
-                    n_frames = clen // block_align
+                    # clamp to the bytes actually present: a truncated
+                    # payload must not report frames it doesn't carry
+                    # (len(body) is min(clen, bytes remaining))
+                    n_frames = len(body) // block_align
             i += 8 + clen + (clen & 1)  # chunks are word-aligned
         return ("wav", n_channels, sample_rate, bits, n_frames)
     if b[:4] == b"fLaC":
@@ -1973,17 +2077,31 @@ def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_wav_samples(payload: bytes | None):
+def decode_wav_samples(payload: bytes | None, decoder=None):
     """REAL stdlib WAV sample decode: returns ``(n_frames,
     n_channels)`` int16 numpy array for 16-bit PCM (8-bit unsigned
-    PCM widens to int16 by centering at 0 and scaling ×256 — the
-    standard convention).  Raises ``ValueError`` on malformed data
-    and ``NotImplementedError`` for non-PCM codecs (float, ADPCM,
-    μ-law) — never wrong samples silently.  Same scale posture as the
-    image decoders: a ``mapInPandas`` per-item kernel; payloads never
-    reach the driver."""
+    PCM widens to int16 by centering at 0 and scaling ×256; IEEE
+    float32/float64 — common in speech corpora — scales [-1, 1] by
+    32767 with clipping — both the standard conventions).  Raises
+    ``ValueError`` on malformed data, INCLUDING a data chunk that is
+    not a whole number of frames (a torn trailing frame must not
+    silently shrink the clip), and ``NotImplementedError`` for
+    compressed codecs (ADPCM, μ-law) — never wrong samples silently.
+    Same scale posture as the image decoders: a ``mapInPandas``
+    per-item kernel; payloads never reach the driver.  ``decoder``
+    (r12) is the fast-path seam — same contract as
+    :func:`decode_image_pixels`'s: return samples, or ``None`` /
+    ``NotImplementedError`` to fall through to the stdlib path."""
     import numpy as np
 
+    fast = resolve_audio_decoder(decoder)
+    if fast is not None:
+        try:
+            s = fast(payload)
+        except NotImplementedError:
+            s = None
+        if s is not None:
+            return s
     b = payload or b""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
@@ -2007,16 +2125,33 @@ def decode_wav_samples(payload: bytes | None):
         raise ValueError("WAV without a data chunk")
     audio_fmt, ch, _rate = struct.unpack("<HHI", fmt_body[:8])
     bits = struct.unpack("<H", fmt_body[14:16])[0]
-    if audio_fmt != 1:
+    if audio_fmt not in (1, 3):
         raise NotImplementedError(
-            f"WAV audio format {audio_fmt} unsupported (PCM only)"
+            f"WAV audio format {audio_fmt} unsupported "
+            "(integer PCM and IEEE float only)"
         )
     if ch < 1:
         raise ValueError("WAV with zero channels")
-    if bits == 16:
-        arr = np.frombuffer(data[: len(data) // (2 * ch) * 2 * ch], "<i2")
+    if audio_fmt == 3:
+        if bits not in (32, 64):
+            raise ValueError(f"IEEE-float WAV with bit depth {bits}")
+        frame_bytes = ch * bits // 8
+        if len(data) % frame_bytes:
+            raise ValueError("WAV data is not a whole number of frames")
+        f = np.frombuffer(data, "<f4" if bits == 32 else "<f8")
+        # standard float→int16 convention: [-1, 1] scales by 32767
+        # with clipping; keeps every downstream consumer int16-exact
+        arr = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(
+            np.int16
+        )
+    elif bits == 16:
+        if len(data) % (2 * ch):
+            raise ValueError("WAV data is not a whole number of frames")
+        arr = np.frombuffer(data, "<i2")
     elif bits == 8:
-        raw = np.frombuffer(data[: len(data) // ch * ch], np.uint8)
+        if len(data) % ch:
+            raise ValueError("WAV data is not a whole number of frames")
+        raw = np.frombuffer(data, np.uint8)
         arr = (raw.astype(np.int16) - 128) * 256
     else:
         raise NotImplementedError(
@@ -2025,7 +2160,7 @@ def decode_wav_samples(payload: bytes | None):
     return arr.reshape(-1, ch)
 
 
-def audio_stats(media: DataFrame) -> DataFrame:
+def audio_stats(media: DataFrame, decoder=None) -> DataFrame:
     """(media_id, au_rate, au_channels, au_n, au_sum_sq, au_peak)
     over REAL decoded WAV samples — the per-clip statistics pass
     (silence screens, clipping detection, loudness gates) a
@@ -2033,10 +2168,13 @@ def audio_stats(media: DataFrame) -> DataFrame:
     the exact int64 energy (RMS² = au_sum_sq / au_n, left to the
     consumer so the column stays integer-exact for the oracle);
     undecodable payloads yield NULL stats rather than failing the
-    batch — the same contract as :func:`image_pixel_stats`."""
+    batch — the same contract as :func:`image_pixel_stats`.
+    ``decoder`` injects a fast sample decoder (r12 seam), resolved
+    inside the task; default ``None`` pins the stdlib oracle path."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fast = resolve_audio_decoder(decoder)
         for pdf in batches:
             rates, chans, ns, sumsqs, peaks = [], [], [], [], []
             for p in pdf["payload"]:
@@ -2044,7 +2182,9 @@ def audio_stats(media: DataFrame) -> DataFrame:
                     fmt, ch, rate, _bits, _nf = parse_audio_header(p)
                     if fmt != "wav":
                         raise ValueError("not wav")
-                    s = decode_wav_samples(p).astype(np.int64)
+                    s = decode_wav_samples(p, decoder=fast).astype(
+                        np.int64
+                    )
                 except (ValueError, NotImplementedError, struct.error):
                     rates.append(None)
                     chans.append(None)
@@ -2361,7 +2501,9 @@ def resize_pixels_nn(px, max_side: int):
     return px[ys][:, xs]
 
 
-def resize_image_pixels(media: DataFrame, max_side: int = 224) -> DataFrame:
+def resize_image_pixels(
+    media: DataFrame, max_side: int = 224, decoder=None
+) -> DataFrame:
     """REAL bounded-box resize over decoded pixels (r11 — the resize
     stage the pipeline quartet decode / feature-extract / resize /
     frame-sample was still faking): ``decode_image_pixels`` (PNG /
@@ -2375,16 +2517,19 @@ def resize_image_pixels(media: DataFrame, max_side: int = 224) -> DataFrame:
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fast = resolve_image_decoder(decoder)
         for pdf in batches:
             payloads, ows, ohs = [], [], []
             for p in pdf["payload"]:
                 try:
-                    px = decode_image_pixels(p)
+                    px = decode_image_pixels(p, decoder=fast)
                 except (ValueError, NotImplementedError, struct.error):
                     payloads.append(None)
                     ows.append(None)
                     ohs.append(None)
                     continue
+                if px.ndim == 2:  # fast decoders emit (h, w) gray
+                    px = px[:, :, None]
                 if px.shape[2] == 2:  # gray+alpha -> gray
                     px = px[:, :, :1]
                 elif px.shape[2] == 4:  # RGBA -> RGB
@@ -2422,7 +2567,9 @@ RESAMPLED_AUDIO_SCHEMA = StructType(
 )
 
 
-def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
+def resample_audio(
+    media: DataFrame, target_rate: int, decoder=None
+) -> DataFrame:
     """REAL sample-rate conversion over decoded PCM (r11 — the audio
     mirror of :func:`resize_image_pixels`): decode
     (:func:`decode_wav_samples`), nearest-neighbor resample on the
@@ -2441,6 +2588,7 @@ def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
         raise ValueError(f"target_rate must be >= 1, got {target_rate}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fast = resolve_audio_decoder(decoder)
         for pdf in batches:
             payloads, rates, frames = [], [], []
             for p in pdf["payload"]:
@@ -2448,7 +2596,7 @@ def resample_audio(media: DataFrame, target_rate: int) -> DataFrame:
                     fmt, _ch, rate, _bits, _nf = parse_audio_header(p)
                     if fmt != "wav" or not rate:
                         raise ValueError("not a decodable WAV")
-                    s = decode_wav_samples(p)
+                    s = decode_wav_samples(p, decoder=fast)
                 except (ValueError, NotImplementedError, struct.error):
                     payloads.append(None)
                     rates.append(None)

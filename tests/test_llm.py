@@ -1272,6 +1272,178 @@ def test_jpeg_decode_rejects_malformed_and_progressive():
         decode_jpeg_pixels(good[:-6])
 
 
+def test_jpeg_marker_fill_bytes_and_lut_lru():
+    """r12 (ADVICE r11): T.81 B.1.1.2 allows any number of 0xFF fill
+    bytes before a marker code — the segment walk must skip them, not
+    read the length from the wrong offset.  Also pins the Huffman-LUT
+    cache's LRU semantics: a hit re-inserts at the end so the hot
+    shared tables survive a corpus cycling >32 per-file tables."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import multimodal as mm
+
+    px = (
+        np.arange(256, dtype=np.uint8).reshape(16, 16)
+    )
+    good = mm.encode_jpeg_gray8(px)
+    base = mm.decode_jpeg_pixels(good)
+    # inject fill bytes before the first post-SOI marker AND before SOS
+    b = bytearray(good)
+    sos = bytes(b).find(b"\xff\xda")
+    b[sos:sos] = b"\xff\xff\xff"
+    b[2:2] = b"\xff" * 5
+    padded = mm.decode_jpeg_pixels(bytes(b))
+    assert (padded == base).all()
+    # LRU: fill the cache, touch the first key, overflow — the
+    # recently-touched key must survive, the untouched oldest is evicted
+    mm._HUFF_FAST_CACHE.clear()
+    tables = [{(5, i): i, (6, 32 + i): 255 - i} for i in range(32)]
+    for t in tables:
+        mm._huff_fast(t)
+    hot = tuple(sorted(tables[0].items()))
+    assert hot in mm._HUFF_FAST_CACHE
+    mm._huff_fast(tables[0])  # touch -> most recently used
+    mm._huff_fast({(2, 0): 77, (4, 8): 99})  # overflow evicts ONE
+    assert hot in mm._HUFF_FAST_CACHE  # survived: LRU, not FIFO
+    second = tuple(sorted(tables[1].items()))
+    assert second not in mm._HUFF_FAST_CACHE  # the true LRU went
+    mm._HUFF_FAST_CACHE.clear()
+
+
+def _counting_gray_decoder(payload):
+    """Seam-test fast decoder: handles ONLY the planted gray8 PNGs
+    (declines everything else), decodes via the stdlib codec, doubles
+    no values — output-equivalent by construction — and counts calls
+    in an executor-local attribute."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_png_pixels,
+        parse_image_header,
+    )
+
+    _counting_gray_decoder.calls += 1
+    fmt, _w, _h = parse_image_header(payload)
+    if fmt != "png":
+        return None  # decline -> stdlib fallback
+    return decode_png_pixels(payload)
+
+
+_counting_gray_decoder.calls = 0
+
+
+def test_pixel_decoder_seam_injection_and_fallback(spark):
+    """r12 (VERDICT r11 #1): the fast-decoder seam.  An injected
+    decoder is actually USED, its output is equivalent to the stdlib
+    path on the planted patterns, declining (None /
+    NotImplementedError) falls back to stdlib, unknown names raise
+    immediately, and ValueError still means malformed."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import multimodal as mm
+
+    # scalar seam: injected callable used + equivalent on all 3 formats
+    for mid in range(12):
+        for blob in (
+            mm._pattern_png_bytes(mid),
+            mm._pattern_gif_bytes(mid),
+            mm._pattern_jpeg_bytes(mid),
+        ):
+            base = mm.decode_image_pixels(blob)
+            _counting_gray_decoder.calls = 0
+            seamed = mm.decode_image_pixels(
+                blob, decoder=_counting_gray_decoder
+            )
+            assert _counting_gray_decoder.calls == 1  # seam engaged
+            assert (seamed == base).all()  # equivalent (PNG via fast,
+            # GIF/JPEG via declined->stdlib fallback)
+    # NotImplementedError from the fast path also falls through
+
+    def nie(_p):
+        raise NotImplementedError
+
+    blob = mm._pattern_png_bytes(5)
+    assert (
+        mm.decode_image_pixels(blob, decoder=nie)
+        == mm.decode_image_pixels(blob)
+    ).all()
+    # ValueError propagates — a fast decoder must not mask corruption
+
+    def ve(_p):
+        raise ValueError("corrupt")
+
+    with _pytest.raises(ValueError, match="corrupt"):
+        mm.decode_image_pixels(blob, decoder=ve)
+    # unknown name: hard error, never a silent slow path
+    with _pytest.raises(KeyError):
+        mm.resolve_image_decoder("libjpeg-turbo")
+    with _pytest.raises(KeyError):
+        mm.resolve_audio_decoder("ffmpeg")
+    # audio seam mirrors: injected fast path wins; None falls back
+    wav = mm._pattern_wav_bytes(7)
+    base_s = mm.decode_wav_samples(wav)
+    fixed = np.full((4, 2), 11, dtype=np.int16)
+    got = mm.decode_wav_samples(wav, decoder=lambda _p: fixed)
+    assert (got == fixed).all()
+    assert (
+        mm.decode_wav_samples(wav, decoder=lambda _p: None) == base_s
+    ).all()
+    # DataFrame-level seam: stats with the injected decoder match the
+    # stdlib oracle path exactly (resolution happens inside the task)
+    rows = [(m, bytearray(mm._pattern_png_bytes(m))) for m in range(20)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    stdlib_stats = {
+        r["media_id"]: (r["px_n"], r["px_sum"], r["px_min"], r["px_max"])
+        for r in mm.image_pixel_stats(df).collect()
+    }
+    # locally-defined so cloudpickle ships it BY VALUE to the worker
+    # (a module-level test function pickles by reference and the
+    # executor can't import the tests module — exactly the cluster
+    # posture the seam's resolve-inside-the-task design avoids for
+    # NAMED decoders)
+    def local_fast(payload):
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+            decode_png_pixels,
+            parse_image_header,
+        )
+
+        fmt, _w, _h = parse_image_header(payload)
+        return decode_png_pixels(payload) if fmt == "png" else None
+
+    seam_stats = {
+        r["media_id"]: (r["px_n"], r["px_sum"], r["px_min"], r["px_max"])
+        for r in mm.image_pixel_stats(df, decoder=local_fast).collect()
+    }
+    assert seam_stats == stdlib_stats
+
+
+def test_pil_decoder_equivalence_if_available(spark):
+    """When Pillow IS importable (not in this sandbox, but on a real
+    cluster), the named 'pil' fast path must be pixel-identical to the
+    stdlib codecs on the planted patterns; where it is absent, the
+    resolver surfaces ImportError at decode time, not a silent slow
+    path."""
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import multimodal as mm
+
+    dec = mm.resolve_image_decoder("pil")  # name always resolves
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError):
+            dec(mm._pattern_png_bytes(3))
+        return
+    for mid in range(8):
+        for blob in (
+            mm._pattern_png_bytes(mid),
+            mm._pattern_gif_bytes(mid),
+        ):
+            base = mm.decode_image_pixels(blob)
+            fast = dec(blob)
+            assert fast.shape == base.shape
+            assert (fast == base).all()
+
+
 def test_image_pixel_stats_truncated_header_yields_null(spark):
     """A payload that passes format sniffing but truncates inside a
     fixed-width header field (struct.error territory) must yield NULL
@@ -1332,13 +1504,70 @@ def test_audio_header_magics_and_rejects():
     )
     with _pytest.raises(ValueError, match="not a WAV"):
         decode_wav_samples(b"fLaC\x00\x00\x00")
-    # non-PCM codec id -> explicit NotImplementedError
+    # compressed codec id -> explicit NotImplementedError
     b = bytearray(
         encode_wav_pcm16(np.zeros((4, 1), dtype=np.int16), 8000)
     )
-    b[20] = 3  # fmt code 3 = IEEE float
-    with _pytest.raises(NotImplementedError, match="format 3"):
+    b[20] = 2  # fmt code 2 = MS ADPCM
+    with _pytest.raises(NotImplementedError, match="format 2"):
         decode_wav_samples(bytes(b))
+    # fmt 3 (IEEE float) with an integer bit depth is malformed
+    b[20] = 3
+    with _pytest.raises(ValueError, match="bit depth 16"):
+        decode_wav_samples(bytes(b))
+
+
+def test_wav_float_decode_and_torn_frame_contract():
+    """r12 (VERDICT r11 #8 + ADVICE): IEEE-float WAV decodes through
+    the standard ×32767-with-clipping convention, and a data chunk
+    that is not a whole number of frames raises instead of silently
+    truncating (the docstring's 'never wrong samples silently')."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+        parse_audio_header,
+    )
+
+    def wav_float(frames: "np.ndarray", rate: int, f64: bool = False):
+        n, ch = frames.shape
+        data = frames.astype("<f8" if f64 else "<f4").tobytes()
+        bits = 64 if f64 else 32
+        fmt = _struct.pack(
+            "<HHIIHH", 3, ch, rate, rate * ch * bits // 8,
+            ch * bits // 8, bits,
+        )
+        body = (
+            b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    f = np.array(
+        [[0.0, 1.0], [-1.0, 0.5], [2.0, -2.0], [0.25, -0.25]]
+    )
+    for f64 in (False, True):
+        b = wav_float(f, 16000, f64=f64)
+        out = decode_wav_samples(b)
+        assert out.dtype == np.int16
+        expect = np.clip(np.rint(f * 32767.0), -32768, 32767)
+        assert (out == expect.astype(np.int16)).all()
+    # torn trailing frame: int16 stereo with an odd byte count raises
+    s = np.arange(8, dtype=np.int16).reshape(4, 2)
+    pcm = bytearray(encode_wav_pcm16(s, 8000))
+    torn = bytearray(pcm[:-2])  # drop half the final stereo frame
+    # the header pass clamps frames to the bytes actually present
+    # even while the data chunk still DECLARES the full length
+    assert parse_audio_header(bytes(torn))[4] == 3
+    # patch RIFF/data lengths so only the frame-multiple check trips
+    _struct.pack_into("<I", torn, 4, len(torn) - 8)
+    _struct.pack_into("<I", torn, 40, len(torn) - 44)
+    with _pytest.raises(ValueError, match="whole number of frames"):
+        decode_wav_samples(bytes(torn))
 
 
 def test_audio_stats_planted_pattern(spark):

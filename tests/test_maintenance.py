@@ -589,7 +589,10 @@ def test_compact_dedup_index_skips_zero_row_bucket(spark, sf_dir, tmp_path):
     SKIP it (its empty fragments contribute no keys) rather than
     rename the live bucket aside with no replacement — which would
     strand the index with the maintenance marker armed (r11, ADVICE
-    r10).  Other fragmented buckets still compact normally."""
+    r10).  r12 (ADVICE r11): the skip also DELETES the zero-row
+    bucket's fragment files, so it stops re-qualifying as fragmented
+    on every later run (``buckets_skipped_empty`` converges to 0).
+    Other fragmented buckets still compact normally."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import (
         append_to_dedup_index,
         build_dedup_index,
@@ -624,10 +627,14 @@ def test_compact_dedup_index_skips_zero_row_bucket(spark, sf_dir, tmp_path):
         for r in dedup_against_index(probe, path).select("doc_id").collect()
     }
     assert after == before
-    # the zero-row bucket is still present (skipped, not stranded)
+    # the zero-row bucket's fragments are GONE (a zero-row bucket
+    # reads identically with or without its directory), so a second
+    # compaction finds nothing empty left to skip
     import os as _os
 
-    assert _os.path.isdir(f"{path}/exact/bucket=zz")
+    assert not _os.path.exists(f"{path}/exact/bucket=zz")
     assert not _os.path.exists(
         f"{path}/exact/_maintenance_inprogress.json"
     )
+    report2 = compact_dedup_index(spark, path)
+    assert report2["buckets_skipped_empty"] == 0
