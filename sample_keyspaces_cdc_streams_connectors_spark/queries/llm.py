@@ -28,7 +28,6 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
     ngram_jaccard_pairs,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
-from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import extract_features, synthesize_media
 from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     brute_force_topk,
     lsh_bucket_topk,
@@ -1861,46 +1860,18 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     count/energy/peak; the oracle replays the waveform arithmetic —
     stereo clips scale count and energy by exactly the channel count,
     so a channel-interleave bug breaks the hash."""
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
-        audio_stats,
-        image_header_features,
-        image_pixel_stats,
-        resize_images,
-        sample_frames,
-        synthesize_containers,
-        synthesize_pattern_audio,
-        synthesize_pattern_media,
-    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import multimodal_profile
 
+    # r12: ONE fused mapInPandas pass emits the whole profile per
+    # (media, frame) — the previous six-arm assembly joined
+    # table-cardinality MapInPandas build sides (each broadcast at
+    # gate scale; an OOM at 100×).  The standalone arm operators
+    # (image_pixel_stats, audio_stats, ...) remain the library
+    # surface; this gate exercises all of them through the fused
+    # assembly, which carries zero joins at any scale.
     docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
-    feats = extract_features(media, fake=True).select(
-        "media_id", "n_bytes", "digest", "width", "height"
-    )
-    resized = resize_images(media, max_side=224, fake=True).select(
-        "media_id", "out_width", "out_height"
-    )
-    hdr = image_header_features(synthesize_containers(docs)).select(
-        "media_id",
-        F.col("format").alias("fmt"),
-        F.col("width").alias("hdr_width"),
-        F.col("height").alias("hdr_height"),
-    )
-    px = image_pixel_stats(
-        synthesize_pattern_media(docs, mod_side=16)
-    ).select("media_id", "px_n", "px_sum", "px_min", "px_max")
-    au = audio_stats(synthesize_pattern_audio(docs)).select(
-        "media_id", "au_rate", "au_channels", "au_n", "au_sum_sq", "au_peak"
-    )
-    frames = sample_frames(
-        media, frame_chars=64, max_frames=4, fake=True
-    ).select("media_id", "frame_idx", "frame_bytes", "frame_digest")
-    return (
-        feats.join(resized, "media_id")
-        .join(hdr, "media_id")
-        .join(px, "media_id")
-        .join(au, "media_id")
-        .join(frames, "media_id", "left")
+    return multimodal_profile(
+        docs, frame_chars=64, max_frames=4, max_side=224, mod_side=16
     )
 
 
