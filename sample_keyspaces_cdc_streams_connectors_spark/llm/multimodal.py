@@ -1061,7 +1061,289 @@ def _encode_jpeg(planes, samplings, quant, restart_interval=0) -> bytes:
     )
 
 
-def encode_jpeg_gray8(pixels, quant: int = 1, restart_interval: int = 0):
+def _huff_uniform(symbols):
+    """Canonical ``(bits, vals)`` giving every symbol the same code
+    length L (smallest with 2^L > n, so the all-ones code is never
+    assigned) — a valid, simple per-scan table for the progressive
+    fixture encoder.  Needed because the Annex K example tables lack
+    the EOBn symbols (0x10..0xE0) progressive AC scans emit."""
+    syms = sorted(set(symbols))
+    n = len(syms)
+    if n == 0:
+        raise ValueError("empty Huffman symbol set")
+    length = max(1, n.bit_length())
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, syms
+
+
+def _prog_ac_first_block(row, ss, se, al, state, emit_sym, emit_bits):
+    """Encode one block of an AC first scan (T.81 G.1.2.2): run/size
+    with EOBn end-of-band run coding; ``state`` holds the pending
+    EOB run."""
+
+    def flush() -> None:
+        if state["eobrun"]:
+            r = state["eobrun"].bit_length() - 1
+            emit_sym(r << 4)
+            if r:
+                emit_bits(state["eobrun"] - (1 << r), r)
+            state["eobrun"] = 0
+
+    ts = []
+    for k in range(ss, se + 1):
+        v = int(row[k])
+        a = abs(v) >> al
+        ts.append(a if v >= 0 else -a)
+    if not any(ts):
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            flush()
+        return
+    flush()
+    run = 0
+    for t in ts:
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            emit_sym(0xF0)  # ZRL
+            run -= 16
+        s = abs(t).bit_length()
+        emit_sym((run << 4) | s)
+        emit_bits(t if t > 0 else t + (1 << s) - 1, s)
+        run = 0
+    if run:
+        state["eobrun"] += 1
+
+
+def _prog_ac_refine_block(row, ss, se, al, state, emit_sym, emit_bits):
+    """Encode one block of an AC refinement scan (T.81 G.1.2.3):
+    newly-significant coefficients as (run, 1) symbols whose runs
+    count zero-history positions only, correction bits for
+    already-nonzero coefficients interleaved exactly in the order the
+    decoder's advance loop reads them, and correction bits of
+    EOB-run blocks buffered behind the EOBn symbol."""
+
+    def flush() -> None:
+        if state["eobrun"]:
+            r = state["eobrun"].bit_length() - 1
+            emit_sym(r << 4)
+            if r:
+                emit_bits(state["eobrun"] - (1 << r), r)
+            for v in state["pending"]:
+                emit_bits(v, 1)
+        state["pending"] = []
+        state["eobrun"] = 0
+
+    n = se - ss + 1
+    a = [abs(int(row[ss + p])) for p in range(n)]
+    sgn = [1 if int(row[ss + p]) > 0 else 0 for p in range(n)]
+    hist = [x >> (al + 1) for x in a]
+    cur = [x >> al for x in a]
+    newsig = [p for p in range(n) if hist[p] == 0 and cur[p] == 1]
+    if not newsig:
+        state["pending"].extend(
+            cur[p] & 1 for p in range(n) if hist[p]
+        )
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            flush()
+        return
+    flush()
+    i = 0
+    for j in newsig:
+        zh = [p for p in range(i, j) if hist[p] == 0]
+        while len(zh) > 15:
+            p16 = zh[15]
+            emit_sym(0xF0)  # ZRL: 16 zero-history positions
+            for p in range(i, p16):
+                if hist[p]:
+                    emit_bits(cur[p] & 1, 1)
+            i = p16 + 1
+            zh = zh[16:]
+        emit_sym((len(zh) << 4) | 1)
+        emit_bits(sgn[j], 1)
+        for p in range(i, j):
+            if hist[p]:
+                emit_bits(cur[p] & 1, 1)
+        i = j + 1
+    if i < n:
+        # the block's remainder joins a fresh EOB run: its correction
+        # bits ride behind the next EOBn symbol
+        state["pending"] = [
+            cur[p] & 1 for p in range(i, n) if hist[p]
+        ]
+        state["eobrun"] = 1
+
+
+def _encode_jpeg_progressive(planes, samplings, quant) -> bytes:
+    """Progressive (SOF2) encoder core — the fixture mirror of the
+    r12 progressive decoder, same input contract as
+    :func:`_encode_jpeg`.  Scan script exercises every decode
+    procedure: interleaved DC first (Al=1), per-component AC first in
+    two spectral bands (1-5, 6-63, Al=1), DC refinement, per-component
+    AC refinement (Ah=1→Al=0).  Each scan gets a minimal uniform
+    Huffman table built from its own symbols (emitted as a fresh DHT —
+    the Annex K tables lack EOBn).  Coefficients are bit-identical to
+    the baseline encoder's, so baseline and progressive encodings of
+    the same input must decode to identical pixels."""
+    import numpy as np
+
+    fh, fw = planes[0].shape
+    if not 1 <= quant <= 255:
+        raise ValueError(f"quant must be in [1, 255], got {quant}")
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    if fh % (8 * vmax) or fw % (8 * hmax):
+        raise ValueError(
+            f"encoder needs dims divisible by the MCU size "
+            f"({8 * hmax}x{8 * vmax}), got {fw}x{fh}"
+        )
+    m = _dct_matrix()
+    qtable = np.full(64, quant, dtype=np.int64)
+    zz = np.array(_JPEG_ZIGZAG)
+    mcux = fw // (8 * hmax)
+    mcuy = fh // (8 * vmax)
+    comp_q = []
+    grid_dims = []
+    for p, (hs, vs) in zip(planes, samplings):
+        fy, fx = vmax // vs, hmax // hs
+        if fy > 1 or fx > 1:
+            p = p.reshape(fh // fy, fy, fw // fx, fx).mean(axis=(1, 3))
+        pby, pbx = mcuy * vs, mcux * hs
+        blocks = (
+            (p - 128.0)
+            .reshape(pby, 8, pbx, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        coefs = (m @ blocks @ m.T).reshape(-1, 64)[:, zz]
+        comp_q.append(
+            np.round(coefs / qtable).astype(np.int64).reshape(pby, pbx, 64)
+        )
+        grid_dims.append((pby, pbx))
+    ncomp = len(planes)
+
+    def mcu_walk(cis):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in cis:
+                    hs, vs = samplings[ci]
+                    for v in range(vs):
+                        for h in range(hs):
+                            yield ci, my * vs + v, mx * hs + h
+
+    def grid_walk(ci):
+        pby, pbx = grid_dims[ci]
+        for y in range(pby):
+            for x in range(pbx):
+                yield ci, y, x
+
+    all_cis = list(range(ncomp))
+    scans = (
+        [("dc_first", all_cis, 0, 0, 0, 1)]
+        + [("ac_first", [ci], 1, 5, 0, 1) for ci in all_cis]
+        + [("ac_first", [ci], 6, 63, 0, 1) for ci in all_cis]
+        + [("dc_refine", all_cis, 0, 0, 1, 0)]
+        + [("ac_refine", [ci], 1, 63, 1, 0) for ci in all_cis]
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+        )
+
+    comp_spec = b"".join(
+        bytes([ci + 1, (hs << 4) | vs, 0])
+        for ci, (hs, vs) in enumerate(samplings)
+    )
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(q) for q in qtable))
+    out += seg(
+        0xC2,
+        bytes([8]) + struct.pack(">HH", fh, fw) + bytes([ncomp]) + comp_spec,
+    )
+    for kind, cis, ss, se, ah, al in scans:
+        order = (
+            mcu_walk(cis) if (ss == 0 and len(cis) > 1) else grid_walk(cis[0])
+        )
+        order = list(order)
+
+        def run_scan(emit_sym, emit_bits) -> None:
+            if kind == "dc_first":
+                pred = {ci: 0 for ci in cis}
+                for ci, y, x in order:
+                    v = int(comp_q[ci][y, x, 0]) >> al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s = abs(diff).bit_length()
+                    emit_sym(s)
+                    if s:
+                        emit_bits(
+                            diff if diff > 0 else diff + (1 << s) - 1, s
+                        )
+            elif kind == "dc_refine":
+                for ci, y, x in order:
+                    emit_bits((int(comp_q[ci][y, x, 0]) >> al) & 1, 1)
+            else:
+                state = {"eobrun": 0, "pending": []}
+                block_fn = (
+                    _prog_ac_first_block
+                    if kind == "ac_first"
+                    else _prog_ac_refine_block
+                )
+                for ci, y, x in order:
+                    block_fn(
+                        comp_q[ci][y, x], ss, se, al, state,
+                        emit_sym, emit_bits,
+                    )
+                # flush the trailing EOB run
+                if state["eobrun"]:
+                    r = state["eobrun"].bit_length() - 1
+                    emit_sym(r << 4)
+                    if r:
+                        emit_bits(state["eobrun"] - (1 << r), r)
+                    for v in state.get("pending", []):
+                        emit_bits(v, 1)
+
+        # pass 1: collect this scan's symbols, build its uniform table
+        syms: list[int] = []
+        run_scan(syms.append, lambda _v, _n: None)
+        if syms:
+            bits, vals = _huff_uniform(syms)
+            enc_map = _huff_encode_map(bits, vals)
+            cls = 0 if kind.startswith("dc") else 1
+            out += seg(
+                0xC4, bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals)
+            )
+        else:
+            enc_map = {}
+        sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in cis)
+        out += seg(
+            0xDA,
+            bytes([len(cis)])
+            + sos_comps
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+        # pass 2: entropy-code with the scan's table
+        wr = _JpegBitWriter()
+        run_scan(
+            lambda sym: wr.write(*enc_map[sym]),
+            lambda v, n: wr.write(v, n),
+        )
+        wr.flush()
+        out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_gray8(
+    pixels,
+    quant: int = 1,
+    restart_interval: int = 0,
+    progressive: bool = False,
+):
     """Minimal REAL baseline JPEG encoder for 8-bit grayscale
     (Annex K example Huffman tables, flat quantization ``quant``):
     the fixture the decoder below is tested and oracle-gated against,
@@ -1070,25 +1352,40 @@ def encode_jpeg_gray8(pixels, quant: int = 1, restart_interval: int = 0):
     always are; general-size support is an encoder padding concern,
     not a decoder one).  With ``quant=1`` and CONSTANT 8×8 blocks the
     pixel round-trip is EXACT.  ``restart_interval`` emits DRI/RSTn
-    markers every N MCUs (exercises the decoder's resync path)."""
+    markers every N MCUs (exercises the decoder's resync path).
+    ``progressive=True`` (r12) emits the same coefficients through the
+    SOF2 multi-scan script instead (:func:`_encode_jpeg_progressive`;
+    decoded pixels are identical by construction)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 2:
         raise ValueError(f"expected (h, w) gray8 array, got shape {px.shape}")
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "progressive fixture encoder does not emit restarts"
+            )
+        return _encode_jpeg_progressive(
+            [px.astype(np.float64)], [(1, 1)], quant
+        )
     return _encode_jpeg(
         [px.astype(np.float64)], [(1, 1)], quant, restart_interval
     )
 
 
 def encode_jpeg_rgb(
-    pixels, quant: int = 1, sampling: str = "444", restart_interval: int = 0
+    pixels,
+    quant: int = 1,
+    sampling: str = "444",
+    restart_interval: int = 0,
+    progressive: bool = False,
 ):
     """Baseline color JPEG fixture encoder: RGB → JFIF YCbCr, chroma
     box-subsampled for ``sampling`` '422'/'420' (the real-world
     shapes), shared flat quant table.  Exercises the decoder's
     multi-component MCU walk, chroma upsampling, and color
-    conversion."""
+    conversion.  ``progressive=True`` (r12) emits SOF2 multi-scan."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -1107,6 +1404,12 @@ def encode_jpeg_rgb(
     }.get(sampling)
     if samplings is None:
         raise ValueError(f"sampling must be 444/422/420, got {sampling!r}")
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "progressive fixture encoder does not emit restarts"
+            )
+        return _encode_jpeg_progressive([y, cb, cr], samplings, quant)
     return _encode_jpeg([y, cb, cr], samplings, quant, restart_interval)
 
 
@@ -1117,9 +1420,13 @@ def decode_jpeg_pixels(payload: bytes | None):
     segment (DC magnitude categories + AC run/size, T.81 F.2),
     dequantizes, inverse-zigzags, applies the 8×8 IDCT per block, and
     for color upsamples chroma (4:4:4 / 4:2:2 / 4:2:0) and converts
-    YCbCr→RGB (JFIF).  Raises ``ValueError`` on malformed data and
-    ``NotImplementedError`` for progressive (SOF2) / arithmetic
-    coding / 12-bit precision — never a wrong-pixel silent result.
+    YCbCr→RGB (JFIF).  PROGRESSIVE (SOF2) decodes for real too (r12 —
+    the dominant web-crawl variant): multi-scan spectral selection +
+    successive approximation accumulate into per-component coefficient
+    grids (:func:`_jpeg_decode_progressive_scan`, T.81 G.2) and
+    reconstruct once at EOI.  Raises ``ValueError`` on malformed data
+    and ``NotImplementedError`` for arithmetic coding / hierarchical /
+    lossless / 12-bit precision — never a wrong-pixel silent result.
     Same scale posture as the PNG/GIF decoders: the per-item kernel
     inside ``mapInPandas``; a C decoder swaps in at the same call
     site (SCALE.md records the interpreted-Python boundary cost)."""
@@ -1132,6 +1439,8 @@ def decode_jpeg_pixels(payload: bytes | None):
     qtables: dict[int, "np.ndarray"] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    grids = None  # progressive per-component zigzag coefficient grids
     restart_interval = 0
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -1144,6 +1453,8 @@ def decode_jpeg_pixels(payload: bytes | None):
         if i + 4 > len(b):
             break
         marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -1179,7 +1490,8 @@ def decode_jpeg_pixels(payload: bytes | None):
                     raise ValueError("truncated DHT")
                 htables[(cls, tid)] = _huff_canonical(bits, vals)
                 j += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline or progressive SOF
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("truncated JPEG SOF segment")
             prec = body[0]
@@ -1201,11 +1513,11 @@ def decode_jpeg_pixels(payload: bytes | None):
                     )
                 comps.append((cid, hs, vs, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF 0x{marker:02x} unsupported (baseline "
-                "sequential SOF0/SOF1 only)"
+                "SOF0/SOF1 and progressive SOF2 only)"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -1217,45 +1529,86 @@ def decode_jpeg_pixels(payload: bytes | None):
             if len(body) < 1:
                 raise ValueError("truncated JPEG SOS segment")
             ns = body[0]
-            if len(body) < 1 + 2 * ns:
+            if len(body) < 4 + 2 * ns:
                 raise ValueError("truncated JPEG SOS component specs")
-            if ns != len(frame[2]):
-                # legal per T.81 (non-interleaved multi-scan baseline)
-                # but a different decode structure — explicit boundary,
-                # never a KeyError out of the scan walk
-                raise NotImplementedError(
-                    f"JPEG non-interleaved scan ({ns} of "
-                    f"{len(frame[2])} components) unsupported"
-                )
             scan_tabs = {}
+            scan_comp_ids = []
             for c in range(ns):
                 cid = body[1 + 2 * c]
                 tsel = body[2 + 2 * c]
                 scan_tabs[cid] = (tsel >> 4, tsel & 0x0F)
-            if set(scan_tabs) != {cid for cid, *_rest in frame[2]}:
+                scan_comp_ids.append(cid)
+            frame_cids = {cid for cid, *_rest in frame[2]}
+            if len(scan_tabs) != ns or not set(scan_tabs) <= frame_cids:
                 raise ValueError(
                     "JPEG SOS component ids do not match the SOF frame"
                 )
-            return _jpeg_decode_scan(
+            if not progressive:
+                if ns != len(frame[2]):
+                    # legal per T.81 (non-interleaved multi-scan
+                    # baseline) but a different decode structure —
+                    # explicit boundary, never a KeyError out of the
+                    # scan walk
+                    raise NotImplementedError(
+                        f"JPEG non-interleaved scan ({ns} of "
+                        f"{len(frame[2])} components) unsupported"
+                    )
+                return _jpeg_decode_scan(
+                    b,
+                    i + 2 + seg_len,
+                    frame,
+                    qtables,
+                    htables,
+                    scan_tabs,
+                    restart_interval,
+                )
+            # progressive: accumulate this scan into the coefficient
+            # grids and continue the marker walk after its entropy data
+            import numpy as np
+
+            ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+            ax = body[3 + 2 * ns]
+            ah_, al_ = ax >> 4, ax & 0x0F
+            if grids is None:
+                fh, fw, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = _ceil_div(fw, 8 * hmax)
+                mcuy = _ceil_div(fh, 8 * vmax)
+                grids = [
+                    np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                    for _cid, hs, vs, _tq in comps
+                ]
+            i = _jpeg_decode_progressive_scan(
                 b,
                 i + 2 + seg_len,
                 frame,
-                qtables,
+                grids,
                 htables,
+                scan_comp_ids,
                 scan_tabs,
+                ss_,
+                se_,
+                ah_,
+                al_,
                 restart_interval,
             )
+            continue
         i += 2 + seg_len
+    if progressive and grids is not None:
+        return _jpeg_reconstruct_progressive(frame, qtables, grids)
     raise ValueError("JPEG without an SOS scan")
 
 
-def _jpeg_entropy_segments(b: bytes, pos: int) -> list[bytes]:
+def _jpeg_entropy_segments(b: bytes, pos: int) -> tuple[list[bytes], int]:
     """Split the entropy-coded scan into its restart segments and
     undo 0xFF00 byte stuffing — all with C-speed primitives (regex
     scan for the terminating marker, ``re.split`` on RSTn,
     ``bytes.replace`` for unstuffing), so the hot decode loop below
     never inspects stuffing or markers byte-by-byte from Python.
-    Validates the RSTn cycle (D0..D7 in order)."""
+    Validates the RSTn cycle (D0..D7 in order).  Returns the segments
+    AND the byte offset of the terminating marker, so a progressive
+    driver can resume the marker walk after this scan (r12)."""
     import re
 
     m = re.search(rb"\xff(?=[^\x00\xd0-\xd7])", b[pos:])
@@ -1270,7 +1623,257 @@ def _jpeg_entropy_segments(b: bytes, pos: int) -> list[bytes]:
             if parts[idx + 1][0] != expected:
                 raise ValueError("JPEG restart markers out of order")
             expected = 0xD0 + ((expected - 0xD0 + 1) % 8)
-    return segments
+    return segments, end
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one unstuffed entropy segment — the
+    class-shaped mirror of the baseline decoder's inlined acc/nb/bp
+    reader, for the progressive scan procedures (r12) where four scan
+    types share it.  Zero-padded peeks; ``check_consumed`` rejects a
+    stream that consumed pad bits (truncation can never silently
+    decode)."""
+
+    __slots__ = ("data", "hard", "acc", "nb", "bp")
+
+    def __init__(self, seg: bytes) -> None:
+        self.data = seg + b"\x00\x00\x00"
+        self.hard = 8 * len(seg)
+        self.acc = 0
+        self.nb = 0
+        self.bp = 0
+
+    def huff(self, lut) -> int:
+        while self.nb < 16:
+            self.acc = (
+                (self.acc & ((1 << self.nb) - 1)) << 8
+            ) | self.data[self.bp]
+            self.bp += 1
+            self.nb += 8
+        hit = lut[(self.acc >> (self.nb - 16)) & 0xFFFF]
+        if hit is None:
+            raise ValueError("invalid JPEG Huffman code")
+        self.nb -= hit[1]
+        return hit[0]
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nb < n:
+            self.acc = (
+                (self.acc & ((1 << self.nb) - 1)) << 8
+            ) | self.data[self.bp]
+            self.bp += 1
+            self.nb += 8
+        self.nb -= n
+        return (self.acc >> self.nb) & ((1 << n) - 1)
+
+    def receive_extend(self, s: int) -> int:
+        v = self.bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def check_consumed(self) -> None:
+        if self.bp * 8 - self.nb > self.hard:
+            raise ValueError("JPEG entropy data truncated")
+
+
+def _jpeg_decode_progressive_scan(
+    b,
+    pos,
+    frame,
+    grids,
+    htables,
+    scan_comp_ids,
+    scan_tabs,
+    ss,
+    se,
+    ah,
+    al,
+    restart_interval,
+):
+    """Decode ONE progressive scan (T.81 G.2) into the per-component
+    zigzag coefficient ``grids`` (numpy int32, (pad_by, pad_bx, 64));
+    returns the byte offset where the marker walk resumes.  The four
+    scan procedures: DC first (Ss=0, Ah=0 — baseline-style diffs,
+    point-transformed by Al), DC refinement (one raw bit per block),
+    AC first (single component, run/size with EOBn end-of-band runs),
+    AC refinement (correction bits, G.1.2.3).  Restart markers reset
+    DC predictors and the EOB run, exactly as in a baseline scan."""
+    import numpy as np
+
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = _ceil_div(fw, 8 * hmax)
+    mcuy = _ceil_div(fh, 8 * vmax)
+    cid_to_ci = {cid: ci for ci, (cid, *_r) in enumerate(comps)}
+    scan_cis = [cid_to_ci[cid] for cid in scan_comp_ids]
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan with Se != 0")
+    else:
+        if len(scan_cis) != 1:
+            raise ValueError(
+                "JPEG progressive AC scan must be non-interleaved"
+            )
+        if not 1 <= ss <= se <= 63:
+            raise ValueError("JPEG progressive spectral range invalid")
+
+    # resolve the Huffman LUTs this scan type actually reads
+    luts = {}
+    for cid in scan_comp_ids:
+        dc_t, ac_t = scan_tabs[cid]
+        if ss == 0 and ah == 0:
+            if (0, dc_t) not in htables:
+                raise ValueError("JPEG Huffman table missing")
+            luts[cid] = _huff_fast(htables[(0, dc_t)])
+        elif ss > 0:
+            if (1, ac_t) not in htables:
+                raise ValueError("JPEG Huffman table missing")
+            luts[cid] = _huff_fast(htables[(1, ac_t)])
+    segments, end = _jpeg_entropy_segments(b, pos)
+
+    # the scan's block walk: interleaved MCU order over padded grids
+    # for multi-component DC scans, row-major over the component's own
+    # (non-padded) block grid for single-component scans
+    if len(scan_cis) > 1:
+        walk: list[tuple[int, int, int]] = []  # (ci, by, bx)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in scan_cis:
+                    _cid, hs, vs, _tq = comps[ci]
+                    for v in range(vs):
+                        for h in range(hs):
+                            walk.append((ci, my * vs + v, mx * hs + h))
+        per_mcu = sum(comps[ci][1] * comps[ci][2] for ci in scan_cis)
+        total_mcus = mcux * mcuy
+    else:
+        ci = scan_cis[0]
+        _cid, hs, vs, _tq = comps[ci]
+        bx = _ceil_div(_ceil_div(fw * hs, hmax), 8)
+        by = _ceil_div(_ceil_div(fh * vs, vmax), 8)
+        walk = [
+            (ci, y, x) for y in range(by) for x in range(bx)
+        ]
+        per_mcu = 1
+        total_mcus = bx * by
+    if restart_interval:
+        if len(segments) != _ceil_div(total_mcus, restart_interval):
+            raise ValueError("JPEG restart segmentation mismatch")
+    elif len(segments) != 1:
+        raise ValueError("unexpected JPEG restart markers (no DRI)")
+
+    p1 = 1 << al
+    mcu_i = 0
+    try:
+        for seg in segments:
+            rd = _JpegBitReader(seg)
+            n_in_seg = min(
+                restart_interval or total_mcus, total_mcus - mcu_i
+            )
+            blocks = walk[
+                mcu_i * per_mcu : (mcu_i + n_in_seg) * per_mcu
+            ]
+            if ss == 0 and ah == 0:  # --- DC first
+                pred = {ci_: 0 for ci_ in scan_cis}
+                for ci_, y, x in blocks:
+                    cid = comps[ci_][0]
+                    s = rd.huff(luts[cid])
+                    if s:
+                        pred[ci_] += rd.receive_extend(s)
+                    grids[ci_][y, x, 0] = pred[ci_] << al
+            elif ss == 0:  # --- DC refinement: one raw bit per block
+                for ci_, y, x in blocks:
+                    if rd.bits(1):
+                        grids[ci_][y, x, 0] |= p1
+            elif ah == 0:  # --- AC first (EOB-run coding)
+                lut = luts[scan_comp_ids[0]]
+                eobrun = 0
+                g = grids[scan_cis[0]]
+                for _ci, y, x in blocks:
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    row = g[y, x]
+                    k = ss
+                    while k <= se:
+                        rs = rd.huff(lut)
+                        r = rs >> 4
+                        s = rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1 + rd.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overflow")
+                        row[k] = rd.receive_extend(s) << al
+                        k += 1
+            else:  # --- AC refinement (G.1.2.3 correction bits)
+                lut = luts[scan_comp_ids[0]]
+                eobrun = 0
+                g = grids[scan_cis[0]]
+                for _ci, y, x in blocks:
+                    row = g[y, x]
+                    k = ss
+                    if eobrun > 0:
+                        # block is inside an EOB run: correction bits
+                        # for every already-nonzero coefficient
+                        eobrun -= 1
+                    else:
+                        broke_eob = False
+                        while k <= se:
+                            rs = rd.huff(lut)
+                            r = rs >> 4
+                            s = rs & 0x0F
+                            if s == 0:
+                                if r < 15:
+                                    # EOBn ends THIS block (remainder
+                                    # corrected below); the decoded
+                                    # count minus it = FOLLOWING blocks
+                                    eobrun = (1 << r) - 1 + rd.bits(r)
+                                    broke_eob = True
+                                    break
+                                newval = 0  # ZRL: skip 16 zero-history
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "invalid JPEG AC refinement "
+                                        "symbol"
+                                    )
+                                newval = p1 if rd.bits(1) else -p1
+                            # advance over r zero-history coefficients,
+                            # correcting every nonzero one encountered
+                            while k <= se:
+                                c = int(row[k])
+                                if c != 0:
+                                    if rd.bits(1):
+                                        row[k] = (
+                                            c + p1 if c > 0 else c - p1
+                                        )
+                                else:
+                                    if r == 0:
+                                        if newval:
+                                            row[k] = newval
+                                        break
+                                    r -= 1
+                                k += 1
+                            k += 1
+                        if not broke_eob:
+                            continue  # block fully coded, no remainder
+                    # remainder (EOBn block) or full window (run block)
+                    while k <= se:
+                        c = int(row[k])
+                        if c != 0 and rd.bits(1):
+                            row[k] = c + p1 if c > 0 else c - p1
+                        k += 1
+            rd.check_consumed()
+            mcu_i += n_in_seg
+    except IndexError:
+        raise ValueError("JPEG entropy data truncated") from None
+    return end
 
 
 def _jpeg_decode_scan(
@@ -1313,7 +1916,7 @@ def _jpeg_decode_scan(
             * (vs * hs)
         )
     total_mcus = mcux * mcuy
-    segments = _jpeg_entropy_segments(b, pos)
+    segments, _end = _jpeg_entropy_segments(b, pos)
     if restart_interval:
         if len(segments) != _ceil_div(total_mcus, restart_interval):
             raise ValueError("JPEG restart segmentation mismatch")
@@ -1422,6 +2025,14 @@ def _jpeg_decode_scan(
         # upsample to full resolution, then crop to the frame size
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out_planes.append(p[:fh, :fw])
+    return _jpeg_planes_to_pixels(out_planes, fh, fw)
+
+
+def _jpeg_planes_to_pixels(out_planes, fh, fw):
+    """Shared tail of both scan drivers: gray pass-through or JFIF
+    YCbCr→RGB, rounded and clipped to uint8."""
+    import numpy as np
+
     if len(out_planes) == 1:
         return (
             np.clip(np.round(out_planes[0]), 0, 255)
@@ -1438,6 +2049,40 @@ def _jpeg_decode_scan(
     bl = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, bl], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _jpeg_reconstruct_progressive(frame, qtables, grids):
+    """Dequantize + inverse-zigzag + batched IDCT the accumulated
+    progressive coefficient grids into pixels — the progressive mirror
+    of :func:`_jpeg_decode_scan`'s tail (grids are already in
+    (block_y, block_x) layout, so reassembly is one transpose)."""
+    import numpy as np
+
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    m = _dct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    out_planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError(f"JPEG component quant table {tq} missing")
+        g = grids[ci]
+        pby, pbx = g.shape[:2]
+        deq = g.reshape(-1, 64).astype(np.float64) * qtables[tq]
+        blocks = np.zeros((pby * pbx, 64), dtype=np.float64)
+        blocks[:, zz] = deq
+        spatial = m.T @ blocks.reshape(-1, 8, 8) @ m
+        plane = (
+            spatial.reshape(pby, pbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(pby * 8, pbx * 8)
+        ) + 128.0
+        plane = np.repeat(
+            np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+        )
+        out_planes.append(plane[:fh, :fw])
+    return _jpeg_planes_to_pixels(out_planes, fh, fw)
 
 
 # --- pluggable fast-decoder seam (r12) ---------------------------------------
@@ -1644,11 +2289,17 @@ def _pattern_jpeg_bytes(mid: int, mod_blocks: int = 8) -> bytes:
     losslessly-quantized DC coefficient, so the pixel round-trip is
     EXACT and an oracle re-derives every statistic arithmetically.
     Every other JPEG id adds restart markers, putting the decoder's
-    RST resync under the gate too."""
+    RST resync under the gate too; ids with bit 2 set encode
+    PROGRESSIVE (SOF2 multi-scan, r12) instead — same planted
+    coefficients, so the arithmetic oracle is unchanged while a wrong
+    spectral band, EOB run, or successive-approximation bit breaks
+    the value hash."""
     import numpy as np
 
     vals = _pattern_pixels(mid, mod_blocks)
     px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    if (mid >> 2) & 1:
+        return encode_jpeg_gray8(px, quant=1, progressive=True)
     return encode_jpeg_gray8(
         px, quant=1, restart_interval=2 if (mid >> 1) & 1 else 0
     )

@@ -1334,10 +1334,16 @@ def test_jpeg_decode_rejects_malformed_and_progressive():
     b = bytearray(
         encode_jpeg_gray8(np.zeros((8, 8), dtype=np.uint8))
     )
-    # rewrite SOF0 -> SOF2 (progressive): explicit NotImplementedError
+    # rewrite SOF0 -> SOF3 (lossless): explicit NotImplementedError
     sof = b.find(b"\xff\xc0")
-    b[sof + 1] = 0xC2
+    b[sof + 1] = 0xC3
     with _pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg_pixels(bytes(b))
+    # SOF0 -> SOF2 with a BASELINE scan header (Ss=0, Se=63) is
+    # malformed progressive (a DC scan must have Se=0), not silently
+    # decoded (r12: SOF2 itself now decodes for real)
+    b[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="Se"):
         decode_jpeg_pixels(bytes(b))
     # truncated entropy segment: explicit error, never silent pixels
     good = encode_jpeg_gray8(
@@ -1345,6 +1351,62 @@ def test_jpeg_decode_rejects_malformed_and_progressive():
     )
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(good[:-6])
+
+
+def test_jpeg_progressive_decode_matches_baseline():
+    """r12 (VERDICT r11 #4): progressive (SOF2) decode.  Baseline and
+    progressive encodings share the exact same quantized coefficients,
+    so their decodes must be pixel-IDENTICAL — across gray/color,
+    chroma samplings, block-aligned and padded geometries, sparse
+    (EOB-run/ZRL-heavy) and dense spectra.  Constant blocks at quant=1
+    round-trip exactly (the px-gate arm's property).  Truncated
+    progressive streams raise, never silently decode."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_gray8,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.default_rng(12)
+    for shape in [(8, 8), (16, 24), (64, 64), (8, 48)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        for q in (1, 3, 16):
+            base = decode_jpeg_pixels(encode_jpeg_gray8(px, quant=q))
+            prog = decode_jpeg_pixels(
+                encode_jpeg_gray8(px, quant=q, progressive=True)
+            )
+            assert (base == prog).all()
+    # constant 8x8 blocks at quant=1: EXACT round trip (oracle arm)
+    vals = (np.arange(16).reshape(4, 4) * 13 % 256).astype(np.uint8)
+    px = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    prog = decode_jpeg_pixels(
+        encode_jpeg_gray8(px, quant=1, progressive=True)
+    )
+    assert (prog[:, :, 0] == px).all()
+    # smooth gradient: sparse AC spectra drive long EOB runs + ZRL
+    y, x = np.mgrid[0:64, 0:64]
+    grad = ((x + y) * 2 % 256).astype(np.uint8)
+    assert (
+        decode_jpeg_pixels(encode_jpeg_gray8(grad, quant=8))
+        == decode_jpeg_pixels(
+            encode_jpeg_gray8(grad, quant=8, progressive=True)
+        )
+    ).all()
+    # color, every chroma sampling
+    rgb = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    for samp in ("444", "422", "420"):
+        base = decode_jpeg_pixels(encode_jpeg_rgb(rgb, quant=2, sampling=samp))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_rgb(rgb, quant=2, sampling=samp, progressive=True)
+        )
+        assert (base == prog).all()
+    # truncation: cutting entropy data raises, never silent pixels
+    blob = encode_jpeg_gray8(px, quant=1, progressive=True)
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(blob[:-8])
 
 
 def test_jpeg_marker_fill_bytes_and_lut_lru():
