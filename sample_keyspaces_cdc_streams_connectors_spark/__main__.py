@@ -61,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
             "search-vectors",
             "index-semantic",
             "index-text",
+            "reindex-text-docs",
             "compact-text-index",
             "rebalance-ivf-index",
             "rebalance-semantic-index",
@@ -94,7 +95,10 @@ def main(argv: list[str] | None = None) -> int:
         "standing SemDeDup index from --source embeddings into --out "
         "(point corpus.semantic-index-path at it for cross-corpus / "
         "streaming paraphrase suppression); index-text: build a BM25 "
-        "inverted index from --source docs into --out; search-text: "
+        "inverted index from --source docs into --out; "
+        "reindex-text-docs: remove every indexed instance of --source "
+        "docs from the --out text index and re-append once (crashed "
+        "ingest-window repair); search-text: "
         "BM25 top-k over an --source index for --query; "
         "search-hybrid: reciprocal-rank fusion of BM25 over the "
         "--source text index with the --vector-index top-k for the "
@@ -305,6 +309,29 @@ def main(argv: list[str] | None = None) -> int:
         else:
             write_text_index(spark.read.parquet(args.source), args.out)
             print(f"text index over {args.source} -> {args.out}")
+        return 0
+
+    if args.mode == "reindex-text-docs":
+        # surgical repair/deletion (r12): remove every indexed instance
+        # of --source's docs from the --out text index and re-append
+        # them once (the crashed-ledger-window fix; see
+        # llm.maintenance.reindex_docs)
+        import json as _json
+
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import reindex_docs
+
+        if not args.out:
+            print(
+                "--out (the text index path) required for "
+                "reindex-text-docs mode",
+                file=sys.stderr,
+            )
+            return 2
+        spark = get_spark("reindex-text-docs")
+        report = reindex_docs(
+            spark, args.out, spark.read.parquet(args.source)
+        )
+        print(_json.dumps({"index": args.out, **report}))
         return 0
 
     if args.mode == "compact-text-index":

@@ -405,6 +405,152 @@ def compact_dedup_index(
     }
 
 
+def reindex_docs(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reappend: bool = True,
+) -> dict:
+    """Surgically repair a text index's entries for a set of documents
+    (r12 — VERDICT r11 #7, the crashed-ledger-window repair): remove
+    EVERY posting / vocabulary-df / stats contribution the given doc
+    ids currently have — however many times they were appended; the
+    ingest loop's crash-between-append-and-ledger-commit window
+    replays a batch and double-counts its tf/df, shifting BM25 scores
+    — then (``reappend=True``) append them exactly once from the given
+    frames.  With ``reappend=False`` this is document DELETION.
+
+    Cost is bounded like compaction, never O(index): one pruned scan
+    of the buckets that actually hold the docs' terms (discovered by
+    a doc-keyed broadcast semi-join), a tmp rewrite of just those
+    buckets (tmp-then-rename under the maintenance marker — probes
+    refuse to run mid-swap), one negative vocabulary delta segment
+    (probes SUM df across segments, so a negative delta subtracts
+    exactly the instances removed), and an O(1) stats rewrite by the
+    reverse of the append's streaming-mean rule.  After repair the
+    index is row-, df-, and stats-identical to one that never saw the
+    duplicate appends, so scores match a from-scratch build (pinned
+    in tests/test_ingest.py).
+
+    Contract notes: replayed instances of a doc must carry the SAME
+    text (true for a checkpoint replay — same source offsets); doc
+    multiplicity is derived per doc as the max per-(term, doc) row
+    count.  The marker protects readers during the swap, as with every
+    maintenance op; the crash window this call itself has is the
+    standard maintenance one (marker stays armed, operator re-runs)."""
+    import json as _json
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _write_text
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
+        POSTINGS_DIR,
+        STATS_FILE,
+        TERMS_DIR,
+        _load_stats,
+        append_to_text_index,
+    )
+
+    base = path.rstrip("/")
+    post_root = f"{base}/{POSTINGS_DIR}"
+    stats = _load_stats(spark, base)
+    ids = docs.select(F.col(id_col).alias("doc")).distinct()
+    posts = spark.read.parquet(post_root)
+    hit = posts.join(F.broadcast(ids), "doc", "inner")
+    # one aggregation pass over the docs' rows: per-term df to remove
+    # (one per posting ROW — each append instance contributed one df
+    # count), per-doc append multiplicity and length for the stats
+    agg = hit.groupBy("doc", "term").agg(
+        F.count(F.lit(1)).alias("c"), F.first("dl").alias("dl")
+    )
+    per_doc = (
+        agg.groupBy("doc")
+        .agg(F.max("c").alias("instances"), F.first("dl").alias("dl"))
+        .collect()
+    )
+    n_remove = sum(int(r["instances"]) for r in per_doc)
+    buckets_rewritten = 0
+    if n_remove:
+        dl_remove = sum(
+            int(r["instances"]) * int(r["dl"]) for r in per_doc
+        )
+        tbs = sorted(
+            int(r["tb"]) for r in hit.select("tb").distinct().collect()
+        )
+        keep = posts.filter(F.col("tb").isin(tbs)).join(
+            F.broadcast(ids), "doc", "left_anti"
+        )
+        tmp = f"{post_root}.__reindex_tmp"
+        keep.repartition(len(tbs), "tb").select(
+            "doc", "dl", "term", "tf", "tb"
+        ).write.mode("overwrite").partitionBy("tb").parquet(tmp)
+        # materialize the negative vocabulary delta BEFORE the swap —
+        # `hit` lazily reads the live posting files the swap is about
+        # to replace; after the swap its plan would re-list vanished
+        # files
+        vocab_tmp = f"{base}/{TERMS_DIR}.__reindex_delta"
+        hit.groupBy("term").agg(
+            (-F.count(F.lit(1))).cast("long").alias("df")
+        ).coalesce(1).write.mode("overwrite").parquet(vocab_tmp)
+        written = {
+            name
+            for name, is_dir in _list_children(spark, tmp)
+            if is_dir and name.startswith("tb=")
+        }
+        _write_marker(
+            spark,
+            base,
+            {"op": "reindex_docs", "buckets": [f"tb={t}" for t in tbs]},
+        )
+        for t in tbs:
+            name = f"tb={t}"
+            if name in written:
+                _swap_dir(spark, f"{tmp}/{name}", f"{post_root}/{name}")
+            else:
+                # every row of this bucket belonged to the removed
+                # docs: a zero-row bucket reads identically absent
+                _delete(spark, f"{post_root}/{name}")
+            buckets_rewritten += 1
+        _delete(spark, tmp)
+        # move the pre-materialized negative delta segment into the
+        # vocabulary dir (probes sum df across segments)
+        for name, is_dir in _list_children(spark, vocab_tmp):
+            if not is_dir and name.startswith("part-"):
+                _rename(
+                    spark,
+                    f"{vocab_tmp}/{name}",
+                    f"{base}/{TERMS_DIR}/reindex-{name}",
+                )
+        _delete(spark, vocab_tmp)
+        n_old, avgdl_old = int(stats["n_docs"]), float(stats["avgdl"])
+        n_total = n_old - n_remove
+        avgdl = (
+            (n_old * avgdl_old - float(dl_remove)) / n_total
+            if n_total > 0
+            else 0.0
+        )
+        _write_text(
+            spark,
+            f"{base}/{STATS_FILE}",
+            _json.dumps(
+                {
+                    "n_docs": n_total,
+                    "avgdl": avgdl,
+                    "n_buckets": int(stats["n_buckets"]),
+                }
+            ),
+        )
+        _clear_marker(spark, base)
+    if reappend:
+        append_to_text_index(docs, base, text_col=text_col, id_col=id_col)
+    return {
+        "instances_removed": n_remove,
+        "docs_repaired": len(per_doc),
+        "buckets_rewritten": buckets_rewritten,
+        "reappended": bool(reappend),
+    }
+
+
 def rebalance_ivf_index(
     spark: SparkSession,
     path: str,

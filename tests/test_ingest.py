@@ -328,10 +328,16 @@ def test_replayed_batch_crash_window_text_scores(spark, sf_dir, tmp_path):
     — so their BM25 term scores CHANGE (not merely duplicate rows),
     and compaction does NOT undo it (postings are count rows, not
     keyed fingerprints).  This is the documented crash-window bound;
-    the upstream guard is the ledger + the dedup-index probe."""
+    the upstream guard is the ledger + the dedup-index probe, and the
+    REPAIR (r12 — VERDICT r11 #7) is ``reindex_docs``: remove every
+    instance of the hit batch's docs and re-append once — pinned below
+    to restore scores EQUAL to a from-scratch index."""
     import json as _json
 
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_text_index
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import (
+        compact_text_index,
+        reindex_docs,
+    )
     from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
         append_to_text_index,
         write_text_index,
@@ -386,6 +392,43 @@ def test_replayed_batch_crash_window_text_scores(spark, sf_dir, tmp_path):
     assert {r["term"]: r["tf"] for r in tf_compacted} == {
         t: 2 * tf for t, tf in tf_before.items()
     }
+    # --- the r12 repair: reindex the hit batch's docs ---
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import bm25_topk
+
+    report = reindex_docs(spark, tidx, batches[1])
+    assert report["docs_repaired"] == n_b1
+    assert report["instances_removed"] == 2 * n_b1
+    assert report["reappended"]
+    # stats back to the exact single-append state
+    stats3 = _json.loads(open(f"{tidx}/_stats.json").read())
+    assert stats3["n_docs"] == stats1["n_docs"]
+    assert abs(stats3["avgdl"] - stats1["avgdl"]) < 1e-6
+    # every (term, doc) posting of the repaired doc exists once, at
+    # the original tf
+    tf_repaired = {
+        r["term"]: (r["tf"], r["n"])
+        for r in spark.read.parquet(f"{tidx}/postings")
+        .filter(F.col("doc") == doc_id)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("tf"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert tf_repaired == {t: (tf, 1) for t, tf in tf_before.items()}
+    # and BM25 scores equal a from-scratch index over the same corpus
+    scratch = str(tmp_path / "scratch_tidx")
+    write_text_index(batches[0].unionByName(batches[1]), scratch)
+    q = "the data stream pipeline design"
+    got = {
+        r["doc"]: round(r["score"], 6)
+        for r in bm25_topk(spark, tidx, q, k=25).collect()
+    }
+    want = {
+        r["doc"]: round(r["score"], 6)
+        for r in bm25_topk(spark, scratch, q, k=25).collect()
+    }
+    assert got == want
+    # no marker left armed
+    assert not os.path.exists(f"{tidx}/_maintenance_inprogress.json")
 
 
 def test_ingest_ledger_retention_bounds_file_count(spark, sf_dir, tmp_path):
