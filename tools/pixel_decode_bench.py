@@ -101,8 +101,12 @@ def main() -> None:
     jside = min(side - side % 8, 256)
     jmb = jside * jside / 1e6
 
-    def _jpeg_line(tag: str, img, quant: int, exact: bool) -> None:
-        payload = encode_jpeg_gray8(img, quant=quant)
+    def _jpeg_line(
+        tag: str, img, quant: int, exact: bool, progressive: bool = False
+    ) -> None:
+        payload = encode_jpeg_gray8(
+            img, quant=quant, progressive=progressive
+        )
         best = float("inf")
         out = None
         for _ in range(reps):
@@ -130,6 +134,21 @@ def main() -> None:
         ((gx + gy) * 2 % 256).astype(np.uint8),
         8,
         exact=False,
+    )
+    # progressive (r12): same regimes through the multi-scan decoder
+    _jpeg_line(
+        "jpeg_prog_rnd1",
+        rng.integers(0, 256, size=(jside, jside), dtype=np.uint8),
+        1,
+        exact=False,
+        progressive=True,
+    )
+    _jpeg_line(
+        "jpeg_prog_grd8",
+        ((gx + gy) * 2 % 256).astype(np.uint8),
+        8,
+        exact=False,
+        progressive=True,
     )
     nb = jside // 8
     const = np.repeat(
