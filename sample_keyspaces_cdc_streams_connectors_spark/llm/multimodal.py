@@ -2662,9 +2662,14 @@ def parse_audio_header(payload: bytes | None):
     """``(format, n_channels, sample_rate, bits_per_sample,
     n_frames)`` from the first bytes of a WAV / FLAC / MP3 / OGG
     payload — the audio mirror of :func:`parse_image_header`.  WAV
-    parses its RIFF fmt/data chunks fully (all five fields); the
-    compressed formats are recognized by magic with NULL numeric
-    fields (their parameters live behind the entropy-coded stream).
+    parses its RIFF fmt/data chunks fully (all five fields).  The
+    compressed formats parse their UNCOMPRESSED header structures for
+    real (r12): FLAC's STREAMINFO block (channels, rate, bits, total
+    samples — plain bit fields before any entropy coding), the first
+    MP3 frame header (MPEG version + sample-rate index + channel
+    mode; frame count stays NULL — it needs a full-file frame walk),
+    and the Vorbis/Opus identification header on OGG's first page.
+    Only each codec's entropy-coded AUDIO remains a decode boundary.
     Unrecognized payloads return all NULLs."""
     b = payload or b""
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -2690,14 +2695,170 @@ def parse_audio_header(payload: bytes | None):
             i += 8 + clen + (clen & 1)  # chunks are word-aligned
         return ("wav", n_channels, sample_rate, bits, n_frames)
     if b[:4] == b"fLaC":
+        # STREAMINFO is mandatory and first (FLAC spec): 4-byte block
+        # header, then 34 bytes of plain big-endian bit fields
+        if len(b) >= 8 and (b[4] & 0x7F) == 0 and len(b) >= 8 + 34:
+            # fields from the top: 16+16+24+24 skipped, then 20 rate /
+            # 3 channels-1 / 5 bits-1 / 36 total samples / 128 MD5
+            info = int.from_bytes(b[8 : 8 + 34], "big") >> 128
+            total = info & ((1 << 36) - 1)
+            bits_ps = ((info >> 36) & 0x1F) + 1
+            chans = ((info >> 41) & 0x07) + 1
+            rate = (info >> 44) & ((1 << 20) - 1)
+            return (
+                "flac",
+                chans,
+                rate or None,
+                bits_ps,
+                total or None,
+            )
         return ("flac", None, None, None, None)
     if b[:4] == b"OggS":
+        # first page body follows the 27-byte header + segment table;
+        # Vorbis/Opus identification headers are uncompressed structs
+        if len(b) >= 27:
+            nseg = b[26]
+            body = b[27 + nseg :]
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                chans = body[11]
+                (rate,) = struct.unpack("<I", body[12:16])
+                return ("ogg", chans or None, rate or None, None, None)
+            if body[:8] == b"OpusHead" and len(body) >= 16:
+                chans = body[9]
+                (rate,) = struct.unpack("<I", body[12:16])
+                return ("ogg", chans or None, rate or None, None, None)
         return ("ogg", None, None, None, None)
-    if b[:3] == b"ID3" or (
-        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
-    ):
+    mp3_off = None
+    if b[:3] == b"ID3":
+        if len(b) < 10:
+            return ("mp3", None, None, None, None)
+        # ID3v2: syncsafe 28-bit tag size at bytes 6-9
+        size = (
+            ((b[6] & 0x7F) << 21)
+            | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7)
+            | (b[9] & 0x7F)
+        )
+        mp3_off = 10 + size
+    elif len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        mp3_off = 0
+    if mp3_off is not None:
+        h = b[mp3_off : mp3_off + 4]
+        if len(h) == 4 and h[0] == 0xFF and (h[1] & 0xE0) == 0xE0:
+            version = (h[1] >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            sr_idx = (h[2] >> 2) & 0x03
+            mode = (h[3] >> 6) & 0x03  # 3 = mono
+            rates = {
+                3: (44100, 48000, 32000),  # MPEG1
+                2: (22050, 24000, 16000),  # MPEG2
+                0: (11025, 12000, 8000),  # MPEG2.5
+            }.get(version)
+            rate = rates[sr_idx] if rates and sr_idx < 3 else None
+            chans = 1 if mode == 3 else 2
+            return ("mp3", chans, rate, None, None)
         return ("mp3", None, None, None, None)
     return (None, None, None, None, None)
+
+
+# --- G.711 companded audio (r12) ---------------------------------------------
+#
+# μ-law (WAV fmt code 7) and A-law (fmt code 6) are the classic 8-bit
+# telephony compandings (ITU-T G.711, public) — common in speech
+# corpora.  Decode is a 256-entry expansion (built arithmetically from
+# the published formulas, vectorized as a numpy LUT); encode is the
+# exact inverse segment search, giving the fixture encoders the
+# round-trip property encode(decode(code)) == code for all 256 codes.
+
+_G711_LUTS: dict = {}
+
+
+def _g711_decode_lut(law: str):
+    import numpy as np
+
+    lut = _G711_LUTS.get(law)
+    if lut is not None:
+        return lut
+    vals = []
+    for code in range(256):
+        if law == "ulaw":
+            u = ~code & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+            v = 0x84 - t if u & 0x80 else t - 0x84
+        else:  # alaw
+            a = code ^ 0x55
+            exp = (a >> 4) & 0x07
+            mant = a & 0x0F
+            if exp == 0:
+                t = (mant << 4) + 8
+            else:
+                t = ((mant << 4) + 0x108) << (exp - 1)
+            v = t if a & 0x80 else -t
+        vals.append(v)
+    lut = np.array(vals, dtype=np.int16)
+    _G711_LUTS[law] = lut
+    return lut
+
+
+def g711_encode(samples, law: str):
+    """int16 → companded uint8 codes (the exact G.711 segment search;
+    fixture mirror of the decode LUT)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    out = np.empty(s.shape, dtype=np.uint8)
+    flat_s = s.ravel()
+    flat_o = out.ravel()
+    for i, v in enumerate(flat_s):
+        v = int(v)
+        if law == "ulaw":
+            sign = 0x80 if v < 0 else 0
+            mag = min((-v if v < 0 else v), 32635) + 0x84
+            exp = mag.bit_length() - 8  # segment: highest bit above 7
+            mant = (mag >> (exp + 3)) & 0x0F
+            flat_o[i] = ~(sign | (exp << 4) | mant) & 0xFF
+        else:
+            sign = 0x80 if v >= 0 else 0
+            mag = min((-v if v < 0 else v), 32767)
+            if mag < 256:
+                code = mag >> 4
+            else:
+                exp = mag.bit_length() - 8
+                code = (exp << 4) | ((mag >> (exp + 3)) & 0x0F)
+            flat_o[i] = (sign | code) ^ 0x55
+    return out
+
+
+def encode_wav_g711(samples, sample_rate: int, law: str = "ulaw") -> bytes:
+    """Minimal REAL companded-WAV encoder (fmt code 7 = μ-law, 6 =
+    A-law, 8 bits per sample): the fixture the G.711 decode arm is
+    tested against, mirroring :func:`encode_wav_pcm16`.  ``samples``
+    is int16; companding is lossy by design (8-bit codes), so tests
+    pin decode(encode(decode(code))) == decode(code) rather than raw
+    round trips."""
+    import numpy as np
+
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"law must be 'ulaw'/'alaw', got {law!r}")
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = g711_encode(s, law).tobytes()
+    fmt_code = 7 if law == "ulaw" else 6
+    byte_rate = sample_rate * ch
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, ch, sample_rate, byte_rate, ch, 8
+    )
+    riff_body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
@@ -2776,13 +2937,21 @@ def decode_wav_samples(payload: bytes | None, decoder=None):
         raise ValueError("WAV without a data chunk")
     audio_fmt, ch, _rate = struct.unpack("<HHI", fmt_body[:8])
     bits = struct.unpack("<H", fmt_body[14:16])[0]
-    if audio_fmt not in (1, 3):
+    if audio_fmt not in (1, 3, 6, 7):
         raise NotImplementedError(
             f"WAV audio format {audio_fmt} unsupported "
-            "(integer PCM and IEEE float only)"
+            "(integer PCM, IEEE float, and G.711 A-law/μ-law only)"
         )
     if ch < 1:
         raise ValueError("WAV with zero channels")
+    if audio_fmt in (6, 7):  # G.711 A-law / μ-law (r12)
+        if bits != 8:
+            raise ValueError(f"G.711 WAV with bit depth {bits}")
+        if len(data) % ch:
+            raise ValueError("WAV data is not a whole number of frames")
+        codes = np.frombuffer(data, np.uint8)
+        lut = _g711_decode_lut("alaw" if audio_fmt == 6 else "ulaw")
+        return lut[codes].reshape(-1, ch)
     if audio_fmt == 3:
         if bits not in (32, 64):
             raise ValueError(f"IEEE-float WAV with bit depth {bits}")

@@ -1707,6 +1707,87 @@ def test_wav_float_decode_and_torn_frame_contract():
         decode_wav_samples(bytes(torn))
 
 
+def test_g711_wav_decode_and_compressed_headers():
+    """r12: G.711 μ-law/A-law WAV decode (fmt codes 7/6) through the
+    published expansion formulas — encode(decode(code)) == code for
+    all 256 codes, corner values match the ITU tables, and the WAV
+    plumbing round-trips through audio stats' decode path.  FLAC /
+    MP3 / OGG now parse their uncompressed header structures for real
+    (STREAMINFO, frame header, Vorbis/Opus id header)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import multimodal as mm
+
+    for law in ("ulaw", "alaw"):
+        lut = mm._g711_decode_lut(law)
+        codes = np.arange(256, dtype=np.uint8)
+        enc = mm.g711_encode(lut[codes], law)
+        if law == "ulaw":
+            # ±0 duality: 0x7F (negative zero) and 0xFF (positive
+            # zero) both decode to 0; re-encode is value-faithful
+            ok = (enc == codes) | (codes == 0x7F)
+            assert ok.all()
+            assert int(lut[enc[0x7F]]) == int(lut[0x7F]) == 0
+        else:
+            assert (enc == codes).all()
+    # ITU corner values (μ-law): code 0x00 -> -32124, 0xFF -> 0,
+    # 0x80 -> +32124; (A-law): max magnitude 32256 appears
+    ulut = mm._g711_decode_lut("ulaw")
+    assert int(ulut[0x00]) == -32124
+    assert int(ulut[0xFF]) == 0
+    assert int(ulut[0x80]) == 32124
+    alut = mm._g711_decode_lut("alaw")
+    assert int(np.abs(alut.astype(np.int64)).max()) == 32256
+    # WAV plumbing: companded stereo clip decodes through the same
+    # path PCM does, with exact LUT expansion
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32000, 32000, size=(50, 2)).astype(np.int16)
+    for law, fmt_code in (("ulaw", 7), ("alaw", 6)):
+        b = mm.encode_wav_g711(s, 8000, law=law)
+        assert mm.parse_audio_header(b) == ("wav", 2, 8000, 8, 50)
+        out = mm.decode_wav_samples(b)
+        codes = mm.g711_encode(s, law)
+        assert (out == mm._g711_decode_lut(law)[codes].reshape(50, 2)).all()
+    # FLAC STREAMINFO: hand-built block, fields recovered exactly
+    rate, chans, bits, total = 44100, 2, 16, 123456
+    info = 0
+    info = (info << 16) | 4096  # min blocksize
+    info = (info << 16) | 4096  # max blocksize
+    info = (info << 24) | 0
+    info = (info << 24) | 0
+    info = (info << 20) | rate
+    info = (info << 3) | (chans - 1)
+    info = (info << 5) | (bits - 1)
+    info = (info << 36) | total
+    info = (info << 128) | 0  # md5
+    flac = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + info.to_bytes(
+        34, "big"
+    )
+    assert mm.parse_audio_header(flac) == (
+        "flac", chans, rate, bits, total,
+    )
+    # MP3 frame header: MPEG1 Layer III, 44100 Hz, joint stereo; and
+    # behind an ID3v2 tag with a syncsafe size
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x40])  # sr_idx=0, mode=1 (joint)
+    assert mm.parse_audio_header(hdr) == ("mp3", 2, 44100, None, None)
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 3]) + b"xyz"
+    assert mm.parse_audio_header(tag + hdr) == (
+        "mp3", 2, 44100, None, None,
+    )
+    # OGG: Vorbis identification header on the first page
+    vorb = b"\x01vorbis" + _struct.pack("<IB I", 0, 1, 22050) + b"\x00" * 8
+    page = b"OggS" + b"\x00" * 22 + bytes([1, len(vorb)]) + vorb
+    assert mm.parse_audio_header(page) == ("ogg", 1, 22050, None, None)
+    # OGG: Opus
+    opus = b"OpusHead" + bytes([1, 2]) + b"\x00\x00" + _struct.pack(
+        "<I", 48000
+    )
+    page = b"OggS" + b"\x00" * 22 + bytes([1, len(opus)]) + opus
+    assert mm.parse_audio_header(page) == ("ogg", 2, 48000, None, None)
+
+
 def test_audio_stats_planted_pattern(spark):
     """The r11 au gate shape: synthesize_pattern_audio → audio_stats
     equals the waveform arithmetic, with stereo scaling count and
