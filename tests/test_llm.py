@@ -173,22 +173,33 @@ def test_ngram_cache_scoped_no_accretion(spark):
         release_ngram_cache,
     )
 
-    def n_cached() -> int:
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def cached_ids() -> set:
+        # track RDD IDs, not counts: earlier tests' checkpoint blocks
+        # are garbage-collected ASYNCHRONOUSLY by the ContextCleaner,
+        # so a raw count can shrink mid-test (r12 flake) — set
+        # differences are immune to unrelated removals
+        rdds = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = rdds.keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
 
     release_ngram_cache()
     docs = spark.createDataFrame(
         [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(30)],
         "doc_id long, text string",
     )
-    base = n_cached()
+    base = cached_ids()
     ngram_jaccard_pairs(docs).count()
-    assert n_cached() == base + 1  # the persist is real and in use
+    first_new = cached_ids() - base
+    assert len(first_new) == 1  # the persist is real and in use
     ngram_jaccard_pairs(docs).count()
     ngram_jaccard_pairs(docs).count()
-    assert n_cached() == base + 1  # replaced, not accreted
+    now_new = cached_ids() - base
+    assert len(now_new) == 1  # replaced, not accreted
     release_ngram_cache()
-    assert n_cached() == base  # nothing left persisted
+    assert not (cached_ids() - base)  # nothing of OURS left persisted
 
 
 def test_ngram_prefix_filter_equivalent(spark):
