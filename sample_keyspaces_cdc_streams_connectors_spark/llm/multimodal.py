@@ -2631,9 +2631,10 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 # Audio gets the same treatment as images: the container is public
 # (RIFF/WAVE, Microsoft multimedia file format), PCM samples need no
 # entropy coder at all, so header parse AND sample decode are real.
-# Compressed audio (MP3/FLAC/OGG — psychoacoustic / rice coders) is
-# recognized by magic for format metadata and remains the documented
-# decode boundary, exactly like progressive JPEG on the image side.
+# r12 widens the decoded set: IEEE-float and G.711 companded WAV, and
+# FLAC (lossless rice/LPC coding — llm/flac.py) decode for real; the
+# remaining boundary is lossy entropy-coded audio (MP3/OGG/Opus),
+# exactly like arithmetic-coded JPEG on the image side.
 
 AUDIO_HEADER_SCHEMA = StructType(
     [
@@ -2980,11 +2981,43 @@ def decode_wav_samples(payload: bytes | None, decoder=None):
     return arr.reshape(-1, ch)
 
 
+def decode_audio_samples(payload: bytes | None, decoder=None):
+    """Sample-decode dispatch across the audio formats that decode
+    natively (the audio mirror of :func:`decode_image_pixels`): WAV
+    (integer/float/G.711 PCM — :func:`decode_wav_samples`) and FLAC
+    (lossless rice/LPC — :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.flac.decode_flac_samples`,
+    r12).  ``decoder`` is the fast-path seam (tried first for EVERY
+    format; decline falls through).  Lossy entropy-coded formats
+    (MP3/OGG/Opus) raise ``NotImplementedError`` — the documented
+    boundary."""
+    fast = resolve_audio_decoder(decoder)
+    if fast is not None:
+        try:
+            s = fast(payload)
+        except NotImplementedError:
+            s = None
+        if s is not None:
+            return s
+    b = payload or b""
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return decode_wav_samples(b)
+    if b[:4] == b"fLaC":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.flac import decode_flac_samples
+
+        return decode_flac_samples(b)
+    fmt = parse_audio_header(b)[0]
+    raise NotImplementedError(
+        f"sample decoding for audio format {fmt!r} is not available "
+        "(WAV and FLAC decode natively)"
+    )
+
+
 def audio_stats(media: DataFrame, decoder=None) -> DataFrame:
     """(media_id, au_rate, au_channels, au_n, au_sum_sq, au_peak)
-    over REAL decoded WAV samples — the per-clip statistics pass
-    (silence screens, clipping detection, loudness gates) a
-    training-data pipeline runs on an audio corpus.  ``au_sum_sq`` is
+    over REAL decoded samples — WAV (integer/float/G.711 PCM) and
+    FLAC (lossless, r12) via :func:`decode_audio_samples` — the
+    per-clip statistics pass (silence screens, clipping detection,
+    loudness gates) a training-data pipeline runs on an audio corpus.  ``au_sum_sq`` is
     the exact int64 energy (RMS² = au_sum_sq / au_n, left to the
     consumer so the column stays integer-exact for the oracle);
     undecodable payloads yield NULL stats rather than failing the
@@ -3000,9 +3033,9 @@ def audio_stats(media: DataFrame, decoder=None) -> DataFrame:
             for p in pdf["payload"]:
                 try:
                     fmt, ch, rate, _bits, _nf = parse_audio_header(p)
-                    if fmt != "wav":
-                        raise ValueError("not wav")
-                    s = decode_wav_samples(p, decoder=fast).astype(
+                    if fmt not in ("wav", "flac"):
+                        raise ValueError("no native sample decode")
+                    s = decode_audio_samples(p, decoder=fast).astype(
                         np.int64
                     )
                 except (ValueError, NotImplementedError, struct.error):
@@ -3146,7 +3179,7 @@ def multimodal_profile(
                 try:
                     wb = _pattern_wav_bytes(mid)
                     _f, _ch, rate, _b, _nf = parse_audio_header(wb)
-                    s = decode_wav_samples(wb).astype(np.int64)
+                    s = decode_audio_samples(wb).astype(np.int64)
                     au_stats = (
                         rate,
                         int(s.shape[1]),
@@ -3250,12 +3283,16 @@ def multimodal_profile(
 
 
 def _pattern_wav_bytes(mid: int) -> bytes:
-    """A real PCM WAV of a planted integer pattern: frame ``i`` of
+    """A real audio clip of a planted integer pattern: frame ``i`` of
     channel ``c`` holds ``((mid·31 + i·17) % 65536) − 32768``
     (channel-independent, so stereo clips scale the stats by exactly
     the channel count) at ``64 + mid % 256`` frames,
     ``8000 + 1000·(mid % 8)`` Hz, ``1 + mid % 2`` channels — every
-    statistic re-derivable arithmetically by an oracle."""
+    statistic re-derivable arithmetically by an oracle.  Ids with bit
+    2 set encode FLAC (r12 — lossless, so the SAME waveform and the
+    SAME oracle arithmetic, while rice/fixed/LPC subframes, all four
+    channel assignments, and both CRCs go under the value hash);
+    the rest encode PCM WAV."""
     import numpy as np
 
     n = 64 + mid % 256
@@ -3263,7 +3300,12 @@ def _pattern_wav_bytes(mid: int) -> bytes:
     i = np.arange(n, dtype=np.int64)
     v = ((mid * 31 + i * 17) % 65536) - 32768
     samples = np.repeat(v[:, None], ch, axis=1).astype(np.int16)
-    return encode_wav_pcm16(samples, 8000 + 1000 * (mid % 8))
+    rate = 8000 + 1000 * (mid % 8)
+    if (mid >> 2) & 1:
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.flac import encode_flac_pcm16
+
+        return encode_flac_pcm16(samples, rate, blocksize=64)
+    return encode_wav_pcm16(samples, rate)
 
 
 def synthesize_pattern_audio(
@@ -3632,9 +3674,9 @@ def resample_audio(
             for p in pdf["payload"]:
                 try:
                     fmt, _ch, rate, _bits, _nf = parse_audio_header(p)
-                    if fmt != "wav" or not rate:
-                        raise ValueError("not a decodable WAV")
-                    s = decode_wav_samples(p, decoder=fast)
+                    if fmt not in ("wav", "flac") or not rate:
+                        raise ValueError("no native sample decode")
+                    s = decode_audio_samples(p, decoder=fast)
                 except (ValueError, NotImplementedError, struct.error):
                     payloads.append(None)
                     rates.append(None)

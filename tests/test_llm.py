@@ -1799,6 +1799,74 @@ def test_g711_wav_decode_and_compressed_headers():
     assert mm.parse_audio_header(page) == ("ogg", 2, 48000, None, None)
 
 
+def test_flac_codec_lossless_roundtrip():
+    """r12: REAL FLAC decode (rice/fixed/LPC subframes, all four
+    channel assignments, escape partitions, CRC-8/CRC-16 validation).
+    The fixture encoder rotates the whole decode matrix per frame;
+    losslessness means decode(encode(s)) == s BIT-EXACTLY for any
+    int16 signal.  Corruption and truncation raise, never silent
+    samples; >16-bit depths are the explicit boundary."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.flac import (
+        decode_flac_samples,
+        encode_flac_pcm16,
+        parse_flac_streaminfo,
+    )
+
+    rng = np.random.default_rng(31)
+    for n, ch, bs in [
+        (1, 1, 1152), (5, 1, 4), (256, 1, 64),
+        (1000, 2, 128), (777, 2, 100), (4096, 2, 1152),
+    ]:
+        s = rng.integers(-25000, 25000, size=(n, ch)).astype(np.int16)
+        b = encode_flac_pcm16(s, 16000, blocksize=bs)
+        out = decode_flac_samples(b)
+        assert out.shape == (n, ch) and (out == s).all()
+    # streaminfo fields round-trip (rate/channels/bits/total)
+    s = rng.integers(-100, 100, size=(300, 2)).astype(np.int16)
+    b = encode_flac_pcm16(s, 44100, blocksize=64)
+    info = parse_flac_streaminfo(b)
+    assert (info[2], info[3], info[4], info[5]) == (44100, 2, 16, 300)
+    # constant channels and int16 extremes
+    const = np.full((500, 2), -7, dtype=np.int16)
+    assert (decode_flac_samples(encode_flac_pcm16(const, 8000, 128))
+            == const).all()
+    ext = np.array([[32767, -32768]] * 300, dtype=np.int16)
+    assert (decode_flac_samples(encode_flac_pcm16(ext, 8000, 64))
+            == ext).all()
+    # a flipped byte trips a CRC, truncation raises
+    bad = bytearray(encode_flac_pcm16(s, 8000, 64))
+    bad[60] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_flac_samples(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_flac_samples(encode_flac_pcm16(s, 8000, 64)[:-20])
+    # the planted-pattern FLAC rotation decodes to the SAME waveform
+    # the WAV ids carry (the au-gate oracle property)
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        _pattern_wav_bytes,
+        decode_audio_samples,
+        parse_audio_header,
+    )
+
+    for mid in (4, 5, 6, 7, 12, 13):  # bit 2 set -> FLAC
+        blob = _pattern_wav_bytes(mid)
+        assert blob[:4] == b"fLaC"
+        n = 64 + mid % 256
+        ch = 1 + mid % 2
+        i = np.arange(n, dtype=np.int64)
+        v = ((mid * 31 + i * 17) % 65536) - 32768
+        want = np.repeat(v[:, None], ch, axis=1)
+        assert (decode_audio_samples(blob) == want).all()
+        assert parse_audio_header(blob) == (
+            "flac", ch, 8000 + 1000 * (mid % 8), 16, n,
+        )
+    for mid in (0, 1, 2, 3, 8):  # bit 2 clear -> WAV
+        assert _pattern_wav_bytes(mid)[:4] == b"RIFF"
+
+
 def test_audio_stats_planted_pattern(spark):
     """The r11 au gate shape: synthesize_pattern_audio → audio_stats
     equals the waveform arithmetic, with stereo scaling count and
