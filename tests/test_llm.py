@@ -1527,7 +1527,8 @@ def test_pixel_decoder_seam_injection_and_fallback(spark):
     with _pytest.raises(KeyError):
         mm.resolve_audio_decoder("ffmpeg")
     # audio seam mirrors: injected fast path wins; None falls back
-    wav = mm._pattern_wav_bytes(7)
+    # (id 3: bit 2 clear -> PCM WAV; bit-2 ids rotate to FLAC in r12)
+    wav = mm._pattern_wav_bytes(3)
     base_s = mm.decode_wav_samples(wav)
     fixed = np.full((4, 2), 11, dtype=np.int16)
     got = mm.decode_wav_samples(wav, decoder=lambda _p: fixed)
