@@ -518,10 +518,26 @@ def encode_flac_pcm16(samples, sample_rate: int, blocksize: int = 1152):
             kind = 0  # block too short for the predictor warmup
         if kind == 4 and bs < 3:
             kind = 0
+        # wasted-bits: when every sample in the block shares a
+        # power-of-2 factor the spec codes the shift once and the
+        # subframe at reduced bps — emit it whenever present so the
+        # decoder's wasted-bits path is under every fixture
+        wasted = 0
+        if any(vals):
+            while wasted < bps - 1 and all(
+                (v >> wasted) & 1 == 0 for v in vals
+            ):
+                wasted += 1
         if kind == 0:  # VERBATIM
             wr.write(0, 1)
             wr.write(1, 6)
-            wr.write(0, 1)
+            if wasted:
+                wr.write(1, 1)
+                wr.unary(wasted - 1)
+                vals = [v >> wasted for v in vals]
+                bps -= wasted
+            else:
+                wr.write(0, 1)
             for v in vals:
                 wr.write(v & ((1 << bps) - 1), bps)
             return

@@ -1837,6 +1837,21 @@ def test_flac_codec_lossless_roundtrip():
     ext = np.array([[32767, -32768]] * 300, dtype=np.int16)
     assert (decode_flac_samples(encode_flac_pcm16(ext, 8000, 64))
             == ext).all()
+    # wasted-bits subframes: a block whose samples share a power-of-2
+    # factor codes the shift once (the fixture emits it on verbatim
+    # frames) — decode must restore the full-scale values
+    sw = (rng.integers(-3000, 3000, size=(128, 1)) * 8).astype(np.int16)
+    bw = encode_flac_pcm16(sw, 8000, blocksize=128)
+    assert (decode_flac_samples(bw) == sw).all()
+    # extra metadata blocks (PADDING) between STREAMINFO and the
+    # frames are walked over, not choked on
+    base_b = bytearray(encode_flac_pcm16(s, 8000, 64))
+    base_b[4] &= 0x7F  # STREAMINFO is no longer the last block
+    pad = bytes([0x81]) + (6).to_bytes(3, "big") + b"\x00" * 6
+    spliced = bytes(base_b[: 8 + 34]) + pad + bytes(base_b[8 + 34 :])
+    assert (decode_flac_samples(spliced)
+            == decode_flac_samples(bytes(encode_flac_pcm16(s, 8000, 64)))
+            ).all()
     # a flipped byte trips a CRC, truncation raises
     bad = bytearray(encode_flac_pcm16(s, 8000, 64))
     bad[60] ^= 0xFF
