@@ -940,17 +940,25 @@ def _jpeg_encode_block(wr, q, dc_map, ac_map, prev_dc):
     return dc
 
 
-def _encode_jpeg(planes, samplings, quant, restart_interval=0) -> bytes:
+def _encode_jpeg(
+    planes, samplings, quant, restart_interval=0, precision=8
+) -> bytes:
     """Shared baseline encoder core: ``planes`` are full-resolution
-    float64 component planes (level-unshifted, 0..255), ``samplings``
-    the (h, v) factor per component (chroma planes are box-averaged
-    down).  All components share quant table 0 / Huffman tables 0
-    (legal and simplest; the Annex K example tables)."""
+    float64 component planes (level-unshifted, 0..2^precision-1),
+    ``samplings`` the (h, v) factor per component (chroma planes are
+    box-averaged down).  All components share quant table 0 / Huffman
+    tables 0 — the Annex K example tables for 8-bit; for 12-bit
+    (r12 — SOF1 extended sequential) the DC magnitude categories reach
+    15 and AC sizes 14, beyond Annex K, so uniform-length tables over
+    the full symbol ranges are emitted instead (legal, suboptimal,
+    decode-identical)."""
     import numpy as np
 
     fh, fw = planes[0].shape
     if not 1 <= quant <= 255:
         raise ValueError(f"quant must be in [1, 255], got {quant}")
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     hmax = max(s[0] for s in samplings)
     vmax = max(s[1] for s in samplings)
     if fh % (8 * vmax) or fw % (8 * hmax):
@@ -966,8 +974,18 @@ def _encode_jpeg(planes, samplings, quant, restart_interval=0) -> bytes:
         sub_planes.append(p)
     m = _dct_matrix()
     qtable = np.full(64, quant, dtype=np.int64)
-    dc_map = _huff_encode_map(_JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS)
-    ac_map = _huff_encode_map(_JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS)
+    if precision == 8:
+        dc_bits, dc_vals = _JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS
+        ac_bits, ac_vals = _JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS
+    else:
+        # 12-bit: DC categories 0..15 (5-bit uniform codes), AC the
+        # full run/size byte space (9-bit uniform codes) — every
+        # symbol the encoder below can emit is covered
+        dc_bits, dc_vals = _huff_uniform(range(16))
+        ac_bits, ac_vals = _huff_uniform(range(256))
+    dc_map = _huff_encode_map(dc_bits, dc_vals)
+    ac_map = _huff_encode_map(ac_bits, ac_vals)
+    level = float(1 << (precision - 1))
     zz = np.array(_JPEG_ZIGZAG)
     mcux = fw // (8 * hmax)
     mcuy = fh // (8 * vmax)
@@ -978,7 +996,7 @@ def _encode_jpeg(planes, samplings, quant, restart_interval=0) -> bytes:
     comp_q: list = []
     for p, (hs, vs) in zip(sub_planes, samplings):
         blocks = (
-            (p - 128.0)
+            (p - level)
             .reshape(mcuy, vs, 8, mcux, hs, 8)
             .transpose(0, 3, 1, 4, 2, 5)
             .reshape(-1, 8, 8)
@@ -1026,9 +1044,11 @@ def _encode_jpeg(planes, samplings, quant, restart_interval=0) -> bytes:
         bytes([ci + 1, (hs << 4) | vs, 0])
         for ci, (hs, vs) in enumerate(samplings)
     )
-    sof0 = seg(
-        0xC0,
-        bytes([8])
+    # 12-bit streams use SOF1 (extended sequential) per T.81 —
+    # baseline SOF0 is defined for 8-bit precision only
+    sof = seg(
+        0xC0 if precision == 8 else 0xC1,
+        bytes([precision])
         + struct.pack(">HH", fh, fw)
         + bytes([len(planes)])
         + comp_spec,
@@ -1051,9 +1071,9 @@ def _encode_jpeg(planes, samplings, quant, restart_interval=0) -> bytes:
     return (
         b"\xff\xd8"
         + dqt
-        + sof0
-        + dht(0, 0, _JPEG_DC_LUM_BITS, _JPEG_DC_LUM_VALS)
-        + dht(1, 0, _JPEG_AC_LUM_BITS, _JPEG_AC_LUM_VALS)
+        + sof
+        + dht(0, 0, dc_bits, dc_vals)
+        + dht(1, 0, ac_bits, ac_vals)
         + dri
         + sos
         + bytes(out)
@@ -1073,7 +1093,12 @@ def _huff_uniform(symbols):
         raise ValueError("empty Huffman symbol set")
     length = max(1, n.bit_length())
     bits = [0] * 16
-    bits[length - 1] = n
+    # a DHT BITS entry is one byte (≤255 codes per length): overflow
+    # symbols spill to the next length (Kraft still < 1 since
+    # 2^length > n)
+    bits[length - 1] = min(n, 255)
+    if n > 255:
+        bits[length] = n - 255
     return bits, syms
 
 
@@ -1374,6 +1399,25 @@ def encode_jpeg_gray8(
     )
 
 
+def encode_jpeg_gray12(pixels, quant: int = 1):
+    """12-bit grayscale JPEG fixture encoder (r12 — SOF1 extended
+    sequential, precision 12, uniform Huffman tables since Annex K's
+    categories stop at 8-bit magnitudes).  ``pixels`` is
+    ``(h, w)`` integer 0..4095.  With ``quant=1`` and constant 8×8
+    blocks the coefficient round-trip is exact, so the decoder's
+    ``>> 4`` presentation recovers ``pixels >> 4`` exactly."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.ndim != 2:
+        raise ValueError(f"expected (h, w) gray12 array, got {px.shape}")
+    if px.min() < 0 or px.max() > 4095:
+        raise ValueError("gray12 samples must be in [0, 4095]")
+    return _encode_jpeg(
+        [px.astype(np.float64)], [(1, 1)], quant, 0, precision=12
+    )
+
+
 def encode_jpeg_rgb(
     pixels,
     quant: int = 1,
@@ -1442,6 +1486,7 @@ def decode_jpeg_pixels(payload: bytes | None):
     progressive = False
     grids = None  # progressive per-component zigzag coefficient grids
     restart_interval = 0
+    sample_prec = 8
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"JPEG marker sync lost at byte {i}")
@@ -1495,10 +1540,12 @@ def decode_jpeg_pixels(payload: bytes | None):
             if len(body) < 6:
                 raise ValueError("truncated JPEG SOF segment")
             prec = body[0]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(
-                    f"JPEG precision {prec} unsupported (8-bit only)"
+                    f"JPEG precision {prec} unsupported (8/12-bit; "
+                    "12-bit presents as the standard >>4 to uint8)"
                 )
+            sample_prec = prec
             fh, fw = struct.unpack(">HH", body[1:5])
             ncomp = body[5]
             if len(body) < 6 + 3 * ncomp:
@@ -1561,6 +1608,7 @@ def decode_jpeg_pixels(payload: bytes | None):
                     htables,
                     scan_tabs,
                     restart_interval,
+                    sample_prec,
                 )
             # progressive: accumulate this scan into the coefficient
             # grids and continue the marker walk after its entropy data
@@ -1596,7 +1644,9 @@ def decode_jpeg_pixels(payload: bytes | None):
             continue
         i += 2 + seg_len
     if progressive and grids is not None:
-        return _jpeg_reconstruct_progressive(frame, qtables, grids)
+        return _jpeg_reconstruct_progressive(
+            frame, qtables, grids, sample_prec
+        )
     raise ValueError("JPEG without an SOS scan")
 
 
@@ -1877,7 +1927,7 @@ def _jpeg_decode_progressive_scan(
 
 
 def _jpeg_decode_scan(
-    b, pos, frame, qtables, htables, scan_tabs, restart_interval
+    b, pos, frame, qtables, htables, scan_tabs, restart_interval, prec=8
 ):
     import numpy as np
 
@@ -2021,37 +2071,44 @@ def _jpeg_decode_scan(
             .transpose(0, 2, 4, 1, 3, 5)
             .reshape(mcuy * vs * 8, mcux * hs * 8)
         )
-        p = plane + 128.0
+        p = plane + float(1 << (prec - 1))
         # upsample to full resolution, then crop to the frame size
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         out_planes.append(p[:fh, :fw])
-    return _jpeg_planes_to_pixels(out_planes, fh, fw)
+    return _jpeg_planes_to_pixels(out_planes, fh, fw, prec)
 
 
-def _jpeg_planes_to_pixels(out_planes, fh, fw):
+def _jpeg_planes_to_pixels(out_planes, fh, fw, prec=8):
     """Shared tail of both scan drivers: gray pass-through or JFIF
-    YCbCr→RGB, rounded and clipped to uint8."""
+    YCbCr→RGB, rounded and clipped at the frame's sample precision;
+    12-bit samples present as the standard ``>> 4`` to the engine's
+    uint8 pixel surface (what C decoders' 8-bit output mode does)."""
     import numpy as np
 
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+
+    def to_u8(a):
+        v = np.clip(np.round(a), 0, maxv)
+        if prec > 8:
+            v = np.floor(v).astype(np.int64) >> (prec - 8)
+        return v.astype(np.uint8)
+
     if len(out_planes) == 1:
-        return (
-            np.clip(np.round(out_planes[0]), 0, 255)
-            .astype(np.uint8)
-            .reshape(fh, fw, 1)
-        )
+        return to_u8(out_planes[0]).reshape(fh, fw, 1)
     if len(out_planes) != 3:
         raise NotImplementedError(
             f"JPEG with {len(out_planes)} components unsupported"
         )
     y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    bl = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, bl], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return to_u8(rgb)
 
 
-def _jpeg_reconstruct_progressive(frame, qtables, grids):
+def _jpeg_reconstruct_progressive(frame, qtables, grids, prec=8):
     """Dequantize + inverse-zigzag + batched IDCT the accumulated
     progressive coefficient grids into pixels — the progressive mirror
     of :func:`_jpeg_decode_scan`'s tail (grids are already in
@@ -2077,12 +2134,12 @@ def _jpeg_reconstruct_progressive(frame, qtables, grids):
             spatial.reshape(pby, pbx, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(pby * 8, pbx * 8)
-        ) + 128.0
+        ) + float(1 << (prec - 1))
         plane = np.repeat(
             np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
         )
         out_planes.append(plane[:fh, :fw])
-    return _jpeg_planes_to_pixels(out_planes, fh, fw)
+    return _jpeg_planes_to_pixels(out_planes, fh, fw, prec)
 
 
 # --- pluggable fast-decoder seam (r12) ---------------------------------------
@@ -2290,16 +2347,21 @@ def _pattern_jpeg_bytes(mid: int, mod_blocks: int = 8) -> bytes:
     EXACT and an oracle re-derives every statistic arithmetically.
     Every other JPEG id adds restart markers, putting the decoder's
     RST resync under the gate too; ids with bit 2 set encode
-    PROGRESSIVE (SOF2 multi-scan, r12) instead — same planted
-    coefficients, so the arithmetic oracle is unchanged while a wrong
-    spectral band, EOB run, or successive-approximation bit breaks
-    the value hash."""
+    PROGRESSIVE (SOF2 multi-scan, r12) instead, and remaining ids
+    with bit 3 set encode 12-BIT precision (SOF1, r12) carrying the
+    pattern as ``v << 4`` — the decoder's standard ``>> 4``
+    presentation recovers the same planted values — so the arithmetic
+    oracle is unchanged for every variant while a wrong spectral
+    band, EOB run, successive-approximation bit, or precision shift
+    breaks the value hash."""
     import numpy as np
 
     vals = _pattern_pixels(mid, mod_blocks)
     px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
     if (mid >> 2) & 1:
         return encode_jpeg_gray8(px, quant=1, progressive=True)
+    if (mid >> 3) & 1:
+        return encode_jpeg_gray12(px.astype(np.int64) << 4, quant=1)
     return encode_jpeg_gray8(
         px, quant=1, restart_interval=2 if (mid >> 1) & 1 else 0
     )

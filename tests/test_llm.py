@@ -1420,6 +1420,46 @@ def test_jpeg_progressive_decode_matches_baseline():
         decode_jpeg_pixels(blob[:-8])
 
 
+def test_jpeg_12bit_precision_decode():
+    """r12: 12-bit (SOF1 extended sequential) decode — level shift
+    2048, clip at 4095, presented as the standard >>4 to the uint8
+    pixel surface.  Constant blocks at quant=1 carrying v<<4 recover
+    v exactly (the px-gate rotation's property); random 12-bit images
+    land within DCT rounding of their >>4 presentation; other
+    precisions still raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import multimodal as mm
+
+    rng = np.random.default_rng(21)
+    vals = (np.arange(24).reshape(4, 6) * 11 % 256).astype(np.int64)
+    px8 = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    out = mm.decode_jpeg_pixels(
+        mm.encode_jpeg_gray12(px8 << 4, quant=1)
+    )
+    assert out.dtype == np.uint8 and (out[:, :, 0] == px8).all()
+    px12 = rng.integers(0, 4096, size=(32, 32))
+    out = mm.decode_jpeg_pixels(mm.encode_jpeg_gray12(px12, quant=1))
+    assert (
+        np.abs(out[:, :, 0].astype(int) - (px12 >> 4).astype(int)).max()
+        <= 1
+    )
+    # the pattern rotation: bit-3 ids (bit 2 clear) are 12-bit SOF1
+    blob = mm._pattern_jpeg_bytes(8)
+    assert b"\xff\xc1" in blob and blob[blob.find(b"\xff\xc1") + 4] == 12
+    want = mm._pattern_pixels(8, 8).repeat(8, 0).repeat(8, 1)
+    assert (mm.decode_jpeg_pixels(blob)[:, :, 0] == want).all()
+    # out-of-range input rejected at encode; precision 10 at decode
+    with _pytest.raises(ValueError, match="4095"):
+        mm.encode_jpeg_gray12(np.full((8, 8), 5000))
+    b = bytearray(mm.encode_jpeg_gray12(px12, quant=1))
+    sof = bytes(b).find(b"\xff\xc1")
+    b[sof + 4] = 10
+    with _pytest.raises(NotImplementedError, match="precision 10"):
+        mm.decode_jpeg_pixels(bytes(b))
+
+
 def test_jpeg_marker_fill_bytes_and_lut_lru():
     """r12 (ADVICE r11): T.81 B.1.1.2 allows any number of 0xFF fill
     bytes before a marker code — the segment walk must skip them, not
