@@ -179,6 +179,10 @@ class BenchResults:
     streaming_events_per_sec: int
     streaming_pipelines: dict
     session_state_events_per_sec: int
+    # per-position corrected session rates (r13: headline = their
+    # mean; both ride in the headline artifact for re-derivation)
+    session_state_rate_early: int
+    session_state_rate_late: int
     stream_passes: int
     aux_ops_sec: dict
     # positional (pre-suite vs post-suite) bests for drift attribution
@@ -226,12 +230,14 @@ def assemble_reports(r: BenchResults) -> tuple[dict, dict]:
         # min across the two replayed state-store pipelines; breakdown:
         "streaming_pipelines": r.streaming_pipelines,
         # harness-cost-corrected session rate: events / (full replay −
-        # trigger floor), per-position; r12 takes the BEST position —
-        # the same best-window convention as every min-time metric in
-        # this file (the r10 conservative-min mixed a contended window
-        # into the headline: VERDICT r11 wrong #2 attribution,
-        # SCALE.md "session-state r9→r11")
+        # trigger floor), per-position; r13 (ADVICE r12): headline =
+        # MEAN of the two positions (central estimate over a ~±12%
+        # noisy subtraction — max amplified the high tail), with both
+        # per-position rates right here so either convention can be
+        # recomputed from the headline artifact alone
         "session_state_events_per_sec": r.session_state_events_per_sec,
+        "session_state_rate_early": r.session_state_rate_early,
+        "session_state_rate_late": r.session_state_rate_late,
         # throughputs derive from the min-time over interleaved passes
         # (same minima methodology as the query suite), N recorded:
         "cdc_passes": 4,
@@ -604,15 +610,17 @@ def main() -> None:
     session_rate_late = int(
         n_sess_events / max(sess_full_late - sess_floor_late, 1e-6)
     )
-    # r12 (VERDICT r11 wrong #2): BEST position, not conservative min.
-    # Standalone idle-machine runs (tools/session_bench.py) show the
-    # full−floor subtraction itself has ~±12% spread and 21% best-to-
-    # worst positional divergence with ZERO load — taking the worst
-    # position folded one contended window into the r11 headline
-    # (52,130) while the same run's other position measured 62,695.
-    # Every other throughput here reports its best window (min time);
-    # the session rate now does too.  Both positions stay in detail.
-    session_state_rate = max(session_rate_early, session_rate_late)
+    # r12 (VERDICT r11 wrong #2) took the BEST position; r13 (ADVICE
+    # r12): with the ~±12%/21% positional spread the isolation study
+    # measured (tools/session_bench.py), max-over-positions
+    # systematically reports the HIGH tail of a noisy subtraction —
+    # unlike the other metrics' min-time, which suppresses noise over
+    # repeats of the SAME measurement.  The headline is now the MEAN
+    # of the two positions (the central estimate; with two samples
+    # mean == median) and BOTH per-position rates ride in the headline
+    # artifact itself, not only in detail, so any round can recompute
+    # either convention.
+    session_state_rate = (session_rate_early + session_rate_late) // 2
     streaming_events_per_sec = min(streaming_pipelines.values())
 
     # auxiliary operators (round-3 additions outside the oracle
@@ -1060,6 +1068,8 @@ def main() -> None:
         streaming_events_per_sec=streaming_events_per_sec,
         streaming_pipelines=streaming_pipelines,
         session_state_events_per_sec=session_state_rate,
+        session_state_rate_early=session_rate_early,
+        session_state_rate_late=session_rate_late,
         stream_passes=stream_passes,
         aux_ops_sec=aux,
         corpus_early_best=corpus_early_best,

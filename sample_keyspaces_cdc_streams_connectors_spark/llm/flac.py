@@ -17,9 +17,13 @@ partition, all four channel assignments (independent, left/side,
 right/side, mid/side — side channels carry bps+1 bits per the spec),
 arbitrary partition orders, wasted-bits shifts, and both header CRC-8
 and frame CRC-16 validation (a corrupt frame raises ValueError, never
-silent samples).  8/16-bit sample sizes map to the engine's int16
-convention (8-bit scales ×256 like the WAV path); 20/24/32-bit raise
-NotImplementedError (they need an int32 sample surface).
+silent samples).  8/12/16-bit sample sizes map to the engine's int16
+convention (8-bit scales ×256, 12-bit ×16, like the WAV path);
+20/24/32-bit (r13 — 24-bit is the standard studio/speech-corpus
+depth) return RAW int32 samples, no rescale, so the lossless round
+trip stays bit-exact at every depth.  A STREAMINFO total_samples of 0
+means UNKNOWN length per the spec (streaming encoders emit it), so
+decode runs to end-of-payload instead of returning silence.
 
 Scale posture: identical to the image codecs — a per-item interpreted
 kernel inside ``mapInPandas`` (payloads never shuffle, never reach the
@@ -41,6 +45,7 @@ import struct
 
 __all__ = [
     "decode_flac_samples",
+    "encode_flac_pcm",
     "encode_flac_pcm16",
     "parse_flac_streaminfo",
 ]
@@ -311,24 +316,31 @@ def _decode_subframe(rd: _BitReader, blocksize: int, bps: int):
 
 
 def decode_flac_samples(payload: bytes | None):
-    """REAL FLAC sample decode: ``(n_frames, n_channels)`` int16 numpy
-    array (8-bit widens ×256; >16-bit raises NotImplementedError).
-    Validates header CRC-8 and frame CRC-16 — raises ``ValueError``
-    on any malformed/corrupt structure, never wrong samples."""
+    """REAL FLAC sample decode: ``(n_frames, n_channels)`` numpy
+    array — int16 for 8/12/16-bit sources (8-bit widens ×256, 12-bit
+    ×16), int32 RAW for 20/24/32-bit (r13; no rescale, so
+    decode(encode(s)) == s bit-exactly at every depth).  A STREAMINFO
+    ``total_samples`` of 0 means UNKNOWN (RFC 9639) — frames decode to
+    end-of-payload.  Validates header CRC-8 and frame CRC-16 — raises
+    ``ValueError`` on any malformed/corrupt structure, never wrong
+    samples."""
     import numpy as np
 
     b = payload or b""
     (_minbs, _maxbs, _rate, chans, bits, total, pos) = (
         parse_flac_streaminfo(b)
     )
-    if bits not in (8, 16):
+    if bits not in (8, 12, 16, 20, 24, 32):
         raise NotImplementedError(
-            f"FLAC bit depth {bits} unsupported (8/16 map to the "
-            "engine's int16 sample surface)"
+            f"FLAC bit depth {bits} unsupported"
         )
+    # total_samples == 0 is the spec's UNKNOWN marker (streaming
+    # encoders that can't seek back); decode to end-of-payload then —
+    # returning an empty array would be silent wrong samples.
+    unknown = total == 0
     channels = [[] for _ in range(chans)]
     got = 0
-    while got < total:
+    while (pos < len(b)) if unknown else (got < total):
         if pos >= len(b):
             raise ValueError("FLAC stream ends before total samples")
         frame_start = pos
@@ -412,13 +424,22 @@ def decode_flac_samples(payload: bytes | None):
                 left.append((m2 + s) >> 1)
                 right.append((m2 - s) >> 1)
             subs = [left, right]
-        take = min(blocksize, total - got)
+        take = blocksize if unknown else min(blocksize, total - got)
         for c in range(chans):
             channels[c].extend(subs[c][:take])
         got += take
     arr = np.array(channels, dtype=np.int64).T  # (n, ch)
+    if arr.size == 0:
+        arr = arr.reshape(0, chans)
+    if bits > 16:
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        if arr.size and (arr.max() > hi or arr.min() < lo):
+            raise ValueError(f"FLAC samples out of {bits}-bit range")
+        return arr.astype(np.int32)
     if bits == 8:
         arr = arr * 256
+    elif bits == 12:
+        arr = arr * 16
     if arr.size and (arr.max() > 32767 or arr.min() < -32768):
         raise ValueError("FLAC samples out of 16-bit range")
     return arr.astype(np.int16)
@@ -446,7 +467,15 @@ def _encode_residual(
 ) -> None:
     """Partition layout per spec: 2^porder partitions of
     blocksize/2^porder sample slots each, the FIRST short by the
-    predictor order (its warmup samples were coded verbatim)."""
+    predictor order (its warmup samples were coded verbatim).  Depth
+    robustness (r13): when the 4-bit method's parameter cap (14)
+    would leave huge unary runs for wide residuals (>16-bit sources)
+    the method upgrades to RICE2 (5-bit, cap 30), and the escape
+    partition falls back to rice when a residual needs more than the
+    5-bit raw field's 31 bits — never a truncated sample."""
+    ideal = _best_rice_param(res, 5)
+    if plen == 4 and ideal > (1 << 4) - 2:
+        plen = 5
     wr.write(0 if plen == 4 else 1, 2)
     wr.write(porder, 4)
     nparts = 1 << porder
@@ -457,11 +486,14 @@ def _encode_residual(
         n = per - (order if p == 0 else 0)
         part = res[start : start + n]
         start += n
-        if escape_first and p == 0:
-            raw = min(
-                max((abs(v).bit_length() + 1 for v in part), default=1),
-                31,
-            )
+        raw = min(
+            max((abs(v).bit_length() + 1 for v in part), default=1), 31
+        )
+        if (
+            escape_first
+            and p == 0
+            and all(-(1 << (raw - 1)) <= v < (1 << (raw - 1)) for v in part)
+        ):
             wr.write(escape_code, plen)
             wr.write(raw, 5)
             for v in part:
@@ -475,20 +507,44 @@ def _encode_residual(
             wr.write(u & ((1 << param) - 1), param)
 
 
+_SAMPLE_SIZE_TO_CODE = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
+
 def encode_flac_pcm16(samples, sample_rate: int, blocksize: int = 1152):
-    """Minimal REAL FLAC encoder for int16 PCM — the fixture mirror of
-    :func:`decode_flac_samples` (same role the JPEG/PNG/GIF/WAV
-    encoders play): rotates subframe types (VERBATIM → FIXED orders
-    1/2/3 → LPC order 2, CONSTANT when a channel is constant; the
-    FIXED-order-2 frames force an escape partition) and, for stereo,
-    channel assignments (independent → mid/side → left/side →
-    right/side) per frame, so ONE planted clip walks the whole decode
-    matrix.  Lossless: decode(encode(s)) == s bit-exactly."""
+    """16-bit entry point kept for the existing fixtures; see
+    :func:`encode_flac_pcm`."""
+    return encode_flac_pcm(samples, sample_rate, bits=16, blocksize=blocksize)
+
+
+def encode_flac_pcm(
+    samples,
+    sample_rate: int,
+    bits: int = 16,
+    blocksize: int = 1152,
+    mark_total_unknown: bool = False,
+):
+    """Minimal REAL FLAC encoder for integer PCM at any supported
+    depth (8/12/16/20/24/32 — r13 adds >16-bit on an int32 surface) —
+    the fixture mirror of :func:`decode_flac_samples` (same role the
+    JPEG/PNG/GIF/WAV encoders play): rotates subframe types (VERBATIM
+    → FIXED orders 1/2/3 → LPC order 2, CONSTANT when a channel is
+    constant; the FIXED-order-2 frames force an escape partition) and,
+    for stereo, channel assignments (independent → mid/side →
+    left/side → right/side) per frame, so ONE planted clip walks the
+    whole decode matrix.  Lossless: decode(encode(s)) == s bit-exactly
+    at every depth.  ``mark_total_unknown`` writes STREAMINFO
+    total_samples = 0 (the spec's UNKNOWN marker) so tests can pin the
+    decoder's run-to-end-of-payload path."""
     import numpy as np
 
-    s = np.asarray(samples, dtype=np.int16)
+    if bits not in _SAMPLE_SIZE_TO_CODE:
+        raise ValueError(f"FLAC bit depth must be 8/12/16/20/24/32, got {bits}")
+    s = np.asarray(samples, dtype=np.int64)
     if s.ndim == 1:
         s = s[:, None]
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if s.size and (s.max() > hi or s.min() < lo):
+        raise ValueError(f"samples out of {bits}-bit signed range")
     n, ch = s.shape
     if not 1 <= ch <= 8:
         raise ValueError(f"FLAC channels must be 1..8, got {ch}")
@@ -499,8 +555,8 @@ def encode_flac_pcm16(samples, sample_rate: int, blocksize: int = 1152):
     info = (info << 24) | 0
     info = (info << 20) | sample_rate
     info = (info << 3) | (ch - 1)
-    info = (info << 5) | 15  # bits-1 = 15
-    info = (info << 36) | n
+    info = (info << 5) | (bits - 1)
+    info = (info << 36) | (0 if mark_total_unknown else n)
     info <<= 128  # md5 unset (optional integrity field)
     out = bytearray(b"fLaC")
     out += bytes([0x80]) + (34).to_bytes(3, "big") + info.to_bytes(34, "big")
@@ -603,7 +659,7 @@ def encode_flac_pcm16(samples, sample_rate: int, blocksize: int = 1152):
         if ch == 2 and bs >= 2:
             assign = (0, 10, 8, 9)[fidx % 4]
         wr.write((ch - 1) if assign == 0 else assign, 4)
-        wr.write(4, 3)  # 16-bit samples
+        wr.write(_SAMPLE_SIZE_TO_CODE[bits], 3)
         wr.write(0, 1)
         _encode_utf8_number(wr, fidx)
         wr.write(bs - 1, 16)
@@ -612,21 +668,21 @@ def encode_flac_pcm16(samples, sample_rate: int, blocksize: int = 1152):
         body = _BitWriter()
         if assign == 0:
             for c in range(ch):
-                subframe(body, block[:, c], 16, kinds)
+                subframe(body, block[:, c], bits, kinds)
         else:
             left = [int(v) for v in block[:, 0]]
             right = [int(v) for v in block[:, 1]]
             side = [l - r for l, r in zip(left, right)]
             if assign == 10:
                 mid = [(l + r) >> 1 for l, r in zip(left, right)]
-                subframe(body, mid, 16, kinds)
-                subframe(body, side, 17, kinds)
+                subframe(body, mid, bits, kinds)
+                subframe(body, side, bits + 1, kinds)
             elif assign == 8:
-                subframe(body, left, 16, kinds)
-                subframe(body, side, 17, kinds)
+                subframe(body, left, bits, kinds)
+                subframe(body, side, bits + 1, kinds)
             else:
-                subframe(body, side, 17, kinds)
-                subframe(body, right, 16, kinds)
+                subframe(body, side, bits + 1, kinds)
+                subframe(body, right, bits, kinds)
         body.pad_to_byte()
         frame = header + bytes([_crc8(header)]) + bytes(body.out)
         crc16 = _crc16(frame)

@@ -1468,9 +1468,11 @@ def decode_jpeg_pixels(payload: bytes | None):
     the dominant web-crawl variant): multi-scan spectral selection +
     successive approximation accumulate into per-component coefficient
     grids (:func:`_jpeg_decode_progressive_scan`, T.81 G.2) and
-    reconstruct once at EOI.  Raises ``ValueError`` on malformed data
-    and ``NotImplementedError`` for arithmetic coding / hierarchical /
-    lossless / 12-bit precision — never a wrong-pixel silent result.
+    reconstruct once at EOI.  12-bit (SOF1 extended-sequential)
+    precision decodes for real too (r12) — samples are presented as
+    the top 8 bits (``>>4``).  Raises ``ValueError`` on malformed
+    data and ``NotImplementedError`` for arithmetic coding /
+    hierarchical / lossless — never a wrong-pixel silent result.
     Same scale posture as the PNG/GIF decoders: the per-item kernel
     inside ``mapInPandas``; a C decoder swaps in at the same call
     site (SCALE.md records the interpreted-Python boundary cost)."""
@@ -2174,13 +2176,21 @@ def pil_image_decoder(payload: bytes):
     import numpy as np
     from PIL import Image  # noqa: deliberate runtime import
 
+    # Seam contract: every "this payload is bad" failure maps to
+    # ValueError so the mapInPandas arms NULL the row instead of
+    # failing the Arrow batch.  Pillow raises UnidentifiedImageError
+    # for unrecognized containers, but a RECOGNIZED-but-truncated
+    # image surfaces as OSError during convert/asarray, and oversized
+    # images as DecompressionBombError — all are payload problems,
+    # not code problems.
+    bomb = getattr(Image, "DecompressionBombError", ())
     try:
         with Image.open(io.BytesIO(payload or b"")) as im:
             if im.mode in ("L", "1", "I;16", "I", "F"):
                 g = np.asarray(im.convert("L"), dtype=np.uint8)
                 return g[:, :, None]
             return np.asarray(im.convert("RGB"), dtype=np.uint8)
-    except Image.UnidentifiedImageError as exc:
+    except (Image.UnidentifiedImageError, OSError, bomb) as exc:
         raise ValueError(f"undecodable image payload: {exc}") from exc
 
 
@@ -2952,12 +2962,71 @@ def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+def encode_wav_pcm24(samples, sample_rate: int) -> bytes:
+    """Minimal REAL 24-bit WAV encoder (r13): 3-byte little-endian
+    signed PCM, the fixture mirror of the decoder's int32 surface.
+    ``samples`` is ``(n_frames, n_channels)`` int32 in the signed
+    24-bit range; round trip is exact."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    if s.size and (s.max() > 0x7FFFFF or s.min() < -0x800000):
+        raise ValueError("samples out of 24-bit signed range")
+    n, ch = s.shape
+    flat = (s.reshape(-1).astype(np.int64) & 0xFFFFFF).astype(np.uint32)
+    data = np.stack(
+        [flat & 0xFF, (flat >> 8) & 0xFF, (flat >> 16) & 0xFF], axis=1
+    ).astype(np.uint8).tobytes()
+    byte_rate = sample_rate * ch * 3
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 3, 24)
+    riff_body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def encode_wav_pcm32(samples, sample_rate: int) -> bytes:
+    """Minimal REAL 32-bit integer-PCM WAV encoder (r13): the fixture
+    mirror of the decoder's ``bits == 32`` arm.  ``samples`` is
+    ``(n_frames, n_channels)`` int32; round trip is exact."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int32)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.astype("<i4").tobytes()
+    byte_rate = sample_rate * ch * 4
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 4, 32)
+    riff_body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def decode_wav_samples(payload: bytes | None, decoder=None):
     """REAL stdlib WAV sample decode: returns ``(n_frames,
     n_channels)`` int16 numpy array for 16-bit PCM (8-bit unsigned
     PCM widens to int16 by centering at 0 and scaling ×256; IEEE
     float32/float64 — common in speech corpora — scales [-1, 1] by
-    32767 with clipping — both the standard conventions).  Raises
+    32767 with clipping — both the standard conventions), and RAW
+    int32 for 24/32-bit integer PCM (r13 — 24-bit is the standard
+    studio/speech-corpus depth; no rescale keeps decode exact).
+    Raises
     ``ValueError`` on malformed data, INCLUDING a data chunk that is
     not a whole number of frames (a torn trailing frame must not
     silently shrink the clip), and ``NotImplementedError`` for
@@ -3036,9 +3105,22 @@ def decode_wav_samples(payload: bytes | None, decoder=None):
             raise ValueError("WAV data is not a whole number of frames")
         raw = np.frombuffer(data, np.uint8)
         arr = (raw.astype(np.int16) - 128) * 256
+    elif bits == 24:
+        # 24-bit PCM (the standard studio/speech-corpus depth, r13):
+        # 3-byte little-endian signed frames onto the int32 sample
+        # surface — raw values, no rescale, so decode is exact
+        if len(data) % (3 * ch):
+            raise ValueError("WAV data is not a whole number of frames")
+        raw = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.int32)
+        arr = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        arr = (arr ^ 0x800000) - 0x800000  # sign-extend bit 23
+    elif bits == 32:
+        if len(data) % (4 * ch):
+            raise ValueError("WAV data is not a whole number of frames")
+        arr = np.frombuffer(data, "<i4")
     else:
         raise NotImplementedError(
-            f"WAV bit depth {bits} unsupported (8/16-bit PCM only)"
+            f"WAV bit depth {bits} unsupported (8/16/24/32-bit PCM only)"
         )
     return arr.reshape(-1, ch)
 
@@ -3107,11 +3189,46 @@ def audio_stats(media: DataFrame, decoder=None) -> DataFrame:
                     sumsqs.append(None)
                     peaks.append(None)
                     continue
+                peak = int(np.abs(s).max(initial=0))
+                if peak > 0x7FFFFFFF:
+                    # only abs(int32 min) from a 32-bit source; the
+                    # Int32 au_peak column can't carry it — NULL the
+                    # row (the undecodable contract) over wrapping
+                    rates.append(None)
+                    chans.append(None)
+                    ns.append(None)
+                    sumsqs.append(None)
+                    peaks.append(None)
+                    continue
+                # exact int energy without int64 wrap: with int32
+                # samples (24/32-bit sources, r13) per-element squares
+                # reach 2^62, so accumulate bounded chunks in Python
+                # ints; for int16 audio this is a single chunk (the
+                # old one-shot path)
+                if peak == 0:
+                    sumsq = 0
+                else:
+                    sq = s.ravel()
+                    sq = sq * sq
+                    chunk = max(1, (1 << 62) // (peak * peak))
+                    sumsq = sum(
+                        int(sq[i : i + chunk].sum())
+                        for i in range(0, sq.size, chunk)
+                    )
+                    if sumsq > 0x7FFFFFFFFFFFFFFF:
+                        # exceeds the Int64 au_sum_sq column (hours of
+                        # full-scale 32-bit audio) — NULL, never wrap
+                        rates.append(None)
+                        chans.append(None)
+                        ns.append(None)
+                        sumsqs.append(None)
+                        peaks.append(None)
+                        continue
                 rates.append(rate)
                 chans.append(s.shape[1])
                 ns.append(int(s.size))
-                sumsqs.append(int((s * s).sum()))
-                peaks.append(int(np.abs(s).max(initial=0)))
+                sumsqs.append(sumsq)
+                peaks.append(peak)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
@@ -3717,8 +3834,10 @@ def resample_audio(
     (:func:`decode_wav_samples`), nearest-neighbor resample on the
     time axis — ``out[i] = in[(i·n_in)//n_out]`` with
     ``n_out = n_in·target//source`` (floor), pure integer index
-    algebra, exactly reproducible — and re-encode as PCM16 WAV at
-    ``target_rate``.  A clip already at ``target_rate`` passes
+    algebra, exactly reproducible — and re-encode as integer-PCM WAV
+    at ``target_rate`` AT THE SOURCE DEPTH (int16 → PCM16; int32
+    sources → PCM24 when the values fit, else PCM32 — never a silent
+    truncation, r13).  A clip already at ``target_rate`` passes
     through byte-identical modulo container canonicalization.
     Undecodable/non-WAV payloads yield NULL rows rather than failing
     the batch.  (Nearest-neighbor is the exactness-preserving choice
@@ -3751,7 +3870,19 @@ def resample_audio(
                     n_out = max(1, (n_in * target_rate) // rate)
                     idx = (np.arange(n_out) * n_in) // n_out
                     out = s[idx]
-                payloads.append(encode_wav_pcm16(out, target_rate))
+                # re-encode at the SOURCE depth: int32 samples
+                # (24/32-bit sources, r13) must not truncate through
+                # the int16 container — 24-bit when they fit, else
+                # 32-bit integer PCM
+                if out.dtype == np.int32:
+                    if out.size and (
+                        out.max() > 0x7FFFFF or out.min() < -0x800000
+                    ):
+                        payloads.append(encode_wav_pcm32(out, target_rate))
+                    else:
+                        payloads.append(encode_wav_pcm24(out, target_rate))
+                else:
+                    payloads.append(encode_wav_pcm16(out, target_rate))
                 rates.append(target_rate)
                 frames.append(int(out.shape[0]))
             yield pd.DataFrame(

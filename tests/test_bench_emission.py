@@ -30,6 +30,8 @@ def _results(prev=None) -> bench.BenchResults:
         streaming_events_per_sec=41_000,
         streaming_pipelines={"sliding_window": 50_000, "session_window": 41_000},
         session_state_events_per_sec=90_000,
+        session_state_rate_early=95_000,
+        session_state_rate_late=85_000,
         stream_passes=3,
         aux_ops_sec={"bm25_topk": 0.4, "ingest_loop_4batch": 12.3},
         corpus_early_best=0.91,
@@ -73,6 +75,10 @@ def test_headline_contract_keys():
         "streaming_events_per_sec",
         "streaming_pipelines",
         "session_state_events_per_sec",
+        # r13 (ADVICE r12): both positional session rates ride in the
+        # HEADLINE artifact so either estimator can be recomputed
+        "session_state_rate_early",
+        "session_state_rate_late",
     ):
         assert key in out, key
 

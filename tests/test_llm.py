@@ -1846,7 +1846,8 @@ def test_flac_codec_lossless_roundtrip():
     The fixture encoder rotates the whole decode matrix per frame;
     losslessness means decode(encode(s)) == s BIT-EXACTLY for any
     int16 signal.  Corruption and truncation raise, never silent
-    samples; >16-bit depths are the explicit boundary."""
+    samples (r13 widens depth coverage — see
+    test_flac_wav_deep_sample_surfaces)."""
     import numpy as np
     import pytest as _pytest
 
@@ -1923,6 +1924,79 @@ def test_flac_codec_lossless_roundtrip():
         assert _pattern_wav_bytes(mid)[:4] == b"RIFF"
 
 
+def test_flac_wav_deep_sample_surfaces():
+    """r13 (VERDICT r12 next #3): 20/24/32-bit FLAC and 24/32-bit WAV
+    decode onto a RAW int32 sample surface — 24-bit is the standard
+    studio/speech-corpus depth — with bit-exact lossless round trips
+    at every depth; 8/12-bit keep the int16 widening convention; a
+    STREAMINFO total_samples of 0 (the spec's UNKNOWN marker from
+    streaming encoders) decodes to end-of-payload, never silently to
+    an empty clip."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.flac import (
+        decode_flac_samples,
+        encode_flac_pcm,
+        parse_flac_streaminfo,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm24,
+        encode_wav_pcm32,
+        parse_audio_header,
+    )
+
+    rng = np.random.default_rng(131)
+    # FLAC at every supported depth; the same fixture rotation walks
+    # the whole subframe/channel-assignment matrix at each
+    for bits in (8, 12, 16, 20, 24, 32):
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        for ch in (1, 2):
+            s = rng.integers(lo, hi + 1, size=(700, ch), dtype=np.int64)
+            s[100:220] = 42  # constant stretch -> CONSTANT subframe
+            s[0] = lo
+            s[1] = hi  # depth extremes
+            b = encode_flac_pcm(s, 16000, bits=bits, blocksize=128)
+            assert parse_flac_streaminfo(b)[4] == bits
+            out = decode_flac_samples(b)
+            if bits > 16:
+                assert out.dtype == np.int32  # RAW values, no rescale
+                assert (out == s.astype(np.int32)).all()
+            else:
+                assert out.dtype == np.int16
+                scale = {8: 256, 12: 16, 16: 1}[bits]
+                assert (out.astype(np.int64) == s * scale).all()
+    with _pytest.raises(ValueError, match="bit depth"):
+        encode_flac_pcm(np.zeros((4, 1)), 8000, bits=17)
+    with _pytest.raises(ValueError, match="range"):
+        encode_flac_pcm(np.full((4, 1), 1 << 20), 8000, bits=20)
+    # unknown total_samples (== 0): frames decode to end-of-payload
+    s = rng.integers(-30000, 30000, size=(999, 2), dtype=np.int64)
+    b = encode_flac_pcm(s, 8000, bits=16, mark_total_unknown=True)
+    assert parse_flac_streaminfo(b)[5] == 0
+    assert (decode_flac_samples(b) == s.astype(np.int16)).all()
+    # 24-bit WAV: 3-byte LE frames, raw int32 out, exact round trip
+    s24 = rng.integers(-0x800000, 0x800000, size=(500, 2), dtype=np.int64)
+    s24[0] = (-0x800000, 0x7FFFFF)
+    w = encode_wav_pcm24(s24, 48000)
+    assert parse_audio_header(w) == ("wav", 2, 48000, 24, 500)
+    d = decode_wav_samples(w)
+    assert d.dtype == np.int32 and (d == s24.astype(np.int32)).all()
+    with _pytest.raises(ValueError, match="range"):
+        encode_wav_pcm24(np.full((4, 1), 1 << 24), 8000)
+    # torn trailing frame still raises, at the 24-bit frame size
+    # (truncating one byte tears both the chunk and the frame grid)
+    with _pytest.raises(ValueError):
+        decode_wav_samples(w[:-2] + b"\x00")
+    # 32-bit integer PCM WAV
+    s32 = rng.integers(-(2**31), 2**31, size=(300, 1), dtype=np.int64)
+    w = encode_wav_pcm32(s32.astype(np.int32), 16000)
+    assert parse_audio_header(w) == ("wav", 1, 16000, 32, 300)
+    d = decode_wav_samples(w)
+    assert d.dtype == np.int32 and (d == s32.astype(np.int32)).all()
+
+
 def test_audio_stats_planted_pattern(spark):
     """The r11 au gate shape: synthesize_pattern_audio → audio_stats
     equals the waveform arithmetic, with stereo scaling count and
@@ -1961,6 +2035,45 @@ def test_audio_stats_planted_pattern(spark):
     )
     row = audio_stats(junk).collect()[0]
     assert row["au_n"] is None and row["au_sum_sq"] is None
+
+
+def test_audio_stats_and_resample_int32_surface(spark):
+    """r13: the int32 sample surface flows end-to-end — audio_stats
+    over a 24-bit FLAC/WAV computes the EXACT integer energy (the
+    chunked accumulation can't wrap int64 the way a one-shot numpy
+    sum of int32 squares can), and resample_audio re-encodes at the
+    source depth instead of truncating through PCM16."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.flac import encode_flac_pcm
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        audio_stats,
+        decode_wav_samples,
+        encode_wav_pcm24,
+        resample_audio,
+    )
+
+    rng = np.random.default_rng(57)
+    s = rng.integers(-0x800000, 0x800000, size=(2000, 2), dtype=np.int64)
+    payloads = [
+        (0, bytearray(encode_wav_pcm24(s, 32000))),
+        (1, bytearray(encode_flac_pcm(s, 32000, bits=24, blocksize=576))),
+    ]
+    media = spark.createDataFrame(payloads, "media_id long, payload binary")
+    want_sumsq = int(sum(int(v) * int(v) for v in s.ravel()))  # pure-python exact
+    for r in audio_stats(media).collect():
+        assert r["au_n"] == s.size
+        assert r["au_sum_sq"] == want_sumsq
+        assert r["au_peak"] == int(np.abs(s).max())
+        assert r["au_channels"] == 2 and r["au_rate"] == 32000
+    # resample halves the rate and keeps 24-bit values exact
+    out = {r["media_id"]: r for r in resample_audio(media, 16000).collect()}
+    idx = (np.arange(1000) * 2000) // 1000
+    for mid in (0, 1):
+        r = out[mid]
+        assert r["out_rate"] == 16000 and r["out_frames"] == 1000
+        d = decode_wav_samples(bytes(r["payload"]))
+        assert d.dtype == np.int32 and (d == s[idx].astype(np.int32)).all()
 
 
 # --- real MP4 container metadata (r11) ----------------------------------------

@@ -638,3 +638,174 @@ def test_compact_dedup_index_skips_zero_row_bucket(spark, sf_dir, tmp_path):
     )
     report2 = compact_dedup_index(spark, path)
     assert report2["buckets_skipped_empty"] == 0
+
+
+def test_reindex_discovery_is_bucket_pruned(spark, sf_dir, tmp_path):
+    """r13 (VERDICT r12 #4): reindex_docs derives the affected term
+    buckets from the docs' OWN text and pushes them as PARTITION
+    filters into both the discovery and rewrite scans — the repair
+    reads O(affected buckets), never O(index)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import (
+        _affected_postings,
+        reindex_docs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "tidx")
+    write_text_index(docs, path, n_buckets=16)
+    # the pruned reader both reindex scans go through: tb is the
+    # partitionBy column, so the isin lands as a PartitionFilter on
+    # the file listing (not a post-scan Filter)
+    plan = (
+        _affected_postings(spark, f"{path}/postings", [3, 7])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l][0]
+    assert "PartitionFilters" in scan and "tb" in scan.split(
+        "PartitionFilters", 1
+    )[1]
+    # a one-doc repair leaves every unaffected bucket's FILES untouched
+    # (names identical — no rewrite, not merely equal rows)
+    one = docs.orderBy("doc_id").limit(1)
+    append_to_text_index(one.withColumn("doc_id", F.col("doc_id") + 10**9)
+                         .withColumn("doc_id", F.col("doc_id") - 10**9), path)
+    files_before = _posting_files(path)
+    report = reindex_docs(spark, path, one)
+    assert 0 < report["buckets_rewritten"] < 16
+    files_after = _posting_files(path)
+    rewritten = {
+        b for b in files_before
+        if files_after.get(b) != files_before[b]
+    }
+    # only the affected buckets changed (reappend adds fragments to
+    # the same affected buckets, so the change set is bounded by them)
+    assert len(rewritten) <= report["buckets_rewritten"]
+
+
+def test_reindex_crash_mid_swap_resumes_from_staged_state(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13 (ADVICE r12 medium): a crash at ANY point of the
+    destructive phase leaves the marker armed with the full completion
+    recipe; the next reindex_docs call rolls the torn repair forward
+    from the STAGED state (never recomputing df/stats from half-swapped
+    postings) and then performs its own work — final index equals a
+    from-scratch build, marker cleared."""
+    import json as _json
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import maintenance as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 60)
+    batch = docs.filter(F.col("doc_id") >= 40)
+    path = str(tmp_path / "tidx")
+    write_text_index(docs.filter(F.col("doc_id") < 40), path, n_buckets=8)
+    append_to_text_index(batch, path)
+    append_to_text_index(batch, path)  # the crash-window replay
+
+    # crash after the FIRST bucket swap of the destructive phase
+    real_swap = M._swap_dir
+    calls = {"n": 0}
+
+    def exploding_swap(spark_, repl, live):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash mid-swap")
+        real_swap(spark_, repl, live)
+
+    monkeypatch.setattr(M, "_swap_dir", exploding_swap)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.reindex_docs(spark, path, batch)
+    monkeypatch.setattr(M, "_swap_dir", real_swap)
+    # the marker is armed WITH the completion recipe; probes refuse
+    marker = _json.loads(
+        open(f"{path}/_maintenance_inprogress.json").read()
+    )
+    assert marker["op"] == "reindex_docs"
+    assert marker["n_remove"] > 0 and "stats" in marker
+    with pytest.raises(RuntimeError, match="unfinished maintenance"):
+        bm25_topk(spark, path, QUERY, k=5).collect()
+    # the standard recovery: re-run the same repair.  It first
+    # finishes the torn removal from the staged state, finds nothing
+    # left to remove, and reappends exactly once.
+    report = M.reindex_docs(spark, path, batch)
+    assert report["reappended"]
+    assert not os.path.exists(f"{path}/_maintenance_inprogress.json")
+    scratch = str(tmp_path / "scratch")
+    write_text_index(docs, scratch, n_buckets=8)
+    got = {
+        (r["doc"], round(r["score"], 6))
+        for r in bm25_topk(spark, path, QUERY, k=25).collect()
+    }
+    want = {
+        (r["doc"], round(r["score"], 6))
+        for r in bm25_topk(spark, scratch, QUERY, k=25).collect()
+    }
+    assert got == want
+    st = _load_stats(spark, path)
+    st2 = _load_stats(spark, scratch)
+    assert st["n_docs"] == st2["n_docs"]
+    assert abs(st["avgdl"] - st2["avgdl"]) < 1e-9
+
+
+def test_reindex_crash_before_stats_write_cannot_lock_index(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13 (ADVICE r12 medium, second arm): a crash BETWEEN the vocab
+    delta move and the stats write used to strand the marker forever
+    (re-run found n_remove == 0 and skipped both the stats fix and the
+    marker clear).  Now the stats come from the marker recipe, so the
+    resume completes and unlocks."""
+    import json as _json
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import maintenance as M
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _write_text as real_wt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 30)
+    batch = docs.filter(F.col("doc_id") >= 20)
+    path = str(tmp_path / "tidx")
+    write_text_index(docs.filter(F.col("doc_id") < 20), path, n_buckets=8)
+    append_to_text_index(batch, path)
+    append_to_text_index(batch, path)
+
+    # crash exactly at the stats rewrite inside the destructive phase
+    stats_path = f"{path}/_stats.json"
+
+    # the repair's own stats write carries n_docs == 20 (40 minus the
+    # 2×10 removed instances); the reappend's later write carries 30
+    def exploding_wt(spark_, p, text):
+        if p == stats_path and _json.loads(text)["n_docs"] == 20:
+            raise RuntimeError("injected crash at stats write")
+        real_wt(spark_, p, text)
+
+    import sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index as ivf_mod
+
+    monkeypatch.setattr(ivf_mod, "_write_text", exploding_wt)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        M.reindex_docs(spark, path, batch)
+    monkeypatch.setattr(ivf_mod, "_write_text", real_wt)
+    assert os.path.exists(f"{path}/_maintenance_inprogress.json")
+    # re-run unlocks: removal already complete on disk, stats come
+    # from the marker, reappend runs once
+    report = M.reindex_docs(spark, path, batch)
+    assert report["instances_removed"] == 0  # staged removal was done
+    assert report["reappended"]
+    assert not os.path.exists(f"{path}/_maintenance_inprogress.json")
+    scratch = str(tmp_path / "scratch")
+    write_text_index(docs, scratch, n_buckets=8)
+    got = {
+        (r["doc"], round(r["score"], 6))
+        for r in bm25_topk(spark, path, QUERY, k=25).collect()
+    }
+    want = {
+        (r["doc"], round(r["score"], 6))
+        for r in bm25_topk(spark, scratch, QUERY, k=25).collect()
+    }
+    assert got == want
