@@ -44,7 +44,12 @@ entries older than ``corpus.ingest-ledger-keep`` batches (default 128,
 0 = unbounded) are pruned every ``keep`` commits — batch ids are
 monotone per lineage and only the recent uncommitted tail can ever be
 redelivered, so steady-state file count stays in [keep, 2·keep]
-instead of one file per batch forever.  The residual
+instead of one file per batch forever.  A one-time STARTUP prune
+(r13) additionally clears this lineage's off-boundary tail and any
+dead lineage's aged residue (entries from OTHER ledger-ids older than
+``corpus.ingest-ledger-foreign-ttl`` seconds, default 7 days, 0 =
+never) — so a crash-then-restart-under-a-new-id never strands the old
+id's files forever.  The residual
 duplicate window is exactly a batch that CRASHED between its first
 write and its ledger commit: its retry re-runs the appends, and the
 downstream effect differs per target — output/dedup/semantic appends
@@ -125,6 +130,56 @@ def _prune_ledger(
         tail = name[len(prefix):]
         if tail.isdigit() and int(tail) < below:
             _delete(spark, f"{ledger_dir}/{name}")
+
+
+def _startup_prune(
+    spark,
+    ledger_dir: str,
+    ledger_id: str,
+    keep: int,
+    first_batch_id: int,
+    foreign_ttl_sec: int,
+) -> None:
+    """One-time prune at stream start (r13 — VERDICT r12 #8): the
+    periodic prune fires only at ``batch_id % keep == 0``, so a
+    lineage that crashed short of a boundary and restarted under a
+    NEW ledger-id would leave the old id's files forever.  On the
+    first batch this handler sees:
+
+    - OWN lineage: drop entries below ``first_batch_id - keep`` (the
+      checkpoint has committed past them — same monotonicity argument
+      as the periodic prune — and this catches the
+      crashed-off-boundary tail the modulo schedule misses);
+    - FOREIGN lineages: drop entries whose file modification time is
+      older than ``ingest-ledger-foreign-ttl`` seconds (default 7
+      days, 0 = never).  A foreign entry that old cannot be
+      redelivered by any live stream — redelivery only reaches the
+      recent uncommitted tail — so the only thing it can be is a dead
+      lineage's residue.  Keep the TTL comfortably above the longest
+      pause a sibling stream on this output path might take: a stream
+      resumed after MORE than the TTL could re-run batches whose
+      entries were pruned (back to plain at-least-once for that tail).
+    """
+    import time
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import _delete, _fs
+
+    fs, jvm = _fs(spark, ledger_dir)
+    root = jvm.org.apache.hadoop.fs.Path(ledger_dir)
+    if not fs.exists(root):
+        return
+    own_prefix = f"{ledger_id}-batch-"
+    below = first_batch_id - keep if keep else None
+    now_ms = int(time.time() * 1000)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(own_prefix):
+            tail = name[len(own_prefix):]
+            if below is not None and tail.isdigit() and int(tail) < below:
+                _delete(spark, f"{ledger_dir}/{name}")
+        elif foreign_ttl_sec and "-batch-" in name:
+            if now_ms - st.getModificationTime() > foreign_ttl_sec * 1000:
+                _delete(spark, f"{ledger_dir}/{name}")
 
 
 def curation_ingest_sink(
@@ -219,9 +274,21 @@ def curation_ingest_sink(
         raise ValueError(
             f"{_P}.ingest-ledger-keep must be >= 0, got {ledger_keep}"
         )
+    # r13 (VERDICT r12 #8): age bound for OTHER lineages' residue,
+    # applied once at stream start — see _startup_prune.  Default 7
+    # days; 0 disables foreign pruning entirely.
+    ledger_foreign_ttl = int(
+        cfg.get(f"{_P}.ingest-ledger-foreign-ttl", "604800") or "604800"
+    )
+    if ledger_foreign_ttl < 0:
+        raise ValueError(
+            f"{_P}.ingest-ledger-foreign-ttl must be >= 0, "
+            f"got {ledger_foreign_ttl}"
+        )
+    startup_pruned = False
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal ckpt_dir_applied
+        nonlocal ckpt_dir_applied, startup_pruned
         from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _write_text
         from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import _fs
 
@@ -231,6 +298,19 @@ def curation_ingest_sink(
         # re-running them would duplicate output rows and double-count
         # text-index postings.  Skip it whole.
         ledger_entry = f"{ledger_dir}/{ledger_id}-batch-{batch_id}"
+        if ledger_mode == "on" and not startup_pruned:
+            # once per handler lifetime, on the first batch: clear the
+            # off-boundary tail of THIS lineage and any dead foreign
+            # lineage's aged residue (r13 — VERDICT r12 #8)
+            startup_pruned = True
+            _startup_prune(
+                spark,
+                ledger_dir,
+                ledger_id,
+                ledger_keep,
+                batch_id,
+                ledger_foreign_ttl,
+            )
         if ledger_mode == "on":
             fs, jvm = _fs(spark, ledger_entry)
             if fs.exists(jvm.org.apache.hadoop.fs.Path(ledger_entry)):

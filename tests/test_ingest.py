@@ -498,3 +498,99 @@ def test_ingest_ledger_off_mode(spark, sf_dir, tmp_path):
             ),
             out,
         )
+
+
+def test_ingest_ledger_startup_prune_new_id_and_off_boundary(
+    spark, tmp_path
+):
+    """r13 (VERDICT r12 #8): a lineage that crashes short of a prune
+    boundary and restarts under a NEW ledger-id must not strand the
+    old id's files forever.  The one-time startup prune clears (a)
+    foreign entries older than ingest-ledger-foreign-ttl and (b) this
+    lineage's own off-boundary tail — while FRESH foreign entries
+    (a live sibling stream) survive."""
+    import time
+
+    out = str(tmp_path / "out")
+    docs = spark.createDataFrame(
+        [(i, f"some unique document text number {i} " * 8)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    # lineage A: commits batches 1..6 with keep=4 — the modulo prune
+    # at batch 4 cleared nothing (4-4=0), so entries 1..6 remain
+    cfg_a = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"ingest-ledger-keep": "4",
+                          "ingest-ledger-id": "streamA"}
+            }
+        }
+    )
+    handle_a = curation_ingest_sink(cfg_a, out)
+    for i in range(1, 7):
+        handle_a(docs.filter(F.col("doc_id") == i), i)
+    a_before = [
+        e for e in os.listdir(f"{out}/_ingest_ledger")
+        if e.startswith("streamA-")
+    ]
+    assert len(a_before) == 6
+    time.sleep(1.2)
+    # lineage B restarts over the same output path with ttl=1s: A is
+    # dead residue and must be fully cleared on B's FIRST batch; a
+    # fresh foreign entry (live sibling C) must survive
+    with open(f"{out}/_ingest_ledger/streamC-batch-3", "w") as fh:
+        fh.write("{}")
+    cfg_b = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"ingest-ledger-keep": "4",
+                          "ingest-ledger-id": "streamB",
+                          "ingest-ledger-foreign-ttl": "1"}
+            }
+        }
+    )
+    handle_b = curation_ingest_sink(cfg_b, out)
+    handle_b(docs.filter(F.col("doc_id") == 10), 1)
+    entries = sorted(os.listdir(f"{out}/_ingest_ledger"))
+    assert not any(e.startswith("streamA-") for e in entries)
+    assert "streamC-batch-3" in entries
+    assert "streamB-batch-1" in entries
+    # own off-boundary tail: a restart of B from batch 101 (101 % 4
+    # != 0 — the modulo prune would never fire near it) clears
+    # everything below 101 - keep on the first batch
+    handle_b2 = curation_ingest_sink(cfg_b, out)
+    handle_b2(docs.filter(F.col("doc_id") == 11), 101)
+    b_ids = sorted(
+        int(e.rsplit("-", 1)[1])
+        for e in os.listdir(f"{out}/_ingest_ledger")
+        if e.startswith("streamB-")
+    )
+    assert b_ids == [101]  # batch 1 < 101-4: startup-pruned
+    # foreign-ttl = 0 disables foreign pruning entirely
+    cfg_d = load_config(
+        {
+            "keyspaces-cdc-streams": {
+                "corpus": {"ingest-ledger-id": "streamD",
+                          "ingest-ledger-foreign-ttl": "0"}
+            }
+        }
+    )
+    time.sleep(1.1)
+    handle_d = curation_ingest_sink(cfg_d, out)
+    handle_d(docs.filter(F.col("doc_id") == 12), 1)
+    entries = os.listdir(f"{out}/_ingest_ledger")
+    assert "streamC-batch-3" in entries and any(
+        e.startswith("streamB-") for e in entries
+    )
+    with pytest.raises(ValueError, match="foreign-ttl"):
+        curation_ingest_sink(
+            load_config(
+                {
+                    "keyspaces-cdc-streams": {
+                        "corpus": {"ingest-ledger-foreign-ttl": "-1"}
+                    }
+                }
+            ),
+            out,
+        )
