@@ -1788,16 +1788,43 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d
       JOIN augrid g ON g.i < 64 + d.doc_id % 256
       GROUP BY d.doc_id
+    ),
+    -- video arm (r13): real motion-JPEG MP4 per doc — 1 + id % 6
+    -- planted frames at (1 + id % 4) x (1 + 7 id % 4) constant 8x8
+    -- blocks, frame k block (gx, gy) = (id + 5k + 3gx + 7gy) % 256;
+    -- the engine walks the REAL stsd/stsz/stsc/stco sample tables,
+    -- decodes the min(n, 4) evenly-spaced samples (index j*n//m),
+    -- and aggregates their pixels — re-derived here arithmetically
+    vgrid AS (SELECT j FROM range(4) t(j)),
+    vf AS (
+      SELECT d.doc_id AS media_id,
+             CAST(1 + d.doc_id % 6 AS INTEGER) AS vf_n_frames,
+             CAST(LEAST(1 + d.doc_id % 6, 4) AS INTEGER) AS vf_sampled,
+             CAST(LEAST(1 + d.doc_id % 6, 4)
+                  * (1 + d.doc_id % 4) * (1 + (d.doc_id*7) % 4) * 64
+                  AS BIGINT) AS vf_px_n,
+             CAST(64 * SUM((d.doc_id
+                            + 5*((v.j * (1 + d.doc_id % 6))
+                                 // LEAST(1 + d.doc_id % 6, 4))
+                            + 3*gx.x + 7*gy.x) % 256)
+                  AS BIGINT) AS vf_px_sum
+      FROM documents d
+      JOIN vgrid v ON v.j < LEAST(1 + d.doc_id % 6, 4)
+      JOIN pxgrid gx ON gx.x < 1 + d.doc_id % 4
+      JOIN pxgrid gy ON gy.x < 1 + (d.doc_id*7) % 4
+      GROUP BY d.doc_id
     )
     SELECT g.media_id, g.n_bytes, g.digest, g.width, g.height,
            g.out_width, g.out_height, h.fmt, h.hdr_width, h.hdr_height,
            p.px_n, p.px_sum, p.px_min, p.px_max,
            a.au_rate, a.au_channels, a.au_n, a.au_sum_sq, a.au_peak,
+           v.vf_n_frames, v.vf_sampled, v.vf_px_n, v.vf_px_sum,
            f.frame_idx, f.frame_bytes, f.frame_digest
     FROM geom g
     JOIN hdr h ON h.media_id = g.media_id
     JOIN px p ON p.media_id = g.media_id
     JOIN au a ON a.media_id = g.media_id
+    JOIN vf v ON v.media_id = g.media_id
     LEFT JOIN frames f ON f.media_id = g.media_id
     """,
 )
@@ -1859,7 +1886,19 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples (``decode_wav_samples``) and aggregates exact int64
     count/energy/peak; the oracle replays the waveform arithmetic —
     stereo clips scale count and energy by exactly the channel count,
-    so a channel-interleave bug breaks the hash."""
+    so a channel-interleave bug breaks the hash.
+
+    Arm ``vf`` (r13, the vf_n_frames/vf_sampled/vf_px_n/vf_px_sum
+    columns): REAL VIDEO FRAME decoding.  ``_pattern_mp4_bytes``
+    builds one genuine motion-JPEG MP4 per document executor-side
+    (planted per-frame block patterns, non-trivial stsc chunking);
+    ``extract_mp4_frames`` walks the REAL ISO-BMFF sample tables
+    (stsd/stsz/stsc/stco), cuts the evenly-spaced samples' exact byte
+    ranges, and ``decode_jpeg_pixels`` decodes each frame; the
+    aggregated per-frame pixel stats are re-derived arithmetically by
+    the oracle — a wrong chunk walk, sample offset, or frame decode
+    breaks the hash.  The fake text reel survives ONLY for
+    unrecognized payloads (the frames columns)."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import multimodal_profile
 
     # r12: ONE fused mapInPandas pass emits the whole profile per
