@@ -2200,12 +2200,57 @@ def pil_audio_decoder(payload: bytes):  # pragma: no cover - name parity
     raise ImportError("'pil' is an image decoder name, not audio")
 
 
+def soundfile_audio_decoder(payload: bytes):
+    """libsndfile-backed fast audio decoder (name ``"soundfile"``,
+    r13 — the audio seam's shipped production arm, mirroring
+    :func:`pil_image_decoder`): decodes WAV/FLAC integer PCM at C
+    speed onto the engine's sample conventions — int16 for 16-bit
+    sources, RAW int32 for 24/32-bit (libsndfile returns 24-bit
+    scaled into the top bits of int32, so the 24-bit arm shifts
+    ``>> 8`` back to raw).  Subtypes whose libsndfile conversion
+    does NOT match the stdlib conventions bit-for-bit (8-bit PCM,
+    IEEE float — libsndfile scales by 32768 where the engine pins
+    32767 — G.711, and anything exotic) DECLINE by returning ``None``
+    so the deterministic stdlib path keeps them: the seam contract is
+    "faster, never different".  Unrecognized/corrupt payloads raise
+    ``ValueError`` (the malformed-payload contract); ``ImportError``
+    propagates where soundfile is not installed (the resolver makes a
+    misconfigured name a loud error).  Validate on your cluster with
+    ``python tools/decoder_probe.py`` before flipping
+    ``decoder="soundfile"`` at scale."""
+    import io
+
+    import numpy as np
+    import soundfile as sf_mod  # noqa: deliberate runtime import
+
+    bio = io.BytesIO(payload or b"")
+    try:
+        info = sf_mod.info(bio)
+    except Exception as exc:  # noqa: BLE001 - libsndfile error classes vary
+        raise ValueError(f"undecodable audio payload: {exc}") from exc
+    subtype = (info.subtype or "").upper()
+    if subtype not in ("PCM_16", "PCM_24", "PCM_32"):
+        return None  # decline: stdlib owns the exact conversion
+    bio.seek(0)
+    try:
+        data, _rate = sf_mod.read(
+            bio,
+            dtype="int16" if subtype == "PCM_16" else "int32",
+            always_2d=True,
+        )
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(f"undecodable audio payload: {exc}") from exc
+    if subtype == "PCM_24":
+        data = (np.asarray(data, dtype=np.int32) >> 8).astype(np.int32)
+    return np.ascontiguousarray(data)
+
+
 #: named fast decoders resolvable on the executor.  Extend by
 #: registering a module-level callable (it must be importable where
 #: the tasks run); ``None``/"stdlib" always means the interpreted
 #: reference codecs.
 _IMAGE_DECODERS = {"pil": pil_image_decoder}
-_AUDIO_DECODERS: dict = {}
+_AUDIO_DECODERS: dict = {"soundfile": soundfile_audio_decoder}
 
 
 def resolve_image_decoder(spec):

@@ -34,6 +34,10 @@ def _results(prev=None) -> bench.BenchResults:
         session_state_rate_late=85_000,
         stream_passes=3,
         aux_ops_sec={"bm25_topk": 0.4, "ingest_loop_4batch": 12.3},
+        aux_ops_passes_sec={
+            "bm25_topk": [0.5, 0.4],
+            "ingest_loop_4batch": [12.3, 14.1],
+        },
         corpus_early_best=0.91,
         corpus_late_best=0.87,
         cdc_early_best=0.55,
@@ -107,6 +111,11 @@ def test_detail_positional_splits_emitted():
     assert detail["corpus_early_best_sec"] == 0.91
     assert detail["cdc_late_best_sec"] == 0.52
     assert detail["aux_ops_sec"]["ingest_loop_4batch"] == 12.3
+    # r13: per-op pass times for positional attribution
+    assert detail["aux_ops_passes_sec"]["ingest_loop_4batch"] == [
+        12.3,
+        14.1,
+    ]
 
 
 def test_delta_section_with_prev_round():

@@ -1744,6 +1744,54 @@ def test_pil_decoder_equivalence_if_available(spark):
             assert (fast == base).all()
 
 
+def test_soundfile_decoder_equivalence_if_available():
+    """r13 (VERDICT r12 #5): the audio seam's shipped name.  When
+    libsndfile IS importable the 'soundfile' fast path must be
+    sample-identical to the stdlib codecs on integer-PCM WAV/FLAC at
+    16/24/32-bit, and must DECLINE (None) on subtypes whose conversion
+    conventions differ; where absent, decode raises ImportError —
+    never a silent slow path.  tools/decoder_probe.py runs this same
+    equivalence battery standalone on any machine."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import multimodal as mm
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.flac import encode_flac_pcm
+
+    dec = mm.resolve_audio_decoder("soundfile")  # name always resolves
+    rng = np.random.default_rng(9)
+    s16 = rng.integers(-32768, 32768, size=(900, 2), dtype=np.int64)
+    s24 = rng.integers(-0x800000, 0x800000, size=(900, 2), dtype=np.int64)
+    battery = [
+        mm.encode_wav_pcm16(s16, 16000),
+        mm.encode_wav_pcm24(s24, 16000),
+        encode_flac_pcm(s16, 16000, bits=16),
+        encode_flac_pcm(s24, 16000, bits=24),
+    ]
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError):
+            dec(battery[0])
+        return
+    for blob in battery:
+        base = mm.decode_audio_samples(blob)
+        fast = dec(blob)
+        assert fast is not None
+        assert fast.dtype == base.dtype and fast.shape == base.shape
+        assert (fast == base).all()
+    # float WAV declines (libsndfile scales by 32768, the engine by
+    # 32767 — "faster, never different" means stdlib keeps it)
+    f = (s16[:, :1] / 32767.0).astype("<f4")
+    import struct as _struct
+
+    fmt = _struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    body = (b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", f.nbytes) + f.tobytes())
+    wav_f32 = b"RIFF" + _struct.pack("<I", len(body)) + body
+    assert dec(wav_f32) is None
+
+
 def test_image_pixel_stats_truncated_header_yields_null(spark):
     """A payload that passes format sniffing but truncates inside a
     fixed-width header field (struct.error territory) must yield NULL
