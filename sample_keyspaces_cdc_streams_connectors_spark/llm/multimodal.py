@@ -1081,6 +1081,97 @@ def _encode_jpeg(
     )
 
 
+def encode_jpeg_lossless(
+    pixels, predictor: int = 1, precision: int = 8, point_transform: int = 0
+):
+    """Minimal REAL lossless-JPEG encoder (r13 — T.81 Annex H, SOF3):
+    the fixture mirror of :func:`_jpeg_decode_lossless`, playing the
+    Annex-K role the baseline/progressive encoders play for their
+    decoders.  ``pixels`` is ``(h, w)`` integers in
+    ``[0, 2^precision - 1]``; differences are taken against the spec
+    predictors modulo 2^16 and Huffman-coded with a self-emitted DHT
+    covering SSSS 0..16 (no constant tables needed — lossless JPEG's
+    code tables always travel in the stream).  ``point_transform``
+    codes ``pixels >> Pt`` per H.1: the decoder's ``<< Pt`` restores
+    them, so round trips are bit-exact on the coded precision.  Any
+    T.81 reader decodes the output."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    if px.ndim != 2:
+        raise ValueError(f"expected (h, w) array, got {px.shape}")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"lossless precision must be 2..16, got {precision}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1..7, got {predictor}")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform must be < precision")
+    if px.size and (px.min() < 0 or px.max() >= (1 << precision)):
+        raise ValueError(f"samples exceed {precision}-bit range")
+    h, w = px.shape
+    coded = px >> point_transform
+    # one DHT covering every magnitude category (SSSS 0..16):
+    # canonical lengths 15x5-bit + 2x6-bit (Kraft 0.53 < 1)
+    bits = [0] * 16
+    bits[4] = 15
+    bits[5] = 2
+    vals = list(range(17))
+    enc_map = _huff_encode_map(bits, vals)
+    wr = _JpegBitWriter()
+    default_pred = 1 << (precision - point_transform - 1)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = default_pred
+            elif y == 0:
+                pred = int(coded[0, x - 1])
+            elif x == 0:
+                pred = int(coded[y - 1, 0])
+            else:
+                ra = int(coded[y, x - 1])
+                rb = int(coded[y - 1, x])
+                rc = int(coded[y - 1, x - 1])
+                if predictor == 1:
+                    pred = ra
+                elif predictor == 2:
+                    pred = rb
+                elif predictor == 3:
+                    pred = rc
+                elif predictor == 4:
+                    pred = ra + rb - rc
+                elif predictor == 5:
+                    pred = ra + ((rb - rc) >> 1)
+                elif predictor == 6:
+                    pred = rb + ((ra - rc) >> 1)
+                else:
+                    pred = (ra + rb) >> 1
+            diff = (int(coded[y, x]) - pred) & 0xFFFF
+            if diff > 32768:
+                diff -= 65536  # represent in [-32767, +32768]
+            if diff == 32768:
+                s = 16  # the modulo wrap's special category: no bits
+                code, length = enc_map[s]
+                wr.write(code, length)
+                continue
+            s = abs(diff).bit_length()
+            code, length = enc_map[s]
+            wr.write(code, length)
+            if s:
+                wr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    wr.flush()
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + struct.pack(">HH", h, w) + bytes(
+        [1, 1, 0x11, 0]
+    )
+    out += b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+    dht = bytes([0x00]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    sos = bytes([1, 1, 0x00, predictor, 0, point_transform])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    out += bytes(wr.out) + b"\xff\xd9"
+    return bytes(out)
+
+
 def _huff_uniform(symbols):
     """Canonical ``(bits, vals)`` giving every symbol the same code
     length L (smallest with 2^L > n, so the all-ones code is never
@@ -1470,9 +1561,13 @@ def decode_jpeg_pixels(payload: bytes | None):
     grids (:func:`_jpeg_decode_progressive_scan`, T.81 G.2) and
     reconstruct once at EOI.  12-bit (SOF1 extended-sequential)
     precision decodes for real too (r12) — samples are presented as
-    the top 8 bits (``>>4``).  Raises ``ValueError`` on malformed
-    data and ``NotImplementedError`` for arithmetic coding /
-    hierarchical / lossless — never a wrong-pixel silent result.
+    the top 8 bits (``>>4``).  LOSSLESS (SOF3, T.81 Annex H) decodes
+    for real too (r13): spatial prediction + Huffman-coded
+    differences, bit-exact, any precision 2..16 on the top-8-bits
+    presentation (:func:`_jpeg_decode_lossless`).  Raises
+    ``ValueError`` on malformed data and ``NotImplementedError`` for
+    arithmetic coding / hierarchical — never a wrong-pixel silent
+    result.
     Same scale posture as the PNG/GIF decoders: the per-item kernel
     inside ``mapInPandas``; a C decoder swaps in at the same call
     site (SCALE.md records the interpreted-Python boundary cost)."""
@@ -1486,6 +1581,7 @@ def decode_jpeg_pixels(payload: bytes | None):
     htables: dict[tuple[int, int], dict] = {}
     frame = None
     progressive = False
+    lossless = False
     grids = None  # progressive per-component zigzag coefficient grids
     restart_interval = 0
     sample_prec = 8
@@ -1537,12 +1633,18 @@ def decode_jpeg_pixels(payload: bytes | None):
                     raise ValueError("truncated DHT")
                 htables[(cls, tid)] = _huff_canonical(bits, vals)
                 j += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline or progressive SOF
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # DCT SOFs + lossless
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             if len(body) < 6:
                 raise ValueError("truncated JPEG SOF segment")
             prec = body[0]
-            if prec not in (8, 12):
+            if lossless:
+                if not 2 <= prec <= 16:  # T.81 Annex H range
+                    raise ValueError(
+                        f"invalid lossless JPEG precision {prec}"
+                    )
+            elif prec not in (8, 12):
                 raise NotImplementedError(
                     f"JPEG precision {prec} unsupported (8/12-bit; "
                     "12-bit presents as the standard >>4 to uint8)"
@@ -1562,11 +1664,11 @@ def decode_jpeg_pixels(payload: bytes | None):
                     )
                 comps.append((cid, hs, vs, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF 0x{marker:02x} unsupported (baseline "
-                "SOF0/SOF1 and progressive SOF2 only)"
+                f"JPEG SOF 0x{marker:02x} unsupported (sequential "
+                "SOF0/SOF1, progressive SOF2, and lossless SOF3 only)"
             )
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -1591,6 +1693,24 @@ def decode_jpeg_pixels(payload: bytes | None):
             if len(scan_tabs) != ns or not set(scan_tabs) <= frame_cids:
                 raise ValueError(
                     "JPEG SOS component ids do not match the SOF frame"
+                )
+            if lossless:
+                if ns != len(frame[2]):
+                    raise NotImplementedError(
+                        "lossless JPEG non-interleaved scan unsupported"
+                    )
+                pred_sel = body[1 + 2 * ns]  # Ss = predictor selector
+                pt_ = body[3 + 2 * ns] & 0x0F  # Al = point transform
+                return _jpeg_decode_lossless(
+                    b,
+                    i + 2 + seg_len,
+                    frame,
+                    htables,
+                    scan_tabs,
+                    pred_sel,
+                    pt_,
+                    restart_interval,
+                    sample_prec,
                 )
             if not progressive:
                 if ns != len(frame[2]):
@@ -1926,6 +2046,121 @@ def _jpeg_decode_progressive_scan(
     except IndexError:
         raise ValueError("JPEG entropy data truncated") from None
     return end
+
+
+def _jpeg_decode_lossless(
+    b, pos, frame, htables, scan_tabs, predictor, pt, restart_interval, prec
+):
+    """LOSSLESS JPEG scan decode (r13 — T.81 Annex H, SOF3): per
+    sample, Huffman-decode the difference's magnitude category with
+    the component's DC-class table (SSSS = 16 means +32768, no extra
+    bits), extend to the signed difference, add the spatial predictor
+    (selector ``Ss`` = 1..7; the first sample of the scan predicts
+    ``2^(P - Pt - 1)``, the rest of row 0 predict Ra, column 0
+    predicts Rb), reconstruct modulo 2^16, and shift by the point
+    transform.  No DCT, no quantization — decode(encode(px)) is
+    BIT-EXACT, which is the format's whole reason to exist (raw
+    scientific/medical corpora).  Needs NO new constant tables: the
+    stream's own DHT drives the same canonical-Huffman machinery the
+    baseline decoder uses.  Subsampled components and restart
+    intervals raise NotImplementedError (the prediction-reset
+    interaction with interleaved MCU rows is a documented boundary);
+    predictor 0 is hierarchical-only and rejected."""
+    import numpy as np
+
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("JPEG with zero dimension")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless JPEG predictor {predictor}")
+    if any(hs != 1 or vs != 1 for _cid, hs, vs, _tq in comps):
+        raise NotImplementedError(
+            "lossless JPEG with subsampled components unsupported"
+        )
+    if restart_interval:
+        raise NotImplementedError(
+            "lossless JPEG with restart intervals unsupported"
+        )
+    segments, _end = _jpeg_entropy_segments(b, pos)
+    if len(segments) != 1:
+        raise ValueError("unexpected restart markers in lossless scan")
+    luts = []
+    for cid, *_rest in comps:
+        tc, _ta = scan_tabs[cid]
+        if (0, tc) not in htables:
+            raise ValueError("JPEG Huffman table missing")
+        luts.append(_huff_fast(htables[(0, tc)]))
+    rd = _JpegBitReader(segments[0])
+    ncomp = len(comps)
+    planes = [np.zeros((fh, fw), dtype=np.int64) for _ in comps]
+    default_pred = 1 << (prec - pt - 1)
+    try:
+        for y in range(fh):
+            for x in range(fw):
+                for ci in range(ncomp):
+                    s = rd.huff(luts[ci])
+                    if s == 0:
+                        diff = 0
+                    elif s == 16:
+                        diff = 32768
+                    elif s > 16:
+                        raise ValueError(
+                            f"invalid lossless JPEG ssss category {s}"
+                        )
+                    else:
+                        diff = rd.receive_extend(s)
+                    p = planes[ci]
+                    if y == 0 and x == 0:
+                        pred = default_pred
+                    elif y == 0:
+                        pred = int(p[0, x - 1])
+                    elif x == 0:
+                        pred = int(p[y - 1, 0])
+                    else:
+                        ra = int(p[y, x - 1])
+                        rb = int(p[y - 1, x])
+                        rc = int(p[y - 1, x - 1])
+                        if predictor == 1:
+                            pred = ra
+                        elif predictor == 2:
+                            pred = rb
+                        elif predictor == 3:
+                            pred = rc
+                        elif predictor == 4:
+                            pred = ra + rb - rc
+                        elif predictor == 5:
+                            pred = ra + ((rb - rc) >> 1)
+                        elif predictor == 6:
+                            pred = rb + ((ra - rc) >> 1)
+                        else:
+                            pred = (ra + rb) >> 1
+                        # predictions of interior samples come from
+                        # reconstructed neighbors at full precision
+                    p[y, x] = (pred + diff) & 0xFFFF
+    except IndexError:
+        # the bit reader ran past its zero pad: torn entropy data
+        raise ValueError("JPEG entropy data truncated") from None
+    rd.check_consumed()
+    # undo the point transform, then present on the engine's uint8
+    # surface: top 8 bits for deep precisions (the 12-bit SOF1
+    # convention), << (8 - P) for shallow ones
+    out = []
+    for p in planes:
+        v = p << pt
+        if prec > 8:
+            v = v >> (prec - 8)
+        elif prec < 8:
+            v = v << (8 - prec)
+        out.append(v.astype(np.uint8))
+    if ncomp == 1:
+        return out[0][:, :, None]
+    if ncomp == 3:
+        # T.81 defines no color transform for lossless: components
+        # are presented as stored (typically RGB), never YCbCr-converted
+        return np.stack(out, axis=2)
+    raise NotImplementedError(
+        f"lossless JPEG with {ncomp} components unsupported"
+    )
 
 
 def _jpeg_decode_scan(
@@ -2625,6 +2860,7 @@ def sample_frames(
     frame_chars: int = 64,
     max_frames: int = 4,
     fake: bool = True,
+    keyframes_only: bool = False,
 ) -> DataFrame:
     """Frame sampling over video-like payloads: one output row per
     sampled frame (mapInPandas — rows out ≠ rows in, which a
@@ -2654,7 +2890,9 @@ def sample_frames(
                 b = bytes(payload or b"")
                 if len(b) >= 12 and b[4:8] == b"ftyp":
                     try:
-                        _n, picks = extract_mp4_frames(b, max_frames)
+                        _n, picks = extract_mp4_frames(
+                            b, max_frames, keyframes_only=keyframes_only
+                        )
                     except (ValueError, NotImplementedError, struct.error):
                         # recognized container, undecodable/non-JPEG
                         # track: NULL frame columns, never a fake reel
@@ -3795,6 +4033,7 @@ def encode_mp4_mjpeg(
     sample_delta: int = 1024,
     brand: str = "isom",
     use_co64: bool = False,
+    keyframe_every: int = 0,
 ) -> bytes:
     """Minimal REAL ISO-BMFF (MP4) file carrying a motion-JPEG video
     track with a genuine sample table (r13 — VERDICT r12 #1): ftyp,
@@ -3819,6 +4058,16 @@ def encode_mp4_mjpeg(
     if samples_per_chunk < 1:
         raise ValueError("samples_per_chunk must be >= 1")
     n = len(frames)
+    stss = b""
+    if keyframe_every:
+        # a sync-sample table (stss): samples 1, 1+k, ... are marked
+        # keyframes — absent stss means EVERY sample is sync, per spec
+        syncs = list(range(1, n + 1, keyframe_every))
+        stss = box(
+            b"stss",
+            struct.pack(">II", 0, len(syncs))
+            + b"".join(struct.pack(">I", s) for s in syncs),
+        )
     ftyp = box(b"ftyp", brand.encode("ascii") + struct.pack(">I", 0))
     mdat = box(b"mdat", b"".join(frames))
     data_start = len(ftyp) + 8  # first sample's absolute file offset
@@ -3881,6 +4130,7 @@ def encode_mp4_mjpeg(
                 for o in chunk_offsets
             ),
         )
+        + stss
     )
     minf = (
         box(b"vmhd", struct.pack(">IHHHH", 1, 0, 0, 0, 0))
@@ -3944,7 +4194,11 @@ def _mp4_find_box(b: bytes, start: int, end: int, tag: bytes):
     return None
 
 
-def extract_mp4_frames(payload: bytes | None, max_frames: int | None = None):
+def extract_mp4_frames(
+    payload: bytes | None,
+    max_frames: int | None = None,
+    keyframes_only: bool = False,
+):
     """REAL MP4 sample extraction (r13 — VERDICT r12 #1): walk the
     first JPEG-coded video track's sample tables — stsd (coding
     format), stsz (sample sizes), stsc (sample→chunk run map),
@@ -3952,8 +4206,11 @@ def extract_mp4_frames(payload: bytes | None, max_frames: int | None = None):
     range, and return ``(n_samples, [(sample_idx, bytes), ...])``
     with the samples EVENLY SPACED when ``max_frames`` bounds them
     (``idx_j = j·n // m``, integer floor — oracle-reproducible).
-    Each returned payload is one complete JPEG, decodable by
-    :func:`decode_jpeg_pixels`.
+    ``keyframes_only`` restricts the candidates to the sync-sample
+    table (stss) when one exists — the standard seek/thumbnail
+    practice; an absent stss means every sample is sync, per the
+    spec, so the option is then a no-op.  Each returned payload is
+    one complete JPEG, decodable by :func:`decode_jpeg_pixels`.
 
     Raises ``ValueError`` for non-BMFF/malformed structure (offsets
     past EOF, stsc/stco disagreement) and ``NotImplementedError``
@@ -4052,8 +4309,24 @@ def extract_mp4_frames(payload: bytes | None, max_frames: int | None = None):
                 si += 1
         if si != n:
             raise ValueError("MP4 sample table covers too few samples")
-        m = n if max_frames is None else min(n, max_frames)
-        picks = [(j * n) // m for j in range(m)] if m else []
+        candidates = list(range(n))
+        if keyframes_only:
+            stss = _mp4_find_box(b, *stbl, b"stss")
+            if stss is not None:
+                st0 = stss[0]
+                (n_sync,) = struct.unpack(">I", b[st0 + 4 : st0 + 8])
+                if st0 + 8 + 4 * n_sync > stss[1]:
+                    raise ValueError("truncated MP4 stss")
+                syncs = struct.unpack(
+                    f">{n_sync}I", b[st0 + 8 : st0 + 8 + 4 * n_sync]
+                )
+                # stss sample numbers are 1-based
+                candidates = [s - 1 for s in syncs]
+                if any(c < 0 or c >= n for c in candidates):
+                    raise ValueError("MP4 stss sample number out of range")
+        nc = len(candidates)
+        m = nc if max_frames is None else min(nc, max_frames)
+        picks = [candidates[(j * nc) // m] for j in range(m)] if m else []
         out = []
         for idx in picks:
             off, size = sample_off[idx], sizes[idx]
@@ -4137,7 +4410,10 @@ VIDEO_FRAME_STATS_SCHEMA = StructType(
 
 
 def video_frame_stats(
-    media: DataFrame, max_frames: int = 4, decoder=None
+    media: DataFrame,
+    max_frames: int = 4,
+    decoder=None,
+    keyframes_only: bool = False,
 ) -> DataFrame:
     """(media_id, vf_n_frames, vf_sampled, vf_px_n, vf_px_sum) over
     REAL container frames (r13): :func:`extract_mp4_frames` walks the
@@ -4157,7 +4433,9 @@ def video_frame_stats(
             for p in pdf["payload"]:
                 try:
                     nf, picks = extract_mp4_frames(
-                        bytes(p or b""), max_frames
+                        bytes(p or b""),
+                        max_frames,
+                        keyframes_only=keyframes_only,
                     )
                     n = 0
                     s = 0

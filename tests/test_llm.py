@@ -614,6 +614,70 @@ def test_mp4_mjpeg_sample_tables_and_real_frames(spark):
     p = _pattern_mp4_bytes(16)  # 5 frames: sampling actually skips one
     nf, picks = extract_mp4_frames(p, max_frames=4)
     assert nf == 5 and [i for i, _ in picks] == [0, 1, 2, 3]
+    # stss keyframe-aware sampling (r13): with a sync-sample table
+    # marking every 2nd sample, keyframes_only samples only those;
+    # without stss every sample is sync per spec, so it's a no-op
+    kf = encode_mp4_mjpeg(frames, 8, 8, samples_per_chunk=2,
+                          keyframe_every=2)
+    _n, picked = extract_mp4_frames(kf, max_frames=2, keyframes_only=True)
+    assert [i for i, _ in picked] == [0, 2]  # sync samples 1,3,5 → 0,2,4
+    _n, picked = extract_mp4_frames(kf, max_frames=3, keyframes_only=True)
+    assert [i for i, _ in picked] == [0, 2, 4]
+    _n, picked = extract_mp4_frames(kf, max_frames=3, keyframes_only=False)
+    assert [i for i, _ in picked] == [0, 1, 3]
+    no_stss = encode_mp4_mjpeg(frames, 8, 8)
+    _n, picked = extract_mp4_frames(no_stss, max_frames=3,
+                                    keyframes_only=True)
+    assert [i for i, _ in picked] == [0, 1, 3]
+
+
+def test_jpeg_lossless_codec_bit_exact():
+    """r13: LOSSLESS JPEG (T.81 Annex H, SOF3) decodes for real —
+    spatial prediction (all seven selectors) + Huffman differences,
+    bit-exact round trips at 8-bit, top-8-bits presentation for deep
+    precisions, point-transform restore, the modulo-2^16 wrap
+    (SSSS=16) case, and truncation raising — never wrong pixels.  No
+    constant tables were needed: lossless streams carry their own
+    DHT, driving the same canonical-Huffman machinery as baseline."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_lossless,
+        parse_image_header,
+    )
+
+    rng = np.random.default_rng(23)
+    for pred in range(1, 8):
+        px = rng.integers(0, 256, size=(13, 17), dtype=np.int64)
+        b = encode_jpeg_lossless(px, predictor=pred)
+        assert parse_image_header(b) == ("jpeg", 17, 13)
+        out = decode_jpeg_pixels(b)
+        assert out.shape == (13, 17, 1)
+        assert (out[:, :, 0] == px).all(), pred
+    # deep (12/16-bit) presents the top 8 bits; shallow (4-bit)
+    # scales up — both the engine's standard precision conventions
+    for prec in (12, 16, 4):
+        px = rng.integers(0, 1 << prec, size=(9, 11), dtype=np.int64)
+        b = encode_jpeg_lossless(px, predictor=4, precision=prec)
+        out = decode_jpeg_pixels(b)
+        want = px >> (prec - 8) if prec > 8 else px << (8 - prec)
+        assert (out[:, :, 0] == want).all(), prec
+    # point transform: coded >> Pt, decoder restores << Pt
+    px = rng.integers(0, 256, size=(8, 8), dtype=np.int64)
+    b = encode_jpeg_lossless(px, predictor=2, point_transform=1)
+    assert (decode_jpeg_pixels(b)[:, :, 0] == (px >> 1) << 1).all()
+    # the modulo-2^16 wrap: a +32768 difference codes as SSSS=16
+    px = np.zeros((4, 4), dtype=np.int64)
+    px[0, 1] = 65535
+    px[1, 0] = 32768
+    b = encode_jpeg_lossless(px, predictor=1, precision=16)
+    assert (decode_jpeg_pixels(b)[:, :, 0] == (px >> 8)).all()
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(b[:-8])
+    with _pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(px, predictor=0, precision=16)
 
 
 def test_resize_images_bounded_box(spark):
@@ -1456,11 +1520,17 @@ def test_jpeg_decode_rejects_malformed_and_progressive():
     b = bytearray(
         encode_jpeg_gray8(np.zeros((8, 8), dtype=np.uint8))
     )
-    # rewrite SOF0 -> SOF3 (lossless): explicit NotImplementedError
+    # rewrite SOF0 -> SOF5 (differential sequential, hierarchical-
+    # only): explicit NotImplementedError.  (SOF3 lossless DECODES as
+    # of r13 — a baseline stream relabeled SOF3 instead fails its
+    # predictor validation, also loudly.)
     sof = b.find(b"\xff\xc0")
-    b[sof + 1] = 0xC3
+    b[sof + 1] = 0xC5
     with _pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg_pixels(bytes(b))
+    b[sof + 1] = 0xC3
+    with _pytest.raises(ValueError, match="predictor"):
+        decode_jpeg_pixels(bytes(b))  # Ss=0 is hierarchical-only
     # SOF0 -> SOF2 with a BASELINE scan header (Ss=0, Se=63) is
     # malformed progressive (a DC scan must have Se=0), not silently
     # decoded (r12: SOF2 itself now decodes for real)
