@@ -3052,9 +3052,12 @@ AUDIO_STATS_SCHEMA = StructType(
 
 def parse_audio_header(payload: bytes | None):
     """``(format, n_channels, sample_rate, bits_per_sample,
-    n_frames)`` from the first bytes of a WAV / FLAC / MP3 / OGG
-    payload — the audio mirror of :func:`parse_image_header`.  WAV
-    parses its RIFF fmt/data chunks fully (all five fields).  The
+    n_frames)`` from the first bytes of a WAV / FLAC / AIFF / AU /
+    MP3 / OGG payload — the audio mirror of
+    :func:`parse_image_header`.  WAV parses its RIFF fmt/data chunks
+    fully (all five fields); AIFF walks to its COMM chunk (incl. the
+    80-bit extended sample rate) and AU reads the 6-word header, both
+    all five fields (r13).  The
     compressed formats parse their UNCOMPRESSED header structures for
     real (r12): FLAC's STREAMINFO block (channels, rate, bits, total
     samples — plain bit fields before any entropy coding), the first
@@ -3120,6 +3123,37 @@ def parse_audio_header(payload: bytes | None):
                 (rate,) = struct.unpack("<I", body[12:16])
                 return ("ogg", chans or None, rate or None, None, None)
         return ("ogg", None, None, None, None)
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        # COMM chunk walk (r13): channels u16 / frames u32 / bits u16 /
+        # rate as an 80-bit extended float — all plain big-endian fields
+        i = 12
+        while i + 8 <= len(b):
+            tag = b[i : i + 4]
+            (clen,) = struct.unpack(">I", b[i + 4 : i + 8])
+            body = b[i + 8 : i + 8 + clen]
+            if tag == b"COMM" and len(body) >= 18:
+                ch, n_frames, bits = struct.unpack(">HIH", body[:8])
+                try:
+                    rate = _f80_decode(body[8:18]) or None
+                except ValueError:
+                    rate = None
+                return ("aiff", ch or None, rate, bits or None, n_frames)
+            i += 8 + clen + (clen & 1)
+        return ("aiff", None, None, None, None)
+    if b[:4] == b".snd":
+        # Sun AU (r13): 6 big-endian words; size 0xFFFFFFFF = unknown,
+        # so frame count falls back to the bytes actually present
+        if len(b) < 24:
+            return ("au", None, None, None, None)
+        offset, size, encoding, rate, ch = struct.unpack(">IIIII", b[4:24])
+        enc = _AU_ENCODINGS.get(encoding)
+        bits = enc[0] if enc else None
+        n_frames = None
+        if enc and ch:
+            avail = max(len(b) - offset, 0) if offset >= 24 else 0
+            nbytes = avail if size == 0xFFFFFFFF else min(size, avail)
+            n_frames = nbytes // (ch * bits // 8)
+        return ("au", ch or None, rate or None, bits, n_frames)
     mp3_off = None
     if b[:3] == b"ID3":
         if len(b) < 10:
@@ -3337,6 +3371,292 @@ def encode_wav_pcm32(samples, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+# --- AIFF / AIFF-C and Sun AU audio containers (r13) -------------------------
+#
+# Two more REAL lossless audio containers, both public and fully
+# derivable from their specs with no constant tables: AIFF/AIFF-C
+# (Apple "Audio Interchange File Format 1.3" / EA IFF 85 — big-endian
+# chunked PCM with the sample rate as an 80-bit IEEE 754 extended
+# float) and Sun AU/SND (a 7-word big-endian header then raw samples;
+# μ-law is encoding 1 — the G.711 expansion the WAV path already
+# builds arithmetically).  Both are common in speech corpora (AU is
+# the classic telephony archive format, AIFF the Mac-originated
+# studio one), so a 100 TB audio sweep sees them next to WAV/FLAC.
+# Same sample-surface conventions as WAV: int16 for 8/16-bit and
+# companded and float sources, RAW int32 for 24/32-bit.
+
+
+def _f80_encode(rate) -> bytes:
+    """Encode a positive sample rate as the 80-bit IEEE 754 extended
+    float AIFF's COMM chunk stores (1 sign + 15 exponent bits, then a
+    64-bit mantissa with an EXPLICIT leading integer bit): value =
+    mantissa · 2^(exponent − 16383 − 63).  Exact for every integer
+    rate below 2^63 — pure bit algebra, no float rounding."""
+    r = int(rate)
+    if r <= 0 or r != rate:
+        raise ValueError(f"AIFF sample rate must be a positive integer, got {rate}")
+    k = r.bit_length() - 1
+    mantissa = r << (63 - k)
+    return struct.pack(">HQ", 16383 + k, mantissa)
+
+
+def _f80_decode(b: bytes) -> int:
+    """Decode the 80-bit extended sample rate back to an int (rounds
+    half-up on the sub-integer bits real encoders never set)."""
+    if len(b) < 10:
+        raise ValueError("truncated 80-bit extended float")
+    (se, mantissa) = struct.unpack(">HQ", b[:10])
+    if se & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    exp = se & 0x7FFF
+    if exp == 0 and mantissa == 0:
+        return 0
+    shift = exp - 16383 - 63
+    if shift >= 0:
+        return mantissa << shift
+    return (mantissa + (1 << (-shift - 1))) >> -shift
+
+
+def _pcm_bytes_to_array(data: bytes, bits: int, ch: int, big: bool):
+    """Shared PCM byte→array kernel for the big-endian containers
+    (AIFF NONE/twos, AU encodings 2-5): signed integer PCM at
+    8/16/24/32 bits onto the engine's sample conventions.  ``big``
+    False covers AIFF-C ``sowt`` (16-bit little-endian)."""
+    import numpy as np
+
+    frame_bytes = ch * bits // 8
+    if frame_bytes == 0:
+        raise ValueError("zero-width audio frame")
+    if len(data) % frame_bytes:
+        raise ValueError("audio data is not a whole number of frames")
+    if bits == 8:
+        arr = np.frombuffer(data, np.int8).astype(np.int16) * 256
+    elif bits == 16:
+        arr = np.frombuffer(data, ">i2" if big else "<i2")
+    elif bits == 24:
+        raw = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.int32)
+        if big:
+            arr = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+        else:
+            arr = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        arr = (arr ^ 0x800000) - 0x800000
+    elif bits == 32:
+        arr = np.frombuffer(data, ">i4" if big else "<i4")
+    else:
+        raise NotImplementedError(
+            f"PCM bit depth {bits} unsupported (8/16/24/32-bit only)"
+        )
+    return arr.reshape(-1, ch)
+
+
+def encode_aiff_pcm(samples, sample_rate: int, *, bits: int = 16, sowt: bool = False) -> bytes:
+    """Minimal REAL AIFF (or AIFF-C when ``sowt``) encoder: the
+    fixture mirror of :func:`decode_aiff_samples`, readable by any
+    audio tool.  ``samples`` is ``(n_frames, n_channels)`` — int16
+    for 8/16-bit, int32 for 24/32-bit.  ``sowt`` writes the AIFF-C
+    little-endian 16-bit variant (the common Mac-OS-X flavor), which
+    exercises the decoder's compression-type dispatch and the
+    mandatory FVER chunk."""
+    import numpy as np
+
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if sowt and bits != 16:
+        raise ValueError("sowt is 16-bit only")
+    if bits == 8:
+        data = (np.asarray(s, np.int64) // 256).astype(np.int8).tobytes()
+    elif bits == 16:
+        data = s.astype("<i2" if sowt else ">i2").tobytes()
+    elif bits == 24:
+        flat = (np.asarray(s, np.int64).reshape(-1) & 0xFFFFFF).astype(np.uint32)
+        data = np.stack(
+            [(flat >> 16) & 0xFF, (flat >> 8) & 0xFF, flat & 0xFF], axis=1
+        ).astype(np.uint8).tobytes()
+    elif bits == 32:
+        data = s.astype(">i4").tobytes()
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack(">I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    comm = struct.pack(">HIH", ch, n, bits) + _f80_encode(sample_rate)
+    if sowt:
+        comm += b"sowt" + b"\x00\x00"  # empty pstring (len byte), even-padded
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (b"AIFC" + chunk(b"FVER", struct.pack(">I", 0xA2805140)) if sowt else b"AIFF")
+    body += chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff_samples(payload: bytes | None):
+    """REAL stdlib AIFF / AIFF-C sample decode: chunk walk (COMM for
+    geometry + the 80-bit extended rate, SSND for data with its
+    offset/blockSize prefix), big-endian signed PCM at 8/16/24/32
+    bits (AIFF, or AIFF-C ``NONE``/``twos``), little-endian 16-bit
+    for AIFF-C ``sowt``, and big-endian IEEE float32/float64
+    (``fl32``/``fl64``) under the same [-1, 1]·32767 convention as
+    float WAV.  Compressed AIFF-C types (``ima4``, ``ulaw`` …) raise
+    ``NotImplementedError`` — never wrong samples silently."""
+    import numpy as np
+
+    b = payload or b""
+    if b[:4] != b"FORM" or b[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    is_aifc = b[8:12] == b"AIFC"
+    comm = None
+    ssnd = None
+    i = 12
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        (clen,) = struct.unpack(">I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated AIFF chunk")
+        if tag == b"COMM":
+            comm = body
+        elif tag == b"SSND":
+            ssnd = body
+        i += 8 + clen + (clen & 1)  # chunks are even-aligned
+    if comm is None or len(comm) < 18:
+        raise ValueError("AIFF without a COMM chunk")
+    if ssnd is None:
+        raise ValueError("AIFF without an SSND chunk")
+    ch, n_frames, bits = struct.unpack(">HIH", comm[:8])
+    if ch < 1:
+        raise ValueError("AIFF with zero channels")
+    comp = b"NONE"
+    if is_aifc:
+        if len(comm) < 22:
+            raise ValueError("AIFF-C COMM without a compression type")
+        comp = comm[18:22]
+    (offset, _blk) = struct.unpack(">II", ssnd[:8])
+    data = ssnd[8 + offset :]
+    little = False
+    if comp in (b"NONE", b"twos"):
+        pass
+    elif comp == b"sowt":
+        little = True
+    elif comp in (b"fl32", b"FL32", b"fl64", b"FL64"):
+        width = 4 if comp.lower() == b"fl32" else 8
+        if len(data) < n_frames * ch * width:
+            raise ValueError("truncated AIFF sample data")
+        f = np.frombuffer(
+            data[: n_frames * ch * width], ">f4" if width == 4 else ">f8"
+        )
+        arr = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+        return arr.reshape(-1, ch)
+    else:
+        raise NotImplementedError(
+            f"AIFF-C compression {comp!r} unsupported "
+            "(NONE/twos/sowt PCM and fl32/fl64 float decode natively)"
+        )
+    if bits not in (8, 16, 24, 32):
+        raise NotImplementedError(
+            f"AIFF sample size {bits} unsupported (8/16/24/32-bit only)"
+        )
+    need = n_frames * ch * (bits // 8)
+    if len(data) < need:
+        raise ValueError("truncated AIFF sample data")
+    return _pcm_bytes_to_array(data[:need], bits, ch, big=not little)
+
+
+#: AU encoding code -> (bits per sample, kind); spec values from the
+#: published Sun/NeXT .snd header (SunOS audio_filehdr.h semantics)
+_AU_ENCODINGS = {
+    1: (8, "ulaw"),
+    2: (8, "pcm"),
+    3: (16, "pcm"),
+    4: (24, "pcm"),
+    5: (32, "pcm"),
+    6: (32, "float"),
+    7: (64, "float"),
+    27: (8, "alaw"),
+}
+
+
+def encode_au_pcm(samples, sample_rate: int, *, encoding: int = 3) -> bytes:
+    """Minimal REAL Sun AU encoder (fixture mirror of
+    :func:`decode_au_samples`): 28-byte big-endian header (magic,
+    data offset, data size, encoding, rate, channels + a 4-byte zero
+    annotation pad) then raw big-endian samples.  ``encoding`` 1/27
+    compand int16 samples through the exact G.711 search the WAV
+    fixtures use; 2/3/4/5 are signed linear PCM."""
+    import numpy as np
+
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    bits, kind = _AU_ENCODINGS[encoding]
+    if kind in ("ulaw", "alaw"):
+        data = g711_encode(s.astype(np.int16), kind).tobytes()
+    elif bits == 8:
+        data = (np.asarray(s, np.int64) // 256).astype(np.int8).tobytes()
+    elif bits == 16:
+        data = s.astype(">i2").tobytes()
+    elif bits == 24:
+        flat = (np.asarray(s, np.int64).reshape(-1) & 0xFFFFFF).astype(np.uint32)
+        data = np.stack(
+            [(flat >> 16) & 0xFF, (flat >> 8) & 0xFF, flat & 0xFF], axis=1
+        ).astype(np.uint8).tobytes()
+    elif bits == 32 and kind == "pcm":
+        data = s.astype(">i4").tobytes()
+    else:
+        raise ValueError(f"unsupported AU fixture encoding {encoding}")
+    hdr = struct.pack(
+        ">4sIIIII", b".snd", 28, len(data), encoding, sample_rate, ch
+    ) + b"\x00\x00\x00\x00"
+    return hdr + data
+
+
+def decode_au_samples(payload: bytes | None):
+    """REAL stdlib Sun AU/SND sample decode: 6-word big-endian header
+    (offset, size — ``0xFFFFFFFF`` means unknown per the spec, so the
+    payload tail governs — encoding, rate, channels), then raw
+    big-endian samples.  Linear PCM 8/16/24/32-bit, G.711 μ-law and
+    A-law (the same arithmetic LUTs as the WAV path), and IEEE
+    float32/float64; anything else (ADPCM codes 23-26 …) raises
+    ``NotImplementedError``."""
+    import numpy as np
+
+    b = payload or b""
+    if b[:4] != b".snd" or len(b) < 24:
+        raise ValueError("not an AU payload")
+    offset, size, encoding, _rate, ch = struct.unpack(">IIIII", b[4:24])
+    if offset < 24 or offset > len(b):
+        raise ValueError("bad AU data offset")
+    if ch < 1:
+        raise ValueError("AU with zero channels")
+    data = b[offset:]
+    if size != 0xFFFFFFFF:
+        if len(data) < size:
+            raise ValueError("truncated AU sample data")
+        data = data[:size]
+    enc = _AU_ENCODINGS.get(encoding)
+    if enc is None:
+        raise NotImplementedError(
+            f"AU encoding {encoding} unsupported (linear PCM, G.711, "
+            "and IEEE float decode natively)"
+        )
+    bits, kind = enc
+    if kind in ("ulaw", "alaw"):
+        if len(data) % ch:
+            raise ValueError("audio data is not a whole number of frames")
+        codes = np.frombuffer(data, np.uint8)
+        return _g711_decode_lut(kind)[codes].reshape(-1, ch)
+    if kind == "float":
+        width = bits // 8
+        if len(data) % (ch * width):
+            raise ValueError("audio data is not a whole number of frames")
+        f = np.frombuffer(data, ">f4" if width == 4 else ">f8")
+        arr = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+        return arr.reshape(-1, ch)
+    return _pcm_bytes_to_array(data, bits, ch, big=True)
+
+
 def decode_wav_samples(payload: bytes | None, decoder=None):
     """REAL stdlib WAV sample decode: returns ``(n_frames,
     n_channels)`` int16 numpy array for 16-bit PCM (8-bit unsigned
@@ -3447,9 +3767,11 @@ def decode_wav_samples(payload: bytes | None, decoder=None):
 def decode_audio_samples(payload: bytes | None, decoder=None):
     """Sample-decode dispatch across the audio formats that decode
     natively (the audio mirror of :func:`decode_image_pixels`): WAV
-    (integer/float/G.711 PCM — :func:`decode_wav_samples`) and FLAC
+    (integer/float/G.711 PCM — :func:`decode_wav_samples`), FLAC
     (lossless rice/LPC — :func:`~sample_keyspaces_cdc_streams_connectors_spark.llm.flac.decode_flac_samples`,
-    r12).  ``decoder`` is the fast-path seam (tried first for EVERY
+    r12), AIFF/AIFF-C and Sun AU (r13 —
+    :func:`decode_aiff_samples` / :func:`decode_au_samples`).
+    ``decoder`` is the fast-path seam (tried first for EVERY
     format; decline falls through).  Lossy entropy-coded formats
     (MP3/OGG/Opus) raise ``NotImplementedError`` — the documented
     boundary."""
@@ -3468,17 +3790,22 @@ def decode_audio_samples(payload: bytes | None, decoder=None):
         from sample_keyspaces_cdc_streams_connectors_spark.llm.flac import decode_flac_samples
 
         return decode_flac_samples(b)
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff_samples(b)
+    if b[:4] == b".snd":
+        return decode_au_samples(b)
     fmt = parse_audio_header(b)[0]
     raise NotImplementedError(
         f"sample decoding for audio format {fmt!r} is not available "
-        "(WAV and FLAC decode natively)"
+        "(WAV, FLAC, AIFF, and AU decode natively)"
     )
 
 
 def audio_stats(media: DataFrame, decoder=None) -> DataFrame:
     """(media_id, au_rate, au_channels, au_n, au_sum_sq, au_peak)
-    over REAL decoded samples — WAV (integer/float/G.711 PCM) and
-    FLAC (lossless, r12) via :func:`decode_audio_samples` — the
+    over REAL decoded samples — WAV (integer/float/G.711 PCM), FLAC
+    (lossless, r12), AIFF/AIFF-C, and Sun AU (r13) via
+    :func:`decode_audio_samples` — the
     per-clip statistics pass (silence screens, clipping detection,
     loudness gates) a training-data pipeline runs on an audio corpus.  ``au_sum_sq`` is
     the exact int64 energy (RMS² = au_sum_sq / au_n, left to the
@@ -3496,7 +3823,7 @@ def audio_stats(media: DataFrame, decoder=None) -> DataFrame:
             for p in pdf["payload"]:
                 try:
                     fmt, ch, rate, _bits, _nf = parse_audio_header(p)
-                    if fmt not in ("wav", "flac"):
+                    if fmt not in ("wav", "flac", "aiff", "au"):
                         raise ValueError("no native sample decode")
                     s = decode_audio_samples(p, decoder=fast).astype(
                         np.int64
@@ -3827,11 +4154,15 @@ def _pattern_wav_bytes(mid: int) -> bytes:
     (channel-independent, so stereo clips scale the stats by exactly
     the channel count) at ``64 + mid % 256`` frames,
     ``8000 + 1000·(mid % 8)`` Hz, ``1 + mid % 2`` channels — every
-    statistic re-derivable arithmetically by an oracle.  Ids with bit
-    2 set encode FLAC (r12 — lossless, so the SAME waveform and the
-    SAME oracle arithmetic, while rice/fixed/LPC subframes, all four
-    channel assignments, and both CRCs go under the value hash);
-    the rest encode PCM WAV."""
+    statistic re-derivable arithmetically by an oracle.  The
+    CONTAINER rotates by ``(mid >> 2) % 4`` (r13 — every format is
+    lossless for the planted int16 waveform, so the oracle arithmetic
+    never changes while four whole codecs ride under the value hash):
+    0 = PCM WAV, 1 = FLAC (rice/fixed/LPC subframes, all four channel
+    assignments, both CRCs — r12), 2 = AIFF (big-endian PCM + the
+    80-bit extended rate; every other one the AIFF-C ``sowt``
+    little-endian variant with its FVER chunk), 3 = Sun AU (big-endian
+    PCM after the 6-word header)."""
     import numpy as np
 
     n = 64 + mid % 256
@@ -3840,10 +4171,15 @@ def _pattern_wav_bytes(mid: int) -> bytes:
     v = ((mid * 31 + i * 17) % 65536) - 32768
     samples = np.repeat(v[:, None], ch, axis=1).astype(np.int16)
     rate = 8000 + 1000 * (mid % 8)
-    if (mid >> 2) & 1:
+    sel = (mid >> 2) % 4
+    if sel == 1:
         from sample_keyspaces_cdc_streams_connectors_spark.llm.flac import encode_flac_pcm16
 
         return encode_flac_pcm16(samples, rate, blocksize=64)
+    if sel == 2:
+        return encode_aiff_pcm(samples, rate, sowt=bool((mid >> 4) & 1))
+    if sel == 3:
+        return encode_au_pcm(samples, rate)
     return encode_wav_pcm16(samples, rate)
 
 
@@ -4657,7 +4993,7 @@ def resample_audio(
             for p in pdf["payload"]:
                 try:
                     fmt, _ch, rate, _bits, _nf = parse_audio_header(p)
-                    if fmt not in ("wav", "flac") or not rate:
+                    if fmt not in ("wav", "flac", "aiff", "au") or not rate:
                         raise ValueError("no native sample decode")
                     s = decode_audio_samples(p, decoder=fast)
                 except (ValueError, NotImplementedError, struct.error):

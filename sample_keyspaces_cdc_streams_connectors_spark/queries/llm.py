@@ -1880,13 +1880,17 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Arm ``au`` (r11, the au_rate/au_channels/au_n/au_sum_sq/au_peak
     columns): REAL AUDIO decoding.  ``synthesize_pattern_audio``
-    builds one genuine PCM WAV per document executor-side (planted
-    integer waveform at doc_id-derived rate/length/channel-count) and
-    ``audio_stats`` walks the RIFF chunks, decodes the interleaved
-    samples (``decode_wav_samples``) and aggregates exact int64
-    count/energy/peak; the oracle replays the waveform arithmetic —
-    stereo clips scale count and energy by exactly the channel count,
-    so a channel-interleave bug breaks the hash.
+    builds one genuine audio clip per document executor-side (planted
+    integer waveform at doc_id-derived rate/length/channel-count),
+    rotating the CONTAINER by ``(doc_id >> 2) % 4`` — PCM WAV, FLAC
+    (r12), AIFF/AIFF-C, Sun AU (r13) — every one lossless for the
+    planted int16 waveform, so the oracle arithmetic is rotation-
+    invariant while four whole codecs sit under the value hash;
+    ``audio_stats`` decodes the interleaved samples
+    (``decode_audio_samples``) and aggregates exact int64
+    count/energy/peak — stereo clips scale count and energy by
+    exactly the channel count, so a channel-interleave bug breaks the
+    hash.
 
     Arm ``vf`` (r13, the vf_n_frames/vf_sampled/vf_px_n/vf_px_sum
     columns): REAL VIDEO FRAME decoding.  ``_pattern_mp4_bytes``

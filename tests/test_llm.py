@@ -1748,7 +1748,8 @@ def test_pixel_decoder_seam_injection_and_fallback(spark):
     with _pytest.raises(KeyError):
         mm.resolve_audio_decoder("ffmpeg")
     # audio seam mirrors: injected fast path wins; None falls back
-    # (id 3: bit 2 clear -> PCM WAV; bit-2 ids rotate to FLAC in r12)
+    # (id 3: container-rotation slot 0 -> PCM WAV; slots 1/2/3 rotate
+    # to FLAC / AIFF / AU in the r13 pattern)
     wav = mm._pattern_wav_bytes(3)
     base_s = mm.decode_wav_samples(wav)
     fixed = np.full((4, 2), 11, dtype=np.int16)
@@ -2137,7 +2138,7 @@ def test_flac_codec_lossless_roundtrip():
         parse_audio_header,
     )
 
-    for mid in (4, 5, 6, 7, 12, 13):  # bit 2 set -> FLAC
+    for mid in (4, 5, 6, 7, 20, 21):  # (mid >> 2) % 4 == 1 -> FLAC
         blob = _pattern_wav_bytes(mid)
         assert blob[:4] == b"fLaC"
         n = 64 + mid % 256
@@ -2149,7 +2150,7 @@ def test_flac_codec_lossless_roundtrip():
         assert parse_audio_header(blob) == (
             "flac", ch, 8000 + 1000 * (mid % 8), 16, n,
         )
-    for mid in (0, 1, 2, 3, 8):  # bit 2 clear -> WAV
+    for mid in (0, 1, 2, 3, 16):  # (mid >> 2) % 4 == 0 -> WAV
         assert _pattern_wav_bytes(mid)[:4] == b"RIFF"
 
 
@@ -2224,6 +2225,96 @@ def test_flac_wav_deep_sample_surfaces():
     assert parse_audio_header(w) == ("wav", 1, 16000, 32, 300)
     d = decode_wav_samples(w)
     assert d.dtype == np.int32 and (d == s32.astype(np.int32)).all()
+
+
+def test_aiff_au_codec_roundtrips():
+    """r13: AIFF/AIFF-C and Sun AU decode for REAL — bit-exact PCM
+    round trips at every depth (int16 surface for 8/16-bit, RAW int32
+    for 24/32), the 80-bit extended sample rate both directions, the
+    AIFF-C ``sowt`` little-endian variant, AU G.711/float encodings,
+    full five-field header parses, and the malformed/truncated
+    ValueError + unsupported-codec NotImplementedError contracts."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import multimodal as mm
+
+    # 80-bit extended rate: exact integer round trip incl. odd rates
+    for r in (1, 8000, 11025, 22050, 44100, 48000, 96000, 192000):
+        assert mm._f80_decode(mm._f80_encode(r)) == r
+    with _pytest.raises(ValueError):
+        mm._f80_encode(0)
+
+    rng = np.random.default_rng(13)
+    s16 = rng.integers(-32768, 32768, (101, 2)).astype(np.int16)
+    s8 = (rng.integers(-128, 128, (33, 1)) * 256).astype(np.int16)
+    s24 = rng.integers(-(1 << 23), 1 << 23, (57, 2)).astype(np.int32)
+    s32 = rng.integers(-(1 << 31), 1 << 31, (19, 1)).astype(np.int32)
+
+    # AIFF: every PCM depth round-trips bit-exactly; headers carry all
+    # five fields including the f80 rate
+    for s, bits in ((s8, 8), (s16, 16), (s24, 24), (s32, 32)):
+        b = mm.encode_aiff_pcm(s, 44100, bits=bits)
+        assert np.array_equal(mm.decode_aiff_samples(b), s)
+        assert np.array_equal(mm.decode_audio_samples(b), s)
+        assert mm.parse_audio_header(b) == (
+            "aiff", s.shape[1], 44100, bits, s.shape[0],
+        )
+    # AIFF-C sowt: little-endian samples behind the FVER/COMM walk
+    b = mm.encode_aiff_pcm(s16, 22050, sowt=True)
+    assert b[8:12] == b"AIFC"
+    assert np.array_equal(mm.decode_aiff_samples(b), s16)
+    assert mm.parse_audio_header(b)[:3] == ("aiff", 2, 22050)
+
+    # AU: linear PCM depths round-trip; G.711 expands through the
+    # same arithmetic LUTs as the WAV path (exact on codebook values)
+    for s, enc in ((s8, 2), (s16, 3), (s24, 4), (s32, 5)):
+        b = mm.encode_au_pcm(s, 8000, encoding=enc)
+        assert np.array_equal(mm.decode_au_samples(b), s)
+        assert np.array_equal(mm.decode_audio_samples(b), s)
+        assert mm.parse_audio_header(b) == (
+            "au", s.shape[1], 8000, {2: 8, 3: 16, 4: 24, 5: 32}[enc],
+            s.shape[0],
+        )
+    for enc, law in ((1, "ulaw"), (27, "alaw")):
+        exact = (
+            mm._g711_decode_lut(law)[np.arange(256, dtype=np.uint8)]
+            .astype(np.int16)
+            .reshape(-1, 1)
+        )
+        b = mm.encode_au_pcm(exact, 8000, encoding=enc)
+        assert np.array_equal(mm.decode_au_samples(b), exact)
+    # AU IEEE float: the same [-1, 1]*32767 convention as float WAV
+    f = (s16.astype(np.float32) / 32767.0).astype(">f4")
+    au_f = (
+        struct.pack(">4sIIIII", b".snd", 28, f.nbytes, 6, 16000, 2)
+        + b"\x00" * 4
+        + f.tobytes()
+    )
+    assert np.array_equal(mm.decode_au_samples(au_f), s16)
+
+    # error contracts: truncated data raises, never a short clip;
+    # compressed AIFF-C / unknown AU encodings raise NotImplementedError
+    good = mm.encode_aiff_pcm(s16, 44100)
+    with _pytest.raises(ValueError):
+        mm.decode_aiff_samples(good[:-5])
+    with _pytest.raises(ValueError):
+        mm.decode_au_samples(mm.encode_au_pcm(s16, 8000)[:-3])
+    ima4 = bytearray(mm.encode_aiff_pcm(s16, 8000, sowt=True))
+    ima4 = ima4.replace(b"sowt", b"ima4")
+    with _pytest.raises(NotImplementedError):
+        mm.decode_aiff_samples(bytes(ima4))
+    adpcm = struct.pack(
+        ">4sIIIII", b".snd", 28, 4, 23, 8000, 1
+    ) + b"\x00" * 8
+    with _pytest.raises(NotImplementedError):
+        mm.decode_au_samples(adpcm)
+    with _pytest.raises(ValueError):
+        mm.decode_aiff_samples(b"FORM\x00\x00\x00\x04AIFF")
+    with _pytest.raises(ValueError):
+        mm.decode_au_samples(b".snd\x00\x00")
 
 
 def test_audio_stats_planted_pattern(spark):
