@@ -97,9 +97,9 @@ def parse_image_header(
     payload: bytes | None,
 ) -> tuple[str | None, int | None, int | None]:
     """REAL container-header decode, stdlib-only: ``(format, width,
-    height)`` from the first bytes of a PNG / GIF / JPEG payload, or
-    ``(None, None, None)`` when the payload is not a recognized
-    container (or is truncated before its geometry).
+    height)`` from the first bytes of a PNG / GIF / JPEG / BMP / TIFF
+    payload, or ``(None, None, None)`` when the payload is not a
+    recognized container (or is truncated before its geometry).
 
     - PNG: 8-byte signature, then the mandatory first IHDR chunk —
       width/height are big-endian uint32 at offsets 16/20.
@@ -124,6 +124,28 @@ def parse_image_header(
             w, h = struct.unpack("<HH", b[6:10])
             return ("gif", int(w), int(h))
         return ("gif", None, None)
+    if b[:2] == b"BM" and len(b) >= 18:
+        # Windows DIB (r13): u32 info-header size at 14 selects the
+        # BITMAPCOREHEADER u16 geometry or the common i32 one
+        (isz,) = struct.unpack("<I", b[14:18])
+        if isz == 12 and len(b) >= 22:
+            w, h = struct.unpack("<HH", b[18:22])
+            return ("bmp", int(w), int(h))
+        if isz >= 40 and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return ("bmp", int(w), abs(int(h)))
+        return ("bmp", None, None)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF (r13): geometry lives in the first IFD's 256/257 tags
+        try:
+            t = _tiff_read_ifd(b, "<" if b[:2] == b"II" else ">")
+            return (
+                "tiff",
+                t.get("width", [None])[0],
+                t.get("height", [None])[0],
+            )
+        except ValueError:
+            return ("tiff", None, None)
     if b[:2] == b"\xff\xd8":
         i = 2
         while i + 4 <= len(b):
@@ -759,6 +781,670 @@ def decode_gif_pixels(payload: bytes | None):
             raise ValueError("GIF palette index out of range")
         return pal_arr[idx]
     raise ValueError("GIF without an image descriptor")
+
+
+# --- real BMP pixel codec (r13, stdlib-only) ---------------------------------
+#
+# The Windows DIB format is public (BITMAPFILEHEADER + BITMAPINFOHEADER,
+# documented since Windows 3.0): little-endian headers, an optional
+# BGRX palette, and bottom-up rows padded to 4-byte boundaries — no
+# entropy coding except the byte-oriented RLE8 runs.  Everything is
+# derivable from the layout description; no constant tables.
+# Supported: 1/4/8-bit palette (BI_RGB raw or BI_RLE8 incl. absolute
+# mode, end-of-line, delta skips, end-of-bitmap), 24-bit BGR, 32-bit
+# BGRX, BITMAPCOREHEADER and the 40/52/56/108/124-byte info headers,
+# bottom-up or top-down.  BI_RLE4, BI_BITFIELDS, 16-bit, and embedded
+# PNG/JPEG raise NotImplementedError — never wrong pixels silently.
+
+
+def encode_bmp_gray8(
+    pixels, *, bpp: int = 24, rle: bool = False, top_down: bool = False
+) -> bytes:
+    """Minimal REAL BMP encoder for a gray pattern (fixture mirror of
+    :func:`decode_bmp_pixels`, readable by any image tool): ``bpp=24``
+    writes BGR triples (B=G=R=v), ``bpp=8`` writes a 256-entry
+    identity-gray palette with raw or RLE8-compressed indexes.
+    ``top_down`` writes a negative height (rows in natural order) —
+    the layout variant the decoder must flip on."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError(f"expected (h, w) gray pixels, got {px.shape}")
+    h, w = px.shape
+    if bpp == 24:
+        if rle:
+            raise ValueError("RLE is 8-bit only")
+        palette = b""
+        stride = (w * 3 + 3) & ~3
+        rows = []
+        for r in range(h):
+            row = np.repeat(px[r], 3).tobytes()
+            rows.append(row + b"\x00" * (stride - len(row)))
+    elif bpp == 8:
+        palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+        if rle:
+            if top_down:
+                # per the DIB docs top-down bitmaps cannot be RLE8
+                raise ValueError("top-down BMPs cannot be RLE-compressed")
+            chunks = []
+            for r in range(h - 1, -1, -1):  # RLE rows store bottom-up
+                row = px[r]
+                x = 0
+                while x < w:
+                    v = row[x]
+                    run = 1
+                    while x + run < w and row[x + run] == v and run < 255:
+                        run += 1
+                    if run >= 2:
+                        chunks.append(bytes((run, int(v))))
+                        x += run
+                        continue
+                    # literal region: gather until the next >=3 run
+                    lit_start = x
+                    while x < w:
+                        v = row[x]
+                        run = 1
+                        while (
+                            x + run < w and row[x + run] == v and run < 255
+                        ):
+                            run += 1
+                        if run >= 3 or x - lit_start >= 255:
+                            break
+                        x += run
+                    lit = row[lit_start:x].tobytes()
+                    if len(lit) >= 3:
+                        # absolute mode: 00 n, n bytes, word-padded
+                        chunks.append(b"\x00" + bytes((len(lit),)) + lit)
+                        if len(lit) & 1:
+                            chunks.append(b"\x00")
+                    else:
+                        for b_ in lit:
+                            chunks.append(bytes((1, b_)))
+                chunks.append(b"\x00\x00")  # end of line
+            chunks.append(b"\x00\x01")  # end of bitmap
+            data = b"".join(chunks)
+            # RLE rows are stored bottom-up like raw rows
+            rows = None
+        else:
+            stride = (w + 3) & ~3
+            rows = [
+                px[r].tobytes() + b"\x00" * (stride - w) for r in range(h)
+            ]
+    else:
+        raise ValueError(f"unsupported fixture bpp {bpp}")
+    if rows is not None:
+        data = b"".join(rows if top_down else rows[::-1])
+    compression = 1 if rle else 0
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        w,
+        -h if top_down else h,
+        1,
+        bpp,
+        compression,
+        len(data),
+        2835,
+        2835,
+        256 if bpp == 8 else 0,
+        0,
+    )
+    offset = 14 + len(info) + len(palette)
+    hdr = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    return hdr + info + palette + data
+
+
+def decode_bmp_pixels(payload: bytes | None):
+    """REAL stdlib BMP pixel decode: returns ``(h, w, 3)`` uint8 RGB
+    (palette images expand through their BGRX color table, matching
+    the PNG/GIF palette convention).  Handles BITMAPCOREHEADER and
+    every BITMAPINFOHEADER size, bottom-up and top-down rows, 4-byte
+    row padding, and BI_RLE8 (encoded runs, absolute mode with word
+    alignment, end-of-line, delta skips — skipped pixels are 0 per
+    the documented canvas semantics, end-of-bitmap).  Malformed data
+    raises ``ValueError``; BI_RLE4 / BI_BITFIELDS / 16-bit / embedded
+    JPEG+PNG raise ``NotImplementedError``."""
+    import numpy as np
+
+    b = payload or b""
+    if b[:2] != b"BM" or len(b) < 26:
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", b[10:14])
+    (info_size,) = struct.unpack("<I", b[14:18])
+    if info_size == 12:  # BITMAPCOREHEADER (OS/2 1.x)
+        w, h, _planes, bpp = struct.unpack("<HHHH", b[18:26])
+        top_down = False
+        compression = 0
+        colors_used = 0
+        pal_entry = 3
+    elif info_size >= 40:
+        if len(b) < 14 + 40:
+            raise ValueError("truncated BMP info header")
+        w, h, _planes, bpp, compression, _isz, _xr, _yr, colors_used = (
+            struct.unpack("<iiHHIIiiI", b[18:50])
+        )
+        top_down = h < 0
+        h = abs(h)
+        pal_entry = 4
+    else:
+        raise ValueError(f"unknown BMP info header size {info_size}")
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP geometry {w}x{h}")
+    if compression not in (0, 1):
+        raise NotImplementedError(
+            f"BMP compression {compression} unsupported "
+            "(BI_RGB and BI_RLE8 decode natively)"
+        )
+    if compression == 1 and bpp != 8:
+        raise ValueError(f"BI_RLE8 with bpp {bpp}")
+    if bpp in (1, 4, 8):
+        n_colors = colors_used or (1 << bpp)
+        pal_off = 14 + info_size
+        pal_raw = b[pal_off : pal_off + n_colors * pal_entry]
+        if len(pal_raw) < n_colors * pal_entry:
+            raise ValueError("truncated BMP palette")
+        pal = np.frombuffer(pal_raw, np.uint8).reshape(-1, pal_entry)
+        pal_rgb = pal[:, 2::-1]  # BGR(X) -> RGB
+        if compression == 1:
+            idx = _bmp_rle8_decode(b[data_off:], w, h)
+        else:
+            stride = ((bpp * w + 31) // 32) * 4
+            need = stride * h
+            raw = b[data_off : data_off + need]
+            if len(raw) < need:
+                raise ValueError("truncated BMP pixel data")
+            rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+            if bpp == 8:
+                idx = rows[:, :w]
+            else:
+                # sub-byte indexes pack MSB-first within each byte
+                bits_arr = np.unpackbits(rows, axis=1)
+                if bpp == 4:
+                    nib = bits_arr.reshape(h, -1, 4)
+                    vals = (
+                        (nib[:, :, 0] << 3)
+                        | (nib[:, :, 1] << 2)
+                        | (nib[:, :, 2] << 1)
+                        | nib[:, :, 3]
+                    )
+                else:
+                    vals = bits_arr
+                idx = vals[:, :w].astype(np.uint8)
+        if int(idx.max(initial=0)) >= pal_rgb.shape[0]:
+            raise ValueError("BMP palette index out of range")
+        out = pal_rgb[idx]
+    elif bpp in (24, 32):
+        nch = bpp // 8
+        stride = ((bpp * w + 31) // 32) * 4
+        need = stride * h
+        raw = b[data_off : data_off + need]
+        if len(raw) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+        px = rows[:, : w * nch].reshape(h, w, nch)
+        out = px[:, :, 2::-1]  # BGR(X) -> RGB, X dropped
+    else:
+        raise NotImplementedError(
+            f"BMP bit depth {bpp} unsupported (1/4/8/24/32 decode natively)"
+        )
+    if not top_down:
+        out = out[::-1]
+    return np.ascontiguousarray(out)
+
+
+def _bmp_rle8_decode(data: bytes, w: int, h: int):
+    """BI_RLE8 run decode onto a zeroed index canvas (stored
+    bottom-up like raw rows; the caller flips)."""
+    import numpy as np
+
+    canvas = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 2 <= n:
+        c0, c1 = data[i], data[i + 1]
+        i += 2
+        if c0:  # encoded run
+            if y >= h or x + c0 > w:
+                raise ValueError("BMP RLE run overflows the canvas")
+            canvas[y, x : x + c0] = c1
+            x += c0
+        elif c1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif c1 == 1:  # end of bitmap
+            return canvas
+        elif c1 == 2:  # delta skip
+            if i + 2 > n:
+                raise ValueError("truncated BMP RLE delta")
+            dx, dy = data[i], data[i + 1]
+            i += 2
+            x, y = x + dx, y + dy
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta overflows the canvas")
+        else:  # absolute mode: c1 literal bytes, word-aligned
+            if i + c1 > n:
+                raise ValueError("truncated BMP RLE literals")
+            if y >= h or x + c1 > w:
+                raise ValueError("BMP RLE literals overflow the canvas")
+            canvas[y, x : x + c1] = np.frombuffer(
+                data[i : i + c1], np.uint8
+            )
+            x += c1
+            i += c1 + (c1 & 1)
+    raise ValueError("BMP RLE stream without an end-of-bitmap marker")
+
+
+# --- real TIFF pixel codec (r13, stdlib-only) ---------------------------------
+#
+# Baseline TIFF 6.0 is public (Adobe spec): a tag-directory (IFD)
+# structure in either byte order, strip-organized samples, and three
+# fully-derivable compressions — none, PackBits (the byte-oriented
+# run scheme of spec §9), and TIFF-variant LZW (spec §13: MSB-first
+# bit packing, 9-bit start, EarlyChange code-width bumps one code
+# early, Clear=256/EOI=257) with the horizontal-differencing
+# predictor.  TIFF is the dominant scanned-document format, so a
+# 100 TB document-image sweep sees it constantly.  Supported: gray
+# 8-bit (both photometric polarities), RGB 8-bit, palette (ColorMap
+# 16-bit entries present the high byte), multi-strip, both byte
+# orders, predictor 1/2.  Tiled layouts, planar configuration 2,
+# sub-8-bit/16-bit samples, and the embedded-codec compressions
+# (CCITT, JPEG, Deflate) raise NotImplementedError.
+
+#: the IFD tags the decoder reads (TIFF 6.0 numbering)
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+    317: "predictor", 320: "colormap", 322: "tile_width",
+}
+#: field type -> byte width (spec §2); types the decoder can read
+_TIFF_TYPE_W = {1: 1, 3: 2, 4: 4}
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, code width
+    9→12 with the EarlyChange bump one code before the table fills,
+    Clear (256) resets, EOI (257) terminates."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            acc &= (1 << nbits) - 1  # keep the accumulator bounded
+            if code == 256:
+                reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 257:
+                    raise ValueError("TIFF LZW starts with a table code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt TIFF LZW code")
+            out.extend(entry)
+            prev = entry
+            # EarlyChange: the decoder's table additions lag the
+            # encoder's by one code, so it widens at size 2^w - 2
+            # (510/1022/2046) to read the next code at the width the
+            # encoder wrote it
+            if len(table) >= (1 << width) - 2 and width < 12:
+                width += 1
+    raise ValueError("TIFF LZW stream without an EOI code")
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (fixture mirror): emits Clear first,
+    MSB-first packing, EarlyChange width bumps, Clear on table full,
+    EOI last — decodes with any TIFF reader."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1  # keep the accumulator bounded
+
+    table: dict[bytes, int] = {}
+
+    def reset():
+        nonlocal table, width
+        table = {bytes((i,)): i for i in range(256)}
+        width = 9
+
+    reset()
+    emit(256)
+    nxt = 258
+    run = b""
+    for byte in data:
+        cand = run + bytes((byte,))
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        table[cand] = nxt
+        nxt += 1
+        # the DEcoder adds its entry one step behind, so the width
+        # bump (and the table-full clear) trigger off nxt + 1
+        if nxt + 1 >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(256)
+                reset()
+                nxt = 258
+        run = bytes((byte,))
+    if run:
+        emit(table[run])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9): n in 0..127 copies n+1 literals,
+    129..255 repeats the next byte 257-n times, 128 is a no-op."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                raise ValueError("truncated PackBits literals")
+            out.extend(data[i : i + c + 1])
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                raise ValueError("truncated PackBits run")
+            out.extend(bytes((data[i],)) * (257 - c))
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (fixture mirror): maximal runs as repeats,
+    everything else as literal spans."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and data[i + run] == data[i] and run < 128:
+                run += 1
+            # stop on a worthwhile run, or when taking this step would
+            # push the span past the 128-byte literal limit (a count
+            # byte of 128 is the spec's no-op, never a length)
+            if run >= 3 or (i - lit_start) + run > 128:
+                break
+            i += run
+        out.append(i - lit_start - 1)
+        out.extend(data[lit_start:i])
+    return bytes(out)
+
+
+def encode_tiff_gray8(
+    pixels,
+    *,
+    compression: str = "none",
+    big_endian: bool = False,
+    predictor: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal REAL baseline-TIFF encoder for gray8 (fixture mirror of
+    :func:`decode_tiff_pixels`, readable by any TIFF reader): strip
+    layout with ascending-sorted IFD tags, either byte order,
+    ``compression`` in ``none``/``packbits``/``lzw``, and the
+    horizontal-differencing predictor for LZW strips."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError(f"expected (h, w) gray pixels, got {px.shape}")
+    h, w = px.shape
+    e = ">" if big_endian else "<"
+    rps = rows_per_strip or max(1, min(h, 8))
+    comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    if predictor and compression != "lzw":
+        raise ValueError("the fixture applies the predictor to LZW only")
+    strips = []
+    for y0 in range(0, h, rps):
+        rows = px[y0 : y0 + rps]
+        if predictor:
+            rows = rows.astype(np.int16)
+            rows = np.concatenate(
+                [rows[:, :1], np.diff(rows, axis=1)], axis=1
+            ).astype(np.uint8)
+        raw = rows.tobytes()
+        if compression == "lzw":
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == "packbits":
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    n_strips = len(strips)
+    # layout: 8-byte header, IFD, then strip data
+    n_entries = 9 + (1 if predictor else 0)
+    ifd_size = 2 + n_entries * 12 + 4
+    data_start = 8 + ifd_size
+    offsets = []
+    pos = data_start
+    # SHORT arrays for offsets/counts need out-of-line storage when
+    # n_strips > 2; use LONGs inline-when-1 else out-of-line blocks
+    extra = b""
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    def long_array(vals):
+        nonlocal pos, extra
+        if len(vals) == 1:
+            return 4, len(vals), vals[0]
+        off = pos
+        extra_bytes = struct.pack(f"{e}{len(vals)}I", *vals)
+        extra += extra_bytes
+        pos += len(extra_bytes)
+        return 4, len(vals), off
+
+    entries = []
+
+    def entry_long(tag, cnt, val):
+        entries.append(
+            struct.pack(f"{e}HHI", tag, 4, cnt) + struct.pack(f"{e}I", val)
+        )
+
+    def entry_short(tag, val):
+        # a single SHORT sits LEFT-JUSTIFIED in the 4-byte value field
+        entries.append(
+            struct.pack(f"{e}HHI", tag, 3, 1) + struct.pack(f"{e}HH", val, 0)
+        )
+
+    _so_t, so_c, so_v = long_array(offsets)
+    _sc_t, sc_c, sc_v = long_array([len(s) for s in strips])
+    entry_long(256, 1, w)
+    entry_long(257, 1, h)
+    entry_short(258, 8)
+    entry_short(259, comp_code)
+    entry_short(262, 1)  # BlackIsZero
+    entry_long(273, so_c, so_v)
+    entry_short(277, 1)
+    entry_long(278, 1, rps)
+    entry_long(279, sc_c, sc_v)
+    if predictor:
+        entry_short(317, 2)
+    hdr = (b"MM" if big_endian else b"II") + struct.pack(f"{e}HI", 42, 8)
+    ifd = struct.pack(f"{e}H", n_entries) + b"".join(entries) + struct.pack(f"{e}I", 0)
+    assert len(ifd) == ifd_size
+    return hdr + ifd + b"".join(strips) + extra
+
+
+def _tiff_read_ifd(b: bytes, e: str):
+    """Parse the first IFD into {name: list-of-values} for the tags
+    the decoder knows (unknown tags are skipped, per spec)."""
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack(f"{e}I", b[4:8])
+    if ifd_off + 2 > len(b):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack(f"{e}H", b[ifd_off : ifd_off + 2])
+    tags = {}
+    for k in range(n_entries):
+        off = ifd_off + 2 + k * 12
+        if off + 12 > len(b):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, cnt = struct.unpack(f"{e}HHI", b[off : off + 8])
+        name = _TIFF_TAGS.get(tag)
+        if name is None:
+            continue
+        tw = _TIFF_TYPE_W.get(typ)
+        if tw is None:
+            continue  # RATIONAL etc. — none of our tags use them
+        total = tw * cnt
+        if total <= 4:
+            raw = b[off + 8 : off + 8 + total]
+        else:
+            (voff,) = struct.unpack(f"{e}I", b[off + 8 : off + 12])
+            raw = b[voff : voff + total]
+            if len(raw) < total:
+                raise ValueError("truncated TIFF tag value")
+        ch = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[name] = list(struct.unpack(f"{e}{cnt}{ch}", raw))
+    return tags
+
+
+def decode_tiff_pixels(payload: bytes | None):
+    """REAL stdlib baseline-TIFF pixel decode: returns ``(h, w)``-
+    shaped uint8 gray, ``(h, w, 3)`` RGB, or palette-expanded RGB
+    (ColorMap's 16-bit entries present their high byte, the standard
+    8-bit presentation).  Strip-organized, both byte orders,
+    compressions none / PackBits / TIFF-LZW, horizontal-differencing
+    predictor, WhiteIsZero polarity inversion.  Malformed structures
+    raise ``ValueError``; tiled layouts, planar configuration 2,
+    non-8-bit samples, and embedded codecs (CCITT/JPEG/Deflate) raise
+    ``NotImplementedError``."""
+    import numpy as np
+
+    b = payload or b""
+    if b[:4] == b"II*\x00":
+        e = "<"
+    elif b[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    t = _tiff_read_ifd(b, e)
+    if "tile_width" in t:
+        raise NotImplementedError("tiled TIFF layouts unsupported")
+    if t.get("planar", [1])[0] != 1:
+        raise NotImplementedError("planar TIFF configuration unsupported")
+    try:
+        w = t["width"][0]
+        h = t["height"][0]
+        offsets = t["strip_offsets"]
+        counts = t["strip_counts"]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from None
+    spp = t.get("spp", [1])[0]
+    bits = t.get("bits", [8])
+    comp = t.get("compression", [1])[0]
+    photo = t.get("photometric", [1])[0]
+    pred = t.get("predictor", [1])[0]
+    if any(x != 8 for x in bits):
+        raise NotImplementedError(
+            f"TIFF bits-per-sample {bits} unsupported (8-bit only)"
+        )
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported "
+            "(none/PackBits/LZW decode natively)"
+        )
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred} unsupported")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts mismatch")
+    rps = t.get("rows_per_strip", [h])[0]
+    row_bytes = w * spp
+    chunks = []
+    for k, (off, cnt) in enumerate(zip(offsets, counts)):
+        raw = b[off : off + cnt]
+        if len(raw) < cnt:
+            raise ValueError("truncated TIFF strip")
+        if comp == 5:
+            raw = _tiff_lzw_decode(raw)
+        elif comp == 32773:
+            raw = _packbits_decode(raw)
+        n_rows = min(rps, h - k * rps)
+        if n_rows <= 0 or len(raw) < n_rows * row_bytes:
+            raise ValueError("TIFF strip does not cover its rows")
+        rows = np.frombuffer(
+            raw[: n_rows * row_bytes], np.uint8
+        ).reshape(n_rows, row_bytes)
+        if pred == 2:
+            rows = np.cumsum(
+                rows.reshape(n_rows, w, spp).astype(np.int64), axis=1
+            ).astype(np.uint8).reshape(n_rows, row_bytes)
+        chunks.append(rows)
+    img = np.concatenate(chunks, axis=0)
+    if img.shape[0] != h:
+        raise ValueError("TIFF strips do not cover the image height")
+    if photo == 3:
+        cmap = t.get("colormap")
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("palette TIFF without a full ColorMap")
+        pal = (
+            np.asarray(cmap, dtype=np.uint16).reshape(3, 256).T >> 8
+        ).astype(np.uint8)
+        if spp != 1:
+            raise ValueError("palette TIFF with multiple samples")
+        return pal[img.reshape(h, w)]
+    if spp == 1:
+        out = img.reshape(h, w)
+        if photo == 0:  # WhiteIsZero
+            out = (255 - out.astype(np.int16)).astype(np.uint8)
+        return out
+    if spp == 3 and photo == 2:
+        return img.reshape(h, w, 3)
+    raise NotImplementedError(
+        f"TIFF photometric {photo} with {spp} samples unsupported"
+    )
 
 
 # --- real JPEG pixel codec (r11, stdlib-only) --------------------------------
@@ -2533,9 +3219,13 @@ def decode_image_pixels(payload: bytes | None, decoder=None):
         return decode_gif_pixels(payload)
     if fmt == "jpeg":
         return decode_jpeg_pixels(payload)
+    if fmt == "bmp":
+        return decode_bmp_pixels(payload)
+    if fmt == "tiff":
+        return decode_tiff_pixels(payload)
     raise NotImplementedError(
         f"pixel decoding for format {fmt!r} is not available "
-        "(PNG/GIF/baseline-JPEG decode natively)"
+        "(PNG/GIF/JPEG/BMP/TIFF decode natively)"
     )
 
 
@@ -2657,27 +3347,72 @@ def _pattern_jpeg_bytes(mid: int, mod_blocks: int = 8) -> bytes:
     )
 
 
+def _pattern_bmp_bytes(mid: int, mod_side: int = 16) -> bytes:
+    """A real BMP of the planted pattern (r13): the layout rotates
+    through raw 8-bit palette, RLE8, and top-down 24-bit BGR by id
+    bits, so padding, run coding, and both row orders all sit under
+    the oracle gate.  Every variant presents the gray value as an RGB
+    triple (identity palette / B=G=R), matching the GIF arm's ×3
+    multiplier in the oracle arithmetic."""
+    px = _pattern_pixels(mid, mod_side)
+    if (mid >> 2) & 1:
+        return encode_bmp_gray8(px, bpp=8, rle=True)
+    if (mid >> 1) & 1:
+        return encode_bmp_gray8(px, bpp=24, top_down=True)
+    return encode_bmp_gray8(px, bpp=8)
+
+
+def _pattern_tiff_bytes(mid: int, mod_side: int = 16) -> bytes:
+    """A real baseline TIFF of the planted pattern (r13): compression
+    rotates none/PackBits/LZW by ``(mid >> 1) % 3``, byte order flips
+    on bit 3, LZW ids with bit 4 add the horizontal-differencing
+    predictor, and a small rows-per-strip forces multi-strip layouts
+    — IFD walk, strip assembly, both entropy coders, and the
+    predictor inverse all under the same arithmetic oracle (gray, ×1
+    multiplier like PNG)."""
+    comp = ("none", "packbits", "lzw")[(mid >> 1) % 3]
+    return encode_tiff_gray8(
+        _pattern_pixels(mid, mod_side),
+        compression=comp,
+        big_endian=bool((mid >> 3) & 1),
+        predictor=comp == "lzw" and bool((mid >> 4) & 1),
+        rows_per_strip=3,
+    )
+
+
+def _pattern_image_bytes(mid: int, mod_side: int = 16) -> bytes:
+    """THE pixel-gate rotation (r13 widens ``% 3`` to ``% 5``): a
+    real PNG / GIF / JPEG / BMP / TIFF of the planted pattern by
+    ``mid % 5`` — one dispatch shared by ``synthesize_pattern_media``
+    and the fused profile so the gate rotation lives in one place."""
+    k = mid % 5
+    if k == 0:
+        return _pattern_png_bytes(mid, mod_side)
+    if k == 1:
+        return _pattern_gif_bytes(mid, mod_side)
+    if k == 2:
+        return _pattern_jpeg_bytes(mid, mod_blocks=8)
+    if k == 3:
+        return _pattern_bmp_bytes(mid, mod_side)
+    return _pattern_tiff_bytes(mid, mod_side)
+
+
 def synthesize_pattern_media(
     docs: DataFrame, id_col: str = "doc_id", mod_side: int = 16
 ) -> DataFrame:
     """Deterministic mixed-format pattern media table for the
-    pixel-stats gate (r11): ids rotate by ``doc_id % 3`` through a
-    real PNG (:func:`_pattern_png_bytes`, all five scanline filters,
-    alternating Adam7 interlace), a real LZW GIF
+    pixel-stats gate (r11, widened r13): ids rotate by ``doc_id % 5``
+    through a real PNG (:func:`_pattern_png_bytes`, all five scanline
+    filters, alternating Adam7 interlace), a real LZW GIF
     (:func:`_pattern_gif_bytes`, alternating four-pass interlace),
-    and a real baseline JPEG (:func:`_pattern_jpeg_bytes`,
-    constant-block exact, alternating restart markers) — one
-    ``decode_image_pixels`` dispatch covers all three under the same
-    arithmetic oracle.  Built executor-side in ``mapInPandas`` like
-    real ingested media."""
-
-    def _payload(m: int) -> bytes:
-        k = m % 3
-        if k == 0:
-            return _pattern_png_bytes(m, mod_side)
-        if k == 1:
-            return _pattern_gif_bytes(m, mod_side)
-        return _pattern_jpeg_bytes(m, mod_blocks=8)
+    a real baseline JPEG (:func:`_pattern_jpeg_bytes`, constant-block
+    exact, alternating restart/progressive/12-bit variants), a real
+    BMP (:func:`_pattern_bmp_bytes`, palette/RLE8/top-down-BGR
+    variants), and a real baseline TIFF
+    (:func:`_pattern_tiff_bytes`, none/PackBits/LZW strips, both
+    byte orders, predictor) — one ``decode_image_pixels`` dispatch
+    covers all five under the same arithmetic oracle.  Built
+    executor-side in ``mapInPandas`` like real ingested media."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2685,7 +3420,9 @@ def synthesize_pattern_media(
             yield pd.DataFrame(
                 {
                     "media_id": mids,
-                    "payload": [_payload(int(m)) for m in mids],
+                    "payload": [
+                        _pattern_image_bytes(int(m), mod_side) for m in mids
+                    ],
                 }
             )
 
@@ -2743,14 +3480,28 @@ HEADER_SCHEMA = StructType(
 
 def _container_bytes(mid: int) -> bytes:
     """A REAL (header-valid) container for media id ``mid`` —
-    format rotates png/gif/jpeg by ``mid % 3``, geometry is
-    ``(1 + mid % 512, 1 + 7·mid % 512)`` so an oracle can re-derive
-    it arithmetically.  Pixel data is absent/garbage: only the
-    header is contractual, which is exactly what
+    format rotates png/gif/jpeg/bmp/tiff by ``mid % 5`` (r13),
+    geometry is ``(1 + mid % 512, 1 + 7·mid % 512)`` so an oracle can
+    re-derive it arithmetically.  Pixel data is absent/garbage: only
+    the header is contractual, which is exactly what
     :func:`parse_image_header` reads."""
     w = 1 + mid % 512
     h = 1 + (mid * 7) % 512
-    kind = mid % 3
+    kind = mid % 5
+    if kind == 3:  # BMP: file header + BITMAPINFOHEADER, no pixels
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 2835, 2835, 0, 0
+        )
+        return struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + info
+    if kind == 4:  # TIFF: header + a 2-entry IFD (width/height LONGs)
+        return (
+            b"II*\x00"
+            + struct.pack("<I", 8)
+            + struct.pack("<H", 2)
+            + struct.pack("<HHII", 256, 4, 1, w)
+            + struct.pack("<HHII", 257, 4, 1, h)
+            + struct.pack("<I", 0)
+        )
     if kind == 0:  # PNG: signature + IHDR chunk (CRC bytes arbitrary)
         return (
             b"\x89PNG\r\n\x1a\n"
@@ -3995,14 +4746,7 @@ def multimodal_profile(
                     ow, oh = w, h
                 fmt, hw, hh = parse_image_header(_container_bytes(mid))
                 try:
-                    k = mid % 3
-                    pb = (
-                        _pattern_png_bytes(mid, mod_side)
-                        if k == 0
-                        else _pattern_gif_bytes(mid, mod_side)
-                        if k == 1
-                        else _pattern_jpeg_bytes(mid, mod_blocks=8)
-                    )
+                    pb = _pattern_image_bytes(mid, mod_side)
                     px = decode_image_pixels(pb, decoder=fast)
                     px_stats = (
                         int(px.size),
@@ -4904,7 +5648,7 @@ def resize_image_pixels(
     """REAL bounded-box resize over decoded pixels (r11 — the resize
     stage the pipeline quartet decode / feature-extract / resize /
     frame-sample was still faking): ``decode_image_pixels`` (PNG /
-    GIF / baseline JPEG), nearest-neighbor resample
+    GIF / JPEG / BMP / TIFF), nearest-neighbor resample
     (:func:`resize_pixels_nn`), and re-encode as PNG (gray8 for
     1-channel input, RGB for 3-channel; gray+alpha / RGBA drop alpha
     — the standard training-data normalization).  Undecodable

@@ -1728,22 +1728,24 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hdr AS (
       SELECT doc_id AS media_id,
-             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-                  ELSE 'jpeg' END AS fmt,
+             CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                  WHEN 2 THEN 'jpeg' WHEN 3 THEN 'bmp'
+                  ELSE 'tiff' END AS fmt,
              CAST(1 + doc_id % 512 AS INTEGER) AS hdr_width,
              CAST(1 + (doc_id * 7) % 512 AS INTEGER) AS hdr_height
       FROM documents
     ),
     pxgrid AS (SELECT x FROM range(16) t(x)),
-    -- formats rotate by doc_id % 3: 0 = PNG (gray), 1 = GIF (palette
-    -- RGB triples count and sum), 2 = JPEG (constant 8x8 BLOCKS of
-    -- the pattern at block-grid geometry mod 8 -> 64 px per value)
+    -- formats rotate by doc_id % 5 (r13): 0 = PNG (gray), 1 = GIF
+    -- (palette RGB triples count and sum), 2 = JPEG (constant 8x8
+    -- BLOCKS of the pattern at block-grid geometry mod 8 -> 64 px
+    -- per value), 3 = BMP (RGB triples like GIF), 4 = TIFF (gray)
     pxa AS (
       SELECT d.doc_id AS media_id,
-             COUNT(*) * (CASE WHEN d.doc_id % 3 = 1 THEN 3 ELSE 1 END)
-               AS px_n,
+             COUNT(*) * (CASE WHEN d.doc_id % 5 IN (1, 3)
+                              THEN 3 ELSE 1 END) AS px_n,
              CAST(SUM((d.doc_id + 3*gx.x + 7*gy.x) % 256)
-                  * (CASE WHEN d.doc_id % 3 = 1 THEN 3 ELSE 1 END)
+                  * (CASE WHEN d.doc_id % 5 IN (1, 3) THEN 3 ELSE 1 END)
                   AS BIGINT) AS px_sum,
              CAST(MIN((d.doc_id + 3*gx.x + 7*gy.x) % 256) AS INTEGER)
                AS px_min,
@@ -1752,7 +1754,7 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d
       JOIN pxgrid gx ON gx.x < 1 + d.doc_id % 16
       JOIN pxgrid gy ON gy.x < 1 + (d.doc_id * 7) % 16
-      WHERE d.doc_id % 3 < 2
+      WHERE d.doc_id % 5 <> 2
       GROUP BY d.doc_id
     ),
     pxj AS (
@@ -1767,7 +1769,7 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d
       JOIN pxgrid gx ON gx.x < 1 + d.doc_id % 8
       JOIN pxgrid gy ON gy.x < 1 + (d.doc_id * 7) % 8
-      WHERE d.doc_id % 3 = 2
+      WHERE d.doc_id % 5 = 2
       GROUP BY d.doc_id
     ),
     px AS (SELECT * FROM pxa UNION ALL SELECT * FROM pxj),
@@ -1853,7 +1855,8 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Arm ``hdr`` (r9, the fmt/hdr_width/hdr_height columns): REAL
     container-header decoding.  ``synthesize_containers`` builds one
-    header-valid PNG / GIF / JPEG payload per document executor-side
+    header-valid PNG / GIF / JPEG / BMP / TIFF payload per document
+    executor-side
     (format rotates by doc_id, geometry is doc_id arithmetic), and
     ``image_header_features`` parses format + dimensions back OUT of
     the raw bytes with the stdlib IHDR / logical-screen-descriptor /
@@ -1861,22 +1864,25 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted geometry arithmetically, so any header-walk bug breaks
     the hash.
 
-    Arm ``px`` (r10 PNG, r11 adds GIF and baseline JPEG — the
-    px_n/px_sum/px_min/px_max columns): REAL PIXEL decoding for ALL
-    THREE container formats.  ``synthesize_pattern_media`` builds one
-    genuine image per document executor-side, rotating by
-    ``doc_id % 3``: PNG (all five scanline filters, alternating Adam7
-    interlace), LZW GIF (alternating four-pass interlace), and
-    baseline JPEG (constant 8×8 blocks of the pattern — a flat quant
-    table makes the DCT round-trip EXACT — alternating restart
-    markers).  ``image_pixel_stats`` decodes via
-    ``decode_image_pixels`` (zlib+filter inverses / LZW+palette /
-    Huffman+IDCT, stdlib+numpy only) and aggregates count/sum/min/max
+    Arm ``px`` (r10 PNG, r11 adds GIF and baseline JPEG, r13 adds BMP
+    and TIFF — the px_n/px_sum/px_min/px_max columns): REAL PIXEL
+    decoding for ALL FIVE container formats.
+    ``synthesize_pattern_media`` builds one genuine image per
+    document executor-side, rotating by ``doc_id % 5``: PNG (all five
+    scanline filters, alternating Adam7 interlace), LZW GIF
+    (alternating four-pass interlace), baseline JPEG (constant 8×8
+    blocks of the pattern — a flat quant table makes the DCT
+    round-trip EXACT — restart/progressive/12-bit variants), BMP
+    (palette / RLE8 / top-down-BGR variants), and baseline TIFF
+    (none/PackBits/LZW strips, both byte orders, predictor).
+    ``image_pixel_stats`` decodes via ``decode_image_pixels``
+    (zlib+filter inverses / LZW+palette / Huffman+IDCT / DIB rows+RLE
+    / IFD strips, stdlib+numpy only) and aggregates count/sum/min/max
     per image; the oracle re-derives every statistic arithmetically
-    (GIF rows carry the ×3 RGB palette expansion; JPEG rows aggregate
+    (GIF and BMP rows carry the ×3 RGB expansion; JPEG rows aggregate
     the block grid ×64), so a wrong filter inverse, LZW step, row
-    reorder, Huffman table, or IDCT breaks the hash.  No image-format
-    stub remains.
+    reorder, Huffman table, IDCT, run decode, or predictor inverse
+    breaks the hash.  No image-format stub remains.
 
     Arm ``au`` (r11, the au_rate/au_channels/au_n/au_sum_sq/au_peak
     columns): REAL AUDIO decoding.  ``synthesize_pattern_audio``

@@ -386,7 +386,7 @@ def test_multimodal_profile_matches_standalone_arm_join(spark):
     profile must be row-for-row identical to assembling the six
     standalone arms by media_id joins — the fusion changes the plan
     shape (zero joins), never the result.  Covers framed, frameless
-    (empty text), and all three px format rotations."""
+    (empty text), and all five px format rotations (r13)."""
     from pyspark.sql import functions as F
 
     from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
@@ -932,7 +932,7 @@ def test_image_header_features_roundtrip(spark):
         for r in image_header_features(synthesize_containers(docs)).collect()
     }
     for mid in got:
-        fmt = ("png", "gif", "jpeg")[mid % 3]
+        fmt = ("png", "gif", "jpeg", "bmp", "tiff")[mid % 5]
         assert got[mid] == (fmt, 1 + mid % 512, 1 + (mid * 7) % 512)
 
 
@@ -1168,10 +1168,11 @@ def test_gif_decode_rejects_malformed():
 
 
 def test_image_pixel_stats_mixed_formats(spark):
-    """The r11 px gate shape: synthesize_pattern_media rotates
-    PNG/GIF/JPEG by id % 3, and image_pixel_stats decodes all three
-    through one dispatch — GIF rows carry the ×3 RGB palette
-    expansion; JPEG rows aggregate the constant-block grid ×64."""
+    """The px gate shape (r11, widened r13): synthesize_pattern_media
+    rotates PNG/GIF/JPEG/BMP/TIFF by id % 5, and image_pixel_stats
+    decodes all five through one dispatch — GIF and BMP rows carry
+    the ×3 RGB expansion; JPEG rows aggregate the constant-block
+    grid ×64."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -1188,7 +1189,7 @@ def test_image_pixel_stats_mixed_formats(spark):
         ).collect()
     }
     for mid in range(42):
-        if mid % 3 == 2:  # JPEG: constant 8x8 blocks, grid mod 8
+        if mid % 5 == 2:  # JPEG: constant 8x8 blocks, grid mod 8
             w, h = 1 + mid % 8, 1 + (mid * 7) % 8
             y, x = np.mgrid[0:h, 0:w]
             v = (mid + 3 * x + 7 * y) % 256
@@ -1198,11 +1199,11 @@ def test_image_pixel_stats_mixed_formats(spark):
                 int(v.min()),
                 int(v.max()),
             )
-        else:  # PNG (gray) / GIF (RGB triples), pixel grid mod 16
+        else:  # PNG/TIFF (gray) / GIF/BMP (RGB triples), grid mod 16
             w, h = 1 + mid % 16, 1 + (mid * 7) % 16
             y, x = np.mgrid[0:h, 0:w]
             v = (mid + 3 * x + 7 * y) % 256
-            k = 3 if mid % 3 == 1 else 1
+            k = 3 if mid % 5 in (1, 3) else 1
             expect = (
                 k * v.size,
                 k * int(v.sum()),
@@ -1436,6 +1437,129 @@ def test_gif_small_palette_decode():
     out = decode_gif_pixels(gif)
     assert out.shape == (h, w, 3)
     assert (out == pal[idx]).all()
+
+
+# --- real BMP / TIFF pixel codecs (r13) ---------------------------------------
+
+
+def test_bmp_codec_roundtrips():
+    """r13: BMP decodes for REAL — 24-bit BGR, 8-bit palette raw and
+    RLE8 (encoded runs, absolute mode, delta skips), bottom-up and
+    top-down rows, 4-byte row padding — with bit-exact round trips
+    against the fixture encoder and the malformed/unsupported error
+    contracts."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import multimodal as mm
+
+    rng = np.random.default_rng(31)
+    for (h, w) in ((1, 1), (3, 5), (7, 13), (9, 31)):
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        exp = np.repeat(px[:, :, None], 3, axis=2)
+        for kw in (
+            dict(bpp=24),
+            dict(bpp=24, top_down=True),
+            dict(bpp=8),
+            dict(bpp=8, top_down=True),
+            dict(bpp=8, rle=True),
+        ):
+            b = mm.encode_bmp_gray8(px, **kw)
+            assert np.array_equal(mm.decode_bmp_pixels(b), exp), kw
+            assert np.array_equal(mm.decode_image_pixels(b), exp), kw
+            assert mm.parse_image_header(b) == ("bmp", w, h), kw
+    # RLE with long runs, literal mixes, and the word-aligned
+    # absolute mode (odd-length literal spans)
+    px = np.zeros((4, 300), dtype=np.uint8)
+    px[1] = np.arange(300) % 256
+    px[2, ::2] = 7
+    b = mm.encode_bmp_gray8(px, bpp=8, rle=True)
+    assert np.array_equal(
+        mm.decode_bmp_pixels(b), np.repeat(px[:, :, None], 3, axis=2)
+    )
+    # delta skip: hand-built stream leaves skipped pixels 0
+    pal = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    rle = b"\x02\x09" + b"\x00\x02\x03\x01" + b"\x02\x05" + b"\x00\x00" + b"\x00\x01"
+    info = _struct.pack("<IiiHHIIiiII", 40, 8, 2, 1, 8, 1, len(rle), 0, 0, 256, 0)
+    off = 14 + 40 + len(pal)
+    hand = _struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off) + info + pal + rle
+    out = mm.decode_bmp_pixels(hand)
+    # stream row 0 = bottom row: 9,9 then skip(+3,+1) — next row px 5,5
+    assert out[1, 0, 0] == 9 and out[1, 1, 0] == 9 and out[1, 2, 0] == 0
+    assert out[0, 5, 0] == 5 and out[0, 4, 0] == 0
+    # error contracts
+    with _pytest.raises(ValueError):
+        mm.decode_bmp_pixels(b"BMxx")
+    with _pytest.raises(ValueError):
+        mm.decode_bmp_pixels(mm.encode_bmp_gray8(px, bpp=8)[:40])
+    bad = bytearray(mm.encode_bmp_gray8(px, bpp=24))
+    bad[30:34] = (3).to_bytes(4, "little")  # BI_BITFIELDS
+    with _pytest.raises(NotImplementedError):
+        mm.decode_bmp_pixels(bytes(bad))
+    with _pytest.raises(ValueError):
+        mm.encode_bmp_gray8(px, bpp=8, rle=True, top_down=True)
+
+
+def test_tiff_codec_roundtrips():
+    """r13: baseline TIFF decodes for REAL — both byte orders, strip
+    layout, PackBits and TIFF-variant LZW (MSB-first packing with the
+    EarlyChange width bumps), horizontal-differencing predictor —
+    bit-exact round trips plus the structural error contracts."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import multimodal as mm
+
+    rng = np.random.default_rng(37)
+    for (h, w) in ((1, 1), (3, 5), (9, 31), (40, 17)):
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for kw in (
+            dict(),
+            dict(big_endian=True),
+            dict(compression="packbits"),
+            dict(compression="lzw"),
+            dict(compression="lzw", predictor=True),
+            dict(compression="lzw", big_endian=True, rows_per_strip=3),
+            dict(compression="packbits", rows_per_strip=5),
+        ):
+            b = mm.encode_tiff_gray8(px, **kw)
+            assert np.array_equal(mm.decode_tiff_pixels(b), px), kw
+            assert np.array_equal(mm.decode_image_pixels(b), px), kw
+            assert mm.parse_image_header(b) == ("tiff", w, h), kw
+    # LZW width bumps and the 12-bit table clear: a strip long enough
+    # to cross 510/1022/2046 and force a mid-stream Clear
+    big = (np.arange(120 * 301, dtype=np.int64) % 251).astype(
+        np.uint8
+    ).reshape(120, 301)
+    for kw in (dict(compression="lzw"), dict(compression="packbits")):
+        b = mm.encode_tiff_gray8(big, rows_per_strip=120, **kw)
+        assert np.array_equal(mm.decode_tiff_pixels(b), big), kw
+    raw = rng.integers(0, 256, 300000).astype(np.uint8).tobytes()
+    assert mm._tiff_lzw_decode(mm._tiff_lzw_encode(raw)) == raw
+    assert mm._packbits_decode(mm._packbits_encode(raw)) == raw
+    # WhiteIsZero polarity: flip the photometric SHORT in place
+    px = rng.integers(0, 256, (5, 7)).astype(np.uint8)
+    b = bytearray(mm.encode_tiff_gray8(px))
+    i = b.find(bytes.fromhex("060103000100000001000000"))
+    assert i > 0
+    b[i + 8] = 0  # photometric = WhiteIsZero
+    assert np.array_equal(mm.decode_tiff_pixels(bytes(b)), 255 - px)
+    # error contracts: truncated IFD / strip, unsupported compression
+    good = mm.encode_tiff_gray8(px)
+    with _pytest.raises(ValueError):
+        mm.decode_tiff_pixels(good[:20])
+    with _pytest.raises(ValueError):
+        mm.decode_tiff_pixels(good[:-3])
+    b = bytearray(good)
+    i = b.find(bytes.fromhex("030103000100000001000000"))
+    assert i > 0
+    b[i + 8] = 7  # compression = embedded JPEG
+    with _pytest.raises(NotImplementedError):
+        mm.decode_tiff_pixels(bytes(b))
+    with _pytest.raises(ValueError):
+        mm.decode_tiff_pixels(b"II*\x00\x08\x00\x00\x00")
 
 
 # --- real JPEG pixel codec (r11) ---------------------------------------------
@@ -2471,7 +2595,7 @@ def test_resize_pixels_nn_exact_algebra():
 
 def test_resize_image_pixels_end_to_end(spark):
     """decode → NN resample → PNG re-encode over Arrow batches, for
-    all three input codecs: the resized payload decodes back to the
+    all five input codecs: the resized payload decodes back to the
     exact integer-algebra pixels of the planted pattern."""
     import numpy as np
     from pyspark.sql import functions as F
@@ -2491,7 +2615,7 @@ def test_resize_image_pixels_end_to_end(spark):
         for r in resize_image_pixels(media, max_side=16).collect()
     }
     for mid in range(18):
-        if mid % 3 == 2:  # JPEG pattern: constant 8x8 blocks mod 8
+        if mid % 5 == 2:  # JPEG pattern: constant 8x8 blocks mod 8
             w8, h8 = 1 + mid % 8, 1 + (mid * 7) % 8
             by, bx = np.mgrid[0:h8, 0:w8]
             base = np.repeat(
@@ -2513,8 +2637,9 @@ def test_resize_image_pixels_end_to_end(spark):
         xs = (np.arange(ow) * w) // ow
         ys = (np.arange(oh) * h) // oh
         expect = base[ys][:, xs]
-        # GIF decodes to RGB triples of the gray pattern; PNG/JPEG gray
-        if mid % 3 == 1:
+        # GIF/BMP decode to RGB triples of the gray pattern;
+        # PNG/JPEG/TIFF stay gray
+        if mid % 5 in (1, 3):
             assert out.shape == (oh, ow, 3)
             assert (out == expect[:, :, None]).all(), mid
         else:
