@@ -3639,9 +3639,12 @@ def sample_frames(
             out = {k.name: [] for k in FRAME_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload or b"")
-                if len(b) >= 12 and b[4:8] == b"ftyp":
+                if len(b) >= 12 and (
+                    b[4:8] == b"ftyp"
+                    or (b[:4] == b"RIFF" and b[8:12] == b"AVI ")
+                ):
                     try:
-                        _n, picks = extract_mp4_frames(
+                        _n, picks = extract_video_frames(
                             b, max_frames, keyframes_only=keyframes_only
                         )
                     except (ValueError, NotImplementedError, struct.error):
@@ -3664,9 +3667,9 @@ def sample_frames(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "only ISO-BMFF (MP4) payloads decode natively; "
-                        "pass fake=True for the reel fallback or plug "
-                        "a real frame decoder"
+                        "only ISO-BMFF (MP4) and RIFF-AVI payloads "
+                        "decode natively; pass fake=True for the reel "
+                        "fallback or plug a real frame decoder"
                     )
                 reel = b.decode("utf-8", "replace")
                 for k in range(max_frames):
@@ -4693,8 +4696,9 @@ def multimodal_profile(
     (``synthesize_pattern_media``'s rotation →
     :func:`decode_image_pixels`), REAL audio stats
     (``_pattern_wav_bytes`` → :func:`decode_wav_samples`), REAL video
-    frames (r13 — ``_pattern_mp4_bytes`` → :func:`extract_mp4_frames`
-    walks genuine stsd/stsz/stsc/stco sample tables and
+    frames (r13 — ``_pattern_video_bytes`` →
+    :func:`extract_video_frames` walks genuine MP4 stsd/stsz/stsc/stco
+    sample tables or the AVI movi/idx1 structure and
     :func:`decode_jpeg_pixels` decodes each sampled frame; the
     ``vf_*`` columns aggregate the planted per-frame pixels), and
     frame sampling — emitting the final wide row per (media, frame)
@@ -4770,12 +4774,13 @@ def multimodal_profile(
                 except (ValueError, NotImplementedError, struct.error):
                     au_stats = (None, None, None, None, None)
                 # REAL video-frame arm (r13 — VERDICT r12 #1): build a
-                # genuine motion-JPEG MP4, walk its sample tables, and
-                # decode every sampled frame's planted JPEG — aggregated
-                # so the oracle re-derives the stats arithmetically
+                # genuine motion-JPEG container (MP4/AVI rotating by
+                # id), walk its sample tables / index, and decode every
+                # sampled frame's planted JPEG — aggregated so the
+                # oracle re-derives the stats arithmetically
                 try:
-                    vb = _pattern_mp4_bytes(mid)
-                    nf, picks = extract_mp4_frames(vb, max_frames)
+                    vb = _pattern_video_bytes(mid)
+                    nf, picks = extract_video_frames(vb, max_frames)
                     vf_px_n = 0
                     vf_px_sum = 0
                     for _idx, raw in picks:
@@ -4998,15 +5003,48 @@ def _mp4_boxes(b: bytes, start: int, end: int):
 
 def parse_video_header(payload: bytes | None):
     """``(format, brand, duration_ms, width, height, n_tracks)`` from
-    an ISO-BMFF (MP4/MOV) payload — the video mirror of
-    :func:`parse_image_header` / :func:`parse_audio_header`.  Walks
-    ftyp (major brand), moov/mvhd (timescale + duration → exact
+    an ISO-BMFF (MP4/MOV) or RIFF-AVI payload — the video mirror of
+    :func:`parse_image_header` / :func:`parse_audio_header`.  BMFF
+    walks ftyp (major brand), moov/mvhd (timescale + duration → exact
     integer milliseconds, floor), and every trak/tkhd (16.16
     fixed-point presentation geometry; the reported width/height are
-    the maxima across tracks — audio tracks carry zeros).  Non-BMFF
-    payloads return all NULLs; a recognized container with malformed
-    boxes raises ``ValueError``."""
+    the maxima across tracks — audio tracks carry zeros).  AVI (r13)
+    reads the 'hdrl' main header (µs-per-frame × total frames →
+    duration, presentation geometry, stream count) and reports the
+    video stream's fccHandler as the brand.  Unrecognized payloads
+    return all NULLs; a recognized container with malformed structure
+    raises ``ValueError``."""
     b = payload or b""
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        (riff_size,) = struct.unpack("<I", b[4:8])
+        end = min(len(b), 8 + riff_size)
+        duration_ms = width = height = n_streams = None
+        handler = None
+        for tag, body, bend in _riff_chunks(b, 12, end):
+            if tag != b"LIST" or b[body : body + 4] != b"hdrl":
+                continue
+            for t2, b2, e2 in _riff_chunks(b, body + 4, bend):
+                if t2 == b"avih" and e2 - b2 >= 40:
+                    (uspf, _mbs, _pad, _fl, total, _init, ns, _buf,
+                     w, h) = struct.unpack("<10I", b[b2 : b2 + 40])
+                    duration_ms = uspf * total // 1000
+                    width, height = w or None, h or None
+                    n_streams = ns or None
+                elif t2 == b"LIST" and b[b2 : b2 + 4] == b"strl":
+                    for t3, b3, e3 in _riff_chunks(b, b2 + 4, e2):
+                        if (
+                            t3 == b"strh"
+                            and e3 - b3 >= 8
+                            and b[b3 : b3 + 4] == b"vids"
+                            and handler is None
+                        ):
+                            handler = (
+                                b[b3 + 4 : b3 + 8]
+                                .rstrip(b"\x00 ")
+                                .decode("ascii", "replace")
+                                or None
+                            )
+        return ("avi", handler, duration_ms, width, height, n_streams)
     if len(b) < 12 or b[4:8] != b"ftyp":
         return (None, None, None, None, None, None)
     brand = b[8:12].decode("ascii", "replace")
@@ -5422,14 +5460,346 @@ def extract_mp4_frames(
     raise ValueError("MP4 without a video track")
 
 
-def _pattern_mp4_bytes(mid: int) -> bytes:
-    """A real motion-JPEG MP4 of planted frames (r13): ``1 + mid % 6``
-    frames at ``(1 + mid % 4) × (1 + 7·mid % 4)`` constant 8×8 blocks,
-    frame ``k``'s block ``(gx, gy)`` holding
+# --- real AVI container (r13, stdlib-only) ------------------------------------
+#
+# AVI is the other video container a web crawl actually carries: RIFF
+# (the WAV layout, little-endian) with an 'AVI ' form — 'hdrl' list
+# (avih main header + one 'strl' per stream with strh/strf), a 'movi'
+# list holding the frame chunks ('NNdc'), and an optional 'idx1'
+# index whose entries carry per-frame keyframe flags.  Motion-JPEG
+# AVI frames are complete JPEGs, so the whole decode stack below the
+# container (decode_jpeg_pixels) is shared with the MP4 path.
+
+_AVIF_HASINDEX = 0x00000010
+_AVIIF_KEYFRAME = 0x00000010
+_AVI_MJPEG_CODECS = (b"MJPG", b"mjpg", b"jpeg", b"dmb1", b"JPEG")
+
+
+def _riff_chunks(b: bytes, start: int, end: int):
+    """yield ``(tag, body_start, body_end)`` for each RIFF chunk in
+    [start, end) — little-endian sizes, word-aligned like WAV."""
+    i = start
+    while i + 8 <= end:
+        tag = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = i + 8
+        if body + size > end:
+            raise ValueError("truncated AVI chunk")
+        yield tag, body, body + size
+        i = body + size + (size & 1)
+
+
+def encode_avi_mjpeg(
+    frames: list,
+    width: int,
+    height: int,
+    us_per_frame: int = 33333,
+    with_idx1: bool = True,
+    absolute_idx1: bool = False,
+    keyframe_every: int = 0,
+    rec_group: int = 0,
+) -> bytes:
+    """Minimal REAL RIFF-AVI file carrying a motion-JPEG video stream
+    (r13): 'hdrl' (avih + strl/strh/strf), a 'movi' list of complete
+    per-frame JPEG '00dc' chunks (word-aligned), and — when
+    ``with_idx1`` — a genuine 'idx1' index with per-entry keyframe
+    flags.  The fixture mirror of :func:`extract_avi_frames`, playing
+    the role :func:`encode_mp4_mjpeg` plays for the BMFF walker.
+    Any AVI tool reads the structure.
+
+    ``absolute_idx1`` writes idx1 offsets as absolute file positions
+    (the other convention real encoders used — relative-to-'movi' is
+    the spec's) so the extractor's base-probe is testable.
+    ``keyframe_every`` flags frames 0, k, 2k, ... as keyframes;
+    0 flags EVERY frame (motion-JPEG is all-intra).  ``rec_group``
+    wraps each group of N frame chunks in a nested ``LIST 'rec '``
+    (the interleave grouping 1.0-era encoders wrote) so the
+    sequential movi walk must recurse."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+
+    def ck(tag: bytes, body: bytes) -> bytes:
+        return (
+            tag
+            + struct.pack("<I", len(body))
+            + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return ck(b"LIST", fourcc + body)
+
+    n = len(frames)
+    flags = _AVIF_HASINDEX if with_idx1 else 0
+    avih = ck(
+        b"avih",
+        struct.pack(
+            "<14I",
+            us_per_frame,
+            0,  # max bytes/sec
+            0,  # padding granularity
+            flags,
+            n,  # total frames
+            0,  # initial frames
+            1,  # streams
+            max(len(f) for f in frames),
+            width,
+            height,
+            0,
+            0,
+            0,
+            0,
+        ),
+    )
+    strh = ck(
+        b"strh",
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIII",
+            0,  # flags
+            0,  # priority
+            0,  # language
+            0,  # initial frames
+            us_per_frame,  # scale
+            1_000_000,  # rate (frames/sec = rate/scale)
+            0,  # start
+            n,  # length in frames
+        )
+        + struct.pack(
+            "<IiI", max(len(f) for f in frames), -1, 0
+        )  # buffer, quality, sample size
+        + struct.pack("<hhhh", 0, 0, width, height),
+    )
+    strf = ck(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII",
+            40,
+            width,
+            height,
+            1,
+            24,
+            b"MJPG",
+            width * height * 3,
+            0,
+            0,
+            0,
+            0,
+        ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    # movi body: frame chunks, optionally grouped into 'rec ' lists;
+    # idx1 offsets are measured from the 'movi' fourcc (spec
+    # convention), so track each chunk header's position as we build
+    movi_body = b""
+    rel_offsets = []  # offset of each '00dc' header from 'movi' fourcc
+    if rec_group and rec_group > 0:
+        i = 0
+        while i < n:
+            group = frames[i : i + rec_group]
+            inner = b""
+            inner_rel = []
+            for f in group:
+                # +12 below: 'LIST'+size+'rec ' header precedes inner
+                inner_rel.append(len(inner))
+                inner += ck(b"00dc", f)
+            base = 4 + len(movi_body) + 12
+            rel_offsets.extend(base + r for r in inner_rel)
+            movi_body += lst(b"rec ", inner)
+            i += rec_group
+    else:
+        for f in frames:
+            rel_offsets.append(4 + len(movi_body))
+            movi_body += ck(b"00dc", f)
+    movi = lst(b"movi", movi_body)
+    riff_body_pre = b"AVI " + hdrl + movi
+    # absolute position of the 'movi' fourcc in the final file:
+    # 'RIFF'+size (8) + 'AVI ' + hdrl + 'LIST'+size (8)
+    movi_fcc_abs = 8 + 4 + len(hdrl) + 8
+    idx1 = b""
+    if with_idx1:
+        entries = b""
+        for k, f in enumerate(frames):
+            is_key = (
+                keyframe_every <= 0 or k % keyframe_every == 0
+            )
+            off = rel_offsets[k] + (movi_fcc_abs if absolute_idx1 else 0)
+            entries += b"00dc" + struct.pack(
+                "<III", _AVIIF_KEYFRAME if is_key else 0, off, len(f)
+            )
+        idx1 = ck(b"idx1", entries)
+    riff_body = riff_body_pre + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def extract_avi_frames(
+    payload: bytes | None,
+    max_frames: int | None = None,
+    keyframes_only: bool = False,
+):
+    """REAL AVI frame extraction (r13): find the motion-JPEG video
+    stream in 'hdrl', then cut each frame chunk's exact byte range —
+    via the 'idx1' index when present (probing both offset
+    conventions: relative-to-'movi' per spec, absolute as many real
+    encoders wrote), else by walking the 'movi' list sequentially
+    (recursing into 'rec ' interleave groups).  Returns
+    ``(n_frames, [(frame_idx, bytes), ...])`` with the same
+    evenly-spaced ``idx_j = j·n // m`` bound as
+    :func:`extract_mp4_frames` — one shared contract, one oracle
+    formula.  ``keyframes_only`` restricts candidates to idx1 entries
+    flagged AVIIF_KEYFRAME; an absent idx1 means every frame is a
+    candidate (motion-JPEG is all-intra).
+
+    Raises ``ValueError`` for non-AVI/malformed structure (offsets
+    that resolve under neither convention, index/chunk size
+    disagreement, stream-length mismatch) and ``NotImplementedError``
+    when the video stream is not JPEG-coded — the same honest
+    boundary as the MP4 walker."""
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    (riff_size,) = struct.unpack("<I", b[4:8])
+    end = min(len(b), 8 + riff_size)
+    stream_no = None
+    handler = compression = None
+    n_streams = 0
+    declared_len = None
+    movi_fcc = None  # absolute offset of the 'movi' fourcc
+    movi_range = None
+    idx1_range = None
+    for tag, body, bend in _riff_chunks(b, 12, end):
+        if tag == b"LIST":
+            sub = b[body : body + 4]
+            if sub == b"hdrl":
+                for t2, b2, e2 in _riff_chunks(b, body + 4, bend):
+                    if t2 != b"LIST" or b[b2 : b2 + 4] != b"strl":
+                        continue
+                    s_type = s_handler = s_comp = None
+                    s_len = None
+                    for t3, b3, e3 in _riff_chunks(b, b2 + 4, e2):
+                        if t3 == b"strh" and e3 - b3 >= 36:
+                            s_type = b[b3 : b3 + 4]
+                            s_handler = b[b3 + 4 : b3 + 8]
+                            (s_len,) = struct.unpack(
+                                "<I", b[b3 + 32 : b3 + 36]
+                            )
+                        elif t3 == b"strf" and e3 - b3 >= 20:
+                            s_comp = b[b3 + 16 : b3 + 20]
+                    if s_type == b"vids" and stream_no is None:
+                        stream_no = n_streams
+                        handler, compression = s_handler, s_comp
+                        declared_len = s_len
+                    n_streams += 1
+            elif sub == b"movi":
+                movi_fcc = body
+                movi_range = (body + 4, bend)
+        elif tag == b"idx1":
+            idx1_range = (body, bend)
+    if stream_no is None:
+        raise ValueError("AVI without a video stream")
+    if not (
+        (handler or b"").rstrip(b"\x00 ") in _AVI_MJPEG_CODECS
+        or (compression or b"").rstrip(b"\x00 ") in _AVI_MJPEG_CODECS
+    ):
+        raise NotImplementedError(
+            "AVI video stream is not motion-JPEG (other codecs' frame "
+            "decode is the documented boundary)"
+        )
+    if movi_range is None:
+        raise ValueError("AVI without a movi list")
+    prefix = b"%02d" % stream_no
+    chunks = []  # (header_abs_pos, size, keyframe)
+    if idx1_range is not None:
+        i0, i1 = idx1_range
+        base = None  # resolved on the first video entry
+        for p in range(i0, i1 - 15, 16):
+            ckid = b[p : p + 4]
+            if ckid[:2] != prefix or ckid[2:4] not in (b"dc", b"db"):
+                continue
+            iflags, off, size = struct.unpack("<III", b[p + 4 : p + 16])
+            if base is None:
+                # probe: spec says relative to the 'movi' fourcc,
+                # many encoders wrote absolute file offsets
+                if b[movi_fcc + off : movi_fcc + off + 4] == ckid:
+                    base = movi_fcc
+                elif b[off : off + 4] == ckid:
+                    base = 0
+                else:
+                    raise ValueError(
+                        "AVI idx1 offset resolves under neither the "
+                        "relative nor the absolute convention"
+                    )
+            pos = base + off
+            if b[pos : pos + 4] != ckid:
+                raise ValueError("AVI idx1 entry points at no chunk")
+            (csize,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            if csize != size:
+                raise ValueError("AVI idx1/chunk size disagreement")
+            if pos + 8 + size > len(b):
+                raise ValueError("AVI frame extends past end of file")
+            chunks.append((pos, size, bool(iflags & _AVIIF_KEYFRAME)))
+    else:
+
+        def scan(lo: int, hi: int):
+            for t, cb, ce in _riff_chunks(b, lo, hi):
+                if t == b"LIST" and b[cb : cb + 4] == b"rec ":
+                    scan(cb + 4, ce)
+                elif t[:2] == prefix and t[2:4] in (b"dc", b"db"):
+                    chunks.append((cb - 8, ce - cb, True))
+
+        scan(*movi_range)
+    n = len(chunks)
+    if declared_len and declared_len != n:
+        raise ValueError(
+            "AVI stream length disagrees with its frame-chunk count"
+        )
+    candidates = [
+        i for i, (_p, _s, key) in enumerate(chunks) if key
+    ] if keyframes_only else list(range(n))
+    nc = len(candidates)
+    m = nc if max_frames is None else min(nc, max_frames)
+    picks = [candidates[(j * nc) // m] for j in range(m)] if m else []
+    out = []
+    for idx in picks:
+        pos, size, _key = chunks[idx]
+        out.append((idx, b[pos + 8 : pos + 8 + size]))
+    return n, out
+
+
+def extract_video_frames(
+    payload: bytes | None,
+    max_frames: int | None = None,
+    keyframes_only: bool = False,
+):
+    """Container dispatch for REAL frame extraction — ISO-BMFF (MP4)
+    via :func:`extract_mp4_frames`, RIFF-AVI via
+    :func:`extract_avi_frames` — one ``(n, [(idx, jpeg_bytes)])``
+    contract.  Unrecognized payloads raise ``ValueError``; a
+    recognized container with a non-JPEG video codec raises
+    ``NotImplementedError`` (the honest boundary both walkers
+    share)."""
+    b = payload or b""
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return extract_mp4_frames(b, max_frames, keyframes_only)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return extract_avi_frames(b, max_frames, keyframes_only)
+    raise ValueError("not a recognized video container")
+
+
+def _pattern_video_bytes(mid: int) -> bytes:
+    """A real motion-JPEG video file of planted frames (r13):
+    ``1 + mid % 6`` frames at ``(1 + mid % 4) × (1 + 7·mid % 4)``
+    constant 8×8 blocks, frame ``k``'s block ``(gx, gy)`` holding
     ``(mid + 5·k + 3·gx + 7·gy) % 256`` — flat-quant JPEG per frame so
-    decode is exact, chunked ``1 + mid % 3`` samples per chunk so the
-    stsc walk is non-trivial, restart markers on odd ids — every
-    frame statistic re-derivable arithmetically by an oracle."""
+    decode is exact, restart markers on odd ids.  The CONTAINER
+    rotates by ``(mid >> 2) % 2`` — ISO-BMFF MP4 (chunked
+    ``1 + mid % 3`` samples per chunk so the stsc walk is
+    non-trivial) or RIFF-AVI (idx1 present/absent by bit 3; absolute
+    idx1 offsets or 'rec ' interleave groups by bit 4) — both
+    lossless for the planted frames, so the oracle arithmetic is
+    rotation-invariant while two whole container walkers sit under
+    the value hash."""
     import numpy as np
 
     n_frames = 1 + mid % 6
@@ -5447,6 +5817,16 @@ def _pattern_mp4_bytes(mid: int) -> bytes:
                 px, quant=1, restart_interval=2 if (mid >> 1) & 1 else 0
             )
         )
+    if (mid >> 2) & 1:
+        with_idx1 = not (mid >> 3) & 1
+        return encode_avi_mjpeg(
+            frames,
+            bx * 8,
+            by * 8,
+            with_idx1=with_idx1,
+            absolute_idx1=with_idx1 and bool((mid >> 4) & 1),
+            rec_group=2 if (not with_idx1 and (mid >> 4) & 1) else 0,
+        )
     return encode_mp4_mjpeg(
         frames, bx * 8, by * 8, samples_per_chunk=1 + mid % 3
     )
@@ -5455,10 +5835,10 @@ def _pattern_mp4_bytes(mid: int) -> bytes:
 def synthesize_pattern_video(
     docs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Deterministic REAL motion-JPEG MP4 media table for the video
+    """Deterministic REAL motion-JPEG video media table for the video
     gate (r13): one planted container per document
-    (:func:`_pattern_mp4_bytes`), built executor-side in
-    ``mapInPandas`` like real ingested video."""
+    (:func:`_pattern_video_bytes` — MP4/AVI rotating by id), built
+    executor-side in ``mapInPandas`` like real ingested video."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -5466,7 +5846,9 @@ def synthesize_pattern_video(
             yield pd.DataFrame(
                 {
                     "media_id": mids,
-                    "payload": [_pattern_mp4_bytes(int(m)) for m in mids],
+                    "payload": [
+                        _pattern_video_bytes(int(m)) for m in mids
+                    ],
                 }
             )
 
@@ -5496,14 +5878,15 @@ def video_frame_stats(
     keyframes_only: bool = False,
 ) -> DataFrame:
     """(media_id, vf_n_frames, vf_sampled, vf_px_n, vf_px_sum) over
-    REAL container frames (r13): :func:`extract_mp4_frames` walks the
-    MP4 sample tables, the evenly-spaced samples decode through
+    REAL container frames (r13): :func:`extract_video_frames` walks
+    the MP4 sample tables or the AVI movi/idx1 structure, the
+    evenly-spaced samples decode through
     :func:`decode_image_pixels` (JPEG-coded tracks; ``decoder`` is
     the r12 fast seam, resolved inside the task), and the per-frame
     pixel stats aggregate per clip — the video mirror of
     :func:`image_pixel_stats`/:func:`audio_stats`.  Undecodable /
-    non-BMFF / non-JPEG-track payloads yield NULL stats rather than
-    failing the batch."""
+    unrecognized / non-JPEG-track payloads yield NULL stats rather
+    than failing the batch."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5512,7 +5895,7 @@ def video_frame_stats(
             nfs, samp, ns, sums = [], [], [], []
             for p in pdf["payload"]:
                 try:
-                    nf, picks = extract_mp4_frames(
+                    nf, picks = extract_video_frames(
                         bytes(p or b""),
                         max_frames,
                         keyframes_only=keyframes_only,

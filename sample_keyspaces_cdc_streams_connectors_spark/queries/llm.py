@@ -1791,7 +1791,9 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN augrid g ON g.i < 64 + d.doc_id % 256
       GROUP BY d.doc_id
     ),
-    -- video arm (r13): real motion-JPEG MP4 per doc — 1 + id % 6
+    -- video arm (r13): real motion-JPEG video per doc (container
+    -- rotates MP4/AVI by (id >> 2) % 2 — lossless either way, so
+    -- the arithmetic is rotation-invariant) — 1 + id % 6
     -- planted frames at (1 + id % 4) x (1 + 7 id % 4) constant 8x8
     -- blocks, frame k block (gx, gy) = (id + 5k + 3gx + 7gy) % 256;
     -- the engine walks the REAL stsd/stsz/stsc/stco sample tables,
@@ -1899,16 +1901,21 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash.
 
     Arm ``vf`` (r13, the vf_n_frames/vf_sampled/vf_px_n/vf_px_sum
-    columns): REAL VIDEO FRAME decoding.  ``_pattern_mp4_bytes``
-    builds one genuine motion-JPEG MP4 per document executor-side
-    (planted per-frame block patterns, non-trivial stsc chunking);
-    ``extract_mp4_frames`` walks the REAL ISO-BMFF sample tables
-    (stsd/stsz/stsc/stco), cuts the evenly-spaced samples' exact byte
+    columns): REAL VIDEO FRAME decoding.  ``_pattern_video_bytes``
+    builds one genuine motion-JPEG video file per document
+    executor-side (planted per-frame block patterns), rotating the
+    CONTAINER by ``(doc_id >> 2) % 2`` — ISO-BMFF MP4 (non-trivial
+    stsc chunking) or RIFF-AVI (idx1 relative/absolute offsets,
+    index-less sequential movi walks, 'rec ' interleave groups) —
+    both lossless for the planted frames, so the oracle arithmetic is
+    rotation-invariant while two whole container walkers sit under
+    the value hash; ``extract_video_frames`` walks the REAL sample
+    tables / index, cuts the evenly-spaced samples' exact byte
     ranges, and ``decode_jpeg_pixels`` decodes each frame; the
     aggregated per-frame pixel stats are re-derived arithmetically by
-    the oracle — a wrong chunk walk, sample offset, or frame decode
-    breaks the hash.  The fake text reel survives ONLY for
-    unrecognized payloads (the frames columns)."""
+    the oracle — a wrong chunk walk, sample offset, index
+    resolution, or frame decode breaks the hash.  The fake text reel
+    survives ONLY for unrecognized payloads (the frames columns)."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import multimodal_profile
 
     # r12: ONE fused mapInPandas pass emits the whole profile per

@@ -526,7 +526,8 @@ def test_mp4_mjpeg_sample_tables_and_real_frames(spark):
     import numpy as np
 
     from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
-        _pattern_mp4_bytes,
+        _pattern_video_bytes,
+        extract_video_frames,
         decode_jpeg_pixels,
         encode_jpeg_gray8,
         encode_mp4_mjpeg,
@@ -607,12 +608,15 @@ def test_mp4_mjpeg_sample_tables_and_real_frames(spark):
     )
     r = video_frame_stats(junk).collect()[0]
     assert r["vf_n_frames"] is None and r["vf_px_sum"] is None
-    # the pattern fixture round-trips bit-exactly frame by frame
-    p = _pattern_mp4_bytes(13)
-    nf, picks = extract_mp4_frames(p, max_frames=4)
+    # the pattern fixture round-trips bit-exactly frame by frame —
+    # the container now rotates MP4/AVI by (mid >> 2) % 2 (r13)
+    p = _pattern_video_bytes(13)  # bit 2 set → AVI
+    assert p[:4] == b"RIFF" and p[8:12] == b"AVI "
+    nf, picks = extract_video_frames(p, max_frames=4)
     assert nf == 1 + 13 % 6 and len(picks) == min(nf, 4)
-    p = _pattern_mp4_bytes(16)  # 5 frames: sampling actually skips one
-    nf, picks = extract_mp4_frames(p, max_frames=4)
+    p = _pattern_video_bytes(16)  # 5 frames, bit 2 clear → MP4
+    assert p[4:8] == b"ftyp"
+    nf, picks = extract_video_frames(p, max_frames=4)
     assert nf == 5 and [i for i, _ in picks] == [0, 1, 2, 3]
     # stss keyframe-aware sampling (r13): with a sync-sample table
     # marking every 2nd sample, keyframes_only samples only those;
@@ -629,6 +633,118 @@ def test_mp4_mjpeg_sample_tables_and_real_frames(spark):
     _n, picked = extract_mp4_frames(no_stss, max_frames=3,
                                     keyframes_only=True)
     assert [i for i, _ in picked] == [0, 1, 3]
+
+
+def test_avi_mjpeg_container_and_real_frames(spark):
+    """r13: REAL AVI frame decode.  The fixture encoder writes a
+    genuine RIFF-AVI (hdrl/strl headers, word-aligned '00dc' movi
+    chunks, optional idx1 with keyframe flags); extract_avi_frames
+    cuts each frame's exact JPEG bytes under every structural variant
+    — idx1 relative offsets (spec), idx1 absolute offsets (the other
+    real-world convention), no idx1 (sequential movi walk), and
+    'rec ' interleave groups — and the same evenly-spaced sampling /
+    honest-boundary contracts as the MP4 walker hold."""
+    import hashlib
+
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        decode_jpeg_pixels,
+        encode_avi_mjpeg,
+        encode_jpeg_gray8,
+        extract_avi_frames,
+        parse_video_header,
+        sample_frames,
+        video_frame_stats,
+    )
+
+    frames = [
+        encode_jpeg_gray8(np.full((8, 8), v, np.uint8), quant=1)
+        for v in (5, 60, 120, 180, 240)
+    ]
+    variants = [
+        dict(),
+        dict(absolute_idx1=True),
+        dict(with_idx1=False),
+        dict(with_idx1=False, rec_group=2),
+        dict(rec_group=3),
+    ]
+    for kw in variants:
+        avi = encode_avi_mjpeg(frames, 8, 8, **kw)
+        n, out = extract_avi_frames(avi)
+        assert n == 5 and [i for i, _ in out] == [0, 1, 2, 3, 4], kw
+        assert all(raw == orig for (_, raw), orig in zip(out, frames))
+        for _, raw in out:
+            decode_jpeg_pixels(raw)
+        # the header walker reads the same file: duration is
+        # µs-per-frame × frames // 1000, brand is the video handler
+        fmt, brand, dur, w, h, nt = parse_video_header(avi)
+        assert (fmt, brand, w, h, nt) == ("avi", "MJPG", 8, 8, 1)
+        assert dur == 33333 * 5 // 1000
+    # even sampling uses the shared idx_j = j*n//m formula
+    avi = encode_avi_mjpeg(frames, 8, 8)
+    _n, picked = extract_avi_frames(avi, max_frames=3)
+    assert [i for i, _ in picked] == [0, 1, 3]
+    # idx1 keyframe flags are authoritative under keyframes_only;
+    # an absent idx1 means every frame is a candidate (all-intra)
+    kf = encode_avi_mjpeg(frames, 8, 8, keyframe_every=2)
+    _n, picked = extract_avi_frames(kf, max_frames=4, keyframes_only=True)
+    assert [i for i, _ in picked] == [0, 2, 4]
+    noidx = encode_avi_mjpeg(frames, 8, 8, with_idx1=False)
+    _n, picked = extract_avi_frames(noidx, max_frames=3,
+                                    keyframes_only=True)
+    assert [i for i, _ in picked] == [0, 1, 3]
+    # Spark pass: a mixed MP4 + AVI batch through one sample_frames
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import encode_mp4_mjpeg
+
+    mp4 = encode_mp4_mjpeg(frames[:3], 8, 8)
+    media = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(mp4))],
+        "media_id long, payload binary",
+    )
+    rows = sorted(
+        sample_frames(media, max_frames=8).collect(),
+        key=lambda r: (r["media_id"], r["frame_idx"]),
+    )
+    assert [r["frame_idx"] for r in rows if r["media_id"] == 1] == list(
+        range(5)
+    )
+    assert [r["frame_idx"] for r in rows if r["media_id"] == 2] == [0, 1, 2]
+    for r in rows:
+        orig = frames[r["frame_idx"]]
+        assert bytes(r["frame_payload"]) == orig
+        assert r["frame_digest"] == hashlib.md5(orig).hexdigest()
+    # a RECOGNIZED AVI with a non-MJPEG codec → NULL row, never a reel
+    h264 = bytearray(encode_avi_mjpeg(frames, 8, 8))
+    for _ in range(2):  # strh handler + strf biCompression
+        i = h264.find(b"MJPG")
+        h264[i : i + 4] = b"H264"
+    row = sample_frames(
+        spark.createDataFrame(
+            [(3, h264)], "media_id long, payload binary"
+        ),
+        max_frames=4,
+    ).collect()
+    assert len(row) == 1 and row[0]["frame_idx"] is None
+    r = video_frame_stats(
+        spark.createDataFrame([(3, h264)], "media_id long, payload binary")
+    ).collect()[0]
+    assert r["vf_n_frames"] is None and r["vf_px_sum"] is None
+    # malformed structures raise, never return wrong frames
+    with pytest.raises(ValueError, match="truncated AVI"):
+        extract_avi_frames(avi[: len(avi) // 2])
+    bad_len = bytearray(encode_avi_mjpeg(frames, 8, 8))
+    i = bad_len.find(b"vids") + 32  # strh dwLength
+    bad_len[i : i + 4] = (9).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="length disagrees"):
+        extract_avi_frames(bytes(bad_len))
+    bad_off = bytearray(encode_avi_mjpeg(frames, 8, 8))
+    i = bad_off.find(b"idx1") + 16  # first entry's dwOffset
+    bad_off[i : i + 4] = (0xDEAD).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="neither"):
+        extract_avi_frames(bytes(bad_off))
+    with pytest.raises(ValueError, match="not an AVI"):
+        extract_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
 
 
 def test_jpeg_lossless_codec_bit_exact():
