@@ -3823,25 +3823,50 @@ def parse_audio_header(payload: bytes | None):
     b = payload or b""
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         n_channels = sample_rate = bits = None
-        n_frames = None
+        n_frames = fact_frames = None
         i = 12
         block_align = None
+        audio_fmt = None
         while i + 8 <= len(b):
             tag = b[i : i + 4]
             (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
             body = b[i + 8 : i + 8 + clen]
             if tag == b"fmt " and len(body) >= 16:
-                _fmt, n_channels, sample_rate = struct.unpack(
+                audio_fmt, n_channels, sample_rate = struct.unpack(
                     "<HHI", body[:8]
                 )
                 block_align, bits = struct.unpack("<HH", body[12:16])
+            elif tag == b"fact" and len(body) >= 4:
+                (fact_frames,) = struct.unpack("<I", body[:4])
             elif tag == b"data":
                 if block_align:
                     # clamp to the bytes actually present: a truncated
                     # payload must not report frames it doesn't carry
                     # (len(body) is min(clen, bytes remaining))
                     n_frames = len(body) // block_align
+                    if audio_fmt in (0x02, 0x11) and n_channels:
+                        # block-coded ADPCM (r13): block_align is a
+                        # whole BLOCK; derive its frame capacity from
+                        # the block structure, preferring the fact
+                        # chunk's exact count when present
+                        if audio_fmt == 0x11:
+                            spb = (
+                                (block_align - 4 * n_channels)
+                                * 2
+                                // n_channels
+                                + 1
+                            )
+                        else:
+                            spb = (
+                                (block_align - 7 * n_channels)
+                                * 2
+                                // n_channels
+                                + 2
+                            )
+                        n_frames = len(body) // block_align * spb
             i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if audio_fmt in (0x02, 0x11) and fact_frames is not None:
+            n_frames = fact_frames
         return ("wav", n_channels, sample_rate, bits, n_frames)
     if b[:4] == b"fLaC":
         # STREAMINFO is mandatory and first (FLAC spec): 4-byte block
@@ -4419,11 +4444,12 @@ def decode_wav_samples(payload: bytes | None, decoder=None):
     32767 with clipping — both the standard conventions), and RAW
     int32 for 24/32-bit integer PCM (r13 — 24-bit is the standard
     studio/speech-corpus depth; no rescale keeps decode exact).
-    Raises
+    G.711 A-law/μ-law (r12) and IMA/MS ADPCM (r13 —
+    :mod:`~sample_keyspaces_cdc_streams_connectors_spark.llm.adpcm`) decode for real too.  Raises
     ``ValueError`` on malformed data, INCLUDING a data chunk that is
     not a whole number of frames (a torn trailing frame must not
     silently shrink the clip), and ``NotImplementedError`` for
-    compressed codecs (ADPCM, μ-law) — never wrong samples silently.
+    formats with no native decode — never wrong samples silently.
     Same scale posture as the image decoders: a ``mapInPandas``
     per-item kernel; payloads never reach the driver.  ``decoder``
     (r12) is the fast-path seam — same contract as
@@ -4462,10 +4488,19 @@ def decode_wav_samples(payload: bytes | None, decoder=None):
         raise ValueError("WAV without a data chunk")
     audio_fmt, ch, _rate = struct.unpack("<HHI", fmt_body[:8])
     bits = struct.unpack("<H", fmt_body[14:16])[0]
+    if audio_fmt in (0x02, 0x11):  # MS / IMA ADPCM (r13)
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.adpcm import (
+            decode_ima_adpcm_wav,
+            decode_ms_adpcm_wav,
+        )
+
+        if audio_fmt == 0x11:
+            return decode_ima_adpcm_wav(b)
+        return decode_ms_adpcm_wav(b)
     if audio_fmt not in (1, 3, 6, 7):
         raise NotImplementedError(
-            f"WAV audio format {audio_fmt} unsupported "
-            "(integer PCM, IEEE float, and G.711 A-law/μ-law only)"
+            f"WAV audio format {audio_fmt} unsupported (integer PCM, "
+            "IEEE float, G.711 A-law/μ-law, and IMA/MS ADPCM only)"
         )
     if ch < 1:
         raise ValueError("WAV with zero channels")

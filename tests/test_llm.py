@@ -2163,12 +2163,18 @@ def test_audio_header_magics_and_rejects():
     )
     with _pytest.raises(ValueError, match="not a WAV"):
         decode_wav_samples(b"fLaC\x00\x00\x00")
-    # compressed codec id -> explicit NotImplementedError
+    # unsupported codec id -> explicit NotImplementedError (format 2
+    # = MS ADPCM decodes for real since r13, so the boundary moved to
+    # genuinely-undecodable ids like 0x55 = MPEG Layer 3 in WAV)
     b = bytearray(
         encode_wav_pcm16(np.zeros((4, 1), dtype=np.int16), 8000)
     )
-    b[20] = 2  # fmt code 2 = MS ADPCM
-    with _pytest.raises(NotImplementedError, match="format 2"):
+    b[20] = 0x55
+    with _pytest.raises(NotImplementedError, match="format 85"):
+        decode_wav_samples(bytes(b))
+    # a PCM16 file relabeled ADPCM is malformed, never wrong samples
+    b[20] = 2
+    with _pytest.raises(NotImplementedError, match="16-bit nibbles"):
         decode_wav_samples(bytes(b))
     # fmt 3 (IEEE float) with an integer bit depth is malformed
     b[20] = 3
