@@ -1,0 +1,385 @@
+"""REAL stdlib Matroska / WebM container walk (r13) — the third video
+container of the web-crawl trio (ISO-BMFF MP4, RIFF AVI, EBML MKV).
+
+Matroska is an EBML document (the IETF-standardized binary XML:
+RFC 8794 for EBML itself, the Matroska spec for the element IDs):
+every element is ``id vint-size payload``.  The walker reads the
+structural subset a corpus pipeline needs — Info (timestamp scale +
+duration), Tracks (type / codec id / pixel geometry), and Clusters
+(SimpleBlock and BlockGroup/Block frame payloads with keyframe
+flags) — supporting both sized and UNKNOWN-SIZE (streamed) segments
+and clusters.  Motion-JPEG tracks (codec id ``V_MJPEG``) carry one
+complete JPEG per block, so frame extraction shares the whole decode
+stack below the container with the MP4/AVI paths; any other video
+codec raises ``NotImplementedError`` — the same honest boundary.
+
+The fixture encoder writes genuine EBML (header, doctype
+matroska/webm, Info, Tracks, timestamped Clusters) that any Matroska
+tool reads — the mirror the MP4/AVI/FLAC/JPEG codecs all have.
+
+Reference tie-in: the reference ships media bytes opaquely
+(AbstractAvroConverter.java:100-134); a training-data engine has to
+see inside them.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "encode_mkv_mjpeg",
+    "extract_mkv_frames",
+    "parse_mkv_header",
+]
+
+# Matroska element IDs (as serialized, marker bits included)
+_EBML = 0x1A45DFA3
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TIMESTAMP_SCALE = 0x2AD7B1
+_DURATION = 0x4489
+_MUXING_APP = 0x4D80
+_WRITING_APP = 0x5741
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUMBER = 0xD7
+_TRACK_UID = 0x73C5
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_VIDEO = 0xE0
+_PIXEL_WIDTH = 0xB0
+_PIXEL_HEIGHT = 0xBA
+_CLUSTER = 0x1F43B675
+_CLUSTER_TIMESTAMP = 0xE7
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
+_REFERENCE_BLOCK = 0xFB
+_DOCTYPE = 0x4282
+_DOCTYPE_VERSION = 0x4287
+_DOCTYPE_READ_VERSION = 0x4285
+_EBML_VERSION = 0x4286
+_EBML_READ_VERSION = 0x42F7
+
+
+def _read_vint(b: bytes, pos: int, keep_marker: bool):
+    """Read one EBML variable-length integer at ``pos``: returns
+    ``(value, next_pos, is_all_ones)``.  Element IDs keep the length
+    marker (they are matched with it); sizes strip it."""
+    if pos >= len(b):
+        raise ValueError("truncated EBML vint")
+    first = b[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint (no length marker)")
+    length = 1
+    mask = 0x80
+    while not first & mask:
+        mask >>= 1
+        length += 1
+    if pos + length > len(b):
+        raise ValueError("truncated EBML vint")
+    raw = int.from_bytes(b[pos : pos + length], "big")
+    value = raw if keep_marker else raw - (mask << (8 * (length - 1)))
+    data_bits = 7 * length
+    all_ones = (not keep_marker) and value == (1 << data_bits) - 1
+    return value, pos + length, all_ones
+
+
+def _ebml_elements(b: bytes, start: int, end: int):
+    """yield ``(element_id, body_start, body_end, unknown_size)`` for
+    each child element in [start, end).  Unknown-size elements extend
+    to the enclosing range's end (the streamed-Matroska convention for
+    Segment and Cluster)."""
+    pos = start
+    while pos < end:
+        eid, pos, _ = _read_vint(b, pos, keep_marker=True)
+        size, pos, unknown = _read_vint(b, pos, keep_marker=False)
+        if unknown:
+            yield eid, pos, end, True
+            return
+        if pos + size > end:
+            raise ValueError("EBML element extends past its parent")
+        yield eid, pos, pos + size, False
+        pos += size
+
+
+def _ebml_uint(b: bytes, start: int, end: int) -> int:
+    if end - start > 8:
+        raise ValueError("EBML unsigned integer wider than 8 bytes")
+    return int.from_bytes(b[start:end], "big")
+
+
+def _ebml_float(b: bytes, start: int, end: int) -> float:
+    n = end - start
+    if n == 4:
+        return struct.unpack(">f", b[start:end])[0]
+    if n == 8:
+        return struct.unpack(">d", b[start:end])[0]
+    raise ValueError(f"EBML float of width {n}")
+
+
+def _encode_vint_size(v: int) -> bytes:
+    """Serialize a size vint in the minimal width that is not the
+    all-ones (unknown-size) pattern."""
+    for length in range(1, 9):
+        if v < (1 << (7 * length)) - 1:
+            return (v | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError("EBML size too large")
+
+
+def _el(eid: int, body: bytes) -> bytes:
+    eid_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return eid_bytes + _encode_vint_size(len(body)) + body
+
+
+def _uint_el(eid: int, v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return _el(eid, v.to_bytes(n, "big"))
+
+
+def encode_mkv_mjpeg(
+    frames: list,
+    width: int,
+    height: int,
+    frame_duration_ms: int = 83,
+    doctype: str = "matroska",
+    frames_per_cluster: int = 2,
+    use_block_groups: bool = False,
+    unknown_size_segment: bool = False,
+    keyframe_every: int = 0,
+) -> bytes:
+    """Minimal REAL Matroska/WebM file carrying a motion-JPEG video
+    track: EBML header (doctype ``matroska`` or ``webm``), Segment
+    with Info (timestamp scale 1 ms, float duration), Tracks
+    (V_MJPEG, pixel geometry), and timestamped Clusters of
+    ``frames_per_cluster`` blocks each — ``SimpleBlock`` (keyframe
+    flag bit) or, with ``use_block_groups``, ``BlockGroup/Block``
+    where a non-keyframe carries a ``ReferenceBlock`` (the spec's
+    keyframe signalling for grouped blocks).
+    ``unknown_size_segment`` writes the Segment and the LAST Cluster
+    with the all-ones unknown size (the live-streaming convention) so
+    the reader's to-end-of-parent path is testable.  The fixture
+    mirror of :func:`extract_mkv_frames`."""
+    if not frames:
+        raise ValueError("encode_mkv_mjpeg needs at least one frame")
+    header = _el(
+        _EBML,
+        _uint_el(_EBML_VERSION, 1)
+        + _uint_el(_EBML_READ_VERSION, 1)
+        + _el(_DOCTYPE, doctype.encode("ascii"))
+        + _uint_el(_DOCTYPE_VERSION, 4)
+        + _uint_el(_DOCTYPE_READ_VERSION, 2),
+    )
+    n = len(frames)
+    info = _el(
+        _INFO,
+        _uint_el(_TIMESTAMP_SCALE, 1_000_000)  # 1 ms ticks
+        + _el(_DURATION, struct.pack(">d", float(n * frame_duration_ms)))
+        + _el(_MUXING_APP, b"engine")
+        + _el(_WRITING_APP, b"engine"),
+    )
+    tracks = _el(
+        _TRACKS,
+        _el(
+            _TRACK_ENTRY,
+            _uint_el(_TRACK_NUMBER, 1)
+            + _uint_el(_TRACK_UID, 1)
+            + _uint_el(_TRACK_TYPE, 1)  # video
+            + _el(_CODEC_ID, b"V_MJPEG")
+            + _el(
+                _VIDEO,
+                _uint_el(_PIXEL_WIDTH, width)
+                + _uint_el(_PIXEL_HEIGHT, height),
+            ),
+        ),
+    )
+    clusters = []
+    for c0 in range(0, n, frames_per_cluster):
+        body = _uint_el(_CLUSTER_TIMESTAMP, c0 * frame_duration_ms)
+        for k in range(c0, min(c0 + frames_per_cluster, n)):
+            is_key = keyframe_every <= 0 or (k % keyframe_every == 0)
+            rel = (k - c0) * frame_duration_ms
+            blk = (
+                b"\x81"  # track number 1 as a vint
+                + struct.pack(">h", rel)
+                + (b"\x80" if is_key and not use_block_groups else b"\x00")
+                + frames[k]
+            )
+            if use_block_groups:
+                group = _el(_BLOCK, blk)
+                if not is_key:
+                    group += _uint_el(
+                        _REFERENCE_BLOCK, 0
+                    )  # references the previous frame
+                body += _el(_BLOCK_GROUP, group)
+            else:
+                body += _el(_SIMPLE_BLOCK, blk)
+        clusters.append(body)
+    seg_body = info + tracks
+    for i, body in enumerate(clusters):
+        last = i == len(clusters) - 1
+        if unknown_size_segment and last:
+            cid = _CLUSTER.to_bytes(4, "big")
+            seg_body += cid + b"\xff" + body  # unknown-size cluster
+        else:
+            seg_body += _el(_CLUSTER, body)
+    if unknown_size_segment:
+        sid = _SEGMENT.to_bytes(4, "big")
+        return header + sid + b"\xff" + seg_body
+    return header + _el(_SEGMENT, seg_body)
+
+
+def _walk_segment(b: bytes):
+    """yield the Segment's child elements; validates the EBML header."""
+    top = _ebml_elements(b, 0, len(b))
+    eid, s, e, _u = next(top)
+    if eid != _EBML:
+        raise ValueError("not an EBML/Matroska payload")
+    doctype = None
+    for c, cs, ce, _cu in _ebml_elements(b, s, e):
+        if c == _DOCTYPE:
+            doctype = b[cs:ce].decode("ascii", "replace")
+    for eid, s, e, _u in top:
+        if eid == _SEGMENT:
+            return doctype, list(_ebml_elements(b, s, e))
+    raise ValueError("Matroska without a Segment")
+
+
+def parse_mkv_header(payload: bytes | None):
+    """``(format, brand, duration_ms, width, height, n_tracks)`` from
+    a Matroska/WebM payload — the MKV arm of ``parse_video_header``.
+    ``format`` is ``mkv``, ``brand`` the EBML doctype (``matroska`` /
+    ``webm``); duration is the Info float times the timestamp scale,
+    floored to integer milliseconds."""
+    b = payload or b""
+    doctype, children = _walk_segment(b)
+    scale = 1_000_000
+    duration_ticks = None
+    width = height = None
+    n_tracks = 0
+    for eid, s, e, _u in children:
+        if eid == _INFO:
+            for c, cs, ce, _cu in _ebml_elements(b, s, e):
+                if c == _TIMESTAMP_SCALE:
+                    scale = _ebml_uint(b, cs, ce)
+                elif c == _DURATION:
+                    duration_ticks = _ebml_float(b, cs, ce)
+        elif eid == _TRACKS:
+            for t, ts, te, _tu in _ebml_elements(b, s, e):
+                if t != _TRACK_ENTRY:
+                    continue
+                n_tracks += 1
+                for c, cs, ce, _cu in _ebml_elements(b, ts, te):
+                    if c == _VIDEO:
+                        for v, vs, ve, _vu in _ebml_elements(b, cs, ce):
+                            if v == _PIXEL_WIDTH:
+                                width = max(
+                                    width or 0, _ebml_uint(b, vs, ve)
+                                )
+                            elif v == _PIXEL_HEIGHT:
+                                height = max(
+                                    height or 0, _ebml_uint(b, vs, ve)
+                                )
+    duration_ms = (
+        int(duration_ticks * scale // 1_000_000)
+        if duration_ticks is not None
+        else None
+    )
+    return ("mkv", doctype, duration_ms, width, height, n_tracks or None)
+
+
+def extract_mkv_frames(
+    payload: bytes | None,
+    max_frames: int | None = None,
+    keyframes_only: bool = False,
+):
+    """REAL Matroska frame extraction: find the V_MJPEG video track,
+    walk every Cluster's SimpleBlock / BlockGroup elements (sized or
+    unknown-size), and cut each frame's exact JPEG bytes — returning
+    ``(n_frames, [(frame_idx, bytes), ...])`` with the same
+    evenly-spaced ``idx_j = j·n // m`` sampling contract as the
+    MP4/AVI walkers.  Keyframes: the SimpleBlock flag bit, or — for
+    BlockGroups — the ABSENCE of a ReferenceBlock, per spec.  Laced
+    blocks and non-MJPEG video codecs raise ``NotImplementedError``;
+    malformed EBML raises ``ValueError`` — never wrong frames."""
+    b = payload or b""
+    _doctype, children = _walk_segment(b)
+    video_track = None
+    codec = None
+    saw_video = False
+    for eid, s, e, _u in children:
+        if eid != _TRACKS:
+            continue
+        for t, ts, te, _tu in _ebml_elements(b, s, e):
+            if t != _TRACK_ENTRY:
+                continue
+            num = ttype = None
+            cid = None
+            for c, cs, ce, _cu in _ebml_elements(b, ts, te):
+                if c == _TRACK_NUMBER:
+                    num = _ebml_uint(b, cs, ce)
+                elif c == _TRACK_TYPE:
+                    ttype = _ebml_uint(b, cs, ce)
+                elif c == _CODEC_ID:
+                    cid = b[cs:ce].rstrip(b"\x00").decode("ascii", "replace")
+            if ttype == 1 and video_track is None:
+                saw_video = True
+                if cid == "V_MJPEG":
+                    video_track, codec = num, cid
+    if video_track is None:
+        if saw_video:
+            raise NotImplementedError(
+                "Matroska video track is not motion-JPEG (other codecs' "
+                "frame decode is the documented boundary)"
+            )
+        raise ValueError("Matroska without a video track")
+    frames = []  # (payload_range, keyframe)
+
+    def block_frame(bs: int, be: int, simple: bool, key_override=None):
+        track, pos, _ = _read_vint(b, bs, keep_marker=False)
+        if pos + 3 > be:
+            raise ValueError("truncated Matroska block")
+        if track != video_track:
+            return
+        flags = b[pos + 2]
+        if flags & 0x06:
+            raise NotImplementedError(
+                "laced Matroska blocks are not supported"
+            )
+        key = (
+            bool(flags & 0x80) if simple else bool(key_override)
+        )
+        frames.append(((pos + 3, be), key))
+
+    for eid, s, e, _u in children:
+        if eid != _CLUSTER:
+            continue
+        for c, cs, ce, _cu in _ebml_elements(b, s, e):
+            if c == _SIMPLE_BLOCK:
+                block_frame(cs, ce, simple=True)
+            elif c == _BLOCK_GROUP:
+                block_range = None
+                has_reference = False
+                for g, gs, ge, _gu in _ebml_elements(b, cs, ce):
+                    if g == _BLOCK:
+                        block_range = (gs, ge)
+                    elif g == _REFERENCE_BLOCK:
+                        has_reference = True
+                if block_range is not None:
+                    block_frame(
+                        *block_range,
+                        simple=False,
+                        key_override=not has_reference,
+                    )
+    n = len(frames)
+    candidates = [
+        i for i, (_r, key) in enumerate(frames) if key
+    ] if keyframes_only else list(range(n))
+    nc = len(candidates)
+    m = nc if max_frames is None else min(nc, max_frames)
+    picks = [candidates[(j * nc) // m] for j in range(m)] if m else []
+    out = []
+    for idx in picks:
+        (fs, fe), _key = frames[idx]
+        out.append((idx, b[fs:fe]))
+    return n, out

@@ -1792,7 +1792,7 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY d.doc_id
     ),
     -- video arm (r13): real motion-JPEG video per doc (container
-    -- rotates MP4/AVI by (id >> 2) % 2 — lossless either way, so
+    -- rotates MP4/AVI/MKV by (id >> 2) % 3 — lossless every way, so
     -- the arithmetic is rotation-invariant) — 1 + id % 6
     -- planted frames at (1 + id % 4) x (1 + 7 id % 4) constant 8x8
     -- blocks, frame k block (gx, gy) = (id + 5k + 3gx + 7gy) % 256;
@@ -1904,13 +1904,15 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns): REAL VIDEO FRAME decoding.  ``_pattern_video_bytes``
     builds one genuine motion-JPEG video file per document
     executor-side (planted per-frame block patterns), rotating the
-    CONTAINER by ``(doc_id >> 2) % 2`` — ISO-BMFF MP4 (non-trivial
-    stsc chunking) or RIFF-AVI (idx1 relative/absolute offsets,
-    index-less sequential movi walks, 'rec ' interleave groups) —
-    both lossless for the planted frames, so the oracle arithmetic is
-    rotation-invariant while two whole container walkers sit under
+    CONTAINER by ``(doc_id >> 2) % 3`` — ISO-BMFF MP4 (non-trivial
+    stsc chunking), RIFF-AVI (idx1 relative/absolute offsets,
+    index-less sequential movi walks, 'rec ' interleave groups), or
+    Matroska/WebM (EBML: SimpleBlock and BlockGroup clusters, sized
+    and streamed unknown-size segments, both doctypes) — all
+    lossless for the planted frames, so the oracle arithmetic is
+    rotation-invariant while three whole container walkers sit under
     the value hash; ``extract_video_frames`` walks the REAL sample
-    tables / index, cuts the evenly-spaced samples' exact byte
+    tables / index / clusters, cuts the evenly-spaced samples' exact byte
     ranges, and ``decode_jpeg_pixels`` decodes each frame; the
     aggregated per-frame pixel stats are re-derived arithmetically by
     the oracle — a wrong chunk walk, sample offset, index
