@@ -3966,7 +3966,24 @@ def parse_audio_header(payload: bytes | None):
             }.get(version)
             rate = rates[sr_idx] if rates and sr_idx < 3 else None
             chans = 1 if mode == 3 else 2
-            return ("mp3", chans, rate, None, None)
+            # r13: the Xing/Info/VBRI tag real encoders write carries
+            # the frame count, so the CHEAP pass can report PCM
+            # frames without a full walk (mp3_frame_walk does that)
+            n_frames = None
+            try:
+                from sample_keyspaces_cdc_streams_connectors_spark.llm.mp3 import (
+                    _header_fields,
+                    parse_mp3_vbr_tag,
+                )
+
+                hdr = _header_fields(h)
+                if hdr is not None:
+                    tag_frames = parse_mp3_vbr_tag(b, mp3_off, hdr)
+                    if tag_frames is not None:
+                        n_frames = tag_frames * hdr["spf"]
+            except (ValueError, NotImplementedError):
+                pass
+            return ("mp3", chans, rate, None, n_frames)
         return ("mp3", None, None, None, None)
     return (None, None, None, None, None)
 
