@@ -3223,9 +3223,32 @@ def decode_image_pixels(payload: bytes | None, decoder=None):
         return decode_bmp_pixels(payload)
     if fmt == "tiff":
         return decode_tiff_pixels(payload)
+    # netpbm (r13): dispatched HERE and not in parse_image_header —
+    # the P1..P6 magic is plain ASCII, so a TEXT payload can
+    # legitimately start with it; the header pass (which also feeds
+    # the fake-geometry path on text bytes) treats only unambiguous
+    # binary magics as containers, while an explicit pixel decode of
+    # a media column takes the pnm reading
+    pb = payload or b""
+    if pb[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6") and (
+        pb[2:3].isspace() or pb[2:3] == b"#"
+    ):
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.netpbm import (
+            decode_pnm_pixels,
+            parse_pnm_header,
+        )
+
+        # only claim the payload when the whole HEADER parses — the
+        # ASCII magic alone is satisfiable by prose ("P2 is ...")
+        try:
+            parse_pnm_header(pb)
+        except ValueError:
+            pass
+        else:
+            return decode_pnm_pixels(payload)
     raise NotImplementedError(
         f"pixel decoding for format {fmt!r} is not available "
-        "(PNG/GIF/JPEG/BMP/TIFF decode natively)"
+        "(PNG/GIF/JPEG/BMP/TIFF/netpbm decode natively)"
     )
 
 
@@ -3899,14 +3922,26 @@ def parse_audio_header(payload: bytes | None):
         if len(b) >= 27:
             nseg = b[26]
             body = b[27 + nseg :]
+            chans = rate = None
             if body[:7] == b"\x01vorbis" and len(body) >= 16:
                 chans = body[11]
                 (rate,) = struct.unpack("<I", body[12:16])
-                return ("ogg", chans or None, rate or None, None, None)
-            if body[:8] == b"OpusHead" and len(body) >= 16:
+            elif body[:8] == b"OpusHead" and len(body) >= 16:
                 chans = body[9]
                 (rate,) = struct.unpack("<I", body[12:16])
-                return ("ogg", chans or None, rate or None, None, None)
+            else:
+                return ("ogg", None, None, None, None)
+            # r13: the page walk derives the EXACT PCM frame count
+            # from the last granule position (llm/ogg.py) — page
+            # headers are plain structs, no entropy decode involved
+            n_frames = None
+            try:
+                from sample_keyspaces_cdc_streams_connectors_spark.llm.ogg import ogg_duration
+
+                n_frames = ogg_duration(b)[3] or None
+            except (ValueError, struct.error):
+                pass
+            return ("ogg", chans or None, rate or None, None, n_frames)
         return ("ogg", None, None, None, None)
     if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
         # COMM chunk walk (r13): channels u16 / frames u32 / bits u16 /
