@@ -4757,6 +4757,19 @@ MULTIMODAL_PROFILE_SCHEMA = StructType(
         StructField("au_n", LongType(), True),
         StructField("au_sum_sq", LongType(), True),
         StructField("au_peak", IntegerType(), True),
+        # r13 (media_durations consolidation — the 50-query registry
+        # budget): metadata/duration columns across all seven
+        # containers, header parses only
+        StructField("au_fmt", StringType(), True),
+        StructField("au_bits", IntegerType(), True),
+        StructField("au_frames", LongType(), True),
+        StructField("au_duration_ms", LongType(), True),
+        StructField("vid_fmt", StringType(), True),
+        StructField("vid_brand", StringType(), True),
+        StructField("vid_duration_ms", LongType(), True),
+        StructField("vid_width", IntegerType(), True),
+        StructField("vid_height", IntegerType(), True),
+        StructField("vid_tracks", IntegerType(), True),
         # r13: REAL video-frame arm — MP4 sample-table walk + per-frame
         # JPEG decode aggregates (constant per media, like the px arm)
         StructField("vf_n_frames", IntegerType(), True),
@@ -4856,7 +4869,7 @@ def multimodal_profile(
                     px_stats = (None, None, None, None)
                 try:
                     wb = _pattern_wav_bytes(mid)
-                    _f, _ch, rate, _b, _nf = parse_audio_header(wb)
+                    a_fmt, _ch, rate, a_bits, a_n = parse_audio_header(wb)
                     s = decode_audio_samples(wb).astype(np.int64)
                     au_stats = (
                         rate,
@@ -4865,15 +4878,26 @@ def multimodal_profile(
                         int((s * s).sum()),
                         int(np.abs(s).max(initial=0)),
                     )
+                    # r13 metadata/duration columns (media_durations
+                    # consolidation): header-derived, floor division
+                    au_meta = (
+                        a_fmt,
+                        a_bits,
+                        a_n,
+                        a_n * 1000 // rate if a_n and rate else None,
+                    )
                 except (ValueError, NotImplementedError, struct.error):
                     au_stats = (None, None, None, None, None)
+                    au_meta = (None, None, None, None)
                 # REAL video-frame arm (r13 — VERDICT r12 #1): build a
-                # genuine motion-JPEG container (MP4/AVI rotating by
-                # id), walk its sample tables / index, and decode every
+                # genuine motion-JPEG container (MP4/AVI/MKV rotating
+                # by id), walk its sample tables / index / clusters,
+                # and decode every
                 # sampled frame's planted JPEG — aggregated so the
                 # oracle re-derives the stats arithmetically
                 try:
                     vb = _pattern_video_bytes(mid)
+                    vid_meta = parse_video_header(vb)
                     nf, picks = extract_video_frames(vb, max_frames)
                     vf_px_n = 0
                     vf_px_sum = 0
@@ -4884,6 +4908,7 @@ def multimodal_profile(
                     vf_stats = (nf, len(picks), vf_px_n, vf_px_sum)
                 except (ValueError, NotImplementedError, struct.error):
                     vf_stats = (None, None, None, None)
+                    vid_meta = (None, None, None, None, None, None)
                 media_row = {
                     "n_bytes": len(payload),
                     "digest": hashlib.md5(payload).hexdigest(),
@@ -4903,6 +4928,16 @@ def multimodal_profile(
                     "au_n": au_stats[2],
                     "au_sum_sq": au_stats[3],
                     "au_peak": au_stats[4],
+                    "au_fmt": au_meta[0],
+                    "au_bits": au_meta[1],
+                    "au_frames": au_meta[2],
+                    "au_duration_ms": au_meta[3],
+                    "vid_fmt": vid_meta[0],
+                    "vid_brand": vid_meta[1],
+                    "vid_duration_ms": vid_meta[2],
+                    "vid_width": vid_meta[3],
+                    "vid_height": vid_meta[4],
+                    "vid_tracks": vid_meta[5],
                     "vf_n_frames": vf_stats[0],
                     "vf_sampled": vf_stats[1],
                     "vf_px_n": vf_stats[2],
@@ -4956,6 +4991,28 @@ def multimodal_profile(
                         cols["au_sum_sq"], dtype="Int64"
                     ),
                     "au_peak": pd.array(cols["au_peak"], dtype="Int32"),
+                    "au_fmt": cols["au_fmt"],
+                    "au_bits": pd.array(cols["au_bits"], dtype="Int32"),
+                    "au_frames": pd.array(
+                        cols["au_frames"], dtype="Int64"
+                    ),
+                    "au_duration_ms": pd.array(
+                        cols["au_duration_ms"], dtype="Int64"
+                    ),
+                    "vid_fmt": cols["vid_fmt"],
+                    "vid_brand": cols["vid_brand"],
+                    "vid_duration_ms": pd.array(
+                        cols["vid_duration_ms"], dtype="Int64"
+                    ),
+                    "vid_width": pd.array(
+                        cols["vid_width"], dtype="Int32"
+                    ),
+                    "vid_height": pd.array(
+                        cols["vid_height"], dtype="Int32"
+                    ),
+                    "vid_tracks": pd.array(
+                        cols["vid_tracks"], dtype="Int32"
+                    ),
                     "vf_n_frames": pd.array(
                         cols["vf_n_frames"], dtype="Int32"
                     ),
@@ -6050,11 +6107,11 @@ def video_frame_stats(
 
 def video_metadata(media: DataFrame) -> DataFrame:
     """(media_id, format, brand, duration_ms, width, height,
-    n_tracks) via the REAL stdlib ISO-BMFF walker — the
-    metadata-extraction pass a video corpus runs instead of frame
-    decoding (codec work stays behind ``sample_frames``'s documented
-    fake).  Non-BMFF / malformed payloads yield NULLs rather than
-    failing the batch — the image/audio header contract."""
+    n_tracks) via the REAL stdlib container walkers (ISO-BMFF,
+    RIFF-AVI, Matroska/WebM — :func:`parse_video_header`) — the
+    metadata-extraction pass a video corpus runs before any frame
+    decode.  Unrecognized / malformed payloads yield NULLs rather
+    than failing the batch — the image/audio header contract."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -6086,6 +6143,163 @@ def video_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """(media_id, format, n_channels, sample_rate, bits, n_frames,
+    duration_ms) via :func:`parse_audio_header` — the audio mirror of
+    :func:`video_metadata` (r13): the metadata/duration pass an audio
+    corpus runs before any sample decode (duration filters, rate
+    screens).  ``duration_ms = n_frames·1000 // rate``, integer floor
+    — exact whenever the container carries its frame count (WAV data
+    chunk, FLAC STREAMINFO, AIFF COMM, AU header, ADPCM fact, the MP3
+    Xing/VBRI tag, the Ogg granule walk).  Unrecognized / malformed
+    payloads yield NULLs rather than failing the batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k.name: [] for k in AUDIO_META_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    fmt, ch, rate, bits, n = parse_audio_header(p)
+                except (ValueError, struct.error):
+                    fmt = ch = rate = bits = n = None
+                cols["media_id"].append(int(mid))
+                cols["format"].append(fmt)
+                cols["n_channels"].append(ch)
+                cols["sample_rate"].append(rate)
+                cols["bits"].append(bits)
+                cols["n_frames"].append(n)
+                cols["duration_ms"].append(
+                    n * 1000 // rate if n and rate else None
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(cols["media_id"], dtype="int64"),
+                    "format": cols["format"],
+                    "n_channels": pd.array(
+                        cols["n_channels"], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        cols["sample_rate"], dtype="Int32"
+                    ),
+                    "bits": pd.array(cols["bits"], dtype="Int32"),
+                    "n_frames": pd.array(cols["n_frames"], dtype="Int64"),
+                    "duration_ms": pd.array(
+                        cols["duration_ms"], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+MEDIA_DURATION_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("au_fmt", StringType(), True),
+        StructField("au_channels", IntegerType(), True),
+        StructField("au_rate", IntegerType(), True),
+        StructField("au_bits", IntegerType(), True),
+        StructField("au_frames", LongType(), True),
+        StructField("au_duration_ms", LongType(), True),
+        StructField("vid_fmt", StringType(), True),
+        StructField("vid_brand", StringType(), True),
+        StructField("vid_duration_ms", LongType(), True),
+        StructField("vid_width", IntegerType(), True),
+        StructField("vid_height", IntegerType(), True),
+        StructField("vid_tracks", IntegerType(), True),
+    ]
+)
+
+
+def media_duration_profile(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The duration/metadata gate surface FUSED into one
+    ``mapInPandas`` pass (r13, following the r12 fused-profile
+    lesson: the arms share one input row and are map-only, so
+    assembling them with joins is pure overhead that broadcasts
+    table-cardinality build sides at scale): per document it
+    synthesizes the planted AUDIO clip (container rotating
+    WAV/FLAC/AIFF/AU — ``_pattern_wav_bytes``) and VIDEO clip
+    (MP4/AVI/MKV — ``_pattern_video_bytes``), parses both HEADERS
+    (:func:`parse_audio_header` / :func:`parse_video_header` — no
+    sample or pixel decode anywhere), and emits the seven containers'
+    metadata + exact floor-integer durations in one row.  Every
+    column is re-derived arithmetically by the gate oracle, so a
+    wrong chunk walk, sample-table read, EBML size, frame count, or
+    duration formula in ANY of the seven container parsers breaks
+    the value hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols: dict[str, list]
+
+        def emit_row(mid: int):
+            wb = _pattern_wav_bytes(mid)
+            a_fmt, a_ch, a_rate, a_bits, a_n = parse_audio_header(wb)
+            vb = _pattern_video_bytes(mid)
+            v_fmt, v_brand, v_dur, v_w, v_h, v_nt = parse_video_header(vb)
+            cols["media_id"].append(mid)
+            cols["au_fmt"].append(a_fmt)
+            cols["au_channels"].append(a_ch)
+            cols["au_rate"].append(a_rate)
+            cols["au_bits"].append(a_bits)
+            cols["au_frames"].append(a_n)
+            cols["au_duration_ms"].append(
+                a_n * 1000 // a_rate if a_n and a_rate else None
+            )
+            cols["vid_fmt"].append(v_fmt)
+            cols["vid_brand"].append(v_brand)
+            cols["vid_duration_ms"].append(v_dur)
+            cols["vid_width"].append(v_w)
+            cols["vid_height"].append(v_h)
+            cols["vid_tracks"].append(v_nt)
+
+        for pdf in batches:
+            cols = {k.name: [] for k in MEDIA_DURATION_SCHEMA.fields}
+            for mid in pdf[id_col]:
+                emit_row(int(mid))
+            ints = {
+                "au_channels": "Int32",
+                "au_rate": "Int32",
+                "au_bits": "Int32",
+                "au_frames": "Int64",
+                "au_duration_ms": "Int64",
+                "vid_duration_ms": "Int64",
+                "vid_width": "Int32",
+                "vid_height": "Int32",
+                "vid_tracks": "Int32",
+            }
+            yield pd.DataFrame(
+                {
+                    k.name: pd.array(
+                        cols[k.name], dtype=ints.get(k.name, None)
+                    )
+                    if k.name in ints or k.name == "media_id"
+                    else cols[k.name]
+                    for k in MEDIA_DURATION_SCHEMA.fields
+                }
+            )
+
+    ids = docs.select(id_col)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < par:
+        ids = ids.repartition(par)
+    return ids.mapInPandas(run, MEDIA_DURATION_SCHEMA)
 
 
 # --- real pixel resize (r11) --------------------------------------------------

@@ -1781,6 +1781,19 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id AS media_id,
              CAST(8000 + 1000 * (d.doc_id % 8) AS INTEGER) AS au_rate,
              CAST(1 + d.doc_id % 2 AS INTEGER) AS au_channels,
+             -- r13 metadata/duration columns (media_durations
+             -- consolidation — the 50-query registry budget): the
+             -- audio container rotates four LOSSLESS formats, so
+             -- header fields are rotation-invariant except the
+             -- format name itself
+             CASE ((d.doc_id // 4) % 4)
+               WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+               WHEN 2 THEN 'aiff' ELSE 'au' END AS au_fmt,
+             CAST(16 AS INTEGER) AS au_bits,
+             CAST(64 + d.doc_id % 256 AS BIGINT) AS au_frames,
+             CAST((64 + d.doc_id % 256) * 1000
+                  // (8000 + 1000 * (d.doc_id % 8)) AS BIGINT)
+               AS au_duration_ms,
              (64 + d.doc_id % 256) * (1 + d.doc_id % 2) AS au_n,
              CAST(SUM(((d.doc_id*31 + g.i*17) % 65536 - 32768)
                       * ((d.doc_id*31 + g.i*17) % 65536 - 32768))
@@ -1802,6 +1815,26 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     vgrid AS (SELECT j FROM range(4) t(j)),
     vf AS (
       SELECT d.doc_id AS media_id,
+             -- r13 metadata/duration columns: each video container's
+             -- duration formula differs (mvhd timescale arithmetic /
+             -- avih µs-per-frame / EBML 1 ms ticks), so the CASE arms
+             -- pin each walker's timescale handling separately
+             CASE ((d.doc_id // 4) % 3)
+               WHEN 0 THEN 'mp4' WHEN 1 THEN 'avi' ELSE 'mkv'
+               END AS vid_fmt,
+             CASE ((d.doc_id // 4) % 3)
+               WHEN 0 THEN 'isom' WHEN 1 THEN 'MJPG'
+               ELSE (CASE WHEN (d.doc_id // 32) % 2 = 1
+                          THEN 'webm' ELSE 'matroska' END)
+               END AS vid_brand,
+             CAST(CASE ((d.doc_id // 4) % 3)
+               WHEN 0 THEN (1 + d.doc_id % 6) * 1024 * 1000 // 12288
+               WHEN 1 THEN 33333 * (1 + d.doc_id % 6) // 1000
+               ELSE (1 + d.doc_id % 6) * 83 END AS BIGINT)
+               AS vid_duration_ms,
+             CAST((1 + d.doc_id % 4) * 8 AS INTEGER) AS vid_width,
+             CAST((1 + (d.doc_id * 7) % 4) * 8 AS INTEGER) AS vid_height,
+             CAST(1 AS INTEGER) AS vid_tracks,
              CAST(1 + d.doc_id % 6 AS INTEGER) AS vf_n_frames,
              CAST(LEAST(1 + d.doc_id % 6, 4) AS INTEGER) AS vf_sampled,
              CAST(LEAST(1 + d.doc_id % 6, 4)
@@ -1822,6 +1855,9 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
            g.out_width, g.out_height, h.fmt, h.hdr_width, h.hdr_height,
            p.px_n, p.px_sum, p.px_min, p.px_max,
            a.au_rate, a.au_channels, a.au_n, a.au_sum_sq, a.au_peak,
+           a.au_fmt, a.au_bits, a.au_frames, a.au_duration_ms,
+           v.vid_fmt, v.vid_brand, v.vid_duration_ms,
+           v.vid_width, v.vid_height, v.vid_tracks,
            v.vf_n_frames, v.vf_sampled, v.vf_px_n, v.vf_px_sum,
            f.frame_idx, f.frame_bytes, f.frame_digest
     FROM geom g
@@ -1917,7 +1953,19 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per-frame pixel stats are re-derived arithmetically by
     the oracle — a wrong chunk walk, sample offset, index
     resolution, or frame decode breaks the hash.  The fake text reel
-    survives ONLY for unrecognized payloads (the frames columns)."""
+    survives ONLY for unrecognized payloads (the frames columns).
+
+    Arm ``md`` (r13, the au_fmt/au_bits/au_frames/au_duration_ms +
+    vid_fmt/vid_brand/vid_duration_ms/vid_width/vid_height/vid_tracks
+    columns — the ``media_durations`` consolidation under the
+    50-query registry budget): METADATA/DURATION across all seven
+    containers from header parses alone (``parse_audio_header`` /
+    ``parse_video_header`` — the projection a 100 TB corpus runs
+    before any decode).  Audio header fields are rotation-invariant
+    (four lossless containers); each video container's duration
+    formula differs (mvhd timescale / avih µs-per-frame / EBML 1 ms
+    ticks), so the oracle pins the three timescale arithmetics in
+    separate CASE arms."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import multimodal_profile
 
     # r12: ONE fused mapInPandas pass emits the whole profile per

@@ -434,6 +434,30 @@ def test_multimodal_profile_matches_standalone_arm_join(spark):
         "media_id", "au_rate", "au_channels", "au_n",
         "au_sum_sq", "au_peak",
     )
+    # r13: the fused profile also carries the metadata/duration
+    # columns (media_durations consolidation) — assembled standalone
+    # from audio_metadata / video_metadata over the same payloads
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        audio_metadata,
+        video_metadata,
+    )
+
+    au_md = audio_metadata(synthesize_pattern_audio(docs)).select(
+        "media_id",
+        F.col("format").alias("au_fmt"),
+        F.col("bits").alias("au_bits"),
+        F.col("n_frames").alias("au_frames"),
+        F.col("duration_ms").alias("au_duration_ms"),
+    )
+    vid_md = video_metadata(synthesize_pattern_video(docs)).select(
+        "media_id",
+        F.col("format").alias("vid_fmt"),
+        F.col("brand").alias("vid_brand"),
+        F.col("duration_ms").alias("vid_duration_ms"),
+        F.col("width").alias("vid_width"),
+        F.col("height").alias("vid_height"),
+        F.col("n_tracks").alias("vid_tracks"),
+    )
     vf = video_frame_stats(
         synthesize_pattern_video(docs), max_frames=4
     ).select("media_id", "vf_n_frames", "vf_sampled", "vf_px_n",
@@ -446,6 +470,8 @@ def test_multimodal_profile_matches_standalone_arm_join(spark):
         .join(hdr, "media_id")
         .join(px, "media_id")
         .join(au, "media_id")
+        .join(au_md, "media_id")
+        .join(vid_md, "media_id")
         .join(vf, "media_id")
         .join(frames, "media_id", "left")
     )
@@ -878,6 +904,84 @@ def test_mkv_mjpeg_container_and_real_frames(spark):
         extract_mkv_frames(encode_mkv_mjpeg(frames, 8, 8)[:40])
     with pytest.raises(ValueError, match="EBML|Matroska"):
         extract_mkv_frames(b"\x00\x01\x02\x03")
+
+
+def test_audio_metadata_and_media_duration_profile(spark):
+    """r13: the metadata/duration pass across every audio container
+    (audio_metadata) and the fused 7-container gate surface
+    (media_duration_profile) — values pinned against the planted
+    arithmetic the oracle also derives."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.adpcm import encode_ima_adpcm_wav
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.mp3 import encode_mp3_stream
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        audio_metadata,
+        encode_wav_pcm16,
+        media_duration_profile,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.ogg import encode_ogg_stream
+
+    tone = (
+        1000 * np.sin(2 * np.pi * np.arange(900) / 50)
+    ).astype(np.int16)[:, None]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16(tone, 8000))),
+            (2, bytearray(encode_ima_adpcm_wav(tone, 16000, 505))),
+            (3, bytearray(encode_mp3_stream([128] * 7, xing=True))),
+            (
+                4,
+                bytearray(
+                    encode_ogg_stream(
+                        "opus", rate=48000, channels=1,
+                        page_samples=(960, 960), pre_skip=0,
+                    )
+                ),
+            ),
+            (5, bytearray(b"not audio")),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {
+        r["media_id"]: (
+            r["format"], r["n_channels"], r["sample_rate"],
+            r["n_frames"], r["duration_ms"],
+        )
+        for r in audio_metadata(media).collect()
+    }
+    assert got[1] == ("wav", 1, 8000, 900, 900 * 1000 // 8000)
+    assert got[2] == ("wav", 1, 16000, 900, 900 * 1000 // 16000)
+    # MP3: the Xing tag carries 8 frames (7 + the tag frame) × 1152
+    assert got[3] == ("mp3", 2, 44100, 8 * 1152, 8 * 1152 * 1000 // 44100)
+    assert got[4] == ("ogg", 1, 48000, 1920, 40)
+    assert got[5] == (None, None, None, None, None)
+    # the fused 7-container profile matches the planted arithmetic
+    docs = spark.range(0, 48).select(F.col("id").alias("doc_id"))
+    rows = {
+        r["media_id"]: r
+        for r in media_duration_profile(docs).collect()
+    }
+    for mid in range(48):
+        r = rows[mid]
+        au_n = 64 + mid % 256
+        au_rate = 8000 + 1000 * (mid % 8)
+        assert r["au_fmt"] == ["wav", "flac", "aiff", "au"][(mid >> 2) % 4]
+        assert (r["au_channels"], r["au_rate"], r["au_bits"]) == (
+            1 + mid % 2, au_rate, 16,
+        )
+        assert r["au_frames"] == au_n
+        assert r["au_duration_ms"] == au_n * 1000 // au_rate
+        n = 1 + mid % 6
+        arm = (mid >> 2) % 3
+        assert r["vid_fmt"] == ["mp4", "avi", "mkv"][arm]
+        want_dur = [
+            n * 1024 * 1000 // 12288, 33333 * n // 1000, n * 83,
+        ][arm]
+        assert r["vid_duration_ms"] == want_dur, mid
+        assert (r["vid_width"], r["vid_height"], r["vid_tracks"]) == (
+            (1 + mid % 4) * 8, (1 + (mid * 7) % 4) * 8, 1,
+        )
 
 
 def test_jpeg_lossless_codec_bit_exact():

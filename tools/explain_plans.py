@@ -134,6 +134,9 @@ SHOWCASE: dict[str, list[str]] = {
         "partitions, i.e. at any real scale",
         "payload bytes are built AND decoded inside the task; they "
         "never shuffle, never reach the driver",
+        "r13: the same pass now also emits metadata/duration columns "
+        "for SEVEN containers (WAV/FLAC/AIFF/AU audio, MP4/AVI/MKV "
+        "video headers) — header parses only, no extra plan nodes",
     ],
     "lm_fluency": [
         "scoring is ONE map-only Arrow pass (`ArrowEvalPython`) — the "
