@@ -3850,7 +3850,13 @@ def parse_audio_header(payload: bytes | None):
     Only each codec's entropy-coded AUDIO remains a decode boundary.
     Unrecognized payloads return all NULLs."""
     b = payload or b""
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+    if b[:4] in (b"RIFF", b"RF64", b"BW64") and b[8:12] == b"WAVE":
+        is_rf64 = b[:4] != b"RIFF"
+        # RF64/BW64 (r13): oversized chunks write 0xFFFFFFFF and the
+        # real u64 sizes live in the leading ds64 chunk
+        ds64_data = None
+        if is_rf64 and b[12:16] == b"ds64" and len(b) >= 44:
+            ds64_data = struct.unpack("<Q", b[28:36])[0]
         n_channels = sample_rate = bits = None
         n_frames = fact_frames = None
         i = 12
@@ -3859,6 +3865,8 @@ def parse_audio_header(payload: bytes | None):
         while i + 8 <= len(b):
             tag = b[i : i + 4]
             (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+            if clen == 0xFFFFFFFF and tag == b"data" and ds64_data:
+                clen = ds64_data
             body = b[i + 8 : i + 8 + clen]
             if tag == b"fmt " and len(body) >= 16:
                 audio_fmt, n_channels, sample_rate = struct.unpack(
@@ -3896,7 +3904,13 @@ def parse_audio_header(payload: bytes | None):
             i += 8 + clen + (clen & 1)  # chunks are word-aligned
         if audio_fmt in (0x02, 0x11) and fact_frames is not None:
             n_frames = fact_frames
-        return ("wav", n_channels, sample_rate, bits, n_frames)
+        return (
+            "rf64" if is_rf64 else "wav",
+            n_channels,
+            sample_rate,
+            bits,
+            n_frames,
+        )
     if b[:4] == b"fLaC":
         # STREAMINFO is mandatory and first (FLAC spec): 4-byte block
         # header, then 34 bytes of plain big-endian bit fields
@@ -4150,6 +4164,44 @@ def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
         + data
     )
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def encode_rf64_pcm16(samples, sample_rate: int) -> bytes:
+    """Minimal REAL RF64 encoder (r13 — EBU Tech 3306): the 64-bit
+    WAV form whose RIFF and data sizes are written as 0xFFFFFFFF with
+    the true u64 sizes in the mandatory leading ``ds64`` chunk — what
+    a multi-GiB capture in a 100 TB corpus actually is.  The fixture
+    writes a SMALL file in the 64-bit FORM (exactly how the MP4 co64
+    path is tested); any RF64-aware tool reads it.  ``samples`` is
+    ``(n_frames, n_channels)`` int16."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    ds64 = struct.pack("<QQQI", 0, len(data), n, 0)  # riff size below
+    riff_body = (
+        b"WAVE"
+        + b"ds64"
+        + struct.pack("<I", len(ds64))
+        + ds64
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", 0xFFFFFFFF)  # oversized marker
+        + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    out = bytearray(
+        b"RF64" + struct.pack("<I", 0xFFFFFFFF) + riff_body
+    )
+    out[20:28] = struct.pack("<Q", len(riff_body))  # ds64 riffSize
+    return bytes(out)
 
 
 def encode_wav_pcm24(samples, sample_rate: int) -> bytes:
@@ -4503,7 +4555,9 @@ def decode_wav_samples(payload: bytes | None, decoder=None):
     int32 for 24/32-bit integer PCM (r13 — 24-bit is the standard
     studio/speech-corpus depth; no rescale keeps decode exact).
     G.711 A-law/μ-law (r12) and IMA/MS ADPCM (r13 —
-    :mod:`~sample_keyspaces_cdc_streams_connectors_spark.llm.adpcm`) decode for real too.  Raises
+    :mod:`~sample_keyspaces_cdc_streams_connectors_spark.llm.adpcm`) decode for real too, and the
+    RF64/BW64 64-bit form (oversized chunk sizes resolved through the
+    ds64 chunk, r13) is read alongside classic RIFF.  Raises
     ``ValueError`` on malformed data, INCLUDING a data chunk that is
     not a whole number of frames (a torn trailing frame must not
     silently shrink the clip), and ``NotImplementedError`` for
@@ -4524,14 +4578,47 @@ def decode_wav_samples(payload: bytes | None, decoder=None):
         if s is not None:
             return s
     b = payload or b""
-    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    if not (
+        b[:4] in (b"RIFF", b"RF64", b"BW64") and b[8:12] == b"WAVE"
+    ):
         raise ValueError("not a WAV payload")
+    # RF64/BW64 (r13 — EBU Tech 3306 / ITU-R BS.2088): the 64-bit
+    # WAV form multi-GiB captures use.  Size fields that overflowed
+    # 32 bits are written as 0xFFFFFFFF and the REAL sizes live in
+    # the mandatory first 'ds64' chunk (riff/data u64 + a table for
+    # any other oversized chunk) — the audio mirror of MP4's co64.
+    ds64_sizes: dict[bytes, int] = {}
+    if b[:4] in (b"RF64", b"BW64"):
+        if b[12:16] != b"ds64":
+            raise ValueError("RF64 without a leading ds64 chunk")
+        (dlen,) = struct.unpack("<I", b[16:20])
+        if dlen < 28 or 20 + dlen > len(b):
+            raise ValueError("truncated RF64 ds64 chunk")
+        _riff64, data64, _samples64 = struct.unpack(
+            "<QQQ", b[20:44]
+        )
+        ds64_sizes[b"data"] = data64
+        (n_extra,) = struct.unpack("<I", b[44:48])
+        p = 48
+        for _ in range(n_extra):
+            if p + 12 > 20 + dlen:
+                raise ValueError("truncated RF64 ds64 table")
+            ds64_sizes[b[p : p + 4]] = struct.unpack(
+                "<Q", b[p + 4 : p + 12]
+            )[0]
+            p += 12
     fmt_body = None
     data = None
     i = 12
     while i + 8 <= len(b):
         tag = b[i : i + 4]
         (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if clen == 0xFFFFFFFF:
+            if tag not in ds64_sizes:
+                raise ValueError(
+                    "RF64 oversized chunk missing from the ds64 table"
+                )
+            clen = ds64_sizes[tag]
         body = b[i + 8 : i + 8 + clen]
         if len(body) < clen:
             raise ValueError("truncated WAV chunk")
@@ -4631,7 +4718,7 @@ def decode_audio_samples(payload: bytes | None, decoder=None):
         if s is not None:
             return s
     b = payload or b""
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+    if b[:4] in (b"RIFF", b"RF64", b"BW64") and b[8:12] == b"WAVE":
         return decode_wav_samples(b)
     if b[:4] == b"fLaC":
         from sample_keyspaces_cdc_streams_connectors_spark.llm.flac import decode_flac_samples
@@ -4670,7 +4757,7 @@ def audio_stats(media: DataFrame, decoder=None) -> DataFrame:
             for p in pdf["payload"]:
                 try:
                     fmt, ch, rate, _bits, _nf = parse_audio_header(p)
-                    if fmt not in ("wav", "flac", "aiff", "au"):
+                    if fmt not in ("wav", "rf64", "flac", "aiff", "au"):
                         raise ValueError("no native sample decode")
                     s = decode_audio_samples(p, decoder=fast).astype(
                         np.int64
@@ -6453,7 +6540,7 @@ def resample_audio(
             for p in pdf["payload"]:
                 try:
                     fmt, _ch, rate, _bits, _nf = parse_audio_header(p)
-                    if fmt not in ("wav", "flac", "aiff", "au") or not rate:
+                    if fmt not in ("wav", "rf64", "flac", "aiff", "au") or not rate:
                         raise ValueError("no native sample decode")
                     s = decode_audio_samples(p, decoder=fast)
                 except (ValueError, NotImplementedError, struct.error):

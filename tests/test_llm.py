@@ -906,6 +906,57 @@ def test_mkv_mjpeg_container_and_real_frames(spark):
         extract_mkv_frames(b"\x00\x01\x02\x03")
 
 
+def test_rf64_wav_64bit_form(spark):
+    """r13: RF64/BW64 (EBU 3306 / ITU BS.2088) — the 64-bit WAV form
+    multi-GiB captures use.  Oversized chunks write 0xFFFFFFFF with
+    real u64 sizes in the leading ds64 chunk; the fixture writes a
+    small file in the 64-bit FORM (the co64 playbook) and decode is
+    bit-exact through every entry point."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        audio_stats,
+        decode_audio_samples,
+        decode_wav_samples,
+        encode_rf64_pcm16,
+        parse_audio_header,
+    )
+
+    t = np.arange(700)
+    s = np.stack(
+        [(3000 * np.sin(2 * np.pi * t / 40)).astype(np.int16)] * 2,
+        axis=1,
+    )
+    b = encode_rf64_pcm16(s, 16000)
+    assert b[:4] == b"RF64" and b[12:16] == b"ds64"
+    assert np.array_equal(decode_wav_samples(b), s)
+    assert np.array_equal(decode_audio_samples(b), s)
+    # the header pass reports the 64-bit form distinctly, with the
+    # frame count derived through the ds64 data size
+    assert parse_audio_header(b) == ("rf64", 2, 16000, 16, 700)
+    # Spark pass: audio_stats accepts the form
+    r = audio_stats(
+        spark.createDataFrame(
+            [(1, bytearray(b))], "media_id long, payload binary"
+        )
+    ).collect()[0]
+    s64 = s.astype(np.int64)
+    assert (r["au_rate"], r["au_channels"], r["au_n"]) == (16000, 2, 1400)
+    assert r["au_sum_sq"] == int((s64 * s64).sum())
+    # malformed structures raise — never wrong samples
+    bad = bytearray(b)
+    bad[12:16] = b"junk"
+    with pytest.raises(ValueError, match="leading ds64"):
+        decode_wav_samples(bytes(bad))
+    bad = bytearray(b)
+    i = bad.find(b"data")
+    bad[i : i + 4] = b"datx"
+    with pytest.raises(ValueError, match="missing from the ds64"):
+        decode_wav_samples(bytes(bad))
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav_samples(b[:-10])
+
+
 def test_audio_metadata_and_media_duration_profile(spark):
     """r13: the metadata/duration pass across every audio container
     (audio_metadata) and the fused 7-container gate surface
