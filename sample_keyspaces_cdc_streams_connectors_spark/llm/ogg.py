@@ -220,6 +220,7 @@ def encode_ogg_stream(
     pre_skip: int = 312,
     serial: int = 0x1234,
     eos: bool = True,
+    comment_packet: bytes | None = None,
 ) -> bytes:
     """Build a REAL Ogg stream: BOS page with a genuine
     identification header (``\\x01vorbis`` / ``OpusHead``), a comment
@@ -253,6 +254,8 @@ def encode_ogg_stream(
         comment = b"OpusTags" + struct.pack("<II", 6, 0) + b"engine"
     else:
         raise ValueError(f"unsupported fixture codec {codec!r}")
+    if comment_packet is not None:
+        comment = comment_packet
     pages = [_page(serial, 0, 0, [ident], bos=True)]
     pages.append(_page(serial, 1, 0, [comment]))
     granule = pre_skip if codec == "opus" else 0
