@@ -147,6 +147,7 @@ def encode_mkv_mjpeg(
     use_block_groups: bool = False,
     unknown_size_segment: bool = False,
     keyframe_every: int = 0,
+    extra_segment: bytes = b"",
 ) -> bytes:
     """Minimal REAL Matroska/WebM file carrying a motion-JPEG video
     track: EBML header (doctype ``matroska`` or ``webm``), Segment
@@ -215,7 +216,9 @@ def encode_mkv_mjpeg(
             else:
                 body += _el(_SIMPLE_BLOCK, blk)
         clusters.append(body)
-    seg_body = info + tracks
+    # extra_segment: pre-serialized Segment children (e.g. a Tags
+    # element from llm/tags.py) appended before the clusters
+    seg_body = info + tracks + extra_segment
     for i, body in enumerate(clusters):
         last = i == len(clusters) - 1
         if unknown_size_segment and last:

@@ -2,7 +2,7 @@
 (title / artist / album / comments) embedded in crawl audio, decoded
 into the TEXT pipeline.
 
-Three public tag systems cover the formats this engine reads:
+Four public tag systems cover every container this engine reads:
 
 - **ID3v2** (the informal id3.org specification, versions 2.2/2.3/
   2.4) — the tag block prepended to MP3 files: a syncsafe-sized
@@ -21,9 +21,14 @@ Three public tag systems cover the formats this engine reads:
   structure, no framing magic).  Ogg packets are reassembled from
   page lacing for real (a comment packet larger than one page spans
   pages via the 255-continuation rule).
+- **MP4 iTunes-style metadata** (ISO 14496-12 udta/meta + the
+  de-facto ``ilst`` item list): UTF-8 ``data`` atoms under ``©nam``/
+  ``©ART``-style item boxes.
+- **Matroska Tags** (the Matroska spec's tagging chapter): Tag →
+  SimpleTag → TagName/TagString UTF-8 pairs, nesting flattened.
 - Everything returns ``(key, value)`` rows — normalized lower-case
   keys for vorbis (the spec says keys are case-insensitive), frame
-  ids for ID3.
+  ids for ID3, item/tag names verbatim for MP4/Matroska.
 
 Malformed structures raise ``ValueError``; unrecognized payloads
 raise ``NotImplementedError`` — the same honesty contract as every
@@ -236,12 +241,96 @@ def _ogg_packets(b: bytes, want: int):
     return packets
 
 
+def parse_mp4_ilst(payload: bytes) -> list:
+    """``[(key, value), ...]`` from an MP4's iTunes-style metadata:
+    moov → udta → meta (a FULL box — 4 version/flags bytes before its
+    children, per ISO 14496-12) → ilst, whose item boxes (``©nam``,
+    ``©ART``, ...) each carry a ``data`` box whose type flag 1 marks
+    UTF-8 text (non-text data atoms are skipped).  Returns ``[]``
+    when the chain is absent."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        _mp4_boxes,
+        _mp4_find_box,
+    )
+
+    b = payload
+    moov = _mp4_find_box(b, 0, len(b), b"moov")
+    if moov is None:
+        return []
+    udta = _mp4_find_box(b, *moov, b"udta")
+    if udta is None:
+        return []
+    meta = _mp4_find_box(b, *udta, b"meta")
+    if meta is None:
+        return []
+    ilst = _mp4_find_box(b, meta[0] + 4, meta[1], b"ilst")
+    if ilst is None:
+        return []
+    out = []
+    for item, istart, iend in _mp4_boxes(b, *ilst):
+        data = _mp4_find_box(b, istart, iend, b"data")
+        if data is None:
+            continue
+        ds, de = data
+        if de - ds < 8:
+            raise ValueError("truncated MP4 data atom")
+        type_flags = int.from_bytes(b[ds : ds + 4], "big") & 0xFFFFFF
+        if type_flags != 1:  # not UTF-8 text
+            continue
+        key = item.decode("latin-1")
+        out.append((key, b[ds + 8 : de].decode("utf-8", "replace")))
+    return out
+
+
+# Matroska tagging elements (the Matroska spec's Tags chapter)
+_MKV_TAGS = 0x1254C367
+_MKV_TAG = 0x7373
+_MKV_SIMPLE_TAG = 0x67C8
+_MKV_TAG_NAME = 0x45A3
+_MKV_TAG_STRING = 0x4487
+
+
+def parse_mkv_tags(payload: bytes) -> list:
+    """``[(key, value), ...]`` from a Matroska Segment's Tags element
+    (Tags → Tag → SimpleTag → TagName/TagString, both UTF-8) —
+    nested SimpleTags flatten.  Returns ``[]`` when absent."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import _ebml_elements, _walk_segment
+
+    b = payload
+    _doctype, children = _walk_segment(b)
+    out = []
+
+    def simple_tags(lo: int, hi: int):
+        for eid, s, e, _u in _ebml_elements(b, lo, hi):
+            if eid != _MKV_SIMPLE_TAG:
+                continue
+            name = value = None
+            for c, cs, ce, _cu in _ebml_elements(b, s, e):
+                if c == _MKV_TAG_NAME:
+                    name = b[cs:ce].decode("utf-8", "replace")
+                elif c == _MKV_TAG_STRING:
+                    value = b[cs:ce].decode("utf-8", "replace")
+            if name is not None:
+                out.append((name, value or ""))
+            simple_tags(s, e)  # SimpleTags nest, per spec
+
+    for eid, s, e, _u in children:
+        if eid != _MKV_TAGS:
+            continue
+        for t, ts, te, _tu in _ebml_elements(b, s, e):
+            if t == _MKV_TAG:
+                simple_tags(ts, te)
+    return out
+
+
 def extract_media_tags(payload: bytes | None) -> list:
     """Dispatch: ``[(source, key, value), ...]`` — ID3v2 text frames
     from an MP3 (or any ID3-prefixed payload), the comment header of
-    an Ogg Vorbis/Opus stream, or a FLAC VORBIS_COMMENT metadata
-    block.  Payloads of these formats WITHOUT tags return ``[]``;
-    unrecognized formats raise ``NotImplementedError``."""
+    an Ogg Vorbis/Opus stream, a FLAC VORBIS_COMMENT metadata
+    block, an MP4's iTunes-style ``ilst`` items, or a Matroska
+    Segment's Tags element.  Payloads of these formats WITHOUT tags
+    return ``[]``; unrecognized formats raise
+    ``NotImplementedError``."""
     b = payload or b""
     if b[:3] == b"ID3" or (
         len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
@@ -278,8 +367,13 @@ def extract_media_tags(payload: bytes | None) -> list:
             if header & 0x80:
                 break
         return []
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return [("ilst", k, v) for k, v in parse_mp4_ilst(b)]
+    if b[:4] == b"\x1aE\xdf\xa3":
+        return [("mkv", k, v) for k, v in parse_mkv_tags(b)]
     raise NotImplementedError(
-        "no tag reader for this payload (ID3v2/MP3, Ogg, FLAC)"
+        "no tag reader for this payload (ID3v2/MP3, Ogg, FLAC, MP4, "
+        "Matroska)"
     )
 
 
@@ -407,6 +501,67 @@ def encode_vorbis_comment_block(
         3, "big"
     )
     return header + body
+
+
+def add_mp4_tags(mp4: bytes, tags: list) -> bytes:
+    """Splice a REAL iTunes-style metadata chain (udta → meta(full
+    box, with the customary ``hdlr`` of type ``mdir``) → ilst →
+    item/data atoms, UTF-8 type flag 1) into an existing MP4's moov
+    box — the fixture mirror of :func:`parse_mp4_ilst`.  Chunk
+    offsets are unaffected: our fixtures put moov after mdat, and
+    only moov's own size field changes."""
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    items = b""
+    for key, value in tags:
+        data = box(
+            b"data",
+            struct.pack(">I", 1)  # version 0 + type flag 1 (UTF-8)
+            + struct.pack(">I", 0)  # locale
+            + value.encode("utf-8"),
+        )
+        items += box(key.encode("latin-1"), data)
+    hdlr = box(
+        b"hdlr",
+        struct.pack(">II", 0, 0) + b"mdir" + b"appl" + bytes(9),
+    )
+    udta = box(b"udta", box(b"meta", struct.pack(">I", 0) + hdlr
+                            + box(b"ilst", items)))
+    # locate the top-level moov and grow it in place
+    pos = 0
+    while pos + 8 <= len(mp4):
+        (size,) = struct.unpack(">I", mp4[pos : pos + 4])
+        tag = mp4[pos + 4 : pos + 8]
+        if tag == b"moov":
+            new_size = size + len(udta)
+            return (
+                mp4[:pos]
+                + struct.pack(">I", new_size)
+                + mp4[pos + 4 : pos + size]
+                + udta
+                + mp4[pos + size :]
+            )
+        pos += size
+    raise ValueError("MP4 without a moov box")
+
+
+def mkv_tags_element(tags: list) -> bytes:
+    """A REAL Matroska Tags element (Tags → Tag → SimpleTag ×
+    name/string) — splice into a Segment body to tag an MKV fixture
+    (:func:`sample_keyspaces_cdc_streams_connectors_spark.llm.mkv.encode_mkv_mjpeg` accepts it via
+    ``extra_segment``)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import _el
+
+    simple = b""
+    for k, v in tags:
+        simple += _el(
+            _MKV_SIMPLE_TAG,
+            _el(_MKV_TAG_NAME, k.encode("utf-8"))
+            + _el(_MKV_TAG_STRING, v.encode("utf-8")),
+        )
+    return _el(_MKV_TAGS, _el(_MKV_TAG, simple))
 
 
 def vorbis_comment_packet(comments: list, opus: bool = False) -> bytes:

@@ -107,6 +107,53 @@ def test_vorbis_comments_ogg_and_flac():
         extract_media_tags(encode_ogg_stream("vorbis", comment_packet=bad))
 
 
+def test_mp4_ilst_and_mkv_tags():
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import (
+        encode_mkv_mjpeg,
+        extract_mkv_frames,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        encode_jpeg_gray8,
+        encode_mp4_mjpeg,
+        extract_mp4_frames,
+        parse_video_header,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.tags import add_mp4_tags, mkv_tags_element
+
+    frames = [
+        encode_jpeg_gray8(np.full((8, 8), v, np.uint8), quant=1)
+        for v in (5, 60)
+    ]
+    # MP4: iTunes-style udta/meta/ilst chain — and the tagged file
+    # still walks, decodes, and header-parses identically
+    mp4 = encode_mp4_mjpeg(frames, 8, 8)
+    tagged = add_mp4_tags(
+        mp4, [("©nam", "Clip Title"), ("©ART", "Söme Artist")]
+    )
+    assert extract_media_tags(tagged) == [
+        ("ilst", "©nam", "Clip Title"),
+        ("ilst", "©ART", "Söme Artist"),
+    ]
+    n, out = extract_mp4_frames(tagged)
+    assert n == 2 and out[0][1] == frames[0]
+    assert parse_video_header(tagged) == parse_video_header(mp4)
+    assert extract_media_tags(mp4) == []
+    # Matroska: a real Tags element in the Segment — sized AND
+    # streamed (unknown-size) forms
+    el = mkv_tags_element([("TITLE", "MkvClip"), ("ARTIST", "Söme")])
+    for streamed in (False, True):
+        mkv = encode_mkv_mjpeg(
+            frames, 8, 8, extra_segment=el,
+            unknown_size_segment=streamed,
+        )
+        assert extract_media_tags(mkv) == [
+            ("mkv", "TITLE", "MkvClip"),
+            ("mkv", "ARTIST", "Söme"),
+        ], streamed
+        assert extract_mkv_frames(mkv)[0] == 2
+    assert extract_media_tags(encode_mkv_mjpeg(frames, 8, 8)) == []
+
+
 def test_media_text_tags_spark(spark):
     tag = encode_id3v2([("TIT2", "Spark Song")], version=3)
     payloads = [
