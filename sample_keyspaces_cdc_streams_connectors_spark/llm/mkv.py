@@ -28,7 +28,9 @@ import struct
 
 __all__ = [
     "encode_mkv_mjpeg",
+    "encode_mkv_subtitles",
     "extract_mkv_frames",
+    "extract_mkv_subtitle_cues",
     "parse_mkv_header",
 ]
 
@@ -386,3 +388,169 @@ def extract_mkv_frames(
         (fs, fe), _key = frames[idx]
         out.append((idx, b[fs:fe]))
     return n, out
+
+
+_BLOCK_DURATION = 0x9B
+_TRACK_TYPE_SUBTITLE = 0x11
+
+
+def encode_mkv_subtitles(
+    cues: list,
+    track_number: int = 1,
+    timescale_ns: int = 1_000_000,
+    cues_per_cluster: int = 2,
+) -> bytes:
+    """A REAL Matroska file carrying an ``S_TEXT/UTF8`` subtitle
+    track: each cue is a BlockGroup whose Block holds the UTF-8 text,
+    timestamped cluster-relative, with the cue span in BlockDuration
+    — exactly how muxers store SRT inside MKV.  ``cues`` is
+    ``[(start_ms, end_ms, text), ...]``; ``timescale_ns`` defaults to
+    the 1 ms convention.  The fixture mirror of
+    :func:`extract_mkv_subtitle_cues`."""
+    if not cues:
+        raise ValueError("encode_mkv_subtitles needs at least one cue")
+    header = _el(
+        _EBML,
+        _uint_el(_EBML_VERSION, 1)
+        + _uint_el(_EBML_READ_VERSION, 1)
+        + _el(_DOCTYPE, b"matroska")
+        + _uint_el(_DOCTYPE_VERSION, 4)
+        + _uint_el(_DOCTYPE_READ_VERSION, 2),
+    )
+    end_ms = max(e for _s, e, _t in cues)
+    info = _el(
+        _INFO,
+        _uint_el(_TIMESTAMP_SCALE, timescale_ns)
+        + _el(_DURATION, struct.pack(">d", float(end_ms)))
+        + _el(_MUXING_APP, b"engine")
+        + _el(_WRITING_APP, b"engine"),
+    )
+    tracks = _el(
+        _TRACKS,
+        _el(
+            _TRACK_ENTRY,
+            _uint_el(_TRACK_NUMBER, track_number)
+            + _uint_el(_TRACK_UID, track_number)
+            + _uint_el(_TRACK_TYPE, _TRACK_TYPE_SUBTITLE)
+            + _el(_CODEC_ID, b"S_TEXT/UTF8"),
+        ),
+    )
+    seg_body = info + tracks
+    for c0 in range(0, len(cues), cues_per_cluster):
+        group = cues[c0 : c0 + cues_per_cluster]
+        base = group[0][0]
+        body = _uint_el(_CLUSTER_TIMESTAMP, base)
+        for start, end, text in group:
+            rel = start - base
+            if not -32768 <= rel <= 32767:
+                raise ValueError(
+                    "cue start too far from its cluster timestamp"
+                )
+            blk = (
+                bytes([0x80 | track_number])
+                + struct.pack(">h", rel)
+                + b"\x00"
+                + text.encode("utf-8")
+            )
+            body += _el(
+                _BLOCK_GROUP,
+                _el(_BLOCK, blk)
+                + _uint_el(_BLOCK_DURATION, end - start),
+            )
+        seg_body += _el(_CLUSTER, body)
+    return header + _el(_SEGMENT, seg_body)
+
+
+def extract_mkv_subtitle_cues(payload: bytes | None) -> list:
+    """``[(cue_idx, start_ms, end_ms, text), ...]`` from a Matroska
+    ``S_TEXT/UTF8`` subtitle track — cluster timestamp + block
+    relative timestamp, scaled by the Segment's TimestampScale to
+    exact integer milliseconds (floor), span from BlockDuration
+    (spanless cues report ``end == start``).  The caption-recovery
+    path for video containers, feeding the same timed-text rows as
+    :mod:`~sample_keyspaces_cdc_streams_connectors_spark.llm.subtitles`.  A Matroska file without a
+    UTF-8 subtitle track raises ``NotImplementedError`` (other
+    subtitle codings — S_TEXT/ASS, VobSub bitmaps — are the
+    documented boundary); malformed EBML raises ``ValueError``."""
+    b = payload or b""
+    _doctype, children = _walk_segment(b)
+    scale = 1_000_000
+    sub_track = None
+    saw_subtitle = False
+    for eid, s, e, _u in children:
+        if eid == _INFO:
+            for c, cs, ce, _cu in _ebml_elements(b, s, e):
+                if c == _TIMESTAMP_SCALE:
+                    scale = _ebml_uint(b, cs, ce)
+        elif eid == _TRACKS:
+            for t, ts, te, _tu in _ebml_elements(b, s, e):
+                if t != _TRACK_ENTRY:
+                    continue
+                num = ttype = None
+                cid = None
+                for c, cs, ce, _cu in _ebml_elements(b, ts, te):
+                    if c == _TRACK_NUMBER:
+                        num = _ebml_uint(b, cs, ce)
+                    elif c == _TRACK_TYPE:
+                        ttype = _ebml_uint(b, cs, ce)
+                    elif c == _CODEC_ID:
+                        cid = (
+                            b[cs:ce].rstrip(b"\x00").decode(
+                                "ascii", "replace"
+                            )
+                        )
+                if ttype == _TRACK_TYPE_SUBTITLE:
+                    saw_subtitle = True
+                    if cid == "S_TEXT/UTF8" and sub_track is None:
+                        sub_track = num
+    if sub_track is None:
+        if saw_subtitle:
+            raise NotImplementedError(
+                "Matroska subtitle track is not S_TEXT/UTF8 (styled/"
+                "bitmap subtitle decode is the documented boundary)"
+            )
+        raise ValueError("Matroska without a subtitle track")
+    out = []
+    for eid, s, e, _u in children:
+        if eid != _CLUSTER:
+            continue
+        cluster_ts = 0
+        for c, cs, ce, _cu in _ebml_elements(b, s, e):
+            if c == _CLUSTER_TIMESTAMP:
+                cluster_ts = _ebml_uint(b, cs, ce)
+            elif c in (_SIMPLE_BLOCK, _BLOCK_GROUP):
+                if c == _BLOCK_GROUP:
+                    block = duration = None
+                    for g, gs, ge, _gu in _ebml_elements(b, cs, ce):
+                        if g == _BLOCK:
+                            block = (gs, ge)
+                        elif g == _BLOCK_DURATION:
+                            duration = _ebml_uint(b, gs, ge)
+                else:
+                    block, duration = (cs, ce), None
+                if block is None:
+                    continue
+                bs, be = block
+                track, pos, _ = _read_vint(b, bs, keep_marker=False)
+                if track != sub_track or pos + 3 > be:
+                    continue
+                (rel,) = struct.unpack(">h", b[pos : pos + 2])
+                if b[pos + 2] & 0x06:
+                    raise NotImplementedError(
+                        "laced Matroska blocks are not supported"
+                    )
+                start_ticks = cluster_ts + rel
+                start_ms = start_ticks * scale // 1_000_000
+                dur_ms = (
+                    (duration or 0) * scale // 1_000_000
+                )
+                text = b[pos + 3 : be].decode("utf-8", "replace")
+                out.append(
+                    (
+                        len(out),
+                        start_ms,
+                        start_ms + dur_ms,
+                        text,
+                    )
+                )
+    return out

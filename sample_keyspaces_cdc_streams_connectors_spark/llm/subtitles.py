@@ -139,11 +139,19 @@ def parse_webvtt(text: str) -> list:
 
 
 def extract_subtitle_cues(payload: bytes | None) -> list:
-    """Dispatch on shape: WebVTT (``WEBVTT`` magic, BOM-tolerant) or
-    SubRip (first block starts with a sequence number and a ``-->``
-    line).  Returns ``[(cue_idx, start_ms, end_ms, text), ...]``;
-    payloads that are neither raise ``NotImplementedError``."""
+    """Dispatch on shape: a Matroska container (the ``S_TEXT/UTF8``
+    subtitle track — how video files carry SRT internally), WebVTT
+    (``WEBVTT`` magic, BOM-tolerant), or SubRip (first block starts
+    with a sequence number and a ``-->`` line).  Returns
+    ``[(cue_idx, start_ms, end_ms, text), ...]``; payloads that are
+    none of these raise ``NotImplementedError``."""
     b = payload or b""
+    if b[:4] == b"\x1aE\xdf\xa3":
+        # a Matroska container: pull the S_TEXT/UTF8 track (r13 —
+        # how real video files carry SRT internally)
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import extract_mkv_subtitle_cues
+
+        return extract_mkv_subtitle_cues(b)
     text = b.decode("utf-8", "replace")
     probe = text.lstrip("﻿")
     if probe.startswith("WEBVTT"):

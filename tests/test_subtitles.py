@@ -62,6 +62,42 @@ def test_malformed_raise():
         extract_subtitle_cues(b"just prose, not captions")
 
 
+def test_mkv_subtitle_track():
+    """Cues from INSIDE a Matroska container: the S_TEXT/UTF8 track
+    (cluster timestamp + block relative timestamp, scaled by the
+    Segment's TimestampScale; span from BlockDuration) — how real
+    video files carry SRT.  Exercised via the same dispatch the
+    sidecar formats use."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import (
+        encode_mkv_subtitles,
+        extract_mkv_subtitle_cues,
+    )
+
+    raw = [(s, e, t) for _i, s, e, t in CUES]
+    mkv = encode_mkv_subtitles(raw, cues_per_cluster=2)
+    want = [(i, s, e, t) for i, (s, e, t) in enumerate(raw)]
+    assert extract_mkv_subtitle_cues(mkv) == want
+    assert extract_subtitle_cues(mkv) == want
+    # a non-default timescale (100 µs ticks) floors to exact ms
+    mkv = encode_mkv_subtitles([(10, 20, "x")], timescale_ns=100_000)
+    assert extract_mkv_subtitle_cues(mkv) == [(0, 1, 2, "x")]
+    # styled subtitle codings are an explicit boundary; a video-only
+    # container has no subtitle track at all
+    bad = bytearray(encode_mkv_subtitles(raw))
+    i = bad.find(b"S_TEXT/UTF8")
+    bad[i : i + 11] = b"S_TEXT/ASS\x00"
+    with pytest.raises(NotImplementedError, match="S_TEXT/UTF8"):
+        extract_mkv_subtitle_cues(bytes(bad))
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import encode_mkv_mjpeg
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import encode_jpeg_gray8
+
+    frames = [encode_jpeg_gray8(np.full((8, 8), 5, np.uint8), quant=1)]
+    with pytest.raises(ValueError, match="without a subtitle track"):
+        extract_mkv_subtitle_cues(encode_mkv_mjpeg(frames, 8, 8))
+
+
 def test_subtitle_cues_spark(spark):
     media = spark.createDataFrame(
         [
