@@ -335,8 +335,7 @@ def decode_ms_adpcm_wav(payload: bytes | None):
                 out[row + 2 + cnt[c], c] = pred
                 cnt[c] += 1
                 done += 1
-                if ch > 1:
-                    c ^= 1
+                c = (c + 1) % ch
         if done != target:
             raise ValueError("MS ADPCM block underruns its sample count")
         row += spb

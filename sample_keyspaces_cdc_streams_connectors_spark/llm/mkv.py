@@ -532,8 +532,11 @@ def extract_mkv_subtitle_cues(payload: bytes | None) -> list:
                     continue
                 bs, be = block
                 track, pos, _ = _read_vint(b, bs, keep_marker=False)
-                if track != sub_track or pos + 3 > be:
+                if track != sub_track:
                     continue
+                if pos + 3 > be:
+                    # malformed EBML raises, matching the frames path
+                    raise ValueError("truncated Matroska block")
                 (rel,) = struct.unpack(">h", b[pos : pos + 2])
                 if b[pos + 2] & 0x06:
                     raise NotImplementedError(

@@ -116,7 +116,9 @@ def _header_fields(h: bytes):
 
 def _id3v2_end(b: bytes) -> int:
     """Byte offset past a leading ID3v2 tag (0 when absent): the tag
-    size is a 28-bit syncsafe integer at bytes 6-9."""
+    size is a 28-bit syncsafe integer at bytes 6-9.  An ID3v2.4
+    footer (header flags bit 0x10) adds 10 trailing bytes NOT counted
+    in the syncsafe size."""
     if b[:3] != b"ID3" or len(b) < 10:
         return 0
     size = (
@@ -125,7 +127,7 @@ def _id3v2_end(b: bytes) -> int:
         | ((b[8] & 0x7F) << 7)
         | (b[9] & 0x7F)
     )
-    return 10 + size
+    return 10 + size + (10 if b[5] & 0x10 else 0)
 
 
 def _side_info_len(hdr: dict) -> int:

@@ -110,7 +110,16 @@ def parse_webvtt(text: str) -> list:
     ``REGION`` blocks are skipped.  Cues index densely from 0 (the
     format has no mandatory numbering)."""
     blocks = list(_blocks(text))
-    if not blocks or not blocks[0][0].startswith("WEBVTT"):
+    # the spec requires "WEBVTT" followed by a space, tab, or end of
+    # line — "WEBVTTXYZ" is NOT a valid signature
+    if (
+        not blocks
+        or not blocks[0][0].startswith("WEBVTT")
+        or (
+            len(blocks[0][0]) > 6
+            and blocks[0][0][6] not in (" ", "\t")
+        )
+    ):
         raise ValueError("not a WebVTT file (missing WEBVTT header)")
     first = blocks[0][1:]  # header block may carry metadata lines
     out = []

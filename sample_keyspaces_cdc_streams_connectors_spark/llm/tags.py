@@ -128,7 +128,12 @@ def parse_id3v2_text(payload: bytes | None) -> list:
         pos += ext
     out = []
     id_len = 3 if major == 2 else 4
-    while pos + id_len * 2 <= len(tag):
+    # the guard must cover the FULL frame header (id + size + flags:
+    # 6 bytes for v2.2, 10 for v2.3/2.4), not just the id+size pair —
+    # otherwise a tag truncated mid-header slices short and raises
+    # struct.error instead of the documented ValueError
+    hdr_len = 6 if major == 2 else 10
+    while pos + hdr_len <= len(tag):
         fid = tag[pos : pos + id_len]
         if fid == b"\x00" * id_len:
             break  # padding

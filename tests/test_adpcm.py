@@ -240,3 +240,26 @@ def test_adpcm_audio_stats_spark(spark):
         assert r["au_n"] == dec.size
         assert r["au_sum_sq"] == int((dec * dec).sum())
         assert r["au_peak"] == int(np.abs(dec).max())
+
+
+def test_ms_three_channel_round_robin():
+    # r14 (ADVICE): the nibble rotation must round-robin ALL
+    # channels, not just alternate 0/1 — a 3-channel MS ADPCM WAV
+    # previously crashed with IndexError (uncaught by the operator
+    # contract) or left garbage in channels >= 2
+    for ch in (3, 4):
+        s = _tone(1200, ch)
+        w = encode_ms_adpcm_wav(s, 8000, samples_per_block=500)
+        d = decode_ms_adpcm_wav(w)
+        assert d.shape == s.shape and d.dtype == np.int16
+        for c in range(ch):
+            assert _snr_db(s[:, c : c + 1], d[:, c : c + 1]) > 30.0
+
+
+def test_ima_three_channel():
+    for ch in (3,):
+        s = _tone(1010, ch)
+        d = decode_ima_adpcm_wav(encode_ima_adpcm_wav(s, 8000, 505))
+        assert d.shape == s.shape
+        for c in range(ch):
+            assert _snr_db(s[:, c : c + 1], d[:, c : c + 1]) > 30.0

@@ -171,3 +171,19 @@ def test_walk_through_spark_stats(spark):
     assert got[1] == (10, 10 * 1152 * 1000 // 44100, False)
     assert got[2] == (10, 10 * 1152 * 1000 // 44100, True)
     assert got[3] == (None, None, None)
+
+
+def test_id3v24_footer_flag():
+    # r14 (ADVICE): an ID3v2.4 footer (flags bit 0x10) adds 10
+    # trailing bytes not counted in the syncsafe size — the walk
+    # previously lost sync on valid files carrying one
+    frames = encode_mp3_stream([128] * 3)
+    body = b"\x00" * 30
+    size = bytes((len(body) >> s) & 0x7F for s in (21, 14, 7, 0))
+    tag = b"ID3\x04\x00\x10" + size + body + b"3DI\x04\x00\x10" + size
+    assert _id3v2_end(tag + frames) == 10 + 30 + 10
+    n, samples, rate, _d, _v = mp3_frame_walk(tag + frames)
+    assert (n, samples, rate) == (3, 3 * 1152, 44100)
+    # without the footer flag the end stays 10 + size
+    tag = b"ID3\x04\x00\x00" + size + body
+    assert _id3v2_end(tag + frames) == 10 + 30

@@ -117,3 +117,54 @@ def test_subtitle_cues_spark(spark):
     assert by_id[2] == [(0, 0, 2500, "Hello there.")]
     # unrecognized payload: one NULL row, id kept
     assert by_id[3] == [(None, None, None, None)]
+
+
+def test_webvtt_signature_strictness():
+    # r14 (ADVICE): the spec requires WEBVTT followed by space, tab,
+    # or end of line — "WEBVTTXYZ" is not a valid signature
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.subtitles import parse_webvtt
+
+    with pytest.raises(ValueError, match="WEBVTT"):
+        parse_webvtt("WEBVTTXYZ\n\n00:01.000 --> 00:02.000\nx\n")
+    assert parse_webvtt(
+        "WEBVTT - with a comment\n\n00:01.000 --> 00:02.000\nx\n"
+    ) == [(0, 1000, 2000, "x")]
+    assert parse_webvtt(
+        "WEBVTT\t tabbed\n\n00:01.000 --> 00:02.000\nx\n"
+    ) == [(0, 1000, 2000, "x")]
+
+
+def test_mkv_truncated_subtitle_block_raises():
+    # r14 (ADVICE): a subtitle-track block too short for its
+    # timestamp+flags must raise like the frames path, not be
+    # silently skipped
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import mkv as M
+
+    good = M.encode_mkv_subtitles([(10, 20, "x")])
+    # rebuild the file with one extra cluster whose SimpleBlock body
+    # is just the track vint + 1 byte (needs vint + 2 + 1)
+    header_end = good.find(bytes.fromhex("18538067"))
+    header = good[:header_end]
+    # segment body of the good file (skip the 4-byte id + size vint)
+    pos, length = header_end + 4, None
+    _n, pos, _w = M._read_vint(good, pos, keep_marker=False)
+    seg_body = good[pos:]
+    bad_cluster = M._el(
+        M._CLUSTER,
+        M._uint_el(M._CLUSTER_TIMESTAMP, 50)
+        + M._el(M._SIMPLE_BLOCK, bytes([0x81, 0x00])),
+    )
+    bad = header + M._el(M._SEGMENT, seg_body + bad_cluster)
+    with pytest.raises(ValueError, match="truncated Matroska block"):
+        M.extract_mkv_subtitle_cues(bad)
+    # a truncated block on a DIFFERENT track is still skipped
+    other = header + M._el(
+        M._SEGMENT,
+        seg_body
+        + M._el(
+            M._CLUSTER,
+            M._uint_el(M._CLUSTER_TIMESTAMP, 50)
+            + M._el(M._SIMPLE_BLOCK, bytes([0x82, 0x00])),
+        ),
+    )
+    assert M.extract_mkv_subtitle_cues(other) == [(0, 10, 20, "x")]

@@ -186,3 +186,22 @@ def test_media_text_tags_spark(spark):
     assert ("vorbis", "title", "Flacky") in by_id[3]
     assert 4 not in by_id
     assert by_id[5] == [(None, None, None)]
+
+
+def test_id3v2_truncated_frame_header_raises_valueerror():
+    # r14 (ADVICE): a tag truncated mid-frame-header must raise the
+    # documented ValueError, never struct.error
+    tag = encode_id3v2([("TIT2", "abcdefgh")], version=3)
+    for cut in range(1, 10):
+        clipped = tag[: len(tag) - cut]
+        # fix the header's syncsafe size to match the clipped body
+        n = len(clipped) - 10
+        hdr = clipped[:6] + bytes(
+            (n >> s) & 0x7F for s in (21, 14, 7, 0)
+        )
+        clipped = hdr + clipped[10:]
+        try:
+            parse_id3v2_text(clipped)
+        except ValueError:
+            pass  # documented
+        # struct.error or any other type would propagate and fail
