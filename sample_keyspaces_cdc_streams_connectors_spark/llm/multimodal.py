@@ -5555,6 +5555,76 @@ def _mp4_find_box(b: bytes, start: int, end: int, tag: bytes):
     return None
 
 
+def mp4_sample_ranges(b: bytes, stbl) -> list:
+    """Absolute ``(offset, size)`` per sample from a stbl's
+    stsz/stsc/stco-or-co64 tables — the sample-location walk shared
+    by the video-frame extractor and the tx3g timed-text extractor
+    (r14).  ``stbl`` is the ``(start, end)`` body range of the stbl
+    box.  Raises ``ValueError`` on truncated tables, invalid stsc
+    runs, or a chunk map that covers too few samples."""
+    stsz = _mp4_find_box(b, *stbl, b"stsz")
+    stsc = _mp4_find_box(b, *stbl, b"stsc")
+    stco = _mp4_find_box(b, *stbl, b"stco")
+    use64 = False
+    if stco is None:
+        stco = _mp4_find_box(b, *stbl, b"co64")
+        use64 = stco is not None
+    if stsz is None or stsc is None or stco is None:
+        raise ValueError("MP4 sample table missing stsz/stsc/stco")
+    s0 = stsz[0]
+    fixed_size, n = struct.unpack(">II", b[s0 + 4 : s0 + 12])
+    if fixed_size:
+        sizes = [fixed_size] * n
+    else:
+        if s0 + 12 + 4 * n > stsz[1]:
+            raise ValueError("truncated MP4 stsz")
+        sizes = list(
+            struct.unpack(f">{n}I", b[s0 + 12 : s0 + 12 + 4 * n])
+        )
+    c0 = stco[0]
+    (n_chunks,) = struct.unpack(">I", b[c0 + 4 : c0 + 8])
+    w = 8 if use64 else 4
+    if c0 + 8 + w * n_chunks > stco[1]:
+        raise ValueError("truncated MP4 stco")
+    offsets = list(
+        struct.unpack(
+            f">{n_chunks}{'Q' if use64 else 'I'}",
+            b[c0 + 8 : c0 + 8 + w * n_chunks],
+        )
+    )
+    sc0 = stsc[0]
+    (n_runs,) = struct.unpack(">I", b[sc0 + 4 : sc0 + 8])
+    if sc0 + 8 + 12 * n_runs > stsc[1]:
+        raise ValueError("truncated MP4 stsc")
+    runs = [
+        struct.unpack(">III", b[sc0 + 8 + 12 * r : sc0 + 20 + 12 * r])
+        for r in range(n_runs)
+    ]
+    # expand the stsc run map: samples-per-chunk for each chunk
+    spc = []
+    for r, (first, count, _desc) in enumerate(runs):
+        last = runs[r + 1][0] - 1 if r + 1 < len(runs) else n_chunks
+        if first < 1 or last < first - 1:
+            raise ValueError("invalid MP4 stsc run")
+        spc.extend(count for _ in range(first, last + 1))
+    if len(spc) != n_chunks:
+        raise ValueError("MP4 stsc/stco chunk-count mismatch")
+    # per-sample absolute offsets: chunk base + preceding sizes
+    out = []
+    si = 0
+    for ci in range(n_chunks):
+        pos = offsets[ci]
+        for _ in range(spc[ci]):
+            if si >= n:
+                break
+            out.append((pos, sizes[si]))
+            pos += sizes[si]
+            si += 1
+    if si != n:
+        raise ValueError("MP4 sample table covers too few samples")
+    return out
+
+
 def extract_mp4_frames(
     payload: bytes | None,
     max_frames: int | None = None,
@@ -5608,68 +5678,8 @@ def extract_mp4_frames(
         fmt = b[stsd[0] + 12 : stsd[0] + 16]
         if fmt not in (b"jpeg", b"mjpa", b"mjpb"):
             continue  # a non-JPEG video track; keep looking
-        stsz = _mp4_find_box(b, *stbl, b"stsz")
-        stsc = _mp4_find_box(b, *stbl, b"stsc")
-        stco = _mp4_find_box(b, *stbl, b"stco")
-        use64 = False
-        if stco is None:
-            stco = _mp4_find_box(b, *stbl, b"co64")
-            use64 = stco is not None
-        if stsz is None or stsc is None or stco is None:
-            raise ValueError("MP4 sample table missing stsz/stsc/stco")
-        s0 = stsz[0]
-        fixed_size, n = struct.unpack(">II", b[s0 + 4 : s0 + 12])
-        if fixed_size:
-            sizes = [fixed_size] * n
-        else:
-            if s0 + 12 + 4 * n > stsz[1]:
-                raise ValueError("truncated MP4 stsz")
-            sizes = list(
-                struct.unpack(f">{n}I", b[s0 + 12 : s0 + 12 + 4 * n])
-            )
-        c0 = stco[0]
-        (n_chunks,) = struct.unpack(">I", b[c0 + 4 : c0 + 8])
-        w = 8 if use64 else 4
-        if c0 + 8 + w * n_chunks > stco[1]:
-            raise ValueError("truncated MP4 stco")
-        offsets = list(
-            struct.unpack(
-                f">{n_chunks}{'Q' if use64 else 'I'}",
-                b[c0 + 8 : c0 + 8 + w * n_chunks],
-            )
-        )
-        sc0 = stsc[0]
-        (n_runs,) = struct.unpack(">I", b[sc0 + 4 : sc0 + 8])
-        if sc0 + 8 + 12 * n_runs > stsc[1]:
-            raise ValueError("truncated MP4 stsc")
-        runs = [
-            struct.unpack(">III", b[sc0 + 8 + 12 * r : sc0 + 20 + 12 * r])
-            for r in range(n_runs)
-        ]
-        # expand the stsc run map: samples-per-chunk for each chunk
-        spc = []
-        for r, (first, count, _desc) in enumerate(runs):
-            last = (
-                runs[r + 1][0] - 1 if r + 1 < len(runs) else n_chunks
-            )
-            if first < 1 or last < first - 1:
-                raise ValueError("invalid MP4 stsc run")
-            spc.extend(count for _ in range(first, last + 1))
-        if len(spc) != n_chunks:
-            raise ValueError("MP4 stsc/stco chunk-count mismatch")
-        # per-sample absolute offsets: chunk base + preceding sizes
-        sample_off = []
-        si = 0
-        for ci in range(n_chunks):
-            pos = offsets[ci]
-            for _ in range(spc[ci]):
-                if si >= n:
-                    break
-                sample_off.append(pos)
-                pos += sizes[si]
-                si += 1
-        if si != n:
-            raise ValueError("MP4 sample table covers too few samples")
+        ranges = mp4_sample_ranges(b, stbl)
+        n = len(ranges)
         candidates = list(range(n))
         if keyframes_only:
             stss = _mp4_find_box(b, *stbl, b"stss")
@@ -5690,7 +5700,7 @@ def extract_mp4_frames(
         picks = [candidates[(j * nc) // m] for j in range(m)] if m else []
         out = []
         for idx in picks:
-            off, size = sample_off[idx], sizes[idx]
+            off, size = ranges[idx]
             if off + size > len(b):
                 raise ValueError("MP4 sample extends past end of file")
             out.append((idx, b[off : off + size]))

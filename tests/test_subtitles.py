@@ -168,3 +168,53 @@ def test_mkv_truncated_subtitle_block_raises():
         ),
     )
     assert M.extract_mkv_subtitle_cues(other) == [(0, 10, 20, "x")]
+
+
+def test_mp4_tx3g_timed_text():
+    """Cues from an MP4 tx3g timed-text track (r14 — the ISO-BMFF
+    counterpart of the in-MKV S_TEXT path): gap samples are empty
+    length-prefixed samples, timing is stts arithmetic in mdhd
+    timescale ticks, and sample location reuses the video path's
+    stsz/stsc/stco walk."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.subtitles import (
+        encode_mp4_timed_text,
+        extract_mp4_text_cues,
+    )
+
+    raw = [(s, e, t) for _i, s, e, t in CUES]
+    mp4 = encode_mp4_timed_text(raw)
+    want = [(i, s, e, t) for i, (s, e, t) in enumerate(raw)]
+    assert extract_mp4_text_cues(mp4) == want
+    # reachable through the generic dispatch too
+    assert extract_subtitle_cues(mp4) == want
+    # a non-ms timescale (600 ticks/s): times floor to exact ms
+    mp4 = encode_mp4_timed_text([(0, 2500, "x"), (3000, 4000, "y")],
+                                timescale=600)
+    assert extract_mp4_text_cues(mp4) == [
+        (0, 0, 2500, "x"),
+        (1, 3000, 4000, "y"),
+    ]
+    # styled text codings are an explicit boundary
+    bad = bytearray(encode_mp4_timed_text(raw))
+    i = bad.find(b"tx3g")
+    bad[i : i + 4] = b"stpp"  # TTML subtitles
+    with pytest.raises(NotImplementedError, match="tx3g"):
+        extract_mp4_text_cues(bytes(bad))
+    # a video-only MP4 has no timed-text track
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        encode_jpeg_gray8,
+        encode_mp4_mjpeg,
+    )
+
+    frames = [encode_jpeg_gray8(np.full((8, 8), 5, np.uint8), quant=1)]
+    with pytest.raises(ValueError, match="without a timed-text"):
+        extract_mp4_text_cues(encode_mp4_mjpeg(frames, 8, 8))
+    # truncated tx3g sample: declared text length exceeds the sample
+    good = encode_mp4_timed_text([(0, 1000, "hello")])
+    j = good.find(b"\x00\x05hello")
+    clipped = bytearray(good)
+    clipped[j : j + 2] = b"\x00\x99"
+    with pytest.raises(ValueError, match="exceeds its sample"):
+        extract_mp4_text_cues(bytes(clipped))
