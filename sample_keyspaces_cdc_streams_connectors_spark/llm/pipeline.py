@@ -123,6 +123,14 @@ def build_corpus_pipeline(
       language filter — map-only Arrow scoring, stream-safe (also
       accepted by :func:`build_streaming_curation`)
     - ``min-quality``  int per-mille threshold (default 0 = keep all)
+    - ``extract-media-text``  true|false (r14) — recover tag text
+      (titles/artists/comments) and subtitle-cue transcripts from the
+      binary ``media-column`` payloads as DERIVED documents
+      (``media_text_src`` = ``tags``|``cues``; originals carry NULL)
+      that flow through every later cleaning stage.  One mapInPandas
+      pass, zero shuffles, stream-safe (``llm.media_text``)
+    - ``media-column``  binary column holding each doc's media payload
+      (default ``media``; used by ``extract-media-text``)
     - ``scrub-pii``    true|false — redact emails/phones/IPs/SSNs/cards
       BEFORE annotation (quality is scored on the scrubbed text, and
       redaction counts ride along as ``n_email`` etc.)
@@ -327,6 +335,8 @@ def build_corpus_pipeline(
     observe = cfg.get_bool(f"{_P}.observe", default=False)
     split_fracs = _split_fractions(cfg)
     split_salt = cfg.get(f"{_P}.split-salt", "split") or "split"
+    media_text = cfg.get_bool(f"{_P}.extract-media-text", default=False)
+    media_column = cfg.get(f"{_P}.media-column", "media") or "media"
 
     def run(df: DataFrame) -> DataFrame:
         observations: dict[str, "Observation"] = {}
@@ -373,6 +383,24 @@ def build_corpus_pipeline(
             out = tap(
                 keep_first_per(out, "__key", id_col).drop("__key"),
                 "url-dedup",
+            )
+        if media_text:
+            # media-text recovery (r14): derive tag/cue text documents
+            # from media payloads so titles and captions flow through
+            # the SAME cleaning chain as crawled text.  AFTER url-dedup
+            # (derived rows copy the parent URL and would collapse
+            # into their parent), BEFORE scrub/annotate (recovered
+            # text is scrubbed, scored, and deduped like any other)
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.media_text import extract_media_text
+
+            out = tap(
+                extract_media_text(
+                    out,
+                    media_col=media_column,
+                    text_col=text_col,
+                    id_col=id_col,
+                ),
+                "media-text",
             )
         if scrub:
             from sample_keyspaces_cdc_streams_connectors_spark.functions.pii import with_pii_scrubbed
@@ -808,6 +836,8 @@ def build_streaming_curation(
     semantic_dims = cfg.get_int(f"{_P}.semantic-dims", default=64)
     split_fracs = _split_fractions(cfg)
     split_salt = cfg.get(f"{_P}.split-salt", "split") or "split"
+    media_text = cfg.get_bool(f"{_P}.extract-media-text", default=False)
+    media_column = cfg.get(f"{_P}.media-column", "media") or "media"
 
     def run(stream: DataFrame) -> DataFrame:
         out = stream
@@ -816,6 +846,18 @@ def build_streaming_curation(
 
             blocked = out.sparkSession.read.parquet(blocked_hosts_path)
             out = filter_blocked_hosts(out, url_column, blocked)
+        if media_text:
+            # media-text recovery (r14): a stateless mapInPandas pass
+            # (rows-out ≥ rows-in), so the stage is stream-safe
+            # verbatim — identical derived rows to the batch pipeline
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.media_text import extract_media_text
+
+            out = extract_media_text(
+                out,
+                media_col=media_column,
+                text_col=text_col,
+                id_col=id_col,
+            )
         if scrub:
             from sample_keyspaces_cdc_streams_connectors_spark.functions.pii import with_pii_scrubbed
 
