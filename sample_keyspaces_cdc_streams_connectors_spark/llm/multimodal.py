@@ -4863,11 +4863,121 @@ MULTIMODAL_PROFILE_SCHEMA = StructType(
         StructField("vf_sampled", IntegerType(), True),
         StructField("vf_px_n", LongType(), True),
         StructField("vf_px_sum", LongType(), True),
+        # r14: media-TEXT arm — planted tags (rotating ID3v2 / FLAC
+        # Vorbis / MP4 ilst / MKV Tags) and subtitle cues (rotating
+        # SRT / WebVTT / MKV S_TEXT / MP4 tx3g) extracted by the REAL
+        # parsers, re-derived arithmetically by the oracle
+        StructField("tag_n", IntegerType(), True),
+        StructField("tag_src", StringType(), True),
+        StructField("tag_title_key", StringType(), True),
+        StructField("tag_title", StringType(), True),
+        StructField("tag_track", IntegerType(), True),
+        StructField("cue_fmt", StringType(), True),
+        StructField("cue_n", IntegerType(), True),
+        StructField("cue_first_ms", LongType(), True),
+        StructField("cue_span_ms", LongType(), True),
+        StructField("cue_chars", LongType(), True),
         StructField("frame_idx", IntegerType(), True),
         StructField("frame_bytes", LongType(), True),
         StructField("frame_digest", StringType(), True),
     ]
 )
+
+
+def _pattern_tagged_bytes(mid: int) -> bytes:
+    """A REAL tagged media payload per document, rotating the tag
+    CONTAINER by ``mid % 4`` (r14 — every carrier is lossless for the
+    planted strings, so the oracle arithmetic is rotation-invariant
+    while four whole tag-extraction paths ride under the value hash):
+    0 = ID3v2 on an MP3 stream (version 2.3 / 2.4 alternating by
+    ``(mid >> 4) & 1`` — same parsed output), 1 = FLAC with a
+    VORBIS_COMMENT block (keys normalize lowercase), 2 = MP4 with an
+    iTunes-style ilst, 3 = Matroska with a Tags element.  Planted
+    tags: title ``t{mid}``, track ``1 + mid % 99``."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.tags import (
+        add_mp4_tags,
+        encode_id3v2,
+        encode_vorbis_comment_block,
+        mkv_tags_element,
+    )
+
+    title = f"t{mid}"
+    track = str(1 + mid % 99)
+    sel = mid % 4
+    if sel == 0:
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.mp3 import encode_mp3_stream
+
+        version = 3 + ((mid >> 4) & 1)
+        return encode_id3v2(
+            [("TIT2", title), ("TRCK", track)], version=version
+        ) + encode_mp3_stream([128])
+    if sel == 1:
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.flac import encode_flac_pcm16
+
+        import numpy as np
+
+        flac = bytearray(
+            encode_flac_pcm16(
+                np.zeros((64, 1), np.int16), 8000, blocksize=64
+            )
+        )
+        flac[4] &= 0x7F  # STREAMINFO is no longer the last block
+        block = encode_vorbis_comment_block(
+            [("TITLE", title), ("TRACKNUMBER", track)]
+        )
+        return bytes(flac[: 8 + 34]) + block + bytes(flac[8 + 34 :])
+    import numpy as np
+
+    frame = encode_jpeg_gray8(np.full((8, 8), mid % 256, np.uint8), quant=1)
+    if sel == 2:
+        return add_mp4_tags(
+            encode_mp4_mjpeg([frame], 8, 8),
+            [("©nam", title), ("trkn", track)],
+        )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import encode_mkv_mjpeg
+
+    return encode_mkv_mjpeg(
+        [frame],
+        8,
+        8,
+        extra_segment=mkv_tags_element(
+            [("TITLE", title), ("PART_NUMBER", track)]
+        ),
+    )
+
+
+def _pattern_subtitle_bytes(mid: int) -> bytes:
+    """A REAL caption payload per document, rotating the FORMAT by
+    ``(mid >> 2) % 4`` — SRT, WebVTT, Matroska S_TEXT/UTF8, MP4 tx3g
+    — all ms-exact for the planted cues, so the oracle arithmetic is
+    rotation-invariant.  Planted cues: ``1 + mid % 3`` cues, cue
+    ``i`` spans ``[1000·i + mid % 500, start + 500 + mid % 250)``
+    with text ``c{mid}_{i}`` (the inter-cue gap is always positive:
+    1000 > 500 + 249)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.subtitles import (
+        encode_mp4_timed_text,
+        format_srt,
+        format_webvtt,
+    )
+
+    n = 1 + mid % 3
+    cues = []
+    for i in range(n):
+        start = 1000 * i + mid % 500
+        end = start + 500 + mid % 250
+        cues.append((start, end, f"c{mid}_{i}"))
+    sel = (mid >> 2) % 4
+    if sel == 0:
+        return format_srt([(i + 1, s, e, t) for i, (s, e, t) in enumerate(cues)])
+    if sel == 1:
+        return format_webvtt(
+            [(i, s, e, t) for i, (s, e, t) in enumerate(cues)]
+        )
+    if sel == 2:
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import encode_mkv_subtitles
+
+        return encode_mkv_subtitles(cues)
+    return encode_mp4_timed_text(cues)
 
 
 def multimodal_profile(
@@ -4916,6 +5026,9 @@ def multimodal_profile(
     import hashlib
 
     import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.subtitles import extract_subtitle_cues
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.tags import extract_media_tags
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fast = resolve_image_decoder(decoder)
@@ -4996,6 +5109,50 @@ def multimodal_profile(
                 except (ValueError, NotImplementedError, struct.error):
                     vf_stats = (None, None, None, None)
                     vid_meta = (None, None, None, None, None, None)
+                # media-TEXT arm (r14): planted tags + caption cues
+                # through the REAL extraction paths — four tag
+                # carriers and four caption formats rotate under the
+                # value hash while the emitted values stay
+                # rotation-invariant (oracle re-derives them)
+                try:
+                    tb = _pattern_tagged_bytes(mid)
+                    # the Vorbis comment header's vendor string is
+                    # codec metadata, not a planted tag — drop it so
+                    # the columns are rotation-invariant
+                    trows = [
+                        r
+                        for r in extract_media_tags(tb)
+                        if r[1] != "vendor"
+                    ]
+                    mt_tag = (
+                        len(trows),
+                        trows[0][0],
+                        trows[0][1],
+                        trows[0][2],
+                        int(trows[1][2]),
+                    )
+                except (ValueError, NotImplementedError, struct.error):
+                    mt_tag = (None, None, None, None, None)
+                try:
+                    sb = _pattern_subtitle_bytes(mid)
+                    cues = extract_subtitle_cues(sb)
+                    if sb[:4] == b"\x1aE\xdf\xa3":
+                        cue_fmt = "mkv"
+                    elif sb[4:8] == b"ftyp":
+                        cue_fmt = "mp4"
+                    elif sb[:6] == b"WEBVTT":
+                        cue_fmt = "vtt"
+                    else:
+                        cue_fmt = "srt"
+                    mt_cue = (
+                        cue_fmt,
+                        len(cues),
+                        cues[0][1],
+                        sum(e - s for _i, s, e, _t in cues),
+                        sum(len(t) for _i, _s, _e, t in cues),
+                    )
+                except (ValueError, NotImplementedError, struct.error):
+                    mt_cue = (None, None, None, None, None)
                 media_row = {
                     "n_bytes": len(payload),
                     "digest": hashlib.md5(payload).hexdigest(),
@@ -5029,6 +5186,16 @@ def multimodal_profile(
                     "vf_sampled": vf_stats[1],
                     "vf_px_n": vf_stats[2],
                     "vf_px_sum": vf_stats[3],
+                    "tag_n": mt_tag[0],
+                    "tag_src": mt_tag[1],
+                    "tag_title_key": mt_tag[2],
+                    "tag_title": mt_tag[3],
+                    "tag_track": mt_tag[4],
+                    "cue_fmt": mt_cue[0],
+                    "cue_n": mt_cue[1],
+                    "cue_first_ms": mt_cue[2],
+                    "cue_span_ms": mt_cue[3],
+                    "cue_chars": mt_cue[4],
                 }
                 reel = payload.decode("utf-8", "replace")
                 emitted = False
@@ -5109,6 +5276,24 @@ def multimodal_profile(
                     "vf_px_n": pd.array(cols["vf_px_n"], dtype="Int64"),
                     "vf_px_sum": pd.array(
                         cols["vf_px_sum"], dtype="Int64"
+                    ),
+                    "tag_n": pd.array(cols["tag_n"], dtype="Int32"),
+                    "tag_src": cols["tag_src"],
+                    "tag_title_key": cols["tag_title_key"],
+                    "tag_title": cols["tag_title"],
+                    "tag_track": pd.array(
+                        cols["tag_track"], dtype="Int32"
+                    ),
+                    "cue_fmt": cols["cue_fmt"],
+                    "cue_n": pd.array(cols["cue_n"], dtype="Int32"),
+                    "cue_first_ms": pd.array(
+                        cols["cue_first_ms"], dtype="Int64"
+                    ),
+                    "cue_span_ms": pd.array(
+                        cols["cue_span_ms"], dtype="Int64"
+                    ),
+                    "cue_chars": pd.array(
+                        cols["cue_chars"], dtype="Int64"
                     ),
                     "frame_idx": pd.array(
                         cols["frame_idx"], dtype="Int32"

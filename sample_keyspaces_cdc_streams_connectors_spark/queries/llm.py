@@ -1850,6 +1850,36 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN pxgrid gx ON gx.x < 1 + d.doc_id % 4
       JOIN pxgrid gy ON gy.x < 1 + (d.doc_id*7) % 4
       GROUP BY d.doc_id
+    ),
+    -- media-TEXT arm (r14): planted tags rotate four carriers by
+    -- doc_id % 4 (ID3v2 / FLAC-Vorbis / MP4-ilst / MKV-Tags — the
+    -- title KEY is each carrier's native spelling, values are
+    -- rotation-invariant arithmetic) and planted caption cues rotate
+    -- four formats by (doc_id // 4) % 4 (SRT / WebVTT / MKV S_TEXT /
+    -- MP4 tx3g — 1 + id % 3 cues, cue i spans [1000 i + id % 500,
+    -- start + 500 + id % 250), text 'c{id}_{i}')
+    mt AS (
+      SELECT doc_id AS media_id,
+             CAST(2 AS INTEGER) AS tag_n,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'id3' WHEN 1 THEN 'vorbis'
+               WHEN 2 THEN 'ilst' ELSE 'mkv' END AS tag_src,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'TIT2' WHEN 1 THEN 'title'
+               WHEN 2 THEN '©nam' ELSE 'TITLE' END AS tag_title_key,
+             't' || CAST(doc_id AS VARCHAR) AS tag_title,
+             CAST(1 + doc_id % 99 AS INTEGER) AS tag_track,
+             CASE CAST((doc_id // 4) % 4 AS INT)
+               WHEN 0 THEN 'srt' WHEN 1 THEN 'vtt'
+               WHEN 2 THEN 'mkv' ELSE 'mp4' END AS cue_fmt,
+             CAST(1 + doc_id % 3 AS INTEGER) AS cue_n,
+             CAST(doc_id % 500 AS BIGINT) AS cue_first_ms,
+             CAST((1 + doc_id % 3) * (500 + doc_id % 250) AS BIGINT)
+               AS cue_span_ms,
+             CAST((1 + doc_id % 3)
+                  * (3 + strlen(CAST(doc_id AS VARCHAR))) AS BIGINT)
+               AS cue_chars
+      FROM documents
     )
     SELECT g.media_id, g.n_bytes, g.digest, g.width, g.height,
            g.out_width, g.out_height, h.fmt, h.hdr_width, h.hdr_height,
@@ -1859,12 +1889,16 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
            v.vid_fmt, v.vid_brand, v.vid_duration_ms,
            v.vid_width, v.vid_height, v.vid_tracks,
            v.vf_n_frames, v.vf_sampled, v.vf_px_n, v.vf_px_sum,
+           m.tag_n, m.tag_src, m.tag_title_key, m.tag_title,
+           m.tag_track, m.cue_fmt, m.cue_n, m.cue_first_ms,
+           m.cue_span_ms, m.cue_chars,
            f.frame_idx, f.frame_bytes, f.frame_digest
     FROM geom g
     JOIN hdr h ON h.media_id = g.media_id
     JOIN px p ON p.media_id = g.media_id
     JOIN au a ON a.media_id = g.media_id
     JOIN vf v ON v.media_id = g.media_id
+    JOIN mt m ON m.media_id = g.media_id
     LEFT JOIN frames f ON f.media_id = g.media_id
     """,
 )
@@ -1965,7 +1999,21 @@ def multimodal_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (four lossless containers); each video container's duration
     formula differs (mvhd timescale / avih µs-per-frame / EBML 1 ms
     ticks), so the oracle pins the three timescale arithmetics in
-    separate CASE arms."""
+    separate CASE arms.
+
+    Arm ``mt`` (r14, the tag_*/cue_* columns — the media-TEXT
+    surface the ``corpus.extract-media-text`` stage feeds on):
+    ``_pattern_tagged_bytes`` plants a title + track tag rotating
+    FOUR carriers by ``doc_id % 4`` (ID3v2.3/2.4 on MP3, FLAC
+    VORBIS_COMMENT, MP4 ilst, Matroska Tags) and
+    ``_pattern_subtitle_bytes`` plants ``1 + id % 3`` caption cues
+    rotating FOUR formats by ``(id >> 2) % 4`` (SRT, WebVTT, MKV
+    S_TEXT/UTF8, MP4 tx3g); ``extract_media_tags`` /
+    ``extract_subtitle_cues`` walk the REAL containers and the
+    emitted counts/values/spans are re-derived arithmetically by the
+    oracle — the title KEY pins each carrier's native spelling
+    (TIT2 / title / ©nam / TITLE), the cue columns pin ms-exact
+    timing arithmetic across all four formats."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import multimodal_profile
 
     # r12: ONE fused mapInPandas pass emits the whole profile per

@@ -137,6 +137,11 @@ SHOWCASE: dict[str, list[str]] = {
         "r13: the same pass now also emits metadata/duration columns "
         "for SEVEN containers (WAV/FLAC/AIFF/AU audio, MP4/AVI/MKV "
         "video headers) — header parses only, no extra plan nodes",
+        "r14: the media-TEXT arm rides the same pass too — planted "
+        "tags through four carriers (ID3v2/FLAC-Vorbis/MP4-ilst/"
+        "MKV-Tags) and caption cues through four formats (SRT/WebVTT/"
+        "MKV-S_TEXT/MP4-tx3g), parsed by the REAL extractors; "
+        "still ONE MapInPandas, zero new plan nodes",
     ],
     "lm_fluency": [
         "scoring is ONE map-only Arrow pass (`ArrowEvalPython`) — the "
