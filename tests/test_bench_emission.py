@@ -48,6 +48,16 @@ def _results(prev=None) -> bench.BenchResults:
         sess_full_late=4.5,
         sess_floor_late=1.1,
         session_fatten=8,
+        sliding_early_best=1.22,
+        sliding_late_best=1.31,
+        streaming_passes_sec={
+            "sliding_window_early": [1.25, 1.22],
+            "sliding_window_late": [1.31, 1.4],
+            "session_full_early": [4.2, 4.4],
+            "session_floor_early": [0.9, 1.0],
+            "session_full_late": [4.5, 4.6],
+            "session_floor_late": [1.1, 1.2],
+        },
         bpe_fertility_ratio=1.31,
         headline_early={"agg_sums": 0.52, "join_basic": 0.27},
         headline_late={"agg_sums": 0.5, "join_basic": 0.25},
@@ -173,3 +183,21 @@ def test_prev_bench_skips_unusable_artifacts(tmp_path, monkeypatch):
     n, doc = got
     assert n == 9
     assert doc["queries"] == {"agg_sums": 0.6}
+
+
+def test_streaming_positional_fields_present():
+    # r14 (VERDICT r13 #2): the streaming group carries the same
+    # positional attribution data as CDC/corpus/session
+    _out, detail = bench.assemble_reports(_results())
+    assert detail["sliding_early_best_sec"] == 1.22
+    assert detail["sliding_late_best_sec"] == 1.31
+    passes = detail["streaming_passes_sec"]
+    assert set(passes) == {
+        "sliding_window_early",
+        "sliding_window_late",
+        "session_full_early",
+        "session_floor_early",
+        "session_full_late",
+        "session_floor_late",
+    }
+    assert all(len(v) == 2 for v in passes.values())
