@@ -129,6 +129,115 @@ def _encode_vint_size(v: int) -> bytes:
     raise ValueError("EBML size too large")
 
 
+def _lace_ranges(b: bytes, start: int, end: int, flags: int) -> list:
+    """Frame byte ranges ``[(s, e), ...]`` inside a (Simple)Block body
+    ``[start, end)`` per the block's lacing bits (r14 — lacing is how
+    real Matroska/WebM packs multiple frames per block, RFC 9559 §11):
+    0 = no lacing (one frame), 0x02 = Xiph (255-run size bytes),
+    0x04 = fixed-size (equal split), 0x06 = EBML (first size a plain
+    vint, then signed-vint deltas).  The last frame is always the
+    remainder (Xiph/EBML).  Malformed lacing raises ``ValueError`` —
+    never wrong frame boundaries."""
+    lace = flags & 0x06
+    if lace == 0:
+        return [(start, end)]
+    if start >= end:
+        raise ValueError("truncated Matroska lacing header")
+    k = b[start] + 1
+    pos = start + 1
+    sizes: list[int] = []
+    if lace == 0x04:  # fixed-size lacing
+        total = end - pos
+        if total % k:
+            raise ValueError(
+                "fixed-size lacing does not divide the block evenly"
+            )
+        sizes = [total // k] * k
+    elif lace == 0x02:  # Xiph lacing
+        for _ in range(k - 1):
+            size = 0
+            while True:
+                if pos >= end:
+                    raise ValueError("truncated Xiph lacing sizes")
+                v = b[pos]
+                pos += 1
+                size += v
+                if v < 255:
+                    break
+            sizes.append(size)
+        rem = (end - pos) - sum(sizes)
+        if rem < 0:
+            raise ValueError("Xiph lacing sizes exceed the block")
+        sizes.append(rem)
+    else:  # EBML lacing
+        prev = None
+        if k >= 2:
+            prev, pos, _ = _read_vint(b, pos, keep_marker=False)
+            sizes.append(prev)
+            for _ in range(k - 2):
+                if pos >= end:
+                    raise ValueError("truncated EBML lacing sizes")
+                p0 = pos
+                raw, pos, _ = _read_vint(b, pos, keep_marker=False)
+                w = pos - p0
+                prev += raw - ((1 << (7 * w - 1)) - 1)  # signed vint
+                if prev < 0:
+                    raise ValueError("negative EBML lace size")
+                sizes.append(prev)
+        rem = (end - pos) - sum(sizes)
+        if rem < 0:
+            raise ValueError("EBML lacing sizes exceed the block")
+        sizes.append(rem)
+    out = []
+    p = pos
+    for s in sizes:
+        out.append((p, p + s))
+        p += s
+    return out
+
+
+def _encode_svint(d: int) -> bytes:
+    """Serialize a SIGNED vint (EBML-lacing delta): the raw vint value
+    is the delta plus the width's bias ``2^(7w-1) − 1``."""
+    for w in range(1, 9):
+        bias = (1 << (7 * w - 1)) - 1
+        if -bias <= d <= bias:
+            return ((d + bias) | (1 << (7 * w))).to_bytes(w, "big")
+    raise ValueError("lace delta too large")
+
+
+def encode_lacing(payloads: list, lacing: str) -> bytes:
+    """The lacing header + concatenated frames for a (Simple)Block
+    carrying ``payloads`` — the fixture mirror of
+    :func:`_lace_ranges`.  ``lacing`` is ``xiph`` | ``fixed`` |
+    ``ebml``; the caller prepends track vint, timestamp, and the
+    flags byte with the matching lace bits (0x02/0x04/0x06)."""
+    k = len(payloads)
+    if not 1 <= k <= 256:
+        raise ValueError("lacing carries 1-256 frames")
+    head = bytes([k - 1])
+    if lacing == "fixed":
+        if len({len(p) for p in payloads}) > 1:
+            raise ValueError("fixed-size lacing needs equal frames")
+    elif lacing == "xiph":
+        for p in payloads[:-1]:
+            size = len(p)
+            head += b"\xff" * (size // 255) + bytes([size % 255])
+    elif lacing == "ebml":
+        if k >= 2:
+            head += _encode_vint_size(len(payloads[0]))
+            prev = len(payloads[0])
+            for p in payloads[1:-1]:
+                head += _encode_svint(len(p) - prev)
+                prev = len(p)
+    else:
+        raise ValueError(f"unknown lacing {lacing!r}")
+    return head + b"".join(payloads)
+
+
+_LACE_BITS = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}
+
+
 def _el(eid: int, body: bytes) -> bytes:
     eid_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
     return eid_bytes + _encode_vint_size(len(body)) + body
@@ -150,6 +259,7 @@ def encode_mkv_mjpeg(
     unknown_size_segment: bool = False,
     keyframe_every: int = 0,
     extra_segment: bytes = b"",
+    lacing: str | None = None,
 ) -> bytes:
     """Minimal REAL Matroska/WebM file carrying a motion-JPEG video
     track: EBML header (doctype ``matroska`` or ``webm``), Segment
@@ -161,7 +271,10 @@ def encode_mkv_mjpeg(
     keyframe signalling for grouped blocks).
     ``unknown_size_segment`` writes the Segment and the LAST Cluster
     with the all-ones unknown size (the live-streaming convention) so
-    the reader's to-end-of-parent path is testable.  The fixture
+    the reader's to-end-of-parent path is testable.  ``lacing``
+    (r14): ``xiph`` | ``fixed`` | ``ebml`` packs each cluster's
+    frames into ONE laced SimpleBlock/Block instead of one block per
+    frame (``fixed`` requires equal frame sizes).  The fixture
     mirror of :func:`extract_mkv_frames`."""
     if not frames:
         raise ValueError("encode_mkv_mjpeg needs at least one frame")
@@ -199,6 +312,36 @@ def encode_mkv_mjpeg(
     clusters = []
     for c0 in range(0, n, frames_per_cluster):
         body = _uint_el(_CLUSTER_TIMESTAMP, c0 * frame_duration_ms)
+        group_frames = frames[c0 : min(c0 + frames_per_cluster, n)]
+        if lacing is not None:
+            # r14: ONE laced block per cluster — the flags byte
+            # carries the lace bits; keyframe signal applies to the
+            # whole block
+            is_key = keyframe_every <= 0 or (c0 % keyframe_every == 0)
+            blk = (
+                b"\x81"
+                + struct.pack(">h", 0)
+                + bytes(
+                    [
+                        _LACE_BITS[lacing]
+                        | (
+                            0x80
+                            if is_key and not use_block_groups
+                            else 0
+                        )
+                    ]
+                )
+                + encode_lacing(group_frames, lacing)
+            )
+            if use_block_groups:
+                group = _el(_BLOCK, blk)
+                if not is_key:
+                    group += _uint_el(_REFERENCE_BLOCK, 0)
+                body += _el(_BLOCK_GROUP, group)
+            else:
+                body += _el(_SIMPLE_BLOCK, blk)
+            clusters.append(body)
+            continue
         for k in range(c0, min(c0 + frames_per_cluster, n)):
             is_key = keyframe_every <= 0 or (k % keyframe_every == 0)
             rel = (k - c0) * frame_duration_ms
@@ -347,14 +490,13 @@ def extract_mkv_frames(
         if track != video_track:
             return
         flags = b[pos + 2]
-        if flags & 0x06:
-            raise NotImplementedError(
-                "laced Matroska blocks are not supported"
-            )
         key = (
             bool(flags & 0x80) if simple else bool(key_override)
         )
-        frames.append(((pos + 3, be), key))
+        # r14: laced blocks (Xiph/fixed/EBML) carry several frames —
+        # every laced frame shares the block's keyframe signal
+        for rng in _lace_ranges(b, pos + 3, be, flags):
+            frames.append((rng, key))
 
     for eid, s, e, _u in children:
         if eid != _CLUSTER:
@@ -538,22 +680,25 @@ def extract_mkv_subtitle_cues(payload: bytes | None) -> list:
                     # malformed EBML raises, matching the frames path
                     raise ValueError("truncated Matroska block")
                 (rel,) = struct.unpack(">h", b[pos : pos + 2])
-                if b[pos + 2] & 0x06:
-                    raise NotImplementedError(
-                        "laced Matroska blocks are not supported"
-                    )
                 start_ticks = cluster_ts + rel
                 start_ms = start_ticks * scale // 1_000_000
                 dur_ms = (
                     (duration or 0) * scale // 1_000_000
                 )
-                text = b[pos + 3 : be].decode("utf-8", "replace")
-                out.append(
-                    (
-                        len(out),
-                        start_ms,
-                        start_ms + dur_ms,
-                        text,
+                # r14: a laced subtitle block yields one cue per laced
+                # frame, all anchored at the block's timestamp/span
+                # (simultaneous captions — lacing carries no per-frame
+                # timing without a DefaultDuration, so anything else
+                # would invent timestamps)
+                for fs, fe in _lace_ranges(
+                    b, pos + 3, be, b[pos + 2]
+                ):
+                    out.append(
+                        (
+                            len(out),
+                            start_ms,
+                            start_ms + dur_ms,
+                            b[fs:fe].decode("utf-8", "replace"),
+                        )
                     )
-                )
     return out

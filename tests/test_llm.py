@@ -880,7 +880,10 @@ def test_mkv_mjpeg_container_and_real_frames(spark):
         )
     ).collect()[0]
     assert r["vf_n_frames"] is None and r["vf_px_sum"] is None
-    # laced blocks are an explicit boundary, malformed EBML raises
+    # r14: lacing is SUPPORTED now (test_mkv_lacing_all_three_
+    # encodings) — but flipping lace bits on a block whose body is
+    # NOT valid lacing must still raise ValueError, never emit wrong
+    # frame boundaries
     from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import (
         _ebml_elements,
         _read_vint,
@@ -898,7 +901,7 @@ def test_mkv_mjpeg_container_and_real_frames(spark):
             if c == 0xA3:  # SimpleBlock
                 _track, pos, _ = _read_vint(b, cs, keep_marker=False)
                 laced[pos + 2] |= 0x06  # set the lacing bits
-    with pytest.raises(Exception, match="laced"):
+    with pytest.raises(ValueError):
         extract_mkv_frames(bytes(laced))
     with pytest.raises(ValueError, match="EBML"):
         extract_mkv_frames(encode_mkv_mjpeg(frames, 8, 8)[:40])
@@ -3174,3 +3177,63 @@ def test_decoder_exception_contract_crafted_payloads(spark):
     vgot = {r["media_id"]: r for r in video_metadata(vdf).collect()}
     assert vgot[9]["duration_ms"] is None and vgot[9]["format"] is None
     assert vgot[10]["duration_ms"] == 500  # good payloads still flow
+
+
+def test_mkv_lacing_all_three_encodings():
+    """r14: laced blocks (Xiph / EBML / fixed-size — how real
+    Matroska/WebM packs several frames per block) decode to the same
+    frames as the one-block-per-frame layout, under SimpleBlock AND
+    BlockGroup, with keyframe semantics intact; malformed lacing
+    raises, never wrong frame boundaries."""
+    import numpy as np
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import (
+        _lace_ranges,
+        encode_lacing,
+        encode_mkv_mjpeg,
+        extract_mkv_frames,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import encode_jpeg_gray8
+
+    frames = [
+        encode_jpeg_gray8(np.full((8, 8), v, np.uint8), quant=1)
+        for v in (5, 60, 120, 180, 240)
+    ]
+    for lac in ("xiph", "ebml"):
+        for bg in (False, True):
+            mkv = encode_mkv_mjpeg(
+                frames, 8, 8, frames_per_cluster=3,
+                use_block_groups=bg, lacing=lac,
+            )
+            n, out = extract_mkv_frames(mkv)
+            assert n == 5, (lac, bg)
+            assert all(
+                raw == orig for (_i, raw), orig in zip(out, frames)
+            ), (lac, bg)
+    # fixed-size lacing needs equal frames (constant gray = equal)
+    eq = [
+        encode_jpeg_gray8(np.full((8, 8), v, np.uint8), quant=1)
+        for v in (5, 6, 7, 8)
+    ]
+    assert len({len(f) for f in eq}) == 1
+    mkv = encode_mkv_mjpeg(eq, 8, 8, frames_per_cluster=4, lacing="fixed")
+    n, out = extract_mkv_frames(mkv)
+    assert n == 4 and all(r == o for (_i, r), o in zip(out, eq))
+    # a >510-byte frame exercises the Xiph 255-run rule; uneven sizes
+    # exercise the EBML signed-delta path in both directions
+    big = encode_lacing([b"x" * 600, b"ab", b"z" * 300], "xiph")
+    ranges = _lace_ranges(big, 0, len(big), 0x02)
+    assert [e - s for s, e in ranges] == [600, 2, 300]
+    eb = encode_lacing([b"x" * 300, b"ab", b"z" * 600], "ebml")
+    ranges = _lace_ranges(eb, 0, len(eb), 0x06)
+    assert [e - s for s, e in ranges] == [300, 2, 600]
+    # malformed: Xiph sizes overrunning the block raise
+    import pytest as _pytest
+
+    bad = bytes([1, 255, 255, 10]) + b"short"
+    with _pytest.raises(ValueError, match="lacing"):
+        _lace_ranges(bad, 0, len(bad), 0x02)
+    # fixed lacing that does not divide evenly raises
+    bad = bytes([2]) + b"x" * 10  # 3 frames, 10 bytes
+    with _pytest.raises(ValueError, match="divide"):
+        _lace_ranges(bad, 0, len(bad), 0x04)

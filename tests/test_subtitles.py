@@ -218,3 +218,42 @@ def test_mp4_tx3g_timed_text():
     clipped[j : j + 2] = b"\x00\x99"
     with pytest.raises(ValueError, match="exceeds its sample"):
         extract_mp4_text_cues(bytes(clipped))
+
+
+def test_mkv_laced_subtitle_block():
+    """r14: a LACED subtitle block (how some muxers pack several
+    simultaneous caption lines) yields one cue per laced frame, all
+    anchored at the block's timestamp/span — no invented per-frame
+    timing."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import mkv as M
+
+    good = M.encode_mkv_subtitles([(10, 20, "x")])
+    header_end = good.find(bytes.fromhex("18538067"))
+    header = good[:header_end]
+    _n, pos, _w = M._read_vint(good, header_end + 4, keep_marker=False)
+    seg_body = good[pos:]
+    texts = [b"line one", b"l2", b"third line here"]
+    for lac, bits in (("xiph", 0x02), ("ebml", 0x06)):
+        blk = (
+            bytes([0x81])
+            + (50).to_bytes(2, "big")
+            + bytes([bits])
+            + M.encode_lacing(texts, lac)
+        )
+        laced_cluster = M._el(
+            M._CLUSTER,
+            M._uint_el(M._CLUSTER_TIMESTAMP, 100)
+            + M._el(
+                M._BLOCK_GROUP,
+                M._el(M._BLOCK, blk)
+                + M._uint_el(M._BLOCK_DURATION, 75),
+            ),
+        )
+        mkv = header + M._el(M._SEGMENT, seg_body + laced_cluster)
+        cues = M.extract_mkv_subtitle_cues(mkv)
+        assert cues[0] == (0, 10, 20, "x")
+        assert cues[1:] == [
+            (1, 150, 225, "line one"),
+            (2, 150, 225, "l2"),
+            (3, 150, 225, "third line here"),
+        ], lac
