@@ -79,10 +79,27 @@ __all__ = [
 # ivf_index._write_text: maintenance must work wherever the data is) ---
 
 
+#: (JavaSparkContext id, URI scheme) -> resolved Hadoop FileSystem.
+#: Every FS helper previously re-resolved the FileSystem per call —
+#: three extra py4j round trips (~5 ms each) on EVERY exists/rename/
+#: delete, which the r14 ingest cost table surfaced as seconds of
+#: pure driver latency in the 256-bucket maintenance loops.  Hadoop
+#: caches FileSystem instances JVM-side and they are thread-safe, so
+#: holding the py4j handle is safe; keyed by context id so a stopped
+#: session's handle is never reused by its successor.
+_FS_CACHE: dict = {}
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    key = (id(spark._jsc), scheme)
+    fs = _FS_CACHE.get(key)
+    if fs is None:
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        _FS_CACHE[key] = fs
+    return fs, jvm
 
 
 def _list_children(spark: SparkSession, path: str) -> list[tuple[str, bool]]:
@@ -138,6 +155,29 @@ def _swap_dir(spark: SparkSession, replacement: str, live: str) -> None:
 def _exists(spark: SparkSession, path: str) -> bool:
     fs, jvm = _fs(spark, path)
     return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+
+def _parallel_fs(fn, items, workers: int = 16) -> list:
+    """Run independent driver-side FS operations concurrently and
+    return results in input order (r14 — VERDICT r13 #6: the ingest
+    cost table showed compact_dedup_index spending ~5.5 s of its
+    ~9.5 s fire in the SEQUENTIAL 256-bucket swap loop and another
+    ~1.7 s in per-bucket fragmentation listings — pure py4j/Hadoop
+    round-trip latency at ~5-20 ms per call, not I/O).  The py4j
+    gateway is thread-safe (one connection per thread), each
+    per-bucket operation is independent, and every swap keeps its own
+    crash-safety (aside-rename discipline), so concurrency changes
+    latency only, not recovery semantics.  The first exception
+    propagates, matching the sequential loop's abort contract."""
+    items = list(items)
+    if len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(workers, len(items))
+    ) as ex:
+        return list(ex.map(fn, items))
 
 
 def _read_marker(spark: SparkSession, index_root: str) -> dict | None:
@@ -217,18 +257,34 @@ def compact_text_index(
         for name, is_dir in _list_children(spark, post_root)
         if is_dir and name.startswith("tb=")
     ]
+    counts = _parallel_fs(
+        lambda name: len(_data_files(spark, f"{post_root}/{name}")),
+        buckets,
+    )
     frag = sorted(
         name
-        for name in buckets
-        if len(_data_files(spark, f"{post_root}/{name}"))
-        > max_files_per_bucket
+        for name, n_files in zip(buckets, counts)
+        if n_files > max_files_per_bucket
     )
     if frag:
         tbs = [int(name.split("=", 1)[1]) for name in frag]
         sub = spark.read.parquet(post_root).filter(F.col("tb").isin(tbs))
         if files_per_bucket == 1:
-            # one task per fragmented bucket -> one file per bucket
-            sub = sub.repartition(len(tbs), "tb")
+            # hash-partition BY the bucket column: each bucket lands
+            # wholly in one task and partitionBy writes one file per
+            # bucket per task — so one file per bucket holds at ANY
+            # partition count.  Capping tasks at cluster parallelism
+            # (r14, the ingest cost table) drops the per-task
+            # scheduling overhead a one-task-per-bucket rewrite paid
+            # (256 subsecond tasks on 32 cores)
+            n_tasks = max(
+                1,
+                min(
+                    len(tbs),
+                    spark.sparkContext.defaultParallelism,
+                ),
+            )
+            sub = sub.repartition(n_tasks, "tb")
         else:
             sub = (
                 sub.withColumn(
@@ -249,8 +305,12 @@ def compact_text_index(
         _write_marker(
             spark, base, {"op": "compact_text_index", "buckets": frag}
         )
-        for name in frag:
-            _swap_dir(spark, f"{tmp}/{name}", f"{post_root}/{name}")
+        _parallel_fs(
+            lambda name: _swap_dir(
+                spark, f"{tmp}/{name}", f"{post_root}/{name}"
+            ),
+            frag,
+        )
         _delete(spark, tmp)
         _clear_marker(spark, base)
     terms_root = f"{base}/{TERMS_DIR}"
@@ -328,10 +388,14 @@ def compact_dedup_index(
         for name, is_dir in _list_children(spark, root)
         if is_dir and name.startswith("bucket=")
     ]
+    counts = _parallel_fs(
+        lambda name: len(_data_files(spark, f"{root}/{name}")),
+        buckets,
+    )
     frag = sorted(
         name
-        for name in buckets
-        if len(_data_files(spark, f"{root}/{name}")) > max_files_per_bucket
+        for name, n_files in zip(buckets, counts)
+        if n_files > max_files_per_bucket
     )
     if frag:
         raw = [name.split("=", 1)[1] for name in frag]
@@ -350,7 +414,16 @@ def compact_dedup_index(
             .distinct()
         )
         if files_per_bucket == 1:
-            sub_df = sub_df.repartition(len(frag), "bucket")
+            # same hash-partition trick as compact_text_index: one
+            # file per bucket at cluster-parallelism task count (r14)
+            n_tasks = max(
+                1,
+                min(
+                    len(frag),
+                    spark.sparkContext.defaultParallelism,
+                ),
+            )
+            sub_df = sub_df.repartition(n_tasks, "bucket")
         else:
             sub_df = (
                 sub_df.withColumn(
@@ -383,7 +456,11 @@ def compact_dedup_index(
             for name, is_dir in _list_children(spark, tmp)
             if is_dir and name.startswith("bucket=")
         }
-        skipped = 0
+        # decide every bucket's action FIRST (pure set logic — the
+        # torn-write abort fires before any live directory is touched,
+        # exactly as the old sequential loop guaranteed), then execute
+        # the independent FS operations concurrently (_parallel_fs)
+        deletes, swaps = [], []
         for name in frag:
             # partition-value formatting can differ from the directory
             # name when inference typed the bucket as int (bucket=07 is
@@ -398,8 +475,7 @@ def compact_dedup_index(
                 # is crash-safe under the armed marker, and it stops
                 # the bucket from re-qualifying as fragmented on every
                 # subsequent compaction run
-                _delete(spark, f"{root}/{name}")
-                skipped += 1
+                deletes.append(name)
                 continue
             src = name if name in written else f"bucket={canon}"
             if src not in written:
@@ -408,7 +484,17 @@ def compact_dedup_index(
                     f"no tmp partition was written (torn write?) — "
                     "aborting before touching the live index"
                 )
-            _swap_dir(spark, f"{tmp}/{src}", f"{root}/{name}")
+            swaps.append((src, name))
+        skipped = len(deletes)
+        _parallel_fs(
+            lambda name: _delete(spark, f"{root}/{name}"), deletes
+        )
+        _parallel_fs(
+            lambda sd: _swap_dir(
+                spark, f"{tmp}/{sd[0]}", f"{root}/{sd[1]}"
+            ),
+            swaps,
+        )
         _delete(spark, tmp)
         _clear_marker(spark, root)
     else:
@@ -755,10 +841,16 @@ def rebalance_ivf_index(
         for name, is_dir in _list_children(spark, base)
         if is_dir and name.startswith("cell=")
     }
-    for name in sorted(new_cells):
-        _swap_dir(spark, f"{tmp}/{name}", f"{base}/{name}")
-    for name in sorted(old_cells - new_cells):
-        _delete(spark, f"{base}/{name}")
+    _parallel_fs(
+        lambda name: _swap_dir(
+            spark, f"{tmp}/{name}", f"{base}/{name}"
+        ),
+        sorted(new_cells),
+    )
+    _parallel_fs(
+        lambda name: _delete(spark, f"{base}/{name}"),
+        sorted(old_cells - new_cells),
+    )
     _delete(spark, tmp)
     _write_text(spark, _codebook_path(base), json.dumps(centroids))
     _clear_marker(spark, base)

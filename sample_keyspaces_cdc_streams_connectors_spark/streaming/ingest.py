@@ -95,6 +95,7 @@ Survivor materialization (``corpus.ingest-checkpoint``, r10):
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -187,6 +188,7 @@ def curation_ingest_sink(
     out_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stage_times: dict | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` callable for the curation-ingest
     loop.  Usage::
@@ -199,7 +201,15 @@ def curation_ingest_sink(
     index probes) → append survivors to ``out_path`` (parquet) →
     extend each configured standing index.  Batch-only corpus keys
     raise at BUILD time (same validation as the curation chain), not
-    mid-stream."""
+    mid-stream.
+
+    ``stage_times`` (r14 — VERDICT r13 #6, the ingest-cost
+    attribution hook): pass a dict and every batch appends its
+    per-stage wall seconds under ``curate_probe_checkpoint`` /
+    ``output_append`` / ``dedup_append`` / ``dedup_compact`` /
+    ``semantic_append`` / ``text_append`` / ``text_compact`` /
+    ``ledger`` — driver-side timing only, zero effect on the work
+    itself (``tools/ingest_bench.py --stages`` prints the table)."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import build_streaming_curation
 
     # build once: validates config eagerly; the returned transform is
@@ -287,6 +297,18 @@ def curation_ingest_sink(
         )
     startup_pruned = False
 
+    def _stage(name: str, fn):
+        """Driver-side per-stage wall timing (r14 attribution hook) —
+        a no-op passthrough unless the caller handed in a dict."""
+        if stage_times is None:
+            return fn()
+        t0 = time.time()
+        out = fn()
+        stage_times.setdefault(name, []).append(
+            round(time.time() - t0, 3)
+        )
+        return out
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         nonlocal ckpt_dir_applied, startup_pruned
         from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import _write_text
@@ -338,9 +360,15 @@ def curation_ingest_sink(
                     f"{_P}.ingest-checkpoint-dir (or a SparkContext "
                     "checkpoint dir set before the stream starts)"
                 )
-            survivors = curate(batch_df).checkpoint()
+            survivors = _stage(
+                "curate_probe_checkpoint",
+                lambda: curate(batch_df).checkpoint(),
+            )
         else:
-            survivors = curate(batch_df).localCheckpoint()
+            survivors = _stage(
+                "curate_probe_checkpoint",
+                lambda: curate(batch_df).localCheckpoint(),
+            )
         if survivors.limit(1).count() == 0:
             if ledger_mode == "on":
                 _write_text(spark, ledger_entry, '{"rows": 0}')
@@ -354,68 +382,95 @@ def curation_ingest_sink(
                         batch_id - ledger_keep,
                     )
             return
-        survivors.write.mode("append").parquet(out_path)
+        _stage(
+            "output_append",
+            lambda: survivors.write.mode("append").parquet(out_path),
+        )
         if dedup_index_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup_index import append_to_dedup_index
 
-            append_to_dedup_index(
-                survivors,
-                dedup_index_path,
-                mode=dedup_index_mode,
-                text_col=text_col,
-                shingle_k=shingle_k,
+            _stage(
+                "dedup_append",
+                lambda: append_to_dedup_index(
+                    survivors,
+                    dedup_index_path,
+                    mode=dedup_index_mode,
+                    text_col=text_col,
+                    shingle_k=shingle_k,
+                ),
             )
             if dedup_compact_every > 0 and batch_id > 0 and (
                 batch_id % dedup_compact_every == 0
             ):
                 from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_dedup_index
 
-                compact_dedup_index(
-                    batch_df.sparkSession,
-                    dedup_index_path,
-                    mode=dedup_index_mode,
+                _stage(
+                    "dedup_compact",
+                    lambda: compact_dedup_index(
+                        batch_df.sparkSession,
+                        dedup_index_path,
+                        mode=dedup_index_mode,
+                    ),
                 )
         if semantic_index_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.embedding import hash_embed
             from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import append_to_semantic_index
 
-            append_to_semantic_index(
-                survivors.select(
-                    F.col(id_col).alias("vec_id"),
-                    hash_embed(
-                        F.col(text_col), dims=semantic_dims
-                    ).alias("embedding"),
+            _stage(
+                "semantic_append",
+                lambda: append_to_semantic_index(
+                    survivors.select(
+                        F.col(id_col).alias("vec_id"),
+                        hash_embed(
+                            F.col(text_col), dims=semantic_dims
+                        ).alias("embedding"),
+                    ),
+                    semantic_index_path,
                 ),
-                semantic_index_path,
             )
         if text_index_path:
             from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import append_to_text_index
 
-            append_to_text_index(
-                survivors,
-                text_index_path,
-                text_col=text_col,
-                id_col=id_col,
+            _stage(
+                "text_append",
+                lambda: append_to_text_index(
+                    survivors,
+                    text_index_path,
+                    text_col=text_col,
+                    id_col=id_col,
+                ),
             )
             if compact_every > 0 and batch_id > 0 and (
                 batch_id % compact_every == 0
             ):
                 from sample_keyspaces_cdc_streams_connectors_spark.llm.maintenance import compact_text_index
 
-                compact_text_index(
-                    batch_df.sparkSession, text_index_path
+                _stage(
+                    "text_compact",
+                    lambda: compact_text_index(
+                        batch_df.sparkSession, text_index_path
+                    ),
                 )
         # ledger commit LAST: everything above is durable, so a replay
         # of this batch id is now a pure no-op.  A crash before this
         # line re-opens the batch — see the module docstring for the
         # precise per-target duplicate bound.
         if ledger_mode == "on":
-            _write_text(spark, ledger_entry, '{"rows": "committed"}')
-            if ledger_keep and batch_id > 0 and (
-                batch_id % ledger_keep == 0
-            ):
-                _prune_ledger(
-                    spark, ledger_dir, ledger_id, batch_id - ledger_keep
+
+            def _commit() -> None:
+                _write_text(
+                    spark, ledger_entry, '{"rows": "committed"}'
                 )
+                if ledger_keep and batch_id > 0 and (
+                    batch_id % ledger_keep == 0
+                ):
+                    _prune_ledger(
+                        spark,
+                        ledger_dir,
+                        ledger_id,
+                        batch_id - ledger_keep,
+                    )
+
+            _stage("ledger", _commit)
 
     return handle

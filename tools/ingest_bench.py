@@ -38,7 +38,7 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.1"
 
 
-def run_position(spark, raw_docs) -> float:
+def run_position(spark, raw_docs, collect_stages: bool = False):
     from pyspark.sql import functions as F
 
     from sample_keyspaces_cdc_streams_connectors_spark.config import load_config
@@ -77,17 +77,25 @@ def run_position(spark, raw_docs) -> float:
                 }
             }
         )
-        handle = curation_ingest_sink(cfg, f"{tmpdir}/ing_out")
+        stage_times: dict | None = {} if collect_stages else None
+        handle = curation_ingest_sink(
+            cfg, f"{tmpdir}/ing_out", stage_times=stage_times
+        )
         t0 = time.time()
         for i in range(1, 5):
             handle(slices[i], i)
-        return time.time() - t0
+        total = time.time() - t0
+        if collect_stages:
+            return total, stage_times
+        return total, None
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
 def main() -> None:
-    positions = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    args = [a for a in sys.argv[1:] if a != "--stages"]
+    collect_stages = "--stages" in sys.argv[1:]
+    positions = int(args[0]) if args else 3
 
     from sample_keyspaces_cdc_streams_connectors_spark.session import get_spark
 
@@ -95,23 +103,38 @@ def main() -> None:
     raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     raw_docs.count()  # warm the scan
     times = []
+    stage_tables = []
     for p in range(positions):
-        t = run_position(spark, raw_docs)
+        t, stages = run_position(spark, raw_docs, collect_stages)
         times.append(round(t, 3))
         print(f"position {p}: {t:.3f}s", flush=True)
+        if stages:
+            stage_tables.append(stages)
+            # r14 (VERDICT r13 #6): the cost table — where the loop's
+            # fixed ~60 s actually goes, per stage per batch
+            for name, vals in stages.items():
+                print(
+                    f"  {name}: total={sum(vals):.2f}s "
+                    f"per-batch={vals}",
+                    flush=True,
+                )
     times_sorted = sorted(times)
     med = times_sorted[len(times_sorted) // 2]
-    print(
-        json.dumps(
-            {
-                "metric": "ingest_loop_4batch_standalone",
-                "positions_sec": times,
-                "min_sec": min(times),
-                "median_sec": med,
-                "sf_dir": SF_DIR,
-            }
-        )
-    )
+    doc = {
+        "metric": "ingest_loop_4batch_standalone",
+        "positions_sec": times,
+        "min_sec": min(times),
+        "median_sec": med,
+        "sf_dir": SF_DIR,
+    }
+    if stage_tables:
+        # the best position's stage breakdown rides in the JSON line
+        best = stage_tables[times.index(min(times))]
+        doc["stage_totals_sec"] = {
+            k: round(sum(v), 3) for k, v in best.items()
+        }
+        doc["stage_passes_sec"] = best
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":
