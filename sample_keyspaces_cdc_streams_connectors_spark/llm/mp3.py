@@ -65,9 +65,10 @@ _RATES = {
 
 def _header_fields(h: bytes):
     """Decode one 4-byte frame header; ``None`` when the bytes are not
-    a syncword.  Reserved version/layer/rate codes raise; FREE-FORMAT
-    streams (bitrate index 0, frame length not derivable from the
-    header) raise ``NotImplementedError`` — the honest boundary."""
+    a syncword.  Reserved version/layer/rate codes raise.  FREE-FORMAT
+    headers (bitrate index 0; r14) return ``kbps 0`` and ``frame_len
+    None`` — the walk measures the constant frame length from the
+    first two sync distances, per spec."""
     if len(h) < 4 or h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
         return None
     vbits = (h[1] >> 3) & 0x03
@@ -80,34 +81,41 @@ def _header_fields(h: bytes):
     br_idx = (h[2] >> 4) & 0x0F
     if br_idx == 15:
         raise ValueError("forbidden MPEG bitrate index")
-    if br_idx == 0:
-        raise NotImplementedError(
-            "free-format MPEG stream (frame length is not derivable "
-            "from the header)"
-        )
     sr_idx = (h[2] >> 2) & 0x03
     if sr_idx == 3:
         raise ValueError("reserved MPEG sample-rate code")
-    group = 1 if vbits == 3 else 2
-    kbps = _BITRATES[(group, layer)][br_idx - 1]
     rate = _RATES[vbits][sr_idx]
     padding = (h[2] >> 1) & 0x01
     mode = (h[3] >> 6) & 0x03
     if layer == 1:
-        frame_len = (12 * kbps * 1000 // rate + padding) * 4
         spf = 384
     elif layer == 3 and vbits != 3:
-        frame_len = 72 * kbps * 1000 // rate + padding
         spf = 576
     else:
-        frame_len = 144 * kbps * 1000 // rate + padding
         spf = 1152
+    if br_idx == 0:
+        # FREE FORMAT (r14): the frame length is not in the header —
+        # the spec derives it from the distance between the first two
+        # sync words (frames are then constant-size modulo the
+        # padding slot).  kbps 0 marks it; frame_len None tells the
+        # walk to measure.
+        kbps, frame_len = 0, None
+    else:
+        group = 1 if vbits == 3 else 2
+        kbps = _BITRATES[(group, layer)][br_idx - 1]
+        if layer == 1:
+            frame_len = (12 * kbps * 1000 // rate + padding) * 4
+        elif layer == 3 and vbits != 3:
+            frame_len = 72 * kbps * 1000 // rate + padding
+        else:
+            frame_len = 144 * kbps * 1000 // rate + padding
     return {
         "vbits": vbits,
         "layer": layer,
         "kbps": kbps,
         "rate": rate,
         "frame_len": frame_len,
+        "padding": padding,
         "spf": spf,
         "mono": mode == 3,
         "crc": not (h[1] & 0x01),
@@ -177,6 +185,36 @@ def mp3_frame_walk(payload: bytes | None):
     end = len(b)
     if end - off >= 128 and b[end - 128 : end - 125] == b"TAG":
         end -= 128
+    slot = 4 if first["layer"] == 1 else 1
+    free_base = None
+    if first["frame_len"] is None:
+        # free format (r14): measure the first frame — scan for the
+        # next sync word whose header matches this stream's
+        # version/layer/rate; the distance, minus the first frame's
+        # padding slot, is the stream's constant base length (ISO
+        # 11172-3 §2.4.2.3: free-format streams are fixed-bitrate)
+        scan = off + 4
+        while True:
+            if scan + 4 > end:
+                raise ValueError(
+                    "free-format MPEG stream without a second frame "
+                    "sync (frame length unmeasurable)"
+                )
+            if b[scan] == 0xFF and (b[scan + 1] & 0xE0) == 0xE0:
+                try:
+                    cand = _header_fields(b[scan : scan + 4])
+                except ValueError:
+                    cand = None
+                if cand is not None and (
+                    cand["vbits"],
+                    cand["layer"],
+                    cand["rate"],
+                ) == (first["vbits"], first["layer"], first["rate"]):
+                    break
+            scan += 1
+        free_base = (scan - off) - first["padding"] * slot
+        if free_base < 4:
+            raise ValueError("free-format MPEG frame impossibly short")
     n = 0
     pos = off
     kbps_seen = set()
@@ -193,11 +231,20 @@ def mp3_frame_walk(payload: bytes | None):
                 "MPEG frame parameters change mid-stream "
                 "(corrupt or concatenated file)"
             )
-        if pos + hdr["frame_len"] > end:
+        if (hdr["frame_len"] is None) != (free_base is not None):
+            raise ValueError(
+                "MPEG stream mixes free-format and indexed bitrates"
+            )
+        frame_len = (
+            free_base + hdr["padding"] * slot
+            if free_base is not None
+            else hdr["frame_len"]
+        )
+        if pos + frame_len > end:
             raise ValueError("torn final MPEG frame")
         kbps_seen.add(hdr["kbps"])
         n += 1
-        pos += hdr["frame_len"]
+        pos += frame_len
     samples = n * first["spf"]
     return (
         n,
@@ -218,6 +265,7 @@ def encode_mp3_stream(
     xing: bool = False,
     id3v2_pad: int = 0,
     id3v1: bool = False,
+    free_format_len: int | None = None,
 ) -> bytes:
     """Build a REAL MPEG audio frame sequence: one frame per entry of
     ``frame_kbps`` (each a legal bitrate for the version/layer), with
@@ -251,7 +299,10 @@ def encode_mp3_stream(
     if xing:
         frames = [frames[0]] + frames
     for k, kbps in enumerate(frames):
-        br_idx = table.index(kbps) + 1
+        # r14: a 0 entry writes a FREE-FORMAT frame (bitrate index 0)
+        # whose length is ``free_format_len`` — the walker measures it
+        # from the first two sync distances
+        br_idx = 0 if kbps == 0 else table.index(kbps) + 1
         padding = 1 if (pad_every and k % pad_every == pad_every - 1) else 0
         h = bytes(
             [
@@ -262,7 +313,16 @@ def encode_mp3_stream(
             ]
         )
         hdr = _header_fields(h)
-        body = bytearray(hdr["frame_len"] - 4)
+        if hdr["frame_len"] is None:
+            if not free_format_len or free_format_len < 4:
+                raise ValueError(
+                    "free-format frames need free_format_len >= 4"
+                )
+            slot = 4 if layer == 1 else 1
+            frame_len = free_format_len + padding * slot
+        else:
+            frame_len = hdr["frame_len"]
+        body = bytearray(frame_len - 4)
         for i in range(len(body)):
             body[i] = (k * 37 + i * 11) % 251  # never 0xFF runs
         if xing and k == 0:

@@ -97,10 +97,12 @@ def test_walk_malformed_and_boundaries():
     )
     with pytest.raises(ValueError, match="change mid-stream"):
         mp3_frame_walk(two)
-    # free format is an explicit boundary, reserved codes raise
+    # r14: free format is SUPPORTED (test_free_format_frame_walk) —
+    # but flipping the first frame's bitrate index to 0 while the
+    # rest stay indexed is a corrupt stream and must raise
     h = bytearray(b)
     h[2] = 0x00
-    with pytest.raises(NotImplementedError, match="free-format"):
+    with pytest.raises(ValueError, match="mixes free-format"):
         mp3_frame_walk(bytes(h))
     h = bytearray(b)
     h[2] = 0xF0 | (h[2] & 0x0F)
@@ -187,3 +189,43 @@ def test_id3v24_footer_flag():
     # without the footer flag the end stays 10 + size
     tag = b"ID3\x04\x00\x00" + size + body
     assert _id3v2_end(tag + frames) == 10 + 30
+
+
+def test_free_format_frame_walk():
+    """r14: bitrate index 0 (free format) — the frame length is
+    measured from the first two sync distances (pure arithmetic, no
+    tables), then constant modulo the padding slot."""
+    b = encode_mp3_stream([0] * 6, free_format_len=313)
+    n, samples, rate, dur, vbr = mp3_frame_walk(b)
+    assert (n, samples, rate, vbr) == (6, 6 * 1152, 44100, False)
+    assert dur == 6 * 1152 * 1000 // 44100
+    # padding varies the length by exactly one slot and still walks
+    b = encode_mp3_stream([0] * 6, free_format_len=313, pad_every=2)
+    assert mp3_frame_walk(b)[0] == 6
+    # Layer I free format: the slot is 4 bytes
+    b = encode_mp3_stream(
+        [0] * 4, layer=1, rate_idx=1, free_format_len=192, pad_every=2
+    )
+    assert mp3_frame_walk(b)[:3] == (4, 4 * 384, 48000)
+    # with ID3 tags around it
+    b = encode_mp3_stream(
+        [0] * 3, free_format_len=200, id3v2_pad=40, id3v1=True
+    )
+    assert mp3_frame_walk(b)[0] == 3
+    # a single free-format frame has no second sync to measure from
+    one = encode_mp3_stream([0], free_format_len=180)
+    with pytest.raises(ValueError, match="second frame sync"):
+        mp3_frame_walk(one)
+    # mixing free-format and indexed frames is a corrupt stream
+    mixed = encode_mp3_stream([0, 0], free_format_len=417) + (
+        encode_mp3_stream([128])
+    )
+    with pytest.raises(ValueError, match="mixes free-format"):
+        mp3_frame_walk(mixed)
+    # free-format duration reaches the generic audio header surface
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import parse_audio_header
+
+    fmt, ch, rate2, _bits, _n = parse_audio_header(
+        encode_mp3_stream([0] * 3, free_format_len=250)
+    )
+    assert (fmt, ch, rate2) == ("mp3", 2, 44100)
