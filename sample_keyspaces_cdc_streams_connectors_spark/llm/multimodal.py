@@ -790,28 +790,150 @@ def decode_gif_pixels(payload: bytes | None):
 # BGRX palette, and bottom-up rows padded to 4-byte boundaries — no
 # entropy coding except the byte-oriented RLE8 runs.  Everything is
 # derivable from the layout description; no constant tables.
-# Supported: 1/4/8-bit palette (BI_RGB raw or BI_RLE8 incl. absolute
-# mode, end-of-line, delta skips, end-of-bitmap), 24-bit BGR, 32-bit
-# BGRX, BITMAPCOREHEADER and the 40/52/56/108/124-byte info headers,
-# bottom-up or top-down.  BI_RLE4, BI_BITFIELDS, 16-bit, and embedded
-# PNG/JPEG raise NotImplementedError — never wrong pixels silently.
+# Supported: 1/4/8-bit palette (BI_RGB raw, BI_RLE8, or — r14 —
+# BI_RLE4, each incl. absolute mode, end-of-line, delta skips,
+# end-of-bitmap), 24-bit BGR, 32-bit BGRX, 16-bit 5-5-5 and
+# BI_BITFIELDS with any contiguous masks (r14), BITMAPCOREHEADER and
+# the 40/52/56/108/124-byte info headers, bottom-up or top-down.
+# Embedded PNG/JPEG raise NotImplementedError — never wrong pixels
+# silently.
 
 
 def encode_bmp_gray8(
-    pixels, *, bpp: int = 24, rle: bool = False, top_down: bool = False
+    pixels,
+    *,
+    bpp: int = 24,
+    rle: bool = False,
+    top_down: bool = False,
+    bitfields: tuple | None = None,
 ) -> bytes:
     """Minimal REAL BMP encoder for a gray pattern (fixture mirror of
     :func:`decode_bmp_pixels`, readable by any image tool): ``bpp=24``
     writes BGR triples (B=G=R=v), ``bpp=8`` writes a 256-entry
     identity-gray palette with raw or RLE8-compressed indexes.
     ``top_down`` writes a negative height (rows in natural order) —
-    the layout variant the decoder must flip on."""
+    the layout variant the decoder must flip on.  r14 variants:
+    ``bpp=16`` writes 5-5-5 direct color (``v >> 3`` per channel), or
+    — with ``bitfields`` masks, e.g. 5-6-5 — a BI_BITFIELDS header;
+    ``bpp=4, rle=True`` writes BI_RLE4 over a 16-entry gray ramp
+    palette (pixel value ``v`` stores index ``v >> 4``, presenting as
+    ``(v >> 4) * 17``)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 2:
         raise ValueError(f"expected (h, w) gray pixels, got {px.shape}")
     h, w = px.shape
+    if bpp == 16:
+        if rle:
+            raise ValueError("RLE is palette-only")
+        masks = bitfields or (0x7C00, 0x03E0, 0x001F)
+        shifts = [(m & -m).bit_length() - 1 for m in masks]
+        widths = [(m >> s).bit_length() for m, s in zip(masks, shifts)]
+        v = px.astype(np.uint32)
+        words = np.zeros((h, w), np.uint32)
+        for m, s, nb in zip(masks, shifts, widths):
+            words |= ((v >> (8 - nb)) << s) & m
+        stride = (w * 2 + 3) & ~3
+        rows = []
+        for r in range(h):
+            row = words[r].astype("<u2").tobytes()
+            rows.append(row + b"\x00" * (stride - len(row)))
+        palette = b""
+        if bitfields is not None:
+            # BI_BITFIELDS: the three masks follow the 40-byte header
+            palette = struct.pack("<III", *masks)
+        data = b"".join(rows if top_down else rows[::-1])
+        compression = 3 if bitfields is not None else 0
+        info = struct.pack(
+            "<IiiHHIIiiII",
+            40,
+            w,
+            -h if top_down else h,
+            1,
+            16,
+            compression,
+            len(data),
+            2835,
+            2835,
+            0,
+            0,
+        )
+        offset = 14 + len(info) + len(palette)
+        hdr = struct.pack(
+            "<2sIHHI", b"BM", offset + len(data), 0, 0, offset
+        )
+        return hdr + info + palette + data
+    if bpp == 4:
+        if not rle or top_down:
+            raise ValueError("the 4-bit fixture writes RLE4 bottom-up")
+        palette = b"".join(
+            bytes((i * 17, i * 17, i * 17, 0)) for i in range(16)
+        )
+        idx = (px >> 4).astype(np.uint8)
+        chunks = []
+        for r in range(h - 1, -1, -1):  # RLE rows store bottom-up
+            row = idx[r]
+            x = 0
+            while x < w:
+                v = int(row[x])
+                run = 1
+                while x + run < w and row[x + run] == v and run < 255:
+                    run += 1
+                if run >= 2:
+                    chunks.append(bytes((run, (v << 4) | v)))
+                    x += run
+                    continue
+                # literal span until the next >=3 run (absolute mode
+                # needs >= 3 pixels; shorter spans become 1-runs)
+                lit_start = x
+                while x < w:
+                    v = int(row[x])
+                    run = 1
+                    while (
+                        x + run < w and row[x + run] == v and run < 255
+                    ):
+                        run += 1
+                    if run >= 3 or x - lit_start >= 255:
+                        break
+                    x += run
+                lit = row[lit_start:x]
+                if len(lit) >= 3:
+                    packed = bytearray()
+                    for j in range(0, len(lit), 2):
+                        hi = int(lit[j]) << 4
+                        lo = int(lit[j + 1]) if j + 1 < len(lit) else 0
+                        packed.append(hi | lo)
+                    chunks.append(
+                        b"\x00" + bytes((len(lit),)) + bytes(packed)
+                    )
+                    if len(packed) & 1:
+                        chunks.append(b"\x00")
+                else:
+                    for v2 in lit:
+                        chunks.append(bytes((1, (int(v2) << 4))))
+            chunks.append(b"\x00\x00")  # end of line
+        chunks.append(b"\x00\x01")  # end of bitmap
+        data = b"".join(chunks)
+        info = struct.pack(
+            "<IiiHHIIiiII",
+            40,
+            w,
+            h,
+            1,
+            4,
+            2,  # BI_RLE4
+            len(data),
+            2835,
+            2835,
+            16,
+            0,
+        )
+        offset = 14 + len(info) + len(palette)
+        hdr = struct.pack(
+            "<2sIHHI", b"BM", offset + len(data), 0, 0, offset
+        )
+        return hdr + info + palette + data
     if bpp == 24:
         if rle:
             raise ValueError("RLE is 8-bit only")
@@ -900,11 +1022,13 @@ def decode_bmp_pixels(payload: bytes | None):
     (palette images expand through their BGRX color table, matching
     the PNG/GIF palette convention).  Handles BITMAPCOREHEADER and
     every BITMAPINFOHEADER size, bottom-up and top-down rows, 4-byte
-    row padding, and BI_RLE8 (encoded runs, absolute mode with word
-    alignment, end-of-line, delta skips — skipped pixels are 0 per
-    the documented canvas semantics, end-of-bitmap).  Malformed data
-    raises ``ValueError``; BI_RLE4 / BI_BITFIELDS / 16-bit / embedded
-    JPEG+PNG raise ``NotImplementedError``."""
+    row padding, BI_RLE8 and BI_RLE4 (encoded runs, absolute mode
+    with word alignment, end-of-line, delta skips — skipped pixels
+    are 0 per the documented canvas semantics, end-of-bitmap), and
+    16/32-bit direct color (5-5-5 default; BI_BITFIELDS with any
+    contiguous masks, scaled to 8 bits).  Malformed data raises
+    ``ValueError``; embedded JPEG+PNG raise
+    ``NotImplementedError``."""
     import numpy as np
 
     b = payload or b""
@@ -931,13 +1055,33 @@ def decode_bmp_pixels(payload: bytes | None):
         raise ValueError(f"unknown BMP info header size {info_size}")
     if w <= 0 or h == 0:
         raise ValueError(f"bad BMP geometry {w}x{h}")
-    if compression not in (0, 1):
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"BMP compression {compression} unsupported "
-            "(BI_RGB and BI_RLE8 decode natively)"
+            "(BI_RGB, BI_RLE8, BI_RLE4, BI_BITFIELDS decode natively)"
         )
     if compression == 1 and bpp != 8:
         raise ValueError(f"BI_RLE8 with bpp {bpp}")
+    if compression == 2 and bpp != 4:
+        raise ValueError(f"BI_RLE4 with bpp {bpp}")
+    if compression == 3:
+        # BI_BITFIELDS (r14): three channel masks — after a 40-byte
+        # info header they immediately follow it; the V2+ headers
+        # embed them at the same absolute offset (byte 40 of the
+        # header either way)
+        if bpp not in (16, 32):
+            raise ValueError(f"BI_BITFIELDS with bpp {bpp}")
+        if info_size == 12 or len(b) < 66:
+            raise ValueError("BI_BITFIELDS without channel masks")
+        masks = struct.unpack("<III", b[54:66])
+        return _bmp_bitfields_decode(
+            b, data_off, w, h, bpp, masks, top_down
+        )
+    if bpp == 16:
+        # 16-bit BI_RGB defaults to the 5-5-5 layout (r14)
+        return _bmp_bitfields_decode(
+            b, data_off, w, h, 16, (0x7C00, 0x03E0, 0x001F), top_down
+        )
     if bpp in (1, 4, 8):
         n_colors = colors_used or (1 << bpp)
         pal_off = 14 + info_size
@@ -948,6 +1092,8 @@ def decode_bmp_pixels(payload: bytes | None):
         pal_rgb = pal[:, 2::-1]  # BGR(X) -> RGB
         if compression == 1:
             idx = _bmp_rle8_decode(b[data_off:], w, h)
+        elif compression == 2:
+            idx = _bmp_rle4_decode(b[data_off:], w, h)
         else:
             stride = ((bpp * w + 31) // 32) * 4
             need = stride * h
@@ -986,11 +1132,109 @@ def decode_bmp_pixels(payload: bytes | None):
         out = px[:, :, 2::-1]  # BGR(X) -> RGB, X dropped
     else:
         raise NotImplementedError(
-            f"BMP bit depth {bpp} unsupported (1/4/8/24/32 decode natively)"
+            f"BMP bit depth {bpp} unsupported "
+            "(1/4/8/16/24/32 decode natively)"
         )
     if not top_down:
         out = out[::-1]
     return np.ascontiguousarray(out)
+
+
+def _bmp_bitfields_decode(
+    b: bytes,
+    data_off: int,
+    w: int,
+    h: int,
+    bpp: int,
+    masks: tuple,
+    top_down: bool,
+):
+    """16/32-bit direct-color BMP rows through channel masks (r14):
+    each channel extracts through its contiguous mask and scales to
+    8 bits by ``value * 255 // mask_max`` — exact for the common
+    5-5-5 / 5-6-5 / 8-8-8 layouts and any other contiguous mask."""
+    import numpy as np
+
+    stride = ((bpp * w + 31) // 32) * 4
+    need = stride * h
+    raw = b[data_off : data_off + need]
+    if len(raw) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    px = (
+        rows[:, : w * (bpp // 8)]
+        .reshape(h, w, bpp // 8)
+        .view(np.uint8)
+    )
+    vals = np.zeros((h, w), np.uint32)
+    for k in range(bpp // 8):  # little-endian assembly
+        vals |= px[:, :, k].astype(np.uint32) << (8 * k)
+    chans = []
+    for mask in masks:
+        if mask == 0:
+            raise ValueError("BMP bitfields mask is zero")
+        shift = (mask & -mask).bit_length() - 1
+        top = mask >> shift
+        if top & (top + 1):
+            raise ValueError("BMP bitfields mask is not contiguous")
+        c = (vals & mask) >> shift
+        chans.append((c * 255 // top).astype(np.uint8))
+    out = np.stack(chans, axis=2)
+    if not top_down:
+        out = out[::-1]
+    return np.ascontiguousarray(out)
+
+
+def _bmp_rle4_decode(data: bytes, w: int, h: int):
+    """BI_RLE4 run decode (r14) onto a zeroed index canvas: an
+    encoded run of ``c0`` pixels alternates the two nibbles of
+    ``c1`` (high first); absolute mode packs ``c1`` pixel nibbles
+    high-first, its BYTE span word-aligned; end-of-line/bitmap and
+    delta skips match RLE8."""
+    import numpy as np
+
+    canvas = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 2 <= n:
+        c0, c1 = data[i], data[i + 1]
+        i += 2
+        if c0:  # encoded run: alternating high/low nibbles
+            if y >= h or x + c0 > w:
+                raise ValueError("BMP RLE run overflows the canvas")
+            hi, lo = c1 >> 4, c1 & 0x0F
+            run = np.empty(c0, np.uint8)
+            run[0::2] = hi
+            run[1::2] = lo
+            canvas[y, x : x + c0] = run
+            x += c0
+        elif c1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif c1 == 1:  # end of bitmap
+            return canvas
+        elif c1 == 2:  # delta skip
+            if i + 2 > n:
+                raise ValueError("truncated BMP RLE delta")
+            dx, dy = data[i], data[i + 1]
+            i += 2
+            x, y = x + dx, y + dy
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta overflows the canvas")
+        else:  # absolute mode: c1 pixel nibbles, byte span word-aligned
+            span = (c1 + 1) // 2
+            if i + span > n:
+                raise ValueError("truncated BMP RLE literals")
+            if y >= h or x + c1 > w:
+                raise ValueError("BMP RLE literals overflow the canvas")
+            packed = np.frombuffer(data[i : i + span], np.uint8)
+            nibs = np.empty(span * 2, np.uint8)
+            nibs[0::2] = packed >> 4
+            nibs[1::2] = packed & 0x0F
+            canvas[y, x : x + c1] = nibs[:c1]
+            x += c1
+            i += span + (span & 1)
+    raise ValueError("BMP RLE stream without an end-of-bitmap marker")
 
 
 def _bmp_rle8_decode(data: bytes, w: int, h: int):
@@ -1046,8 +1290,9 @@ def _bmp_rle8_decode(data: bytes, w: int, h: int):
 # predictor.  TIFF is the dominant scanned-document format, so a
 # 100 TB document-image sweep sees it constantly.  Supported: gray
 # 8-bit (both photometric polarities), RGB 8-bit, palette (ColorMap
-# 16-bit entries present the high byte), multi-strip, both byte
-# orders, predictor 1/2.  Tiled layouts, planar configuration 2,
+# 16-bit entries present the high byte), multi-strip AND tiled
+# layouts (r14 — spec §15: row-major fixed-size tiles, edge tiles
+# padded), both byte orders, predictor 1/2.  Planar configuration 2,
 # sub-8-bit/16-bit samples, and the embedded-codec compressions
 # (CCITT, JPEG, Deflate) raise NotImplementedError.
 
@@ -1057,6 +1302,7 @@ _TIFF_TAGS = {
     262: "photometric", 273: "strip_offsets", 277: "spp",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
     317: "predictor", 320: "colormap", 322: "tile_width",
+    323: "tile_length", 324: "tile_offsets", 325: "tile_counts",
 }
 #: field type -> byte width (spec §2); types the decoder can read
 _TIFF_TYPE_W = {1: 1, 3: 2, 4: 4}
@@ -1230,12 +1476,16 @@ def encode_tiff_gray8(
     big_endian: bool = False,
     predictor: bool = False,
     rows_per_strip: int | None = None,
+    tile: tuple | None = None,
 ) -> bytes:
     """Minimal REAL baseline-TIFF encoder for gray8 (fixture mirror of
     :func:`decode_tiff_pixels`, readable by any TIFF reader): strip
     layout with ascending-sorted IFD tags, either byte order,
     ``compression`` in ``none``/``packbits``/``lzw``, and the
-    horizontal-differencing predictor for LZW strips."""
+    horizontal-differencing predictor for LZW strips.  ``tile``
+    (r14): a ``(tile_width, tile_height)`` pair (spec: multiples of
+    16) switches to the TILED layout — row-major fixed-size tiles,
+    edge tiles padded to full geometry."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -1247,9 +1497,8 @@ def encode_tiff_gray8(
     comp_code = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
     if predictor and compression != "lzw":
         raise ValueError("the fixture applies the predictor to LZW only")
-    strips = []
-    for y0 in range(0, h, rps):
-        rows = px[y0 : y0 + rps]
+
+    def _compress_block(rows) -> bytes:
         if predictor:
             rows = rows.astype(np.int16)
             rows = np.concatenate(
@@ -1257,14 +1506,36 @@ def encode_tiff_gray8(
             ).astype(np.uint8)
         raw = rows.tobytes()
         if compression == "lzw":
-            strips.append(_tiff_lzw_encode(raw))
-        elif compression == "packbits":
-            strips.append(_packbits_encode(raw))
-        else:
-            strips.append(raw)
+            return _tiff_lzw_encode(raw)
+        if compression == "packbits":
+            return _packbits_encode(raw)
+        return raw
+
+    strips = []
+    if tile is not None:
+        twid, thgt = tile
+        if twid % 16 or thgt % 16 or twid <= 0 or thgt <= 0:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        across = -(-w // twid)
+        down = -(-h // thgt)
+        padded = np.zeros((down * thgt, across * twid), np.uint8)
+        padded[:h, :w] = px
+        for ty in range(down):
+            for tx in range(across):
+                strips.append(
+                    _compress_block(
+                        padded[
+                            ty * thgt : (ty + 1) * thgt,
+                            tx * twid : (tx + 1) * twid,
+                        ]
+                    )
+                )
+    else:
+        for y0 in range(0, h, rps):
+            strips.append(_compress_block(px[y0 : y0 + rps]))
     n_strips = len(strips)
     # layout: 8-byte header, IFD, then strip data
-    n_entries = 9 + (1 if predictor else 0)
+    n_entries = (10 if tile is not None else 9) + (1 if predictor else 0)
     ifd_size = 2 + n_entries * 12 + 4
     data_start = 8 + ifd_size
     offsets = []
@@ -1305,12 +1576,19 @@ def encode_tiff_gray8(
     entry_short(258, 8)
     entry_short(259, comp_code)
     entry_short(262, 1)  # BlackIsZero
-    entry_long(273, so_c, so_v)
+    if tile is None:
+        entry_long(273, so_c, so_v)
     entry_short(277, 1)
-    entry_long(278, 1, rps)
-    entry_long(279, sc_c, sc_v)
+    if tile is None:
+        entry_long(278, 1, rps)
+        entry_long(279, sc_c, sc_v)
     if predictor:
         entry_short(317, 2)
+    if tile is not None:
+        entry_long(322, 1, tile[0])
+        entry_long(323, 1, tile[1])
+        entry_long(324, so_c, so_v)
+        entry_long(325, sc_c, sc_v)
     hdr = (b"MM" if big_endian else b"II") + struct.pack(f"{e}HI", 42, 8)
     ifd = struct.pack(f"{e}H", n_entries) + b"".join(entries) + struct.pack(f"{e}I", 0)
     assert len(ifd) == ifd_size
@@ -1355,12 +1633,12 @@ def decode_tiff_pixels(payload: bytes | None):
     """REAL stdlib baseline-TIFF pixel decode: returns ``(h, w)``-
     shaped uint8 gray, ``(h, w, 3)`` RGB, or palette-expanded RGB
     (ColorMap's 16-bit entries present their high byte, the standard
-    8-bit presentation).  Strip-organized, both byte orders,
-    compressions none / PackBits / TIFF-LZW, horizontal-differencing
-    predictor, WhiteIsZero polarity inversion.  Malformed structures
-    raise ``ValueError``; tiled layouts, planar configuration 2,
-    non-8-bit samples, and embedded codecs (CCITT/JPEG/Deflate) raise
-    ``NotImplementedError``."""
+    8-bit presentation).  Strip-organized OR tiled (r14), both byte
+    orders, compressions none / PackBits / TIFF-LZW,
+    horizontal-differencing predictor, WhiteIsZero polarity
+    inversion.  Malformed structures raise ``ValueError``; planar
+    configuration 2, non-8-bit samples, and embedded codecs
+    (CCITT/JPEG/Deflate) raise ``NotImplementedError``."""
     import numpy as np
 
     b = payload or b""
@@ -1371,15 +1649,18 @@ def decode_tiff_pixels(payload: bytes | None):
     else:
         raise ValueError("not a TIFF payload")
     t = _tiff_read_ifd(b, e)
-    if "tile_width" in t:
-        raise NotImplementedError("tiled TIFF layouts unsupported")
     if t.get("planar", [1])[0] != 1:
         raise NotImplementedError("planar TIFF configuration unsupported")
+    tiled = "tile_width" in t
     try:
         w = t["width"][0]
         h = t["height"][0]
-        offsets = t["strip_offsets"]
-        counts = t["strip_counts"]
+        if tiled:
+            offsets = t["tile_offsets"]
+            counts = t["tile_counts"]
+        else:
+            offsets = t["strip_offsets"]
+            counts = t["strip_counts"]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from None
     spp = t.get("spp", [1])[0]
@@ -1399,32 +1680,76 @@ def decode_tiff_pixels(payload: bytes | None):
     if pred not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {pred} unsupported")
     if len(offsets) != len(counts):
-        raise ValueError("TIFF strip offsets/counts mismatch")
-    rps = t.get("rows_per_strip", [h])[0]
-    row_bytes = w * spp
-    chunks = []
-    for k, (off, cnt) in enumerate(zip(offsets, counts)):
-        raw = b[off : off + cnt]
-        if len(raw) < cnt:
-            raise ValueError("truncated TIFF strip")
+        raise ValueError("TIFF tile/strip offsets/counts mismatch")
+
+    def _decompress(raw: bytes) -> bytes:
         if comp == 5:
-            raw = _tiff_lzw_decode(raw)
-        elif comp == 32773:
-            raw = _packbits_decode(raw)
-        n_rows = min(rps, h - k * rps)
-        if n_rows <= 0 or len(raw) < n_rows * row_bytes:
-            raise ValueError("TIFF strip does not cover its rows")
-        rows = np.frombuffer(
-            raw[: n_rows * row_bytes], np.uint8
-        ).reshape(n_rows, row_bytes)
-        if pred == 2:
-            rows = np.cumsum(
-                rows.reshape(n_rows, w, spp).astype(np.int64), axis=1
-            ).astype(np.uint8).reshape(n_rows, row_bytes)
-        chunks.append(rows)
-    img = np.concatenate(chunks, axis=0)
-    if img.shape[0] != h:
-        raise ValueError("TIFF strips do not cover the image height")
+            return _tiff_lzw_decode(raw)
+        if comp == 32773:
+            return _packbits_decode(raw)
+        return raw
+
+    if tiled:
+        # tiled layout (r14 — TIFF 6.0 §15): fixed-size tiles in
+        # row-major tile order, EVERY tile padded to full tile
+        # geometry (edge tiles carry junk past the image bounds, which
+        # the assembly crops); the predictor restarts per tile row
+        tw = t["tile_width"][0]
+        th = t.get("tile_length", [0])[0]
+        if tw <= 0 or th <= 0:
+            raise ValueError("bad TIFF tile geometry")
+        across = -(-w // tw)
+        down = -(-h // th)
+        if len(offsets) != across * down:
+            raise ValueError("TIFF tile count does not cover the image")
+        tile_row_bytes = tw * spp
+        img = np.zeros((down * th, across * tw * spp), np.uint8)
+        for k, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = b[off : off + cnt]
+            if len(raw) < cnt:
+                raise ValueError("truncated TIFF tile")
+            raw = _decompress(raw)
+            if len(raw) < th * tile_row_bytes:
+                raise ValueError("TIFF tile does not cover its rows")
+            rows = np.frombuffer(
+                raw[: th * tile_row_bytes], np.uint8
+            ).reshape(th, tile_row_bytes)
+            if pred == 2:
+                rows = np.cumsum(
+                    rows.reshape(th, tw, spp).astype(np.int64), axis=1
+                ).astype(np.uint8).reshape(th, tile_row_bytes)
+            ty, tx = divmod(k, across)
+            img[
+                ty * th : (ty + 1) * th,
+                tx * tile_row_bytes : (tx + 1) * tile_row_bytes,
+            ] = rows
+        img = (
+            img.reshape(down * th, across * tw, spp)[:h, :w]
+            .reshape(h, w * spp)
+        )
+    else:
+        rps = t.get("rows_per_strip", [h])[0]
+        row_bytes = w * spp
+        chunks = []
+        for k, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = b[off : off + cnt]
+            if len(raw) < cnt:
+                raise ValueError("truncated TIFF strip")
+            raw = _decompress(raw)
+            n_rows = min(rps, h - k * rps)
+            if n_rows <= 0 or len(raw) < n_rows * row_bytes:
+                raise ValueError("TIFF strip does not cover its rows")
+            rows = np.frombuffer(
+                raw[: n_rows * row_bytes], np.uint8
+            ).reshape(n_rows, row_bytes)
+            if pred == 2:
+                rows = np.cumsum(
+                    rows.reshape(n_rows, w, spp).astype(np.int64), axis=1
+                ).astype(np.uint8).reshape(n_rows, row_bytes)
+            chunks.append(rows)
+        img = np.concatenate(chunks, axis=0)
+        if img.shape[0] != h:
+            raise ValueError("TIFF strips do not cover the image height")
     if photo == 3:
         cmap = t.get("colormap")
         if not cmap or len(cmap) != 3 * 256:
@@ -3394,12 +3719,16 @@ def _pattern_tiff_bytes(mid: int, mod_side: int = 16) -> bytes:
     predictor inverse all under the same arithmetic oracle (gray, ×1
     multiplier like PNG)."""
     comp = ("none", "packbits", "lzw")[(mid >> 1) % 3]
+    # r14: bit 5 switches to the TILED layout (16×16 tiles, lossless
+    # for the planted bytes) so the tile walk sits under the same
+    # oracle arithmetic; strip ids keep the multi-strip layout
     return encode_tiff_gray8(
         _pattern_pixels(mid, mod_side),
         compression=comp,
         big_endian=bool((mid >> 3) & 1),
         predictor=comp == "lzw" and bool((mid >> 4) & 1),
         rows_per_strip=3,
+        tile=(16, 16) if (mid >> 5) & 1 else None,
     )
 
 

@@ -1901,12 +1901,107 @@ def test_bmp_codec_roundtrips():
         mm.decode_bmp_pixels(b"BMxx")
     with _pytest.raises(ValueError):
         mm.decode_bmp_pixels(mm.encode_bmp_gray8(px, bpp=8)[:40])
+    # r14: BI_BITFIELDS is supported for 16/32-bit — on a 24-bit
+    # image it is malformed and must raise ValueError
     bad = bytearray(mm.encode_bmp_gray8(px, bpp=24))
     bad[30:34] = (3).to_bytes(4, "little")  # BI_BITFIELDS
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         mm.decode_bmp_pixels(bytes(bad))
     with _pytest.raises(ValueError):
         mm.encode_bmp_gray8(px, bpp=8, rle=True, top_down=True)
+
+
+def test_bmp_rle4_and_16bit_variants():
+    """r14: BI_RLE4 (nibble runs, absolute mode, word alignment) and
+    16-bit direct color — the 5-5-5 BI_RGB default and BI_BITFIELDS
+    5-6-5 — with exact channel-scaling arithmetic."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import multimodal as mm
+
+    rng = np.random.default_rng(41)
+    for (h, w) in ((1, 1), (5, 9), (7, 33)):
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        w5 = ((px.astype(np.uint32) >> 3) * 255 // 31).astype(np.uint8)
+        w6 = ((px.astype(np.uint32) >> 2) * 255 // 63).astype(np.uint8)
+        got = mm.decode_bmp_pixels(mm.encode_bmp_gray8(px, bpp=16))
+        assert np.array_equal(got[:, :, 0], w5)
+        assert np.array_equal(got[:, :, 1], w5)
+        got = mm.decode_bmp_pixels(
+            mm.encode_bmp_gray8(
+                px, bpp=16, bitfields=(0xF800, 0x07E0, 0x001F)
+            )
+        )
+        assert np.array_equal(got[:, :, 0], w5)
+        assert np.array_equal(got[:, :, 1], w6)
+        assert np.array_equal(got[:, :, 2], w5)
+        got = mm.decode_bmp_pixels(
+            mm.encode_bmp_gray8(px, bpp=16, top_down=True)
+        )
+        assert np.array_equal(got[:, :, 2], w5)
+        # RLE4: gray ramp palette presents (v >> 4) * 17
+        got = mm.decode_bmp_pixels(mm.encode_bmp_gray8(px, bpp=4, rle=True))
+        assert np.array_equal(got[:, :, 0], ((px >> 4) * 17).astype(np.uint8))
+    # RLE4 long runs + literal mixes + odd absolute spans
+    px = np.zeros((4, 300), np.uint8)
+    px[0, :200] = 0x70
+    px[1] = (np.arange(300) * 16 % 256).astype(np.uint8)
+    px[2, ::3] = 0xF0
+    got = mm.decode_bmp_pixels(mm.encode_bmp_gray8(px, bpp=4, rle=True))
+    assert np.array_equal(got[:, :, 0], ((px >> 4) * 17).astype(np.uint8))
+    # header parse still recognizes the new variants
+    assert mm.parse_image_header(mm.encode_bmp_gray8(px, bpp=16)) == (
+        "bmp", 300, 4,
+    )
+    # non-contiguous bitfields mask raises, never wrong channels
+    bad = bytearray(
+        mm.encode_bmp_gray8(px, bpp=16, bitfields=(0xF800, 0x07E0, 0x001F))
+    )
+    bad[54:58] = (0b101).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="contiguous"):
+        mm.decode_bmp_pixels(bytes(bad))
+
+
+def test_tiff_tiled_layout():
+    """r14: tiled TIFF (spec §15) — row-major fixed-size tiles,
+    edge-tile padding cropped, every compression/byte-order/predictor
+    variant matching the strip path bit-exactly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm import multimodal as mm
+
+    rng = np.random.default_rng(43)
+    for (h, w) in ((16, 16), (40, 50), (33, 70)):
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for comp in ("none", "packbits", "lzw"):
+            for be in (False, True):
+                preds = (False, True) if comp == "lzw" else (False,)
+                for pred in preds:
+                    t = mm.encode_tiff_gray8(
+                        px,
+                        compression=comp,
+                        big_endian=be,
+                        predictor=pred,
+                        tile=(16, 16),
+                    )
+                    assert np.array_equal(
+                        mm.decode_tiff_pixels(t), px
+                    ), (h, w, comp, be, pred)
+    # a 32x32 tile over a 40x50 image exercises both edge paddings
+    px = rng.integers(0, 256, (40, 50)).astype(np.uint8)
+    t = mm.encode_tiff_gray8(px, tile=(32, 32))
+    assert np.array_equal(mm.decode_tiff_pixels(t), px)
+    # non-multiple-of-16 fixture tiles are rejected (spec)
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        mm.encode_tiff_gray8(px, tile=(20, 16))
+    # a tile table that does not cover the image raises
+    bad = bytearray(mm.encode_tiff_gray8(px, tile=(16, 16)))
+    i = bad.find((50).to_bytes(4, "little"))  # width tag value
+    bad[i : i + 4] = (90).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="cover"):
+        mm.decode_tiff_pixels(bytes(bad))
 
 
 def test_tiff_codec_roundtrips():
