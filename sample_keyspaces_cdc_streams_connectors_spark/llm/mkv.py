@@ -27,8 +27,11 @@ from __future__ import annotations
 import struct
 
 __all__ = [
+    "encode_lacing",
     "encode_mkv_mjpeg",
+    "encode_mkv_pcm",
     "encode_mkv_subtitles",
+    "extract_mkv_audio",
     "extract_mkv_frames",
     "extract_mkv_subtitle_cues",
     "parse_mkv_header",
@@ -702,3 +705,234 @@ def extract_mkv_subtitle_cues(payload: bytes | None) -> list:
                         )
                     )
     return out
+
+
+# --- Matroska PCM audio (r14) -------------------------------------------------
+#
+# .mka / audio-in-.mkv: a TrackEntry of type 2 (audio) with an Audio
+# element (SamplingFrequency float, Channels, BitDepth) and the
+# sample data in cluster blocks — typically LACED (the whole point of
+# lacing is packing many small audio frames per block).  Uncompressed
+# PCM ("A_PCM/INT/LIT") decodes natively: little-endian interleaved
+# integers, no entropy coding.  Lossy codecs (A_VORBIS/A_OPUS/A_AAC)
+# raise — the same boundary as the Ogg/MP3 walks.
+
+_MKV_AUDIO = 0xE1
+_SAMPLING_FREQ = 0xB5
+_MKV_CHANNELS = 0x9F
+_BIT_DEPTH = 0x6264
+_TRACK_TYPE_AUDIO = 2
+
+
+def extract_mkv_audio(payload: bytes | None):
+    """``(rate, channels, bits, samples)`` from a Matroska PCM audio
+    track — ``samples`` an ``(n_frames, channels)`` int16 numpy
+    array.  Walks the first audio TrackEntry (SamplingFrequency /
+    Channels / BitDepth), requires ``A_PCM/INT/LIT`` at 16 bits
+    (other codecs/depths raise ``NotImplementedError``), then
+    concatenates every cluster block's frames on that track —
+    INCLUDING laced blocks via :func:`_lace_ranges`, which is how
+    real .mka packs audio.  Malformed EBML raises ``ValueError``."""
+    import numpy as np
+
+    b = payload or b""
+    _doctype, children = _walk_segment(b)
+    audio_track = None
+    codec = None
+    rate = chans = bits = None
+    saw_audio = False
+    for eid, s, e, _u in children:
+        if eid != _TRACKS:
+            continue
+        for t, ts, te, _tu in _ebml_elements(b, s, e):
+            if t != _TRACK_ENTRY:
+                continue
+            num = ttype = None
+            cid = None
+            a_rate = a_ch = a_bits = None
+            for c, cs, ce, _cu in _ebml_elements(b, ts, te):
+                if c == _TRACK_NUMBER:
+                    num = _ebml_uint(b, cs, ce)
+                elif c == _TRACK_TYPE:
+                    ttype = _ebml_uint(b, cs, ce)
+                elif c == _CODEC_ID:
+                    cid = (
+                        b[cs:ce].rstrip(b"\x00").decode("ascii", "replace")
+                    )
+                elif c == _MKV_AUDIO:
+                    for g, gs, ge, _gu in _ebml_elements(b, cs, ce):
+                        if g == _SAMPLING_FREQ:
+                            a_rate = int(_ebml_float(b, gs, ge))
+                        elif g == _MKV_CHANNELS:
+                            a_ch = _ebml_uint(b, gs, ge)
+                        elif g == _BIT_DEPTH:
+                            a_bits = _ebml_uint(b, gs, ge)
+            if ttype == _TRACK_TYPE_AUDIO and audio_track is None:
+                saw_audio = True
+                if cid == "A_PCM/INT/LIT":
+                    audio_track, codec = num, cid
+                    rate = a_rate or 8000
+                    chans = a_ch or 1
+                    bits = a_bits or 16
+    if audio_track is None:
+        if saw_audio:
+            raise NotImplementedError(
+                "Matroska audio track is not uncompressed PCM "
+                "(A_VORBIS/A_OPUS/A_AAC entropy decode is the "
+                "documented boundary)"
+            )
+        raise ValueError("Matroska without an audio track")
+    if bits != 16:
+        raise NotImplementedError(
+            f"Matroska PCM bit depth {bits} unsupported (16-bit only)"
+        )
+    pieces = []
+    for eid, s, e, _u in children:
+        if eid != _CLUSTER:
+            continue
+        for c, cs, ce, _cu in _ebml_elements(b, s, e):
+            if c in (_SIMPLE_BLOCK, _BLOCK_GROUP):
+                if c == _BLOCK_GROUP:
+                    block = None
+                    for g, gs, ge, _gu in _ebml_elements(b, cs, ce):
+                        if g == _BLOCK:
+                            block = (gs, ge)
+                    if block is None:
+                        continue
+                    bs, be = block
+                else:
+                    bs, be = cs, ce
+                track, pos, _ = _read_vint(b, bs, keep_marker=False)
+                if track != audio_track:
+                    continue
+                if pos + 3 > be:
+                    raise ValueError("truncated Matroska block")
+                for fs, fe in _lace_ranges(b, pos + 3, be, b[pos + 2]):
+                    pieces.append(b[fs:fe])
+    raw = b"".join(pieces)
+    frame_bytes = 2 * chans
+    if len(raw) % frame_bytes:
+        raise ValueError(
+            "Matroska PCM data is not a whole number of frames"
+        )
+    samples = np.frombuffer(raw, "<i2").reshape(-1, chans)
+    _ = codec
+    return rate, chans, bits, samples
+
+
+def encode_mkv_pcm(
+    samples,
+    rate: int,
+    frames_per_block: int = 64,
+    blocks_per_cluster: int = 2,
+    lacing: str | None = None,
+    doctype: str = "matroska",
+) -> bytes:
+    """A REAL Matroska audio file (``.mka``) carrying an
+    ``A_PCM/INT/LIT`` track: Audio element with SamplingFrequency /
+    Channels / BitDepth, cluster blocks of ``frames_per_block``
+    frames each — packed ONE PER BLOCK, or (``lacing``) all of a
+    cluster's blocks into a single laced SimpleBlock, the layout real
+    .mka uses.  The fixture mirror of :func:`extract_mkv_audio`."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if n < 1:
+        raise ValueError("need at least one frame")
+    header = _el(
+        _EBML,
+        _uint_el(_EBML_VERSION, 1)
+        + _uint_el(_EBML_READ_VERSION, 1)
+        + _el(_DOCTYPE, doctype.encode("ascii"))
+        + _uint_el(_DOCTYPE_VERSION, 4)
+        + _uint_el(_DOCTYPE_READ_VERSION, 2),
+    )
+    dur_ms = n * 1000 // rate
+    info = _el(
+        _INFO,
+        _uint_el(_TIMESTAMP_SCALE, 1_000_000)
+        + _el(_DURATION, struct.pack(">d", float(dur_ms)))
+        + _el(_MUXING_APP, b"engine")
+        + _el(_WRITING_APP, b"engine"),
+    )
+    audio_el = _el(
+        _MKV_AUDIO,
+        _el(_SAMPLING_FREQ, struct.pack(">d", float(rate)))
+        + _uint_el(_MKV_CHANNELS, ch)
+        + _uint_el(_BIT_DEPTH, 16),
+    )
+    tracks = _el(
+        _TRACKS,
+        _el(
+            _TRACK_ENTRY,
+            _uint_el(_TRACK_NUMBER, 1)
+            + _uint_el(_TRACK_UID, 1)
+            + _uint_el(_TRACK_TYPE, _TRACK_TYPE_AUDIO)
+            + _el(_CODEC_ID, b"A_PCM/INT/LIT")
+            + audio_el,
+        ),
+    )
+    payloads = [
+        s[i : i + frames_per_block].astype("<i2").tobytes()
+        for i in range(0, n, frames_per_block)
+    ]
+    seg_body = info + tracks
+    per_cluster = blocks_per_cluster
+    for c0 in range(0, len(payloads), per_cluster):
+        group = payloads[c0 : c0 + per_cluster]
+        ts = c0 * frames_per_block * 1000 // rate
+        body = _uint_el(_CLUSTER_TIMESTAMP, ts)
+        if lacing is not None:
+            blk = (
+                b"\x81"
+                + struct.pack(">h", 0)
+                + bytes([_LACE_BITS[lacing] | 0x80])
+                + encode_lacing(group, lacing)
+            )
+            body += _el(_SIMPLE_BLOCK, blk)
+        else:
+            for j, p in enumerate(group):
+                rel = (
+                    (c0 + j) * frames_per_block * 1000 // rate
+                ) - ts
+                blk = (
+                    b"\x81" + struct.pack(">h", rel) + b"\x80" + p
+                )
+                body += _el(_SIMPLE_BLOCK, blk)
+        seg_body += _el(_CLUSTER, body)
+    return header + _el(_SEGMENT, seg_body)
+
+
+def _mka_track_fields(payload: bytes):
+    """``(rate, channels, bits)`` of the FIRST audio TrackEntry, or
+    ``None`` when the EBML document carries no audio track — the
+    cheap header fields :func:`~...multimodal.parse_audio_header`
+    reports for Matroska audio (any codec; sample decode separately
+    requires A_PCM/INT/LIT)."""
+    b = payload
+    _doctype, children = _walk_segment(b)
+    for eid, s, e, _u in children:
+        if eid != _TRACKS:
+            continue
+        for t, ts, te, _tu in _ebml_elements(b, s, e):
+            if t != _TRACK_ENTRY:
+                continue
+            ttype = None
+            a_rate = a_ch = a_bits = None
+            for c, cs, ce, _cu in _ebml_elements(b, ts, te):
+                if c == _TRACK_TYPE:
+                    ttype = _ebml_uint(b, cs, ce)
+                elif c == _MKV_AUDIO:
+                    for g, gs, ge, _gu in _ebml_elements(b, cs, ce):
+                        if g == _SAMPLING_FREQ:
+                            a_rate = int(_ebml_float(b, gs, ge))
+                        elif g == _MKV_CHANNELS:
+                            a_ch = _ebml_uint(b, gs, ge)
+                        elif g == _BIT_DEPTH:
+                            a_bits = _ebml_uint(b, gs, ge)
+            if ttype == _TRACK_TYPE_AUDIO:
+                return (a_rate or 8000, a_ch or 1, a_bits or 16)
+    return None

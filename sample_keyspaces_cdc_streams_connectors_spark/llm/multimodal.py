@@ -4363,6 +4363,23 @@ def parse_audio_header(payload: bytes | None):
                 pass
             return ("mp3", chans, rate, None, n_frames)
         return ("mp3", None, None, None, None)
+    if b[:4] == b"\x1aE\xdf\xa3":
+        # Matroska audio (r14): header fields from the first audio
+        # TrackEntry's Audio element — rate/channels/bits without
+        # touching cluster data; a video-only or non-audio EBML
+        # payload stays all-NULL (the VIDEO surface owns it).  Frame
+        # count stays NULL on this cheap pass (it needs the block
+        # walk, like MP3 without a Xing tag).
+        try:
+            from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import _mka_track_fields
+
+            fields = _mka_track_fields(b)
+        except (ValueError, NotImplementedError, struct.error):
+            fields = None
+        if fields is not None:
+            a_rate, a_ch, a_bits = fields
+            return ("mka", a_ch, a_rate, a_bits, None)
+        return (None, None, None, None, None)
     return (None, None, None, None, None)
 
 
@@ -5057,10 +5074,17 @@ def decode_audio_samples(payload: bytes | None, decoder=None):
         return decode_aiff_samples(b)
     if b[:4] == b".snd":
         return decode_au_samples(b)
+    if b[:4] == b"\x1aE\xdf\xa3":
+        # Matroska PCM audio (r14) — .mka with an A_PCM/INT/LIT
+        # track; blocks are typically LACED, decoded by the shared
+        # lace walk.  Lossy Matroska codecs raise inside.
+        from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import extract_mkv_audio
+
+        return extract_mkv_audio(b)[3]
     fmt = parse_audio_header(b)[0]
     raise NotImplementedError(
         f"sample decoding for audio format {fmt!r} is not available "
-        "(WAV, FLAC, AIFF, and AU decode natively)"
+        "(WAV, FLAC, AIFF, AU, and Matroska PCM decode natively)"
     )
 
 
@@ -5086,7 +5110,9 @@ def audio_stats(media: DataFrame, decoder=None) -> DataFrame:
             for p in pdf["payload"]:
                 try:
                     fmt, ch, rate, _bits, _nf = parse_audio_header(p)
-                    if fmt not in ("wav", "rf64", "flac", "aiff", "au"):
+                    if fmt not in (
+                        "wav", "rf64", "flac", "aiff", "au", "mka",
+                    ):
                         raise ValueError("no native sample decode")
                     s = decode_audio_samples(p, decoder=fast).astype(
                         np.int64
@@ -7064,7 +7090,9 @@ def resample_audio(
             for p in pdf["payload"]:
                 try:
                     fmt, _ch, rate, _bits, _nf = parse_audio_header(p)
-                    if fmt not in ("wav", "rf64", "flac", "aiff", "au") or not rate:
+                    if fmt not in (
+                        "wav", "rf64", "flac", "aiff", "au", "mka",
+                    ) or not rate:
                         raise ValueError("no native sample decode")
                     s = decode_audio_samples(p, decoder=fast)
                 except (ValueError, NotImplementedError, struct.error):

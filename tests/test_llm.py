@@ -3332,3 +3332,64 @@ def test_mkv_lacing_all_three_encodings():
     bad = bytes([2]) + b"x" * 10  # 3 frames, 10 bytes
     with _pytest.raises(ValueError, match="divide"):
         _lace_ranges(bad, 0, len(bad), 0x04)
+
+
+def test_mkv_pcm_audio_track(spark):
+    """r14: Matroska PCM audio (.mka) — A_PCM/INT/LIT decode through
+    the shared lace walk (lacing is how real .mka packs audio
+    frames), header fields from the Audio element, and the generic
+    audio surfaces (parse_audio_header / decode_audio_samples /
+    audio_stats) all reading the container."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import (
+        encode_mkv_pcm,
+        extract_mkv_audio,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        audio_stats,
+        decode_audio_samples,
+        parse_audio_header,
+    )
+
+    rng = np.random.default_rng(17)
+    s = rng.integers(-32768, 32768, (777, 2), np.int64).astype(np.int16)
+    for lac in (None, "xiph", "ebml"):
+        mka = encode_mkv_pcm(s, 16000, lacing=lac)
+        rate, ch, bits, got = extract_mkv_audio(mka)
+        assert (rate, ch, bits) == (16000, 2, 16)
+        assert np.array_equal(got, s), lac
+        assert np.array_equal(decode_audio_samples(mka), s), lac
+        assert parse_audio_header(mka) == ("mka", 2, 16000, 16, None)
+    # fixed lacing: equal blocks only (768 = 12 x 64)
+    mka = encode_mkv_pcm(s[:768], 44100, lacing="fixed")
+    assert np.array_equal(extract_mkv_audio(mka)[3], s[:768])
+    # lossy Matroska codecs are the documented boundary
+    bad = bytearray(encode_mkv_pcm(s[:64], 8000))
+    i = bad.find(b"A_PCM/INT/LIT")
+    bad[i : i + 13] = b"A_VORBIS\x00\x00\x00\x00\x00"
+    with _pytest.raises(NotImplementedError, match="A_VORBIS|PCM"):
+        extract_mkv_audio(bytes(bad))
+    # 24-bit PCM is an explicit depth boundary
+    deep = bytearray(encode_mkv_pcm(s[:64], 8000))
+    j = deep.find(bytes([0x62, 0x64, 0x81, 16]))
+    deep[j + 3] = 24
+    with _pytest.raises(NotImplementedError, match="bit depth 24"):
+        extract_mkv_audio(bytes(deep))
+    # Spark pass: audio_stats reads .mka next to WAV
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import encode_wav_pcm16
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_mkv_pcm(s, 16000, lacing="xiph"))),
+            (2, bytearray(encode_wav_pcm16(s, 16000))),
+            (3, bytearray(b"\x00junk")),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_stats(media).collect()}
+    assert rows[1]["au_rate"] == 16000 and rows[1]["au_channels"] == 2
+    assert rows[1]["au_n"] == s.size
+    assert rows[1]["au_sum_sq"] == rows[2]["au_sum_sq"]  # same samples
+    assert rows[3]["au_rate"] is None
