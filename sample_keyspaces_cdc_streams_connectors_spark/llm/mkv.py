@@ -782,9 +782,9 @@ def extract_mkv_audio(payload: bytes | None):
                 "documented boundary)"
             )
         raise ValueError("Matroska without an audio track")
-    if bits != 16:
+    if bits not in (16, 24, 32):
         raise NotImplementedError(
-            f"Matroska PCM bit depth {bits} unsupported (16-bit only)"
+            f"Matroska PCM bit depth {bits} unsupported (16/24/32-bit)"
         )
     pieces = []
     for eid, s, e, _u in children:
@@ -810,12 +810,22 @@ def extract_mkv_audio(payload: bytes | None):
                 for fs, fe in _lace_ranges(b, pos + 3, be, b[pos + 2]):
                     pieces.append(b[fs:fe])
     raw = b"".join(pieces)
-    frame_bytes = 2 * chans
+    frame_bytes = (bits // 8) * chans
     if len(raw) % frame_bytes:
         raise ValueError(
             "Matroska PCM data is not a whole number of frames"
         )
-    samples = np.frombuffer(raw, "<i2").reshape(-1, chans)
+    if bits == 16:
+        samples = np.frombuffer(raw, "<i2").reshape(-1, chans)
+    elif bits == 32:
+        samples = np.frombuffer(raw, "<i4").reshape(-1, chans)
+    else:
+        # 24-bit: sign-extend 3-byte little-endian onto the int32
+        # surface (the WAV deep-PCM convention)
+        u = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int64)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        samples = v.astype(np.int32).reshape(-1, chans)
     _ = codec
     return rate, chans, bits, samples
 
@@ -827,16 +837,23 @@ def encode_mkv_pcm(
     blocks_per_cluster: int = 2,
     lacing: str | None = None,
     doctype: str = "matroska",
+    bits: int = 16,
 ) -> bytes:
     """A REAL Matroska audio file (``.mka``) carrying an
     ``A_PCM/INT/LIT`` track: Audio element with SamplingFrequency /
     Channels / BitDepth, cluster blocks of ``frames_per_block``
     frames each — packed ONE PER BLOCK, or (``lacing``) all of a
     cluster's blocks into a single laced SimpleBlock, the layout real
-    .mka uses.  The fixture mirror of :func:`extract_mkv_audio`."""
+    .mka uses.  ``bits`` 16/24/32 — deep samples are int32 values on
+    the WAV convention.  The fixture mirror of
+    :func:`extract_mkv_audio`."""
     import numpy as np
 
-    s = np.asarray(samples, dtype=np.int16)
+    if bits not in (16, 24, 32):
+        raise ValueError("bits must be 16, 24, or 32")
+    s = np.asarray(
+        samples, dtype=np.int16 if bits == 16 else np.int32
+    )
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
@@ -862,7 +879,7 @@ def encode_mkv_pcm(
         _MKV_AUDIO,
         _el(_SAMPLING_FREQ, struct.pack(">d", float(rate)))
         + _uint_el(_MKV_CHANNELS, ch)
-        + _uint_el(_BIT_DEPTH, 16),
+        + _uint_el(_BIT_DEPTH, bits),
     )
     tracks = _el(
         _TRACKS,
@@ -875,8 +892,21 @@ def encode_mkv_pcm(
             + audio_el,
         ),
     )
+    def _pack(block) -> bytes:
+        if bits == 16:
+            return block.astype("<i2").tobytes()
+        if bits == 32:
+            return block.astype("<i4").tobytes()
+        v = block.astype(np.int64) & 0xFFFFFF  # 3-byte LE two's compl.
+        out = np.empty(block.size * 3, np.uint8)
+        flat = v.reshape(-1)
+        out[0::3] = flat & 0xFF
+        out[1::3] = (flat >> 8) & 0xFF
+        out[2::3] = (flat >> 16) & 0xFF
+        return out.tobytes()
+
     payloads = [
-        s[i : i + frames_per_block].astype("<i2").tobytes()
+        _pack(s[i : i + frames_per_block])
         for i in range(0, n, frames_per_block)
     ]
     seg_body = info + tracks

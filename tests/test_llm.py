@@ -3371,12 +3371,22 @@ def test_mkv_pcm_audio_track(spark):
     bad[i : i + 13] = b"A_VORBIS\x00\x00\x00\x00\x00"
     with _pytest.raises(NotImplementedError, match="A_VORBIS|PCM"):
         extract_mkv_audio(bytes(bad))
-    # 24-bit PCM is an explicit depth boundary
-    deep = bytearray(encode_mkv_pcm(s[:64], 8000))
-    j = deep.find(bytes([0x62, 0x64, 0x81, 16]))
-    deep[j + 3] = 24
-    with _pytest.raises(NotImplementedError, match="bit depth 24"):
-        extract_mkv_audio(bytes(deep))
+    # deep PCM on the int32 surface (the WAV convention); 20-bit is
+    # the remaining depth boundary
+    rng24 = np.random.default_rng(23)
+    deep = rng24.integers(
+        -(1 << 23), 1 << 23, (96, 2), np.int64
+    ).astype(np.int32)
+    for bits in (24, 32):
+        mka = encode_mkv_pcm(deep, 48000, lacing="ebml", bits=bits)
+        _r, _c, got_bits, got = extract_mkv_audio(mka)
+        assert got_bits == bits and got.dtype == np.int32
+        assert np.array_equal(got, deep), bits
+    odd = bytearray(encode_mkv_pcm(s[:64], 8000))
+    j = odd.find(bytes([0x62, 0x64, 0x81, 16]))
+    odd[j + 3] = 20
+    with _pytest.raises(NotImplementedError, match="bit depth 20"):
+        extract_mkv_audio(bytes(odd))
     # Spark pass: audio_stats reads .mka next to WAV
     from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import encode_wav_pcm16
 
