@@ -4380,6 +4380,18 @@ def parse_audio_header(payload: bytes | None):
             a_rate, a_ch, a_bits = fields
             return ("mka", a_ch, a_rate, a_bits, None)
         return (None, None, None, None, None)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        # MP4 audio (r14): header fields from the first 'soun'
+        # track's AudioSampleEntry — any coding (PCM or AAC); a
+        # video-only MP4 stays all-NULL (the VIDEO surface owns it)
+        try:
+            fields = _mp4_audio_fields(b)
+        except (ValueError, NotImplementedError, struct.error):
+            fields = None
+        if fields is not None:
+            a_rate, a_ch, a_bits = fields
+            return ("m4a", a_ch, a_rate, a_bits, None)
+        return (None, None, None, None, None)
     return (None, None, None, None, None)
 
 
@@ -5081,6 +5093,10 @@ def decode_audio_samples(payload: bytes | None, decoder=None):
         from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import extract_mkv_audio
 
         return extract_mkv_audio(b)[3]
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        # MP4 PCM audio (r14) — a sowt/twos 'soun' track over the
+        # shared sample-table walk; AAC/Opus raise inside
+        return extract_mp4_audio(b)[3]
     fmt = parse_audio_header(b)[0]
     raise NotImplementedError(
         f"sample decoding for audio format {fmt!r} is not available "
@@ -5111,7 +5127,7 @@ def audio_stats(media: DataFrame, decoder=None) -> DataFrame:
                 try:
                     fmt, ch, rate, _bits, _nf = parse_audio_header(p)
                     if fmt not in (
-                        "wav", "rf64", "flac", "aiff", "au", "mka",
+                        "wav", "rf64", "flac", "aiff", "au", "mka", "m4a",
                     ):
                         raise ValueError("no native sample decode")
                     s = decode_audio_samples(p, decoder=fast).astype(
@@ -7091,7 +7107,7 @@ def resample_audio(
                 try:
                     fmt, _ch, rate, _bits, _nf = parse_audio_header(p)
                     if fmt not in (
-                        "wav", "rf64", "flac", "aiff", "au", "mka",
+                        "wav", "rf64", "flac", "aiff", "au", "mka", "m4a",
                     ) or not rate:
                         raise ValueError("no native sample decode")
                     s = decode_audio_samples(p, decoder=fast)
@@ -7132,3 +7148,272 @@ def resample_audio(
             )
 
     return media.mapInPandas(run, RESAMPLED_AUDIO_SCHEMA)
+
+
+# --- MP4 PCM audio tracks (r14) -----------------------------------------------
+#
+# QuickTime/ISO-BMFF uncompressed audio: a 'soun'-handler track whose
+# AudioSampleEntry format is 'sowt' (little-endian int16) or 'twos'
+# (big-endian int16), each MP4 sample one PCM frame run.  Reuses the
+# shared stsz/stsc/stco walk (mp4_sample_ranges), completing the
+# audio-in-video-container trio with the Matroska PCM path (mkv.py);
+# entropy-coded audio (mp4a/AAC, Opus) raises — the same boundary.
+
+
+def extract_mp4_audio(payload: bytes | None):
+    """``(rate, channels, bits, samples)`` from an MP4's PCM audio
+    track — ``samples`` an ``(n_frames, channels)`` int16 numpy
+    array.  Walks moov → trak until one carries a ``soun`` handler,
+    reads the AudioSampleEntry (channels, sample size, 16.16 fixed
+    sample rate), requires ``sowt``/``twos`` 16-bit PCM (AAC/Opus/
+    other codings raise ``NotImplementedError``), and concatenates
+    every sample's bytes via the shared table walk."""
+    import numpy as np
+
+    b = payload or b""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    moov = _mp4_find_box(b, 0, len(b), b"moov")
+    if moov is None:
+        raise ValueError("MP4 without a moov box")
+    saw_audio = False
+    for t2, b2, e2 in _mp4_boxes(b, *moov):
+        if t2 != b"trak":
+            continue
+        mdia = _mp4_find_box(b, b2, e2, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find_box(b, *mdia, b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+            continue
+        saw_audio = True
+        minf = _mp4_find_box(b, *mdia, b"minf")
+        stbl = minf and _mp4_find_box(b, *minf, b"stbl")
+        if not stbl:
+            raise ValueError("MP4 audio track without a sample table")
+        stsd = _mp4_find_box(b, *stbl, b"stsd")
+        if stsd is None or stsd[1] - stsd[0] < 44:
+            raise ValueError("MP4 audio track without stsd")
+        fmt = b[stsd[0] + 12 : stsd[0] + 16]
+        if fmt not in (b"sowt", b"twos"):
+            raise NotImplementedError(
+                f"MP4 audio coding {fmt!r} is not uncompressed PCM "
+                "(AAC/Opus entropy decode is the documented boundary)"
+            )
+        # AudioSampleEntry: 8-byte box header skipped by stsd[0]+16
+        # slicing; fields after base SampleEntry(8) + version/
+        # revision/vendor(8): channels(2) samplesize(2) compid(2)
+        # packetsize(2) rate(16.16)
+        entry = stsd[0] + 16  # start of the entry's BODY fields
+        chans, bits = struct.unpack(">HH", b[entry + 16 : entry + 20])
+        (rate_fx,) = struct.unpack(">I", b[entry + 24 : entry + 28])
+        rate = rate_fx >> 16
+        if bits != 16:
+            raise NotImplementedError(
+                f"MP4 PCM sample size {bits} unsupported (16-bit only)"
+            )
+        if chans < 1 or not rate:
+            raise ValueError("bad MP4 audio entry fields")
+        ranges = mp4_sample_ranges(b, stbl)
+        pieces = []
+        for off, size in ranges:
+            if off + size > len(b):
+                raise ValueError("MP4 sample extends past end of file")
+            pieces.append(b[off : off + size])
+        raw = b"".join(pieces)
+        if len(raw) % (2 * chans):
+            raise ValueError(
+                "MP4 PCM data is not a whole number of frames"
+            )
+        dt = "<i2" if fmt == b"sowt" else ">i2"
+        samples = (
+            np.frombuffer(raw, dt).astype(np.int16).reshape(-1, chans)
+        )
+        return rate, chans, bits, samples
+    if saw_audio:
+        raise ValueError("unreachable")  # every audio track returns/raises
+    raise ValueError("MP4 without an audio track")
+
+
+def encode_mp4_pcm(
+    samples,
+    rate: int,
+    fmt: str = "sowt",
+    frames_per_sample: int = 64,
+    samples_per_chunk: int = 2,
+) -> bytes:
+    """A REAL ISO-BMFF file carrying an uncompressed PCM audio track
+    (``sowt`` little-endian / ``twos`` big-endian int16): mdat holds
+    the frame runs, the stbl carries genuine stsd/stts/stsc/stsz/stco
+    tables over the shared walk.  The fixture mirror of
+    :func:`extract_mp4_audio`."""
+    import numpy as np
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    if fmt not in ("sowt", "twos"):
+        raise ValueError("fmt must be sowt or twos")
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if n < 1:
+        raise ValueError("need at least one frame")
+    dt = "<i2" if fmt == "sowt" else ">i2"
+    chunks_raw = [
+        s[i : i + frames_per_sample].astype(dt).tobytes()
+        for i in range(0, n, frames_per_sample)
+    ]
+    ns = len(chunks_raw)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0))
+    mdat = box(b"mdat", b"".join(chunks_raw))
+    data_start = len(ftyp) + 8
+    sizes = [len(c) for c in chunks_raw]
+    chunk_offsets, chunk_counts = [], []
+    pos, i = data_start, 0
+    while i < ns:
+        take = min(samples_per_chunk, ns - i)
+        chunk_offsets.append(pos)
+        chunk_counts.append(take)
+        pos += sum(sizes[i : i + take])
+        i += take
+    stsc_entries = []
+    for ci, cnt in enumerate(chunk_counts, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != cnt:
+            stsc_entries.append((ci, cnt))
+    duration = n  # timescale = rate, one tick per PCM frame
+    stts_entries = []
+    for c in chunks_raw:
+        d = len(c) // (2 * ch)
+        if stts_entries and stts_entries[-1][1] == d:
+            stts_entries[-1][0] += 1
+        else:
+            stts_entries.append([1, d])
+    stsd_entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data reference index
+        + struct.pack(">HH", 0, 0)  # version/revision
+        + struct.pack(">I", 0)  # vendor
+        + struct.pack(">HHHH", ch, 16, 0, 0)
+        + struct.pack(">I", rate << 16)  # 16.16 fixed
+    )
+    stbl = (
+        box(
+            b"stsd",
+            struct.pack(">II", 0, 1)
+            + box(fmt.encode("ascii"), stsd_entry),
+        )
+        + box(
+            b"stts",
+            struct.pack(">II", 0, len(stts_entries))
+            + b"".join(
+                struct.pack(">II", c, d) for c, d in stts_entries
+            ),
+        )
+        + box(
+            b"stsc",
+            struct.pack(">II", 0, len(stsc_entries))
+            + b"".join(
+                struct.pack(">III", fc, cnt, 1)
+                for fc, cnt in stsc_entries
+            ),
+        )
+        + box(
+            b"stsz",
+            struct.pack(">III", 0, 0, ns)
+            + b"".join(struct.pack(">I", sz) for sz in sizes),
+        )
+        + box(
+            b"stco",
+            struct.pack(">II", 0, len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    )
+    minf = (
+        box(b"smhd", struct.pack(">IHH", 0, 0, 0))
+        + box(
+            b"dinf",
+            box(
+                b"dref",
+                struct.pack(">II", 0, 1)
+                + box(b"url ", struct.pack(">I", 1)),
+            ),
+        )
+        + box(b"stbl", stbl)
+    )
+    mdia = (
+        box(
+            b"mdhd",
+            struct.pack(">IIIII", 0, 0, 0, rate, duration)
+            + struct.pack(">HH", 0x55C4, 0),
+        )
+        + box(
+            b"hdlr",
+            struct.pack(">II", 0, 0)
+            + b"soun"
+            + struct.pack(">III", 0, 0, 0)
+            + b"pcm audio\x00",
+        )
+        + box(b"minf", minf)
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">I", 7)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)
+        + struct.pack(">I", 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0x0100, 0, 0)  # volume 1.0
+        + struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + struct.pack(">II", 0, 0),
+    )
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">I", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", rate, duration)
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + box(b"mdia", mdia)))
+    return ftyp + mdat + moov
+
+
+def _mp4_audio_fields(b: bytes):
+    """``(rate, channels, bits)`` of the FIRST 'soun' track's
+    AudioSampleEntry, or ``None`` when the MP4 carries no audio track
+    — the cheap header fields :func:`parse_audio_header` reports for
+    MP4 audio (any coding; sample decode separately requires
+    sowt/twos PCM)."""
+    moov = _mp4_find_box(b, 0, len(b), b"moov")
+    if moov is None:
+        return None
+    for t2, b2, e2 in _mp4_boxes(b, *moov):
+        if t2 != b"trak":
+            continue
+        mdia = _mp4_find_box(b, b2, e2, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find_box(b, *mdia, b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+            continue
+        minf = _mp4_find_box(b, *mdia, b"minf")
+        stbl = minf and _mp4_find_box(b, *minf, b"stbl")
+        stsd = stbl and _mp4_find_box(b, *stbl, b"stsd")
+        if not stsd or stsd[1] - stsd[0] < 44:
+            return None
+        entry = stsd[0] + 16
+        chans, bits = struct.unpack(">HH", b[entry + 16 : entry + 20])
+        (rate_fx,) = struct.unpack(">I", b[entry + 24 : entry + 28])
+        return (rate_fx >> 16, chans, bits)
+    return None

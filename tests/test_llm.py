@@ -3403,3 +3403,55 @@ def test_mkv_pcm_audio_track(spark):
     assert rows[1]["au_n"] == s.size
     assert rows[1]["au_sum_sq"] == rows[2]["au_sum_sq"]  # same samples
     assert rows[3]["au_rate"] is None
+
+
+def test_mp4_pcm_audio_track(spark):
+    """r14: MP4 PCM audio (sowt little-endian / twos big-endian) over
+    the shared sample-table walk — the audio-in-video-container trio
+    completed (MKV, MP4; WAV-in-AVI is RIFF already)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        audio_stats,
+        decode_audio_samples,
+        encode_mp4_pcm,
+        extract_mp4_audio,
+        parse_audio_header,
+    )
+
+    rng = np.random.default_rng(29)
+    s = rng.integers(-32768, 32768, (555, 2), np.int64).astype(np.int16)
+    for fmt in ("sowt", "twos"):
+        m4a = encode_mp4_pcm(s, 22050, fmt=fmt)
+        rate, ch, bits, got = extract_mp4_audio(m4a)
+        assert (rate, ch, bits) == (22050, 2, 16)
+        assert np.array_equal(got, s), fmt
+        assert np.array_equal(decode_audio_samples(m4a), s), fmt
+        assert parse_audio_header(m4a) == ("m4a", 2, 22050, 16, None)
+    # AAC stays the documented boundary — header fields still report
+    bad = bytearray(encode_mp4_pcm(s[:64], 8000))
+    i = bad.find(b"sowt")
+    bad[i : i + 4] = b"mp4a"
+    assert parse_audio_header(bytes(bad))[0] == "m4a"
+    with _pytest.raises(NotImplementedError, match="mp4a"):
+        extract_mp4_audio(bytes(bad))
+    # Spark pass next to the other containers
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import encode_mkv_pcm
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import encode_wav_pcm16
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_mp4_pcm(s, 22050))),
+            (2, bytearray(encode_mkv_pcm(s, 22050, lacing="xiph"))),
+            (3, bytearray(encode_wav_pcm16(s, 22050))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_stats(media).collect()}
+    assert (
+        rows[1]["au_sum_sq"]
+        == rows[2]["au_sum_sq"]
+        == rows[3]["au_sum_sq"]
+    )
+    assert rows[1]["au_n"] == s.size
