@@ -4392,6 +4392,18 @@ def parse_audio_header(payload: bytes | None):
             a_rate, a_ch, a_bits = fields
             return ("m4a", a_ch, a_rate, a_bits, None)
         return (None, None, None, None, None)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        # AVI audio (r14): WAVEFORMATEX fields of the first 'auds'
+        # stream + the strh sample count; a video-only AVI stays
+        # all-NULL (the VIDEO surface owns it)
+        try:
+            fields = _avi_audio_fields(b)
+        except (ValueError, NotImplementedError, struct.error):
+            fields = None
+        if fields is not None:
+            a_rate, a_ch, a_bits, a_n = fields
+            return ("avi", a_ch, a_rate, a_bits, a_n)
+        return (None, None, None, None, None)
     return (None, None, None, None, None)
 
 
@@ -5097,6 +5109,10 @@ def decode_audio_samples(payload: bytes | None, decoder=None):
         # MP4 PCM audio (r14) — a sowt/twos 'soun' track over the
         # shared sample-table walk; AAC/Opus raise inside
         return extract_mp4_audio(b)[3]
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        # AVI PCM audio (r14) — '##wb' movi chunks of the first
+        # 'auds' stream; compressed tags raise inside
+        return extract_avi_audio(b)[3]
     fmt = parse_audio_header(b)[0]
     raise NotImplementedError(
         f"sample decoding for audio format {fmt!r} is not available "
@@ -5127,7 +5143,7 @@ def audio_stats(media: DataFrame, decoder=None) -> DataFrame:
                 try:
                     fmt, ch, rate, _bits, _nf = parse_audio_header(p)
                     if fmt not in (
-                        "wav", "rf64", "flac", "aiff", "au", "mka", "m4a",
+                        "wav", "rf64", "flac", "aiff", "au", "mka", "m4a", "avi",
                     ):
                         raise ValueError("no native sample decode")
                     s = decode_audio_samples(p, decoder=fast).astype(
@@ -7107,7 +7123,7 @@ def resample_audio(
                 try:
                     fmt, _ch, rate, _bits, _nf = parse_audio_header(p)
                     if fmt not in (
-                        "wav", "rf64", "flac", "aiff", "au", "mka", "m4a",
+                        "wav", "rf64", "flac", "aiff", "au", "mka", "m4a", "avi",
                     ) or not rate:
                         raise ValueError("no native sample decode")
                     s = decode_audio_samples(p, decoder=fast)
@@ -7416,4 +7432,224 @@ def _mp4_audio_fields(b: bytes):
         chans, bits = struct.unpack(">HH", b[entry + 16 : entry + 20])
         (rate_fx,) = struct.unpack(">I", b[entry + 24 : entry + 28])
         return (rate_fx >> 16, chans, bits)
+    return None
+
+
+# --- AVI PCM audio streams (r14) ----------------------------------------------
+#
+# The RIFF side of audio-in-video: an 'auds' stream (strh) whose strf
+# is a WAVEFORMATEX, with the sample bytes in '##wb' movi chunks
+# (word-aligned, optionally inside 'rec ' interleave groups).  PCM
+# (format tag 1) decodes natively; compressed tags (MP3 0x55, AAC
+# 0xFF) raise.  Completes the audio-in-video-container trio with the
+# Matroska and MP4 paths.
+
+
+def extract_avi_audio(payload: bytes | None):
+    """``(rate, channels, bits, samples)`` from an AVI's PCM audio
+    stream — ``samples`` an ``(n_frames, channels)`` int16 numpy
+    array.  Walks hdrl's strl lists in order (the stream NUMBER is
+    the list position, naming its movi chunks ``{NN}wb``), requires a
+    WAVEFORMATEX with format tag 1 at 16 bits, and concatenates that
+    stream's movi chunks — recursing into ``rec`` interleave
+    groups.  Compressed audio tags raise ``NotImplementedError``;
+    malformed RIFF raises ``ValueError``."""
+    import numpy as np
+
+    b = payload or b""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF-AVI payload")
+
+    def chunks(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            tag = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("truncated AVI chunk")
+            yield tag, body_start, body_start + size
+            pos = body_start + size + (size & 1)
+
+    audio_stream = None
+    rate = chans = bits = fmt_tag = None
+    movi = None
+    stream_idx = 0
+    for tag, s, e in chunks(12, len(b)):
+        if tag != b"LIST":
+            continue
+        fourcc = b[s : s + 4]
+        if fourcc == b"hdrl":
+            for t2, s2, e2 in chunks(s + 4, e):
+                if t2 != b"LIST" or b[s2 : s2 + 4] != b"strl":
+                    continue
+                stype = None
+                wf = None
+                for t3, s3, e3 in chunks(s2 + 4, e2):
+                    if t3 == b"strh":
+                        stype = b[s3 : s3 + 4]
+                    elif t3 == b"strf":
+                        wf = (s3, e3)
+                if stype == b"auds" and audio_stream is None:
+                    if wf is None or wf[1] - wf[0] < 16:
+                        raise ValueError(
+                            "AVI audio stream without a WAVEFORMATEX"
+                        )
+                    fmt_tag, chans, rate = struct.unpack(
+                        "<HHI", b[wf[0] : wf[0] + 8]
+                    )
+                    (bits,) = struct.unpack(
+                        "<H", b[wf[0] + 14 : wf[0] + 16]
+                    )
+                    audio_stream = stream_idx
+                stream_idx += 1
+        elif fourcc == b"movi":
+            movi = (s + 4, e)
+    if audio_stream is None:
+        raise ValueError("AVI without an audio stream")
+    if fmt_tag != 1:
+        raise NotImplementedError(
+            f"AVI audio format tag {fmt_tag:#x} is not PCM "
+            "(compressed audio decode is the documented boundary)"
+        )
+    if bits != 16:
+        raise NotImplementedError(
+            f"AVI PCM bit depth {bits} unsupported (16-bit only)"
+        )
+    if movi is None:
+        raise ValueError("AVI without a movi list")
+    want = b"%02dwb" % audio_stream
+    pieces = []
+
+    def walk_movi(start: int, end: int):
+        for tag, s, e in chunks(start, end):
+            if tag == b"LIST" and b[s : s + 4] == b"rec ":
+                walk_movi(s + 4, e)
+            elif tag == want:
+                pieces.append(b[s:e])
+
+    walk_movi(*movi)
+    raw = b"".join(pieces)
+    if len(raw) % (2 * (chans or 1)):
+        raise ValueError("AVI PCM data is not a whole number of frames")
+    samples = np.frombuffer(raw, "<i2").reshape(-1, chans or 1)
+    return rate, chans, bits, samples
+
+
+def encode_avi_pcm(
+    samples, rate: int, frames_per_chunk: int = 64, rec_group: int = 0
+) -> bytes:
+    """A REAL audio-only AVI: hdrl with an 'auds' strl (WAVEFORMATEX
+    PCM strf), movi of word-aligned ``00wb`` chunks — optionally in
+    ``rec`` interleave groups.  The fixture mirror of
+    :func:`extract_avi_audio`."""
+    import numpy as np
+
+    def ck(tag: bytes, body: bytes) -> bytes:
+        return (
+            tag
+            + struct.pack("<I", len(body))
+            + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return ck(b"LIST", fourcc + body)
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if n < 1:
+        raise ValueError("need at least one frame")
+    block_align = 2 * ch
+    avih = ck(
+        b"avih",
+        struct.pack(
+            "<14I", 0, rate * block_align, 0, 0, 0, 0, 1, 0, 0, 0,
+            0, 0, 0, 0,
+        ),
+    )
+    strh = ck(
+        b"strh",
+        b"auds"
+        + b"\x00\x00\x00\x00"
+        + struct.pack("<IHHIIIII", 0, 0, 0, 0, 1, rate, 0, n)
+        + struct.pack("<IiI", rate * block_align, -1, block_align)
+        + struct.pack("<hhhh", 0, 0, 0, 0),
+    )
+    strf = ck(
+        b"strf",
+        struct.pack(
+            "<HHIIHH", 1, ch, rate, rate * block_align, block_align, 16
+        ),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    payloads = [
+        s[i : i + frames_per_chunk].astype("<i2").tobytes()
+        for i in range(0, n, frames_per_chunk)
+    ]
+    movi_body = b""
+    if rec_group and rec_group > 0:
+        i = 0
+        while i < len(payloads):
+            inner = b"".join(
+                ck(b"00wb", p) for p in payloads[i : i + rec_group]
+            )
+            movi_body += lst(b"rec ", inner)
+            i += rec_group
+    else:
+        for p in payloads:
+            movi_body += ck(b"00wb", p)
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _avi_audio_fields(b: bytes):
+    """``(rate, channels, bits, n_frames)`` of the FIRST 'auds'
+    stream, or ``None`` when the AVI carries no audio stream — the
+    cheap header fields :func:`parse_audio_header` reports (any
+    format tag; sample decode separately requires PCM).  ``n_frames``
+    comes from the strh sample count when the tag is PCM (where one
+    sample is one frame), else ``None``."""
+
+    def chunks(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            tag = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("truncated AVI chunk")
+            yield tag, body_start, body_start + size
+            pos = body_start + size + (size & 1)
+
+    for tag, s, e in chunks(12, len(b)):
+        if tag != b"LIST" or b[s : s + 4] != b"hdrl":
+            continue
+        for t2, s2, e2 in chunks(s + 4, e):
+            if t2 != b"LIST" or b[s2 : s2 + 4] != b"strl":
+                continue
+            stype = None
+            length = None
+            wf = None
+            for t3, s3, e3 in chunks(s2 + 4, e2):
+                if t3 == b"strh":
+                    stype = b[s3 : s3 + 4]
+                    if e3 - s3 >= 36:
+                        (length,) = struct.unpack(
+                            "<I", b[s3 + 32 : s3 + 36]
+                        )
+                elif t3 == b"strf":
+                    wf = (s3, e3)
+            if stype == b"auds":
+                if wf is None or wf[1] - wf[0] < 16:
+                    return None
+                fmt_tag, chans, rate = struct.unpack(
+                    "<HHI", b[wf[0] : wf[0] + 8]
+                )
+                (bits,) = struct.unpack("<H", b[wf[0] + 14 : wf[0] + 16])
+                n = length if fmt_tag == 1 else None
+                return (rate, chans, bits, n)
     return None

@@ -3455,3 +3455,64 @@ def test_mp4_pcm_audio_track(spark):
         == rows[3]["au_sum_sq"]
     )
     assert rows[1]["au_n"] == s.size
+
+
+def test_avi_pcm_audio_stream(spark):
+    """r14: AVI PCM audio — WAVEFORMATEX 'auds' stream, '00wb' movi
+    chunks incl. 'rec ' interleave groups; compressed tags stay the
+    boundary; the generic audio surfaces read the container."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        audio_stats,
+        decode_audio_samples,
+        encode_avi_pcm,
+        extract_avi_audio,
+        parse_audio_header,
+    )
+
+    rng = np.random.default_rng(37)
+    s = rng.integers(-32768, 32768, (501, 2), np.int64).astype(np.int16)
+    for rg in (0, 3):
+        avi = encode_avi_pcm(s, 11025, rec_group=rg)
+        rate, ch, bits, got = extract_avi_audio(avi)
+        assert (rate, ch, bits) == (11025, 2, 16)
+        assert np.array_equal(got, s), rg
+        assert np.array_equal(decode_audio_samples(avi), s), rg
+        assert parse_audio_header(avi) == ("avi", 2, 11025, 16, 501)
+    # MP3-in-AVI (tag 0x55): header fields report, decode raises
+    bad = bytearray(encode_avi_pcm(s[:64], 8000))
+    i = bad.find(b"strf")
+    bad[i + 8 : i + 10] = (0x55).to_bytes(2, "little")
+    assert parse_audio_header(bytes(bad))[:1] == ("avi",)
+    assert parse_audio_header(bytes(bad))[4] is None
+    with _pytest.raises(NotImplementedError, match="0x55"):
+        extract_avi_audio(bytes(bad))
+    # a video-only AVI has no audio stream
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg_gray8,
+    )
+
+    frames = [encode_jpeg_gray8(np.full((8, 8), 5, np.uint8), quant=1)]
+    with _pytest.raises(ValueError, match="without an audio stream"):
+        extract_avi_audio(encode_avi_mjpeg(frames, 8, 8))
+    # Spark: all three audio-in-video containers agree on the stats
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.mkv import encode_mkv_pcm
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import encode_mp4_pcm
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_avi_pcm(s, 11025, rec_group=2))),
+            (2, bytearray(encode_mp4_pcm(s, 11025))),
+            (3, bytearray(encode_mkv_pcm(s, 11025, lacing="ebml"))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_stats(media).collect()}
+    assert (
+        rows[1]["au_sum_sq"]
+        == rows[2]["au_sum_sq"]
+        == rows[3]["au_sum_sq"]
+    )
