@@ -462,6 +462,59 @@ def test_multimodal_profile_matches_standalone_arm_join(spark):
         synthesize_pattern_video(docs), max_frames=4
     ).select("media_id", "vf_n_frames", "vf_sampled", "vf_px_n",
              "vf_px_sum")
+    # r14: the fused profile also carries the media-TEXT arm (planted
+    # tags + caption cues).  No standalone DataFrame operator exists
+    # for these planted payloads, so the standalone assembly derives
+    # them driver-side from the SAME public helpers the fused pass
+    # uses (_pattern_tagged_bytes / extract_media_tags and
+    # _pattern_subtitle_bytes / extract_subtitle_cues) — an
+    # independent re-derivation per media_id, joined like the arms.
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.multimodal import (
+        _pattern_subtitle_bytes,
+        _pattern_tagged_bytes,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.subtitles import (
+        extract_subtitle_cues,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.tags import (
+        extract_media_tags,
+    )
+
+    mt_rows = []
+    for mid in [r.media_id for r in media.select("media_id").collect()]:
+        tb = _pattern_tagged_bytes(mid)
+        trows = [r for r in extract_media_tags(tb) if r[1] != "vendor"]
+        sb = _pattern_subtitle_bytes(mid)
+        cues = extract_subtitle_cues(sb)
+        if sb[:4] == b"\x1aE\xdf\xa3":
+            cue_fmt = "mkv"
+        elif sb[4:8] == b"ftyp":
+            cue_fmt = "mp4"
+        elif sb[:6] == b"WEBVTT":
+            cue_fmt = "vtt"
+        else:
+            cue_fmt = "srt"
+        mt_rows.append(
+            (
+                mid,
+                len(trows),
+                trows[0][0],
+                trows[0][1],
+                trows[0][2],
+                int(trows[1][2]),
+                cue_fmt,
+                len(cues),
+                cues[0][1],
+                sum(e - s for _i, s, e, _t in cues),
+                sum(len(t) for _i, _s, _e, t in cues),
+            )
+        )
+    mt = spark.createDataFrame(
+        mt_rows,
+        "media_id long, tag_n int, tag_src string, tag_title_key string,"
+        " tag_title string, tag_track int, cue_fmt string, cue_n int,"
+        " cue_first_ms long, cue_span_ms long, cue_chars long",
+    )
     frames = sample_frames(
         media, frame_chars=64, max_frames=4, fake=True
     ).select("media_id", "frame_idx", "frame_bytes", "frame_digest")
@@ -473,6 +526,7 @@ def test_multimodal_profile_matches_standalone_arm_join(spark):
         .join(au_md, "media_id")
         .join(vid_md, "media_id")
         .join(vf, "media_id")
+        .join(mt, "media_id")
         .join(frames, "media_id", "left")
     )
     fused = multimodal_profile(
