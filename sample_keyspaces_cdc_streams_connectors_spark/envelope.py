@@ -87,30 +87,41 @@ def synthesize_cdc(
     origin).  The old image perturbs ``value`` by -1.0 so old/new are
     distinguishable downstream (old_ flatten tests).
     """
-    new_img = F.struct(
-        F.col("user_id"), F.col("event_type"), F.col("value"), F.col("props")
+    # r14 optimization: the envelope projection is composed as SQL
+    # text — the Column-tree form cost ~0.2 s of py4j round trips per
+    # construction, paid by every CDC query AND every timed CDC
+    # throughput pass.  Identical expressions (oracle-verified by all
+    # envelope gates; Column/SQL equivalence additionally pinned in
+    # tests/test_classify.py).
+    ks = keyspace.replace("'", "''")
+    tb = table.replace("'", "''")
+    origin_sql = (
+        "CASE WHEN (event_type = 'error') AND (value < 50) THEN 'TTL' "
+        "WHEN (event_type = 'view') OR ((event_type = 'purchase') "
+        "AND (value < 50)) THEN 'REPLICATION' "
+        "WHEN (event_type = 'click') AND (value < 5) "
+        "THEN CAST(NULL AS STRING) "
+        "ELSE 'USER' END"
     )
-    old_img = F.struct(
-        F.col("user_id"),
-        F.col("event_type"),
-        (F.col("value") - F.lit(1.0)).alias("value"),
-        F.col("props"),
+    has_new_sql = (
+        "(event_type IN ('signup', 'click', 'purchase') "
+        "OR ((event_type = 'view') AND (value >= 10)))"
     )
-    meta = F.struct(
-        F.lit(keyspace).alias("stream_keyspace_name"),
-        F.lit(table).alias("stream_table_name"),
-        F.lit(None).cast("string").alias("stream_operation_type"),
-        F.unix_millis(F.col("ts")).alias("stream_arrival_timestamp"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0").alias(
-            "stream_sequence_number"
-        ),
-        _origin_expr().alias("origin"),
-    )
-    return events.select(
-        F.col("event_id"),
-        meta.alias("metadata"),
-        F.when(_has_new_expr(), new_img).alias("newImage"),
-        F.when(_has_old_expr(), old_img).alias("oldImage"),
+    has_old_sql = "event_type IN ('click', 'view', 'error')"
+    return events.selectExpr(
+        "event_id",
+        f"struct('{ks}' AS stream_keyspace_name, "
+        f"'{tb}' AS stream_table_name, "
+        "CAST(NULL AS STRING) AS stream_operation_type, "
+        "unix_millis(ts) AS stream_arrival_timestamp, "
+        "lpad(CAST(event_id AS STRING), 12, '0') "
+        "AS stream_sequence_number, "
+        f"{origin_sql} AS origin) AS metadata",
+        f"CASE WHEN {has_new_sql} THEN "
+        "struct(user_id, event_type, value, props) END AS newImage",
+        f"CASE WHEN {has_old_sql} THEN "
+        "struct(user_id, event_type, value - CAST(1.0 AS DOUBLE) AS value, "
+        "props) END AS oldImage",
     )
 
 

@@ -25,6 +25,93 @@ def normalize_text(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+# --- SQL-text twins (r14 optimization) -------------------------------------
+#
+# Building deep Column trees from Python costs one py4j round trip per
+# node (~0.3-0.5 ms each); higher-order functions (transform / filter /
+# aggregate / zip_with) cost tens of ms EACH to construct.  Measured
+# with cProfile at sf0.1: DataFrame CONSTRUCTION was ~15 s of the ~45 s
+# headline suite, dominated by exactly these builders.  Each `*_sql`
+# twin composes the SAME expression as SQL text (one py4j call to
+# parse via F.expr / selectExpr); equivalence with the Column form is
+# pinned in tests/test_properties.py::test_sql_twins_match_column_forms.
+
+def normalize_text_sql(c: str) -> str:
+    """SQL-text twin of :func:`normalize_text`."""
+    return rf"lower(trim(regexp_replace({c}, '\\s+', ' ')))"
+
+
+def tokens_sql(c: str) -> str:
+    """SQL-text twin of :func:`tokens`."""
+    return rf"filter(split(trim({c}), '\\s+'), t -> t != '')"
+
+
+def token_count_sql(c: str) -> str:
+    """SQL-text twin of :func:`token_count`."""
+    return f"size({tokens_sql(c)})"
+
+
+def bpe_token_estimate_sql(c: str) -> str:
+    """SQL-text twin of :func:`bpe_token_estimate`."""
+    return rf"regexp_count({c}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')"
+
+
+def stopword_count_sql(c: str) -> str:
+    """SQL-text twin of :func:`stopword_count`."""
+    pat = r"\\b(" + "|".join(STOPWORDS) + r")\\b"
+    return f"regexp_count(lower({c}), '{pat}')"
+
+
+def lang_id_sql(c: str) -> str:
+    """SQL-text twin of :func:`lang_id`."""
+    n = token_count_sql(c)
+    return (
+        f"CASE WHEN ({n} > 0) AND ({stopword_count_sql(c)} / {n} > 0.08) "
+        "THEN 'en' ELSE 'unknown' END"
+    )
+
+
+def quality_score_sql(c: str) -> str:
+    """SQL-text twin of :func:`quality_score`."""
+    n = f"CAST({token_count_sql(c)} AS BIGINT)"
+    chars = f"CAST(length({c}) AS BIGINT)"
+    alpha = f"CAST(regexp_count({c}, '[A-Za-z]') AS BIGINT)"
+    stops = f"CAST({stopword_count_sql(c)} AS BIGINT)"
+    return (
+        f"CAST(floor(least({n}, 64) * 400 / 64) "
+        f"+ (CASE WHEN {chars} > 0 THEN floor({alpha} * 300 / {chars}) "
+        "ELSE 0 END) "
+        f"+ floor(least({stops}, 8) * 300 / 8) AS INT)"
+    )
+
+
+def doc_fingerprint_sql(c: str) -> str:
+    """SQL-text twin of :func:`doc_fingerprint`."""
+    return f"md5({normalize_text_sql(c)})"
+
+
+def md5_int_sql(c: str) -> str:
+    """SQL-text twin of ``llm.dedup.md5_int`` (lives here to keep the
+    SQL twins in one module; dedup re-exports it)."""
+    return f"CAST(conv(substring(md5({c}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def shingles_from_tokens_sql(toks: str, k: int = 3) -> str:
+    """SQL-text twin of :func:`shingles_from_tokens`.  ``toks`` should
+    be a bound column NAME (the fragment is referenced O(k) times)."""
+    m = f"(size({toks}) - {k} + 1)"
+    shingles = f"slice({toks}, 1, {m})"
+    for j in range(1, k):
+        shingles = (
+            f"zip_with({shingles}, slice({toks}, {j + 1}, {m}), "
+            "(a, b) -> concat_ws(' ', a, b))"
+        )
+    return (
+        f"CASE WHEN size({toks}) <= {k} "
+        f"THEN array(array_join({toks}, ' ')) ELSE {shingles} END"
+    )
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization → array<string> (empty array for
     empty/blank text)."""

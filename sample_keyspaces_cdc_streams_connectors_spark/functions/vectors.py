@@ -34,6 +34,23 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`dot` (r14 — each zip_with/aggregate
+    HOF costs tens of ms of py4j to CONSTRUCT; the text form parses
+    JVM-side in one call.  Same expression, same sequential-double
+    semantics; equivalence rides the oracle gates that consume it)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def l2_norm_sql(a: str) -> str:
+    """SQL-text twin of :func:`l2_norm`."""
+    return f"sqrt({dot_sql(a, a)})"
+
+
 # PERF note (measured, sf0.1, 490k pairs x 64 dims): among pure-SQL
 # forms, keep dot products as zip_with-with-inline-casts + aggregate
 # (3.0s).  Two tempting "optimizations" are strictly worse: wrapping

@@ -163,10 +163,63 @@ def minhash_candidate_pairs(
     branches consume it: materializing the cache blocks pipelining
     and costs more than recomputing the (cheap, scan-parallel)
     shingling — measured 4.8s cached vs 1.7s uncached at sf0.1.
+
+    r14 optimization — construction only: the pipeline is composed as
+    SQL text (the Column-tree form cost ~0.7 s of py4j round trips
+    per invocation); the PHYSICAL plan is unchanged.  Two rewrites of
+    the plan itself were tried, measured SLOWER at sf0.1, and kept
+    out: (a) array-fold signatures (the streaming
+    :func:`with_minhash_signature` shape — removes the signature
+    Exchange but evaluates 16 interpreted HOF folds per doc vs the
+    exploded form's codegen multiply-adds: 3.5× slower); (b)
+    ``array_intersect`` verification over per-doc shingle arrays (the
+    prefix-mode ngram shape — fewer shuffles but an extra
+    InferFiltersFromGenerate re-evaluation hazard and interpreted
+    intersects: ~1.7× slower end-to-end).
     """
-    sh = _doc_shingles(docs, text_col, k)
-    sigs = minhash_signatures(sh, num_hashes)
-    bands = _band_signatures(sigs, num_hashes, band_rows)
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+        md5_int_sql,
+        normalize_text_sql,
+        shingles_from_tokens_sql,
+        tokens_sql,
+    )
+
+    n_bands = num_hashes // band_rows
+    # NOTE the explode stays INLINE over the shingle expression (the
+    # pre-r14 plan shape): an `explode(attr)` over a separate array
+    # projection makes InferFiltersFromGenerate add a size()>0 filter
+    # that predicate-pushdown then inlines BELOW the projection,
+    # re-evaluating the whole tokenize+shingle pipeline per row —
+    # measured 2× execution time at sf0.1 when tried.
+    sh = docs.selectExpr(
+        "doc_id", f"{tokens_sql(normalize_text_sql(text_col))} AS __toks"
+    ).selectExpr(
+        "doc_id",
+        "explode(array_distinct(transform("
+        f"{shingles_from_tokens_sql('__toks', k)}, "
+        f"x -> {md5_int_sql('x')}))) AS shingle",
+    )
+    base = sh.selectExpr("doc_id", f"shingle % {_MERSENNE}L AS h30")
+    sigs = base.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"min(({_PERM_A[j]}L * h30 + {_PERM_B[j]}L) % {_MERSENNE}L)"
+            ).alias(f"m{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    band_structs = ", ".join(
+        f"struct({b} AS band, md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{b * band_rows + r} AS STRING)"
+            for r in range(band_rows)
+        )
+        + ")) AS band_sig)"
+        for b in range(n_bands)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bs"
+    ).selectExpr("doc_id", "bs.band AS band", "bs.band_sig AS band_sig")
 
     left = bands.alias("l")
     right = bands.alias("r")
@@ -409,16 +462,25 @@ def ngram_jaccard_pairs(
         est = _plan_size_bytes(docs)
         prefix_filter = est is None or est >= limit
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # r14: construction as SQL text (same py4j-cost rationale and
+    # two-phase tokenize/shingle protection as minhash_candidate_pairs)
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+        md5_int_sql,
+        normalize_text_sql,
+        shingles_from_tokens_sql,
+        tokens_sql,
+    )
+
     arrs = (
         docs.repartition(nparts)
-        .select(
-            "doc_id", tokens(normalize_text(F.col(text_col))).alias("__toks")
+        .selectExpr(
+            "doc_id", f"{tokens_sql(normalize_text_sql(text_col))} AS __toks"
         )
-        .select(
+        .selectExpr(
             "doc_id",
-            F.array_distinct(
-                F.transform(shingles_from_tokens(F.col("__toks"), k), md5_int)
-            ).alias("__shingles"),
+            "array_distinct(transform("
+            f"{shingles_from_tokens_sql('__toks', k)}, "
+            f"x -> {md5_int_sql('x')})) AS __shingles",
         )
         .persist()
     )
@@ -460,26 +522,18 @@ def ngram_jaccard_pairs(
                 )
             ).alias("shingle"),
         )
-    def _pairs_from_postings(ds: Column) -> Column:
-        """All ordered (i < j) element pairs within one sorted posting
-        list, as a single JVM array expression.  List length is
-        bounded by construction (df <= max_shingle_freq — prefix
-        indexing only shrinks lists further), so the per-list
-        expansion is O(cap²) worst case and runs MAP-SIDE after the
-        posting aggregate — no self-join."""
-        return F.flatten(
-            F.transform(
-                ds,
-                lambda x, i: F.transform(
-                    F.slice(
-                        ds,
-                        i + F.lit(2),
-                        F.greatest(F.size(ds) - i - F.lit(1), F.lit(0)),
-                    ),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        )
+    # All ordered (i < j) element pairs within one sorted posting
+    # list, as a single JVM array expression.  List length is bounded
+    # by construction (df <= max_shingle_freq — prefix indexing only
+    # shrinks lists further), so the per-list expansion is O(cap²)
+    # worst case and runs MAP-SIDE after the posting aggregate — no
+    # self-join.  SQL text (r14): the Column form of this
+    # doubly-nested HOF cost ~0.1 s of py4j per construction.
+    _pairs_sql = (
+        "flatten(transform(__ds, (x, i) -> "
+        "transform(slice(__ds, i + 2, greatest(size(__ds) - i - 1, 0)), "
+        "y -> struct(x AS a, y AS b))))"
+    )
 
     # candidate-budget guard: Σ C(len, 2) over the pair-generating
     # posting lists — the exact number of (pre-distinct) pairs the
@@ -542,7 +596,7 @@ def ngram_jaccard_pairs(
         )
         pairs = (
             _guarded(postings.filter(F.size("__ds") >= 2))
-            .select(F.explode(_pairs_from_postings(F.col("__ds"))).alias("__p"))
+            .selectExpr(f"explode({_pairs_sql}) AS __p")
             .filter(_size_ok(F.col("__p")))
             .select(
                 F.col("__p.a.d").alias("doc_a"),
@@ -610,7 +664,7 @@ def ngram_jaccard_pairs(
                 (F.size("__ds") >= 2) & (F.size("__ds") <= max_shingle_freq)
             )
         )
-        .select(F.explode(_pairs_from_postings(F.col("__ds"))).alias("__p"))
+        .selectExpr(f"explode({_pairs_sql}) AS __p")
         .filter(_size_ok(F.col("__p")))
         .groupBy(
             F.col("__p.a.d").alias("doc_a"),
@@ -883,6 +937,28 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     # every blank doc together at hamming distance 0
     code = simhash_fold(F.col("__hs"), bits)
     return hashed.select("doc_id", code.alias("simhash"))
+
+
+def simhash_fold_sql(hs_sql: str, bits: int = 16) -> str:
+    """SQL-text twin of :func:`simhash_fold` (r14 optimization: the
+    Column form costs ~0.5 s of py4j round trips PER CONSTRUCTION —
+    ~300 calls for the 16-field fold struct; the SQL text parses
+    JVM-side in one call).  The bit-majority sum moves into the
+    aggregate's finish lambda — same arithmetic, same result
+    (equivalence pinned in tests/test_properties.py)."""
+    acc0 = "struct(" + ", ".join(f"0L AS s{i}" for i in range(bits)) + ")"
+    step = ", ".join(
+        f"acc.s{i} + ((shiftright(h, {i}) & 1) * 2 - 1) AS s{i}"
+        for i in range(bits)
+    )
+    final = " + ".join(
+        f"(CASE WHEN acc.s{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return (
+        f"CAST(aggregate({hs_sql}, {acc0}, "
+        f"(acc, h) -> struct({step}), acc -> {final}) AS BIGINT)"
+    )
 
 
 def simhash_fold(hs: Column, bits: int = 16) -> Column:

@@ -309,6 +309,15 @@ def bm25_score_table(
     q_terms = sorted({_hash60(w) for w in _py_words(query)})
     if not q_terms:
         raise ValueError("query has no tokens")
+    # r14: size-estimated planning policy for the INDEX directory —
+    # a tiny index plans in the non-adaptive child session (AQE's
+    # per-exchange barriers dominate at small inputs), a large or
+    # unstatable one keeps the adaptive parent (session.py)
+    from sample_keyspaces_cdc_streams_connectors_spark.session import (
+        planning_session_for_path,
+    )
+
+    spark = planning_session_for_path(spark, path)
     stats = _load_stats(spark, path)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     # layout-locked bucket count (r8): an index written with a
@@ -317,13 +326,15 @@ def bm25_score_table(
     n_buckets = int(stats.get("n_buckets", n_buckets))
     base = path.rstrip("/")
     buckets = sorted({t % n_buckets for t in q_terms})
+    from sample_keyspaces_cdc_streams_connectors_spark.sources.tables import read_parquet_cached
+
     postings = (
-        spark.read.parquet(f"{base}/{POSTINGS_DIR}")
+        read_parquet_cached(spark, f"{base}/{POSTINGS_DIR}")
         .filter(F.col("tb").isin(buckets))
         .filter(F.col("term").isin(q_terms))
     )
     dfreq = (
-        spark.read.parquet(f"{base}/{TERMS_DIR}")
+        read_parquet_cached(spark, f"{base}/{TERMS_DIR}")
         .filter(F.col("term").isin(q_terms))
         # segment-safe df (r8): after append_to_text_index the
         # vocabulary holds delta rows per term — sum them (≤ |query
@@ -481,6 +492,12 @@ def bm25_topk_many(
             f"bm25_topk_many requires unique {id_col!r} values; "
             f"{dup[0][id_col]!r} appears {dup[0]['count']} times"
         )
+    # r14: same index-directory planning policy as bm25_score_table
+    from sample_keyspaces_cdc_streams_connectors_spark.session import (
+        planning_session_for_path,
+    )
+
+    spark = planning_session_for_path(spark, path)
     stats = _load_stats(spark, path)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     n_buckets = int(stats.get("n_buckets", n_buckets))

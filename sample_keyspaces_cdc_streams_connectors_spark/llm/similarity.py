@@ -28,6 +28,31 @@ from pyspark.sql import functions as F
 from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import dot, l2_norm
 
 
+def _query_arr_sql(query_vec: Sequence[float]) -> str:
+    """The query vector as SQL array text (see :func:`_query_lit` for
+    why ``repr(float)`` round-trips bit-identically)."""
+    return (
+        "array("
+        + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in query_vec)
+        + ")"
+    )
+
+
+def _cosine_to_query_sql(
+    vec: str, query_vec: Sequence[float], qnorm: float
+) -> str:
+    """SQL-text twin of :func:`_cosine_to_query` (r14 construction-
+    cost optimization: one parse instead of ~10 HOF builds)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import dot_sql, l2_norm_sql
+
+    denom = f"{l2_norm_sql(vec)} * CAST({float(qnorm)!r} AS DOUBLE)"
+    return (
+        f"CASE WHEN {denom} > 0 "
+        f"THEN {dot_sql(vec, _query_arr_sql(query_vec))} / ({denom}) "
+        "ELSE 0.0D END"
+    )
+
+
 def _query_lit(query_vec: Sequence[float]) -> Column:
     """The query vector as ONE literal array expression.
 
@@ -82,12 +107,14 @@ def brute_force_topk(
     functions/vectors.py) — and the query's own norm is folded to a
     driver-side literal instead of being re-derived per row.
     """
-    sim = _cosine_to_query(
-        F.col(vec_col), _query_lit(query_vec), _query_norm(query_vec)
+    sim_sql = _cosine_to_query_sql(
+        f"`{vec_col}`", query_vec, _query_norm(query_vec)
     )
     return (
-        vectors.select(
-            F.col(id_col), *[F.col(c) for c in extra_cols], sim.alias("sim")
+        vectors.selectExpr(
+            f"`{id_col}`",
+            *[f"`{c}`" for c in extra_cols],
+            f"{sim_sql} AS sim",
         )
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
@@ -184,28 +211,26 @@ def lsh_bucket_topk(
             signs.append(1.0 if int(h[:15], 16) % 3 == 0 else -1.0)
         return signs
 
-    def plane_sign(vec: Column, j: int) -> Column:
-        # one F.expr per plane, not one F.lit per dim (py4j chatter —
-        # see _query_lit)
+    def plane_sign_sql(vec: str, j: int) -> str:
+        # whole plane projection as SQL text (r14 — formerly one
+        # F.expr for the sign array but Column-built HOFs around it;
+        # ~20-60 ms py4j per HOF construction)
         signs = ", ".join(
             "1.0D" if s > 0 else "-1.0D" for s in plane_signs(j)
         )
-        proj = F.aggregate(
-            F.zip_with(vec, F.expr(f"array({signs})"), lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        proj = (
+            f"aggregate(zip_with({vec}, array({signs}), "
+            "(x, s) -> x * s), 0.0D, (acc, v) -> acc + v)"
         )
-        return F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)"
 
-    bucket_of = lambda vec: sum(  # noqa: E731
-        [plane_sign(vec, j) for j in range(n_planes)], F.lit(0)
-    ).cast("int")
-
-    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    with_bucket = vectors.select(
-        F.col(id_col), dvec.alias("__v"), bucket_of(dvec).alias("bucket")
+    dvec_sql = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    bucket_sql = "CAST(0 + " + " + ".join(
+        plane_sign_sql(dvec_sql, j) for j in range(n_planes)
+    ) + " AS INT)"
+    with_bucket = vectors.selectExpr(
+        f"`{id_col}`", f"{dvec_sql} AS __v", f"{bucket_sql} AS bucket"
     )
-    qlit = _query_lit(query_vec)
     qnorm = _query_norm(query_vec)
     # the query's bucket is a constant: fold it in PYTHON driver-side
     # (same left-to-right IEEE-754 sum as the zip_with/aggregate the
@@ -222,9 +247,9 @@ def lsh_bucket_topk(
             qbucket += 1 << j
     return (
         with_bucket.filter(F.col("bucket") == qbucket)
-        .select(
-            F.col(id_col),
-            _cosine_to_query(F.col("__v"), qlit, qnorm).alias("sim"),
+        .selectExpr(
+            f"`{id_col}`",
+            f"{_cosine_to_query_sql('__v', query_vec, qnorm)} AS sim",
             "bucket",
         )
         .orderBy(F.col("sim").desc(), F.col(id_col))

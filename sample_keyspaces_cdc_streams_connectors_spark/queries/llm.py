@@ -40,6 +40,24 @@ NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 STOP_PAT = r"\b(the|a|of|and|to|in|is|on|for|it)\b"
 
 
+def _gate_query_vec(sf_dir: str, vec_id: int = 1) -> list[float]:
+    """The ANN gates' query vector, read driver-side straight from the
+    embeddings parquet (pyarrow row filter) — r14 optimization: the
+    former ``emb.filter(vec_id==1).first()`` collect launched a full
+    Spark job (~0.2 s) inside EVERY invocation of the vector_topk /
+    ann_ivf_topk / bm25_rank gates.  Same file, same value (pyarrow
+    and Spark widen float32 identically), re-read on every call — no
+    result caching."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    row = t.filter(pc.equal(t["vec_id"], vec_id))
+    return [float(x) for x in row["embedding"][0].as_py()]
+
+
 # --- text analysis ---------------------------------------------------------
 
 _SIMHASH_BITS = 16
@@ -119,24 +137,42 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-file fixture across cores for the heavy fold — a real
     table arrives already partitioned); the analysis itself is a
     narrow zero-shuffle projection."""
-    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import simhash_fold
+    # r14 optimization: the whole projection is composed as SQL text
+    # (functions.text *_sql twins + simhash_fold_sql) — the former
+    # Column-tree construction cost ~0.9 s of py4j round trips per
+    # invocation (simhash_fold alone ~0.5 s); selectExpr parses
+    # JVM-side in one call.  Identical expressions, oracle-verified.
+    # The token-hash array projects ONCE into __hs (the old inline
+    # form constructed it twice — size guard + fold).
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+        bpe_token_estimate_sql,
+        doc_fingerprint_sql,
+        lang_id_sql,
+        md5_int_sql,
+        normalize_text_sql,
+        quality_score_sql,
+        token_count_sql,
+        tokens_sql,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import simhash_fold_sql
 
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = load_table(spark, sf_dir, "documents").repartition(nparts)
-    t = F.col("text")
-    hs = F.transform(
-        F.array_distinct(tokens(normalize_text(t))), md5_int
+    hs_sql = (
+        f"transform(array_distinct({tokens_sql(normalize_text_sql('text'))}),"
+        f" x -> {md5_int_sql('x')})"
     )
-    return docs.select(
+    return docs.selectExpr(
+        "doc_id", "text", f"{hs_sql} AS __hs"
+    ).selectExpr(
         "doc_id",
-        token_count(t).alias("n_tokens"),
-        bpe_token_estimate(t).alias("n_bpe_est"),
-        doc_fingerprint(t).alias("fingerprint"),
-        lang_id(t).alias("lang"),
-        quality_score(t).alias("quality"),
-        F.when(
-            F.size(hs) > 0, simhash_fold(hs, _SIMHASH_BITS)
-        ).alias("simhash"),
+        f"{token_count_sql('text')} AS n_tokens",
+        f"{bpe_token_estimate_sql('text')} AS n_bpe_est",
+        f"{doc_fingerprint_sql('text')} AS fingerprint",
+        f"{lang_id_sql('text')} AS lang",
+        f"{quality_score_sql('text')} AS quality",
+        f"CASE WHEN size(__hs) > 0 "
+        f"THEN {simhash_fold_sql('__hs', _SIMHASH_BITS)} END AS simhash",
     )
 
 
@@ -1012,10 +1048,7 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import pq_topk_rerank, train_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
-    ]
+    qvec = _gate_query_vec(sf_dir)
     others = emb.filter(F.col("vec_id") != 1)
     brute = brute_force_topk(others, qvec, k=10).select(
         F.lit("brute").alias("method"),
@@ -1352,12 +1385,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned in tests/test_ivf_index.py."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import ivf_index_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
     path = _ivf_gate_index(spark, sf_dir)
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
-    ]
+    qvec = _gate_query_vec(sf_dir)
     top = ivf_index_topk(
         spark,
         path,
@@ -2452,12 +2481,7 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [ra, rb], k_rrf=_RRF_K, topk=_BM25_GATE_K
     ).select("doc", F.col("rrf_score").alias("score"))
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 1)
-        .select("embedding")
-        .first()[0]
-    ]
+    qvec = _gate_query_vec(sf_dir)
     dense = brute_force_topk(
         emb.filter(F.col("vec_id") != 1), qvec, k=_BM25_GATE_K
     ).select(

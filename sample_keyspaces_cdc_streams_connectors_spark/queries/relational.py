@@ -156,8 +156,17 @@ def scan_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv_tmp = os.path.join(tempfile.gettempdir(), f"engine_csv_src_{tag}")
     if not os.path.exists(os.path.join(csv_tmp, "_SUCCESS")):
         write_csv(ev, csv_tmp)
+    # r14: the roundtrip FIXTURE directories get the same
+    # size-estimated planning policy as the dataset directory — tiny
+    # fixtures plan in the non-adaptive child session (the query was
+    # one of only two still paying AQE stage barriers at bench scale),
+    # large/unstatable ones keep the adaptive parent (session.py)
+    from sample_keyspaces_cdc_streams_connectors_spark.session import (
+        planning_session_for_path,
+    )
+
     csv_back = load_csv(
-        spark,
+        planning_session_for_path(spark, csv_tmp),
         csv_tmp,
         {
             "event_id": "bigint",
@@ -184,7 +193,9 @@ def scan_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         write_avro_dir(to_avro_compatible(ev).repartition(nparts), avro_tmp)
-    avro_back = read_avro_dir(spark, avro_tmp)
+    avro_back = read_avro_dir(
+        planning_session_for_path(spark, avro_tmp), avro_tmp
+    )
     avro_arm = avro_back.groupBy("event_type").agg(
         F.count("*").alias("n"),
         _dbl(F.sum(_dec("value"))).alias("total_value"),

@@ -136,6 +136,39 @@ def small_plan_session(spark: SparkSession) -> SparkSession:
     return child
 
 
+#: directory -> on-disk bytes (planning_session_for_path cache)
+_PATH_BYTES: dict[str, int | None] = {}
+
+
+def planning_session_for_path(spark: SparkSession, path: str) -> SparkSession:
+    """:func:`planning_session` keyed on a DERIVED-ARTIFACT directory
+    (an index tree, a format-roundtrip fixture dir) instead of the
+    dataset directory — r14 optimization: queries whose inputs are
+    such artifacts (bm25_rank, scan_format_roundtrip) were planning
+    adaptively even when the artifact is tiny, paying one AQE
+    stage-materialization barrier per Exchange (the same cost the
+    dataset-dir policy in ``sources.tables`` already avoids; guide
+    §1.2/#3 — config after algorithm, and session.SMALL_PLAN_MAX_BYTES
+    documents the measured ~15%).  Local directories are statted once
+    and cached; non-statable (object-store) paths keep the adaptive
+    parent — at 100 TB the artifact outgrows the threshold and the
+    policy returns the adaptive session again, so the posture stays
+    scale-adaptive, not local-tuned."""
+    p = path.rstrip("/")
+    if p not in _PATH_BYTES:
+        total: int | None = None
+        if os.path.isdir(p):
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        _PATH_BYTES[p] = total
+    return planning_session(spark, _PATH_BYTES[p])
+
+
 def planning_session(
     spark: SparkSession, est_input_bytes: int | None
 ) -> SparkSession:

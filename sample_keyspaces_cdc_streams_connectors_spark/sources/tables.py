@@ -32,6 +32,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: sf_dir -> total on-disk bytes (None = not statable, e.g. s3a://)
 _DIR_BYTES: dict[str, int | None] = {}
 
+#: parquet path -> schema (r14 optimization): ``spark.read.parquet``
+#: resolves the datasource EAGERLY — file listing + footer schema
+#: inference, measured ~60-90 ms of driver time PER CALL — and the
+#: query registry re-reads the same fixture/index paths on every
+#: invocation.  Passing the (immutable) schema back via
+#: ``read.schema(...)`` skips the inference entirely.  This caches
+#: SCHEMAS (metadata), never data or results: every action still
+#: scans the parquet from disk.  Safe because a path's schema is
+#: stable within a session (fixtures are read-only; index appends /
+#: compactions preserve their layout's schema by construction).
+_SCHEMA_CACHE: dict = {}
+
+
+def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` with per-path schema memoization
+    (see ``_SCHEMA_CACHE``).  Use for paths re-read many times per
+    session (declared-query fixtures, standing-index directories);
+    one-shot reads gain nothing."""
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
 
 def _dataset_bytes(sf_dir: str) -> int | None:
     """Total parquet footprint of the dataset directory — the size
@@ -66,7 +91,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     spark = planning_session(spark, _dataset_bytes(sf_dir))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = read_parquet_cached(spark, f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):

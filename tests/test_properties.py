@@ -503,3 +503,101 @@ def test_prefix_sum_matches_sequential_reference(
     assert got == expect
     assert n_rows == len(weights)
     assert total_w == sum(weights)
+
+
+def test_sql_twins_match_column_forms(spark):
+    """r14 optimization: the `*_sql` SQL-text twins in functions.text
+    (and llm.dedup.simhash_fold_sql) must produce byte-identical
+    results to the Column-builder forms they replace on the hot
+    construction paths — including whitespace runs, regex
+    metacharacters, unicode, empties, and sub-k-token docs."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+        bpe_token_estimate,
+        bpe_token_estimate_sql,
+        doc_fingerprint,
+        doc_fingerprint_sql,
+        lang_id,
+        lang_id_sql,
+        normalize_text,
+        normalize_text_sql,
+        quality_score,
+        quality_score_sql,
+        shingles_from_tokens,
+        shingles_from_tokens_sql,
+        stopword_count,
+        stopword_count_sql,
+        token_count,
+        token_count_sql,
+        tokens,
+        tokens_sql,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import (
+        md5_int,
+        simhash_fold,
+        simhash_fold_sql,
+    )
+
+    texts = [
+        "",
+        "   ",
+        "one",
+        "The quick  brown\tfox\njumps over the lazy dog 42 !?",
+        "a of THE and to in is on for it the the",
+        "x" * 500,
+        "tab\tsep\tvals 1.5 -3 [brackets] (parens) \\backslash\\ 'quo'",
+        "ünïcode tëxt ümlaut ß € 中文 словами",
+        "a b",
+        "a b c d e f g h",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+
+    t = F.col("text")
+    col_form = df.select(
+        "i",
+        normalize_text(t).alias("norm"),
+        tokens(t).alias("toks"),
+        token_count(t).alias("n"),
+        bpe_token_estimate(t).alias("bpe"),
+        stopword_count(t).alias("stops"),
+        lang_id(t).alias("lang"),
+        quality_score(t).alias("q"),
+        doc_fingerprint(t).alias("fp"),
+    )
+    sql_form = df.selectExpr(
+        "i",
+        f"{normalize_text_sql('text')} AS norm",
+        f"{tokens_sql('text')} AS toks",
+        f"{token_count_sql('text')} AS n",
+        f"{bpe_token_estimate_sql('text')} AS bpe",
+        f"{stopword_count_sql('text')} AS stops",
+        f"{lang_id_sql('text')} AS lang",
+        f"{quality_score_sql('text')} AS q",
+        f"{doc_fingerprint_sql('text')} AS fp",
+    )
+    a = sorted(map(tuple, col_form.collect()))
+    b = sorted(map(tuple, sql_form.collect()))
+    assert a == b
+
+    # shingles + simhash fold twins operate on the bound token array
+    toks_df = df.select("i", tokens(normalize_text(t)).alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    sh_col = toks_df.select(
+        "i",
+        shingles_from_tokens(F.col("__toks"), 3).alias("sh"),
+        simhash_fold(
+            F.transform(F.col("__toks"), md5_int), 16
+        ).alias("code"),
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import md5_int_sql
+
+    sh_sql = toks_df.selectExpr(
+        "i",
+        f"{shingles_from_tokens_sql('__toks', 3)} AS sh",
+        f"{simhash_fold_sql(f'transform(__toks, x -> {md5_int_sql(chr(120))})', 16)} AS code",
+    )
+    a2 = sorted(map(tuple, sh_col.collect()))
+    b2 = sorted(map(tuple, sh_sql.collect()))
+    assert a2 == b2
