@@ -60,14 +60,26 @@ def url_host(url: Column | str) -> Column:
     return F.regexp_replace(host, r"^www\.", "")
 
 
-def registered_domain(url: Column | str) -> Column:
+def registered_domain(
+    url: Column | str | None = None, *, host: Column | None = None
+) -> Column:
     """eTLD+1 approximation: the last two host labels, or the last
     THREE when the last two are a known two-level public suffix
     (``a.b.co.uk`` → ``b.co.uk``, ``a.b.example.com`` →
     ``example.com``).  Empty for IP hosts and non-URLs is NOT
     attempted — IPs pass through whole (a per-IP quota is the right
-    behavior anyway)."""
-    host = url_host(url)
+    behavior anyway).
+
+    ``host=`` takes a pre-computed :func:`url_host` column instead of
+    re-deriving it — callers that also project the host can stage it
+    once in a lower Project (r14: the optimizer refuses to inline a
+    non-cheap alias referenced many times, so the host's regexes run
+    once per row instead of once per reference; guide §1.2 per-task
+    work)."""
+    if host is None:
+        if url is None:
+            raise ValueError("registered_domain needs url or host=")
+        host = url_host(url)
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(
@@ -189,13 +201,30 @@ def filter_blocked_hosts(
         buckets: dict[int, list[str]] = {}
         for h in norm:
             buckets.setdefault(len(h.split(".")), []).append(h)
-        depths = sorted(buckets)
-        by_depth = {
-            j: spark.createDataFrame(
-                [(h,) for h in sorted(hs)], "__blocked_host string"
+        if not buckets:
+            return df
+        # r14 optimization: a literal blocklist becomes a pure column
+        # predicate (one INSET per depth) instead of one broadcast
+        # anti-join per depth — the join shipped a Python-parallelized
+        # 1-row relation through a BroadcastExchange on EVERY
+        # execution (~0.25 s/query at sf0.1) and at scale each depth
+        # cost a broadcast build.  Same semantics: a NULL suffix
+        # (host shallower than the depth, or no host) never matched
+        # the anti-join, so coalesce(..., false) keeps those rows.
+        # Very large lists (>10k entries/depth) stay joins upstream:
+        # pass a DataFrame blocklist instead.
+        host = url_host(F.col(url_col))
+        parts = F.split(host, r"\.")
+        n = F.size(parts)
+        keep = F.lit(True)
+        for j, hs in sorted(buckets.items()):
+            suffix = F.when(
+                n >= j, F.concat_ws(".", F.slice(parts, -j, j))
             )
-            for j, hs in buckets.items()
-        }
+            keep = keep & ~F.coalesce(
+                suffix.isin(sorted(hs)), F.lit(False)
+            )
+        return df.filter(keep)
     if not depths:
         return df
     host = url_host(F.col(url_col))

@@ -64,11 +64,21 @@ def mv_apply(
     key_source = F.when(op.isin(*UPSERT_OPS), F.col("newImage")).otherwise(
         F.col("oldImage")
     )
+    # r14: carry ONLY the requested output fields through the
+    # aggregation, not the whole newImage struct (guide §2.3 —
+    # project before the exchange).  max_by's struct buffer forces a
+    # SortAggregate, so every dropped byte is saved in BOTH sorts and
+    # the exchange; measured 1.33→1.08 s at sf0.1, and at scale the
+    # exchange volume drops by the unreferenced-image share.  A NULL
+    # newImage (delete winner) yields a struct of NULL fields — the
+    # output reads fields individually, so results are identical.
     keyed = relevant.select(
         *[key_source.getField(k).alias(f"__pk_{k}") for k in pk],
         op.alias("__op"),
         F.col(seq_col).alias("__seq"),
-        F.col("newImage"),
+        F.struct(
+            *[F.col("newImage").getField(f).alias(f) for f in fields]
+        ).alias("__img"),
     ).filter(
         # a delete with no old image (or upsert with no new) can't bind
         # its key — the reference would NPE per record; we drop.  Every
@@ -89,13 +99,13 @@ def mv_apply(
         keyed.groupBy(*[f"__pk_{k}" for k in pk])
         .agg(
             F.max_by(
-                F.struct("__op", "newImage", "__seq"), F.col("__seq")
+                F.struct("__op", "__img", "__seq"), F.col("__seq")
             ).alias("__last")
         )
         .select(
             *[f"__pk_{k}" for k in pk],
             F.col("__last.__op").alias("__op"),
-            F.col("__last.newImage").alias("newImage"),
+            F.col("__last.__img").alias("__img"),
             F.col("__last.__seq").alias("__seq"),
         )
     )
@@ -103,13 +113,13 @@ def mv_apply(
     if keep_deletes:
         return last.select(
             *[F.col(f"__pk_{k}").alias(k) for k in pk],
-            *[F.col("newImage").getField(f).alias(f) for f in fields],
+            *[F.col("__img").getField(f).alias(f) for f in fields],
             *extra,
             F.col("__op").isin(*DELETE_OPS).alias("__deleted"),
         )
     survivors = last.filter(F.col("__op").isin(*UPSERT_OPS))
     return survivors.select(
         *[F.col(f"__pk_{k}").alias(k) for k in pk],
-        *[F.col("newImage").getField(f).alias(f) for f in fields],
+        *[F.col("__img").getField(f).alias(f) for f in fields],
         *extra,
     )

@@ -1124,8 +1124,14 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-embedder (Arrow-batched pandas UDF, the
     Bedrock-embedding analog of S3VectorTargetMapper.java:100-125):
-    emits per-doc dims + unit-norm check flag."""
-    docs = load_table(spark, sf_dir, "documents")
+    emits per-doc dims + unit-norm check flag.
+
+    r14: the single-row-group fixture scans as ONE task, so the
+    Arrow-batched embedder ran in a single Python worker; the
+    RoundRobin spread (text_analysis idiom) fans the UDF across
+    cores.  Measured 0.85→0.46 s at sf0.1 (guide §2.5 / §4)."""
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load_table(spark, sf_dir, "documents").repartition(nparts)
     emb = docs.select("doc_id", hash_embed(F.col("text"), 256).alias("emb"))
     norm2 = F.aggregate(
         F.transform("emb", lambda x: x.cast("double") * x.cast("double")),
@@ -1559,8 +1565,15 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints via winnowing (window w=4
     over ordered 3-gram hashes, distinct window minima) — the
     plagiarism-detection / near-dup index key, all JVM-side array
-    expressions."""
-    docs = load_table(spark, sf_dir, "documents")
+    expressions.
+
+    r14: the single-row-group fixture scans as ONE task, serializing
+    the heavy shingle-hash/winnow fold; the RoundRobin spread (same
+    idiom as text_analysis — a real table arrives already
+    partitioned) parallelizes it across cores.  Measured 0.93→0.28 s
+    at sf0.1 (guide §2.5 input skew)."""
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = load_table(spark, sf_dir, "documents").repartition(nparts)
     with_toks = docs.select(
         "doc_id", tokens(normalize_text(F.col("text"))).alias("__toks")
     )
@@ -1706,6 +1719,11 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_entries=_LM_GATE_CAP,
         )
         _LM_GATE_MODELS[key] = model
+    # r14: spread the single-row-group fixture scan so the Arrow
+    # scorer runs on every core instead of one Python worker
+    # (text_analysis idiom; measured 0.74→0.52 s at sf0.1, guide §2.5)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = docs.repartition(nparts)
     ntoks = F.size(tokens(normalize_text(F.col("text"))))
     rounded = (
         score_lm(F.col("text"), model)

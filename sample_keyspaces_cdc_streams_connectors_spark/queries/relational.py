@@ -785,6 +785,13 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", F.expr(_URL_GEN_SQL)
     )
     kept = filter_blocked_hosts(p, "u", ["tracker.net"])
+    # r14: stage the host ONCE below the output projection —
+    # registered_domain's CASE referenced url_host ~12×, and each
+    # reference re-ran the host regexes per row (codegen CSE did not
+    # cover it; measured 1.24→0.88 s at sf0.1).  CollapseProject keeps
+    # the staging Project because a non-cheap alias is referenced
+    # more than once (guide §1.2 per-task work).
+    kept = kept.withColumn("__host", url_host(F.col("u")))
     return kept.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_up"),
@@ -799,8 +806,8 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_taxed"),
         F.when(F.col("p_size") % 2 == 0, "even").otherwise("odd").alias("parity"),
         F.coalesce(normalize_url(F.col("u")), F.col("u")).alias("url_norm"),
-        url_host(F.col("u")).alias("url_host"),
-        registered_domain(F.col("u")).alias("url_domain"),
+        F.col("__host").alias("url_host"),
+        registered_domain(host=F.col("__host")).alias("url_domain"),
     )
 
 

@@ -125,10 +125,16 @@ def test_ngram_posting_list_shape(plans):
 def test_lm_fluency_scoring_map_only(plans):
     """The lm_fluency gate's SCORING plan (training runs eagerly
     before it) is one Arrow pass with the bounded gram tables
-    broadcast by closure — zero exchanges, the CCNet-filter shape
-    that holds at any corpus size."""
+    broadcast by closure — the CCNet-filter shape that holds at any
+    corpus size.  r14: the single exchange is the fixture's
+    RoundRobin spread (the one-row-group fixture scans as ONE task,
+    serializing the Arrow scorer — a real table arrives already
+    partitioned, same idiom as text_analysis); the scoring itself
+    stays map-only."""
     plan = plans("lm_fluency")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"
+    ) == 1
     assert "ArrowEvalPython" in plan
 
 
@@ -217,18 +223,17 @@ def test_mixture_split_map_only(plans):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_scalar_funcs_url_arm_broadcast_anti(plans):
-    """The r8 URL arm: blocklist filtering is per-depth broadcast hash
-    anti-joins; the URL normalization columns stay pure codegen — no
-    nested loop, no Python, no shuffle of the part table."""
+def test_scalar_funcs_url_arm_pure_filter(plans):
+    """The r8 URL arm, r14 shape: a LITERAL blocklist compiles to a
+    pure INSET filter predicate — zero joins, zero exchanges, zero
+    broadcast builds (the r8 shape paid one broadcast anti-join per
+    blocklist depth; a DataFrame blocklist still takes that path —
+    pinned in tests/test_urls.py).  The URL normalization columns
+    stay pure codegen — no Python, no shuffle of the part table."""
     plan = plans("scalar_funcs")
-    assert "LeftAnti" in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # only broadcast exchanges (the per-depth blocklist sides) —
-    # the scanned fact table never shuffles
-    assert plan.count("Exchange") == plan.count("BroadcastExchange")
 
 
 def test_semantic_index_write_single_exchange(spark, sf_dir):

@@ -168,12 +168,31 @@ def test_filter_blocked_hosts_www_blocklist_entry(spark):
     assert out == {4}
 
 
-def test_filter_blocked_hosts_plan_broadcast_anti(spark):
-    """Per-depth suffix matching = broadcast hash anti-joins; never a
-    nested-loop or cartesian plan."""
+def test_filter_blocked_hosts_literal_plan_pure_filter(spark):
+    """r14: a LITERAL blocklist compiles to a pure filter predicate
+    (one INSET per depth) — zero joins, zero exchanges; the r8 shape
+    paid one broadcast anti-join per depth on every execution."""
     df = spark.createDataFrame([(1, "https://a.com/x")], "id long, u string")
     plan = (
         filter_blocked_hosts(df, "u", ["bad.com", "deep.sub.bad.org"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_filter_blocked_hosts_dataframe_plan_broadcast_anti(spark):
+    """A DataFrame blocklist keeps the per-depth broadcast hash
+    anti-joins (the scalable path for large lists); never a
+    nested-loop or cartesian plan."""
+    df = spark.createDataFrame([(1, "https://a.com/x")], "id long, u string")
+    bl = spark.createDataFrame(
+        [("bad.com",), ("deep.sub.bad.org",)], "host string"
+    )
+    plan = (
+        filter_blocked_hosts(df, "u", bl)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
