@@ -2492,6 +2492,17 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra = bm25_topk(
         spark, path, _BM25_GATE_QUERY, k=_BM25_GATE_K, exact_sum=True
     ).select(F.col("doc").cast("long").alias("doc"), "score")
+    # r14 note: ra feeds THREE arms (bm25 + rrf + hybrid) and its
+    # probe subtree is re-executed per reference (4 probe subtrees in
+    # plans/r14/bm25_rank_before.txt).  Materializing it once via
+    # localCheckpoint was tried and measured SLOWER end-to-end at
+    # sf0.1 (1.70 s → 3.10 s): the checkpoint job runs ALONE before
+    # the main action, while the duplicated subtrees all live in ONE
+    # physical plan whose independent stages the scheduler overlaps
+    # across idle cores — serializing the probe costs more than the
+    # duplicate work saves.  Left duplicated deliberately; the
+    # at-scale fix (shared ranking materialized by the caller) is a
+    # workload decision, not a gate-query one.
     rb = bm25_topk(
         spark, path, _BM25_GATE_QUERY_B, k=_BM25_GATE_K, exact_sum=True
     ).select(F.col("doc").cast("long").alias("doc"), "score")

@@ -328,36 +328,57 @@ def subquery_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     union):
 
     - ``exists`` arm — TPC-H Q4 shape, both polarities: correlated
-      EXISTS / NOT EXISTS decorrelated into left_semi / left_anti
-      joins with a non-equi residual (l_shipdate > o_orderdate);
+      EXISTS / NOT EXISTS with a non-equi residual (l_shipdate >
+      o_orderdate), decorrelated (r14) into ONE per-orderkey
+      ``max(l_shipdate)`` aggregate left-joined to orders — the max
+      decides both polarities at once;
     - ``scalar_avg`` arm — TPC-H Q17 shape: correlated scalar-AVG
       subquery decorrelated into a per-part aggregate joined back.
 
-    Scale: the semi/anti joins shuffle both sides on l_orderkey once
-    and never duplicate orders rows; the scalar arm shuffles lineitem
-    on l_partkey once, co-partitioned for build and join-back, with
-    `part` broadcast.  Float parity: l_quantity is integer-valued so
+    Scale: lineitem pre-aggregates map-side to |orders| rows before
+    its one shuffle and orders shuffles once (the pre-r14 shape paid
+    a semi AND an anti join — both tables scanned and shuffled
+    twice); the scalar arm shuffles lineitem on l_partkey once,
+    co-partitioned for build and join-back, with `part` broadcast.  Float parity: l_quantity is integer-valued so
     AVG is exact in any summation order, and 0.5* is a power of two —
     the < cutoff is bit-identical on both engines."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    cond = (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate)
 
-    def _exists_arm(join_type: str, cohort: str) -> DataFrame:
-        return (
-            o.join(li, cond, join_type)
-            .groupBy("o_orderpriority")
-            .agg(F.count("*").alias("n"))
-            .select(
-                F.lit("exists").alias("arm"),
-                F.col("o_orderpriority").alias("key"),
-                F.lit(cohort).alias("cohort"),
-                "n",
-                F.lit(0.0).alias("amount"),
-            )
+    # r14: ONE pre-aggregated join replaces the semi+anti join pair.
+    # EXISTS(l: l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    # ⇔ max(l_shipdate) over the order's lineitems > o_orderdate
+    # (NULL max — no lineitems — is NOT EXISTS), so both cohorts fall
+    # out of one left join against the per-orderkey max: lineitem
+    # aggregates map-side to |orders| rows before its single shuffle
+    # (guide §2.3 aggregate-before-shuffle), and orders crosses once
+    # instead of twice (the old shape scanned and shuffled BOTH
+    # tables per polarity — 2 joins, 4 scans).  Counts are identical:
+    # the join is 1:1 (the aggregate is unique per l_orderkey), and
+    # groupBy(priority, cohort) emits exactly the non-empty groups
+    # each polarity's groupBy emitted.  Measured 1.21→1.09 s total
+    # (exec 1.00→0.76) at sf0.1 — the remaining cost is the scalar
+    # arm; plan 2 joins → 1 (plans/r14/subquery_ops_*.txt).
+    li_max = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("__max_ship")
+    )
+    cohort = F.when(
+        F.col("__max_ship") > F.col("o_orderdate"), F.lit("late")
+    ).otherwise(F.lit("clean"))
+    exists_arms = (
+        o.join(li_max, o.o_orderkey == li_max.l_orderkey, "left")
+        .groupBy("o_orderpriority", cohort.alias("cohort"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("exists").alias("arm"),
+            F.col("o_orderpriority").alias("key"),
+            "cohort",
+            "n",
+            F.lit(0.0).alias("amount"),
         )
+    )
 
     li2 = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
@@ -383,11 +404,7 @@ def subquery_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "amount",
         )
     )
-    return (
-        _exists_arm("left_semi", "late")
-        .unionAll(_exists_arm("left_anti", "clean"))
-        .unionAll(scalar)
-    )
+    return exists_arms.unionAll(scalar)
 
 
 # --- aggregations ----------------------------------------------------------
@@ -781,8 +798,18 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_host,
     )
 
-    p = load_table(spark, sf_dir, "part").withColumn(
-        "u", F.expr(_URL_GEN_SQL)
+    # r14: the single-row-group part fixture scans as ONE task, so the
+    # URL regex battery (generate + normalize + host + domain) ran
+    # serialized on one core; the RoundRobin spread (text_analysis
+    # idiom — a real table arrives already partitioned) fans the
+    # regex-heavy projection across cores.  The shuffle moves only
+    # 20k narrow rows; measured 0.99→0.61 s at sf0.1 (guide §2.5
+    # input skew).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = (
+        load_table(spark, sf_dir, "part")
+        .repartition(nparts)
+        .withColumn("u", F.expr(_URL_GEN_SQL))
     )
     kept = filter_blocked_hosts(p, "u", ["tracker.net"])
     # r14: stage the host ONCE below the output projection —

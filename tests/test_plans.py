@@ -188,9 +188,14 @@ def test_aggregates_partial_then_final(plans):
 
 
 def test_subquery_ops_semi_join_no_duplication_and_broadcast(plans):
+    """r14 shape: both EXISTS polarities fall out of ONE left join
+    against the per-orderkey max(l_shipdate) aggregate — lineitem
+    pre-aggregates map-side before its single shuffle and orders
+    crosses once (the pre-r14 shape paid a LeftSemi AND a LeftAnti
+    join: both tables scanned and shuffled twice)."""
     plan = plans("subquery_ops")
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftOuter" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # part lookup never shuffles facts
 
@@ -229,10 +234,15 @@ def test_scalar_funcs_url_arm_pure_filter(plans):
     broadcast builds (the r8 shape paid one broadcast anti-join per
     blocklist depth; a DataFrame blocklist still takes that path —
     pinned in tests/test_urls.py).  The URL normalization columns
-    stay pure codegen — no Python, no shuffle of the part table."""
+    stay pure codegen — no Python; the ONE exchange is the declared
+    RoundRobin spread of the single-row-group part fixture across
+    cores before the regex battery (same idiom as text_analysis —
+    a real table arrives already partitioned)."""
     plan = plans("scalar_funcs")
     assert "Join" not in plan
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") == plan.count(
+        "Exchange RoundRobinPartitioning"
+    ) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
