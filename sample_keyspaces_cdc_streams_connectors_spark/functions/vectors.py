@@ -91,4 +91,12 @@ def dot_pandas(a: Column, b: Column) -> Column:
             acc = acc + prods[:, i]
         return pd.Series(acc)
 
-    return _dot_seq(a, b)
+    # r14 (guide §4.4): mark non-deterministic so the optimizer cannot
+    # push a filter on the RESULT below the projection and duplicate
+    # the evaluation — dedup_embedding's `cos >= threshold` filter
+    # produced TWO ArrowEvalPython nodes over the same pair set
+    # (plans/r14/dedup_embedding_before.txt nodes 18/21), shipping
+    # both embedding arrays across the Python boundary twice.  The
+    # value is deterministic in reality; the flag only removes the
+    # optimizer's licence to clone it.
+    return _dot_seq.asNondeterministic()(a, b)

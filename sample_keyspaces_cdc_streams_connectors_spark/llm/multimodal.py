@@ -1822,18 +1822,56 @@ _JPEG_AC_LUM_VALS = (
 
 def _dct_matrix():
     """The orthogonal 8×8 DCT-II basis M (M @ f @ M.T = JPEG forward
-    coefficients; M.T @ F @ M inverts)."""
-    import numpy as np
+    coefficients; M.T @ F @ M inverts).  Computed once per process and
+    returned read-only: every caller only matmuls with it, and the
+    fixture encoders/decoders call this per image/frame (r14 §4.3
+    heavyweight-init-once; the basis is a constant)."""
+    global _DCT_M
+    if _DCT_M is None:
+        import numpy as np
 
-    u, x = np.mgrid[0:8, 0:8]
-    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
-    m[0] /= np.sqrt(2.0)
-    return m
+        u, x = np.mgrid[0:8, 0:8]
+        m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        m[0] /= np.sqrt(2.0)
+        m.setflags(write=False)
+        _DCT_M = m
+    return _DCT_M
+
+
+_DCT_M = None
+
+
+class _HuffTable(dict):
+    """Canonical Huffman dict plus a slot for its lazily-built
+    :func:`_huff_fast` LUT — tying the LUT to the table OBJECT makes
+    the fast-table lookup O(1) instead of re-keying on
+    ``sorted(items)`` per image (r14: the sort + rebuild dominated
+    small-image decode profiles)."""
+
+    __slots__ = ("fast",)
+
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.fast = None
+
+
+#: memo for _huff_canonical keyed on the raw (bits, vals) table bytes:
+#: every fixture image/frame carries the same Annex K tables, and the
+#: decoder re-parsed + rebuilt the canonical dict per image.  Bounded
+#: LRU like _HUFF_FAST_CACHE; executor-local, deterministic.
+_HUFF_CANON_CACHE: dict = {}
 
 
 def _huff_canonical(bits, vals):
-    """(bits[1..16], values) -> {(length, code): symbol} (T.81 C.2)."""
-    table = {}
+    """(bits[1..16], values) -> {(length, code): symbol} (T.81 C.2).
+    Memoized on table content (both args are ≤255-valued ints, so the
+    bytes() of each is a faithful key)."""
+    key = (bytes(bits), bytes(vals))
+    cached = _HUFF_CANON_CACHE.get(key)
+    if cached is not None:
+        _HUFF_CANON_CACHE[key] = _HUFF_CANON_CACHE.pop(key)
+        return cached
+    table = _HuffTable()
     code = 0
     k = 0
     for length in range(1, 17):
@@ -1842,15 +1880,32 @@ def _huff_canonical(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_CANON_CACHE) >= 32:
+        _HUFF_CANON_CACHE.pop(next(iter(_HUFF_CANON_CACHE)))
+    _HUFF_CANON_CACHE[key] = table
     return table
 
 
 def _huff_encode_map(bits, vals):
-    """(bits, values) -> {symbol: (code, length)} for the encoder."""
-    return {
-        sym: (code, length)
-        for (length, code), sym in _huff_canonical(bits, vals).items()
-    }
+    """(bits, values) -> {symbol: (code, length)} for the encoder.
+
+    Memoized on the (tuple-ized) table definition: the fixture
+    encoders pass the CONSTANT Annex-K / uniform tables on every
+    image/frame, and rebuilding the canonical map dominated encode
+    profiles (r14 §4.3).  Callers only read the returned dict."""
+    key = (tuple(bits), tuple(vals))
+    cached = _HUFF_ENC_MAPS.get(key)
+    if cached is None:
+        cached = {
+            sym: (code, length)
+            for (length, code), sym in _huff_canonical(key[0], key[1]).items()
+        }
+        if len(_HUFF_ENC_MAPS) < 64:  # bound: tables are a tiny fixed set
+            _HUFF_ENC_MAPS[key] = cached
+    return cached
+
+
+_HUFF_ENC_MAPS: dict = {}
 
 
 class _JpegBitWriter:
@@ -1896,7 +1951,20 @@ def _huff_fast(table):
     symbols are all 16-bit codes, so an 8-bit table misses exactly
     the codes dense data hits most.  Entries are ``(sym, length)`` or
     None (invalid prefix).  Memoized on table content (one build per
-    DISTINCT Huffman table per worker, not per image)."""
+    DISTINCT Huffman table per worker, not per image); for the
+    :class:`_HuffTable` instances :func:`_huff_canonical` hands out,
+    the LUT rides on the table object itself, skipping the
+    ``sorted(items)`` content key entirely (r14)."""
+    if isinstance(table, _HuffTable):
+        if table.fast is None:
+            lut = [None] * 65536
+            for (length, code), sym in table.items():
+                base = code << (16 - length)
+                entry = (sym, length)
+                for i in range(1 << (16 - length)):
+                    lut[base + i] = entry
+            table.fast = lut
+        return table.fast
     key = tuple(sorted(table.items()))
     lut = _HUFF_FAST_CACHE.get(key)
     if lut is not None:
@@ -2050,7 +2118,7 @@ def _encode_jpeg(
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    dqt = seg(0xDB, bytes([0]) + bytes(int(q) for q in qtable))
+    dqt = seg(0xDB, bytes([0]) + qtable.astype("uint8").tobytes())
     comp_spec = b"".join(
         bytes([ci + 1, (hs << 4) | vs, 0])
         for ci, (hs, vs) in enumerate(samplings)
@@ -2217,6 +2285,15 @@ def _prog_ac_first_block(row, ss, se, al, state, emit_sym, emit_bits):
                 emit_bits(state["eobrun"] - (1 << r), r)
             state["eobrun"] = 0
 
+    if not row[ss : se + 1].any():
+        # all-zero band (the planted constant blocks land here for
+        # EVERY AC scan): identical emission to the general path —
+        # ts would be all zero — without the per-coefficient Python
+        # loop (r14; row is the numpy zigzag vector)
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            flush()
+        return
     ts = []
     for k in range(ss, se + 1):
         v = int(row[k])
@@ -2263,6 +2340,14 @@ def _prog_ac_refine_block(row, ss, se, al, state, emit_sym, emit_bits):
         state["pending"] = []
         state["eobrun"] = 0
 
+    if not row[ss : se + 1].any():
+        # all-zero band: hist/cur are all zero, so the general path
+        # appends no pending bits and joins the EOB run — same
+        # emission, no listcomps (r14)
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            flush()
+        return
     n = se - ss + 1
     a = [abs(int(row[ss + p])) for p in range(n)]
     sgn = [1 if int(row[ss + p]) > 0 else 0 for p in range(n)]
@@ -2386,7 +2471,7 @@ def _encode_jpeg_progressive(planes, samplings, quant) -> bytes:
         for ci, (hs, vs) in enumerate(samplings)
     )
     out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, bytes([0]) + bytes(int(q) for q in qtable))
+    out += seg(0xDB, bytes([0]) + qtable.astype("uint8").tobytes())
     out += seg(
         0xC2,
         bytes([8]) + struct.pack(">HH", fh, fw) + bytes([ncomp]) + comp_spec,
