@@ -62,21 +62,29 @@ def stopword_count_sql(c: str) -> str:
     return f"regexp_count(lower({c}), '{pat}')"
 
 
-def lang_id_sql(c: str) -> str:
-    """SQL-text twin of :func:`lang_id`."""
-    n = token_count_sql(c)
+def lang_id_sql(c: str, n: str | None = None, stops: str | None = None) -> str:
+    """SQL-text twin of :func:`lang_id`.  ``n``/``stops`` optionally
+    substitute pre-staged token/stopword COUNT expressions (e.g. a
+    projected column name) for the inline recomputation — the
+    expression tree is otherwise identical (r14: text_analysis stages
+    each count once instead of re-deriving it per output column)."""
+    n = n or token_count_sql(c)
+    stops = stops or stopword_count_sql(c)
     return (
-        f"CASE WHEN ({n} > 0) AND ({stopword_count_sql(c)} / {n} > 0.08) "
+        f"CASE WHEN ({n} > 0) AND ({stops} / {n} > 0.08) "
         "THEN 'en' ELSE 'unknown' END"
     )
 
 
-def quality_score_sql(c: str) -> str:
-    """SQL-text twin of :func:`quality_score`."""
-    n = f"CAST({token_count_sql(c)} AS BIGINT)"
+def quality_score_sql(
+    c: str, n: str | None = None, stops: str | None = None
+) -> str:
+    """SQL-text twin of :func:`quality_score` (same optional staged
+    counts as :func:`lang_id_sql`)."""
+    n = f"CAST({n or token_count_sql(c)} AS BIGINT)"
     chars = f"CAST(length({c}) AS BIGINT)"
     alpha = f"CAST(regexp_count({c}, '[A-Za-z]') AS BIGINT)"
-    stops = f"CAST({stopword_count_sql(c)} AS BIGINT)"
+    stops = f"CAST({stops or stopword_count_sql(c)} AS BIGINT)"
     return (
         f"CAST(floor(least({n}, 64) * 400 / 64) "
         f"+ (CASE WHEN {chars} > 0 THEN floor({alpha} * 300 / {chars}) "

@@ -762,20 +762,32 @@ def embedding_near_dup_pairs(
       a shuffle once per *surviving candidate*, not ``n_bands`` times
       per row.
     """
-    from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import dot_pandas, l2_norm
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.vectors import (
+        dot_pandas,
+        l2_norm,
+        l2_norm_sql,
+    )
 
     big = n_docs is not None and n_docs > broadcast_limit
     n_bands = n_bits // band_bits
     v = F.col(vec_col)
 
-    def band_bucket(b: int) -> Column:
+    # r14: the banding/bkt/first-match expressions are composed as SQL
+    # text (ONE selectExpr/expr parse each) instead of per-node py4j
+    # Column construction — this builder alone cost ~0.9 s of driver
+    # round trips per invocation (guide §1.2: the measured bottleneck
+    # was the driver loop, not the executors).  Expressions are
+    # UNCHANGED token for token; the oracle gate re-verifies results.
+    def band_bucket_sql(b: int) -> str:
         bits = [
-            F.when(
-                F.element_at(v, b * band_bits + r + 1) > 0, F.lit(1 << r)
-            ).otherwise(F.lit(0))
+            f"CASE WHEN (element_at({vec_col}, {b * band_bits + r + 1})"
+            f" > 0) THEN {1 << r} ELSE 0 END"
             for r in range(band_bits)
         ]
-        return sum(bits[1:], bits[0])
+        out = bits[0]
+        for nxt in bits[1:]:
+            out = f"({out} + {nxt})"
+        return out
 
     # PERF (measured at sf0.1): one fused self-join instead of
     # candidates→distinct→two vector-fetch joins.  Each row carries its
@@ -786,46 +798,42 @@ def embedding_near_dup_pairs(
     # scale, where the band join becomes a shuffle join, switch the
     # heavy columns to a post-join fetch — here the build side is small
     # and broadcast, so carrying vectors is strictly cheaper.
-    buckets = [F.col(f"b{b}") for b in range(n_bands)]
     # big mode: the exploded band rows carry ONLY integer columns —
     # the vector/norm payload never enters the band-join shuffle.
     payload = (
         []
         if big
-        else [F.col(vec_col).alias("emb"), l2_norm(v).alias("norm")]
+        else [f"{vec_col} AS emb", f"{l2_norm_sql(vec_col)} AS norm"]
     )
-    sig = vectors.select(
-        F.col(id_col).alias("vid"),
+    band_list = ", ".join(str(b) for b in range(n_bands))
+    sig = vectors.selectExpr(
+        f"{id_col} AS vid",
         *payload,
-        *[band_bucket(b).alias(f"b{b}") for b in range(n_bands)],
-    ).select(
+        *[f"{band_bucket_sql(b)} AS b{b}" for b in range(n_bands)],
+    ).selectExpr(
         "vid",
         *(() if big else ("emb", "norm")),
-        *buckets,
-        F.explode(
-            F.array(*[F.lit(b) for b in range(n_bands)])
-        ).alias("band"),
+        *[f"b{b}" for b in range(n_bands)],
+        f"explode(array({band_list})) AS band",
     )
     # the row's own band bucket — the concrete equi-join key (hash join
     # on (band, bkt); without it Spark could only equi-join on `band`,
     # degenerating to a near-cross-join)
-    bkt = F.lit(None).cast("int")
+    bkt = "CAST(NULL AS INT)"
     for j in range(n_bands):
-        bkt = F.when(F.col("band") == j, F.col(f"b{j}")).otherwise(bkt)
-    sig = sig.withColumn("bkt", bkt)
+        bkt = f"CASE WHEN (band = {j}) THEN b{j} ELSE {bkt} END"
+    sig = sig.withColumn("bkt", F.expr(bkt))
 
     l, r = sig.alias("l"), sig.alias("r")
 
-    def bcol(side: str, b: int) -> Column:
-        return F.col(f"{side}.b{b}")
-
     # first-match: at band j, all earlier bands must differ
-    first_match = F.lit(True)
+    first_match = "TRUE"
     for j in range(n_bands - 1, 0, -1):
-        earlier_differs = bcol("l", j - 1) != bcol("r", j - 1)
-        first_match = F.when(
-            F.col("l.band") >= j, earlier_differs & first_match
-        ).otherwise(F.lit(True))
+        first_match = (
+            f"CASE WHEN (l.band >= {j}) THEN "
+            f"((NOT (l.b{j - 1} = r.b{j - 1})) AND {first_match}) "
+            f"ELSE TRUE END"
+        )
 
     def scored(pairs: DataFrame, emb_a, emb_b, norm_a, norm_b) -> DataFrame:
         denom = norm_a * norm_b
@@ -852,10 +860,10 @@ def embedding_near_dup_pairs(
 
     candidates = l.join(
         r,
-        (F.col("l.band") == F.col("r.band"))
-        & (F.col("l.bkt") == F.col("r.bkt"))
-        & (F.col("l.vid") < F.col("r.vid"))
-        & first_match,
+        F.expr(
+            "(l.band = r.band) AND (l.bkt = r.bkt) "
+            f"AND (l.vid < r.vid) AND {first_match}"
+        ),
     )
     if not big:
         return scored(

@@ -156,21 +156,34 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import simhash_fold_sql
 
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import stopword_count_sql
+
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     docs = load_table(spark, sf_dir, "documents").repartition(nparts)
     hs_sql = (
         f"transform(array_distinct({tokens_sql(normalize_text_sql('text'))}),"
         f" x -> {md5_int_sql('x')})"
     )
+    # r14 pass 2: stage the token and stopword COUNTS once next to
+    # __hs — the final projection referenced the token-split subtree
+    # 4× (n_tokens, lang guard + ratio, quality) and the stopword
+    # regex 2× (lang, quality), so every text row paid 3 extra splits
+    # and 1 extra regex scan per row (guide §4.4 class).  Referenced
+    # >1× and non-cheap, the staged aliases survive CollapseProject;
+    # the substituted expressions are token-identical.
     return docs.selectExpr(
-        "doc_id", "text", f"{hs_sql} AS __hs"
+        "doc_id",
+        "text",
+        f"{hs_sql} AS __hs",
+        f"{token_count_sql('text')} AS __ntok",
+        f"{stopword_count_sql('text')} AS __nstop",
     ).selectExpr(
         "doc_id",
-        f"{token_count_sql('text')} AS n_tokens",
+        "__ntok AS n_tokens",
         f"{bpe_token_estimate_sql('text')} AS n_bpe_est",
         f"{doc_fingerprint_sql('text')} AS fingerprint",
-        f"{lang_id_sql('text')} AS lang",
-        f"{quality_score_sql('text')} AS quality",
+        f"{lang_id_sql('text', n='__ntok', stops='__nstop')} AS lang",
+        f"{quality_score_sql('text', n='__ntok', stops='__nstop')} AS quality",
         f"CASE WHEN size(__hs) > 0 "
         f"THEN {simhash_fold_sql('__hs', _SIMHASH_BITS)} END AS simhash",
     )
