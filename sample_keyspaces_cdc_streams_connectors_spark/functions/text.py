@@ -144,15 +144,20 @@ def stopword_count(col: Column) -> Column:
     return F.regexp_count(F.lower(col), F.lit(pat))
 
 
-def lang_id(col: Column) -> Column:
+def lang_id(
+    col: Column, n: Column | None = None, stops: Column | None = None
+) -> Column:
     """Heuristic language ID: 'en' when the stopword density over the
     token stream clears 8%, else 'unknown' (n-gram-free variant of
     the classic stopword profile method).  This is the oracle-pinned
     form used by the `text_analysis` gate query; for multilingual
-    corpora use :func:`lang_id_multi`."""
-    n = token_count(col)
+    corpora use :func:`lang_id_multi`.  ``n``/``stops`` optionally
+    substitute pre-staged count COLUMNS for the inline recomputation
+    (r14 — annotate_corpus stages each count once per row)."""
+    n = token_count(col) if n is None else n
+    stops = stopword_count(col) if stops is None else stops
     return F.when(
-        (n > 0) & (stopword_count(col) / n > 0.08), F.lit("en")
+        (n > 0) & (stops / n > 0.08), F.lit("en")
     ).otherwise(F.lit("unknown"))
 
 
@@ -201,7 +206,9 @@ def lang_id_multi(col: Column, min_density: float = 0.08) -> Column:
     return F.when(n > 0, best).otherwise(F.lit("unknown"))
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(
+    col: Column, n: Column | None = None, stops: Column | None = None
+) -> Column:
     """Deterministic 0..1000 quality score (per-mille) from length,
     alpha ratio and stopword density.
 
@@ -211,11 +218,14 @@ def quality_score(col: Column) -> Column:
     All-integer floor arithmetic: floor(int/int) in double is exact in
     IEEE754 (correctly-rounded division; an integral true quotient is
     produced exactly), so Spark and any ANSI-SQL oracle agree bitwise.
+
+    ``n``/``stops`` optionally substitute pre-staged count COLUMNS
+    (same contract as :func:`lang_id`).
     """
-    n = token_count(col).cast("bigint")
+    n = (token_count(col) if n is None else n).cast("bigint")
     chars = F.length(col).cast("bigint")
     alpha = F.regexp_count(col, F.lit(r"[A-Za-z]")).cast("bigint")
-    stops = stopword_count(col).cast("bigint")
+    stops = (stopword_count(col) if stops is None else stops).cast("bigint")
     score = (
         F.floor(F.least(n, F.lit(64)) * 400 / 64)
         + F.when(chars > 0, F.floor(alpha * 300 / chars)).otherwise(F.lit(0))

@@ -82,16 +82,31 @@ def _repetition_overrides(cfg: EngineConfig) -> dict[str, float]:
 
 
 def annotate_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append the standard curation columns in one projection."""
+    """Append the standard curation columns.
+
+    r14: the token and stopword counts stage ONCE in a lower
+    projection — the single-projection form re-evaluated the token
+    split 4× (n_tokens, lang guard + ratio, quality) and the stopword
+    regex 2× per row (guide §4.4 duplicate-evaluation class; the same
+    fix the text_analysis gate got).  Staged aliases are referenced
+    >1× and are non-cheap, so CollapseProject keeps the two
+    projections separate; the substituted expressions are identical,
+    batch≡stream untouched (map-only either way)."""
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import stopword_count
+
     t = F.col(text_col)
-    return df.withColumns(
-        {
-            "n_tokens": token_count(t),
-            "n_bpe_est": bpe_token_estimate(t),
-            "lang": lang_id(t),
-            "quality": quality_score(t),
-        }
+    staged = df.withColumns(
+        {"__ntok": token_count(t), "__nstop": stopword_count(t)}
     )
+    n, stops = F.col("__ntok"), F.col("__nstop")
+    return staged.withColumns(
+        {
+            "n_tokens": n,
+            "n_bpe_est": bpe_token_estimate(t),
+            "lang": lang_id(t, n=n, stops=stops),
+            "quality": quality_score(t, n=n, stops=stops),
+        }
+    ).drop("__ntok", "__nstop")
 
 
 def keep_first_per(df: DataFrame, key_col: str, id_col: str = "doc_id") -> DataFrame:
