@@ -328,49 +328,51 @@ def bm25_score_table(
     buckets = sorted({t % n_buckets for t in q_terms})
     from sample_keyspaces_cdc_streams_connectors_spark.sources.tables import read_parquet_cached
 
+    # r14: the whole scoring pipeline is composed as SQL TEXT (one JVM
+    # parse per fragment) instead of per-node py4j Column construction
+    # — the Column form cost ~0.15-0.25 s of driver round trips per
+    # invocation (each `isin` alone ships its literal list through a
+    # _to_seq).  Expressions are token-for-token identical: every
+    # float literal is the `repr` of the SAME Python double the old
+    # `F.lit` carried with a `D` (DOUBLE) suffix, so the parsed
+    # constants — including the Catalyst-folded `(k1 + 1.0)` — are
+    # bit-equal and the oracle gate stays hash-identical (re-verified
+    # at sf0.01/sf0.001; float-parity pinned in tests).
+    k1, b = float(k1), float(b)
+    bucket_list = ", ".join(str(v) for v in buckets)
+    term_list = ", ".join(f"{t}L" for t in q_terms)
     postings = (
         read_parquet_cached(spark, f"{base}/{POSTINGS_DIR}")
-        .filter(F.col("tb").isin(buckets))
-        .filter(F.col("term").isin(q_terms))
+        .where(f"tb IN ({bucket_list})")
+        .where(f"term IN ({term_list})")
     )
     dfreq = (
         read_parquet_cached(spark, f"{base}/{TERMS_DIR}")
-        .filter(F.col("term").isin(q_terms))
+        .where(f"term IN ({term_list})")
         # segment-safe df (r8): after append_to_text_index the
         # vocabulary holds delta rows per term — sum them (≤ |query
         # terms| groups, free)
         .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
+        .agg(F.expr("sum(df)").alias("df"))
+        .selectExpr(
+            "term",
+            "df",
+            f"ln(((CAST({float(n_docs)!r} AS DOUBLE) - df) + 0.5D)"
+            f" / (df + 0.5D) + 1.0D) AS idf",
         )
     )
-    tf = F.col("tf").cast("double")
-    per_term = postings.join(F.broadcast(dfreq), "term").select(
-        "doc",
-        (
-            F.col("idf")
-            * tf
-            * (F.lit(k1) + 1.0)
-            / (
-                tf
-                + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
-                )
-            )
-        ).alias("__s"),
+    okapi = (
+        f"((idf * CAST(tf AS DOUBLE)) * ({k1!r}D + 1.0D))"
+        f" / (CAST(tf AS DOUBLE) + ({k1!r}D * ({(1.0 - b)!r}D"
+        f" + (({b!r}D * CAST(dl AS DOUBLE)) / {float(avgdl)!r}D))))"
+    )
+    per_term = postings.join(F.broadcast(dfreq), "term").selectExpr(
+        "doc", f"{okapi} AS __s"
     )
     total = (
-        F.sum(F.col("__s").cast("decimal(28,12)")).cast("double")
+        F.expr("CAST(sum(CAST(__s AS DECIMAL(28,12))) AS DOUBLE)")
         if exact_sum
-        else F.sum("__s")
+        else F.expr("sum(__s)")
     )
     return per_term.groupBy("doc").agg(total.alias("score"))
 

@@ -102,6 +102,84 @@ def test_empty_query_rejected(spark, index_path):
         bm25_topk(spark, index_path, "   ")
 
 
+def test_sql_text_scoring_bit_identical_to_column_form(spark, index_path):
+    """r14 composes the BM25 scoring pipeline as SQL text (one JVM
+    parse per fragment) instead of py4j Column construction, claiming
+    bit-identical arithmetic: every float literal parses to the SAME
+    double the old ``F.lit`` carried.  Pin it — the pre-r14 Column
+    pipeline, reconstructed verbatim below, must produce EXACTLY equal
+    scores (==, not approx) through the order-independent decimal
+    sum."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.retrieval import (
+        POSTINGS_DIR,
+        TERMS_DIR,
+        _hash60,
+        _load_stats,
+        _py_words,
+    )
+
+    k1, b = 1.2, 0.75
+    q_terms = sorted({_hash60(w) for w in _py_words(QUERY)})
+    stats = _load_stats(spark, index_path)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    n_buckets = int(stats.get("n_buckets", 64))
+    buckets = sorted({t % n_buckets for t in q_terms})
+    base = index_path.rstrip("/")
+    postings = (
+        spark.read.parquet(f"{base}/{POSTINGS_DIR}")
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(q_terms))
+    )
+    dfreq = (
+        spark.read.parquet(f"{base}/{TERMS_DIR}")
+        .filter(F.col("term").isin(q_terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    tf = F.col("tf").cast("double")
+    per_term = postings.join(F.broadcast(dfreq), "term").select(
+        "doc",
+        (
+            F.col("idf")
+            * tf
+            * (F.lit(k1) + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl").cast("double") / F.lit(float(avgdl))
+                )
+            )
+        ).alias("__s"),
+    )
+    col_form = {
+        r["doc"]: r["score"]
+        for r in per_term.groupBy("doc")
+        .agg(
+            F.sum(F.col("__s").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("score")
+        )
+        .collect()
+    }
+    got = {
+        r["doc"]: r["score"]
+        for r in bm25_score_table(
+            spark, index_path, QUERY, exact_sum=True
+        ).collect()
+    }
+    assert got == col_form
+
+
 # --- bulk query scoring (bm25_topk_many) ------------------------------------
 
 
