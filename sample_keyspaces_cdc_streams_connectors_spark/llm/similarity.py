@@ -322,7 +322,7 @@ def _collect_bounded_queries(
 
 def brute_force_topk_many(
     vectors: DataFrame,
-    queries: DataFrame,
+    queries: "DataFrame | list | tuple",
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -371,7 +371,12 @@ def brute_force_topk_many(
     ``check_unique_ids=False``).  ``max_queries`` (r10) makes the
     bounded-work-list contract executable: the collect stops at
     ``max_queries + 1`` rows and raises instead of pulling a
-    corpus-sized frame onto the driver (``None`` disables)."""
+    corpus-sized frame onto the driver (``None`` disables).
+
+    ``queries`` may also be a driver-resident list/tuple of
+    ``(query_id, vector)`` pairs (r14): a caller that already holds
+    its work list skips the per-invocation collect job; the same
+    ``max_queries`` bound and id-uniqueness contract apply."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -386,26 +391,54 @@ def brute_force_topk_many(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if check_unique_ids:
-        dup = (
-            queries.groupBy(query_id_col)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
+    if isinstance(queries, (list, tuple)):
+        # r14: driver-resident work list — a caller that already holds
+        # its (query_id, vector) pairs (e.g. read from a parquet
+        # footer) passes them directly, skipping the per-invocation
+        # Spark collect job the DataFrame form pays (~0.2 s).  Same
+        # bounds and uniqueness contract, enforced driver-side.
+        qrows = list(queries)
+        if not qrows:
+            raise ValueError("queries table is empty")
+        if max_queries is not None and len(qrows) > max_queries:
             raise ValueError(
-                f"brute_force_topk_many requires unique "
-                f"{query_id_col!r} values; {dup[0][query_id_col]!r} "
-                f"appears {dup[0]['count']} times"
+                f"brute_force_topk_many: query table exceeds "
+                f"max_queries={int(max_queries)} rows — bulk kernels "
+                "collect queries driver-side (a work list, not a "
+                "corpus); split the query table or raise max_queries "
+                "explicitly (None disables the bound)"
             )
-    qrows = _collect_bounded_queries(
-        queries,
-        [query_id_col, query_vec_col],
-        max_queries,
-        "brute_force_topk_many",
-    )
+        if check_unique_ids:
+            seen: set = set()
+            for r in qrows:
+                if r[0] in seen:
+                    raise ValueError(
+                        f"brute_force_topk_many requires unique "
+                        f"{query_id_col!r} values; {r[0]!r} appears "
+                        "more than once"
+                    )
+                seen.add(r[0])
+    else:
+        if check_unique_ids:
+            dup = (
+                queries.groupBy(query_id_col)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"brute_force_topk_many requires unique "
+                    f"{query_id_col!r} values; {dup[0][query_id_col]!r} "
+                    f"appears {dup[0]['count']} times"
+                )
+        qrows = _collect_bounded_queries(
+            queries,
+            [query_id_col, query_vec_col],
+            max_queries,
+            "brute_force_topk_many",
+        )
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qmat = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     if exact_cos:

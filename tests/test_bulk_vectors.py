@@ -73,6 +73,41 @@ def test_bulk_brute_single_scan_plan(spark, vectors, queries):
     assert "Join" not in plan
 
 
+def test_bulk_list_queries_match_dataframe_form(spark, vectors, queries):
+    """r14: a driver-resident (query_id, vector) work list must
+    reproduce the DataFrame query-table path EXACTLY — same ids, same
+    ranks, bit-equal sims — in both kernel modes (the list skips the
+    construction-time collect job, nothing else)."""
+    qlist = [
+        (r["query_id"], [float(x) for x in r["embedding"]])
+        for r in queries.collect()
+    ]
+    for exact in (False, True):
+        df_form = sorted(
+            tuple(r)
+            for r in brute_force_topk_many(
+                vectors, queries, k=5, exact_cos=exact
+            ).collect()
+        )
+        list_form = sorted(
+            tuple(r)
+            for r in brute_force_topk_many(
+                vectors, qlist, k=5, exact_cos=exact
+            ).collect()
+        )
+        assert list_form == df_form, f"exact_cos={exact}"
+
+
+def test_bulk_list_queries_validate(spark, vectors):
+    one = [(1, [1.0, 0.0])]
+    with pytest.raises(ValueError, match="unique"):
+        brute_force_topk_many(vectors, one + one, k=3)
+    with pytest.raises(ValueError, match="empty"):
+        brute_force_topk_many(vectors, [], k=3)
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk_many(vectors, one * 3, k=3, max_queries=2)
+
+
 def test_bulk_brute_validates(spark, vectors, queries):
     dup = queries.unionByName(queries.limit(1))
     with pytest.raises(ValueError, match="unique"):
