@@ -199,7 +199,7 @@ def semantic_dedup_annotate(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_cluster_size: int = 8192,
+    max_cluster_size: int | None = 8192,
     block_rows: int = 1024,
     seed_mode: str = "farthest",
 ) -> DataFrame:
@@ -216,6 +216,13 @@ def semantic_dedup_annotate(
     keep rule).  Training runs here unless a codebook is passed in
     (reuse one codebook across corpus snapshots to keep cluster ids
     stable).
+
+    ``max_cluster_size=None`` (r14) disables the oversized-cluster
+    splitter OUTRIGHT: no skew-guard count job at construction, no
+    assignment persist — identical output to any bound no cell
+    reaches (pinned in tests/test_semdedup.py); use it when exact
+    whole-cluster semantics are required or cluster sizes are known
+    bounded.
     """
     if centroids is None:
         centroids = kmeans_fit(
@@ -228,6 +235,22 @@ def semantic_dedup_annotate(
         )
     unit_cents = [_unit(c) for c in centroids]
     release_semdedup_cache()
+    if max_cluster_size is None:
+        # r14: splitter explicitly disabled — skip the skew-guard
+        # count (which forced the whole-corpus normalize+argmin Arrow
+        # sweep at CONSTRUCTION time) and the persist (which existed
+        # only because guard + scoring both consumed the assignment).
+        # One straight pipeline: scan → assign → group-score.  The
+        # oracle gate uses this (exact per-cluster semantics need the
+        # splitter off anyway); semantics are identical to a bound no
+        # cell reaches — every n_subs is 1 either way.
+        assigned = _assign_cells(
+            vectors, unit_cents, id_col=id_col, vec_col=vec_col
+        )
+        grouped = assigned.withColumn("__sub", F.lit(0))
+        return _score_grouped(
+            grouped, vectors, id_col, block_rows
+        )
     # persist the assignment: the skew-guard count below and the
     # scoring groupBy both consume it, and without the cache the
     # whole-corpus normalize+argmin Arrow sweep would run TWICE
@@ -273,6 +296,17 @@ def semantic_dedup_annotate(
             .drop("__n_subs")
         )
 
+    return _score_grouped(grouped, vectors, id_col, block_rows)
+
+
+def _score_grouped(
+    grouped: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    block_rows: int,
+) -> DataFrame:
+    """The per-(cell, __sub) ranked pairwise-max scoring pass shared
+    by both annotate paths (splitter on/off)."""
     id_field = vectors.schema[id_col]
     out_schema = StructType(
         [
@@ -327,7 +361,7 @@ def semantic_dedup(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_cluster_size: int = 8192,
+    max_cluster_size: int | None = 8192,
     seed_mode: str = "farthest",
 ) -> DataFrame:
     """Survivor rows of ``vectors`` after SemDeDup at threshold

@@ -1525,16 +1525,19 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (farthest-from-centroid first — the paper's keep rule), and
     the duplicate verdict at eps=0.95 (``_SEM_GATE_EPS``).
 
-    The skew splitter is disabled here (``max_cluster_size`` sentinel)
-    so the oracle's exact per-cluster semantics apply; the splitter's
-    bounded-memory behavior is pinned in tests/test_semdedup.py."""
+    The skew splitter is disabled here (``max_cluster_size=None`` —
+    r14: the explicit off switch also skips the construction-time
+    skew-guard count job and the assignment persist, leaving one
+    straight scan→assign→score pipeline) so the oracle's exact
+    per-cluster semantics apply; the splitter's bounded-memory
+    behavior is pinned in tests/test_semdedup.py."""
     from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import load_codebook
     from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import semantic_dedup_annotate
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = load_codebook(_ivf_gate_index(spark, sf_dir), spark)
     ann = semantic_dedup_annotate(
-        emb, centroids=cents, max_cluster_size=1 << 30
+        emb, centroids=cents, max_cluster_size=None
     )
     rounded = F.col("max_prior_sim").cast("decimal(18,8)").cast("double")
     return ann.select(

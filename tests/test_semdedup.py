@@ -164,6 +164,29 @@ def test_skew_splitter_bounds_groups_and_stays_deterministic(spark):
         assert r["max_prior_sim"] <= full[r["vec_id"]] + 1e-12
 
 
+def test_splitter_off_matches_unreachable_bound(spark):
+    """r14: ``max_cluster_size=None`` (the explicit splitter-off
+    switch — no skew-guard count job, no assignment persist) must
+    produce EXACTLY the rows of a bound no cell reaches."""
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.kmeans import kmeans_fit
+
+    df = _fixture_vectors(spark, dup_sizes=(5, 4, 3), seed=7)
+    cents = kmeans_fit(df, k=3, n_iter=3)
+    sentinel = sorted(
+        tuple(r)
+        for r in semantic_dedup_annotate(
+            df, centroids=cents, max_cluster_size=1 << 30
+        ).collect()
+    )
+    off = sorted(
+        tuple(r)
+        for r in semantic_dedup_annotate(
+            df, centroids=cents, max_cluster_size=None
+        ).collect()
+    )
+    assert off == sentinel
+
+
 def test_zero_norm_vectors_survive_without_nan(spark):
     rows = [
         (1, [0.0, 0.0, 0.0, 0.0]),
