@@ -699,49 +699,53 @@ def rrf_fuse(
     # single-partition no-key form it warns about (F.lit(0) used to be
     # constant-folded away); one shuffle of k·n_rankings bounded rows
     # instead of one window per input
+    # r14: the tag/rank/assert/fuse expressions are composed as SQL
+    # TEXT (one JVM parse per projection) instead of per-node py4j
+    # Column construction — this builder ran twice per bm25_rank
+    # invocation at ~0.15 s of driver round trips each.  Token-level
+    # equivalents of the old Column forms (desc = DESC NULLS LAST,
+    # asc = ASC NULLS FIRST, 1.0D = the F.lit(1.0) double); executed
+    # plans pinned byte-identical modulo expression ids.
     parts = [
-        r.select(
-            *keys,
-            F.col(score_col).alias("__s"),
-            F.lit(i).alias("__src"),
+        r.selectExpr(
+            *[f"`{c}`" for c in keys],
+            f"`{score_col}` AS __s",
+            f"{int(i)} AS __src",
         )
         for i, r in enumerate(rankings)
     ]
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    w = Window.partitionBy(
-        *(([query_col] if query_col else []) + ["__src"])
-    ).orderBy(F.desc("__s"), F.asc(id_col))
-    ranked = u.select(*keys, F.row_number().over(w).alias("__rank"))
+    part_cols = ", ".join(
+        f"`{c}`" for c in ([query_col] if query_col else []) + ["__src"]
+    )
+    ranked = u.selectExpr(
+        *[f"`{c}`" for c in keys],
+        f"row_number() OVER (PARTITION BY {part_cols}"
+        f" ORDER BY __s DESC, `{id_col}` ASC) AS __rank",
+    )
     if max_input_rows is not None:
         # bounded-input contract made executable: inputs are top-k
         # lists, so a rank past the bound means someone fused a
         # corpus-sized frame — fail the job instead of silently
         # shuffling it (coalesce keeps the assert un-prunable; it
         # passes every row when the bound holds)
-        ranked = ranked.filter(
-            F.coalesce(
-                F.assert_true(
-                    F.col("__rank") <= F.lit(int(max_input_rows)),
-                    F.lit(
-                        "rrf_fuse: an input ranking exceeds "
-                        f"max_input_rows={int(max_input_rows)} rows per "
-                        "query — inputs must be bounded top-k lists"
-                    ),
-                ),
-                F.lit(True),
-            )
+        msg = (
+            "rrf_fuse: an input ranking exceeds "
+            f"max_input_rows={int(max_input_rows)} rows per "
+            "query — inputs must be bounded top-k lists"
+        )
+        ranked = ranked.where(
+            f"coalesce(assert_true(__rank <= {int(max_input_rows)}, "
+            f"'{msg}'), true)"
         )
     fused = ranked.groupBy(*keys).agg(
-        F.sum(
-            (F.lit(1.0) / (F.lit(k_rrf) + F.col("__rank"))).cast(
-                "decimal(28,12)"
-            )
-        )
-        .cast("double")
-        .alias("rrf_score"),
-        F.count(F.lit(1)).cast("int").alias("n_rankings"),
+        F.expr(
+            f"CAST(sum(CAST(1.0D / ({int(k_rrf)} + __rank) AS "
+            "DECIMAL(28,12))) AS DOUBLE)"
+        ).alias("rrf_score"),
+        F.expr("CAST(count(1) AS INT)").alias("n_rankings"),
     )
     if topk is None:
         return fused
