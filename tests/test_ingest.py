@@ -508,7 +508,15 @@ def test_ingest_ledger_startup_prune_new_id_and_off_boundary(
     old id's files forever.  The one-time startup prune clears (a)
     foreign entries older than ingest-ledger-foreign-ttl and (b) this
     lineage's own off-boundary tail — while FRESH foreign entries
-    (a live sibling stream) survive."""
+    (a live sibling stream) survive.
+
+    Age is simulated by backdating entry mtimes with ``os.utime``
+    (the startup prune reads file modification time), not wall-clock
+    sleeps: with a 1-second TTL the two real Spark micro-batches
+    between writing an entry and asserting on it could legitimately
+    exceed the TTL on a slow host and prune a "fresh" sibling (r14
+    driver flake).  The 300 s TTL is far above any plausible test
+    execution time, and backdating by 1000 s is far beyond it."""
     import time
 
     out = str(tmp_path / "out")
@@ -535,8 +543,14 @@ def test_ingest_ledger_startup_prune_new_id_and_off_boundary(
         if e.startswith("streamA-")
     ]
     assert len(a_before) == 6
-    time.sleep(1.2)
-    # lineage B restarts over the same output path with ttl=1s: A is
+    # backdate A's entries (and their .crc shadows) 1000 s into the
+    # past — well past the 300 s TTL below — so A reads as dead
+    # residue regardless of how long this test actually runs
+    aged = time.time() - 1000.0
+    for e in os.listdir(f"{out}/_ingest_ledger"):
+        if "streamA-" in e:
+            os.utime(f"{out}/_ingest_ledger/{e}", (aged, aged))
+    # lineage B restarts over the same output path with ttl=300s: A is
     # dead residue and must be fully cleared on B's FIRST batch; a
     # fresh foreign entry (live sibling C) must survive
     with open(f"{out}/_ingest_ledger/streamC-batch-3", "w") as fh:
@@ -546,7 +560,7 @@ def test_ingest_ledger_startup_prune_new_id_and_off_boundary(
             "keyspaces-cdc-streams": {
                 "corpus": {"ingest-ledger-keep": "4",
                           "ingest-ledger-id": "streamB",
-                          "ingest-ledger-foreign-ttl": "1"}
+                          "ingest-ledger-foreign-ttl": "300"}
             }
         }
     )
@@ -567,7 +581,9 @@ def test_ingest_ledger_startup_prune_new_id_and_off_boundary(
         if e.startswith("streamB-")
     )
     assert b_ids == [101]  # batch 1 < 101-4: startup-pruned
-    # foreign-ttl = 0 disables foreign pruning entirely
+    # foreign-ttl = 0 disables foreign pruning entirely: backdate the
+    # surviving B and C entries far past ANY positive TTL and show a
+    # ttl=0 lineage still leaves them alone
     cfg_d = load_config(
         {
             "keyspaces-cdc-streams": {
@@ -576,7 +592,9 @@ def test_ingest_ledger_startup_prune_new_id_and_off_boundary(
             }
         }
     )
-    time.sleep(1.1)
+    for e in os.listdir(f"{out}/_ingest_ledger"):
+        if "streamB-" in e or "streamC-" in e:
+            os.utime(f"{out}/_ingest_ledger/{e}", (aged, aged))
     handle_d = curation_ingest_sink(cfg_d, out)
     handle_d(docs.filter(F.col("doc_id") == 12), 1)
     entries = os.listdir(f"{out}/_ingest_ledger")
