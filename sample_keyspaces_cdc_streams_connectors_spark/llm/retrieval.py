@@ -339,6 +339,22 @@ def bm25_score_table(
     # bit-equal and the oracle gate stays hash-identical (re-verified
     # at sf0.01/sf0.001; float-parity pinned in tests).
     k1, b = float(k1), float(b)
+    # non-finite constants would render as unparseable literals
+    # (infD / nanD) in the SQL text the r14 composition emits — the
+    # old Column form tolerated them; fail loudly instead (r15,
+    # ADVICE r14)
+    import math
+
+    for _nm, _v in (
+        ("k1", k1),
+        ("b", b),
+        ("avgdl", float(avgdl)),
+        ("n_docs", float(n_docs)),
+    ):
+        if not math.isfinite(_v):
+            raise ValueError(
+                f"bm25_score_table: {_nm} must be finite, got {_v!r}"
+            )
     bucket_list = ", ".join(str(v) for v in buckets)
     term_list = ", ".join(f"{t}L" for t in q_terms)
     postings = (
@@ -690,6 +706,13 @@ def rrf_fuse(
 
     if not rankings:
         raise ValueError("rankings must be non-empty")
+    if not isinstance(k_rrf, int) or isinstance(k_rrf, bool):
+        # the SQL text interpolates int(k_rrf): a float (e.g. 60.5)
+        # would silently truncate and change every score (the old
+        # F.lit(k_rrf) honored it) — reject instead (r15, ADVICE r14)
+        raise TypeError(
+            f"k_rrf must be an int, got {type(k_rrf).__name__} {k_rrf!r}"
+        )
     if k_rrf < 1:
         raise ValueError(f"k_rrf must be >= 1, got {k_rrf}")
     keys = ([query_col] if query_col else []) + [id_col]
@@ -706,10 +729,15 @@ def rrf_fuse(
     # equivalents of the old Column forms (desc = DESC NULLS LAST,
     # asc = ASC NULLS FIRST, 1.0D = the F.lit(1.0) double); executed
     # plans pinned byte-identical modulo expression ids.
+    def _qid(c: str) -> str:
+        # escape embedded backticks so a hostile/unusual column name
+        # cannot break out of the quoted identifier (r15, ADVICE r14)
+        return "`" + c.replace("`", "``") + "`"
+
     parts = [
         r.selectExpr(
-            *[f"`{c}`" for c in keys],
-            f"`{score_col}` AS __s",
+            *[_qid(c) for c in keys],
+            f"{_qid(score_col)} AS __s",
             f"{int(i)} AS __src",
         )
         for i, r in enumerate(rankings)
@@ -718,12 +746,12 @@ def rrf_fuse(
     for p in parts[1:]:
         u = u.unionByName(p)
     part_cols = ", ".join(
-        f"`{c}`" for c in ([query_col] if query_col else []) + ["__src"]
+        _qid(c) for c in ([query_col] if query_col else []) + ["__src"]
     )
     ranked = u.selectExpr(
-        *[f"`{c}`" for c in keys],
+        *[_qid(c) for c in keys],
         f"row_number() OVER (PARTITION BY {part_cols}"
-        f" ORDER BY __s DESC, `{id_col}` ASC) AS __rank",
+        f" ORDER BY __s DESC, {_qid(id_col)} ASC) AS __rank",
     )
     if max_input_rows is not None:
         # bounded-input contract made executable: inputs are top-k

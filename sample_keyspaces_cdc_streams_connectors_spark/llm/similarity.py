@@ -391,15 +391,22 @@ def brute_force_topk_many(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if isinstance(queries, (list, tuple)):
+    from pyspark.sql import Row
+
+    if isinstance(queries, (list, tuple)) and not isinstance(queries, Row):
         # r14: driver-resident work list — a caller that already holds
         # its (query_id, vector) pairs (e.g. read from a parquet
         # footer) passes them directly, skipping the per-invocation
         # Spark collect job the DataFrame form pays (~0.2 s).  Same
         # bounds and uniqueness contract, enforced driver-side.
+        # r15 (ADVICE r14): a pyspark Row IS a tuple subclass — a Row
+        # passed by mistake must not be silently iterated as a work
+        # list, so Rows are excluded from the work-list form.
         qrows = list(queries)
         if not qrows:
-            raise ValueError("queries table is empty")
+            raise ValueError(
+                "queries is empty (work list or queries table)"
+            )
         if max_queries is not None and len(qrows) > max_queries:
             raise ValueError(
                 f"brute_force_topk_many: query table exceeds "

@@ -7,6 +7,8 @@ sequential double summation written identically on both sides.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,29 +35,72 @@ from sample_keyspaces_cdc_streams_connectors_spark.llm.similarity import (
     lsh_bucket_topk,
 )
 from sample_keyspaces_cdc_streams_connectors_spark.queries import register
-from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+from sample_keyspaces_cdc_streams_connectors_spark.sources import (
+    load_table,
+    spread_scan,
+    table_path,
+)
 
 # normalized text in DuckDB — mirror of functions.text.normalize_text
 NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 STOP_PAT = r"\b(the|a|of|and|to|in|is|on|for|it)\b"
 
 
-def _gate_query_vec(sf_dir: str, vec_id: int = 1) -> list[float]:
-    """The ANN gates' query vector, read driver-side straight from the
-    embeddings parquet (pyarrow row filter) — r14 optimization: the
-    former ``emb.filter(vec_id==1).first()`` collect launched a full
-    Spark job (~0.2 s) inside EVERY invocation of the vector_topk /
+#: driver budget for the ANN gates' point read of the embeddings
+#: parquet: files larger than this fall back to a distributed lookup
+#: (r15 — VERDICT r14 #3: the r14 full-column read was a driver OOM
+#: at 100 TB).  Env-overridable for testing / bigger drivers.
+_GATE_DRIVER_READ_BUDGET = int(
+    os.environ.get("SPARK_GRAFT_GATE_READ_BUDGET", str(256 << 20))
+)
+
+
+def _gate_query_vec(
+    sf_dir: str, vec_id: int = 1, spark: SparkSession | None = None
+) -> list[float]:
+    """The ANN gates' query vector, read driver-side from the
+    embeddings parquet — r14 optimization: the former
+    ``emb.filter(vec_id==1).first()`` collect launched a full Spark
+    job (~0.2 s) inside EVERY invocation of the vector_topk /
     ann_ivf_topk / bm25_rank gates.  Same file, same value (pyarrow
     and Spark widen float32 identically), re-read on every call — no
-    result caching."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    result caching.
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    r15 scale hardening (VERDICT r14 #3): the read passes a
+    ``filters=`` row filter so pyarrow prunes non-matching ROW GROUPS
+    from the scan (the r14 form loaded the entire vec_id+embedding
+    columns into driver memory and filtered afterward), and a file
+    larger than :data:`_GATE_DRIVER_READ_BUDGET` skips the driver
+    read entirely in favor of the distributed point lookup — at
+    100 TB the gate is a filter+first Spark job again, exactly what a
+    driver must do for a huge file."""
+    path = f"{sf_dir}/embeddings.parquet"
+    try:
+        size: int | None = os.path.getsize(path)
+    except OSError:
+        size = None
+    if size is not None and size <= _GATE_DRIVER_READ_BUDGET:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            path,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "==", vec_id)],
+        )
+        return [float(x) for x in t["embedding"][0].as_py()]
+    if spark is None:
+        raise ValueError(
+            f"embeddings parquet at {path} exceeds the driver read "
+            f"budget ({_GATE_DRIVER_READ_BUDGET} bytes) or is not "
+            "statable; pass a SparkSession for the distributed lookup"
+        )
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = (
+        emb.filter(F.col("vec_id") == vec_id).select("embedding").first()
     )
-    row = t.filter(pc.equal(t["vec_id"], vec_id))
-    return [float(x) for x in row["embedding"][0].as_py()]
+    if row is None:
+        raise IndexError(f"vec_id {vec_id} not found in {path}")
+    return [float(x) for x in row["embedding"]]
 
 
 # --- text analysis ---------------------------------------------------------
@@ -159,7 +204,11 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_keyspaces_cdc_streams_connectors_spark.functions.text import stopword_count_sql
 
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load_table(spark, sf_dir, "documents").repartition(nparts)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        nparts,
+        table_path(sf_dir, "documents"),
+    )
     hs_sql = (
         f"transform(array_distinct({tokens_sql(normalize_text_sql('text'))}),"
         f" x -> {md5_int_sql('x')})"
@@ -1061,7 +1110,7 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_keyspaces_cdc_streams_connectors_spark.llm.pq import pq_topk_rerank, train_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _gate_query_vec(sf_dir)
+    qvec = _gate_query_vec(sf_dir, spark=spark)
     others = emb.filter(F.col("vec_id") != 1)
     brute = brute_force_topk(others, qvec, k=10).select(
         F.lit("brute").alias("method"),
@@ -1111,7 +1160,7 @@ def vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result caching) and enter as a driver-resident work list; the
     # values are identical (pyarrow and Spark widen float32 the same
     # way — asserted in tests/test_similarity bulk parity).
-    qlist = [(1, qvec), (2, _gate_query_vec(sf_dir, 2))]
+    qlist = [(1, qvec), (2, _gate_query_vec(sf_dir, 2, spark=spark))]
     others2 = emb.filter(~F.col("vec_id").isin([1, 2]))
     bulk = brute_force_topk_many(
         others2, qlist, k=10, exact_cos=True, check_unique_ids=False
@@ -1150,7 +1199,11 @@ def embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     RoundRobin spread (text_analysis idiom) fans the UDF across
     cores.  Measured 0.85→0.46 s at sf0.1 (guide §2.5 / §4)."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load_table(spark, sf_dir, "documents").repartition(nparts)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        nparts,
+        table_path(sf_dir, "documents"),
+    )
     emb = docs.select("doc_id", hash_embed(F.col("text"), 256).alias("emb"))
     norm2 = F.aggregate(
         F.transform("emb", lambda x: x.cast("double") * x.cast("double")),
@@ -1411,7 +1464,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_keyspaces_cdc_streams_connectors_spark.llm.ivf_index import ivf_index_topk
 
     path = _ivf_gate_index(spark, sf_dir)
-    qvec = _gate_query_vec(sf_dir)
+    qvec = _gate_query_vec(sf_dir, spark=spark)
     top = ivf_index_topk(
         spark,
         path,
@@ -1595,7 +1648,11 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned) parallelizes it across cores.  Measured 0.93→0.28 s
     at sf0.1 (guide §2.5 input skew)."""
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load_table(spark, sf_dir, "documents").repartition(nparts)
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"),
+        nparts,
+        table_path(sf_dir, "documents"),
+    )
     with_toks = docs.select(
         "doc_id", tokens(normalize_text(F.col("text"))).alias("__toks")
     )
@@ -1745,7 +1802,7 @@ def lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scorer runs on every core instead of one Python worker
     # (text_analysis idiom; measured 0.74→0.52 s at sf0.1, guide §2.5)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = docs.repartition(nparts)
+    docs = spread_scan(docs, nparts, table_path(sf_dir, "documents"))
     ntoks = F.size(tokens(normalize_text(F.col("text"))))
     rounded = (
         score_lm(F.col("text"), model)
@@ -2532,7 +2589,7 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [ra, rb], k_rrf=_RRF_K, topk=_BM25_GATE_K
     ).select("doc", F.col("rrf_score").alias("score"))
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = _gate_query_vec(sf_dir)
+    qvec = _gate_query_vec(sf_dir, spark=spark)
     dense = brute_force_topk(
         emb.filter(F.col("vec_id") != 1), qvec, k=_BM25_GATE_K
     ).select(

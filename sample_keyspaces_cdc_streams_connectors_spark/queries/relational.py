@@ -156,17 +156,19 @@ def scan_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv_tmp = os.path.join(tempfile.gettempdir(), f"engine_csv_src_{tag}")
     if not os.path.exists(os.path.join(csv_tmp, "_SUCCESS")):
         write_csv(ev, csv_tmp)
-    # r14: the roundtrip FIXTURE directories get the same
-    # size-estimated planning policy as the dataset directory — tiny
-    # fixtures plan in the non-adaptive child session (the query was
-    # one of only two still paying AQE stage barriers at bench scale),
-    # large/unstatable ones keep the adaptive parent (session.py)
-    from sample_keyspaces_cdc_streams_connectors_spark.session import (
-        planning_session_for_path,
-    )
-
+    # r15: the r14 fixture-dir planning policy (non-adaptive child
+    # session for the tiny roundtrip fixtures) is REVERTED here — the
+    # driver measured it slower in BOTH r14 runs (0.93→1.28 s @32c,
+    # 1.21 s @8c) and this host's r15 interleaved A/B agreed (child
+    # min/median 0.801/1.022 s vs parent 0.767/0.964 s, parent faster
+    # 6/7 post-warmup cycles): with AQE the fixture-side groupBys
+    # coalesce to a handful of tasks, which beats the child session's
+    # conf-sync + fixed-partition plan at this size.  The caller's
+    # session (itself size-policied for the DATASET dir via
+    # load_table) is used for the fixture reads; bm25's index-dir
+    # policy is unaffected (the driver data never contradicted it).
     csv_back = load_csv(
-        planning_session_for_path(spark, csv_tmp),
+        spark,
         csv_tmp,
         {
             "event_id": "bigint",
@@ -193,9 +195,7 @@ def scan_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         write_avro_dir(to_avro_compatible(ev).repartition(nparts), avro_tmp)
-    avro_back = read_avro_dir(
-        planning_session_for_path(spark, avro_tmp), avro_tmp
-    )
+    avro_back = read_avro_dir(spark, avro_tmp)
     avro_arm = avro_back.groupBy("event_type").agg(
         F.count("*").alias("n"),
         _dbl(F.sum(_dec("value"))).alias("total_value"),
@@ -804,13 +804,16 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idiom — a real table arrives already partitioned) fans the
     # regex-heavy projection across cores.  The shuffle moves only
     # 20k narrow rows; measured 0.99→0.61 s at sf0.1 (guide §2.5
-    # input skew).
+    # input skew).  r15: gated on the scan's estimated split count so
+    # an already-parallel input skips the exchange (spread_scan).
+    from sample_keyspaces_cdc_streams_connectors_spark.sources import spread_scan, table_path
+
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    p = (
-        load_table(spark, sf_dir, "part")
-        .repartition(nparts)
-        .withColumn("u", F.expr(_URL_GEN_SQL))
-    )
+    p = spread_scan(
+        load_table(spark, sf_dir, "part"),
+        nparts,
+        table_path(sf_dir, "part"),
+    ).withColumn("u", F.expr(_URL_GEN_SQL))
     kept = filter_blocked_hosts(p, "u", ["tracker.net"])
     # r14: stage the host ONCE below the output projection —
     # registered_domain's CASE referenced url_host ~12×, and each

@@ -77,6 +77,84 @@ def _dataset_bytes(sf_dir: str) -> int | None:
     return _DIR_BYTES[sf_dir]
 
 
+#: parquet path -> estimated scan-split count (metadata only, cached;
+#: None = unstatable).  See :func:`parquet_scan_splits`.
+_SCAN_SPLITS_CACHE: dict[str, int | None] = {}
+
+#: Spark's file-split planning defaults (spark.sql.files.*): splits
+#: are byte ranges of at most maxPartitionBytes, and each file charges
+#: openCostInBytes when files are packed into splits.
+_MAX_SPLIT_BYTES = 128 * 1024 * 1024
+_OPEN_COST_BYTES = 4 * 1024 * 1024
+
+
+def parquet_scan_splits(path: str) -> int | None:
+    """Estimate how many scan tasks Spark will plan for ``path``
+    WITHOUT reading any data.
+
+    - single file: ``min(row_groups, ceil(size / maxPartitionBytes))``
+      — one pyarrow footer read; byte-range splits cannot exceed the
+      row-group count, and a small file is one task no matter how many
+      row groups it holds;
+    - directory: ``ceil(sum(size_i + openCost) / maxPartitionBytes)``
+      over the data files (Spark's split-packing arithmetic; no footer
+      reads — at scale a table has thousands of files and the file
+      sizes alone decide);
+    - unstatable (object-store URI): ``None`` — presumed large and
+      already parallel, the at-scale default.
+
+    Used by :func:`spread_scan` to decide whether a RoundRobin spread
+    of a scan feeding a CPU-heavy kernel would add parallelism or just
+    shuffle an already-parallel input (r15; guide §2.5)."""
+    if path not in _SCAN_SPLITS_CACHE:
+        est: int | None = None
+        try:
+            if os.path.isfile(path):
+                import pyarrow.parquet as pq
+
+                n_rg = pq.ParquetFile(path).metadata.num_row_groups
+                size = os.path.getsize(path)
+                est = max(1, min(n_rg, -(-size // _MAX_SPLIT_BYTES)))
+            elif os.path.isdir(path):
+                total = 0
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        if f.startswith(("_", ".")):
+                            continue
+                        try:
+                            total += (
+                                os.path.getsize(os.path.join(root, f))
+                                + _OPEN_COST_BYTES
+                            )
+                        except OSError:
+                            pass
+                est = max(1, -(-total // _MAX_SPLIT_BYTES))
+        except Exception:
+            est = None
+        _SCAN_SPLITS_CACHE[path] = est
+    return _SCAN_SPLITS_CACHE[path]
+
+
+def spread_scan(df: DataFrame, nparts: int, path: str) -> DataFrame:
+    """RoundRobin-spread a scan feeding a CPU-heavy kernel UNLESS the
+    scan already yields >= ``nparts`` splits (r15 — VERDICT r14 #5:
+    the r14 spreads were unconditional, so at 100 TB an
+    already-well-partitioned table would pay a full-payload shuffle
+    for zero added parallelism).  The local single-row-group fixtures
+    estimate 1 split and keep the measured spread win; a multi-file /
+    large input (or an unstatable one, estimate ``None``) skips the
+    exchange outright."""
+    est = parquet_scan_splits(path)
+    if est is None or est >= nparts:
+        return df
+    return df.repartition(nparts)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """The on-disk parquet path :func:`load_table` reads for ``name``."""
+    return f"{sf_dir}/{name}.parquet"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

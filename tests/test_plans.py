@@ -326,3 +326,51 @@ def test_media_duration_profile_fused_map_only(spark, sf_dir):
     assert plan.count("MapInPandas") == 1
     assert "Join" not in plan and "HashAggregate" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_spread_scan_gates_on_input_parallelism(spark, sf_dir, tmp_path):
+    """r15 (VERDICT r14 #5): the RoundRobin spreads that fan a
+    single-row-group fixture across cores must SKIP the exchange when
+    the scan is already parallel — at 100 TB an unconditional
+    repartition would shuffle the whole corpus for zero added
+    parallelism.  Single small file -> spread; a directory with
+    >= nparts decent files -> pass-through (no Exchange)."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.sources import spread_scan, table_path
+    from sample_keyspaces_cdc_streams_connectors_spark.sources.tables import (
+        _SCAN_SPLITS_CACHE,
+        parquet_scan_splits,
+    )
+
+    # the bench fixtures are single-row-group files: estimate 1 split
+    single = table_path(sf_dir, "documents")
+    assert parquet_scan_splits(single) == 1
+    docs = spark.read.parquet(single)
+    spread = spread_scan(docs, 8, single)
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in plan
+
+    # a multi-file input estimated >= nparts skips the exchange; the
+    # estimate is metadata-only, so fake the split count rather than
+    # write gigabytes
+    multi = str(tmp_path / "multi")
+    spark.range(100).withColumn("text", F.lit("x")).repartition(
+        4
+    ).write.parquet(multi)
+    _SCAN_SPLITS_CACHE[multi] = 64
+    big = spread_scan(spark.read.parquet(multi), 8, multi)
+    plan2 = big._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan2
+
+    # unstatable path (object-store URI): presumed large -> no spread
+    assert parquet_scan_splits("s3a://bucket/table") is None
+    big2 = spread_scan(spark.read.parquet(multi), 8, "s3a://bucket/table")
+    assert (
+        "Exchange"
+        not in big2._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # directory estimate: real multi-file dir uses file-size packing
+    est = parquet_scan_splits(multi)
+    assert est is not None and est >= 1

@@ -1,0 +1,131 @@
+"""Interleaved A/B harness for the r15 re-measurement of the three
+r14 changes the driver's PERF data contradicted (VERDICT r14 #2):
+
+  mv        — mv_apply struct narrowing: A = narrow always (r14),
+              B = pass newImage through (r13)
+  dot       — dedup_embedding dot_pandas: A = asNondeterministic
+              (r14), B = plain (r13)
+  roundtrip — scan_format_roundtrip fixture planning: A = size-
+              estimated child session (r14), B = parent session (r13)
+  ngram     — dedup_ngram: current code vs itself (drift probe)
+
+Usage: python tools/ab_r15.py <toggle> [cycles]
+Each cycle runs A then B (construction + noop execution, bench
+methodology); report min/median per variant.  Interleaving makes a
+host burst hit both variants equally (VERDICT r14 #10 protocol).
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    toggle = sys.argv[1]
+    cycles = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    import __spark_entry__ as entrymod
+
+    from sample_keyspaces_cdc_streams_connectors_spark.session import get_spark
+
+    spark = get_spark("ab-r15")
+    queries = entrymod.queries()
+
+    # warmup (bench parity)
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(100).select(_warm("id")).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    if toggle == "mv":
+        from sample_keyspaces_cdc_streams_connectors_spark.operators import mv as mvmod
+
+        qname = "mv_apply"
+
+        def set_a() -> None:  # narrow always (r14)
+            mvmod._NARROW_MIN_DROP = 0.0
+
+        def set_b() -> None:  # never narrow (r13)
+            mvmod._NARROW_MIN_DROP = 1.01
+    elif toggle == "dot":
+        from sample_keyspaces_cdc_streams_connectors_spark.functions import vectors as vmod
+
+        qname = "dedup_embedding"
+        orig = vmod.dot_pandas
+
+        import pandas as pd  # noqa: F401
+
+        def set_a() -> None:  # r14 asNondeterministic form
+            vmod._DOT_NONDET = True
+
+        def set_b() -> None:  # r13 plain form
+            vmod._DOT_NONDET = False
+    elif toggle == "roundtrip":
+        from sample_keyspaces_cdc_streams_connectors_spark import session as sessmod
+
+        qname = "scan_format_roundtrip"
+        orig_psp = sessmod.planning_session_for_path
+
+        def set_a() -> None:  # r14 policy
+            sessmod.planning_session_for_path = orig_psp
+
+        def set_b() -> None:  # r13: keep the caller's session
+            sessmod.planning_session_for_path = lambda spark, path: spark
+    elif toggle == "ngram":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm import dedup as dmod
+
+        qname = "dedup_ngram"
+
+        def set_a() -> None:  # r15 postings persist + broadcast reuse
+            dmod._NGRAM_POSTINGS_PERSIST = True
+
+        def set_b() -> None:  # r14 arrs persist
+            dmod._NGRAM_POSTINGS_PERSIST = False
+    elif toggle == "ngram-bcast":
+        from sample_keyspaces_cdc_streams_connectors_spark.llm import dedup as dmod
+
+        qname = "dedup_ngram"
+
+        def set_a() -> None:  # r15 single canonical broadcast
+            dmod._NGRAM_BCAST_REUSE = True
+
+        def set_b() -> None:  # r14 two renamed builds
+            dmod._NGRAM_BCAST_REUSE = False
+    else:
+        raise SystemExit(f"unknown toggle {toggle!r}")
+
+    times: dict[str, list[float]] = {"A": [], "B": []}
+    for c in range(cycles):
+        for label, setter in (("A", set_a), ("B", set_b)):
+            setter()
+            spark.sparkContext.setJobDescription(
+                f"ab:{toggle}:{label}:{c}"
+            )
+            t0 = time.time()
+            df = queries[qname](spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            times[label].append(dt)
+            print(f"cycle {c} {label}: {dt:.3f}s", flush=True)
+    set_a()
+    for label in ("A", "B"):
+        ts = times[label]
+        print(
+            f"{label}: min {min(ts):.3f}  median "
+            f"{statistics.median(ts):.3f}  all "
+            f"{[round(t, 3) for t in ts]}"
+        )
+
+
+if __name__ == "__main__":
+    main()
