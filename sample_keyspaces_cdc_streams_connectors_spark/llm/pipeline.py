@@ -91,21 +91,56 @@ def annotate_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
     fix the text_analysis gate got).  Staged aliases are referenced
     >1× and are non-cheap, so CollapseProject keeps the two
     projections separate; the substituted expressions are identical,
-    batch≡stream untouched (map-only either way)."""
-    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import stopword_count
+    batch≡stream untouched (map-only either way).
 
-    t = F.col(text_col)
-    staged = df.withColumns(
-        {"__ntok": token_count(t), "__nstop": stopword_count(t)}
+    r15: the projection composes as SQL TEXT (the functions.text
+    ``*_sql`` twins the text_analysis gate already runs through the
+    oracle) — the Column-tree form cost ~0.2 s of py4j round trips
+    per pipeline construction, and the bench's corpus loop builds the
+    pipeline EVERY pass (guide §1.2 driver work; same idiom as the
+    r14 wave-1 builders).  Expressions are token-identical; rows are
+    pinned byte-identical against the Column form in
+    tests/test_corpus_pipeline.py."""
+    annotate_cols = ("n_tokens", "n_bpe_est", "lang", "quality")
+    if any(c in df.columns for c in annotate_cols + ("__ntok", "__nstop")):
+        # re-annotation replaces in place (withColumns semantics) —
+        # rare; keep the Column form for it, selectExpr("*", ...)
+        # would duplicate the columns instead
+        from sample_keyspaces_cdc_streams_connectors_spark.functions.text import stopword_count
+
+        t = F.col(text_col)
+        staged = df.withColumns(
+            {"__ntok": token_count(t), "__nstop": stopword_count(t)}
+        )
+        n, stops = F.col("__ntok"), F.col("__nstop")
+        return staged.withColumns(
+            {
+                "n_tokens": n,
+                "n_bpe_est": bpe_token_estimate(t),
+                "lang": lang_id(t, n=n, stops=stops),
+                "quality": quality_score(t, n=n, stops=stops),
+            }
+        ).drop("__ntok", "__nstop")
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+        bpe_token_estimate_sql,
+        lang_id_sql,
+        quality_score_sql,
+        stopword_count_sql,
+        token_count_sql,
     )
-    n, stops = F.col("__ntok"), F.col("__nstop")
-    return staged.withColumns(
-        {
-            "n_tokens": n,
-            "n_bpe_est": bpe_token_estimate(t),
-            "lang": lang_id(t, n=n, stops=stops),
-            "quality": quality_score(t, n=n, stops=stops),
-        }
+
+    t = "`" + text_col.replace("`", "``") + "`"
+    staged = df.selectExpr(
+        "*",
+        f"{token_count_sql(t)} AS __ntok",
+        f"{stopword_count_sql(t)} AS __nstop",
+    )
+    return staged.selectExpr(
+        "*",
+        "__ntok AS n_tokens",
+        f"{bpe_token_estimate_sql(t)} AS n_bpe_est",
+        f"{lang_id_sql(t, n='__ntok', stops='__nstop')} AS lang",
+        f"{quality_score_sql(t, n='__ntok', stops='__nstop')} AS quality",
     ).drop("__ntok", "__nstop")
 
 

@@ -1134,3 +1134,50 @@ def test_pack_strategy_validated(spark, docs):
 
     with pytest.raises(ValueError, match="strategy"):
         pack_sequences(docs, max_tokens=32, strategy="bogus")
+
+
+def test_annotate_corpus_sql_text_matches_column_form(spark, sf_dir):
+    """r15: annotate_corpus composes its projection as SQL text (the
+    functions.text *_sql twins); rows must be byte-identical to the
+    Column form, and a frame that already carries annotation columns
+    takes the replace-in-place Column path (no duplicate columns)."""
+    from pyspark.sql import functions as F
+
+    from sample_keyspaces_cdc_streams_connectors_spark.functions.text import (
+        bpe_token_estimate,
+        lang_id,
+        quality_score,
+        stopword_count,
+        token_count,
+    )
+    from sample_keyspaces_cdc_streams_connectors_spark.llm.pipeline import annotate_corpus
+    from sample_keyspaces_cdc_streams_connectors_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+
+    t = F.col("text")
+    staged = docs.withColumns(
+        {"__ntok": token_count(t), "__nstop": stopword_count(t)}
+    )
+    n, stops = F.col("__ntok"), F.col("__nstop")
+    column_form = staged.withColumns(
+        {
+            "n_tokens": n,
+            "n_bpe_est": bpe_token_estimate(t),
+            "lang": lang_id(t, n=n, stops=stops),
+            "quality": quality_score(t, n=n, stops=stops),
+        }
+    ).drop("__ntok", "__nstop")
+
+    new = annotate_corpus(docs)
+    assert new.columns == column_form.columns
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, column_form.collect())
+    )
+
+    # re-annotation: columns replace in place, count unchanged
+    again = annotate_corpus(new)
+    assert again.columns == new.columns
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, new.collect())
+    )
