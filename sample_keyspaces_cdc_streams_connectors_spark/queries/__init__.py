@@ -41,9 +41,13 @@ def register(name: str, oracle: str | None = None):
             # built — see llm.dedup.release_ngram_cache)
             from sample_keyspaces_cdc_streams_connectors_spark.llm.dedup import release_ngram_cache
             from sample_keyspaces_cdc_streams_connectors_spark.llm.semdedup import release_semdedup_cache
+            from sample_keyspaces_cdc_streams_connectors_spark.operators.prefixsum import (
+                release_order_stats_cache,
+            )
 
             release_ngram_cache()
             release_semdedup_cache()
+            release_order_stats_cache()
             tune(spark)
             return fn(spark, sf_dir)
 

@@ -101,6 +101,23 @@ def main() -> None:
 
         def set_b() -> None:  # r14 two renamed builds
             dmod._NGRAM_BCAST_REUSE = False
+    elif toggle in ("shard", "pack"):
+        from sample_keyspaces_cdc_streams_connectors_spark.llm import pipeline as pmod
+
+        qname = "shard_corpus" if toggle == "shard" else "pack_chunks"
+        orig_shard, orig_pack = pmod.shard_corpus, pmod.pack_chunks
+
+        def set_a() -> None:  # persist the bucketed 3-col projection
+            pmod.shard_corpus = (
+                lambda *a, **k: orig_shard(*a, **{**k, "persist": True})
+            )
+            pmod.pack_chunks = (
+                lambda *a, **k: orig_pack(*a, **{**k, "persist": True})
+            )
+
+        def set_b() -> None:  # r14 recompute-twice form
+            pmod.shard_corpus = orig_shard
+            pmod.pack_chunks = orig_pack
     else:
         raise SystemExit(f"unknown toggle {toggle!r}")
 

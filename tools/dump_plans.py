@@ -1,11 +1,11 @@
-"""Dump `.explain("formatted")` for headline queries to plans/r14/.
+"""Dump `.explain("formatted")` for headline queries to plans/r15/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
-  suffix: "before" or "after" — file becomes plans/r14/<query>_<suffix>.txt
+  suffix: "before" or "after" — file becomes plans/r15/<query>_<suffix>.txt
   query:  optional subset; default = every bench HEADLINE query
 
 The optimization-round judge cannot run Spark; these files are the
-evidence for every plan-shape claim in OPTIMIZATION_r14.md.  Plans are
+evidence for every plan-shape claim in OPTIMIZATION_r15.md.  Plans are
 captured at sf0.001 (plan SHAPE is scale-invariant for these queries;
 only AQE's runtime re-planning differs, and the engine pins the
 non-adaptive child session for small inputs anyway — session.py).
@@ -39,7 +39,7 @@ def main() -> None:
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        "r15",
     )
     os.makedirs(outdir, exist_ok=True)
 
