@@ -287,20 +287,6 @@ def minhash_candidate_pairs(
 # registers its own; `release_ngram_cache()` frees the last one.
 _NGRAM_CACHE: list[DataFrame] = []
 
-#: r15 A/B switch: persist the default-mode POSTING aggregate instead
-#: of the per-doc shingle arrays.  MEASURED SLOWER and kept OFF: the
-#: posting cache (array-of-struct rows) is expensive to materialize
-#: and blocks pipelining of the explode above it — interleaved A/B at
-#: sf0.1: postings-persist min/median 2.254/3.173 s vs arrs-persist
-#: 1.274/2.028 s (the same block-pipelining failure mode as the
-#: rejected shingle-frame caching, r12/r14 notes).  The win that DID
-#: land is the broadcast-reuse restructure below (one hot_per_doc
-#: broadcast job instead of two).
-_NGRAM_POSTINGS_PERSIST = False
-
-#: r15 A/B switch for the hot_per_doc broadcast-reuse restructure.
-_NGRAM_BCAST_REUSE = True
-
 
 def release_ngram_cache() -> None:
     """Unpersist the hashed-shingle cache of the most recent
@@ -496,15 +482,9 @@ def ngram_jaccard_pairs(
             f"{shingles_from_tokens_sql('__toks', k)}, "
             f"x -> {md5_int_sql('x')})) AS __shingles",
         )
+        .persist()
     )
-    # r15: the persist point moved DOWN in default mode (see below) —
-    # only prefix mode still consumes the per-doc arrays directly
-    # (its verify joins), so only prefix mode persists them here.
-    # (_NGRAM_POSTINGS_PERSIST is the r15 A/B switch; False restores
-    # the r14 arrs-persist placement.)
-    if prefix_filter or not _NGRAM_POSTINGS_PERSIST:
-        arrs = arrs.persist()
-        _NGRAM_CACHE.append(arrs)
+    _NGRAM_CACHE.append(arrs)
     sh = arrs.select(
         "doc_id",
         F.size("__shingles").alias("n"),
@@ -671,16 +651,18 @@ def ngram_jaccard_pairs(
     #   full sets — and the former verify tail (two joins moving the
     #   full cached arrays + one big array_intersect per candidate)
     #   disappears.  Measured at sf0.1: 2.9 s -> ~1.9 s steady.
-    # r15: persist the POSTING aggregate, not the per-doc arrays — in
-    # this mode every consumer (pair explode, hot-shingle arrays, the
-    # budget metric) reads postings, and the two hot_per_doc BROADCAST
-    # build sides run as separate driver jobs that cannot reuse the
-    # main job's exchanges: with only `arrs` cached, each broadcast
-    # job re-ran the full shingle-explode + collect_list aggregate, so
-    # the posting groupBy executed THREE times per invocation
-    # (measured ~0.3 s/extra pass at sf0.1; at scale it is the index
-    # shuffle itself that triples).  Caching postings runs the whole
-    # tokenize→shingle→aggregate lineage once.
+    # r15 examined, REJECTED: persisting the POSTING aggregate here
+    # (instead of / in addition to arrs) looks right on paper — every
+    # default-mode consumer reads postings — but measured FAR slower
+    # in interleaved A/B at sf0.1 (min 2.254 s vs 1.274 s): the
+    # array-of-struct posting cache is expensive to materialize and
+    # blocks pipelining of the pair explode above it, the same
+    # failure mode as the rejected r12/r14 shingle-frame caching.
+    # Note the two hot_per_doc broadcast builds below already share
+    # ONE exchange: Spark canonicalizes the renamed build sides
+    # equal, so ReuseExchange fires (plans/r15/dedup_ngram_before.txt
+    # node 35 reuses node 32) — there is no duplicate hot build to
+    # save.
     postings = sh.groupBy("shingle").agg(
         F.sort_array(
             F.collect_list(
@@ -690,9 +672,6 @@ def ngram_jaccard_pairs(
             )
         ).alias("__ds")
     )
-    if _NGRAM_POSTINGS_PERSIST:
-        postings = postings.persist()
-        _NGRAM_CACHE.append(postings)
     counted = (
         _guarded(
             postings.filter(
@@ -719,83 +698,41 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_list("shingle")).alias("__hot"))
     )
     empty_hot = F.array().cast("array<long>")
-    # r15: both joins broadcast the SAME hot_per_doc plan (the rename
-    # moved out of the build side into the join condition/projection),
-    # so the two BroadcastExchanges canonicalize identically and
-    # ReuseExchange builds the hash relation once instead of running
-    # the hot-shingle aggregate as two separate broadcast jobs.
-    # (_NGRAM_BCAST_REUSE=False restores the r14 two-build form for
-    # A/B.)
-    if _NGRAM_BCAST_REUSE:
-        with_hot = (
-            counted.join(
-                F.broadcast(hot_per_doc.alias("__ha_side")),
-                F.col("doc_a") == F.col("__ha_side.doc_id"),
-                "left",
-            )
-            .join(
-                F.broadcast(hot_per_doc.alias("__hb_side")),
-                F.col("doc_b") == F.col("__hb_side.doc_id"),
-                "left",
-            )
-            .select(
-                "doc_a",
-                "doc_b",
-                (
-                    F.col("__nc")
-                    + F.size(
-                        F.array_intersect(
-                            F.coalesce(
-                                F.col("__ha_side.__hot"), empty_hot
-                            ),
-                            F.coalesce(
-                                F.col("__hb_side.__hot"), empty_hot
-                            ),
-                        )
-                    )
-                ).alias("n_common"),
-                "n_a",
-                "n_b",
-            )
+    with_hot = (
+        counted.join(
+            F.broadcast(
+                hot_per_doc.select(
+                    F.col("doc_id").alias("doc_a"), F.col("__hot").alias("__ha")
+                )
+            ),
+            "doc_a",
+            "left",
         )
-    else:
-        with_hot = (
-            counted.join(
-                F.broadcast(
-                    hot_per_doc.select(
-                        F.col("doc_id").alias("doc_a"),
-                        F.col("__hot").alias("__ha"),
-                    )
-                ),
-                "doc_a",
-                "left",
-            )
-            .join(
-                F.broadcast(
-                    hot_per_doc.select(
-                        F.col("doc_id").alias("doc_b"),
-                        F.col("__hot").alias("__hb"),
-                    )
-                ),
-                "doc_b",
-                "left",
-            )
-            .select(
-                "doc_a",
-                "doc_b",
-                (
-                    F.col("__nc")
-                    + F.size(
-                        F.array_intersect(
-                            F.coalesce(F.col("__ha"), empty_hot),
-                            F.coalesce(F.col("__hb"), empty_hot),
-                        )
-                    )
-                ).alias("n_common"),
-                "n_a",
-                "n_b",
-            )
+        .join(
+            F.broadcast(
+                hot_per_doc.select(
+                    F.col("doc_id").alias("doc_b"), F.col("__hot").alias("__hb")
+                )
+            ),
+            "doc_b",
+            "left",
         )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("__nc")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("__ha"), empty_hot),
+                        F.coalesce(F.col("__hb"), empty_hot),
+                    )
+                )
+            ).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+    )
     return _jaccard_out(with_hot)
 
 

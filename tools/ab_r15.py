@@ -7,7 +7,10 @@ r14 changes the driver's PERF data contradicted (VERDICT r14 #2):
               (r14), B = plain (r13)
   roundtrip — scan_format_roundtrip fixture planning: A = size-
               estimated child session (r14), B = parent session (r13)
-  ngram     — dedup_ngram: current code vs itself (drift probe)
+  (the r15 ngram toggles were removed after both variants were
+  rejected: postings-persist measured 2.254 vs 1.274 s min, and the
+  broadcast restructure proved plan-identical — ReuseExchange already
+  fired on the r14 form's canonicalized build sides)
 
 Usage: python tools/ab_r15.py <toggle> [cycles]
 Each cycle runs A then B (construction + noop execution, bench
@@ -81,26 +84,6 @@ def main() -> None:
 
         def set_b() -> None:  # r13: keep the caller's session
             sessmod.planning_session_for_path = lambda spark, path: spark
-    elif toggle == "ngram":
-        from sample_keyspaces_cdc_streams_connectors_spark.llm import dedup as dmod
-
-        qname = "dedup_ngram"
-
-        def set_a() -> None:  # r15 postings persist + broadcast reuse
-            dmod._NGRAM_POSTINGS_PERSIST = True
-
-        def set_b() -> None:  # r14 arrs persist
-            dmod._NGRAM_POSTINGS_PERSIST = False
-    elif toggle == "ngram-bcast":
-        from sample_keyspaces_cdc_streams_connectors_spark.llm import dedup as dmod
-
-        qname = "dedup_ngram"
-
-        def set_a() -> None:  # r15 single canonical broadcast
-            dmod._NGRAM_BCAST_REUSE = True
-
-        def set_b() -> None:  # r14 two renamed builds
-            dmod._NGRAM_BCAST_REUSE = False
     elif toggle in ("shard", "pack"):
         from sample_keyspaces_cdc_streams_connectors_spark.llm import pipeline as pmod
 
