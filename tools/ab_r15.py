@@ -84,6 +84,90 @@ def main() -> None:
 
         def set_b() -> None:  # r13: keep the caller's session
             sessmod.planning_session_for_path = lambda spark, path: spark
+    elif toggle == "subq":
+        # subquery_ops exists-arm: A = r14 one pre-aggregated left
+        # join (the shipped form), B = r13 left_semi + left_anti pair.
+        # The driver's PERF_r14 put subquery_ops in the regressed-in-
+        # both-runs bucket, so the r14 rewrite needs its own recorded
+        # interleaved numbers (VERDICT r14 #2/#10).
+        from pyspark.sql import functions as FF
+
+        from sample_keyspaces_cdc_streams_connectors_spark.queries.relational import (
+            _dbl,
+            _dec,
+        )
+        from sample_keyspaces_cdc_streams_connectors_spark.sources.tables import (
+            load_table,
+        )
+
+        qname = "subquery_ops"
+        queries = dict(queries)
+        orig_subq = queries[qname]
+
+        def _subq_r13(spark, sf_dir):  # noqa: ANN001 — harness-local
+            o = load_table(spark, sf_dir, "orders").filter(
+                FF.col("o_orderdate") >= FF.lit("1995-01-01").cast("timestamp")
+            )
+            li = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_shipdate"
+            )
+            cond = (o.o_orderkey == li.l_orderkey) & (
+                li.l_shipdate > o.o_orderdate
+            )
+
+            def _exists_arm(join_type, cohort):  # noqa: ANN001
+                return (
+                    o.join(li, cond, join_type)
+                    .groupBy("o_orderpriority")
+                    .agg(FF.count("*").alias("n"))
+                    .select(
+                        FF.lit("exists").alias("arm"),
+                        FF.col("o_orderpriority").alias("key"),
+                        FF.lit(cohort).alias("cohort"),
+                        "n",
+                        FF.lit(0.0).alias("amount"),
+                    )
+                )
+
+            li2 = load_table(spark, sf_dir, "lineitem").select(
+                "l_partkey", "l_quantity", "l_extendedprice"
+            )
+            qty_cap = li2.groupBy("l_partkey").agg(
+                (FF.lit(0.5) * FF.avg("l_quantity")).alias("qty_cap")
+            )
+            p = load_table(spark, sf_dir, "part").select(
+                "p_partkey", "p_brand"
+            )
+            scalar = (
+                li2.join(qty_cap, "l_partkey")
+                .filter(FF.col("l_quantity") < FF.col("qty_cap"))
+                .join(
+                    FF.broadcast(p), FF.col("l_partkey") == FF.col("p_partkey")
+                )
+                .groupBy("p_brand")
+                .agg(
+                    FF.count("*").alias("n"),
+                    _dbl(FF.sum(_dec("l_extendedprice"))).alias("amount"),
+                )
+                .select(
+                    FF.lit("scalar_avg").alias("arm"),
+                    FF.col("p_brand").alias("key"),
+                    FF.lit("").alias("cohort"),
+                    "n",
+                    "amount",
+                )
+            )
+            return (
+                _exists_arm("left_semi", "late")
+                .unionAll(_exists_arm("left_anti", "clean"))
+                .unionAll(scalar)
+            )
+
+        def set_a() -> None:  # r14 one-join form
+            queries[qname] = orig_subq
+
+        def set_b() -> None:  # r13 semi/anti pair
+            queries[qname] = _subq_r13
     elif toggle in ("shard", "pack"):
         from sample_keyspaces_cdc_streams_connectors_spark.llm import pipeline as pmod
 
